@@ -1,0 +1,195 @@
+"""`Database`: the engine's catalog + query entry point.
+
+Mirrors the reference's ``Database`` class (``db/Database.java:22–77``): a
+registry mapping table names to storage, plus the ``query(table)`` entry
+point returning a fluent builder.  Here a "table" is any Spark-readable
+source (parquet path, CSV path, or an in-memory DataFrame) and the storage
+engine is Parquet + Tungsten rather than slotted pages.
+
+The reference's ``createTableWithIndices`` (``db/Database.java:120–163``)
+declares B+-tree indexed columns; Spark has no secondary indexes, so a
+declared "index" here means *sorted-by-that-column on write* — which turns
+pushed range filters into Parquet row-group (min/max) skipping, the
+scale-out analog of an index range scan.  ``Database.create_table`` with
+``index_columns`` sorts on write accordingly, and the optimizer's access-path
+report (plans/optimizer.py) treats those columns as index-eligible.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cs186_query_optimization_project_spark.errors import DatabaseException
+
+
+def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Cast TIMESTAMP(NANOS) parquet columns (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) back to microsecond
+    timestamps, matching DuckDB's read of the same files."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        first = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path))
+                     if p.endswith(".parquet")]
+            if not parts:
+                return df
+            first = os.path.join(path, parts[0])
+        arrow_schema = pq.read_schema(first)
+    except Exception:
+        return df
+    for fld in arrow_schema:
+        if (pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
+                and fld.name in df.columns):
+            df = df.withColumn(
+                fld.name,
+                F.timestamp_micros((F.col(fld.name) / 1000).cast("long")))
+    return df
+
+#: Tables the driver's testdata directories always contain.
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class TableEntry:
+    """Catalog entry: how to produce the table's DataFrame + metadata."""
+
+    name: str
+    df: DataFrame
+    path: str | None = None
+    index_columns: tuple[str, ...] = ()
+    #: filled lazily by plans.stats.TableStats.collect
+    stats: object | None = field(default=None, repr=False)
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.df.schema
+
+
+class Database:
+    """Catalog of named tables + the ``query()`` builder entry point."""
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self._tables: dict[str, TableEntry] = {}
+        if data_dir is not None:
+            self.register_directory(data_dir)
+
+    # ------------------------------------------------------------------ #
+    # registration (DDL surface: Database.createTable / deleteTable)
+    # ------------------------------------------------------------------ #
+    def register_directory(self, data_dir: str) -> "Database":
+        """Register every ``<name>.parquet`` under ``data_dir``."""
+        for fname in sorted(os.listdir(data_dir)):
+            if fname.endswith(".parquet"):
+                self.register_parquet(fname[: -len(".parquet")],
+                                      os.path.join(data_dir, fname))
+        return self
+
+    def register_parquet(self, name: str, path: str,
+                         index_columns: tuple[str, ...] = ()) -> "Database":
+        df = self.spark.read.parquet(path)
+        df = _restore_nanos_timestamps(df, path)
+        self._tables[name] = TableEntry(name, df, path, index_columns)
+        return self
+
+    def register_csv(self, name: str, path: str, schema: T.StructType,
+                     header: bool = False) -> "Database":
+        """CSV ingestion (reference test harness reads CSVs row-by-row,
+        ``test/TestDatabaseQueries.java:148–176``; here it's a declarative
+        schema-checked scan)."""
+        df = self.spark.read.csv(path, schema=schema, header=header)
+        self._tables[name] = TableEntry(name, df, path)
+        return self
+
+    def register_dataframe(self, name: str, df: DataFrame,
+                           index_columns: tuple[str, ...] = ()) -> "Database":
+        self._tables[name] = TableEntry(name, df, None, index_columns)
+        return self
+
+    def create_table(self, name: str, df: DataFrame, path: str,
+                     index_columns: tuple[str, ...] = (),
+                     partition_by: tuple[str, ...] = (),
+                     mode: str = "error") -> "Database":
+        """Materialize ``df`` as a Parquet table.
+
+        ``index_columns`` → sorted-on-write inside each partition so pushed
+        filters on them skip row groups (the B+-tree analog, SURVEY.md §2.11).
+        ``partition_by`` → hive-style directory partitioning for partition
+        pruning.  At 100 TB this is the difference between a full scan and
+        reading a handful of files.
+        """
+        writer = df
+        if index_columns:
+            writer = df.sortWithinPartitions(*index_columns)
+        out = writer.write.mode(mode)
+        if partition_by:
+            out = out.partitionBy(*partition_by)
+        out.parquet(path)
+        return self.register_parquet(name, path, index_columns)
+
+    def drop_table(self, name: str) -> None:
+        """Catalog-level delete (files are left in place)."""
+        self._entry(name)
+        del self._tables[name]
+
+    # ------------------------------------------------------------------ #
+    # lookup
+    # ------------------------------------------------------------------ #
+    def _entry(self, name: str) -> TableEntry:
+        if name not in self._tables:
+            raise DatabaseException(
+                f"unknown table '{name}'; registered: {sorted(self._tables)}")
+        return self._tables[name]
+
+    def table(self, name: str) -> DataFrame:
+        return self._entry(name).df
+
+    def table_names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def schema(self, name: str) -> T.StructType:
+        return self._entry(name).schema
+
+    def index_columns(self, name: str) -> tuple[str, ...]:
+        return self._entry(name).index_columns
+
+    # ------------------------------------------------------------------ #
+    # stats (lazy, cached per table — plans/stats.py)
+    # ------------------------------------------------------------------ #
+    def stats(self, name: str, histograms: bool = False):
+        from cs186_query_optimization_project_spark.plans.stats import TableStats
+
+        entry = self._entry(name)
+        if entry.stats is None or (histograms and not entry.stats.histograms):
+            entry.stats = TableStats.collect(entry.df, name,
+                                             histograms=histograms)
+        return entry.stats
+
+    # ------------------------------------------------------------------ #
+    # query entry points (Transaction.query / queryAs,
+    # db/Database.java:221–252)
+    # ------------------------------------------------------------------ #
+    def query(self, table: str, alias: str | None = None):
+        from cs186_query_optimization_project_spark.plans.builder import Query
+
+        self._entry(table)
+        return Query(self, table, alias)

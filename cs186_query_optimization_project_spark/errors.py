@@ -1,0 +1,19 @@
+"""Engine exceptions, mirroring the reference's error surface.
+
+The reference signals query-construction problems with ``QueryPlanException``
+(e.g. ambiguous column names, ``db/query/QueryOperator.java:143``) and data
+problems with ``DatabaseException`` (e.g. schema mismatch on insert,
+``db/table/Schema.java:45–64``).  We keep the same two-level split so tests
+can assert on error category.
+"""
+
+from __future__ import annotations
+
+
+class DatabaseException(Exception):
+    """Data-level errors: unknown table, schema mismatch on write."""
+
+
+class QueryPlanException(DatabaseException):
+    """Query-construction errors: unknown/ambiguous columns, bad predicates,
+    invalid group-by/select combinations."""

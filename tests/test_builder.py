@@ -1,0 +1,237 @@
+"""Builder semantics tests: verb surface, name resolution, naive vs optimal
+equivalence, and result parity against the DuckDB oracle (the analog of the
+reference's QueryPlanTest / OptimalQueryPlanTest suites)."""
+
+import pytest
+
+from cs186_query_optimization_project_spark.errors import (
+    DatabaseException,
+    QueryPlanException,
+)
+from cs186_query_optimization_project_spark.predicates import (
+    EQ,
+    GT,
+    GTE,
+    LT,
+    NEQ,
+    PredicateOperator,
+)
+from tests.conftest import duck_rows, rows
+
+
+def test_simple_scan(db):
+    assert rows(db.query("region").execute()) == duck_rows(
+        "SELECT * FROM region")
+
+
+def test_where_each_operator(db):
+    cases = [
+        (EQ, "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
+         "c_mktsegment", "BUILDING"),
+        (NEQ, "SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'",
+         "c_mktsegment", "BUILDING"),
+        (LT, "SELECT * FROM customer WHERE c_acctbal < 0", "c_acctbal", 0),
+        (GT, "SELECT * FROM customer WHERE c_acctbal > 9000", "c_acctbal", 9000),
+        (GTE, "SELECT * FROM customer WHERE c_nationkey >= 20",
+         "c_nationkey", 20),
+    ]
+    for op, sql, col, val in cases:
+        got = rows(db.query("customer").where(col, op, val).execute())
+        assert got == duck_rows(sql), op
+
+
+def test_stacked_wheres_conjunction(db):
+    got = rows(db.query("lineitem")
+               .where("l_discount", GT, 0.05)
+               .where("l_quantity", LT, 10)
+               .select("l_orderkey", "l_linenumber")
+               .execute())
+    assert got == duck_rows(
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_discount > 0.05 AND l_quantity < 10")
+
+
+def test_projection(db):
+    got = rows(db.query("customer").select("c_name", "c_mktsegment").execute())
+    assert got == duck_rows("SELECT c_name, c_mktsegment FROM customer")
+
+
+def test_projection_with_alias(db):
+    df = (db.query("customer")
+          .select(("c_name", "name"), ("c_acctbal", "balance")).execute())
+    assert df.columns == ["name", "balance"]
+
+
+def test_group_by_count(db):
+    got = rows(db.query("customer").group_by("c_mktsegment").count().execute())
+    assert got == duck_rows(
+        "SELECT c_mktsegment, COUNT(*) AS countAgg FROM customer "
+        "GROUP BY c_mktsegment")
+
+
+def test_global_agg_no_group(db):
+    got = rows(db.query("lineitem").count().sum("l_quantity").execute())
+    assert got == duck_rows(
+        "SELECT COUNT(*) AS countAgg, SUM(l_quantity) AS sumAgg FROM lineitem")
+
+
+def test_group_by_sum_avg_min_max(db):
+    got = rows(db.query("lineitem")
+               .group_by("l_returnflag")
+               .sum("l_quantity").average("l_quantity")
+               .min("l_extendedprice").max("l_extendedprice")
+               .execute())
+    assert got == duck_rows(
+        "SELECT l_returnflag, SUM(l_quantity) AS sumAgg, "
+        "AVG(l_quantity) AS averageAgg, MIN(l_extendedprice) AS minAgg, "
+        "MAX(l_extendedprice) AS maxAgg FROM lineitem GROUP BY l_returnflag")
+
+
+def test_join_two_tables(db):
+    got = rows(db.query("nation")
+               .join("region", "n_regionkey", "r_regionkey")
+               .select("n_name", "r_name").execute())
+    assert got == duck_rows(
+        "SELECT n_name, r_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey")
+
+
+def test_flagship_three_table_join(db):
+    q = (db.query("customer")
+         .join("orders", "c_custkey", "o_custkey")
+         .join("lineitem", "o_orderkey", "l_orderkey")
+         .where("l_discount", GT, 0.05)
+         .group_by("c_mktsegment")
+         .count())
+    expected = duck_rows(
+        "SELECT c_mktsegment, COUNT(*) AS countAgg FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_discount > 0.05 GROUP BY c_mktsegment")
+    assert rows(q.execute()) == expected
+    assert rows(q.execute_optimal()) == expected
+
+
+def test_self_join_with_alias(db):
+    # reference: Transaction.queryAs (db/Database.java:236–252)
+    q = (db.query("nation", alias="n1")
+         .join("nation", "n1.n_regionkey", "n_regionkey", alias="n2")
+         .select(("n1.n_name", "a"), ("n2.n_name", "b")))
+    assert rows(q.execute()) == duck_rows(
+        "SELECT n1.n_name AS a, n2.n_name AS b FROM nation n1 "
+        "JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey")
+
+
+def test_duplicate_alias_rejected(db):
+    with pytest.raises(QueryPlanException, match="already in scope"):
+        db.query("nation").join("nation", "n_regionkey", "n_regionkey")
+
+
+def test_ambiguous_column_rejected(db):
+    q = db.query("nation").join("region", "n_regionkey", "r_regionkey")
+    q2 = db.query("customer").join("orders", "c_custkey", "o_custkey")
+    # no shared names in TPC-H; force ambiguity via self join
+    q3 = (db.query("nation", alias="n1")
+          .join("nation", "n1.n_regionkey", "n_regionkey", alias="n2"))
+    with pytest.raises(QueryPlanException, match="ambiguous"):
+        q3.resolve("n_name")
+
+
+def test_unknown_column_rejected(db):
+    with pytest.raises(QueryPlanException, match="no column"):
+        db.query("nation").where("nope", EQ, 1)
+
+
+def test_unknown_table_rejected(db):
+    with pytest.raises(DatabaseException, match="unknown table"):
+        db.query("not_a_table")
+
+
+def test_select_nongrouped_column_rejected(db):
+    q = db.query("customer").group_by("c_mktsegment").count()
+    q.select("c_name")
+    with pytest.raises(QueryPlanException, match="neither grouped"):
+        q.execute()
+
+
+def test_group_without_agg_rejected(db):
+    with pytest.raises(QueryPlanException, match="requires at least one"):
+        db.query("customer").group_by("c_mktsegment").execute()
+
+
+def test_strict_mode_blocks_extended_ops(db):
+    q = db.query("customer").strict()
+    with pytest.raises(QueryPlanException, match="strict"):
+        q.where("c_mktsegment", PredicateOperator.IN, ["BUILDING"])
+
+
+def test_extended_predicates(db):
+    got = rows(db.query("customer")
+               .where("c_mktsegment", PredicateOperator.IN,
+                      ["BUILDING", "MACHINERY"])
+               .where("c_acctbal", PredicateOperator.BETWEEN, (0, 5000))
+               .select("c_custkey").execute())
+    assert got == duck_rows(
+        "SELECT c_custkey FROM customer WHERE c_mktsegment IN "
+        "('BUILDING','MACHINERY') AND c_acctbal BETWEEN 0 AND 5000")
+
+
+def test_having_order_limit_distinct(db):
+    got = rows(db.query("orders")
+               .group_by("o_custkey").count()
+               .having("countAgg", GTE, 5)
+               .order_by("countAgg", ascending=False)
+               .execute())
+    assert got == duck_rows(
+        "SELECT o_custkey, COUNT(*) AS countAgg FROM orders "
+        "GROUP BY o_custkey HAVING COUNT(*) >= 5")
+    got2 = rows(db.query("customer").select("c_mktsegment").distinct()
+                .execute())
+    assert got2 == duck_rows("SELECT DISTINCT c_mktsegment FROM customer")
+    assert db.query("customer").limit(7).execute().count() == 7
+
+
+def test_outer_semi_anti_joins(db):
+    got = rows(db.query("customer")
+               .join("orders", "c_custkey", "o_custkey", how="left")
+               .group_by("c_mktsegment").count().execute())
+    assert got == duck_rows(
+        "SELECT c_mktsegment, COUNT(*) AS countAgg FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment")
+    got = rows(db.query("customer")
+               .join("orders", "c_custkey", "o_custkey", how="semi")
+               .select("c_custkey").execute())
+    assert got == duck_rows(
+        "SELECT c_custkey FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders)")
+    got = rows(db.query("customer")
+               .join("orders", "c_custkey", "o_custkey", how="anti")
+               .select("c_custkey").execute())
+    assert got == duck_rows(
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders)")
+
+
+def test_join_strategy_hints_same_result(db):
+    base = duck_rows(
+        "SELECT n_name, r_name FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey")
+    for strategy in ("broadcast", "merge", "shuffle_hash"):
+        got = rows(db.query("nation")
+                   .join("region", "n_regionkey", "r_regionkey",
+                         strategy=strategy)
+                   .select("n_name", "r_name").execute())
+        assert got == base, strategy
+
+
+def test_explain_shapes(db):
+    q = (db.query("customer")
+         .join("orders", "c_custkey", "o_custkey")
+         .where("o_totalprice", GT, 1000)
+         .group_by("c_mktsegment").count())
+    naive = q.explain()
+    assert "type: SEQSCAN" in naive and "type: GROUPBY" in naive
+    assert "leftColumn: customer.c_custkey" in naive
+    q.execute_optimal()
+    opt = q.explain(optimal=True)
+    assert "sparkStrategy:" in opt and "estIOCost:" in opt
