@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the full ``queries()`` suite and prints ONE
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+- data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- parallelism: local[$SPARK_GRAFT_CPUS] (default all cores)
+- runs per query: $SPARK_GRAFT_BENCH_RUNS (default 1; median when >1)
+
+Each query is forced to full materialization through the noop sink
+(``format("noop")``) so projections/aggregations are really executed —
+``count()`` would let Spark prune the computation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from cs186_query_optimization_project_spark import get_spark  # noqa: E402
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    sf_label = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_label.removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(app_name="bench")
+    queries = entry_mod.queries()
+
+    # warm the session + catalog (JVM JIT, parquet footers, stats cache)
+    entry_mod.q_scan(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": f"suite_total_{sf_label}",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "runs_per_query": runs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Deduplication operators for document corpora at scale.
+
+Four families (SURVEY.md §7 phase 6; all additive over the reference):
+
+- **exact**: hash-groupBy on content (or fingerprint) — one shuffle on the
+  md5 key, keeps the lowest id per group.  At 100 TB this is the cheap first
+  pass; the md5 shuffle key is 16 bytes regardless of document size.
+- **MinHash + LSH**: shingle → per-shingle 64-bit hash → n_hashes affine
+  minhashes → band hashes → bucket self-join on (band, band_hash) →
+  candidate pairs → exact Jaccard verify.  Entirely JVM-side array
+  expressions + one shuffle per groupBy/join; no Python in the hot path.
+  This is the standard near-dup pipeline (Broder '97; used by every LLM
+  data pipeline since GPT-3).
+- **SimHash**: 64-bit signature whose Hamming neighbors are near-dups;
+  banded into 4 × 16-bit chunks for bucketing (Charikar '02, Manku '07).
+- **n-gram Jaccard**: exact pairwise Jaccard on shingle sets *within LSH
+  buckets only* — never all-pairs; the bucket join bounds the quadratic
+  term.
+
+Candidate-pair joins deliberately emit ``(small_id, large_id)`` with
+``small < large`` so downstream grouping is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.functions.text import shingles
+
+# Prime modulus for the affine minhash permutations.  ~2^30 so that
+# a·h + b stays < 2^60 and never overflows a long under Spark's default
+# ANSI arithmetic (a, h < 2^30).
+_PRIME = 1_000_000_007
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: (keeper id, copies).  ``keeper`` is the
+    minimum id; ``copies`` counts rows sharing the content."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("copies")))
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct content.  Window over the
+    fingerprint partition: one shuffle, no driver involvement."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+def _affine_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod M.  Derived
+    from a splitmix-style integer scramble of the seed — reproducible
+    across runs/partitions (no RNG state on executors)."""
+    params = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_hashes):
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        a = (z % (_PRIME - 1)) + 1
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        b = z % _PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       n_hashes: int = 32, seed: int = 42) -> DataFrame:
+    """(id, signature array<long>[n_hashes]) via JVM array expressions.
+
+    Per-shingle base hash = pmod(xxhash64, p) (JVM).  h_i = min over
+    shingles of (a_i·h + b_i) mod p, computed with transform + array_min —
+    no shuffle at all in this stage.  All intermediates < 2^60 so ANSI
+    arithmetic never overflows."""
+    out = df.select(F.col(id_col),
+                    shingles(text_col, k).alias("__sh"))
+    out = out.withColumn(
+        "__hx", F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {_PRIME}))"))
+    sig_cols = [
+        F.expr(f"array_min(transform(__hx, h -> "
+               f"pmod(h * {a} + {b}, {_PRIME})))").alias(f"__m{i}")
+        for i, (a, b) in enumerate(_affine_params(n_hashes, seed))
+    ]
+    out = out.select(id_col, *sig_cols)
+    return out.select(
+        id_col,
+        F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        n_bands: int = 8) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, band_hash).
+
+    Output: distinct (a, b) with a < b.  The explode produces n_bands rows
+    per doc; the join shuffles on the band hash — the scalable LSH shape
+    (no all-pairs comparison anywhere)."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {n_bands - 1}), "
+                   f"b -> xxhash64(concat_ws(',', slice(signature, "
+                   f"b * (size(signature) div {n_bands}) + 1, "
+                   f"size(signature) div {n_bands}))))")
+        ).alias("band", "band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.band_hash") == F.col("r.band_hash"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("a"),
+                     F.col(f"r.{id_col}").alias("b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only: join texts back in,
+    compare distinct shingle sets with array_intersect/array_union
+    (JVM-side).  Returns (a, b, jaccard) ≥ threshold."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(text_col, k)).alias("__sh"))
+    out = (pairs
+           .join(sh.select(F.col(id_col).alias("a"),
+                           F.col("__sh").alias("__sa")), "a")
+           .join(sh.select(F.col(id_col).alias("b"),
+                           F.col("__sh").alias("__sb")), "b")
+           .withColumn(
+               "jaccard",
+               F.size(F.array_intersect("__sa", "__sb"))
+               / F.size(F.array_union("__sa", "__sb")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    return out
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            n_hashes: int = 32, n_bands: int = 8,
+                            threshold: float = 0.8,
+                            seed: int = 42) -> DataFrame:
+    """Full pipeline: signatures → LSH buckets → candidate pairs → exact
+    Jaccard verification."""
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
+    return jaccard_verify(df, pairs, text_col, id_col, k, threshold)
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens, fully JVM-side.
+
+    For each bit position, sum (+1/−1) of the token hashes' bit values;
+    the signature bit is the sum's sign.  Expressed as an aggregate over
+    the token array per bit — 64 array aggregations stay inside codegen
+    and need no shuffle."""
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"transform(split({text_col}, '\\\\s+'), t -> xxhash64(t))")
+        .alias("__h"))
+    # bit b contribution: sum over tokens of (2*((h >> b) & 1) - 1)
+    bit_cols = [
+        F.expr(
+            f"aggregate(__h, 0L, (acc, h) -> "
+            f"acc + (CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        ).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    with_bits = toks.select(id_col, *bit_cols)
+    # shiftleft(1L, b) instead of a literal 1<<b: bit 63 as a Python int
+    # literal (2^63) exceeds Long.MAX_VALUE; the JVM shift wraps to the
+    # sign bit, which is exactly the bit pattern we want
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(
+            F.col(f"__b{b}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0))
+    return with_bits.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Manku-style banding: split the 64-bit signature into 4 × 16-bit
+    chunks; any pair within Hamming distance ≤ 3 shares at least one exact
+    chunk → bucket-join on (chunk_idx, chunk_value), then exact Hamming
+    filter via bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3), "
+            "c -> (simhash >> (c * 16)) & 65535)")).alias("chunk", "val"))
+    left, right = chunks.alias("l"), chunks.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.chunk") == F.col("r.chunk"))
+                       & (F.col("l.val") == F.col("r.val"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("a"),
+                     F.col(f"r.{id_col}").alias("b"),
+                     F.bit_count(F.col("l.simhash").bitwiseXOR(
+                         F.col("r.simhash"))).alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))
+    return pairs

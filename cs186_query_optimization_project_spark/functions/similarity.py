@@ -1,0 +1,156 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Two paths (SURVEY.md §7 phase 6):
+
+- **brute-force cosine top-k** — the exact baseline: one JVM-side
+  ``zip_with``/``aggregate`` dot product per row, then a global top-k.
+  At 100 TB the top-k is the important part: ``orderBy().limit(k)`` in
+  Spark computes per-partition top-k first (TakeOrderedAndProject), so the
+  shuffle carries only k rows per partition, not the corpus.
+- **random-hyperplane LSH (bucketed ANN)** — signs of r random projections
+  bucket the corpus; queries probe only their own bucket.  The projection
+  is a fixed deterministic matrix derived from a seed, so signatures are
+  reproducible across runs and cluster topologies.
+
+Also: all-pairs cosine above a threshold via LSH buckets (embedding
+near-dup detection), never all-pairs brute force.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM, no Python)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                ) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Deterministic output: similarity rounded to 6 decimals with id
+    tie-break, so ranking is stable across partitionings (and matches the
+    DuckDB oracle bit-for-bit after rounding)."""
+    q = _lit_vec(query_vec)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(emb, q), 6).alias("cosine_sim"))
+    return (scored
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+# --------------------------------------------------------------------- #
+# random-hyperplane LSH
+# --------------------------------------------------------------------- #
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes via a splitmix64 stream —
+    reproducible everywhere without numpy RNG state."""
+    def stream(s: int):
+        state = s & 0xFFFFFFFFFFFFFFFF
+        while True:
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            yield z / 2**64  # uniform [0,1)
+
+    gen = stream(seed)
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        while len(row) < dim:
+            # Box-Muller from two uniforms
+            u1, u2 = next(gen), next(gen)
+            u1 = max(u1, 1e-12)
+            r = math.sqrt(-2.0 * math.log(u1))
+            row.append(r * math.cos(2 * math.pi * u2))
+            if len(row) < dim:
+                row.append(r * math.sin(2 * math.pi * u2))
+        planes.append(row[:dim])
+    return planes
+
+
+def lsh_signature(vec_col: str, dim: int, n_planes: int = 16,
+                  seed: int = 42) -> Column:
+    """Bit-pack the signs of n_planes random projections into a long."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        proj = dot(emb, _lit_vec(plane))
+        sig = sig + F.when(proj >= 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 12, seed: int = 42) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket matches the
+    query's.  One filter + small top-k instead of a full-corpus scan; at
+    scale the bucketed table is written partitioned by signature so the
+    probe prunes partitions."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
+            qsig |= 1 << i
+    bucketed = df.withColumn("__sig",
+                             lsh_signature(vec_col, dim, n_planes, seed))
+    q = _lit_vec(query_vec)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (bucketed.filter(F.col("__sig") == qsig)
+            .select(F.col(id_col),
+                    F.round(cosine(emb, q), 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def similar_pairs(df: DataFrame, threshold: float = 0.95,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket on the LSH signature, compare
+    within buckets only, keep cosine ≥ threshold.  The quadratic term is
+    bounded per bucket (2^n_planes buckets)."""
+    sigs = df.select(F.col(id_col), F.col(vec_col),
+                     lsh_signature(vec_col,
+                                   _dim_of(df, vec_col), n_planes, seed)
+                     .alias("__sig"))
+    left, right = sigs.alias("l"), sigs.alias("r")
+    le = F.transform(F.col(f"l.{vec_col}"), lambda x: x.cast("double"))
+    re_ = F.transform(F.col(f"r.{vec_col}"), lambda x: x.cast("double"))
+    return (left.join(right,
+                      (F.col("l.__sig") == F.col("r.__sig"))
+                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"),
+                    F.round(cosine(le, re_), 6).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])

@@ -1,0 +1,133 @@
+"""Text-analysis operators over a document column.
+
+The reference has no scalar functions at all (SURVEY.md §2.7); these are the
+additive text ops a 100 TB training-data pipeline needs: token counting,
+quality scoring, language ID, and document fingerprinting.  Every function
+returns a Spark ``Column`` built from JVM-side primitives — no Python UDFs —
+so they vectorize inside whole-stage codegen and scale linearly with
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker stopwords per language for the n-gram-free heuristic language ID.
+#: Deliberately tiny + deterministic: hit counts are computed by substring
+#: counting, the argmax is taken in a fixed language order, and the same
+#: arithmetic is expressible in ANSI SQL for the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.col(text) if isinstance(text, str) else text, r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters — a basic quality
+    signal (binary junk and markup score low)."""
+    c = F.col(text) if isinstance(text, str) else text
+    letters = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return letters / F.greatest(F.length(c), F.lit(1))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.length(F.regexp_replace(c, r"\s+", ""))
+    return stripped / F.greatest(token_count(c), F.lit(1))
+
+
+def marker_hits(text: Column | str, word: str) -> Column:
+    """Occurrences of ``word`` as a whole token, via length arithmetic
+    (substring counting — identical semantics in ANSI SQL for the oracle:
+    ``(length(x) - length(replace(x, p, ''))) / length(p)``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    pat = f" {word} "
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(pat))))
+            / F.lit(len(pat))).cast("int")
+
+
+def lang_score(text: Column | str, lang: str) -> Column:
+    cols = [marker_hits(text, w) for w in LANG_MARKERS[lang]]
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts with a
+    fixed-order tie-break (en > de > fr > es), 'und' (undetermined) when no
+    marker hits at all."""
+    scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # wrap from lowest to highest priority: the last wrap (en) is checked
+    # first, so earlier languages in LANG_MARKERS order win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: alpha ratio, sane token lengths, and
+    document length, combined with fixed weights.  Deterministic double
+    arithmetic (same expression used for the SQL oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    tok = avg_token_length(c)
+    tok_score = F.when((tok >= 3.0) & (tok <= 10.0), F.lit(1.0)) \
+                 .otherwise(F.lit(0.5))
+    return F.round(
+        0.4 * alpha_ratio(c) + 0.3 * tok_score + 0.3 * len_score, 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """128-bit content fingerprint (md5 hex) — exact-dup key at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def shingles(text_col: str, k: int = 3) -> Column:
+    """Word k-shingles: array of k-grams joined by single spaces (input for
+    MinHash / Jaccard dedup).  Documents with fewer than k words get one
+    shingle = the whole text.  Pure JVM expression (``transform`` +
+    ``slice`` over the token array)."""
+    toks = f"split({text_col}, '\\\\s+')"
+    return F.expr(
+        f"CASE WHEN size({toks}) <= {k} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - {k} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))) END")
+
+
+def profile(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: id, token count, char count, quality, lang,
+    fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        F.round(alpha_ratio(text_col), 6).alias("alpha_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -99,10 +99,21 @@ class AggClause:
     func: str  # count / sum / avg / min / max
     ref: ColumnRef | None  # None only for count(*)
     out: str
+    #: exact mode: sum/avg over doubles go through DECIMAL(18,4) so the
+    #: result is independent of partitioning/summation order (needed for
+    #: bit-exact oracle comparison; float addition is not associative)
+    exact: bool = False
 
     def spark(self) -> Column:
         if self.ref is None:
             return F.count(F.lit(1)).alias(self.out)
+        col = self.ref.spark()
+        if self.exact and self.func == "sum":
+            return F.sum(col.cast("decimal(18,4)")).cast("double") \
+                    .alias(self.out)
+        if self.exact and self.func == "avg":
+            return (F.sum(col.cast("decimal(18,4)")).cast("double")
+                    / F.count(col)).alias(self.out)
         return _AGG_FUNCS[self.func](self.ref.spark()).alias(self.out)
 
     def sql(self) -> str:
@@ -236,16 +247,18 @@ class Query:
         self.aggs.append(AggClause("count", None, out))
         return self
 
-    def sum(self, column: str, out: str = "sumAgg") -> "Query":
-        self.aggs.append(AggClause("sum", self.resolve(column), out))
+    def sum(self, column: str, out: str = "sumAgg",
+            exact: bool = False) -> "Query":
+        self.aggs.append(AggClause("sum", self.resolve(column), out, exact))
         return self
 
-    def average(self, column: str, out: str = "averageAgg") -> "Query":
+    def average(self, column: str, out: str = "averageAgg",
+                exact: bool = False) -> "Query":
         """Correct AVG over any numeric column.  (The reference's AVG reads
         values with ``getInt`` — ``SelectOperator.java:295–298`` — making it
         wrong for float columns; we deliberately implement real avg,
         SURVEY.md §1.2.)"""
-        self.aggs.append(AggClause("avg", self.resolve(column), out))
+        self.aggs.append(AggClause("avg", self.resolve(column), out, exact))
         return self
 
     avg = average
@@ -304,22 +317,41 @@ class Query:
         With ``plan`` (optimizer.PlannedQuery) the join chain follows the
         DP-chosen base table + left-deep step order and applies each step's
         strategy hint; otherwise the declared order is used verbatim.
+
+        Predicates on the right side of a semi/anti join are pushed into
+        the right input *before* the join — those columns do not exist in
+        the join output (Spark semi/anti joins emit left columns only), so
+        filter-after-join would be unresolvable.  All other predicates keep
+        the reference's filter-after-join placement (for outer joins that
+        is the SQL WHERE semantic).
         """
+        semi_anti = {"semi", "left_semi", "leftsemi", "anti", "left_anti",
+                     "leftanti"}
+        pushed_aliases = {j.alias for j in self.joins if j.how in semi_anti}
+        pushed = [w for w in self.wheres if w.ref.alias in pushed_aliases]
+
+        def right_df(alias: str, table: str, strategy: str) -> DataFrame:
+            right = self._base_df(alias, table)
+            for w in pushed:
+                if w.ref.alias == alias:
+                    right = right.filter(w.condition())
+            return self._apply_strategy(right, strategy)
+
         if plan is None:
             df = self._base_df(self.base_alias, self.base_table)
             for j in self.joins:
-                right = self._apply_strategy(
-                    self._base_df(j.alias, j.table), j.strategy)
+                right = right_df(j.alias, j.table, j.strategy)
                 df = df.join(right, j.left.spark() == j.right.spark(), j.how)
         else:
             df = self._base_df(plan.base_alias, plan.base_table)
             for step in plan.steps:
-                right = self._apply_strategy(
-                    self._base_df(step.alias, step.table), step.strategy)
+                right = right_df(step.alias, step.table, step.strategy)
                 df = df.join(right, step.left.spark() == step.right.spark(),
                              step.how)
 
         for w in self.wheres:
+            if w in pushed:
+                continue
             df = df.filter(w.condition())
 
         if self.aggs or self.group_bys:

@@ -212,6 +212,27 @@ def test_outer_semi_anti_joins(db):
         "(SELECT o_custkey FROM orders)")
 
 
+def test_semi_anti_right_side_predicate_pushed(db):
+    # predicates on the semi/anti right side are pushed below the join
+    got = rows(db.query("customer")
+               .join("orders", "c_custkey", "o_custkey", how="anti")
+               .where("o_totalprice", GT, 300000.0)
+               .select("c_custkey").execute())
+    expected = duck_rows(
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)")
+    assert got == expected and len(got) > 0
+    got = rows(db.query("customer")
+               .join("orders", "c_custkey", "o_custkey", how="semi")
+               .where("o_totalprice", GT, 300000.0)
+               .where("c_acctbal", GT, 0.0)
+               .select("c_custkey").execute())
+    assert got == duck_rows(
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 0.0 AND "
+        "c_custkey IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 300000.0)")
+
+
 def test_join_strategy_hints_same_result(db):
     base = duck_rows(
         "SELECT n_name, r_name FROM nation JOIN region "
