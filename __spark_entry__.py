@@ -21,9 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark import Database
-from cs186_query_optimization_project_spark.functions import dedup, similarity, text
+from cs186_query_optimization_project_spark.functions import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from cs186_query_optimization_project_spark.operators import setops, windows
 from cs186_query_optimization_project_spark.predicates import EQ, GT, GTE, LT, NEQ
+from cs186_query_optimization_project_spark.streaming import windows as stream_windows
 
 _DBS: dict[tuple[int, str], Database] = {}
 
@@ -305,9 +311,53 @@ def q_time_window_agg(spark, sf_dir):
                  .alias("sum_value")))
 
 
+def q_streaming_tumbling(spark, sf_dir):
+    """REAL Structured Streaming: file-stream the events parquet, run a
+    watermarked tumbling-window aggregation to completion (memory sink),
+    return the result table.  Oracle = batch date_trunc equivalent."""
+    name = "stream_tumble_" + str(abs(hash(sf_dir)) % 100000)
+    events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = stream_windows.tumbling_counts(events, window="1 hour",
+                                         watermark="2 hours")
+    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    return (spark.table(name)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n"))
+
+
+def q_streaming_session(spark, sf_dir):
+    """REAL streaming session windows (gap 30 min) per user; memory sink.
+    Oracle = the batch lag/cumsum sessionization, which produces identical
+    session membership."""
+    name = "stream_sess_" + str(abs(hash(sf_dir)) % 100000)
+    events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = stream_windows.session_counts(events, gap="30 minutes",
+                                        watermark="2 hours")
+    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    return (spark.table(name)
+            .select("user_id",
+                    F.date_format("session_start",
+                                  "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
+                    "n_events"))
+
+
 # ===================================================================== #
 # training-data pipeline operators (documents / embeddings)
 # ===================================================================== #
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary asset column + Arrow-batched
+    mapInPandas feature extraction (decode stubbed — see
+    functions/multimodal.py).  Oracle covers the SQL-expressible outputs
+    (checksum/byte stats); the stub feature vector is engine-internal."""
+    db = _db(spark, sf_dir)
+    assets = multimodal.attach_fake_assets(db.table("documents"))
+    return (multimodal.extract_features(assets)
+            .select("doc_id", "mime", "n_bytes", "checksum"))
+
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_db(spark, sf_dir).table("documents"))
 
@@ -430,7 +480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "sessionize": q_sessionize,
         "time_window_agg": q_time_window_agg,
+        # structured streaming (real readStream driven to completion)
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_session": q_streaming_session,
         # pipeline
+        "multimodal_features": q_multimodal_features,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -616,6 +670,28 @@ def oracle_sql() -> dict[str, str]:
             f"AS window_start, event_type, COUNT(*) AS countAgg, "
             f"CAST(SUM(CAST(value AS {dec})) AS DOUBLE) AS sum_value "
             f"FROM events GROUP BY 1, 2"),
+        "streaming_tumbling": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS window_start, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2"),
+        "streaming_session": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            "  CASE WHEN lag(ts) OVER w IS NULL "
+            "       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 "
+            "       THEN 1 ELSE 0 END AS brk "
+            "  FROM events WINDOW w AS (PARTITION BY user_id "
+            "    ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, "
+            "  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "  AS session_idx FROM g) "
+            "SELECT user_id, "
+            "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, session_idx"),
+        "multimodal_features": (
+            "SELECT doc_id, 'image/fake' AS mime, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS checksum FROM documents"),
         # pipeline
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, "

@@ -48,9 +48,12 @@ def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
     for fld in arrow_schema:
         if (pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
                 and fld.name in df.columns):
+            # integer `div`, NOT float division: nanos-since-epoch
+            # (~1.7e18) exceeds double's 53-bit mantissa, so x/1000.0
+            # would corrupt the low microseconds
             df = df.withColumn(
                 fld.name,
-                F.timestamp_micros((F.col(fld.name) / 1000).cast("long")))
+                F.timestamp_micros(F.expr(f"`{fld.name}` div 1000")))
     return df
 
 #: Tables the driver's testdata directories always contain.

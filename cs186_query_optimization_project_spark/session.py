@@ -45,6 +45,8 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # managed tables (bucketed writes) land outside the repo
+    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
 }
 
 

@@ -1,0 +1,119 @@
+"""Watermarked window aggregations for the events stream.
+
+Shapes covered (streaming analogs of SURVEY.md §7 phase 6):
+
+- tumbling window counts/sums (``F.window(ts, size)``)
+- sliding windows (``F.window(ts, size, slide)``)
+- session windows (``F.session_window(ts, gap)``)
+
+Each takes and returns a DataFrame; pass a ``readStream`` frame for
+incremental execution (the watermark bounds state) or a batch frame for
+testing — Spark evaluates ``window``/``session_window`` identically in
+both modes.
+
+At scale: the watermark is what keeps state finite — without it a
+windowed aggregation on an unbounded stream accumulates state forever.
+The groupBy shuffles on (window, key); skewed keys are handled by AQE in
+batch and by state-store partitioning (``spark.sql.shuffle.partitions``,
+fixed at first run of a streaming query) in streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema for reading the driver's events parquet as a stream.  ``ts`` is
+#: read as long (TIMESTAMP(NANOS) under nanosAsLong) and restored to a
+#: microsecond timestamp in stream_events().
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark, path: str) -> DataFrame:
+    """Open the events parquet as a file stream (new files under ``path``
+    are picked up incrementally — the local stand-in for a Kafka topic).
+    A single-file path is turned into dir + glob (file stream sources
+    require a directory basePath)."""
+    import os
+
+    reader = spark.readStream.format("parquet").schema(EVENTS_RAW_SCHEMA)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.load(path)
+    # integer div keeps full microsecond precision (see database.py note)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per (tumbling window, event_type): count + sum(value)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return (src.groupBy(F.window(F.col(ts_col), window).alias("win"),
+                        F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes", watermark: str = "2 hours",
+                   ts_col: str = "ts") -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return (src.groupBy(F.window(F.col(ts_col), window, slide).alias("win"),
+                        F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"), "event_type", "n"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours",
+                   ts_col: str = "ts") -> DataFrame:
+    """Per-user session windows (gap-based), the streaming analog of
+    operators/windows.py:sessionize."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    return (src.groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                        F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "user_id", "n_events"))
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
+                    keys: list[str] | None = None,
+                    ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup on event ids within the watermark horizon —
+    state is bounded by the watermark (dropDuplicatesWithinWatermark)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete"):
+    """Drive a streaming frame to completion against the available input
+    and land results in an in-memory table (test/demo harness).  Returns
+    the StreamingQuery (stopped)."""
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,152 @@
+"""Unit tests for the pipeline operators: text analysis, dedup families,
+similarity search — with planted duplicates/near-duplicates so recall is
+checkable exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.functions import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "der schnelle braune fuchs und der faule hund und die"),  # de
+        (5, "le renard brun et le chien et les chats"),              # fr
+        (6, "completely different words entirely here now folks"),
+        (7, "zzz qqq"),                                              # short
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+    assert got[1] == 9 and got[7] == 2
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang"] for r in
+           docs.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en" and got[4] == "de" and got[5] == "fr"
+    assert got[7] == "und"
+
+
+def test_fingerprint_and_quality(docs):
+    prof = text.profile(docs).collect()
+    by_id = {r["doc_id"]: r for r in prof}
+    assert by_id[1]["fingerprint"] == by_id[2]["fingerprint"]
+    assert by_id[1]["fingerprint"] != by_id[3]["fingerprint"]
+    assert all(0.0 <= r["quality"] <= 1.0 for r in prof)
+
+
+def test_shingles(spark, docs):
+    got = docs.filter(F.col("doc_id") == 7).select(
+        text.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert got == ["zzz qqq"]  # shorter than k → whole text
+    got9 = docs.filter(F.col("doc_id") == 1).select(
+        text.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert len(got9) == 7 and got9[0] == "the quick brown"
+
+
+def test_exact_dedup(docs):
+    dups = dedup.exact_duplicates(docs).collect()
+    by_id = {r["doc_id"]: r["copies"] for r in dups}
+    assert by_id[1] == 2          # doc 2 collapsed into doc 1
+    assert 2 not in by_id
+    kept = dedup.drop_exact_duplicates(docs)
+    assert kept.count() == 6
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5,
+                                          n_hashes=64, n_bands=16)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in found        # exact dup always survives
+    assert (1, 3) in found        # near dup (1-word difference)
+    assert all(a < b for a, b in found)
+    # unrelated docs don't pair
+    assert not any({a, b} & {6} and {a, b} & {1, 2, 3} for a, b in found)
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = {r["doc_id"]: r["signature"]
+          for r in dedup.minhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: r["signature"]
+          for r in dedup.minhash_signatures(docs.repartition(7)).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # identical text → identical signature
+
+
+def test_simhash(docs):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=10)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert (1, 3) in found
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(50):
+        angle = i * 0.12
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 1.0]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .select("vec_id", F.col("embedding").cast("array<float>")
+                .alias("embedding"))
+
+
+def test_cosine_topk_self_first(vectors):
+    q = [float(v) for v in vectors.filter(F.col("vec_id") == 0)
+         .collect()[0]["embedding"]]
+    top = similarity.cosine_topk(vectors, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] == 1.0
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_subset_of_bucket(vectors):
+    q = [float(v) for v in vectors.filter(F.col("vec_id") == 0)
+         .collect()[0]["embedding"]]
+    ann = similarity.ann_topk(vectors, q, k=5, n_planes=3).collect()
+    assert len(ann) >= 1
+    assert ann[0]["vec_id"] == 0  # query's own bucket contains itself
+
+
+def test_similar_pairs_planted(spark, vectors):
+    planted = vectors.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = vectors.unionByName(planted)
+    pairs = similarity.similar_pairs(corpus, threshold=0.999, n_planes=4)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 1000) in found
+
+
+def test_multimodal_features(docs):
+    import hashlib
+
+    assets = multimodal.attach_fake_assets(docs)
+    feats = multimodal.extract_features(assets).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(feats) == 7
+    for i, t in src.items():
+        assert by_id[i]["checksum"] == hashlib.md5(t.encode()).hexdigest()
+        assert by_id[i]["n_bytes"] == len(t.encode())
+        assert len(by_id[i]["feature"]) == 8
+    # identical payloads → identical features (deterministic stub)
+    assert by_id[1]["feature"] == by_id[2]["feature"]

@@ -1,0 +1,84 @@
+"""Sources & sinks: schema-checked CSV/JSON readers, indexed (sorted)
+writes with file pruning, bucketed tables with shuffle-free joins."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cs186_query_optimization_project_spark.errors import DatabaseException
+from cs186_query_optimization_project_spark.sources import readers, writers
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("1,alice,3.5\n2,bob,2.75\n")
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("gpa", T.DoubleType()),
+    ])
+    df = readers.read_csv(spark, str(p), schema)
+    rows = sorted((r["id"], r["name"], r["gpa"]) for r in df.collect())
+    assert rows == [(1, "alice", 3.5), (2, "bob", 2.75)]
+
+
+def test_json_reader(spark, tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"id": 1, "tag": "x"}\n{"id": 2, "tag": "y"}\n')
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("tag", T.StringType())])
+    df = readers.read_json(spark, str(p), schema)
+    assert df.count() == 2
+
+
+def test_parquet_schema_check(spark, db, tmp_path):
+    region = db.table("region")
+    out = str(tmp_path / "r.parquet")
+    region.write.parquet(out)
+    readers.read_parquet(spark, out, region.schema)  # ok
+    wrong = T.StructType([T.StructField("nope", T.IntegerType())])
+    with pytest.raises(DatabaseException, match="schema mismatch"):
+        readers.read_parquet(spark, out, wrong)
+
+
+def test_write_indexed_prunes_files(spark, db, tmp_path):
+    out = str(tmp_path / "orders_by_key")
+    writers.write_indexed(db.table("orders"), out, ("o_orderkey",),
+                          num_files=8)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 8
+    df = spark.read.parquet(out).filter(F.col("o_orderkey") < 100)
+    # range-partitioned + sorted → only 1 of 8 files holds keys < 100;
+    # parquet row-group stats let Spark skip the rest at scan time
+    n_all = spark.read.parquet(out).count()
+    assert df.count() < n_all
+    got = sorted(r["o_orderkey"] for r in df.collect())
+    want = sorted(r["o_orderkey"] for r in
+                  db.table("orders").filter(F.col("o_orderkey") < 100)
+                  .collect())
+    assert got == want
+
+
+def test_write_bucketed_join_no_shuffle(spark, db):
+    import shutil
+
+    # the in-memory catalog forgets managed tables between sessions but
+    # their warehouse dirs persist — clear both layers
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
+    writers.write_bucketed(db.table("orders"), "b_orders",
+                           ("o_orderkey",), num_buckets=4)
+    writers.write_bucketed(
+        db.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ("o_orderkey",), num_buckets=4)
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem").select("o_orderkey", "l_quantity")
+    joined = a.join(b, "o_orderkey").hint("merge")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # bucketed-on-join-key tables sort-merge join without an Exchange
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() > 0

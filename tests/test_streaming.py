@@ -1,0 +1,84 @@
+"""Streaming tests: drive real readStream queries to completion with the
+memory sink and check against batch equivalents (the recommended
+Structured Streaming test pattern — batch and stream share the same
+transformation code)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.streaming import stateful, windows as sw
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return sw.stream_events(spark, f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_batch(db):
+    return db.table("events")
+
+
+def test_stream_events_restores_timestamps(events_stream):
+    assert events_stream.isStreaming
+    assert dict(events_stream.dtypes)["ts"] == "timestamp"
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_stream,
+                                              events_batch):
+    sw.run_to_memory(sw.tumbling_counts(events_stream), "t_tumble",
+                     output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 4))
+           for r in spark.table("t_tumble").collect()}
+    want = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 4))
+            for r in sw.tumbling_counts(events_batch).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sliding_counts_stream_matches_batch(spark, events_stream,
+                                             events_batch):
+    sw.run_to_memory(sw.sliding_counts(events_stream), "t_slide",
+                     output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): r["n"]
+           for r in spark.table("t_slide").collect()}
+    want = {(r["window_start"], r["event_type"]): r["n"]
+            for r in sw.sliding_counts(events_batch).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_counts_stream_matches_batch(spark, events_stream,
+                                             events_batch):
+    sw.run_to_memory(sw.session_counts(events_stream), "t_sess",
+                     output_mode="complete")
+    got = sorted((r["user_id"], r["session_start"], r["n_events"])
+                 for r in spark.table("t_sess").collect())
+    want = sorted((r["user_id"], r["session_start"], r["n_events"])
+                  for r in sw.session_counts(events_batch).collect())
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup(spark, events_stream, events_batch):
+    deduped = sw.streaming_dedup(events_stream)
+    sw.run_to_memory(deduped.groupBy().agg(F.count(F.lit(1)).alias("n")),
+                     "t_dedup", output_mode="complete")
+    # source has unique event_ids, so dedup is a no-op count-wise
+    n_stream = spark.table("t_dedup").collect()[0]["n"]
+    assert n_stream == events_batch.count()
+
+
+def test_stateful_user_totals_stream_matches_batch(spark, events_stream,
+                                                   events_batch):
+    sw.run_to_memory(stateful.user_running_totals(events_stream),
+                     "t_state", output_mode="update")
+    # "update" mode emits one row per user per batch; the memory sink holds
+    # the union — take the final row per user (max n_events)
+    final = (spark.table("t_state")
+             .groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events"),
+                  F.max("total_value").alias("total_value")))
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+           for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+            for r in stateful.user_running_totals(events_batch).collect()}
+    assert got == want and len(got) > 0
