@@ -183,9 +183,55 @@ class Database:
 
         entry = self._entry(name)
         if entry.stats is None or (histograms and not entry.stats.histograms):
-            entry.stats = TableStats.collect(entry.df, name,
-                                             histograms=histograms)
+            entry.stats = (self._load_cached_stats(entry, histograms)
+                           or TableStats.collect(entry.df, name,
+                                                 histograms=histograms))
+            self._save_cached_stats(entry, entry.stats)
         return entry.stats
+
+    # Disk cache for table stats, keyed by (path, mtime, size) — the local
+    # analog of ANALYZE TABLE results living in a catalog.  Recomputing
+    # stats per process would otherwise dominate short optimal-path queries.
+    _STATS_CACHE_DIR = "/tmp/spark_graft_stats_cache"
+
+    def _stats_cache_key(self, entry: TableEntry) -> str | None:
+        if entry.path is None or not os.path.exists(entry.path):
+            return None
+        st = os.stat(entry.path)
+        import hashlib
+
+        raw = f"{entry.path}|{st.st_mtime_ns}|{st.st_size}"
+        return hashlib.md5(raw.encode()).hexdigest()
+
+    def _load_cached_stats(self, entry: TableEntry, histograms: bool):
+        key = self._stats_cache_key(entry)
+        if key is None:
+            return None
+        path = os.path.join(self._STATS_CACHE_DIR, key + ".pkl")
+        try:
+            import pickle
+
+            with open(path, "rb") as f:
+                stats = pickle.load(f)
+            if histograms and not stats.histograms:
+                return None
+            return stats
+        except Exception:
+            return None
+
+    def _save_cached_stats(self, entry: TableEntry, stats) -> None:
+        key = self._stats_cache_key(entry)
+        if key is None:
+            return
+        try:
+            import pickle
+
+            os.makedirs(self._STATS_CACHE_DIR, exist_ok=True)
+            with open(os.path.join(self._STATS_CACHE_DIR, key + ".pkl"),
+                      "wb") as f:
+                pickle.dump(stats, f)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------ #
     # query entry points (Transaction.query / queryAs,

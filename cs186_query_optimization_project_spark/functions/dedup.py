@@ -84,19 +84,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """(id, signature array<long>[n_hashes]) via JVM array expressions.
 
     Per-shingle base hash = pmod(xxhash64, p) (JVM).  h_i = min over
-    shingles of (a_i·h + b_i) mod p, computed with transform + array_min —
-    no shuffle at all in this stage.  All intermediates < 2^60 so ANSI
-    arithmetic never overflows."""
-    out = df.select(F.col(id_col),
-                    shingles(text_col, k).alias("__sh"))
-    out = out.withColumn(
-        "__hx", F.expr(f"transform(__sh, s -> pmod(xxhash64(s), {_PRIME}))"))
-    sig_cols = [
-        F.expr(f"array_min(transform(__hx, h -> "
-               f"pmod(h * {a} + {b}, {_PRIME})))").alias(f"__m{i}")
+    shingles of (a_i·h + b_i) mod p.  All intermediates < 2^60 so ANSI
+    arithmetic never overflows.
+
+    Shape: explode shingles → hash each ONCE → groupBy(id) with n_hashes
+    min-aggregates.  A flat array-expression version (array_min over
+    transform, no shuffle) looks cheaper on paper, but Catalyst's
+    CollapseProject inlines the shared shingle-hash array into every one
+    of the n_hashes columns, re-tokenizing and re-hashing the document
+    n_hashes times — measured 30× slower.  The explode pays one shuffle
+    but hashes each shingle exactly once, and map-side partial min
+    aggregation keeps the shuffle tiny (n_hashes longs per id per
+    partition)."""
+    hashed = (df.select(F.col(id_col),
+                        F.explode(shingles(text_col, k)).alias("__s"))
+              .select(F.col(id_col),
+                      F.expr(f"pmod(xxhash64(__s), {_PRIME})").alias("__h")))
+    aggs = [
+        F.min(F.expr(f"pmod(__h * {a} + {b}, {_PRIME})")).alias(f"__m{i}")
         for i, (a, b) in enumerate(_affine_params(n_hashes, seed))
     ]
-    out = out.select(id_col, *sig_cols)
+    out = hashed.groupBy(id_col).agg(*aggs)
     return out.select(
         id_col,
         F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature"))
@@ -132,16 +140,20 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3,
                    threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only: join texts back in,
-    compare distinct shingle sets with array_intersect/array_union
-    (JVM-side).  Returns (a, b, jaccard) ≥ threshold."""
-    sh = df.select(F.col(id_col),
-                   F.array_distinct(shingles(text_col, k)).alias("__sh"))
+    """Exact n-gram Jaccard on candidate pairs only: join the raw texts to
+    the (small) pair set first, then shingle ONLY the joined rows.
+    Candidate pairs ≪ corpus, so shingle work is proportional to the
+    candidates, not to corpus size — the full corpus is scanned twice for
+    the (cheap) text join and never re-shingled.  Comparison is
+    array_intersect/array_union, JVM-side."""
+    texts = df.select(F.col(id_col), F.col(text_col))
     out = (pairs
-           .join(sh.select(F.col(id_col).alias("a"),
-                           F.col("__sh").alias("__sa")), "a")
-           .join(sh.select(F.col(id_col).alias("b"),
-                           F.col("__sh").alias("__sb")), "b")
+           .join(texts.select(F.col(id_col).alias("a"),
+                              F.col(text_col).alias("__ta")), "a")
+           .join(texts.select(F.col(id_col).alias("b"),
+                              F.col(text_col).alias("__tb")), "b")
+           .withColumn("__sa", F.array_distinct(shingles("__ta", k)))
+           .withColumn("__sb", F.array_distinct(shingles("__tb", k)))
            .withColumn(
                "jaccard",
                F.size(F.array_intersect("__sa", "__sb"))
@@ -171,22 +183,20 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     """64-bit SimHash over word tokens, fully JVM-side.
 
     For each bit position, sum (+1/−1) of the token hashes' bit values;
-    the signature bit is the sum's sign.  Expressed as an aggregate over
-    the token array per bit — 64 array aggregations stay inside codegen
-    and need no shuffle."""
-    toks = df.select(
-        F.col(id_col),
-        F.expr(f"transform(split({text_col}, '\\\\s+'), t -> xxhash64(t))")
-        .alias("__h"))
+    the signature bit is the sum's sign.  Shape: explode tokens → hash
+    each once → 64 sum-aggregates with map-side partial aggregation (see
+    minhash_signatures for why explode+agg beats per-row array lambdas)."""
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("__t"))
+            .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
     # bit b contribution: sum over tokens of (2*((h >> b) & 1) - 1)
     bit_cols = [
-        F.expr(
-            f"aggregate(__h, 0L, (acc, h) -> "
-            f"acc + (CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
-        ).alias(f"__b{b}")
+        F.sum(F.expr(f"CASE WHEN (__h >> {b}) & 1 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"__b{b}")
         for b in range(64)
     ]
-    with_bits = toks.select(id_col, *bit_cols)
+    with_bits = toks.groupBy(id_col).agg(*bit_cols)
     # shiftleft(1L, b) instead of a literal 1<<b: bit 63 as a Python int
     # literal (2^63) exceeds Long.MAX_VALUE; the JVM shift wraps to the
     # sign bit, which is exactly the bit pattern we want
