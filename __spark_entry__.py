@@ -388,6 +388,29 @@ def q_minhash_near_dups(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard dedup over the planted corpus — inverted-index
+    join, no hash approximation, so it IS SQL-expressible and fully
+    oracle-checked (unlike the MinHash pipeline)."""
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    planted = (docs.filter(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" appendix"))
+                       .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting per document."""
+    db = _db(spark, sf_dir)
+    return (db.table("documents")
+            .select("doc_id",
+                    text.token_count("text").alias("ws_tokens"),
+                    text.bpe_token_count("text").alias("bpe_tokens")))
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs over the same planted corpus (rows-only)."""
     db = _db(spark, sf_dir)
@@ -425,6 +448,16 @@ def q_embedding_ann_lsh(spark, sf_dir):
     db = _db(spark, sf_dir)
     return similarity.ann_topk(db.table("embeddings"),
                                _query_vec(spark, sf_dir), k=10, n_planes=4)
+
+
+def q_embedding_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: deterministic centroids → cell assignment → probe the
+    4 nearest of 16 cells (rows-only: cell membership depends on the
+    engine's centroid pick, not SQL-expressible)."""
+    db = _db(spark, sf_dir)
+    return similarity.ivf_topk(db.table("embeddings"),
+                               _query_vec(spark, sf_dir), k=10,
+                               n_cells=16, n_probe=4)
 
 
 def q_embedding_similar_pairs(spark, sf_dir):
@@ -490,8 +523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_counts": q_token_counts,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_similar_pairs": q_embedding_similar_pairs,
     }
 
@@ -707,6 +743,36 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)), 6) AS cosine_sim "
             "FROM embeddings ORDER BY cosine_sim DESC, vec_id LIMIT 10"),
+        "ngram_jaccard": (
+            "WITH corpus AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL"
+            "  SELECT doc_id + 1000000, text || ' appendix' FROM documents"
+            "  WHERE doc_id % 10 = 0), "
+            "sh AS ("
+            "  SELECT doc_id, list_distinct("
+            "    CASE WHEN len(toks) <= 3"
+            "         THEN [array_to_string(toks, ' ')]"
+            "         ELSE list_transform(range(1, len(toks) - 1),"
+            "              i -> toks[i] || ' ' || toks[i+1] || ' ' "
+            "                   || toks[i+2]) END) AS s"
+            "  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') "
+            "        AS toks FROM corpus)) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "round(len(list_intersect(a.s, b.s))::DOUBLE "
+            "      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),"
+            "      6) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+            "      >= 0.6"),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(regexp_split_to_array(text, '\\s+')) AS ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens "
+            "FROM documents"),
         # minhash_near_dups / simhash_near_dups / embedding_ann_lsh /
-        # embedding_similar_pairs: engine-hash-dependent → rows-only check
+        # embedding_ann_ivf / embedding_similar_pairs:
+        # engine-hash-dependent → rows-only check
     }

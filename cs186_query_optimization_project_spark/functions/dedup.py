@@ -176,6 +176,53 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------- #
+# exact n-gram Jaccard (inverted-index join, no hashing approximation)
+# --------------------------------------------------------------------- #
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via an inverted index —
+    never an all-pairs comparison.
+
+    Shape: distinct shingles per doc → explode into (shingle, id) postings →
+    self-join on the shingle (pairs sharing ≥1 shingle are exactly the pairs
+    with Jaccard > 0) → count common shingles per pair → |A∩B| / (|A|+|B|−
+    |A∩B|).  All JVM-side; shuffles on the shingle then the pair key.
+
+    ``max_doc_freq`` is the scale knob: dropping shingles that occur in more
+    than N documents bounds the quadratic per-posting-list term (a stopword
+    shingle appearing in 1M docs would otherwise emit 10^12 pairs).  Dropped
+    shingles make the reported Jaccard a *lower bound*, so this is off by
+    default and correctness tests run without it."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(text_col, k)).alias("__sh"))
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    inv = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    if max_doc_freq is not None:
+        freq = Window.partitionBy("__s")
+        inv = (inv.withColumn("__df", F.count(F.lit(1)).over(freq))
+               .filter(F.col("__df") <= max_doc_freq).drop("__df"))
+    common = (inv.alias("l")
+              .join(inv.alias("r"),
+                    (F.col("l.__s") == F.col("r.__s"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+              .groupBy(F.col(f"l.{id_col}").alias("a"),
+                       F.col(f"r.{id_col}").alias("b"))
+              .agg(F.count(F.lit(1)).alias("__common")))
+    return (common
+            .join(sizes.select(F.col(id_col).alias("a"),
+                               F.col("__n").alias("__na")), "a")
+            .join(sizes.select(F.col(id_col).alias("b"),
+                               F.col("__n").alias("__nb")), "b")
+            .withColumn("jaccard",
+                        F.col("__common")
+                        / (F.col("__na") + F.col("__nb") - F.col("__common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #
 def simhash_signatures(df: DataFrame, text_col: str = "text",

@@ -129,6 +129,63 @@ def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN — the cluster-then-probe scale path
+# --------------------------------------------------------------------- #
+def ivf_centroids(df: DataFrame, n_cells: int = 16,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic centroid pick: the n_cells corpus vectors with the
+    smallest xxhash64(id) — a seedless reservoir that is stable across
+    partitionings.  (A KMeans refinement would sharpen recall; the IVF
+    *plumbing* — assignment, cell pruning, probe — is identical.)  The
+    collect is bounded by n_cells, never corpus-sized."""
+    rows = (df.select(F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(n_cells).collect())
+    return [[float(v) for v in r[0]] for r in rows]
+
+
+def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Cell id = argmax cosine-dot against the centroid list (JVM-side:
+    an array of dot products + array_position of the max; first index wins
+    ties deterministically)."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dots = F.array(*[
+        dot(emb, _lit_vec(c)) / F.lit(math.sqrt(sum(v * v for v in c)) or 1.0)
+        for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).alias("cell")
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-flat approximate top-k: assign rows to their nearest centroid,
+    score only the n_probe cells nearest the query.
+
+    At 100 TB the assignment happens once at write time (table partitioned
+    by ``cell``), so a probe reads n_probe/n_cells of the data via partition
+    pruning; here the assignment is computed in the scan (still a single
+    pass, no shuffle — the filter + top-k collapse into one stage)."""
+    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+
+    def _cos(c: list[float]) -> float:
+        d = sum(p * q for p, q in zip(c, query_vec))
+        nc = math.sqrt(sum(v * v for v in c)) or 1.0
+        nq = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+        return d / (nc * nq)
+
+    probe = sorted(range(len(cents)), key=lambda i: -_cos(cents[i]))[:n_probe]
+    q = _lit_vec(query_vec)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (df.withColumn("cell", ivf_cell(vec_col, cents))
+            .filter(F.col("cell").isin(probe))
+            .select(F.col(id_col),
+                    F.round(cosine(emb, q), 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def similar_pairs(df: DataFrame, threshold: float = 0.95,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -34,6 +34,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style, ASCII simplification):
+#: letter runs, digit runs, and punctuation runs are separate tokens.  The
+#: same regex runs unchanged in DuckDB for the oracle.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization → array<string> (the token stream a BPE
+    tokenizer would merge; counts approximate LLM token counts ~1.3× low)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c)

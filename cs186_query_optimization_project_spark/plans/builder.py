@@ -37,6 +37,7 @@ from cs186_query_optimization_project_spark.errors import QueryPlanException
 from cs186_query_optimization_project_spark.predicates import (
     REFERENCE_OPS,
     PredicateOperator,
+    coerce_op,
 )
 
 #: Spark join-strategy hints accepted by ``join(strategy=...)``, mapping the
@@ -212,9 +213,15 @@ class Query:
                                      how, strategy))
         return self
 
-    def where(self, column: str, op: PredicateOperator, value: Any = None) -> "Query":
+    def where(self, column: str, op: PredicateOperator | str,
+              value: Any = None) -> "Query":
         """Single-predicate filter; stacked calls AND together
-        (``QueryPlan.java:101–105,527–540``)."""
+        (``QueryPlan.java:101–105,527–540``).  ``op`` may be a
+        ``PredicateOperator`` or its symbol string (``">"``, ``"="``, …)."""
+        try:
+            op = coerce_op(op)
+        except ValueError as exc:
+            raise QueryPlanException(str(exc)) from None
         if self.strict_reference_mode and op not in REFERENCE_OPS:
             raise QueryPlanException(
                 f"operator {op.name} is outside the reference predicate "
@@ -274,8 +281,13 @@ class Query:
         self.aggs.append(AggClause("max", self.resolve(column), out))
         return self
 
-    def having(self, column: str, op: PredicateOperator, value: Any) -> "Query":
+    def having(self, column: str, op: PredicateOperator | str,
+               value: Any) -> "Query":
         """Filter after aggregation on an agg output name or group column."""
+        try:
+            op = coerce_op(op)
+        except ValueError as exc:
+            raise QueryPlanException(str(exc)) from None
         self.havings.append((column, op, value))
         return self
 

@@ -101,6 +101,37 @@ _SIMPLE_OPS = {
 #: The six operators that exist in the reference (parity subset).
 REFERENCE_OPS = frozenset(_SIMPLE_OPS)
 
+#: Spelling variants accepted by :func:`coerce_op` beyond the enum values.
+_OP_SYNONYMS = {
+    "==": PredicateOperator.EQUALS,
+    "<>": PredicateOperator.NOT_EQUALS,
+    "eq": PredicateOperator.EQUALS,
+    "neq": PredicateOperator.NOT_EQUALS,
+    "lt": PredicateOperator.LESS_THAN,
+    "lte": PredicateOperator.LESS_THAN_EQUALS,
+    "gt": PredicateOperator.GREATER_THAN,
+    "gte": PredicateOperator.GREATER_THAN_EQUALS,
+}
+
+
+def coerce_op(op: "PredicateOperator | str") -> PredicateOperator:
+    """Accept an operator as an enum member, its symbol (``">"``), or a
+    short name (``"gt"``); raise a readable error otherwise (instead of an
+    ``AttributeError`` deep inside plan assembly)."""
+    if isinstance(op, PredicateOperator):
+        return op
+    if isinstance(op, str):
+        key = op.strip().lower()
+        try:
+            return PredicateOperator(key)
+        except ValueError:
+            if key in _OP_SYNONYMS:
+                return _OP_SYNONYMS[key]
+    valid = ", ".join(m.value for m in PredicateOperator)
+    raise ValueError(
+        f"unknown predicate operator {op!r}; expected a PredicateOperator "
+        f"or one of: {valid}")
+
 # Short aliases used by the fluent builder, mirroring the reference's enum
 # member names.
 EQ = PredicateOperator.EQUALS

@@ -256,3 +256,16 @@ def test_explain_shapes(db):
     q.execute_optimal()
     opt = q.explain(optimal=True)
     assert "sparkStrategy:" in opt and "estIOCost:" in opt
+
+
+def test_where_accepts_string_operator(db):
+    from cs186_query_optimization_project_spark.errors import QueryPlanException
+    a = rows(db.query("customer").where("c_mktsegment", EQ, "BUILDING")
+             .select("c_custkey").execute())
+    b = rows(db.query("customer").where("c_mktsegment", "=", "BUILDING")
+             .select("c_custkey").execute())
+    c = rows(db.query("customer").where("c_mktsegment", "eq", "BUILDING")
+             .select("c_custkey").execute())
+    assert a == b == c and len(a) > 0
+    with pytest.raises(QueryPlanException, match="unknown predicate"):
+        db.query("customer").where("c_custkey", "=>", 5)

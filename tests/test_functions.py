@@ -150,3 +150,41 @@ def test_multimodal_features(docs):
         assert len(by_id[i]["feature"]) == 8
     # identical payloads → identical features (deterministic stub)
     assert by_id[1]["feature"] == by_id[2]["feature"]
+
+
+def test_ngram_jaccard_exact(docs):
+    # docs 1 and 3 differ in the last word: 7 shingles each, 6 common
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0                    # exact dup
+    assert abs(pairs[(1, 3)] - 6 / 8) < 1e-6       # |A∩B|=6, |A∪B|=8
+    assert (1, 6) not in pairs and (1, 7) not in pairs
+
+
+def test_ngram_jaccard_max_doc_freq(docs):
+    # with max_doc_freq=1 every shared shingle is dropped -> no pairs
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_doc_freq=1)
+    assert out.count() == 0
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(1, "don't stop, it's 2026!")], ["id", "t"])
+    row = df.select(text.bpe_tokens("t").alias("toks"),
+                    text.bpe_token_count("t").alias("n")).collect()[0]
+    # don | ' | t | stop | , | it | ' | s | 2026 | !
+    assert row["toks"] == ["don", "'", "t", "stop", ",", "it", "'", "s",
+                           "2026", "!"]
+    assert row["n"] == 10
+
+
+def test_ivf_topk_matches_brute_force_top1(vectors):
+    qv = [1.0, 0.0, 0.0, 0.0]
+    exact = similarity.cosine_topk(vectors, qv, k=3).collect()
+    approx = similarity.ivf_topk(vectors, qv, k=3, n_cells=4,
+                                 n_probe=4).collect()
+    # probing ALL cells makes IVF exhaustive -> identical to brute force
+    assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in exact]
+    few = similarity.ivf_topk(vectors, qv, k=3, n_cells=4, n_probe=1)
+    got = few.collect()            # subset of the corpus, scored correctly
+    assert 0 < len(got) <= 3
+    assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in got)
