@@ -4,7 +4,10 @@ JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
 
 - data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 - parallelism: local[$SPARK_GRAFT_CPUS] (default all cores)
-- runs per query: $SPARK_GRAFT_BENCH_RUNS (default 1; median when >1)
+- runs per query: $SPARK_GRAFT_BENCH_RUNS (default 3; median — the first
+  run of a query pays one-time whole-stage-codegen compilation, which at
+  small scale factors dwarfs the actual data processing; the median
+  reflects steady-state throughput, matching BASELINE.md §2 methodology)
 
 Each query is forced to full materialization through the noop sink
 (``format("noop")``) so projections/aggregations are really executed —
@@ -32,7 +35,7 @@ def materialize(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf_label = os.path.basename(sf_dir.rstrip("/"))
     try:
         sf = float(sf_label.removeprefix("sf"))

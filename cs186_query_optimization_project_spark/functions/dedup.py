@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark.functions.text import shingles
+from cs186_query_optimization_project_spark.parallel import ensure_parallelism
 
 # Prime modulus for the affine minhash permutations.  ~2^30 so that
 # a·h + b stays < 2^60 and never overflows a long under Spark's default
@@ -170,6 +171,7 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             seed: int = 42) -> DataFrame:
     """Full pipeline: signatures → LSH buckets → candidate pairs → exact
     Jaccard verification."""
+    df = ensure_parallelism(df, id_col)
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
     return jaccard_verify(df, pairs, text_col, id_col, k, threshold)
@@ -195,26 +197,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingle appearing in 1M docs would otherwise emit 10^12 pairs).  Dropped
     shingles make the reported Jaccard a *lower bound*, so this is off by
     default and correctness tests run without it."""
+    df = ensure_parallelism(df, id_col)
     sh = df.select(F.col(id_col),
                    F.array_distinct(shingles(text_col, k)).alias("__sh"))
-    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
-    inv = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    # postings carry the doc's shingle-set size so |A| and |B| ride along
+    # to the pair aggregation — no second shingling pass, no size joins
+    inv = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
+                    F.explode("__sh").alias("__s"))
     if max_doc_freq is not None:
         freq = Window.partitionBy("__s")
         inv = (inv.withColumn("__df", F.count(F.lit(1)).over(freq))
                .filter(F.col("__df") <= max_doc_freq).drop("__df"))
-    common = (inv.alias("l")
-              .join(inv.alias("r"),
-                    (F.col("l.__s") == F.col("r.__s"))
-                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-              .groupBy(F.col(f"l.{id_col}").alias("a"),
-                       F.col(f"r.{id_col}").alias("b"))
-              .agg(F.count(F.lit(1)).alias("__common")))
-    return (common
-            .join(sizes.select(F.col(id_col).alias("a"),
-                               F.col("__n").alias("__na")), "a")
-            .join(sizes.select(F.col(id_col).alias("b"),
-                               F.col("__n").alias("__nb")), "b")
+    return (inv.alias("l")
+            .join(inv.alias("r"),
+                  (F.col("l.__s") == F.col("r.__s"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("a"),
+                     F.col(f"r.{id_col}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("__common"),
+                 F.first("l.__n").alias("__na"),
+                 F.first("r.__n").alias("__nb"))
             .withColumn("jaccard",
                         F.col("__common")
                         / (F.col("__na") + F.col("__nb") - F.col("__common")))
@@ -262,6 +264,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     chunks; any pair within Hamming distance ≤ 3 shares at least one exact
     chunk → bucket-join on (chunk_idx, chunk_value), then exact Hamming
     filter via bit_count(xor)."""
+    df = ensure_parallelism(df, id_col)
     sigs = simhash_signatures(df, text_col, id_col)
     chunks = sigs.select(
         F.col(id_col), F.col("simhash"),

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cs186_query_optimization_project_spark.parallel import ensure_parallelism
+
 ASSET_META_SCHEMA = T.StructType([
     T.StructField("mime", T.StringType()),
     T.StructField("width", T.IntegerType()),
@@ -80,8 +82,11 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
     ``mapInPandas``: each Python task receives an iterator of Arrow
     batches; we emit one row per asset with byte stats + the (stubbed)
     decoded feature vector.  No driver involvement, scales with
-    partitions."""
+    partitions.  The parallelism guard matters most here: Python decode
+    work on a single-partition input would serialize on one worker."""
     import hashlib
+
+    df = ensure_parallelism(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cs186_query_optimization_project_spark.parallel import ensure_parallelism
+
 
 def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
@@ -192,6 +194,7 @@ def similar_pairs(df: DataFrame, threshold: float = 0.95,
     """Embedding near-duplicate pairs: bucket on the LSH signature, compare
     within buckets only, keep cosine ≥ threshold.  The quadratic term is
     bounded per bucket (2^n_planes buckets)."""
+    df = ensure_parallelism(df, id_col)
     sigs = df.select(F.col(id_col), F.col(vec_col),
                      lsh_signature(vec_col,
                                    _dim_of(df, vec_col), n_planes, seed)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cs186_query_optimization_project_spark.parallel import ensure_parallelism
+
 #: Marker stopwords per language for the n-gram-free heuristic language ID.
 #: Deliberately tiny + deterministic: hit counts are computed by substring
 #: counting, the argmax is taken in a fixed language order, and the same
@@ -138,7 +140,8 @@ def shingles(text_col: str, k: int = 3) -> Column:
 def profile(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: id, token count, char count, quality, lang,
-    fingerprint."""
+    fingerprint.  Regex-heavy per-row work → parallelism guard first."""
+    df = ensure_parallelism(df, id_col)
     return df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
