@@ -343,6 +343,68 @@ def q_streaming_session(spark, sf_dir):
                     "n_events"))
 
 
+def q_streaming_sliding(spark, sf_dir):
+    """Sliding windows (1 h window, 15 min slide) over the event stream.
+    Oracle: each event belongs to exactly 4 windows → cross join with the
+    4 slide offsets."""
+    name = "stream_slide_" + str(abs(hash(sf_dir)) % 100000)
+    events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
+    agg = stream_windows.sliding_counts(events, window="1 hour",
+                                        slide="15 minutes",
+                                        watermark="2 hours")
+    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    return (spark.table(name)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "event_type", "n"))
+
+
+def q_streaming_stateful_totals(spark, sf_dir):
+    """Arbitrary stateful streaming (applyInPandasWithState): per-user
+    running totals.  The final state after the last micro-batch equals the
+    batch aggregate — that's the oracle."""
+    from cs186_query_optimization_project_spark.streaming import stateful
+
+    name = "stream_state_" + str(abs(hash(sf_dir)) % 100000)
+    events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
+    totals = stateful.user_running_totals(events)
+    stream_windows.run_to_memory(totals, name, output_mode="update")
+    # update mode emits one row per user per micro-batch; keep the final
+    # (largest n_events) row per user
+    latest = (spark.table(name)
+              .groupBy("user_id")
+              .agg(F.max_by("total_value", "n_events").alias("total_value"),
+                   F.max("n_events").alias("n_events")))
+    return latest.select("user_id", "n_events",
+                         F.round("total_value", 4).alias("total_value"))
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup within the watermark horizon: duplicate every
+    event (explode ×2), dropDuplicatesWithinWatermark restores one row per
+    event_id.  Oracle: plain per-type counts."""
+    name = "stream_dedup_" + str(abs(hash(sf_dir)) % 100000)
+    events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
+    doubled = (events
+               .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
+               .drop("__copy"))
+    deduped = stream_windows.streaming_dedup(doubled, watermark="2 hours")
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (group rows, spread a categorical column into columns).  The
+    value list is pinned ('O','F') so the output schema is deterministic."""
+    db = _db(spark, sf_dir)
+    return windows.pivot_table(
+        db.table("lineitem"), "l_returnflag", "l_linestatus", ["O", "F"],
+        F.count(F.lit(1))).select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"))
+
+
 # ===================================================================== #
 # training-data pipeline operators (documents / embeddings)
 # ===================================================================== #
@@ -513,9 +575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "sessionize": q_sessionize,
         "time_window_agg": q_time_window_agg,
+        "pivot": q_pivot,
         # structured streaming (real readStream driven to completion)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
+        "streaming_sliding": q_streaming_sliding,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+        "streaming_dedup": q_streaming_dedup,
         # pipeline
         "multimodal_features": q_multimodal_features,
         "dedup_exact": q_dedup_exact,
@@ -710,6 +776,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
             "AS window_start, event_type, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2"),
+        "pivot": (
+            "SELECT l_returnflag, "
+            "COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) "
+            "AS n_open, "
+            "COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) "
+            "AS n_filled FROM lineitem GROUP BY l_returnflag"),
+        "streaming_sliding": (
+            "SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) "
+            "- i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') "
+            "AS window_start, event_type, COUNT(*) AS n "
+            "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) "
+            "GROUP BY 1, 2"),
+        "streaming_stateful_totals": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "round(SUM(value), 4) AS total_value "
+            "FROM events GROUP BY user_id"),
+        "streaming_dedup": (
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "GROUP BY event_type"),
         "streaming_session": (
             "WITH g AS (SELECT user_id, event_id, ts, "
             "  CASE WHEN lag(ts) OVER w IS NULL "
