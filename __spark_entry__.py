@@ -163,6 +163,36 @@ def q_broadcast_join(spark, sf_dir):
 # ===================================================================== #
 # additive relational operators (SURVEY.md §2.5–2.8)
 # ===================================================================== #
+def q_csv_source(spark, sf_dir):
+    """CSV ingestion path (§2.1: the reference loads its corpus from CSVs):
+    export nation to CSV, re-read it through the engine's schema-checked
+    CSV reader — result must equal the parquet original."""
+    from cs186_query_optimization_project_spark.sources import readers
+
+    db = _db(spark, sf_dir)
+    path = f"/tmp/spark_graft_csv_{abs(hash(sf_dir)) % 100000}/nation"
+    db.table("nation").write.mode("overwrite").option("header", True).csv(path)
+    return readers.read_csv(spark, path, db.schema("nation"), header=True)
+
+
+def q_indexed_write_scan(spark, sf_dir):
+    """Index analog (§2.11): write lineitem sorted by l_shipdate (the
+    'indexed' column), then range-scan the sorted copy — the pushed filter
+    skips row groups via parquet min/max, Spark's equivalent of a B+tree
+    range scan."""
+    from cs186_query_optimization_project_spark.sources import writers
+
+    db = _db(spark, sf_dir)
+    path = f"/tmp/spark_graft_idx_{abs(hash(sf_dir)) % 100000}/lineitem"
+    writers.write_indexed(db.table("lineitem"), path,
+                          index_columns=("l_shipdate",))
+    return (spark.read.parquet(path)
+            .filter(F.col("l_shipdate") >= "1998-09-01")
+            .select("l_orderkey", "l_linenumber",
+                    F.date_format("l_shipdate", "yyyy-MM-dd")
+                    .alias("ship_date")))
+
+
 def q_distinct(spark, sf_dir):
     return (_db(spark, sf_dir).query("customer")
             .select("c_nationkey", "c_mktsegment").distinct().execute())
@@ -557,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_range_scan": q_index_range_scan,
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
+        # sources / sinks
+        "csv_source": q_csv_source,
+        "indexed_write_scan": q_indexed_write_scan,
         # additive relational
         "distinct": q_distinct,
         "orderby_limit": q_orderby_limit,
@@ -699,6 +732,11 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM(CAST(l_extendedprice AS {dec})) AS DOUBLE) AS revenue "
             f"FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             f"GROUP BY s_nationkey"),
+        "csv_source": "SELECT * FROM nation",
+        "indexed_write_scan": (
+            "SELECT l_orderkey, l_linenumber, "
+            "strftime(l_shipdate, '%Y-%m-%d') AS ship_date FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'"),
         "distinct": ("SELECT DISTINCT c_nationkey, c_mktsegment "
                      "FROM customer"),
         "orderby_limit": (
