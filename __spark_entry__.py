@@ -423,6 +423,57 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (absent from both the reference and Spark's
+    built-ins): attribute every click to the user's most recent purchase
+    at-or-before it.  One shuffle+sort via the union+window shape —
+    DuckDB's native ASOF JOIN is the oracle."""
+    from cs186_query_optimization_project_spark.operators import joins
+
+    db = _db(spark, sf_dir)
+    ev = db.table("events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = joins.asof_join(clicks, purchases, on="user_id")
+    return out.select("user_id", "event_id",
+                      F.round("purchase_value", 4).alias("purchase_value"))
+
+
+def q_range_join(spark, sf_dir):
+    """Interval-containment join via the bin-bucketed equi-join path
+    (price bands × orders), then per-band counts."""
+    from cs186_query_optimization_project_spark.operators import joins
+
+    db = _db(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(0.0, 50_000.0, "small"), (50_000.0, 200_000.0, "mid"),
+         (200_000.0, 1_000_000.0, "big")], ["lo", "hi", "price_band"])
+    joined = joins.range_join(
+        db.table("orders").select("o_orderkey", "o_totalprice"),
+        bands, "o_totalprice", "lo", "hi", bin_size=50_000.0)
+    return (joined.groupBy("price_band")
+            .agg(F.count(F.lit(1)).alias("countAgg")))
+
+
+def q_salted_join(spark, sf_dir):
+    """Explicit hot-key salting (for paths AQE skew-splitting can't touch);
+    result must equal the unsalted join."""
+    from cs186_query_optimization_project_spark.operators import joins
+
+    db = _db(spark, sf_dir)
+    joined = joins.salted_join(
+        db.table("lineitem"),
+        db.table("supplier").withColumnRenamed("s_suppkey", "l_suppkey"),
+        on="l_suppkey", n_salts=8)
+    return (joined.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("countAgg"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                 .cast("double").alias("revenue")))
+
+
 def q_pivot(spark, sf_dir):
     """Pivot (group rows, spread a categorical column into columns).  The
     value list is pinned ('O','F') so the output schema is deterministic."""
@@ -608,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "sessionize": q_sessionize,
         "time_window_agg": q_time_window_agg,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "salted_join": q_salted_join,
         "pivot": q_pivot,
         # structured streaming (real readStream driven to completion)
         "streaming_tumbling": q_streaming_tumbling,
@@ -814,6 +868,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
             "AS window_start, event_type, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2"),
+        "asof_join": (
+            "WITH c AS (SELECT user_id, event_id, ts FROM events "
+            "  WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, MAX(value) AS purchase_value "
+            "  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT c.user_id, c.event_id, "
+            "round(p.purchase_value, 4) AS purchase_value "
+            "FROM c ASOF LEFT JOIN p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"),
+        "range_join": (
+            "SELECT price_band, COUNT(*) AS countAgg FROM orders "
+            "JOIN (VALUES (0.0, 50000.0, 'small'), "
+            "(50000.0, 200000.0, 'mid'), (200000.0, 1000000.0, 'big')) "
+            "t(lo, hi, price_band) "
+            "ON o_totalprice >= lo AND o_totalprice < hi "
+            "GROUP BY price_band"),
+        "salted_join": (
+            "SELECT s_nationkey, COUNT(*) AS countAgg, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "AS revenue "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_nationkey"),
         "pivot": (
             "SELECT l_returnflag, "
             "COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) "

@@ -1,0 +1,109 @@
+"""Custom join operators Spark lacks as built-ins (SURVEY.md §2.4 "absent
+join forms"): as-of join, range (interval) join, and an explicit salted
+join for skewed keys.
+
+Each is a composition of existing DataFrame ops — no Python in the hot
+path — chosen for its shuffle behavior at scale:
+
+- **as-of**: union + window (one shuffle+sort per key) instead of the
+  naive per-left-row subquery, which would be a quadratic theta join.
+- **range**: bin-bucketed equi-join — intervals are exploded into the
+  fixed-width bins they cover, the probe side joins on its bin, then an
+  exact containment filter; turns an unbounded theta join into an
+  equi-join whose blowup is bounded by interval_width / bin_size.
+- **salted**: explicit hot-key mitigation for engines/paths where AQE's
+  skew splitting doesn't apply (e.g. pinned shuffle-hash strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of
+    join, LEFT semantics: unmatched left rows keep nulls).
+
+    Shape: tag both sides, union on (key, ts), one window sort per key,
+    ``last(value, ignorenulls)`` carries the latest right values forward,
+    keep only left rows.  One shuffle + sort total — same cost as a
+    sort-merge join, no matter how many right rows precede each left row.
+
+    Right side must be unique per (key, right_ts); pre-aggregate if not
+    (ties would make the result nondeterministic in any engine)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.select(
+        F.col(on), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols])
+    r_tag = right.select(
+        F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols])
+    unioned = l_tag.unionByName(r_tag)
+    # right rows (tag 0) sort before left rows at equal ts => ties match
+    w = (Window.partitionBy(on).orderBy("__ts", "__is_left")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.select(
+        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w)
+               .alias(f"__c_{c}") for c in value_cols])
+    out_cols = ([F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+                + [F.col(f"__c_{c}").alias(
+                    c + suffix if c in left.columns else c)
+                   for c in value_cols])
+    return carried.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
+def range_join(left: DataFrame, right: DataFrame, value_col: str,
+               lo_col: str, hi_col: str,
+               bin_size: float | None = None) -> DataFrame:
+    """Inner join on interval containment ``lo_col <= value_col < hi_col``.
+
+    With ``bin_size``, both sides map to fixed-width bins (the interval
+    side explodes into every bin it covers) and join on the bin — an
+    equi-join Catalyst can hash-partition — then filter exact containment.
+    Without it, a plain conditional join (fine when one side broadcasts).
+    """
+    if bin_size is None:
+        return left.join(
+            right, (left[value_col] >= right[lo_col])
+            & (left[value_col] < right[hi_col]))
+    b = float(bin_size)
+    binned_left = left.withColumn(
+        "__bin", F.floor(F.col(value_col) / b).cast("long"))
+    exploded_right = right.withColumn(
+        "__bin", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / b).cast("long"),
+            # hi is exclusive: a hi exactly on a bin edge doesn't reach
+            # into the next bin
+            F.ceil(F.col(hi_col) / b).cast("long") - 1)))
+    return (binned_left.join(exploded_right, "__bin")
+            .filter((F.col(value_col) >= F.col(lo_col))
+                    & (F.col(value_col) < F.col(hi_col)))
+            .drop("__bin"))
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with hot-key salting: left rows pick a random salt in
+    [0, n_salts), the (small-ish) right side is replicated n_salts times,
+    and the join key becomes (key, salt) — a hot key's rows now spread
+    over n_salts reducers instead of one.
+
+    Results are identical to ``left.join(right, on, how)`` for every salt
+    assignment; randomness only balances load.  Prefer AQE skew-join
+    splitting when available — this is for paths AQE can't touch (pinned
+    strategies, streaming joins)."""
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return (salted_left.join(salted_right, [on, "__salt"], how)
+            .drop("__salt"))
