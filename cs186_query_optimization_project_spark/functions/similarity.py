@@ -161,15 +161,18 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+             n_cells: int = 16, n_probe: int = 4,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-flat approximate top-k: assign rows to their nearest centroid,
     score only the n_probe cells nearest the query.
 
     At 100 TB the assignment happens once at write time (table partitioned
     by ``cell``), so a probe reads n_probe/n_cells of the data via partition
     pruning; here the assignment is computed in the scan (still a single
-    pass, no shuffle — the filter + top-k collapse into one stage)."""
-    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    pass, no shuffle — the filter + top-k collapse into one stage).
+    Pass ``centroids`` (from :func:`ivf_centroids`) to reuse a built
+    index across queries — the IVF analog of loading an index file."""
+    cents = centroids or ivf_centroids(df, n_cells, vec_col, id_col)
 
     def _cos(c: list[float]) -> float:
         d = sum(p * q for p, q in zip(c, query_vec))

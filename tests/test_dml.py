@@ -1,0 +1,70 @@
+"""Copy-on-write DML surface (reference Transaction.addRecord /
+updateRecord / deleteRecord, db/Database.java:317-401)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark import Database
+from cs186_query_optimization_project_spark.errors import DatabaseException
+
+
+@pytest.fixture()
+def mutable_db(spark, db, tmp_path):
+    """A fresh Database with a writable copy of nation."""
+    mdb = Database(spark)
+    mdb.create_table("nation", db.table("nation"),
+                     str(tmp_path / "nation"))
+    return mdb
+
+
+def test_insert_rows(spark, mutable_db):
+    before = mutable_db.table("nation").count()
+    new = spark.createDataFrame(
+        [(99, "ATLANTIS", 0)], schema=mutable_db.schema("nation"))
+    mutable_db.insert_rows("nation", new)
+    after = mutable_db.table("nation")
+    assert after.count() == before + 1
+    assert after.filter(F.col("n_name") == "ATLANTIS").count() == 1
+
+
+def test_insert_schema_mismatch_rejected(spark, mutable_db):
+    bad = spark.createDataFrame([(1, "x")], ["a", "b"])
+    with pytest.raises(DatabaseException, match="schema mismatch"):
+        mutable_db.insert_rows("nation", bad)
+
+
+def test_update_rows(mutable_db):
+    mutable_db.update_rows("nation", F.col("n_regionkey") == 0,
+                           {"n_name": "RENAMED"})
+    t = mutable_db.table("nation")
+    assert (t.filter(F.col("n_regionkey") == 0)
+            .filter(F.col("n_name") != "RENAMED").count()) == 0
+    assert (t.filter(F.col("n_regionkey") != 0)
+            .filter(F.col("n_name") == "RENAMED").count()) == 0
+
+
+def test_update_unknown_column_rejected(mutable_db):
+    with pytest.raises(DatabaseException, match="unknown column"):
+        mutable_db.update_rows("nation", F.lit(True), {"nope": 1})
+
+
+def test_delete_rows_and_versioning(mutable_db):
+    import os
+    before = mutable_db.table("nation").count()
+    n0 = mutable_db.table("nation").filter(F.col("n_regionkey") == 0).count()
+    mutable_db.delete_rows("nation", F.col("n_regionkey") == 0)
+    t = mutable_db.table("nation")
+    assert t.count() == before - n0
+    assert t.filter(F.col("n_regionkey") == 0).count() == 0
+    # copy-on-write left the previous version on disk
+    assert ".v" in mutable_db._entry("nation").path
+    mutable_db.delete_rows("nation", F.col("n_regionkey") == 1)
+    assert mutable_db._entry("nation").path.endswith(".v2")
+
+
+def test_dml_on_in_memory_table(spark):
+    mdb = Database(spark)
+    mdb.register_dataframe("t", spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]))
+    mdb.delete_rows("t", F.col("id") == 1)
+    assert [tuple(r) for r in mdb.table("t").collect()] == [(2, "b")]
