@@ -208,9 +208,12 @@ def optimize(query: "Query",
                 est_rows = max(
                     int(sub.rows * ap_new.stats.num_records
                         / max(v_in, v_out, 1)), 1)
-                strategy = _spark_strategy(
-                    probe_bytes=sub.rows * sub.width,
-                    build_bytes=ap_new.stats.total_bytes)
+                # a user-pinned strategy on the join clause wins over the
+                # stats-derived hint (reference: JoinType is caller-chosen)
+                strategy = (clause.strategy if clause.strategy != "auto"
+                            else _spark_strategy(
+                                probe_bytes=sub.rows * sub.width,
+                                build_bytes=ap_new.stats.total_bytes))
                 step = JoinStep(
                     table=alias_table[new_alias], alias=new_alias,
                     left=in_ref, right=out_ref, how="inner",
