@@ -349,7 +349,8 @@ def q_streaming_tumbling(spark, sf_dir):
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = stream_windows.tumbling_counts(events, window="1 hour",
                                          watermark="2 hours")
-    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    stream_windows.run_to_memory(agg, name, output_mode="complete",
+                                 shuffle_partitions=8)
     return (spark.table(name)
             .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
                     .alias("window_start"),
@@ -364,7 +365,8 @@ def q_streaming_session(spark, sf_dir):
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = stream_windows.session_counts(events, gap="30 minutes",
                                         watermark="2 hours")
-    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    stream_windows.run_to_memory(agg, name, output_mode="complete",
+                                 shuffle_partitions=8)
     return (spark.table(name)
             .select("user_id",
                     F.date_format("session_start",
@@ -382,7 +384,8 @@ def q_streaming_sliding(spark, sf_dir):
     agg = stream_windows.sliding_counts(events, window="1 hour",
                                         slide="15 minutes",
                                         watermark="2 hours")
-    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    stream_windows.run_to_memory(agg, name, output_mode="complete",
+                                 shuffle_partitions=8)
     return (spark.table(name)
             .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
                     .alias("window_start"), "event_type", "n"))
@@ -397,7 +400,8 @@ def q_streaming_stateful_totals(spark, sf_dir):
     name = "stream_state_" + str(abs(hash(sf_dir)) % 100000)
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     totals = stateful.user_running_totals(events)
-    stream_windows.run_to_memory(totals, name, output_mode="update")
+    stream_windows.run_to_memory(totals, name, output_mode="update",
+                                 shuffle_partitions=8)
     # update mode emits one row per user per micro-batch; keep the final
     # (largest n_events) row per user
     latest = (spark.table(name)
@@ -419,7 +423,8 @@ def q_streaming_dedup(spark, sf_dir):
                .drop("__copy"))
     deduped = stream_windows.streaming_dedup(doubled, watermark="2 hours")
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    stream_windows.run_to_memory(agg, name, output_mode="complete")
+    stream_windows.run_to_memory(agg, name, output_mode="complete",
+                                 shuffle_partitions=8)
     return spark.table(name)
 
 
