@@ -175,6 +175,17 @@ def q_csv_source(spark, sf_dir):
     return readers.read_csv(spark, path, db.schema("nation"), header=True)
 
 
+def q_json_source(spark, sf_dir):
+    """JSON-lines ingestion path: export region to JSONL, re-read through
+    the engine's JSON reader with an explicit schema."""
+    from cs186_query_optimization_project_spark.sources import readers
+
+    db = _db(spark, sf_dir)
+    path = f"/tmp/spark_graft_json_{abs(hash(sf_dir)) % 100000}/region"
+    db.table("region").write.mode("overwrite").json(path)
+    return readers.read_json(spark, path, schema=db.schema("region"))
+
+
 def q_indexed_write_scan(spark, sf_dir):
     """Index analog (§2.11): write lineitem sorted by l_shipdate (the
     'indexed' column), then range-scan the sorted copy — the pushed filter
@@ -653,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         # sources / sinks
         "csv_source": q_csv_source,
+        "json_source": q_json_source,
         "indexed_write_scan": q_indexed_write_scan,
         # additive relational
         "distinct": q_distinct,
@@ -800,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             f"GROUP BY s_nationkey"),
         "csv_source": "SELECT * FROM nation",
+        "json_source": "SELECT * FROM region",
         "indexed_write_scan": (
             "SELECT l_orderkey, l_linenumber, "
             "strftime(l_shipdate, '%Y-%m-%d') AS ship_date FROM lineitem "

@@ -103,3 +103,75 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB decoder+resizer (no PIL here): deterministic byte transform
+    standing in for decode → resize → re-encode.  Real clusters replace
+    the body with PIL; the signature (bytes in, bytes out) and the Spark
+    plumbing around it are what's being exercised."""
+    if not payload:
+        return b""
+    stride = max(len(payload) // max(width * height // 64, 1), 1)
+    return payload[::stride][: width * height]
+
+
+def resize_assets(df: DataFrame, width: int = 64, height: int = 64,
+                  id_col: str = "doc_id", asset_col: str = "asset",
+                  meta_col: str = "asset_meta") -> DataFrame:
+    """Arrow-batched image resize: binary in → binary out with updated
+    metadata.  Output schema mirrors the input asset convention so resize
+    stages compose (resize → feature-extract pipelines)."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(asset_col, T.BinaryType()),
+        T.StructField(meta_col, ASSET_META_SCHEMA),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [{"mime": m["mime"], "width": width, "height": height,
+                      "duration_ms": m["duration_ms"]}
+                     for m in pdf[meta_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                asset_col: [resize_stub(p, width, height)
+                            for p in pdf[asset_col]],
+                meta_col: metas,
+            })
+
+    return ensure_parallelism(df, id_col).mapInPandas(run, out_schema)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+])
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  id_col: str = "doc_id", asset_col: str = "asset",
+                  meta_col: str = "asset_meta") -> DataFrame:
+    """Video frame sampling plumbing: one input row (binary 'video') →
+    n_frames output rows, each with a decoded-frame feature (stubbed: the
+    payload is sliced into n_frames windows and each window goes through
+    decode_stub).  The 1→N row fan-out inside mapInPandas is the part a
+    real frame sampler needs from Spark — batch in, exploded rows out,
+    no driver involvement."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for doc_id, payload, meta in zip(
+                    pdf[id_col], pdf[asset_col], pdf[meta_col]):
+                payload = payload or b""
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    window = payload[i * step: (i + 1) * step]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    feats.append(decode_stub(window, meta["mime"]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_feature": feats})
+
+    return ensure_parallelism(df, id_col).mapInPandas(run, FRAME_SCHEMA)

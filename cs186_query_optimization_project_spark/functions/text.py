@@ -125,6 +125,24 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(c)
 
 
+def rolling_fingerprint(text: Column | str, base: int = 1_000_003,
+                        mod: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive rolling (polynomial) fingerprint over the token
+    stream: ``h = Σ hash(tok_i) · base^(n−i) mod m`` via a JVM
+    ``aggregate`` fold.  Unlike the set-style md5 fingerprint, transposed
+    tokens change the value — the Rabin-Karp-family hash used for
+    order-aware document identity and chunk dedup.  ``mod`` is the 2^31−1
+    Mersenne prime so ``acc·base + h`` stays < 2^52 and never overflows a
+    long under ANSI arithmetic (keep ``base·mod`` < 2^62 if overriding)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, r"\s+")
+    return F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            F.pmod(acc * F.lit(base), F.lit(mod))
+            + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)))
+
+
 def shingles(text_col: str, k: int = 3) -> Column:
     """Word k-shingles: array of k-grams joined by single spaces (input for
     MinHash / Jaccard dedup).  Documents with fewer than k words get one

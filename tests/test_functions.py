@@ -188,3 +188,30 @@ def test_ivf_topk_matches_brute_force_top1(vectors):
     got = few.collect()            # subset of the corpus, scored correctly
     assert 0 < len(got) <= 3
     assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in got)
+
+
+def test_resize_and_frame_sample(docs):
+    from cs186_query_optimization_project_spark.functions.multimodal import (
+        attach_fake_assets, resize_assets, sample_frames)
+    assets = attach_fake_assets(docs)
+    resized = resize_assets(assets, width=8, height=8)
+    rows_ = resized.collect()
+    assert len(rows_) == docs.count()
+    assert all(r["asset_meta"]["width"] == 8 for r in rows_)
+    assert all(isinstance(r["asset"], (bytes, bytearray)) for r in rows_)
+    frames = sample_frames(assets, n_frames=3)
+    assert frames.count() == docs.count() * 3
+    f0 = frames.filter(F.col("doc_id") == 1).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in f0] == [0, 1, 2]
+    assert all(len(r["frame_feature"]) == 8 for r in f0)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+         (3, "alpha beta gamma")], ["id", "t"])
+    got = {r["id"]: r["fp"] for r in df.select(
+        "id", text.rolling_fingerprint("t").alias("fp")).collect()}
+    assert got[1] == got[3]            # identical text -> identical hash
+    assert got[1] != got[2]            # transposed tokens -> different
+    assert all(0 <= v < (1 << 31) - 1 for v in got.values())
