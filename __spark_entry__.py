@@ -490,6 +490,47 @@ def q_salted_join(spark, sf_dir):
                  .cast("double").alias("revenue")))
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` by definition)."""
+    db = _db(spark, sf_dir)
+    return (db.table("lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                 .alias("median_price"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+                 .alias("p90_price")))
+
+
+_BUCKETED_READY: set[str] = set()
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join on pre-bucketed tables: both sides bucketed by the
+    join key at write time, so the join needs NO shuffle (verified in
+    tests via plan inspection) — the 100 TB answer to repeated fact-fact
+    joins on the same key.  Result equals the plain join (the oracle)."""
+    from cs186_query_optimization_project_spark.sources import writers
+
+    db = _db(spark, sf_dir)
+    tag = str(abs(hash(sf_dir)) % 100000)
+    lt, ot = f"bl_lineitem_{tag}", f"bl_orders_{tag}"
+    if sf_dir not in _BUCKETED_READY:
+        writers.write_bucketed(db.table("lineitem")
+                               .select("l_orderkey", "l_extendedprice"),
+                               lt, ("l_orderkey",), num_buckets=8)
+        writers.write_bucketed(db.table("orders")
+                               .select("o_orderkey", "o_orderpriority"),
+                               ot, ("o_orderkey",), num_buckets=8)
+        _BUCKETED_READY.add(sf_dir)
+    li, orders = spark.table(lt), spark.table(ot)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("countAgg"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                 .cast("double").alias("revenue")))
+
+
 def q_pivot(spark, sf_dir):
     """Pivot (group rows, spread a categorical column into columns).  The
     value list is pinned ('O','F') so the output schema is deterministic."""
@@ -684,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "sessionize": q_sessionize,
         "time_window_agg": q_time_window_agg,
+        "quantiles": q_quantiles,
+        "bucketed_join": q_bucketed_join,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "salted_join": q_salted_join,
@@ -894,6 +937,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
             "AS window_start, event_type, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2"),
+        "quantiles": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
+            "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price "
+            "FROM lineitem GROUP BY l_returnflag"),
+        "bucketed_join": (
+            "SELECT o_orderpriority, COUNT(*) AS countAgg, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "AS revenue FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"),
         "asof_join": (
             "WITH c AS (SELECT user_id, event_id, ts FROM events "
             "  WHERE event_type = 'click'), "

@@ -201,9 +201,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = df.select(F.col(id_col),
                    F.array_distinct(shingles(text_col, k)).alias("__sh"))
     # postings carry the doc's shingle-set size so |A| and |B| ride along
-    # to the pair aggregation — no second shingling pass, no size joins
+    # to the pair aggregation — no second shingling pass, no size joins.
+    # Shingles are joined as 64-bit hashes, not strings: ~10× smaller
+    # shuffle and long-vs-long join compares.  A hash collision would
+    # overcount one common shingle; at 2^64 that needs ~10^9 distinct
+    # shingles before the expected overcount reaches 1 pair.
     inv = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
-                    F.explode("__sh").alias("__s"))
+                    F.explode(F.expr("transform(__sh, s -> xxhash64(s))"))
+                    .alias("__s"))
     if max_doc_freq is not None:
         freq = Window.partitionBy("__s")
         inv = (inv.withColumn("__df", F.count(F.lit(1)).over(freq))
