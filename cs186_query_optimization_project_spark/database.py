@@ -292,9 +292,13 @@ class Database:
             import pickle
 
             os.makedirs(self._STATS_CACHE_DIR, exist_ok=True)
-            with open(os.path.join(self._STATS_CACHE_DIR, key + ".pkl"),
-                      "wb") as f:
+            final = os.path.join(self._STATS_CACHE_DIR, key + ".pkl")
+            # write-then-rename: concurrent processes never observe a
+            # torn pickle (os.replace is atomic within a filesystem)
+            tmp = f"{final}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
                 pickle.dump(stats, f)
+            os.replace(tmp, final)
         except Exception:
             pass
 
