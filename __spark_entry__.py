@@ -558,6 +558,26 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """Composite training-data prep pipeline: quality gate → English-only
+    → exact dedup (keep min id) → token stats.  Each stage is an engine
+    operator; the whole chain is one declarative plan (no materialization
+    between stages) and fully oracle-checked."""
+    docs = _db(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "doc_id", "text",
+        text.quality_score("text").alias("quality"),
+        text.lang_id("text").alias("lang"))
+    kept = scored.filter((F.col("quality") >= 0.5)
+                         & (F.col("lang") == "en"))
+    deduped = dedup.drop_exact_duplicates(kept)
+    return deduped.select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.bpe_token_count("text").alias("bpe_tokens"),
+        "quality")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_db(spark, sf_dir).table("documents"))
 
@@ -739,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         # pipeline
         "multimodal_features": q_multimodal_features,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1008,6 +1029,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS checksum FROM documents"),
         # pipeline
+        "pipeline_clean_corpus": (
+            "WITH scored AS ("
+            "  SELECT doc_id, text, "
+            "  round(0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', "
+            "               'g')) / greatest(length(text), 1))"
+            "      + 0.3 * (CASE WHEN length(regexp_replace(text, '\\s+', "
+            "                 '', 'g')) / greatest(len(regexp_split_to_array("
+            "                 text, '\\s+')), 1) BETWEEN 3.0 AND 10.0 "
+            "               THEN 1.0 ELSE 0.5 END)"
+            "      + 0.3 * least(length(text) / 500.0, 1.0), 6) AS quality, "
+            f"  {lang_case} AS lang "
+            f"  FROM (SELECT *, {lang_defs} FROM documents)), "
+            "ded AS ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) "
+            "         ORDER BY doc_id) AS rn "
+            "  FROM scored WHERE quality >= 0.5 AND lang = 'en') "
+            "SELECT doc_id, "
+            "len(regexp_split_to_array(text, '\\s+')) AS ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens, "
+            "quality FROM ded WHERE rn = 1"),
         "dedup_exact": (
             "SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, "
             "COUNT(*) AS copies FROM documents GROUP BY md5(text)"),
