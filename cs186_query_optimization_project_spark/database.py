@@ -206,8 +206,12 @@ class Database:
             entry.df = new_df
             entry.stats = None
             return self
+        import re
+
         base = entry.path.rstrip("/")
-        root = base.split(".v")[0] if ".v" in base else base
+        # strip only OUR version suffix (.v<digits> at the end) — a '.v'
+        # elsewhere in the path (e.g. /srv/corpus.v2024/t) must survive
+        root = re.sub(r"\.v\d+$", "", base)
         version = 1
         while os.path.exists(f"{root}.v{version}"):
             version += 1
@@ -257,7 +261,9 @@ class Database:
     # Disk cache for table stats, keyed by (path, mtime, size) — the local
     # analog of ANALYZE TABLE results living in a catalog.  Recomputing
     # stats per process would otherwise dominate short optimal-path queries.
-    _STATS_CACHE_DIR = "/tmp/spark_graft_stats_cache"
+    # Per-uid directory created 0700: pickle.load from a world-writable
+    # shared path would let another local user plant arbitrary code.
+    _STATS_CACHE_DIR = f"/tmp/spark_graft_stats_cache_{os.getuid()}"
 
     def _stats_cache_key(self, entry: TableEntry) -> str | None:
         if entry.path is None or not os.path.exists(entry.path):
@@ -291,7 +297,7 @@ class Database:
         try:
             import pickle
 
-            os.makedirs(self._STATS_CACHE_DIR, exist_ok=True)
+            os.makedirs(self._STATS_CACHE_DIR, mode=0o700, exist_ok=True)
             final = os.path.join(self._STATS_CACHE_DIR, key + ".pkl")
             # write-then-rename: concurrent processes never observe a
             # torn pickle (os.replace is atomic within a filesystem)

@@ -171,6 +171,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             seed: int = 42) -> DataFrame:
     """Full pipeline: signatures → LSH buckets → candidate pairs → exact
     Jaccard verification."""
+    if n_bands > n_hashes:
+        raise ValueError(
+            f"n_bands ({n_bands}) > n_hashes ({n_hashes}): bands would be "
+            f"empty, every doc would share every bucket, and the candidate "
+            f"join would degenerate into an all-pairs cross product")
     df = ensure_parallelism(df, id_col)
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
@@ -265,17 +270,35 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
-    """Manku-style banding: split the 64-bit signature into 4 × 16-bit
-    chunks; any pair within Hamming distance ≤ 3 shares at least one exact
-    chunk → bucket-join on (chunk_idx, chunk_value), then exact Hamming
-    filter via bit_count(xor)."""
+    """Manku-style banding: split the 64-bit signature into
+    ``max_hamming + 1`` chunks — by pigeonhole, any pair within Hamming
+    distance ≤ max_hamming shares at least one exact chunk → bucket-join
+    on (chunk_idx, chunk_value), then exact Hamming filter via
+    bit_count(xor).  Chunk count scales with the threshold so candidate
+    recall is guaranteed for ANY max_hamming (a fixed 4-chunk split would
+    silently miss pairs at max_hamming ≥ 4)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     df = ensure_parallelism(df, id_col)
     sigs = simhash_signatures(df, text_col, id_col)
-    chunks = sigs.select(
-        F.col(id_col), F.col("simhash"),
-        F.posexplode(F.expr(
-            "transform(sequence(0, 3), "
-            "c -> (simhash >> (c * 16)) & 65535)")).alias("chunk", "val"))
+    n_chunks = max_hamming + 1
+    base = 64 // n_chunks
+    chunk_exprs = []
+    for c in range(n_chunks):
+        off = c * base
+        width = base if c < n_chunks - 1 else 64 - off
+        if width >= 64:
+            val = F.col("simhash")
+        else:
+            # arithmetic >> sign-extends; the mask truncates back to width
+            val = F.expr(f"(simhash >> {off}) & {(1 << width) - 1}")
+        chunk_exprs.append(
+            F.struct(F.lit(c).alias("chunk"), val.cast("long").alias("val")))
+    chunks = (sigs.select(F.col(id_col), F.col("simhash"),
+                          F.explode(F.array(*chunk_exprs)).alias("__cv"))
+              .select(F.col(id_col), F.col("simhash"),
+                      F.col("__cv.chunk").alias("chunk"),
+                      F.col("__cv.val").alias("val")))
     left, right = chunks.alias("l"), chunks.alias("r")
     pairs = (left.join(right,
                        (F.col("l.chunk") == F.col("r.chunk"))

@@ -75,7 +75,12 @@ def avg_token_length(text: Column | str) -> Column:
 def marker_hits(text: Column | str, word: str) -> Column:
     """Occurrences of ``word`` as a whole token, via length arithmetic
     (substring counting — identical semantics in ANSI SQL for the oracle:
-    ``(length(x) - length(replace(x, p, ''))) / length(p)``)."""
+    ``(length(x) - length(replace(x, p, ''))) / length(p)``).
+
+    Counting is NON-overlapping: in ``"the the the"`` adjacent repeats
+    share a delimiting space, so this counts 2, not 3.  Deliberate — the
+    same arithmetic runs in the DuckDB oracle, and for language ID only
+    relative marker frequencies matter."""
     c = F.col(text) if isinstance(text, str) else text
     padded = F.concat(F.lit(" "), c, F.lit(" "))
     pat = f" {word} "

@@ -38,24 +38,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     (ties would make the result nondeterministic in any engine)."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)]
-    l_tag = left.select(
-        F.col(on), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols])
+    # The right row's values travel as ONE struct: the whole most-recent
+    # right ROW is carried or none of it.  Carrying bare columns with
+    # last(ignorenulls) would (a) skip a genuinely-NULL value in the
+    # latest right row in favor of a stale older one and (b) mix values
+    # from different right rows when several columns are carried.
+    vals = F.struct(*[F.col(c).alias(c) for c in value_cols])
     r_tag = right.select(
         F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
-        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols])
+        vals.alias("__vals"))
+    null_vals = F.lit(None).cast(r_tag.schema["__vals"].dataType)
+    l_tag = left.select(
+        F.col(on), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        null_vals.alias("__vals"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"))
+    r_tag = r_tag.withColumn(
+        "__lrow", F.lit(None).cast(l_tag.schema["__lrow"].dataType))
     unioned = l_tag.unionByName(r_tag)
     # right rows (tag 0) sort before left rows at equal ts => ties match
     w = (Window.partitionBy(on).orderBy("__ts", "__is_left")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = unioned.select(
-        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w)
-               .alias(f"__c_{c}") for c in value_cols])
+    carried = unioned.withColumn(
+        "__c", F.last("__vals", ignorenulls=True).over(w))
     out_cols = ([F.col(f"__lrow.{c}").alias(c) for c in left.columns]
-                + [F.col(f"__c_{c}").alias(
+                + [F.col(f"__c.{c}").alias(
                     c + suffix if c in left.columns else c)
                    for c in value_cols])
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)
@@ -97,10 +103,17 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     and the join key becomes (key, salt) — a hot key's rows now spread
     over n_salts reducers instead of one.
 
-    Results are identical to ``left.join(right, on, how)`` for every salt
-    assignment; randomness only balances load.  Prefer AQE skew-join
-    splitting when available — this is for paths AQE can't touch (pinned
-    strategies, streaming joins)."""
+    Results are identical to ``left.join(right, on, how)`` for inner/left/
+    semi/anti joins.  Right/full outer are REJECTED: every replicated
+    right copy whose salt matches no left row would surface as a spurious
+    null-padded output row.  Prefer AQE skew-join splitting when available
+    — this is for paths AQE can't touch (pinned strategies, streaming
+    joins)."""
+    if how.replace("_outer", "") in ("right", "full", "outer"):
+        raise ValueError(
+            f"salted_join does not support how='{how}': replicated right "
+            f"copies would emit spurious unmatched rows; use AQE skew "
+            f"splitting for outer joins")
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * n_salts).cast("int"))
     salted_right = right.withColumn(

@@ -203,9 +203,18 @@ class Query:
                 f"alias '{a}' already in scope; pass alias= to disambiguate "
                 f"(reference: Transaction.queryAs, db/Database.java:236–252)")
         left = self.resolve(left_column)
-        # right column must come from the newly joined table
+        # right column must come from the newly joined table; a qualifier,
+        # if present, must name that table's alias (silently re-resolving a
+        # wrong qualifier against the new table would hide user typos)
         right_cols = self.db.schema(table).fieldNames()
-        rname = right_column.split(".", 1)[1] if "." in right_column else right_column
+        if "." in right_column:
+            rqual, rname = right_column.split(".", 1)
+            if rqual != a:
+                raise QueryPlanException(
+                    f"join right column '{right_column}' is qualified with "
+                    f"'{rqual}' but the joined table's alias is '{a}'")
+        else:
+            rname = right_column
         if rname not in right_cols:
             raise QueryPlanException(
                 f"join right column '{right_column}' not in table '{table}'")
@@ -398,9 +407,11 @@ class Query:
             raise QueryPlanException(
                 "group_by requires at least one aggregate "
                 "(count/sum/average/min/max)")
-        group_cols = {g.column for g in self.group_bys}
+        # validate on (alias, column) — a selected column that merely shares
+        # its NAME with a grouped column from another table must still error
+        group_refs = {(g.alias, g.column) for g in self.group_bys}
         for s in self.selects:
-            if s.ref.column not in group_cols:
+            if (s.ref.alias, s.ref.column) not in group_refs:
                 raise QueryPlanException(
                     f"selected column '{s.ref.qualified}' is neither grouped "
                     f"nor aggregated (reference constraint, "

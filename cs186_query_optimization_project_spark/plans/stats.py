@@ -174,7 +174,29 @@ class TableStats:
             return 1.0 / v_distinct
         if op is PredicateOperator.NOT_EQUALS:
             return 1.0 - 1.0 / v_distinct
-        # range predicates
+        # extended (non-reference) operators: estimate without touching the
+        # numeric-range paths, whose value arithmetic assumes a scalar
+        if op is PredicateOperator.IN:
+            return min(len(list(value)) / v_distinct, 1.0)
+        if op is PredicateOperator.NOT_IN:
+            return 1.0 - min(len(list(value)) / v_distinct, 1.0)
+        if op is PredicateOperator.BETWEEN:
+            lo_v, hi_v = value
+            rf = (self.reduction_factor(
+                      column, PredicateOperator.LESS_THAN_EQUALS, hi_v)
+                  + self.reduction_factor(
+                      column, PredicateOperator.GREATER_THAN_EQUALS, lo_v)
+                  - 1.0)
+            return min(max(rf, 0.0), 1.0)
+        if op is PredicateOperator.IS_NULL:
+            return 0.1      # no null stats collected; assume mostly non-null
+        if op is PredicateOperator.IS_NOT_NULL:
+            return 0.9
+        if op is PredicateOperator.LIKE:
+            return DEFAULT_RANGE_RF
+        # range predicates (scalar comparisons only from here down)
+        if not isinstance(value, (int, float)):
+            return DEFAULT_RANGE_RF
         if s.histogram:
             return self._histogram_range_rf(s, op, value)
         if (s.min is not None and s.max is not None

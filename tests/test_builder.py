@@ -269,3 +269,36 @@ def test_where_accepts_string_operator(db):
     assert a == b == c and len(a) > 0
     with pytest.raises(QueryPlanException, match="unknown predicate"):
         db.query("customer").where("c_custkey", "=>", 5)
+
+
+def test_select_same_name_other_table_rejected(db):
+    # supplier.s_nationkey shares no name with the customer group col, so
+    # build the collision via a self-ish case: group by n2's key, select
+    # n1's same-named column -> must error, not silently return n2 values
+    q = (db.query("nation", alias="n1")
+         .join("nation", "n1.n_regionkey", "n_regionkey", alias="n2")
+         .group_by("n2.n_nationkey")
+         .select("n1.n_nationkey")
+         .count())
+    with pytest.raises(QueryPlanException, match="neither grouped"):
+        q.execute()
+
+
+def test_join_wrong_right_qualifier_rejected(db):
+    with pytest.raises(QueryPlanException, match="qualified with"):
+        (db.query("customer", alias="c")
+         .join("orders", "c.c_custkey", "c.o_custkey"))
+
+
+def test_extended_op_rf_with_histograms(db):
+    # BETWEEN/IN/LIKE predicates through the optimal path with histogram
+    # stats present must not crash the estimator
+    from cs186_query_optimization_project_spark.predicates import (
+        PredicateOperator as P)
+    db.stats("orders", histograms=True)
+    out = (db.query("orders")
+           .where("o_totalprice", P.BETWEEN, (1000.0, 200000.0))
+           .where("o_orderpriority", P.IN, ["1-URGENT", "2-HIGH"])
+           .group_by("o_orderstatus").count()
+           .execute_optimal())
+    assert out.count() > 0

@@ -68,3 +68,15 @@ def test_dml_on_in_memory_table(spark):
         [(1, "a"), (2, "b")], ["id", "v"]))
     mdb.delete_rows("t", F.col("id") == 1)
     assert [tuple(r) for r in mdb.table("t").collect()] == [(2, "b")]
+
+
+def test_rewrite_preserves_dotted_dir_names(spark, db, tmp_path):
+    from cs186_query_optimization_project_spark import Database
+    base = tmp_path / "corpus.v2024"
+    base.mkdir()
+    mdb = Database(spark)
+    mdb.create_table("nation", db.table("nation"), str(base / "nation"))
+    mdb.delete_rows("nation", F.col("n_regionkey") == 0)
+    path = mdb._entry("nation").path
+    assert path.startswith(str(base))       # stayed inside corpus.v2024/
+    assert path.endswith("nation.v1")

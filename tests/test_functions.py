@@ -215,3 +215,21 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert got[1] == got[3]            # identical text -> identical hash
     assert got[1] != got[2]            # transposed tokens -> different
     assert all(0 <= v < (1 << 31) - 1 for v in got.values())
+
+
+def test_simhash_wide_hamming_banding(spark):
+    # 5 planted bit-flips spread across the signature: a fixed 4-chunk
+    # banding would miss the pair; max_hamming=5 -> 6 chunks finds it
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variant = "alpha beta gamma delta epsilon zeta eta theta iota kappb"
+    df = spark.createDataFrame([(1, base), (2, variant)], ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(df).collect()}
+    ham = bin(sigs[1] ^ sigs[2]).count("1")
+    found = dedup.simhash_near_duplicates(df, max_hamming=ham)
+    assert found.count() == 1
+
+
+def test_minhash_band_guard():
+    with pytest.raises(ValueError, match="n_bands"):
+        dedup.minhash_near_duplicates(None, n_hashes=4, n_bands=8)

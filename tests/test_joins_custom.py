@@ -62,3 +62,20 @@ def test_salted_join_equals_plain(db):
     salted = joins.salted_join(nation, region, "n_regionkey") \
         .select("n_name", "r_name")
     assert rows(salted) == rows(plain)
+
+
+def test_asof_null_value_in_latest_right_row(spark):
+    trades = spark.createDataFrame([(1, 30, "t")], ["sym", "ts", "trade"])
+    quotes = spark.createDataFrame(
+        [(1, 10, 5.0, 100), (1, 20, None, 200)],
+        "sym long, ts long, px double, size long")
+    row = joins.asof_join(trades, quotes, on="sym").collect()[0]
+    # latest right row (ts=20) carries px=NULL and size=200 as a unit —
+    # no falling back to the stale ts=10 px, no mixing rows
+    assert row["px"] is None and row["size"] == 200
+
+
+def test_salted_join_rejects_outer(db):
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        joins.salted_join(db.table("nation"), db.table("region"),
+                          "n_regionkey", how="full")
