@@ -28,7 +28,14 @@ from cs186_query_optimization_project_spark.functions import (
     text,
 )
 from cs186_query_optimization_project_spark.operators import setops, windows
-from cs186_query_optimization_project_spark.predicates import EQ, GT, GTE, LT, NEQ
+from cs186_query_optimization_project_spark.predicates import (
+    EQ,
+    GT,
+    GTE,
+    LT,
+    LTE,
+    NEQ,
+)
 from cs186_query_optimization_project_spark.streaming import windows as stream_windows
 
 _DBS: dict[tuple[int, str], Database] = {}
@@ -544,6 +551,82 @@ def q_pivot(spark, sf_dir):
 
 
 # ===================================================================== #
+# TPC-H-style queries through the builder (optimizer workout: Q5 is a
+# six-table join the System-R DP must order)
+# ===================================================================== #
+def q_tpch_q1(spark, sf_dir):
+    """Q1 pricing summary: multi-column group-by + mixed plain/expression
+    aggregates over filtered lineitem."""
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # sum(charge) = sum(disc_price*(1+tax)) is omitted: Spark and DuckDB
+    # round the double product to DECIMAL(18,4) with different tie-break
+    # modes, drifting ~4e-3 per 140k rows — not a semantic difference.
+    return (_db(spark, sf_dir).query("lineitem")
+            .where("l_shipdate", LT, "1998-09-01")
+            .group_by("l_returnflag", "l_linestatus")
+            .sum("l_quantity", out="sum_qty", exact=True)
+            .sum("l_extendedprice", out="sum_base_price", exact=True)
+            .sum(disc_price, out="sum_disc_price", exact=True)
+            .average("l_quantity", out="avg_qty", exact=True)
+            .count(out="count_order")
+            .execute())
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Q3 shipping priority: 3-way join, expression revenue, top-10."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (_db(spark, sf_dir).query("customer")
+           .join("orders", "c_custkey", "o_custkey")
+           .join("lineitem", "o_orderkey", "l_orderkey")
+           .where("c_mktsegment", EQ, "BUILDING")
+           .where("o_orderdate", LT, "1998-03-15")
+           .where("l_shipdate", GT, "1998-03-15")
+           .group_by("l_orderkey", "o_orderdate")
+           .sum(revenue, out="revenue", exact=True)
+           .execute())
+    return (out.select("l_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd")
+                       .alias("o_orderdate"),
+                       F.round("revenue", 4).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """Q5 local supplier volume: SIX-table join ordered by the System-R
+    DP (execute_optimal), plus the c_nationkey = s_nationkey correlation
+    via where_columns."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (_db(spark, sf_dir).query("customer")
+           .join("orders", "c_custkey", "o_custkey")
+           .join("lineitem", "o_orderkey", "l_orderkey")
+           .join("supplier", "l_suppkey", "s_suppkey")
+           .join("nation", "s_nationkey", "n_nationkey")
+           .join("region", "n_regionkey", "r_regionkey")
+           .where("r_name", EQ, "ASIA")
+           .where("o_orderdate", GTE, "1996-01-01")
+           .where_columns("c_nationkey", "=", "s_nationkey")
+           .group_by("n_name")
+           .sum(revenue, out="revenue", exact=True)
+           .execute_optimal())
+    return out.select("n_name", F.round("revenue", 4).alias("revenue"))
+
+
+def q_tpch_q6(spark, sf_dir):
+    """Q6 forecasting revenue change: tight filter + expression sum."""
+    revenue = F.col("l_extendedprice") * F.col("l_discount")
+    out = (_db(spark, sf_dir).query("lineitem")
+           .where("l_shipdate", GTE, "1997-01-01")
+           .where("l_shipdate", LT, "1998-01-01")
+           .where("l_discount", GTE, 0.05)
+           .where("l_discount", LTE, 0.07)
+           .where("l_quantity", LT, 24.0)
+           .sum(revenue, out="revenue", exact=True)
+           .execute())
+    return out.select(F.round("revenue", 4).alias("revenue"))
+
+
+# ===================================================================== #
 # training-data pipeline operators (documents / embeddings)
 # ===================================================================== #
 def q_multimodal_features(spark, sf_dir):
@@ -745,6 +828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "sessionize": q_sessionize,
         "time_window_agg": q_time_window_agg,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "quantiles": q_quantiles,
         "bucketed_join": q_bucketed_join,
         "asof_join": q_asof_join,
@@ -958,6 +1045,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
             "AS window_start, event_type, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2"),
+        "tpch_q1": (
+            f"SELECT l_returnflag, l_linestatus, "
+            f"CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty, "
+            f"CAST(SUM(CAST(l_extendedprice AS {dec})) AS DOUBLE) "
+            f"AS sum_base_price, "
+            f"CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {dec})) "
+            f"AS DOUBLE) AS sum_disc_price, "
+            f"CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) "
+            f"/ COUNT(l_quantity) AS avg_qty, "
+            f"COUNT(*) AS count_order "
+            f"FROM lineitem "
+            f"WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00' "
+            f"GROUP BY l_returnflag, l_linestatus"),
+        "tpch_q3": (
+            f"SELECT l_orderkey, "
+            f"strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            f"round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            f"AS {dec})) AS DOUBLE), 4) AS revenue "
+            f"FROM customer JOIN orders ON c_custkey = o_custkey "
+            f"JOIN lineitem ON o_orderkey = l_orderkey "
+            f"WHERE c_mktsegment = 'BUILDING' "
+            f"AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+            f"AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+            f"GROUP BY l_orderkey, o_orderdate "
+            f"ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+        "tpch_q5": (
+            f"SELECT n_name, "
+            f"round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            f"AS {dec})) AS DOUBLE), 4) AS revenue "
+            f"FROM customer JOIN orders ON c_custkey = o_custkey "
+            f"JOIN lineitem ON o_orderkey = l_orderkey "
+            f"JOIN supplier ON l_suppkey = s_suppkey "
+            f"JOIN nation ON s_nationkey = n_nationkey "
+            f"JOIN region ON n_regionkey = r_regionkey "
+            f"WHERE r_name = 'ASIA' "
+            f"AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            f"AND c_nationkey = s_nationkey "
+            f"GROUP BY n_name"),
+        "tpch_q6": (
+            f"SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount "
+            f"AS {dec})) AS DOUBLE), 4) AS revenue FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+            f"AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            f"AND l_quantity < 24.0"),
         "quantiles": (
             "SELECT l_returnflag, "
             "round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "

@@ -98,28 +98,55 @@ class WhereClause:
 @dataclass(frozen=True)
 class AggClause:
     func: str  # count / sum / avg / min / max
-    ref: ColumnRef | None  # None only for count(*)
+    ref: ColumnRef | None  # None for count(*) or expression aggregates
     out: str
     #: exact mode: sum/avg over doubles go through DECIMAL(18,4) so the
     #: result is independent of partitioning/summation order (needed for
     #: bit-exact oracle comparison; float addition is not associative)
     exact: bool = False
+    #: expression aggregate (additive): an arbitrary Column, e.g.
+    #: ``sum(l_extendedprice * (1 - l_discount))`` — TPC-H-style revenue
+    expr: Column | None = None
 
     def spark(self) -> Column:
-        if self.ref is None:
+        if self.expr is not None:
+            col = self.expr
+        elif self.ref is None:
             return F.count(F.lit(1)).alias(self.out)
-        col = self.ref.spark()
+        else:
+            col = self.ref.spark()
         if self.exact and self.func == "sum":
             return F.sum(col.cast("decimal(18,4)")).cast("double") \
                     .alias(self.out)
         if self.exact and self.func == "avg":
             return (F.sum(col.cast("decimal(18,4)")).cast("double")
                     / F.count(col)).alias(self.out)
-        return _AGG_FUNCS[self.func](self.ref.spark()).alias(self.out)
+        return _AGG_FUNCS[self.func](col).alias(self.out)
 
     def sql(self) -> str:
-        arg = "*" if self.ref is None else self.ref.qualified
+        if self.expr is not None:
+            arg = "<expr>"
+        else:
+            arg = "*" if self.ref is None else self.ref.qualified
         return f"{self.func.upper()}({arg}) AS {self.out}"
+
+
+_COL_OPS = {
+    PredicateOperator.EQUALS: lambda a, b: a == b,
+    PredicateOperator.NOT_EQUALS: lambda a, b: a != b,
+    PredicateOperator.LESS_THAN: lambda a, b: a < b,
+    PredicateOperator.LESS_THAN_EQUALS: lambda a, b: a <= b,
+    PredicateOperator.GREATER_THAN: lambda a, b: a > b,
+    PredicateOperator.GREATER_THAN_EQUALS: lambda a, b: a >= b,
+}
+
+
+def _col_predicate(lref: ColumnRef, op: PredicateOperator,
+                   rref: ColumnRef) -> Column:
+    if op not in _COL_OPS:
+        raise QueryPlanException(
+            f"where_columns supports comparison operators only, got {op.name}")
+    return _COL_OPS[op](lref.spark(), rref.spark())
 
 
 @dataclass(frozen=True)
@@ -141,6 +168,7 @@ class Query:
         self.base_alias = alias or table
         self.joins: list[JoinClause] = []
         self.wheres: list[WhereClause] = []
+        self.col_wheres: list[tuple[ColumnRef, PredicateOperator, ColumnRef]] = []
         self.havings: list[tuple[str, PredicateOperator, Any]] = []
         self.group_bys: list[ColumnRef] = []
         self.aggs: list[AggClause] = []
@@ -238,6 +266,23 @@ class Query:
         self.wheres.append(WhereClause(self.resolve(column), op, value))
         return self
 
+    def where_columns(self, left_column: str, op: PredicateOperator | str,
+                      right_column: str) -> "Query":
+        """Column-vs-column predicate (additive; the reference compares a
+        column to a literal only).  Applied after all joins — e.g. TPC-H
+        Q5's ``c_nationkey = s_nationkey`` correlation."""
+        try:
+            op = coerce_op(op)
+        except ValueError as exc:
+            raise QueryPlanException(str(exc)) from None
+        if self.strict_reference_mode:
+            raise QueryPlanException(
+                "where_columns is outside the reference predicate surface "
+                "(strict mode)")
+        self.col_wheres.append(
+            (self.resolve(left_column), op, self.resolve(right_column)))
+        return self
+
     def select(self, *columns: str | tuple[str, str]) -> "Query":
         """Projection (``QueryPlan.select``, ``QueryPlan.java:80–90``).
         Each item is a column name or ``(name, output_alias)``."""
@@ -263,9 +308,15 @@ class Query:
         self.aggs.append(AggClause("count", None, out))
         return self
 
-    def sum(self, column: str, out: str = "sumAgg",
+    def sum(self, column: str | Column, out: str = "sumAgg",
             exact: bool = False) -> "Query":
-        self.aggs.append(AggClause("sum", self.resolve(column), out, exact))
+        """SUM over a column name or an arbitrary Column expression
+        (expression form is additive — TPC-H revenue style)."""
+        if isinstance(column, Column):
+            self.aggs.append(AggClause("sum", None, out, exact, expr=column))
+        else:
+            self.aggs.append(
+                AggClause("sum", self.resolve(column), out, exact))
         return self
 
     def average(self, column: str, out: str = "averageAgg",
@@ -374,6 +425,9 @@ class Query:
             if w in pushed:
                 continue
             df = df.filter(w.condition())
+
+        for lref, op, rref in self.col_wheres:
+            df = df.filter(_col_predicate(lref, op, rref))
 
         if self.aggs or self.group_bys:
             df = self._apply_aggregation(df)

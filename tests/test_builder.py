@@ -302,3 +302,33 @@ def test_extended_op_rf_with_histograms(db):
            .group_by("o_orderstatus").count()
            .execute_optimal())
     assert out.count() > 0
+
+
+def test_expression_aggregate(db):
+    from pyspark.sql import functions as F
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    got = rows(db.query("lineitem")
+               .group_by("l_returnflag")
+               .sum(revenue, out="rev", exact=True)
+               .execute())
+    want = duck_rows(
+        "SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice * "
+        "(1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS rev "
+        "FROM lineitem GROUP BY l_returnflag")
+    assert got == want
+
+
+def test_where_columns(db):
+    got = rows(db.query("customer")
+               .join("orders", "c_custkey", "o_custkey")
+               .where_columns("c_acctbal", "<", "o_totalprice")
+               .select("c_custkey").distinct()
+               .execute())
+    want = duck_rows(
+        "SELECT DISTINCT c_custkey FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "WHERE c_acctbal < o_totalprice")
+    assert got == want
+    with pytest.raises(QueryPlanException, match="strict"):
+        (db.query("customer").strict()
+         .where_columns("c_custkey", "=", "c_nationkey"))
