@@ -47,6 +47,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # managed tables (bucketed writes) land outside the repo
     "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
+    # The generated-code cache defaults to 100 entries; a session running
+    # a varied suite (60+ distinct plan shapes × several stages each)
+    # evicts constantly and re-pays multi-second codegen compilation per
+    # query run.  Static conf — must be set before the first session.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 
@@ -71,6 +76,12 @@ def get_spark(
     )
     builder = builder.config("spark.driver.memory", os.environ.get(
         "SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # A varied suite generates hundreds of codegen classes; the JVM's
+    # default 240 MB JIT code cache flushes under that load and hot loops
+    # fall back to the interpreter (measured as 5-8x tail-of-suite
+    # slowdowns on expression-heavy plans).
+    builder = builder.config("spark.driver.extraJavaOptions",
+                             "-XX:ReservedCodeCacheSize=512m")
     builder = builder.config("spark.ui.enabled", "false")
     builder = builder.config("spark.ui.showConsoleProgress", "false")
     for key, value in ENGINE_CONF.items():
