@@ -286,6 +286,26 @@ def q_rollup(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("countAgg")))
 
 
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations of the two dims)."""
+    db = _db(spark, sf_dir)
+    return (db.table("lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("countAgg")))
+
+
+def q_explode_array(spark, sf_dir):
+    """Lateral/generator op: posexplode an array column (embedding) into
+    (id, position, value) rows — the 1→N row generator the reference has
+    no analog for."""
+    db = _db(spark, sf_dir)
+    return (db.table("embeddings")
+            .filter(F.col("vec_id") < 50)
+            .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+            .select("vec_id", "pos", F.round(F.col("v").cast("double"), 6)
+                    .alias("v")))
+
+
 def q_scalar_functions(spark, sf_dir):
     db = _db(spark, sf_dir)
     return db.table("orders").select(
@@ -821,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_outer_join": q_left_outer_join,
         "having": q_having,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
         "case_expr": q_case_expr,
         "json_extract": q_json_extract,
@@ -995,6 +1017,14 @@ def oracle_sql() -> dict[str, str]:
         "rollup": ("SELECT l_returnflag, l_linestatus, COUNT(*) AS countAgg "
                    "FROM lineitem GROUP BY ROLLUP(l_returnflag, "
                    "l_linestatus)"),
+        "cube": ("SELECT l_returnflag, l_linestatus, COUNT(*) AS countAgg "
+                 "FROM lineitem "
+                 "GROUP BY CUBE(l_returnflag, l_linestatus)"),
+        "explode_array": (
+            "SELECT vec_id, "
+            "CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+            "round(CAST(unnest(embedding) AS DOUBLE), 6) AS v "
+            "FROM embeddings WHERE vec_id < 50"),
         "scalar_functions": (
             "SELECT o_orderkey, upper(o_orderpriority) AS prio_upper, "
             "length(o_orderpriority) AS prio_len, "
