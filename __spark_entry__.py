@@ -41,11 +41,36 @@ from cs186_query_optimization_project_spark.streaming import windows as stream_w
 _DBS: dict[tuple[int, str], Database] = {}
 
 
+def _tag(sf_dir: str) -> str:
+    """Stable per-corpus tag for tmp paths / table / sink names.  hash()
+    is salted per process (PYTHONHASHSEED), which made every run mint new
+    warehouse tables and /tmp exports that nothing deleted; md5 is stable
+    so overwrite-mode writes reuse the same paths across runs."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+
 def _db(spark: SparkSession, sf_dir: str) -> Database:
     key = (id(spark), sf_dir)
     if key not in _DBS:
         _DBS[key] = Database(spark, sf_dir)
     return _DBS[key]
+
+
+
+def _planted_docs(db):
+    """Documents corpus with perturbed near-duplicate plants (every 10th
+    doc re-appended with one extra word, ids offset by 1e6).  Shared by
+    the three near-dup entries; the ngram_jaccard ORACLE SQL re-encodes
+    the same planting — keep them in sync."""
+    docs = db.table("documents")
+    planted = (docs.filter(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" appendix"))
+                       .alias("text")))
+    return docs.select("doc_id", "text").unionByName(planted)
 
 
 # ===================================================================== #
@@ -177,7 +202,7 @@ def q_csv_source(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import readers
 
     db = _db(spark, sf_dir)
-    path = f"/tmp/spark_graft_csv_{abs(hash(sf_dir)) % 100000}/nation"
+    path = f"/tmp/spark_graft_csv_{_tag(sf_dir)}/nation"
     db.table("nation").write.mode("overwrite").option("header", True).csv(path)
     return readers.read_csv(spark, path, db.schema("nation"), header=True)
 
@@ -188,7 +213,7 @@ def q_json_source(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import readers
 
     db = _db(spark, sf_dir)
-    path = f"/tmp/spark_graft_json_{abs(hash(sf_dir)) % 100000}/region"
+    path = f"/tmp/spark_graft_json_{_tag(sf_dir)}/region"
     db.table("region").write.mode("overwrite").json(path)
     return readers.read_json(spark, path, schema=db.schema("region"))
 
@@ -201,7 +226,7 @@ def q_indexed_write_scan(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import writers
 
     db = _db(spark, sf_dir)
-    path = f"/tmp/spark_graft_idx_{abs(hash(sf_dir)) % 100000}/lineitem"
+    path = f"/tmp/spark_graft_idx_{_tag(sf_dir)}/lineitem"
     writers.write_indexed(db.table("lineitem"), path,
                           index_columns=("l_shipdate",))
     return (spark.read.parquet(path)
@@ -383,7 +408,7 @@ def q_streaming_tumbling(spark, sf_dir):
     """REAL Structured Streaming: file-stream the events parquet, run a
     watermarked tumbling-window aggregation to completion (memory sink),
     return the result table.  Oracle = batch date_trunc equivalent."""
-    name = "stream_tumble_" + str(abs(hash(sf_dir)) % 100000)
+    name = "stream_tumble_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = stream_windows.tumbling_counts(events, window="1 hour",
                                          watermark="2 hours")
@@ -397,9 +422,10 @@ def q_streaming_tumbling(spark, sf_dir):
 
 def q_streaming_session(spark, sf_dir):
     """REAL streaming session windows (gap 30 min) per user; memory sink.
-    Oracle = the batch lag/cumsum sessionization, which produces identical
-    session membership."""
-    name = "stream_sess_" + str(abs(hash(sf_dir)) % 100000)
+    Oracle = batch lag/cumsum sessionization with an end-EXCLUSIVE break
+    (gap >= 1800s starts a new session), matching Spark session_window's
+    [start, last+gap) interval semantics."""
+    name = "stream_sess_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = stream_windows.session_counts(events, gap="30 minutes",
                                         watermark="2 hours")
@@ -417,7 +443,7 @@ def q_streaming_sliding(spark, sf_dir):
     """Sliding windows (1 h window, 15 min slide) over the event stream.
     Oracle: each event belongs to exactly 4 windows → cross join with the
     4 slide offsets."""
-    name = "stream_slide_" + str(abs(hash(sf_dir)) % 100000)
+    name = "stream_slide_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     agg = stream_windows.sliding_counts(events, window="1 hour",
                                         slide="15 minutes",
@@ -435,7 +461,7 @@ def q_streaming_stateful_totals(spark, sf_dir):
     batch aggregate — that's the oracle."""
     from cs186_query_optimization_project_spark.streaming import stateful
 
-    name = "stream_state_" + str(abs(hash(sf_dir)) % 100000)
+    name = "stream_state_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     totals = stateful.user_running_totals(events)
     stream_windows.run_to_memory(totals, name, output_mode="update",
@@ -454,7 +480,7 @@ def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup within the watermark horizon: duplicate every
     event (explode ×2), dropDuplicatesWithinWatermark restores one row per
     event_id.  Oracle: plain per-type counts."""
-    name = "stream_dedup_" + str(abs(hash(sf_dir)) % 100000)
+    name = "stream_dedup_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
     doubled = (events
                .withColumn("__copy", F.explode(F.array(F.lit(0), F.lit(1))))
@@ -540,7 +566,7 @@ def q_bucketed_join(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import writers
 
     db = _db(spark, sf_dir)
-    tag = str(abs(hash(sf_dir)) % 100000)
+    tag = _tag(sf_dir)
     lt, ot = f"bl_lineitem_{tag}", f"bl_orders_{tag}"
     if sf_dir not in _BUCKETED_READY:
         writers.write_bucketed(db.table("lineitem")
@@ -701,12 +727,7 @@ def q_minhash_near_dups(spark, sf_dir):
     ids offset by 1e6), then run the full MinHash-LSH pipeline.  Not
     SQL-expressible (xxhash64 signatures) → rows-only driver check."""
     db = _db(spark, sf_dir)
-    docs = db.table("documents")
-    planted = (docs.filter(F.col("doc_id") % 10 == 0)
-               .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                       F.concat(F.col("text"), F.lit(" appendix"))
-                       .alias("text")))
-    corpus = docs.select("doc_id", "text").unionByName(planted)
+    corpus = _planted_docs(db)
     pairs = dedup.minhash_near_duplicates(corpus, threshold=0.5)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -716,12 +737,7 @@ def q_ngram_jaccard(spark, sf_dir):
     join, no hash approximation, so it IS SQL-expressible and fully
     oracle-checked (unlike the MinHash pipeline)."""
     db = _db(spark, sf_dir)
-    docs = db.table("documents")
-    planted = (docs.filter(F.col("doc_id") % 10 == 0)
-               .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                       F.concat(F.col("text"), F.lit(" appendix"))
-                       .alias("text")))
-    corpus = docs.select("doc_id", "text").unionByName(planted)
+    corpus = _planted_docs(db)
     return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
@@ -737,12 +753,7 @@ def q_token_counts(spark, sf_dir):
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs over the same planted corpus (rows-only)."""
     db = _db(spark, sf_dir)
-    docs = db.table("documents")
-    planted = (docs.filter(F.col("doc_id") % 10 == 0)
-               .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                       F.concat(F.col("text"), F.lit(" appendix"))
-                       .alias("text")))
-    corpus = docs.select("doc_id", "text").unionByName(planted)
+    corpus = _planted_docs(db)
     return dedup.simhash_near_duplicates(corpus, max_hamming=3)
 
 
@@ -1175,7 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_session": (
             "WITH g AS (SELECT user_id, event_id, ts, "
             "  CASE WHEN lag(ts) OVER w IS NULL "
-            "       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 "
+            "       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0 "
             "       THEN 1 ELSE 0 END AS brk "
             "  FROM events WINDOW w AS (PARTITION BY user_id "
             "    ORDER BY ts, event_id)), "

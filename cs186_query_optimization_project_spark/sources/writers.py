@@ -16,6 +16,9 @@ analog (SURVEY.md §2.11, §4.1-O2):
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 
 
@@ -44,7 +47,20 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_columns: tuple[str, ..
                    num_buckets: int = 16, mode: str = "overwrite") -> None:
     """Bucketed managed table: co-locates future joins/aggs on the bucket
     columns (no shuffle — Spark recognizes matching bucketing on both
-    sides)."""
+    sides).
+
+    Overwrite also clears an ORPHANED warehouse location: a fresh session's
+    in-memory catalog doesn't know about tables a previous process wrote,
+    and saveAsTable refuses to reuse the on-disk location
+    (LOCATION_ALREADY_EXISTS) even in overwrite mode."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh = wh.removeprefix("file:")
+        loc = os.path.join(wh, table_name.lower())
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     (df.write.mode(mode)
      .bucketBy(num_buckets, *bucket_columns)
      .sortBy(*bucket_columns)

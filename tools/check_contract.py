@@ -11,10 +11,11 @@ Usage: python tools/check_contract.py [sf_dir] [only_query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
@@ -58,6 +59,10 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)}; "
+                 f"valid: {sorted(queries)}")
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in queries.items():
         if only and name not in only:
