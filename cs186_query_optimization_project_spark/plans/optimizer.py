@@ -28,7 +28,6 @@ the big fact-fact join stays a shuffle on the join key.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
