@@ -65,3 +65,30 @@ def test_random_conjunction_and_aggregate(db, data):
         f"FROM customer WHERE {col1} {so1} {_sql_lit(v1)} "
         f"AND {col2} {so2} {_sql_lit(v2)} GROUP BY {group}")
     assert got == want
+
+
+JOINS = [
+    ("customer", "orders", "c_custkey", "o_custkey", "c_mktsegment"),
+    ("nation", "region", "n_regionkey", "r_regionkey", "n_name"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey", "s_name"),
+]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_random_join_paths_agree(db, data):
+    """Random join + how + execution path: naive and optimal plans must
+    agree with each other AND with DuckDB."""
+    left, right, lk, rk, out_col = data.draw(st.sampled_from(JOINS))
+    how = data.draw(st.sampled_from(["inner", "left", "semi"]))
+    q = (db.query(left).join(right, lk, rk, how=how)
+         .select(out_col))
+    naive = rows(q.execute())
+    optimal = rows(q.execute_optimal())
+    assert naive == optimal
+    sql_join = {"inner": "JOIN", "left": "LEFT JOIN", "semi": "SEMI JOIN"}
+    want = duck_rows(
+        f"SELECT {out_col} FROM {left} "
+        f"{sql_join[how]} {right} ON {lk} = {rk}")
+    assert naive == want
