@@ -45,8 +45,8 @@ from cs186_query_optimization_project_spark.predicates import (
 #: Spark physical strategies: GRACEHASH → shuffle_hash, SNLJ/PNLJ/BNLJ have
 #: no physical analog (Spark picks broadcast/SMJ); "auto" lets Catalyst+AQE
 #: decide.
-JOIN_STRATEGIES = ("auto", "broadcast", "merge", "shuffle_hash",
-                   "shuffle_replicate_nl")
+JOIN_STRATEGIES = ("auto", "broadcast", "broadcast_left", "merge",
+                   "shuffle_hash", "shuffle_replicate_nl")
 
 _AGG_FUNCS = {
     "count": F.count,
@@ -409,16 +409,25 @@ class Query:
                     right = right.filter(w.condition())
             return self._apply_strategy(right, strategy)
 
+        def do_join(df: DataFrame, alias: str, table: str, strategy: str,
+                    cond, how: str) -> DataFrame:
+            if strategy == "broadcast_left":
+                # the accumulated LEFT side is the small one; broadcast it
+                # and leave the big right side un-shuffled
+                return F.broadcast(df).join(
+                    right_df(alias, table, "auto"), cond, how)
+            return df.join(right_df(alias, table, strategy), cond, how)
+
         if plan is None:
             df = self._base_df(self.base_alias, self.base_table)
             for j in self.joins:
-                right = right_df(j.alias, j.table, j.strategy)
-                df = df.join(right, j.left.spark() == j.right.spark(), j.how)
+                df = do_join(df, j.alias, j.table, j.strategy,
+                             j.left.spark() == j.right.spark(), j.how)
         else:
             df = self._base_df(plan.base_alias, plan.base_table)
             for step in plan.steps:
-                right = right_df(step.alias, step.table, step.strategy)
-                df = df.join(right, step.left.spark() == step.right.spark(),
+                df = do_join(df, step.alias, step.table, step.strategy,
+                             step.left.spark() == step.right.spark(),
                              step.how)
 
         for w in self.wheres:

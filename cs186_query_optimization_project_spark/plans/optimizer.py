@@ -118,6 +118,10 @@ def _access_path(query: "Query", alias: str, table: str,
 def _spark_strategy(probe_bytes: int, build_bytes: int) -> str:
     if build_bytes <= BROADCAST_THRESHOLD_BYTES:
         return "broadcast"
+    if probe_bytes <= BROADCAST_THRESHOLD_BYTES:
+        # the ACCUMULATED side is the small one (e.g. a filtered dim set
+        # joining a big fact): broadcast left, shuffle nothing
+        return "broadcast_left"
     if build_bytes * SHUFFLE_HASH_RATIO <= probe_bytes:
         return "shuffle_hash"
     return "auto"

@@ -131,3 +131,31 @@ def test_access_path_index_analog(spark, db, tmp_path):
     q2 = db.query("orders_idx").where("o_totalprice", GT, 0.0)
     ap2 = optimize(q2).access_paths["orders_idx"]
     assert ap2.kind == "SEQSCAN"
+
+
+def test_spark_strategy_broadcasts_smaller_side():
+    from cs186_query_optimization_project_spark.plans.optimizer import (
+        BROADCAST_THRESHOLD_BYTES, _spark_strategy)
+    big = BROADCAST_THRESHOLD_BYTES * 10
+    small = 1024
+    assert _spark_strategy(big, small) == "broadcast"        # right small
+    assert _spark_strategy(small, big) == "broadcast_left"   # left small
+    assert _spark_strategy(big, big // 4) == "shuffle_hash"
+    assert _spark_strategy(big, big) == "auto"
+
+
+def test_broadcast_left_strategy_in_plan(db):
+    plan = (db.query("nation")
+            .join("lineitem", "n_nationkey", "l_suppkey",
+                  strategy="broadcast_left")
+            .select("n_name").execute()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    got = rows(db.query("nation")
+               .join("lineitem", "n_nationkey", "l_suppkey",
+                     strategy="broadcast_left")
+               .group_by("n_name").count().execute())
+    want = duck_rows("SELECT n_name, COUNT(*) AS countAgg FROM nation "
+                     "JOIN lineitem ON n_nationkey = l_suppkey "
+                     "GROUP BY n_name")
+    assert got == want
