@@ -30,24 +30,39 @@ from cs186_query_optimization_project_spark.errors import DatabaseException
 def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
     """Cast TIMESTAMP(NANOS) parquet columns (read as long via
     ``spark.sql.legacy.parquet.nanosAsLong``) back to microsecond
-    timestamps, matching DuckDB's read of the same files."""
-    try:
-        import pyarrow.parquet as pq
-        import pyarrow as pa
+    timestamps, matching DuckDB's read of the same files.
 
-        first = path
-        if os.path.isdir(path):
-            parts = [p for p in sorted(os.listdir(path))
-                     if p.endswith(".parquet")]
-            if not parts:
-                return df
-            first = os.path.join(path, parts[0])
+    Fail-closed: nanos columns are derived from the parquet footer; a
+    footer we cannot read, or a footer/Spark-schema mismatch, raises
+    instead of silently returning a frame whose "timestamps" are raw
+    longs (which would hash-mismatch downstream rather than error here).
+    """
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    first = path
+    if os.path.isdir(path):
+        parts = [p for p in sorted(os.listdir(path))
+                 if p.endswith(".parquet")]
+        if not parts:
+            return df
+        first = os.path.join(path, parts[0])
+    try:
         arrow_schema = pq.read_schema(first)
-    except Exception:
-        return df
+    except Exception as exc:
+        raise DatabaseException(
+            f"cannot read parquet footer for '{path}': {exc}") from exc
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
     for fld in arrow_schema:
-        if (pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
-                and fld.name in df.columns):
+        if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+            got = spark_types.get(fld.name)
+            if got is None:
+                continue  # column pruned or renamed upstream
+            if not isinstance(got, T.LongType):
+                raise DatabaseException(
+                    f"'{path}' column '{fld.name}' is timestamp[ns] in the "
+                    f"parquet footer but Spark read it as {got}; expected "
+                    f"LongType via spark.sql.legacy.parquet.nanosAsLong")
             # integer `div`, NOT float division: nanos-since-epoch
             # (~1.7e18) exceeds double's 53-bit mantissa, so x/1000.0
             # would corrupt the low microseconds
@@ -73,14 +88,37 @@ TESTDATA_TABLES = (
 
 @dataclass
 class TableEntry:
-    """Catalog entry: how to produce the table's DataFrame + metadata."""
+    """Catalog entry: how to produce the table's DataFrame + metadata.
+
+    The DataFrame is resolved lazily (on first ``.df`` access) when the
+    entry was registered from a path: one unreadable file then fails only
+    its own table's queries, not every query on the Database (a
+    ``register_directory`` over 10 tables must not die because one
+    unrelated parquet is poisoned).
+    """
 
     name: str
-    df: DataFrame
     path: str | None = None
     index_columns: tuple[str, ...] = ()
     #: filled lazily by plans.stats.TableStats.collect
     stats: object | None = field(default=None, repr=False)
+    _df: DataFrame | None = field(default=None, repr=False)
+    #: zero-arg callable producing the DataFrame; used when _df is None
+    _loader: object | None = field(default=None, repr=False)
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            if self._loader is None:
+                raise DatabaseException(
+                    f"table '{self.name}' has neither a DataFrame nor a "
+                    f"loader")
+            self._df = self._loader()
+        return self._df
+
+    @df.setter
+    def df(self, value: DataFrame) -> None:
+        self._df = value
 
     @property
     def schema(self) -> T.StructType:
@@ -92,6 +130,14 @@ class Database:
 
     def __init__(self, spark: SparkSession, data_dir: str | None = None):
         self.spark = spark
+        # The caller hands us ANY SparkSession (the driver harness builds a
+        # vanilla one) and the testdata parquet carries TIMESTAMP(NANOS)
+        # columns, which Spark refuses to scan unless this legacy conf is
+        # on.  It is runtime-settable, so set it here on whatever session
+        # we were given — requiring a specially-configured session would
+        # make every read fail on query one.  _restore_nanos_timestamps
+        # casts the resulting longs back to microsecond timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         self._tables: dict[str, TableEntry] = {}
         if data_dir is not None:
             self.register_directory(data_dir)
@@ -109,9 +155,11 @@ class Database:
 
     def register_parquet(self, name: str, path: str,
                          index_columns: tuple[str, ...] = ()) -> "Database":
-        df = self.spark.read.parquet(path)
-        df = _restore_nanos_timestamps(df, path)
-        self._tables[name] = TableEntry(name, df, path, index_columns)
+        def _load(spark=self.spark, path=path) -> DataFrame:
+            return _restore_nanos_timestamps(spark.read.parquet(path), path)
+
+        self._tables[name] = TableEntry(name, path, index_columns,
+                                        _loader=_load)
         return self
 
     def register_csv(self, name: str, path: str, schema: T.StructType,
@@ -119,13 +167,15 @@ class Database:
         """CSV ingestion (reference test harness reads CSVs row-by-row,
         ``test/TestDatabaseQueries.java:148–176``; here it's a declarative
         schema-checked scan)."""
-        df = self.spark.read.csv(path, schema=schema, header=header)
-        self._tables[name] = TableEntry(name, df, path)
+        def _load(spark=self.spark, path=path) -> DataFrame:
+            return spark.read.csv(path, schema=schema, header=header)
+
+        self._tables[name] = TableEntry(name, path, _loader=_load)
         return self
 
     def register_dataframe(self, name: str, df: DataFrame,
                            index_columns: tuple[str, ...] = ()) -> "Database":
-        self._tables[name] = TableEntry(name, df, None, index_columns)
+        self._tables[name] = TableEntry(name, None, index_columns, _df=df)
         return self
 
     def create_table(self, name: str, df: DataFrame, path: str,

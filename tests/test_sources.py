@@ -82,3 +82,65 @@ def test_write_bucketed_join_no_shuffle(spark, db):
     # bucketed-on-join-key tables sort-merge join without an Exchange
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     assert joined.count() > 0
+
+
+def test_vanilla_session_database(spark, tmp_path):
+    """Database must work on ANY SparkSession handed to it — it sets the
+    nanos conf itself rather than requiring get_spark()'s configured
+    session (the driver harness builds a vanilla one)."""
+    from cs186_query_optimization_project_spark.database import Database
+
+    # simulate a vanilla session: unset the conf, then let Database set it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        db = Database(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert db.query("region").execute().count() == 5
+        # events carries the TIMESTAMP(NANOS) column that kills vanilla reads
+        assert db.table("events").count() == 1000
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_lazy_registration_isolates_bad_table(spark, tmp_path):
+    """One poisoned parquet in the data dir fails only its own table's
+    queries, not unrelated ones (lazy per-table resolution)."""
+    import shutil
+
+    from cs186_query_optimization_project_spark.database import Database
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException)
+
+    d = tmp_path / "data"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/region.parquet",
+                d / "region.parquet")
+    (d / "poisoned.parquet").write_bytes(b"this is not parquet at all")
+    db = Database(spark, str(d))
+    # registration itself must not throw, and good tables must work
+    assert sorted(db.table_names()) == ["poisoned", "region"]
+    assert db.query("region").execute().count() == 5
+    with pytest.raises((DatabaseException, Exception)):
+        db.table("poisoned").count()
+
+
+def test_nanos_restoration_matches_duckdb(spark):
+    """events.ts must come back as microsecond timestamps equal to
+    DuckDB's read of the same file (fail-closed restoration path)."""
+    import duckdb
+
+    from cs186_query_optimization_project_spark.database import Database
+
+    db = Database(spark, "/root/testdata/sf0.001")
+    got = db.table("events").select("event_id", "ts")
+    assert got.schema["ts"].dataType.typeName() == "timestamp"
+    spark_rows = {r["event_id"]: r["ts"] for r in got.limit(50).collect()}
+    ids = ",".join(str(i) for i in spark_rows)
+    duck = duckdb.sql(
+        "SELECT event_id, ts FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') "
+        f"WHERE event_id IN ({ids})").fetchall()
+    for event_id, ts in duck:
+        assert spark_rows[event_id] == ts, (
+            event_id, spark_rows[event_id], ts)
