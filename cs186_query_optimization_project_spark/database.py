@@ -359,6 +359,27 @@ class Database:
             pass
 
     # ------------------------------------------------------------------ #
+    # point reads (BPlusTree.lookupKey / containsKey,
+    # db/index/BPlusTree.java:106–144; Transaction.getRecord,
+    # db/Database.java:317–330)
+    # ------------------------------------------------------------------ #
+    def lookup(self, table: str, column: str, value: object) -> DataFrame:
+        """Point read: all records with ``column == value``.
+
+        The reference descends a B+ tree (``BPlusTree.java:106–121``); the
+        scale-out analog is a pushed equality predicate over files sorted
+        on the key at write time, so the scan skips every row group whose
+        min/max excludes the key — at 100 TB a handful of row groups read
+        instead of the table.
+        """
+        return self.table(table).where(F.col(column) == F.lit(value))
+
+    def contains(self, table: str, column: str, value: object) -> bool:
+        """``containsKey`` (``BPlusTree.java:123–128``): does any record
+        with this key exist?  ``limit(1)`` stops the scan at first hit."""
+        return bool(self.lookup(table, column, value).limit(1).take(1))
+
+    # ------------------------------------------------------------------ #
     # query entry points (Transaction.query / queryAs,
     # db/Database.java:221–252)
     # ------------------------------------------------------------------ #

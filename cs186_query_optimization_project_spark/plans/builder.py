@@ -494,6 +494,19 @@ class Query:
     # ------------------------------------------------------------------ #
     # execution entry points
     # ------------------------------------------------------------------ #
+    def lookup_key(self, column: str, value: Any) -> DataFrame:
+        """Point read on the builder (``BPlusTree.lookupKey``,
+        ``db/index/BPlusTree.java:106–121``): pushed equality on ``column``,
+        executed immediately.  On an index-sorted table the equality
+        predicate prunes row groups via min/max stats."""
+        return self.where(column, "=", value).execute()
+
+    def contains_key(self, column: str, value: Any) -> bool:
+        """``containsKey`` (``BPlusTree.java:123–128``): existence probe;
+        ``limit(1)`` stops at the first matching record."""
+        return bool(
+            self.where(column, "=", value).execute().limit(1).take(1))
+
     def execute(self) -> DataFrame:
         """Naive plan: declared join order, no strategy hints beyond those
         the caller pinned (``QueryPlan.execute``, ``QueryPlan.java:168–184``).

@@ -5,7 +5,11 @@ Runs every ``queries()`` entry at sf0.01 and compares against
 order-insensitive values (floats both raw and rounded, to flag
 determinism risk before the real driver runs).
 
-Usage: python tools/check_contract.py [sf_dir] [only_query ...]
+Usage: python tools/check_contract.py [--vanilla] [sf_dir] [only_query ...]
+
+``--vanilla`` builds a plain ``SparkSession`` (no engine confs) — the
+same kind of session the driver hands to ``queries()`` — so any hidden
+dependency on ``get_spark()``'s configuration fails here first.
 """
 
 from __future__ import annotations
@@ -48,9 +52,19 @@ def canon(rows, colnames, ndigits=6):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="contract-check")
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("contract-check-vanilla").getOrCreate())
+    else:
+        spark = get_spark(app_name="contract-check")
 
     con = duckdb.connect()
     for t in TABLES:
