@@ -790,32 +790,46 @@ def q_embedding_topk(spark, sf_dir):
                                   _query_vec(spark, sf_dir), k=10)
 
 
+def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
+    """Build-or-load the materialized ANN index for this corpus.  The
+    index is a partitioned table under /tmp keyed by corpus tag; the
+    source fingerprint (path+mtime+size of embeddings.parquet) decides
+    staleness, so repeated runs — and separate driver subprocesses —
+    probe the same on-disk index instead of rebuilding."""
+    src = f"{sf_dir}/embeddings.parquet"
+    fp = similarity.source_fingerprint(src)
+    path = f"/tmp/spark_graft_ann_{kind}_{_tag(sf_dir)}"
+    idx = similarity.load_ann_index(path)
+    if idx is None or idx.source_fingerprint != fp:
+        emb = _db(spark, sf_dir).table("embeddings")
+        if kind == "lsh":
+            idx = similarity.build_lsh_index(emb, path, n_planes=4,
+                                             fingerprint=fp)
+        else:
+            idx = similarity.build_ivf_index(emb, path, n_cells=16,
+                                             fingerprint=fp)
+    return idx
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only: bucket membership depends
-    on the engine's deterministic hyperplanes, not SQL-expressible).
-    4 hyperplanes → 16 buckets, sized for the sf0.01 corpus (500 vecs);
-    at scale n_planes grows with log2(corpus/target_bucket_size)."""
-    db = _db(spark, sf_dir)
-    return similarity.ann_topk(db.table("embeddings"),
-                               _query_vec(spark, sf_dir), k=10, n_planes=4)
-
-
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+    """LSH-bucketed approximate top-k over a MATERIALIZED index (rows-only:
+    bucket membership depends on the engine's deterministic hyperplanes,
+    not SQL-expressible).  The corpus is written once partitioned by
+    signature (4 hyperplanes → 16 buckets at sf0.01; at scale n_planes
+    grows with log2(corpus/target_bucket_size)); the probe's filter on the
+    partition column prunes the scan to one directory."""
+    idx = _ann_index(spark, sf_dir, "lsh")
+    return similarity.lsh_probe(spark, idx, _query_vec(spark, sf_dir), k=10)
 
 
 def q_embedding_ann_ivf(spark, sf_dir):
-    """IVF-flat ANN: deterministic centroids → cell assignment → probe the
-    4 nearest of 16 cells (rows-only: cell membership depends on the
-    engine's centroid pick, not SQL-expressible).  Centroids are built
-    once per corpus and reused — the 'index build' is not per-query."""
-    db = _db(spark, sf_dir)
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = similarity.ivf_centroids(
-            db.table("embeddings"), n_cells=16)
-    return similarity.ivf_topk(db.table("embeddings"),
-                               _query_vec(spark, sf_dir), k=10,
-                               n_cells=16, n_probe=4,
-                               centroids=_IVF_CENTROIDS[sf_dir])
+    """IVF-flat ANN over a MATERIALIZED index (rows-only: cell membership
+    depends on the engine's centroid pick, not SQL-expressible).  The
+    corpus is written once partitioned by nearest-centroid cell; the probe
+    reads the 4 nearest of 16 cells via partition pruning."""
+    idx = _ann_index(spark, sf_dir, "ivf")
+    return similarity.ivf_probe(spark, idx, _query_vec(spark, sf_dir),
+                                k=10, n_probe=4)
 
 
 def q_embedding_similar_pairs(spark, sf_dir):

@@ -18,9 +18,12 @@ near-dup detection), never all-pairs brute force.
 
 from __future__ import annotations
 
+import json
 import math
+import os
+from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark.parallel import ensure_parallelism
@@ -189,6 +192,135 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     F.round(cosine(emb, q), 6).alias("cosine_sim"))
             .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+# --------------------------------------------------------------------- #
+# materialized ANN indexes — build once, probe via partition pruning
+# --------------------------------------------------------------------- #
+# The in-scan paths above (`ann_topk`, `ivf_topk`) recompute the bucket
+# assignment over the full corpus on every query — fine as a fallback,
+# wrong as an index.  At 100 TB an index is a TABLE LAYOUT: the corpus is
+# written ONCE partitioned by its bucket (hive-style ``sig=<n>`` /
+# ``cell=<n>`` directories), and a probe is a filter on the partition
+# column, which Catalyst turns into partition pruning — the scan lists
+# only the matching directory and reads 1/2^n_planes (LSH) or
+# n_probe/n_cells (IVF) of the files.  This is the B+-tree→sorted-write
+# move (database.py docstring) applied to vector search.
+
+_META_FILE = "_ann_index_meta.json"
+
+
+@dataclass(frozen=True)
+class AnnIndex:
+    """Handle to a materialized ANN index: the partitioned table path plus
+    the parameters needed to route a query vector to its bucket(s)."""
+
+    kind: str                      # "lsh" | "ivf"
+    path: str
+    dim: int
+    params: dict
+    #: identity of the source corpus at build time; a probe helper can
+    #: compare against the current source to decide on a rebuild
+    source_fingerprint: str = ""
+
+
+def _write_meta(index: AnnIndex) -> None:
+    meta = {"kind": index.kind, "dim": index.dim, "params": index.params,
+            "source_fingerprint": index.source_fingerprint}
+    with open(os.path.join(index.path, _META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def load_ann_index(path: str) -> AnnIndex | None:
+    """Load a previously built index; None if absent/unreadable (caller
+    rebuilds — an index is a cache of the corpus, never the only copy)."""
+    try:
+        with open(os.path.join(path, _META_FILE)) as f:
+            meta = json.load(f)
+        return AnnIndex(meta["kind"], path, meta["dim"], meta["params"],
+                        meta.get("source_fingerprint", ""))
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def source_fingerprint(path: str) -> str:
+    """(path, mtime, size) identity of a source file/dir — cheap staleness
+    check so probes rebuild only when the corpus actually changed."""
+    try:
+        st = os.stat(path)
+        return f"{path}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        return ""
+
+
+def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_planes: int = 8,
+                    seed: int = 42, fingerprint: str = "") -> AnnIndex:
+    """Materialize the LSH index: one pass computes every row's signature,
+    ``repartition("sig")`` routes each bucket to a single task so each
+    hive directory gets one file (not one per input task — at 1000
+    executors that's the difference between 2^n files and 1000·2^n)."""
+    dim = _dim_of(df, vec_col)
+    (df.withColumn("sig", lsh_signature(vec_col, dim, n_planes, seed))
+       .repartition("sig")
+       .write.mode("overwrite").partitionBy("sig").parquet(path))
+    idx = AnnIndex("lsh", path, dim,
+                   {"n_planes": n_planes, "seed": seed}, fingerprint)
+    _write_meta(idx)
+    return idx
+
+
+def lsh_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
+              k: int = 10, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Probe the materialized LSH index: the query's signature is computed
+    driver-side (n_planes dot products over one vector), and the filter on
+    the partition column prunes the scan to that one directory."""
+    planes = _hyperplanes(index.dim, index.params["n_planes"],
+                          index.params["seed"])
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
+            qsig |= 1 << i
+    probed = (spark.read.parquet(index.path)
+              .filter(F.col("sig") == F.lit(qsig)))
+    return cosine_topk(probed, query_vec, k, vec_col, id_col)
+
+
+def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_cells: int = 16,
+                    centroids: list[list[float]] | None = None,
+                    fingerprint: str = "") -> AnnIndex:
+    """Materialize the IVF index: assign each row to its nearest centroid
+    once, write partitioned by ``cell``; centroids live in the sidecar
+    metadata (the IVF analog of an index header page)."""
+    cents = centroids or ivf_centroids(df, n_cells, vec_col, id_col)
+    (df.withColumn("cell", ivf_cell(vec_col, cents))
+       .repartition("cell")
+       .write.mode("overwrite").partitionBy("cell").parquet(path))
+    idx = AnnIndex("ivf", path, len(cents[0]),
+                   {"centroids": cents}, fingerprint)
+    _write_meta(idx)
+    return idx
+
+
+def ivf_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
+              k: int = 10, n_probe: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Probe the n_probe cells nearest the query; the ``cell IN (...)``
+    filter on the partition column prunes every other directory."""
+    cents = index.params["centroids"]
+
+    def _cos(c: list[float]) -> float:
+        d = sum(p * q for p, q in zip(c, query_vec))
+        nc = math.sqrt(sum(v * v for v in c)) or 1.0
+        nq = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+        return d / (nc * nq)
+
+    probe = sorted(range(len(cents)), key=lambda i: -_cos(cents[i]))[:n_probe]
+    probed = (spark.read.parquet(index.path)
+              .filter(F.col("cell").isin(probe)))
+    return cosine_topk(probed, query_vec, k, vec_col, id_col)
 
 
 def similar_pairs(df: DataFrame, threshold: float = 0.95,

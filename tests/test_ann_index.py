@@ -1,0 +1,105 @@
+"""Materialized ANN indexes: build-once partitioned tables probed via
+partition pruning (the vector-search analog of the sorted-write "index",
+database.py docstring / SURVEY.md §2.11).
+
+The scale claim under test is the PLAN, not just the rows: a probe's
+filter on the hive partition column must show up as ``PartitionFilters``
+on the scan (Catalyst prunes the directory listing), so at 100 TB the
+probe reads 1/2^n_planes (LSH) or n_probe/n_cells (IVF) of the files
+instead of re-hashing the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.functions import similarity
+
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    vecs = []
+    for i in range(200):
+        angle = i * 0.07
+        vecs.append((i, [math.cos(angle), math.sin(angle),
+                         0.1 * (i % 5), 1.0]))
+    return (spark.createDataFrame(vecs, ["vec_id", "embedding"])
+            .select("vec_id", F.col("embedding").cast("array<float>")
+                    .alias("embedding")))
+
+
+def _query_of(vectors, vec_id=0):
+    return [float(v) for v in vectors.filter(F.col("vec_id") == vec_id)
+            .collect()[0]["embedding"]]
+
+
+def _scan_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_index_probe_matches_in_scan_path(spark, vectors, tmp_path):
+    q = _query_of(vectors)
+    idx = similarity.build_lsh_index(vectors, str(tmp_path / "lsh"),
+                                     n_planes=4, fingerprint="test-fp")
+    probe = similarity.lsh_probe(spark, idx, q, k=5)
+    in_scan = similarity.ann_topk(vectors, q, k=5, n_planes=4)
+    assert rows(probe) == rows(in_scan)
+
+
+def test_lsh_probe_plan_prunes_partitions(spark, vectors, tmp_path):
+    q = _query_of(vectors)
+    idx = similarity.build_lsh_index(vectors, str(tmp_path / "lsh"),
+                                     n_planes=4, fingerprint="test-fp")
+    plan = _scan_plan(similarity.lsh_probe(spark, idx, q, k=5))
+    # the sig equality must be a PartitionFilter (directory pruning), not
+    # a post-scan Filter over all buckets
+    assert "PartitionFilters" in plan
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "sig" in pf.split("PartitionFilters", 1)[1][:120]
+    # and the layout really is one directory per signature bucket
+    sig_dirs = [d for d in os.listdir(idx.path) if d.startswith("sig=")]
+    assert len(sig_dirs) > 1
+
+
+def test_ivf_index_probe_matches_in_scan_path(spark, vectors, tmp_path):
+    q = _query_of(vectors)
+    cents = similarity.ivf_centroids(vectors, n_cells=8)
+    idx = similarity.build_ivf_index(vectors, str(tmp_path / "ivf"),
+                                     n_cells=8, centroids=cents,
+                                     fingerprint="test-fp")
+    probe = similarity.ivf_probe(spark, idx, q, k=5, n_probe=3)
+    in_scan = similarity.ivf_topk(vectors, q, k=5, n_cells=8, n_probe=3,
+                                  centroids=cents)
+    assert rows(probe) == rows(in_scan)
+
+
+def test_ivf_probe_plan_prunes_partitions(spark, vectors, tmp_path):
+    q = _query_of(vectors)
+    idx = similarity.build_ivf_index(vectors, str(tmp_path / "ivf"),
+                                     n_cells=8, fingerprint="test-fp")
+    plan = _scan_plan(similarity.ivf_probe(spark, idx, q, k=5, n_probe=2))
+    assert "PartitionFilters" in plan
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "cell" in pf.split("PartitionFilters", 1)[1][:120]
+    cell_dirs = [d for d in os.listdir(idx.path) if d.startswith("cell=")]
+    assert len(cell_dirs) > 2  # probe reads 2 of these, prunes the rest
+
+
+def test_index_load_and_staleness(spark, vectors, tmp_path):
+    path = str(tmp_path / "lsh")
+    built = similarity.build_lsh_index(vectors, path, n_planes=4,
+                                       fingerprint="fp-v1")
+    loaded = similarity.load_ann_index(path)
+    assert loaded is not None
+    assert loaded.kind == "lsh" and loaded.dim == built.dim
+    assert loaded.params == {"n_planes": 4, "seed": 42}
+    assert loaded.source_fingerprint == "fp-v1"
+    # a changed fingerprint is how callers detect a stale index
+    assert loaded.source_fingerprint != "fp-v2"
+    assert similarity.load_ann_index(str(tmp_path / "nope")) is None
