@@ -50,22 +50,51 @@ def explain_query(query: "Query", optimal: bool = False) -> str:
 # ------------------------------------------------------------------ #
 def _scan_node(query: "Query", alias: str, table: str,
                access_kind: str = "SEQSCAN", column: str | None = None,
-               cost: int | None = None) -> str:
+               cost: int | None = None,
+               predicate: str | None = None,
+               value: object | None = None) -> str:
     lines = [f"type: {access_kind}", f"table: {table}"]
     if alias != table:
         lines.append(f"alias: {alias}")
     if column:
         lines.append(f"column: {column}")
+    if predicate is not None:
+        lines.append(f"predicate: {predicate}")
+        lines.append(f"value: {value}")
     if cost is not None:
         lines.append(f"estIOCost: {cost}")
     return "\n".join(lines)
 
 
-def _where_nodes(query: "Query", alias_filter, child: str) -> str:
+def _naive_index_where(query: "Query"):
+    """``checkIndexEligible`` analog (``QueryPlan.java:477–494``): even the
+    NAIVE plan takes the index access path iff the query is single-table
+    with no group-by and some WHERE hits an indexed base-table column with
+    a non-NEQ predicate — the first such WHERE (declaration order) wins
+    and is consumed by the scan.  Execution is unchanged (Catalyst pushes
+    the predicate into the parquet scan either way); this is the reported
+    access-path *decision*, mirrored so plan-shape tests can assert on it
+    like the reference's do."""
+    if query.joins or query.group_bys or not query.wheres:
+        return None
+    idx_cols = set(query.db.index_columns(query.base_table))
+    for w in query.wheres:
+        if (w.ref.alias == query.base_alias and w.ref.column in idx_cols
+                and w.op.name != "NOT_EQUALS"):
+            return w
+    return None
+
+
+def _where_nodes(query: "Query", alias_filter, child: str,
+                 skip=None) -> str:
     """Stack WHERE nodes over a child, innermost first (reference stacks
-    one operator per predicate, ``QueryPlan.java:527–540``)."""
+    one operator per predicate, ``QueryPlan.java:527–540``).  ``skip`` is
+    the WHERE already consumed by an index scan (``generateIndexPlan``
+    removes it from the list, ``QueryPlan.java:496–505``)."""
     out = child
     for w in query.wheres:
+        if w is skip:
+            continue
         if alias_filter is not None and w.ref.alias != alias_filter:
             continue
         out = "\n".join([
@@ -90,13 +119,20 @@ def _join_node(kind: str, left_col: str, right_col: str, left_tree: str,
 
 
 def _naive_tree(query: "Query") -> str:
-    tree = _scan_node(query, query.base_alias, query.base_table)
+    index_where = _naive_index_where(query)
+    if index_where is not None:
+        tree = _scan_node(query, query.base_alias, query.base_table,
+                          "INDEXSCAN", index_where.ref.column,
+                          predicate=index_where.op.name,
+                          value=index_where.value)
+    else:
+        tree = _scan_node(query, query.base_alias, query.base_table)
     for j in query.joins:
         right = _scan_node(query, j.alias, j.table)
         kind = "JOIN" if j.how == "inner" else f"JOIN[{j.how.upper()}]"
         tree = _join_node(kind, j.left.qualified, j.right.qualified,
                           tree, right)
-    tree = _where_nodes(query, None, tree)
+    tree = _where_nodes(query, None, tree, skip=index_where)
     return tree
 
 

@@ -13,6 +13,7 @@ from cs186_query_optimization_project_spark.predicates import (
     GT,
     GTE,
     LT,
+    LTE,
     NEQ,
     PredicateOperator,
 )
@@ -332,3 +333,38 @@ def test_where_columns(db):
     with pytest.raises(QueryPlanException, match="strict"):
         (db.query("customer").strict()
          .where_columns("c_custkey", "=", "c_nationkey"))
+
+
+def test_naive_explain_takes_index_path(spark, db, tmp_path):
+    """generateIndexPlan parity (QueryPlan.java:477–511): the NAIVE plan
+    reports an INDEXSCAN for a single-table query with a non-NEQ WHERE on
+    an indexed column, consuming that predicate; NEQ, joins, and group-by
+    all fall back to SEQSCAN."""
+    db.create_table("cust_idx", db.table("customer"),
+                    str(tmp_path / "cust_idx"),
+                    index_columns=("c_custkey",))
+    q = (db.query("cust_idx")
+         .where("c_custkey", LTE, 100)
+         .where("c_mktsegment", EQ, "BUILDING")
+         .select("c_custkey", "c_name"))
+    naive = q.explain()
+    assert "type: INDEXSCAN" in naive
+    assert "column: c_custkey" in naive
+    assert "predicate: LESS_THAN_EQUALS" in naive
+    # the indexed WHERE is consumed by the scan; the other still stacks
+    assert naive.count("type: WHERE") == 1
+    assert "column: cust_idx.c_mktsegment" in naive
+    # index path reports only; results identical to the plain table
+    expected = rows(db.query("customer")
+                    .where("c_custkey", LTE, 100)
+                    .where("c_mktsegment", EQ, "BUILDING")
+                    .select("c_custkey", "c_name").execute())
+    assert rows(q.execute()) == expected
+
+    # NEQ on the index column is not index-eligible
+    neq = db.query("cust_idx").where("c_custkey", NEQ, 5).explain()
+    assert "type: INDEXSCAN" not in neq
+    # a group-by disqualifies the shortcut (reference checkIndexEligible)
+    grouped = (db.query("cust_idx").where("c_custkey", LTE, 100)
+               .group_by("c_mktsegment").count().explain())
+    assert "type: INDEXSCAN" not in grouped
