@@ -253,16 +253,35 @@ def source_fingerprint(path: str) -> str:
         return ""
 
 
+def _bucket_partitioned(df: DataFrame, bucket_col: str, id_col: str,
+                        files_per_bucket: int) -> DataFrame:
+    """Shuffle so each hive bucket directory gets a bounded file count.
+
+    ``repartition(bucket)`` alone writes ONE file per bucket — compact,
+    but at 100 TB a bucket is corpus/n_buckets in a single task (an IVF
+    cell can be terabytes).  Salting the shuffle key by
+    ``xxhash64(id) % files_per_bucket`` caps per-task data at
+    bucket/files_per_bucket while keeping the directory's file count at
+    most files_per_bucket (vs. one file per *input* task unsalted — at
+    1000 executors, 1000× the files)."""
+    if files_per_bucket <= 1:
+        return df.repartition(F.col(bucket_col))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket))
+    return df.repartition(F.col(bucket_col), salt)
+
+
 def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_planes: int = 8,
-                    seed: int = 42, fingerprint: str = "") -> AnnIndex:
+                    seed: int = 42, files_per_bucket: int = 1,
+                    fingerprint: str = "") -> AnnIndex:
     """Materialize the LSH index: one pass computes every row's signature,
-    ``repartition("sig")`` routes each bucket to a single task so each
-    hive directory gets one file (not one per input task — at 1000
-    executors that's the difference between 2^n files and 1000·2^n)."""
+    then a bucket-keyed shuffle bounds the files per hive directory (see
+    ``_bucket_partitioned``; with 2^n_planes buckets the default of one
+    file per bucket is right until buckets outgrow a task)."""
     dim = _dim_of(df, vec_col)
-    (df.withColumn("sig", lsh_signature(vec_col, dim, n_planes, seed))
-       .repartition("sig")
+    (_bucket_partitioned(
+        df.withColumn("sig", lsh_signature(vec_col, dim, n_planes, seed)),
+        "sig", id_col, files_per_bucket)
        .write.mode("overwrite").partitionBy("sig").parquet(path))
     idx = AnnIndex("lsh", path, dim,
                    {"n_planes": n_planes, "seed": seed}, fingerprint)
@@ -290,13 +309,19 @@ def lsh_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
 def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_cells: int = 16,
                     centroids: list[list[float]] | None = None,
+                    files_per_bucket: int = 8,
                     fingerprint: str = "") -> AnnIndex:
     """Materialize the IVF index: assign each row to its nearest centroid
     once, write partitioned by ``cell``; centroids live in the sidecar
-    metadata (the IVF analog of an index header page)."""
+    metadata (the IVF analog of an index header page).
+
+    files_per_bucket defaults >1 here, unlike LSH: with only n_cells
+    buckets each cell is corpus/n_cells — routing one to a single writer
+    task would bottleneck the build at scale (``_bucket_partitioned``)."""
     cents = centroids or ivf_centroids(df, n_cells, vec_col, id_col)
-    (df.withColumn("cell", ivf_cell(vec_col, cents))
-       .repartition("cell")
+    (_bucket_partitioned(
+        df.withColumn("cell", ivf_cell(vec_col, cents)),
+        "cell", id_col, files_per_bucket)
        .write.mode("overwrite").partitionBy("cell").parquet(path))
     idx = AnnIndex("ivf", path, len(cents[0]),
                    {"centroids": cents}, fingerprint)
