@@ -811,24 +811,44 @@ def q_embedding_topk(spark, sf_dir):
                                   _query_vec(spark, sf_dir), k=10)
 
 
+#: build parameters for the contract ANN indexes; PART OF THE INDEX DIR
+#: KEY below, so changing them can never silently reuse an index built
+#: with the old layout
+_ANN_PARAMS = {"lsh": {"n_planes": 4}, "ivf": {"n_cells": 16}}
+
+
 def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
-    """Build-or-load the materialized ANN index for this corpus.  The
-    index is a partitioned table under /tmp keyed by corpus tag; the
-    source fingerprint (path+mtime+size of embeddings.parquet) decides
-    staleness, so repeated runs — and separate driver subprocesses —
-    probe the same on-disk index instead of rebuilding."""
+    """Build-or-load the materialized ANN index for this corpus.
+
+    The directory name is keyed by (kind, build params, source
+    fingerprint), under a per-uid 0700 parent (same reasoning as the
+    stats cache, database.py): a changed corpus or changed parameters
+    lands in a FRESH directory instead of overwriting one a concurrent
+    prober may be reading, and no other local user can pre-create or
+    poison the path.  Stale versions accumulate bounded garbage in /tmp,
+    like the DML copy-on-write versions — a vacuum is a directory
+    delete.  Repeated runs and separate driver subprocesses resolve the
+    same key and reuse the same on-disk index."""
+    import hashlib
+    import os
+
     src = f"{sf_dir}/embeddings.parquet"
     fp = similarity.source_fingerprint(src)
-    path = f"/tmp/spark_graft_ann_{kind}_{_tag(sf_dir)}"
+    params = _ANN_PARAMS[kind]
+    parent = f"/tmp/spark_graft_ann_{os.getuid()}"
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    key = hashlib.md5(f"{kind}|{sorted(params.items())}|{fp}"
+                      .encode()).hexdigest()[:12]
+    path = os.path.join(parent, f"{kind}_{_tag(sf_dir)}_{key}")
     idx = similarity.load_ann_index(path)
     if idx is None or idx.source_fingerprint != fp:
         emb = _db(spark, sf_dir).table("embeddings")
         if kind == "lsh":
-            idx = similarity.build_lsh_index(emb, path, n_planes=4,
-                                             fingerprint=fp)
+            idx = similarity.build_lsh_index(emb, path, fingerprint=fp,
+                                             **params)
         else:
-            idx = similarity.build_ivf_index(emb, path, n_cells=16,
-                                             fingerprint=fp)
+            idx = similarity.build_ivf_index(emb, path, fingerprint=fp,
+                                             **params)
     return idx
 
 

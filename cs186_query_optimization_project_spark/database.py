@@ -40,13 +40,26 @@ def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
+    if not os.path.exists(path):
+        # Remote URI (s3a://...) or glob: Spark can read it but local
+        # pyarrow cannot introspect the footer, so degrade gracefully —
+        # nanos columns on such sources surface as LongType and the
+        # caller casts explicitly.  Fail-closed applies only where we
+        # CAN check (local paths below).
+        return df
     first = path
     if os.path.isdir(path):
-        parts = [p for p in sorted(os.listdir(path))
-                 if p.endswith(".parquet")]
-        if not parts:
+        # walk one parquet file out of the tree — hive-partitioned
+        # tables keep their files in key=value subdirectories
+        first = None
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            cands = sorted(f for f in filenames if f.endswith(".parquet"))
+            if cands:
+                first = os.path.join(dirpath, cands[0])
+                break
+        if first is None:
             return df
-        first = os.path.join(path, parts[0])
     try:
         arrow_schema = pq.read_schema(first)
     except Exception as exc:
@@ -155,8 +168,16 @@ class Database:
 
     def register_parquet(self, name: str, path: str,
                          index_columns: tuple[str, ...] = ()) -> "Database":
-        def _load(spark=self.spark, path=path) -> DataFrame:
-            return _restore_nanos_timestamps(spark.read.parquet(path), path)
+        def _load(spark=self.spark, name=name, path=path) -> DataFrame:
+            try:
+                df = spark.read.parquet(path)
+            except Exception as exc:
+                # surface an engine-level error naming the table; the raw
+                # Py4J stack identifies neither
+                raise DatabaseException(
+                    f"table '{name}': cannot read parquet at '{path}': "
+                    f"{exc}") from exc
+            return _restore_nanos_timestamps(df, path)
 
         self._tables[name] = TableEntry(name, path, index_columns,
                                         _loader=_load)
@@ -376,8 +397,9 @@ class Database:
 
     def contains(self, table: str, column: str, value: object) -> bool:
         """``containsKey`` (``BPlusTree.java:123–128``): does any record
-        with this key exist?  ``limit(1)`` stops the scan at first hit."""
-        return bool(self.lookup(table, column, value).limit(1).take(1))
+        with this key exist?  ``take(1)`` plans a limit-1 scan that stops
+        at the first hit."""
+        return bool(self.lookup(table, column, value).take(1))
 
     # ------------------------------------------------------------------ #
     # query entry points (Transaction.query / queryAs,

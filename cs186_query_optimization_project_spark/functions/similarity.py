@@ -110,6 +110,31 @@ def lsh_signature(vec_col: str, dim: int, n_planes: int = 16,
     return sig
 
 
+def _query_signature(planes: list[list[float]], vec: list[float]) -> int:
+    """Driver-side twin of :func:`lsh_signature` — the SAME sign fold the
+    executors compute, so a query routes to the bucket its own row would
+    land in.  Any change here must change ``lsh_signature`` identically."""
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, vec)) >= 0:
+            qsig |= 1 << i
+    return qsig
+
+
+def _nearest_cells(centroids: list[list[float]], vec: list[float],
+                   n_probe: int) -> list[int]:
+    """Indexes of the n_probe centroids nearest ``vec`` by cosine —
+    driver-side twin of :func:`ivf_cell`'s argmax."""
+    def _cos(c: list[float]) -> float:
+        d = sum(p * q for p, q in zip(c, vec))
+        nc = math.sqrt(sum(v * v for v in c)) or 1.0
+        nq = math.sqrt(sum(v * v for v in vec)) or 1.0
+        return d / (nc * nq)
+
+    return sorted(range(len(centroids)),
+                  key=lambda i: -_cos(centroids[i]))[:n_probe]
+
+
 def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_planes: int = 12, seed: int = 42) -> DataFrame:
@@ -118,11 +143,7 @@ def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     scale the bucketed table is written partitioned by signature so the
     probe prunes partitions."""
     dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qsig = 0
-    for i, plane in enumerate(planes):
-        if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
-            qsig |= 1 << i
+    qsig = _query_signature(_hyperplanes(dim, n_planes, seed), query_vec)
     bucketed = df.withColumn("__sig",
                              lsh_signature(vec_col, dim, n_planes, seed))
     q = _lit_vec(query_vec)
@@ -176,14 +197,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     Pass ``centroids`` (from :func:`ivf_centroids`) to reuse a built
     index across queries — the IVF analog of loading an index file."""
     cents = centroids or ivf_centroids(df, n_cells, vec_col, id_col)
-
-    def _cos(c: list[float]) -> float:
-        d = sum(p * q for p, q in zip(c, query_vec))
-        nc = math.sqrt(sum(v * v for v in c)) or 1.0
-        nq = math.sqrt(sum(v * v for v in query_vec)) or 1.0
-        return d / (nc * nq)
-
-    probe = sorted(range(len(cents)), key=lambda i: -_cos(cents[i]))[:n_probe]
+    probe = _nearest_cells(cents, query_vec, n_probe)
     q = _lit_vec(query_vec)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (df.withColumn("cell", ivf_cell(vec_col, cents))
@@ -295,12 +309,9 @@ def lsh_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
     """Probe the materialized LSH index: the query's signature is computed
     driver-side (n_planes dot products over one vector), and the filter on
     the partition column prunes the scan to that one directory."""
-    planes = _hyperplanes(index.dim, index.params["n_planes"],
-                          index.params["seed"])
-    qsig = 0
-    for i, plane in enumerate(planes):
-        if sum(p * v for p, v in zip(plane, query_vec)) >= 0:
-            qsig |= 1 << i
+    qsig = _query_signature(
+        _hyperplanes(index.dim, index.params["n_planes"],
+                     index.params["seed"]), query_vec)
     probed = (spark.read.parquet(index.path)
               .filter(F.col("sig") == F.lit(qsig)))
     return cosine_topk(probed, query_vec, k, vec_col, id_col)
@@ -334,15 +345,7 @@ def ivf_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
               id_col: str = "vec_id") -> DataFrame:
     """Probe the n_probe cells nearest the query; the ``cell IN (...)``
     filter on the partition column prunes every other directory."""
-    cents = index.params["centroids"]
-
-    def _cos(c: list[float]) -> float:
-        d = sum(p * q for p, q in zip(c, query_vec))
-        nc = math.sqrt(sum(v * v for v in c)) or 1.0
-        nq = math.sqrt(sum(v * v for v in query_vec)) or 1.0
-        return d / (nc * nq)
-
-    probe = sorted(range(len(cents)), key=lambda i: -_cos(cents[i]))[:n_probe]
+    probe = _nearest_cells(index.params["centroids"], query_vec, n_probe)
     probed = (spark.read.parquet(index.path)
               .filter(F.col("cell").isin(probe)))
     return cosine_topk(probed, query_vec, k, vec_col, id_col)

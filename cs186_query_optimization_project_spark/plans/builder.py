@@ -498,14 +498,21 @@ class Query:
         """Point read on the builder (``BPlusTree.lookupKey``,
         ``db/index/BPlusTree.java:106–121``): pushed equality on ``column``,
         executed immediately.  On an index-sorted table the equality
-        predicate prunes row groups via min/max stats."""
-        return self.where(column, "=", value).execute()
+        predicate prunes row groups via min/max stats.
+
+        The probe predicate participates in planning (pushed below any
+        projection) but does NOT mutate the builder: repeated probes on
+        one builder must not accumulate conflicting equality filters."""
+        saved = list(self.wheres)
+        try:
+            return self.where(column, "=", value)._assemble()
+        finally:
+            self.wheres[:] = saved
 
     def contains_key(self, column: str, value: Any) -> bool:
         """``containsKey`` (``BPlusTree.java:123–128``): existence probe;
-        ``limit(1)`` stops at the first matching record."""
-        return bool(
-            self.where(column, "=", value).execute().limit(1).take(1))
+        ``take(1)`` plans a limit-1 scan that stops at the first match."""
+        return bool(self.lookup_key(column, value).take(1))
 
     def execute(self) -> DataFrame:
         """Naive plan: declared join order, no strategy hints beyond those

@@ -75,12 +75,21 @@ def _naive_index_where(query: "Query"):
     the predicate into the parquet scan either way); this is the reported
     access-path *decision*, mirrored so plan-shape tests can assert on it
     like the reference's do."""
+    from cs186_query_optimization_project_spark.predicates import (
+        REFERENCE_OPS,
+        PredicateOperator,
+    )
+
     if query.joins or query.group_bys or not query.wheres:
         return None
     idx_cols = set(query.db.index_columns(query.base_table))
     for w in query.wheres:
+        # sargable = the reference's comparison subset minus NOT_EQUALS;
+        # additive ops (LIKE/IN/IS NULL/...) can't be served by a key
+        # descent or min/max row-group skip, so they never take the path
         if (w.ref.alias == query.base_alias and w.ref.column in idx_cols
-                and w.op.name != "NOT_EQUALS"):
+                and w.op in REFERENCE_OPS
+                and w.op is not PredicateOperator.NOT_EQUALS):
             return w
     return None
 

@@ -121,7 +121,9 @@ def test_lazy_registration_isolates_bad_table(spark, tmp_path):
     # registration itself must not throw, and good tables must work
     assert sorted(db.table_names()) == ["poisoned", "region"]
     assert db.query("region").execute().count() == 5
-    with pytest.raises((DatabaseException, Exception)):
+    # pinned: the loader must surface an ENGINE error naming the table,
+    # not a raw Py4J stack (and not pass via some unrelated exception)
+    with pytest.raises(DatabaseException, match="poisoned"):
         db.table("poisoned").count()
 
 
