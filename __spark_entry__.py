@@ -252,6 +252,38 @@ def q_indexed_write_scan(spark, sf_dir):
                     .alias("ship_date")))
 
 
+def q_dml_lifecycle(spark, sf_dir):
+    """DDL + DML driver row: the full ``Transaction`` write surface —
+    ``createTable`` (``db/Database.java:87–163``), ``addRecord`` /
+    ``updateRecord`` / ``deleteRecord`` (``db/Database.java:317–401``) and
+    catalog drop — as copy-on-write Parquet versions.  Each mutation reads
+    the previous version and writes the next (simple MVCC; the 100 TB
+    story is identical, per-file instead of per-table, under Delta or
+    Iceberg).  Returns the final table content so the oracle can replay
+    the same mutations in SQL."""
+    import os
+    import shutil
+
+    db = _db(spark, sf_dir)
+    parent = f"/tmp/spark_graft_dml_{os.getuid()}"
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    base = os.path.join(parent, _tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+
+    db.create_table("nation_dml", db.table("nation"), f"{base}/nation",
+                    index_columns=("n_nationkey",), mode="overwrite")
+    db.insert_rows("nation_dml", spark.createDataFrame(
+        [(100, "ATLANTIS", 0), (101, "ELDORADO", 1)],
+        schema=db.schema("nation_dml")))
+    db.update_rows("nation_dml", F.col("n_regionkey") == 2,
+                   {"n_name": F.concat(F.col("n_name"), F.lit("*"))})
+    db.delete_rows("nation_dml", F.col("n_nationkey").between(10, 14))
+    out = db.table("nation_dml").select("n_nationkey", "n_name",
+                                        "n_regionkey")
+    db.drop_table("nation_dml")  # catalog delete; files stay (MVCC trail)
+    return out
+
+
 def q_distinct(spark, sf_dir):
     return (_db(spark, sf_dir).query("customer")
             .select("c_nationkey", "c_mktsegment").distinct().execute())
@@ -917,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources / sinks
         "csv_source": q_csv_source,
         "indexed_write_scan": q_indexed_write_scan,
+        "dml_lifecycle": q_dml_lifecycle,
         # additive relational (SURVEY §2.5–2.8)
         "orderby_limit": q_orderby_limit,
         "except": q_except,
@@ -933,7 +966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "bucketed_join": q_bucketed_join,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         # structured streaming (real readStream driven to completion)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
@@ -956,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_similar_pairs": q_embedding_similar_pairs,
         # ------------- below the driver's 50-row window ------------- #
         # variants of rows already covered above
+        "range_join": q_range_join,
         "filter_neq": q_filter_neq,
         "json_source": q_json_source,
         "distinct": q_distinct,
@@ -1089,6 +1122,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "strftime(l_shipdate, '%Y-%m-%d') AS ship_date FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'"),
+        "dml_lifecycle": (
+            "WITH ins AS ("
+            "  SELECT n_nationkey, n_name, n_regionkey FROM nation"
+            "  UNION ALL SELECT 100, 'ATLANTIS', 0"
+            "  UNION ALL SELECT 101, 'ELDORADO', 1"
+            "), upd AS ("
+            "  SELECT n_nationkey,"
+            "         CASE WHEN n_regionkey = 2 THEN n_name || '*'"
+            "              ELSE n_name END AS n_name,"
+            "         n_regionkey"
+            "  FROM ins)"
+            "SELECT n_nationkey, n_name, n_regionkey FROM upd "
+            "WHERE n_nationkey NOT BETWEEN 10 AND 14"),
         "distinct": ("SELECT DISTINCT c_nationkey, c_mktsegment "
                      "FROM customer"),
         "orderby_limit": (

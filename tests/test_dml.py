@@ -80,3 +80,17 @@ def test_rewrite_preserves_dotted_dir_names(spark, db, tmp_path):
     path = mdb._entry("nation").path
     assert path.startswith(str(base))       # stayed inside corpus.v2024/
     assert path.endswith("nation.v1")
+
+
+def test_dml_lifecycle_contract_entry(spark):
+    """The driver-contract DML row end-to-end at sf0.001: 25 nation rows
+    + 2 inserted - 5 deleted, with the region-2 names starred."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_dml_lifecycle(spark, "/root/testdata/sf0.001").collect()
+    by_key = {r.n_nationkey: r for r in rows}
+    assert len(rows) == 22
+    assert by_key[100].n_name == "ATLANTIS"
+    assert not any(10 <= k <= 14 for k in by_key)
+    starred = {r.n_nationkey for r in rows if r.n_name.endswith("*")}
+    assert starred == {k for k, r in by_key.items() if r.n_regionkey == 2}
