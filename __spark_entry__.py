@@ -741,6 +741,64 @@ def q_tpch_q6(spark, sf_dir):
     return out.select(F.round("revenue", 4).alias("revenue"))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking, adapted: the testdata schema has no
+    l_commitdate/l_receiptdate, so the EXISTS predicate becomes "some
+    line item with l_quantity > 45" — the plan shape is Q4's (TPC-H
+    2.4.4): date-windowed orders SEMI-join lineitem with the subquery
+    predicate pushed to the semi side, then count per priority."""
+    return (_db(spark, sf_dir).query("orders")
+            .join("lineitem", "o_orderkey", "l_orderkey", how="semi")
+            .where("o_orderdate", GTE, "1996-07-01")
+            .where("o_orderdate", LT, "1996-10-01")
+            .where("l_quantity", GT, 45.0)
+            .group_by("o_orderpriority")
+            .count(out="order_count")
+            .execute())
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14 promotion effect: conditional aggregation — the CASE lives
+    inside the SUM, one pass over the join, no self-join."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(0.0)
+    out = (_db(spark, sf_dir).query("lineitem")
+           .join("part", "l_partkey", "p_partkey")
+           .where("l_shipdate", GTE, "1997-09-01")
+           .where("l_shipdate", LT, "1997-10-01")
+           .sum(promo, out="promo_rev", exact=True)
+           .sum(revenue, out="total_rev", exact=True)
+           .execute())
+    return out.select(
+        F.round(100 * F.col("promo_rev").cast("double")
+                / F.col("total_rev").cast("double"), 4)
+        .alias("promo_revenue_pct"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers: HAVING over a grouped sum feeding a
+    two-dimension join — the aggregate runs first (one shuffle on
+    l_orderkey), and only the handful of qualifying orders join out to
+    orders/customer (both broadcast-size relative to lineitem)."""
+    db = _db(spark, sf_dir)
+    big = (db.query("lineitem")
+           .group_by("l_orderkey")
+           .sum("l_quantity", out="sum_qty", exact=True)
+           .having("sum_qty", GT, 300)
+           .execute())
+    return (big.join(db.table("orders"),
+                     big["l_orderkey"] == F.col("o_orderkey"))
+            .join(db.table("customer"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "o_totalprice",
+                    F.col("sum_qty").cast("double").alias("sum_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
 # ===================================================================== #
 # training-data pipeline operators (documents / embeddings)
 # ===================================================================== #
@@ -1001,7 +1059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "window_running": q_window_running,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         "salted_join": q_salted_join,
         "pivot": q_pivot,
         "quantiles_approx": q_quantiles_approx,
@@ -1265,6 +1326,36 @@ def oracle_sql() -> dict[str, str]:
             f"AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
             f"AND l_discount >= 0.05 AND l_discount <= 0.07 "
             f"AND l_quantity < 24.0"),
+        "tpch_q4": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "            WHERE l_orderkey = o_orderkey "
+            "            AND l_quantity > 45.0) "
+            "GROUP BY o_orderpriority"),
+        "tpch_q14": (
+            f"SELECT round("
+            f"100 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' "
+            f"THEN l_extendedprice * (1 - l_discount) ELSE 0 END "
+            f"AS {dec})) AS DOUBLE) "
+            f"/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            f"AS {dec})) AS DOUBLE), 4) AS promo_revenue_pct "
+            f"FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"),
+        "tpch_q18": (
+            f"WITH big AS ("
+            f"  SELECT l_orderkey, "
+            f"  CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty "
+            f"  FROM lineitem GROUP BY l_orderkey "
+            f"  HAVING CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) > 300) "
+            f"SELECT c_name, c_custkey, o_orderkey, "
+            f"strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            f"o_totalprice, sum_qty "
+            f"FROM big JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
         "quantiles": (
             "SELECT l_returnflag, "
             "round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "

@@ -103,3 +103,32 @@ def test_index_load_and_staleness(spark, vectors, tmp_path):
     # a changed fingerprint is how callers detect a stale index
     assert loaded.source_fingerprint != "fp-v2"
     assert similarity.load_ann_index(str(tmp_path / "nope")) is None
+
+
+def _recall_at_k(approx_df, exact_df, k: int) -> float:
+    approx = {r.vec_id for r in approx_df.collect()}
+    exact = [r.vec_id for r in exact_df.collect()]
+    return len(approx & set(exact[:k])) / k
+
+
+def test_ivf_probe_recall_vs_brute_force(spark, vectors, tmp_path):
+    """Probing half the cells must recover most of the exact top-k — the
+    quality half of the index contract (the plan tests cover the cost
+    half).  Deterministic: fixed corpus, k-means++ style seeded centroids."""
+    q = _query_of(vectors, vec_id=17)
+    exact = similarity.cosine_topk(vectors, q, k=10)
+    idx = similarity.build_ivf_index(vectors, str(tmp_path / "ivf"),
+                                     n_cells=8, fingerprint="test-fp")
+    probe = similarity.ivf_probe(spark, idx, q, k=10, n_probe=4)
+    assert _recall_at_k(probe, exact, k=10) >= 0.7
+
+
+def test_lsh_probe_recall_vs_brute_force(spark, vectors, tmp_path):
+    """A 4-plane signature on this smoothly-rotating corpus keeps the
+    query's true neighbors in its own bucket."""
+    q = _query_of(vectors, vec_id=17)
+    exact = similarity.cosine_topk(vectors, q, k=10)
+    idx = similarity.build_lsh_index(vectors, str(tmp_path / "lsh_r"),
+                                     n_planes=4, fingerprint="test-fp")
+    probe = similarity.lsh_probe(spark, idx, q, k=10)
+    assert _recall_at_k(probe, exact, k=10) >= 0.7
