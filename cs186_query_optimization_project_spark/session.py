@@ -81,7 +81,7 @@ def get_spark(
     # fall back to the interpreter (measured as 5-8x tail-of-suite
     # slowdowns on expression-heavy plans).
     builder = builder.config("spark.driver.extraJavaOptions",
-                             "-XX:ReservedCodeCacheSize=512m")
+                             "-XX:ReservedCodeCacheSize=768m")
     builder = builder.config("spark.ui.enabled", "false")
     builder = builder.config("spark.ui.showConsoleProgress", "false")
     for key, value in ENGINE_CONF.items():
