@@ -24,6 +24,7 @@ from cs186_query_optimization_project_spark import Database
 from cs186_query_optimization_project_spark.functions import (
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -877,6 +878,26 @@ def q_token_counts(spark, sf_dir):
                     text.bpe_token_count("text").alias("bpe_tokens")))
 
 
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-bucket train/test split: membership depends only
+    on doc_id (md5 bucket < 80), never on partitioning or engine — the
+    reproducible alternative to randomSplit for corpus materialization."""
+    return (sampling.hash_split(_db(spark, sf_dir).table("documents"),
+                                "doc_id")
+            .select("doc_id", "split"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language stratified sample (class rebalancing): downsample the
+    dominant language, keep the rest.  Rows-only check — the seeded
+    Bernoulli draw depends on partition-internal row order."""
+    db = _db(spark, sf_dir)
+    return (sampling.stratified_sample(
+        db.table("documents"), "lang",
+        {"en": 0.3, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0}, seed=7)
+        .select("doc_id", "lang"))
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs over the same planted corpus (rows-only)."""
     db = _db(spark, sf_dir)
@@ -1066,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "pivot": q_pivot,
         "quantiles_approx": q_quantiles_approx,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1356,6 +1379,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM big JOIN orders ON l_orderkey = o_orderkey "
             f"JOIN customer ON o_custkey = c_custkey "
             f"ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+        "train_test_split": (
+            "SELECT doc_id, CASE WHEN "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "% 100 < 80 THEN 'train' ELSE 'test' END AS split "
+            "FROM documents"),
         "quantiles": (
             "SELECT l_returnflag, "
             "round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "

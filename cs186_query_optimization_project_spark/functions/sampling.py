@@ -1,0 +1,60 @@
+"""Sampling operators for training-data pipelines.
+
+The reference engine has no sampling surface (its API is exact-only);
+these are the additive ops a corpus pipeline needs when materializing
+training mixtures. Two shapes:
+
+- :func:`hash_split` — *deterministic* membership: a row's split depends
+  only on its id (md5 bucket), not on partitioning, executor count, or
+  engine. ``df.randomSplit`` reshuffles membership whenever the
+  partition layout changes, which silently leaks test rows into training
+  sets between runs; hash bucketing is the reproducible alternative and
+  is what any other system (DuckDB, Trino, plain Python) can replay
+  bit-for-bit from the same ids.
+- :func:`stratified_sample` — per-stratum Bernoulli sampling
+  (``sampleBy``), the class-rebalancing primitive. Seeded, but the draw
+  depends on row order within partitions, so it is checked rows-only.
+
+Both are pure JVM expressions / built-in operators — no Python in the
+row path, so they scale like any scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str | Column, n_buckets: int = 100,
+                salt: str = "") -> Column:
+    """Stable bucket in ``[0, n_buckets)`` from the first 8 hex digits of
+    ``md5(id || salt)``.  32 bits of the digest are enough for bucket
+    assignment and keep the arithmetic in BIGINT range everywhere."""
+    col = id_col if isinstance(id_col, Column) else F.col(id_col)
+    hashed = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(hashed, 1, 8), 16, 10)
+            .cast("bigint") % n_buckets)
+
+
+def hash_split(df: DataFrame, id_col: str, train_pct: int = 80,
+               salt: str = "", out: str = "split") -> DataFrame:
+    """Tag each row ``train``/``test`` by deterministic hash bucket.
+
+    ``salt`` versions the split: a new salt is a fresh, independent
+    assignment (e.g. per experiment) without touching the data.
+    """
+    if not 0 < train_pct < 100:
+        raise ValueError(f"train_pct must be in (0, 100), got {train_pct}")
+    bucket = hash_bucket(id_col, 100, salt)
+    return df.withColumn(
+        out, F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("test")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[object, float],
+                      seed: int = 42) -> DataFrame:
+    """Per-stratum Bernoulli sample (``sampleBy``): keeps ~``fractions[v]``
+    of the rows with ``strata_col = v`` and drops strata not listed.
+    At scale this is a map-only pass — no shuffle, no collected state."""
+    return df.sampleBy(strata_col, fractions, seed)
