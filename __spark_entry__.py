@@ -541,6 +541,18 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """REAL stream-stream interval self-join (click → purchase within
+    30 min per user), append mode; watermarks on both sides bound the
+    join state.  Oracle = the equivalent batch interval join."""
+    name = "stream_ivj_" + _tag(sf_dir)
+    events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
+    joined = stream_windows.click_purchase_join(events)
+    stream_windows.run_to_memory(joined, name, output_mode="append",
+                                 shuffle_partitions=8)
+    return spark.table(name)
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (absent from both the reference and Spark's
     built-ins): attribute every click to the user's most recent purchase
@@ -1089,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_approx": q_quantiles_approx,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
+        "streaming_interval_join": q_streaming_interval_join,
     }
 
 
@@ -1379,6 +1392,12 @@ def oracle_sql() -> dict[str, str]:
             f"FROM big JOIN orders ON l_orderkey = o_orderkey "
             f"JOIN customer ON o_custkey = c_custkey "
             f"ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+        "streaming_interval_join": (
+            "SELECT a.user_id, a.event_id AS click_id, "
+            "b.event_id AS purchase_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE "
+            "WHERE a.event_type = 'click' AND b.event_type = 'purchase'"),
         "train_test_split": (
             "SELECT doc_id, CASE WHEN "
             "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "

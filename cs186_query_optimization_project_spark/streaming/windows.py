@@ -107,6 +107,41 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
     return events.dropDuplicates(keys)
 
 
+def click_purchase_join(events: DataFrame, max_gap: str = "30 minutes",
+                        watermark: str = "2 hours",
+                        ts_col: str = "ts") -> DataFrame:
+    """Stream-stream interval self-join: each click matched to the same
+    user's purchases in ``(click_ts, click_ts + max_gap]`` — the
+    streaming analog of operators/joins.py's range join, and the
+    attribution shape (impression→conversion) every event pipeline needs.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both ends, so Spark can evict buffered rows once the watermark
+    passes ``click_ts + max_gap`` — state is O(events inside the
+    watermark horizon), not O(stream).  Inner-join matches emit
+    immediately (no watermark wait), so a drained run yields the full
+    batch-equivalent result.
+    """
+    left = (events.filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("l_user"),
+                    F.col("event_id").alias("click_id"),
+                    F.col(ts_col).alias("click_ts")))
+    right = (events.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("r_user"),
+                     F.col("event_id").alias("purchase_id"),
+                     F.col(ts_col).alias("purchase_ts")))
+    if events.isStreaming:
+        left = left.withWatermark("click_ts", watermark)
+        right = right.withWatermark("purchase_ts", watermark)
+    cond = ((F.col("l_user") == F.col("r_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")))
+    return (left.join(right, cond)
+            .select(F.col("l_user").alias("user_id"),
+                    "click_id", "purchase_id"))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete",
                   shuffle_partitions: int | None = None):

@@ -82,3 +82,12 @@ def test_stateful_user_totals_stream_matches_batch(spark, events_stream,
     want = {r["user_id"]: (r["n_events"], round(r["total_value"], 4))
             for r in stateful.user_running_totals(events_batch).collect()}
     assert got == want and len(got) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream,
+                                            events_batch):
+    sw.run_to_memory(sw.click_purchase_join(events_stream), "t_ivj",
+                     output_mode="append", shuffle_partitions=8)
+    got = {tuple(r) for r in spark.table("t_ivj").collect()}
+    want = {tuple(r) for r in sw.click_purchase_join(events_batch).collect()}
+    assert got == want and len(got) > 0
