@@ -881,6 +881,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components (min-label propagation)
+    over the exact n-gram Jaccard pair graph — (doc_id, cluster_id) with
+    cluster_id = min reachable id; keep-one = doc_id == cluster_id.
+    Deterministic (exact pairs, exact min labels) → full recursive-CTE
+    oracle."""
+    db = _db(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(_planted_docs(db), threshold=0.6)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counting per document."""
     db = _db(spark, sf_dir)
@@ -1102,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "streaming_interval_join": q_streaming_interval_join,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1154,6 +1166,25 @@ FROM (SELECT *, {lang_defs} FROM t)
 def oracle_sql() -> dict[str, str]:
     lang_defs, lang_case = _lang_scores_sql()
     dec = "DECIMAL(18,4)"
+    # shared by ngram_jaccard and dedup_clusters — the SQL re-encoding of
+    # _planted_docs + dedup.ngram_jaccard_pairs' shingling
+    ngram_sh = (
+        "corpus AS ("
+        "  SELECT doc_id, text FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000, text || ' appendix' FROM documents"
+        "  WHERE doc_id % 10 = 0), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct("
+        "    CASE WHEN len(toks) <= 3"
+        "         THEN [array_to_string(toks, ' ')]"
+        "         ELSE list_transform(range(1, len(toks) - 1),"
+        "              i -> toks[i] || ' ' || toks[i+1] || ' ' "
+        "                   || toks[i+2]) END) AS s"
+        "  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') "
+        "        AS toks FROM corpus))")
+    jacc = ("len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))")
     return {
         "scan": "SELECT * FROM region",
         "filter_eq": ("SELECT c_custkey, c_name FROM customer "
@@ -1510,28 +1541,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id = 0)), 6) AS cosine_sim "
             "FROM embeddings ORDER BY cosine_sim DESC, vec_id LIMIT 10"),
         "ngram_jaccard": (
-            "WITH corpus AS ("
-            "  SELECT doc_id, text FROM documents"
-            "  UNION ALL"
-            "  SELECT doc_id + 1000000, text || ' appendix' FROM documents"
-            "  WHERE doc_id % 10 = 0), "
-            "sh AS ("
-            "  SELECT doc_id, list_distinct("
-            "    CASE WHEN len(toks) <= 3"
-            "         THEN [array_to_string(toks, ' ')]"
-            "         ELSE list_transform(range(1, len(toks) - 1),"
-            "              i -> toks[i] || ' ' || toks[i+1] || ' ' "
-            "                   || toks[i+2]) END) AS s"
-            "  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') "
-            "        AS toks FROM corpus)) "
-            "SELECT a.doc_id AS a, b.doc_id AS b, "
-            "round(len(list_intersect(a.s, b.s))::DOUBLE "
-            "      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),"
-            "      6) AS jaccard "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
-            "      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
-            "      >= 0.6"),
+            f"WITH {ngram_sh} "
+            f"SELECT a.doc_id AS a, b.doc_id AS b, "
+            f"round({jacc}, 6) AS jaccard "
+            f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            f"WHERE {jacc} >= 0.6"),
+        "dedup_clusters": (
+            f"WITH RECURSIVE {ngram_sh}, "
+            f"pairs AS ("
+            f"  SELECT a.doc_id AS a, b.doc_id AS b "
+            f"  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            f"  WHERE {jacc} >= 0.6), "
+            f"und AS (SELECT a AS u, b AS v FROM pairs "
+            f"        UNION SELECT b, a FROM pairs), "
+            f"reach(id, comp) AS ("
+            f"  SELECT u, u FROM und"
+            f"  UNION"
+            f"  SELECT und.u, reach.comp FROM und "
+            f"  JOIN reach ON und.v = reach.id) "
+            f"SELECT id AS doc_id, MIN(comp) AS cluster_id "
+            f"FROM reach GROUP BY id"),
         "token_counts": (
             "SELECT doc_id, "
             "len(regexp_split_to_array(text, '\\s+')) AS ws_tokens, "

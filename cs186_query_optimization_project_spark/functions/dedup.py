@@ -311,3 +311,56 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
              .distinct()
              .filter(F.col("hamming") <= max_hamming))
     return pairs
+
+
+def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → ``(doc_id,
+    cluster_id)``, where ``cluster_id`` is the smallest doc id reachable
+    through the pair graph.  The keep-one-per-cluster policy is then
+    ``filter(doc_id == cluster_id)`` — the graph generalization of
+    :func:`exact_duplicates`'s keep-min-id.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in graph-diameter rounds.  Near-dup clusters are dense and shallow
+    (pairs share content), so the diameter is small; for general graphs
+    swap in the O(log n)-round large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Scale notes: each round is one shuffle (join on node id) + one
+    aggregation; ``localCheckpoint`` truncates the plan lineage so round
+    N doesn't recompile/replay rounds 1..N-1 (iterative DataFrame loops
+    otherwise grow an exponential plan).  The driver-side loop runs
+    O(diameter) COUNTs on the label delta — bounded scalar actions, the
+    same legitimacy class as ivf_centroids' bounded collect.
+    """
+    # checkpoint the edge list once: every round joins against it, and
+    # without this the (possibly expensive) upstream pair-generation
+    # lineage would re-execute per round per action
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .unionByName(pairs.select(F.col(dst).alias("u"),
+                                       F.col(src).alias("v")))
+             .distinct()
+             .localCheckpoint())
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+              .withColumn("cluster_id", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["v"] == labels["id"])
+                 .groupBy("u").agg(F.min("cluster_id").alias("neigh_min")))
+        updated = (labels.join(neigh, labels["id"] == neigh["u"], "left")
+                   .select(labels["id"],
+                           F.least(F.col("cluster_id"),
+                                   F.coalesce(F.col("neigh_min"),
+                                              F.col("cluster_id")))
+                           .alias("cluster_id"))
+                   .localCheckpoint())
+        changed = (updated.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+                   .count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("id", "doc_id")

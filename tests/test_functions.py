@@ -233,3 +233,14 @@ def test_simhash_wide_hamming_banding(spark):
 def test_minhash_band_guard():
     with pytest.raises(ValueError, match="n_bands"):
         dedup.minhash_near_duplicates(None, n_hashes=4, n_bands=8)
+
+
+def test_duplicate_clusters_min_label(spark):
+    # chain (min must travel 4 hops), triangle, isolated pair
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (10, 12),
+         (21, 20)], ["a", "b"])
+    from cs186_query_optimization_project_spark.functions import dedup
+    got = sorted(tuple(r) for r in dedup.duplicate_clusters(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
