@@ -881,6 +881,27 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_summary_stats(spark, sf_dir):
+    """Descriptive-statistics aggregates (stddev / correlation /
+    covariance) — single-pass, map-side-partial, the profiling step of a
+    corpus pipeline."""
+    return (_db(spark, sf_dir).table("lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                 .alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 4)
+                 .alias("covar_qty_disc")))
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide→long melt (feature reshaping); value columns coerce to a
+    common type, one output row per (row, feature)."""
+    return (_db(spark, sf_dir).table("part")
+            .unpivot(["p_partkey"], ["p_size", "p_retailprice"],
+                     "feature", "value"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components (min-label propagation)
     over the exact n-gram Jaccard pair graph — (doc_id, cluster_id) with
@@ -1114,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "streaming_interval_join": q_streaming_interval_join,
         "dedup_clusters": q_dedup_clusters,
+        "summary_stats": q_summary_stats,
+        "unpivot": q_unpivot,
     }
 
 
@@ -1423,6 +1446,19 @@ def oracle_sql() -> dict[str, str]:
             f"FROM big JOIN orders ON l_orderkey = o_orderkey "
             f"JOIN customer ON o_custkey = c_custkey "
             f"ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+        "summary_stats": (
+            "SELECT l_returnflag, "
+            "round(stddev_samp(l_quantity), 4) AS std_qty, "
+            "round(corr(l_quantity, l_extendedprice), 4) "
+            "AS corr_qty_price, "
+            "round(covar_samp(l_quantity, l_discount), 4) "
+            "AS covar_qty_disc "
+            "FROM lineitem GROUP BY l_returnflag"),
+        "unpivot": (
+            "SELECT p_partkey, 'p_size' AS feature, "
+            "CAST(p_size AS DOUBLE) AS value FROM part "
+            "UNION ALL "
+            "SELECT p_partkey, 'p_retailprice', p_retailprice FROM part"),
         "streaming_interval_join": (
             "SELECT a.user_id, a.event_id AS click_id, "
             "b.event_id AS purchase_id "
