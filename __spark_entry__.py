@@ -1083,16 +1083,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
-        "time_window_agg": q_time_window_agg,
+        "train_test_split": q_train_test_split,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "quantiles": q_quantiles,
-        "bucketed_join": q_bucketed_join,
+        "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         # structured streaming (real readStream driven to completion)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
-        "streaming_sliding": q_streaming_sliding,
+        "streaming_interval_join": q_streaming_interval_join,
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "streaming_dedup": q_streaming_dedup,
         # LLM-data-pipeline block
@@ -1111,6 +1111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_similar_pairs": q_embedding_similar_pairs,
         # ------------- below the driver's 50-row window ------------- #
         # variants of rows already covered above
+        "time_window_agg": q_time_window_agg,
+        "bucketed_join": q_bucketed_join,
+        "streaming_sliding": q_streaming_sliding,
         "range_join": q_range_join,
         "filter_neq": q_filter_neq,
         "json_source": q_json_source,

@@ -402,6 +402,20 @@ class Database:
         return bool(self.lookup(table, column, value).take(1))
 
     # ------------------------------------------------------------------ #
+    # transactions (§2.12 analog: optimistic snapshot concurrency over
+    # the copy-on-write versions; see transactions.py for the mapping
+    # from the reference's 2PL + waits-for design)
+    # ------------------------------------------------------------------ #
+    def begin(self):
+        """Open an optimistic snapshot transaction
+        (:class:`~cs186_query_optimization_project_spark.transactions.Transaction`)."""
+        from cs186_query_optimization_project_spark.transactions import (
+            Transaction,
+        )
+
+        return Transaction(self)
+
+    # ------------------------------------------------------------------ #
     # query entry points (Transaction.query / queryAs,
     # db/Database.java:221–252)
     # ------------------------------------------------------------------ #

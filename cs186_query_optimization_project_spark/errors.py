@@ -17,3 +17,11 @@ class DatabaseException(Exception):
 class QueryPlanException(DatabaseException):
     """Query-construction errors: unknown/ambiguous columns, bad predicates,
     invalid group-by/select combinations."""
+
+
+class ConflictException(DatabaseException):
+    """Optimistic-concurrency commit validation failed: a table this
+    transaction wrote was republished by another committer after this
+    transaction's snapshot was taken.  The analog of being chosen as the
+    reference's deadlock victim (``WaitsForGraph.java:58–88``) — the
+    caller retries on a fresh snapshot instead of blocking on a lock."""

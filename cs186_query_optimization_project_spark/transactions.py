@@ -1,0 +1,163 @@
+"""Optimistic snapshot transactions over the copy-on-write catalog.
+
+The reference serializes with strict table-level 2PL plus waits-for
+deadlock *prevention* (``db/concurrency/LockManager.java:49–85``,
+``Lock.java:74–171``, ``WaitsForGraph.java:58–88``): readers block
+writers and a transaction that would close a cycle is refused. A Spark
+cluster has no shared lock manager to translate that design onto — the
+scale-out expression of the same guarantees (table-granularity
+isolation, no lost updates) is *optimistic concurrency* over the
+versioned copy-on-write tables ``database.py`` already writes, the same
+protocol a Delta/Iceberg commit uses per table:
+
+- ``begin()`` pins each touched table's current version — snapshot
+  reads; readers never block and never see a concurrent writer's
+  half-published state (a version directory is immutable once written).
+- DML buffers *intentions* as declarative transforms with
+  read-your-writes: ``txn.table()`` replays the buffer over the pinned
+  snapshot, so a transaction sees its own inserts/updates/deletes while
+  the outside world sees nothing until commit.
+- ``commit()`` validates first-committer-wins: if any *written* table's
+  published version moved past the pinned one, raise
+  :class:`ConflictException` (the deadlock-victim analog — retry on a
+  fresh snapshot instead of blocking), else publish each table through
+  the normal copy-on-write rewrite.
+
+Read-only tables are not validated (snapshot isolation, not full
+serializability — same granularity trade the reference makes by locking
+whole tables).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.errors import (
+    ConflictException,
+    DatabaseException,
+)
+
+
+def _version_token(entry) -> object:
+    """Identity of a table's current published version.  On-disk tables
+    get a new path per rewrite (``Database._rewrite``), so the path IS
+    the version; in-memory tables swap the DataFrame object, so object
+    identity serves."""
+    return entry.path if entry.path is not None else id(entry.df)
+
+
+class Transaction:
+    """Handle returned by :meth:`Database.begin`; mirrors the verbs of
+    ``db/Database.java``'s ``Transaction`` (``addRecord`` /
+    ``updateRecord`` / ``deleteRecord`` / ``query``) under optimistic
+    snapshot semantics."""
+
+    def __init__(self, db) -> None:
+        self._db = db
+        #: name -> (version token at pin time, pinned DataFrame)
+        self._pins: dict[str, tuple[object, DataFrame]] = {}
+        #: name -> ordered DataFrame->DataFrame transforms (the intent log)
+        self._writes: dict[str, list] = {}
+        self._active = True
+
+    # ------------------------------------------------------------------ #
+    # reads
+    # ------------------------------------------------------------------ #
+    def table(self, name: str) -> DataFrame:
+        """Snapshot read + read-your-writes: the pinned version with this
+        transaction's buffered mutations replayed on top."""
+        self._check_active()
+        df = self._pin(name)[1]
+        for transform in self._writes.get(name, ()):
+            df = transform(df)
+        return df
+
+    # ------------------------------------------------------------------ #
+    # buffered DML (same verbs and checks as Database's immediate DML)
+    # ------------------------------------------------------------------ #
+    def insert_rows(self, name: str, rows: DataFrame) -> "Transaction":
+        self._check_active()
+        expected = [(f.name, f.dataType)
+                    for f in self.table(name).schema.fields]
+        got = [(f.name, f.dataType) for f in rows.schema.fields]
+        if expected != got:
+            raise DatabaseException(
+                f"insert into '{name}': schema mismatch; table has "
+                f"{expected}, rows have {got}")
+        self._writes.setdefault(name, []).append(
+            lambda df, rows=rows: df.unionByName(rows))
+        return self
+
+    def delete_rows(self, name: str, condition) -> "Transaction":
+        self._check_active()
+        self._pin(name)
+        self._writes.setdefault(name, []).append(
+            lambda df, c=condition: df.filter(~c))
+        return self
+
+    def update_rows(self, name: str, condition,
+                    assignments: dict[str, Any]) -> "Transaction":
+        self._check_active()
+        base_cols = self.table(name).columns
+        for col_name in assignments:
+            if col_name not in base_cols:
+                raise DatabaseException(
+                    f"update '{name}': unknown column '{col_name}'")
+
+        def _apply(df: DataFrame, cond=condition,
+                   assigns=dict(assignments)) -> DataFrame:
+            for col_name, value in assigns.items():
+                val = value if isinstance(value, F.Column) else F.lit(value)
+                df = df.withColumn(
+                    col_name,
+                    F.when(cond, val.cast(df.schema[col_name].dataType))
+                    .otherwise(F.col(col_name)))
+            return df
+
+        self._writes.setdefault(name, []).append(_apply)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # outcome
+    # ------------------------------------------------------------------ #
+    def commit(self) -> None:
+        """Validate-then-publish.  Validation and publication are
+        table-at-a-time on the driver: single-process catalog swaps, the
+        same atomicity domain the reference's in-process lock manager
+        has.  (Multi-process publication would move this CAS into a
+        shared catalog service — the Delta-log role.)"""
+        self._check_active()
+        for name in self._writes:
+            entry = self._db._entry(name)
+            if _version_token(entry) != self._pins[name][0]:
+                self._active = False
+                raise ConflictException(
+                    f"write-write conflict on '{name}': version advanced "
+                    f"since this transaction's snapshot; retry on a fresh "
+                    f"snapshot")
+        for name in self._writes:
+            self._db._rewrite(self._db._entry(name), self.table(name))
+        self._active = False
+
+    def rollback(self) -> None:
+        """Discard the intent log; nothing was published."""
+        self._active = False
+        self._writes.clear()
+        self._pins.clear()
+
+    # ------------------------------------------------------------------ #
+    def _pin(self, name: str) -> tuple[object, DataFrame]:
+        if name not in self._pins:
+            entry = self._db._entry(name)
+            df = entry.df  # resolves lazy loader; immutable once produced
+            self._pins[name] = (_version_token(entry), df)
+        return self._pins[name]
+
+    def _check_active(self) -> None:
+        if not self._active:
+            raise DatabaseException(
+                "transaction is no longer active (committed, rolled "
+                "back, or aborted on conflict)")
