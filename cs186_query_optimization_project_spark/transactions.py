@@ -49,6 +49,28 @@ def _version_token(entry) -> object:
     return entry.path if entry.path is not None else id(entry.df)
 
 
+class _SnapshotView:
+    """Database facade serving a transaction's snapshot: ``table()`` /
+    ``schema()`` replay the intent log over the pinned versions, and
+    everything else (spark handle, stats, index metadata) delegates to
+    the parent catalog.  Stats come from the published version — a
+    misestimate only degrades the optimizer's hint choice, never
+    correctness (Catalyst+AQE own the physical plan)."""
+
+    def __init__(self, txn: "Transaction") -> None:
+        self._txn = txn
+        self._parent = txn._db
+
+    def table(self, name: str) -> DataFrame:
+        return self._txn.table(name)
+
+    def schema(self, name: str):
+        return self._txn.table(name).schema
+
+    def __getattr__(self, attr):
+        return getattr(self._parent, attr)
+
+
 class Transaction:
     """Handle returned by :meth:`Database.begin`; mirrors the verbs of
     ``db/Database.java``'s ``Transaction`` (``addRecord`` /
@@ -74,6 +96,18 @@ class Transaction:
         for transform in self._writes.get(name, ()):
             df = transform(df)
         return df
+
+    def query(self, table: str, alias: str | None = None):
+        """Builder over this transaction's snapshot (the reference's
+        primary entry, ``Transaction.query`` / ``queryAs``,
+        ``db/Database.java:221–252``) — joins against other tables read
+        their pinned versions too."""
+        self._check_active()
+        from cs186_query_optimization_project_spark.plans.builder import (
+            Query,
+        )
+
+        return Query(_SnapshotView(self), table, alias)
 
     # ------------------------------------------------------------------ #
     # buffered DML (same verbs and checks as Database's immediate DML)

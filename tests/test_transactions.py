@@ -91,3 +91,20 @@ def test_insert_schema_checked_at_buffer_time(mdb, spark):
     bad = spark.createDataFrame([(1,)], ["only_one_col"])
     with pytest.raises(DatabaseException, match="schema mismatch"):
         txn.insert_rows("nation", bad)
+
+
+def test_txn_query_builder_over_snapshot(mdb, spark):
+    txn = mdb.begin()
+    txn.insert_rows("nation", spark.createDataFrame(
+        [(100, "ATLANTIS", 0)], schema=mdb.schema("nation")))
+    # outside write after the pin: must be invisible to the builder
+    mdb.delete_rows("nation", F.col("n_regionkey") == 0)
+    got = (txn.query("nation")
+           .where("n_regionkey", "=", 0)
+           .select("n_nationkey", "n_name")
+           .execute().collect())
+    names = {r.n_name for r in got}
+    assert "ATLANTIS" in names                 # read-your-writes
+    assert len(names) > 1                      # snapshot kept region-0 rows
+    assert mdb.query("nation").where("n_regionkey", "=", 0) \
+              .execute().count() == 0          # published state differs
