@@ -881,6 +881,30 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_window_frame(spark, sf_dir):
+    """Sliding-frame window aggregate: 3-row moving average of order
+    totals per customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    db = _db(spark, sf_dir)
+    out = windows.frame_aggregate(
+        db.table("orders"), ["o_custkey"], [F.col("o_orderkey").asc()],
+        {"moving_avg": F.avg(F.col("o_totalprice")
+                             .cast("decimal(18,4)"))},
+        frame=(-2, 0))
+    return out.select("o_custkey", "o_orderkey",
+                      F.round(F.col("moving_avg").cast("double"), 4)
+                      .alias("moving_avg"))
+
+
+def q_collect_sorted(spark, sf_dir):
+    """Aggregate-to-array (feature packing): per nation, the sorted set
+    of market segments its customers appear in.  array_sort makes the
+    collect_set deterministic."""
+    return (_db(spark, sf_dir).table("customer")
+            .groupBy("c_nationkey")
+            .agg(F.array_sort(F.collect_set("c_mktsegment"))
+                 .alias("segments")))
+
+
 def q_summary_stats(spark, sf_dir):
     """Descriptive-statistics aggregates (stddev / correlation /
     covariance) — single-pass, map-side-partial, the profiling step of a
@@ -1137,9 +1161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "streaming_interval_join": q_streaming_interval_join,
-        "dedup_clusters": q_dedup_clusters,
         "summary_stats": q_summary_stats,
         "unpivot": q_unpivot,
+        "window_frame": q_window_frame,
+        "collect_sorted": q_collect_sorted,
     }
 
 
@@ -1449,6 +1474,16 @@ def oracle_sql() -> dict[str, str]:
             f"FROM big JOIN orders ON l_orderkey = o_orderkey "
             f"JOIN customer ON o_custkey = c_custkey "
             f"ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+        "window_frame": (
+            f"SELECT o_custkey, o_orderkey, "
+            f"round(CAST(AVG(CAST(o_totalprice AS {dec})) OVER ("
+            f"PARTITION BY o_custkey ORDER BY o_orderkey "
+            f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) "
+            f"AS moving_avg FROM orders"),
+        "collect_sorted": (
+            "SELECT c_nationkey, "
+            "list_sort(list(DISTINCT c_mktsegment)) AS segments "
+            "FROM customer GROUP BY c_nationkey"),
         "summary_stats": (
             "SELECT l_returnflag, "
             "round(stddev_samp(l_quantity), 4) AS std_qty, "

@@ -70,3 +70,17 @@ def pivot_table(df: DataFrame, group_col: str, pivot_col: str,
     """Pivot with an explicit value list (never let Spark scan for distinct
     pivot values at scale)."""
     return df.groupBy(group_col).pivot(pivot_col, values).agg(agg)
+
+
+def frame_aggregate(df: DataFrame, partition_by: list[str],
+                    order_by: list[Column], aggs: dict[str, Column],
+                    frame: tuple[int, int] = (-2, 0)) -> DataFrame:
+    """Sliding-frame aggregates (``ROWS BETWEEN frame[0] AND frame[1]``):
+    moving averages / rolling sums.  Frames are evaluated per partition
+    after one shuffle on the partition key — no self-join."""
+    w = (Window.partitionBy(*partition_by).orderBy(*order_by)
+         .rowsBetween(frame[0], frame[1]))
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
