@@ -881,6 +881,27 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_zorder_scan(spark, sf_dir):
+    """Multi-column clustered sink (§2.11 scale path): write lineitem
+    Z-ordered on (l_partkey, l_suppkey), then scan with a predicate on
+    the SECOND clustered column — row-group min/max skips most files,
+    which a lexicographic sort can only do for its leading column."""
+    import os
+
+    from cs186_query_optimization_project_spark.sources import writers
+
+    db = _db(spark, sf_dir)
+    parent = f"/tmp/spark_graft_z_{os.getuid()}"
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    path = os.path.join(parent, _tag(sf_dir))
+    writers.write_zordered(db.table("lineitem"), path,
+                           ("l_partkey", "l_suppkey"))
+    return (spark.read.parquet(path)
+            .filter(F.col("l_suppkey") == 7)
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey"))
+
+
 def q_window_frame(spark, sf_dir):
     """Sliding-frame window aggregate: 3-row moving average of order
     totals per customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
@@ -1165,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "window_frame": q_window_frame,
         "collect_sorted": q_collect_sorted,
+        "zorder_scan": q_zorder_scan,
     }
 
 
@@ -1474,6 +1496,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM big JOIN orders ON l_orderkey = o_orderkey "
             f"JOIN customer ON o_custkey = c_custkey "
             f"ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+        "zorder_scan": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey "
+            "FROM lineitem WHERE l_suppkey = 7"),
         "window_frame": (
             f"SELECT o_custkey, o_orderkey, "
             f"round(CAST(AVG(CAST(o_totalprice AS {dec})) OVER ("

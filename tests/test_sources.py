@@ -146,3 +146,52 @@ def test_nanos_restoration_matches_duckdb(spark):
     for event_id, ts in duck:
         assert spark_rows[event_id] == ts, (
             event_id, spark_rows[event_id], ts)
+
+
+def test_zordered_write_prunes_on_both_columns(db, tmp_path):
+    """Row-group min/max stats must be narrow on BOTH z-ordered columns:
+    a probe on either column may touch only a fraction of the files,
+    whereas a lexicographic sort leaves the trailing column full-width
+    in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cs186_query_optimization_project_spark.sources import writers
+
+    li = db.table("lineitem")
+    zpath, ppath = str(tmp_path / "z"), str(tmp_path / "p")
+    writers.write_zordered(li, zpath, ("l_partkey", "l_suppkey"),
+                           num_files=16)
+    writers.write_indexed(li, ppath, ("l_partkey",), num_files=16)
+
+    def files_hit(path, col, probes):
+        files = sorted(glob.glob(path + "/*.parquet"))
+        hit = 0
+        for v in probes:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    stats = {
+                        md.row_group(rg).column(i).path_in_schema:
+                        md.row_group(rg).column(i).statistics
+                        for i in range(md.row_group(rg).num_columns)}
+                    s = stats[col]
+                    if s.min <= v <= s.max:
+                        hit += 1
+                        break
+        return hit, len(files) * len(probes)
+
+    def probes_for(col):
+        lo, hi = li.agg(F.min(col), F.max(col)).first()
+        return sorted({lo + (hi - lo) * i // 5 for i in range(1, 5)})
+
+    supp_probes, part_probes = probes_for("l_suppkey"), probes_for("l_partkey")
+    z_supp, total = files_hit(zpath, "l_suppkey", supp_probes)
+    p_supp, _ = files_hit(ppath, "l_suppkey", supp_probes)
+    z_part, total_part = files_hit(zpath, "l_partkey", part_probes)
+    assert p_supp == total            # trailing column: no pruning at all
+    assert z_supp < total // 2        # z-order: most files skipped
+    assert z_part < total_part // 2   # ...on the leading column too
+    # and the data round-trips
+    assert (db.spark.read.parquet(zpath).count() == li.count())
