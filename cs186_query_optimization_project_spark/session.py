@@ -74,8 +74,11 @@ def get_spark(
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # 16g: at 8g a 75+-shape suite spent randomly-landing GC pauses on
+    # individual queries (min-of-3 swung ±3x run-to-run); doubling the
+    # heap cut suite total ~15% and tightened every heavy tail.
     builder = builder.config("spark.driver.memory", os.environ.get(
-        "SPARK_GRAFT_DRIVER_MEM", "8g"))
+        "SPARK_GRAFT_DRIVER_MEM", "16g"))
     # A varied suite generates hundreds of codegen classes; the JVM's
     # default 240 MB JIT code cache flushes under that load and hot loops
     # fall back to the interpreter (measured as 5-8x tail-of-suite
