@@ -881,6 +881,22 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment: the events stream left-joins a
+    broadcast customer lookup per micro-batch (no streaming state),
+    then aggregates per segment.  Oracle = the equivalent batch join."""
+    name = "stream_enrich_" + _tag(sf_dir)
+    events = stream_windows.stream_events(spark, f"{sf_dir}/events.parquet")
+    dim = (_db(spark, sf_dir).table("customer")
+           .select("c_custkey", "c_mktsegment"))
+    joined = stream_windows.enrich_with_dimension(events, dim,
+                                                  "user_id", "c_custkey")
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    stream_windows.run_to_memory(agg, name, output_mode="complete",
+                                 shuffle_partitions=8)
+    return spark.table(name)
+
+
 def q_zorder_scan(spark, sf_dir):
     """Multi-column clustered sink (§2.11 scale path): write lineitem
     Z-ordered on (l_partkey, l_suppkey), then scan with a predicate on
@@ -1187,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frame": q_window_frame,
         "collect_sorted": q_collect_sorted,
         "zorder_scan": q_zorder_scan,
+        "streaming_enrich": q_streaming_enrich,
     }
 
 
@@ -1499,6 +1516,10 @@ def oracle_sql() -> dict[str, str]:
         "zorder_scan": (
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey "
             "FROM lineitem WHERE l_suppkey = 7"),
+        "streaming_enrich": (
+            "SELECT c_mktsegment, COUNT(*) AS n FROM events "
+            "LEFT JOIN customer ON user_id = c_custkey "
+            "GROUP BY c_mktsegment"),
         "window_frame": (
             f"SELECT o_custkey, o_orderkey, "
             f"round(CAST(AVG(CAST(o_totalprice AS {dec})) OVER ("

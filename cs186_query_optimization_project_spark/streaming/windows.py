@@ -142,6 +142,19 @@ def click_purchase_join(events: DataFrame, max_gap: str = "30 minutes",
                     "click_id", "purchase_id"))
 
 
+def enrich_with_dimension(events: DataFrame, dim: DataFrame,
+                          event_key: str, dim_key: str) -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+    The static side is broadcast to every executor and re-resolved per
+    micro-batch (Spark picks up dimension updates between batches) — no
+    streaming state at all, unlike a stream-stream join.  The canonical
+    lookup-table shape at any scale."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim),
+                       events[event_key] == dim[dim_key], "left")
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete",
                   shuffle_partitions: int | None = None):

@@ -91,3 +91,16 @@ def test_interval_join_stream_matches_batch(spark, events_stream,
     got = {tuple(r) for r in spark.table("t_ivj").collect()}
     want = {tuple(r) for r in sw.click_purchase_join(events_batch).collect()}
     assert got == want and len(got) > 0
+
+
+def test_enrich_with_dimension_stream_matches_batch(spark, events_stream,
+                                                    events_batch, db):
+    dim = db.table("customer").select("c_custkey", "c_mktsegment")
+    agg = lambda src: (sw.enrich_with_dimension(src, dim, "user_id",
+                                                "c_custkey")
+                       .groupBy("c_mktsegment").count())
+    sw.run_to_memory(agg(events_stream), "t_enrich",
+                     output_mode="complete", shuffle_partitions=8)
+    got = {tuple(r) for r in spark.table("t_enrich").collect()}
+    want = {tuple(r) for r in agg(events_batch).collect()}
+    assert got == want and len(got) > 0
