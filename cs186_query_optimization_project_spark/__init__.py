@@ -17,10 +17,16 @@ PySpark package:
   in SURVEY.md §2 (scans, filters, projections, aggregates, joins, sorts,
   set ops, windows).
 - ``functions``: beyond-reference large-scale pipeline operators — exact +
-  MinHash-LSH + SimHash dedup, embedding similarity search, text analysis,
-  multimodal column plumbing.
-- ``streaming``: Structured Streaming windowed aggregation, sessionization
-  and stateful dedup over the ``events`` stream.
+  MinHash-LSH + SimHash dedup with connected-component clustering,
+  materialized-index embedding similarity search, text analysis,
+  deterministic hash-split / stratified sampling, multimodal column
+  plumbing.
+- ``streaming``: Structured Streaming windowed aggregation, sessionization,
+  stateful dedup, and stream-stream / stream-static joins over the
+  ``events`` stream.
+- ``transactions``: optimistic snapshot transactions over the copy-on-write
+  table versions (the cluster-honest analog of the reference's 2PL,
+  ``db/concurrency/LockManager.java``).
 
 Everything is declarative DataFrame/SQL so Catalyst + Tungsten handle
 physical execution (pushdown, pruning, codegen, AQE); nothing from the
@@ -30,7 +36,9 @@ reference's physical layer (pages, B+ trees, locks) is ported.
 from cs186_query_optimization_project_spark.database import Database
 from cs186_query_optimization_project_spark.predicates import PredicateOperator
 from cs186_query_optimization_project_spark.session import get_spark, stop_spark
+from cs186_query_optimization_project_spark.transactions import Transaction
 
-__all__ = ["Database", "PredicateOperator", "get_spark", "stop_spark"]
+__all__ = ["Database", "PredicateOperator", "Transaction", "get_spark",
+           "stop_spark"]
 
 __version__ = "0.1.0"
