@@ -28,14 +28,21 @@ from cs186_query_optimization_project_spark.errors import DatabaseException
 
 
 def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
-    """Cast TIMESTAMP(NANOS) parquet columns (read as long via
-    ``spark.sql.legacy.parquet.nanosAsLong``) back to microsecond
+    """Normalize TIMESTAMP(NANOS) parquet columns to microsecond
     timestamps, matching DuckDB's read of the same files.
 
+    Current driver testdata stores TIMESTAMP(MICROS), which every Spark
+    reads natively (as TIMESTAMP_NTZ — naive wall time, exactly DuckDB's
+    semantics), so this is a no-op there.  A TIMESTAMP(NANOS) column is
+    either read natively as a timestamp (newer Sparks truncate to micros
+    — accepted as-is) or surfaced as a raw nanos long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — converted here.
+
     Fail-closed: nanos columns are derived from the parquet footer; a
-    footer we cannot read, or a footer/Spark-schema mismatch, raises
-    instead of silently returning a frame whose "timestamps" are raw
-    longs (which would hash-mismatch downstream rather than error here).
+    footer we cannot read, or a footer/Spark-schema combination we do not
+    recognize, raises instead of silently returning a frame whose
+    "timestamps" are raw longs (which would hash-mismatch downstream
+    rather than error here).
     """
     import pyarrow.parquet as pq
     import pyarrow as pa
@@ -71,11 +78,14 @@ def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
             got = spark_types.get(fld.name)
             if got is None:
                 continue  # column pruned or renamed upstream
+            if isinstance(got, (T.TimestampType, T.TimestampNTZType)):
+                continue  # native nanos read, truncated to micros
             if not isinstance(got, T.LongType):
                 raise DatabaseException(
                     f"'{path}' column '{fld.name}' is timestamp[ns] in the "
                     f"parquet footer but Spark read it as {got}; expected "
-                    f"LongType via spark.sql.legacy.parquet.nanosAsLong")
+                    f"a timestamp (native read) or LongType (via "
+                    f"spark.sql.legacy.parquet.nanosAsLong)")
             # integer `div`, NOT float division: nanos-since-epoch
             # (~1.7e18) exceeds double's 53-bit mantissa, so x/1000.0
             # would corrupt the low microseconds
@@ -143,14 +153,18 @@ class Database:
 
     def __init__(self, spark: SparkSession, data_dir: str | None = None):
         self.spark = spark
-        # The caller hands us ANY SparkSession (the driver harness builds a
-        # vanilla one) and the testdata parquet carries TIMESTAMP(NANOS)
-        # columns, which Spark refuses to scan unless this legacy conf is
-        # on.  It is runtime-settable, so set it here on whatever session
-        # we were given — requiring a specially-configured session would
-        # make every read fail on query one.  _restore_nanos_timestamps
-        # casts the resulting longs back to microsecond timestamps.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The caller hands us ANY SparkSession (the driver harness builds
+        # a vanilla one), so the engine must not depend on session confs
+        # it set itself.  Current testdata stores TIMESTAMP(MICROS),
+        # which reads natively everywhere; this legacy conf only matters
+        # if a TIMESTAMP(NANOS) file shows up on a Spark that refuses to
+        # scan it natively — then it surfaces nanos as longs, which
+        # _restore_nanos_timestamps converts back.  Runtime-settable
+        # today; guarded in case a future Spark drops the conf.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         self._tables: dict[str, TableEntry] = {}
         if data_dir is not None:
             self.register_directory(data_dir)

@@ -53,13 +53,14 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(ts_col).over(w)
-    # cast-to-double = exact micros/1e6 epoch seconds (same arithmetic as
-    # DuckDB's epoch(ts)), so gap comparisons are bit-identical across
-    # engines — unix_timestamp would floor to seconds and diverge
+    # timestamp subtraction yields a day-time interval with exact
+    # microsecond arithmetic, works on both TIMESTAMP and TIMESTAMP_NTZ,
+    # and has no session-timezone dependency — unix_timestamp would floor
+    # to seconds and diverge, cast-to-double is illegal on NTZ
+    gap = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                             F.lit(float(gap_minutes) * 60.0))
     is_break = F.when(
-        prev.isNull()
-        | ((F.col(ts_col).cast("double") - prev.cast("double"))
-           > gap_minutes * 60), 1).otherwise(0)
+        prev.isNull() | ((F.col(ts_col) - prev) > gap), 1).otherwise(0)
     return df.withColumn("session_idx",
                          F.sum(is_break).over(
                              w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -36,10 +36,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamps for the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
-    # The driver's parquet uses TIMESTAMP(NANOS); Spark 4 has no nanos
-    # timestamp type.  Read them as long and cast at registration
-    # (Database.register_parquet) to microsecond timestamps, matching what
-    # DuckDB does on the same files.
+    # Compat for TIMESTAMP(NANOS) parquet on Sparks that refuse to scan
+    # it natively: surface nanos as longs, which Database.register_parquet
+    # casts back to microsecond timestamps.  Current testdata stores
+    # TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ), so this is
+    # normally inert.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Parity with the reference's in-order, ANSI-ish comparison semantics.
     "spark.sql.parquet.filterPushdown": "true",

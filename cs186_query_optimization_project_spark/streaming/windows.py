@@ -24,33 +24,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Schema for reading the driver's events parquet as a stream.  ``ts`` is
-#: read as long (TIMESTAMP(NANOS) under nanosAsLong) and restored to a
-#: microsecond timestamp in stream_events().
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def stream_events(spark, path: str) -> DataFrame:
     """Open the events parquet as a file stream (new files under ``path``
     are picked up incrementally — the local stand-in for a Kafka topic).
     A single-file path is turned into dir + glob (file stream sources
-    require a directory basePath)."""
+    require a directory basePath).
+
+    File stream sources require an explicit schema; it is inferred from a
+    one-time batch read of the same files rather than hardcoded, so the
+    stream tracks the table's real types (``ts`` is TIMESTAMP_NTZ on
+    current testdata; an older TIMESTAMP(NANOS) file surfacing as long
+    under ``nanosAsLong`` gets the same micros restore the batch path
+    applies).
+    """
     import os
 
-    reader = spark.readStream.format("parquet").schema(EVENTS_RAW_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.format("parquet").schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.load(path)
-    # integer div keeps full microsecond precision (see database.py note)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # integer div keeps full microsecond precision (database.py note)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ).  The cast maps wall time through the session timezone
+        # and collection maps it back, so observed values round-trip.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

@@ -85,8 +85,8 @@ def test_write_bucketed_join_no_shuffle(spark, db):
 
 
 def test_vanilla_session_database(spark, tmp_path):
-    """Database must work on ANY SparkSession handed to it — it sets the
-    nanos conf itself rather than requiring get_spark()'s configured
+    """Database must work on ANY SparkSession handed to it — it sets its
+    own compat confs rather than requiring get_spark()'s configured
     session (the driver harness builds a vanilla one)."""
     from cs186_query_optimization_project_spark.database import Database
 
@@ -97,7 +97,8 @@ def test_vanilla_session_database(spark, tmp_path):
         assert spark.conf.get(
             "spark.sql.legacy.parquet.nanosAsLong") == "true"
         assert db.query("region").execute().count() == 5
-        # events carries the TIMESTAMP(NANOS) column that kills vanilla reads
+        # events carries the timestamp column (micros, read natively;
+        # the conf only matters for legacy TIMESTAMP(NANOS) files)
         assert db.table("events").count() == 1000
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -127,16 +128,20 @@ def test_lazy_registration_isolates_bad_table(spark, tmp_path):
         db.table("poisoned").count()
 
 
-def test_nanos_restoration_matches_duckdb(spark):
-    """events.ts must come back as microsecond timestamps equal to
-    DuckDB's read of the same file (fail-closed restoration path)."""
+def test_timestamp_read_matches_duckdb(spark):
+    """events.ts must come back as a microsecond timestamp type whose
+    values equal DuckDB's read of the same file.  Current testdata is
+    TIMESTAMP(MICROS) → TIMESTAMP_NTZ natively (naive wall time, same as
+    DuckDB); a legacy TIMESTAMP(NANOS) file would take the
+    nanosAsLong+restore path and land on TIMESTAMP instead."""
     import duckdb
 
     from cs186_query_optimization_project_spark.database import Database
 
     db = Database(spark, "/root/testdata/sf0.001")
     got = db.table("events").select("event_id", "ts")
-    assert got.schema["ts"].dataType.typeName() == "timestamp"
+    assert got.schema["ts"].dataType.typeName() in (
+        "timestamp", "timestamp_ntz")
     spark_rows = {r["event_id"]: r["ts"] for r in got.limit(50).collect()}
     ids = ",".join(str(i) for i in spark_rows)
     duck = duckdb.sql(
