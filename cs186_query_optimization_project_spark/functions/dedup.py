@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cs186_query_optimization_project_spark.functions.text import shingles
 from cs186_query_optimization_project_spark.parallel import ensure_parallelism
@@ -346,6 +347,18 @@ def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
     labels = (edges.select(F.col("u").alias("id")).distinct()
               .withColumn("cluster_id", F.col("id"))
               .localCheckpoint())
+
+    def label_sum(frame) -> object:
+        # exact decimal sum — labels only ever decrease, so the total
+        # strictly decreases iff ANY label changed; one aggregation on
+        # the checkpointed frame replaces a join+filter+count per round
+        # (decimal, not long: a billion-node graph with 64-bit ids would
+        # overflow a long sum)
+        return frame.agg(F.sum(F.col("cluster_id")
+                               .cast(T.DecimalType(38, 0)))
+                         .alias("s")).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["v"] == labels["id"])
                  .groupBy("u").agg(F.min("cluster_id").alias("neigh_min")))
@@ -356,11 +369,9 @@ def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
                                               F.col("cluster_id")))
                            .alias("cluster_id"))
                    .localCheckpoint())
-        changed = (updated.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-                   .count())
         labels = updated
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.withColumnRenamed("id", "doc_id")

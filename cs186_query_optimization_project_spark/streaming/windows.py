@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: path -> inferred source schema; file stream sources need an explicit
+#: schema and re-inferring it per query construction costs a footer read
+_SCHEMA_CACHE: dict = {}
+
+
 def stream_events(spark, path: str) -> DataFrame:
     """Open the events parquet as a file stream (new files under ``path``
     are picked up incrementally — the local stand-in for a Kafka topic).
@@ -39,7 +44,10 @@ def stream_events(spark, path: str) -> DataFrame:
     """
     import os
 
-    schema = spark.read.parquet(path).schema
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
     reader = spark.readStream.format("parquet").schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
