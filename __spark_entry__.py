@@ -864,8 +864,10 @@ def q_lang_id(spark, sf_dir):
 
 def q_minhash_near_dups(spark, sf_dir):
     """Near-dup detection demo: plant perturbed copies (one word appended,
-    ids offset by 1e6), then run the full MinHash-LSH pipeline.  Not
-    SQL-expressible (xxhash64 signatures) → rows-only driver check."""
+    ids offset by 1e6), then run the full MinHash-LSH pipeline.  The
+    portable md5-based hash family makes the signatures (hence buckets,
+    hence the exact pair set) reproducible in ANSI SQL — fully
+    oracle-checked, not rows-only."""
     db = _db(spark, sf_dir)
     corpus = _planted_docs(db)
     pairs = dedup.minhash_near_duplicates(corpus, threshold=0.5)
@@ -1275,6 +1277,38 @@ def oracle_sql() -> dict[str, str]:
         "        AS toks FROM corpus))")
     jacc = ("len(list_intersect(a.s, b.s))::DOUBLE "
             "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))")
+    # MinHash-LSH re-encoded in DuckDB SQL: the engine uses the portable
+    # md5-top-60-bits base hash (dedup._PORTABLE_BASE_HASH) precisely so
+    # the signatures — and therefore the LSH buckets and the final pair
+    # set — are bit-reproducible here.  Affine (a_i, b_i) constants are
+    # inlined from the same generator the Spark side uses.
+    from cs186_query_optimization_project_spark.functions.dedup import (
+        _PRIME, _affine_params)
+    mh_params = _affine_params(32, 42)
+    rows_per_band = 32 // 8
+    mh_mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(mh_params))
+    mh_bands = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, md5({key}) AS bh FROM sig".format(
+            band=band,
+            key="||','||".join(
+                f"m{band * rows_per_band + j}::VARCHAR"
+                for j in range(rows_per_band)))
+        for band in range(8))
+    minhash_sql = (
+        f"WITH {ngram_sh}, "
+        f"hx AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15))"
+        f"::UBIGINT % {_PRIME} AS BIGINT) AS h "
+        f"FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)), "
+        f"sig AS (SELECT doc_id, {mh_mins} FROM hx GROUP BY doc_id), "
+        f"banded AS ({mh_bands}), "
+        f"cand AS (SELECT DISTINCT l.doc_id AS ca, r.doc_id AS cb "
+        f"FROM banded l JOIN banded r "
+        f"ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id) "
+        f"SELECT ca AS a, cb AS b, round({jacc}, 6) AS jaccard "
+        f"FROM cand JOIN sh a ON a.doc_id = ca JOIN sh b ON b.doc_id = cb "
+        f"WHERE {jacc} >= 0.5")
     return {
         "scan": "SELECT * FROM region",
         "filter_eq": ("SELECT c_custkey, c_name FROM customer "
@@ -1687,7 +1721,7 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens "
             "FROM documents"),
-        # minhash_near_dups / simhash_near_dups / embedding_ann_lsh /
-        # embedding_ann_ivf / embedding_similar_pairs:
-        # engine-hash-dependent → rows-only check
+        "minhash_near_dups": minhash_sql,
+        # simhash_near_dups / embedding_ann_lsh / embedding_ann_ivf /
+        # embedding_similar_pairs: engine-hash-dependent → rows-only check
     }

@@ -80,14 +80,27 @@ def _affine_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
+#: Portable per-shingle base hash: the top 60 bits of md5 as an integer,
+#: mod _PRIME.  Every engine with md5/substr/hex-to-int reproduces it
+#: bit-for-bit (DuckDB: ``('0x'||substr(md5(s),1,15))::UBIGINT % p``),
+#: which is what makes the whole MinHash pipeline oracle-checkable.
+#: xxhash64 is ~2-4x cheaper per call but Spark-specific.
+_PORTABLE_BASE_HASH = ("pmod(cast(conv(substr(md5({col}), 1, 15), 16, 10) "
+                       "as bigint), {p})")
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       n_hashes: int = 32, seed: int = 42) -> DataFrame:
+                       n_hashes: int = 32, seed: int = 42,
+                       hash_family: str = "portable") -> DataFrame:
     """(id, signature array<long>[n_hashes]) via JVM array expressions.
 
-    Per-shingle base hash = pmod(xxhash64, p) (JVM).  h_i = min over
-    shingles of (a_i·h + b_i) mod p.  All intermediates < 2^60 so ANSI
-    arithmetic never overflows.
+    Per-shingle base hash: ``portable`` (default) = top-60-bits-of-md5
+    mod p — reproducible in ANSI SQL, so the signatures (and therefore
+    the LSH buckets and final pair set) can be verified by an external
+    engine; ``xxhash64`` = Spark's native hash, cheapest per shingle.
+    h_i = min over shingles of (a_i·h + b_i) mod p.  All intermediates
+    < 2^60 so ANSI arithmetic never overflows.
 
     Shape: explode shingles → hash each ONCE → groupBy(id) with n_hashes
     min-aggregates.  A flat array-expression version (array_min over
@@ -98,10 +111,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     but hashes each shingle exactly once, and map-side partial min
     aggregation keeps the shuffle tiny (n_hashes longs per id per
     partition)."""
+    if hash_family == "portable":
+        base = _PORTABLE_BASE_HASH.format(col="__s", p=_PRIME)
+    elif hash_family == "xxhash64":
+        base = f"pmod(xxhash64(__s), {_PRIME})"
+    else:
+        raise ValueError(f"unknown hash_family '{hash_family}' "
+                         f"(expected 'portable' or 'xxhash64')")
     hashed = (df.select(F.col(id_col),
                         F.explode(shingles(text_col, k)).alias("__s"))
-              .select(F.col(id_col),
-                      F.expr(f"pmod(xxhash64(__s), {_PRIME})").alias("__h")))
+              .select(F.col(id_col), F.expr(base).alias("__h")))
     aggs = [
         F.min(F.expr(f"pmod(__h * {a} + {b}, {_PRIME})")).alias(f"__m{i}")
         for i, (a, b) in enumerate(_affine_params(n_hashes, seed))
@@ -113,17 +132,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        n_bands: int = 8) -> DataFrame:
+                        n_bands: int = 8,
+                        hash_family: str = "portable") -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash).
 
     Output: distinct (a, b) with a < b.  The explode produces n_bands rows
     per doc; the join shuffles on the band hash — the scalable LSH shape
-    (no all-pairs comparison anywhere)."""
+    (no all-pairs comparison anywhere).  ``portable`` band keys are md5
+    of the band's comma-joined minhash values (engine-reproducible,
+    16-byte keys); ``xxhash64`` keys are 8 bytes and Spark-only."""
+    band_fn = "md5" if hash_family == "portable" else "xxhash64"
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.expr(f"transform(sequence(0, {n_bands - 1}), "
-                   f"b -> xxhash64(concat_ws(',', slice(signature, "
+                   f"b -> {band_fn}(concat_ws(',', slice(signature, "
                    f"b * (size(signature) div {n_bands}) + 1, "
                    f"size(signature) div {n_bands}))))")
         ).alias("band", "band_hash"))
@@ -169,17 +192,21 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 3,
                             n_hashes: int = 32, n_bands: int = 8,
                             threshold: float = 0.8,
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42,
+                            hash_family: str = "portable") -> DataFrame:
     """Full pipeline: signatures → LSH buckets → candidate pairs → exact
-    Jaccard verification."""
+    Jaccard verification.  With the default portable hash family the
+    whole pipeline is deterministic AND reproducible in ANSI SQL, so an
+    external engine can verify the exact pair set."""
     if n_bands > n_hashes:
         raise ValueError(
             f"n_bands ({n_bands}) > n_hashes ({n_hashes}): bands would be "
             f"empty, every doc would share every bucket, and the candidate "
             f"join would degenerate into an all-pairs cross product")
     df = ensure_parallelism(df, id_col)
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands)
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, seed,
+                              hash_family)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, hash_family)
     return jaccard_verify(df, pairs, text_col, id_col, k, threshold)
 
 
@@ -238,30 +265,48 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #
+def simhash_bits(hash_family: str) -> int:
+    """Signature width per hash family: the portable md5-top-60-bits base
+    hash yields 60 usable bits (15 hex chars — 16 would overflow a signed
+    long in the engines' hex→int casts); xxhash64 yields the full 64."""
+    return 60 if hash_family == "portable" else 64
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens, fully JVM-side.
+                       id_col: str = "doc_id",
+                       hash_family: str = "portable") -> DataFrame:
+    """60/64-bit SimHash over word tokens, fully JVM-side.
 
     For each bit position, sum (+1/−1) of the token hashes' bit values;
     the signature bit is the sum's sign.  Shape: explode tokens → hash
-    each once → 64 sum-aggregates with map-side partial aggregation (see
-    minhash_signatures for why explode+agg beats per-row array lambdas)."""
+    each once → n_bits sum-aggregates with map-side partial aggregation
+    (see minhash_signatures for why explode+agg beats per-row array
+    lambdas).  The ``portable`` family (default) makes signatures
+    reproducible in ANSI SQL — see _PORTABLE_BASE_HASH."""
+    n_bits = simhash_bits(hash_family)
+    if hash_family == "portable":
+        base = ("cast(conv(substr(md5(__t), 1, 15), 16, 10) as bigint)")
+    elif hash_family == "xxhash64":
+        base = "xxhash64(__t)"
+    else:
+        raise ValueError(f"unknown hash_family '{hash_family}'")
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(F.col(text_col), r"\s+"))
                       .alias("__t"))
-            .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
+            .select(F.col(id_col), F.expr(base).alias("__h")))
     # bit b contribution: sum over tokens of (2*((h >> b) & 1) - 1)
     bit_cols = [
         F.sum(F.expr(f"CASE WHEN (__h >> {b}) & 1 = 1 THEN 1 ELSE -1 END"))
         .alias(f"__b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     with_bits = toks.groupBy(id_col).agg(*bit_cols)
     # shiftleft(1L, b) instead of a literal 1<<b: bit 63 as a Python int
     # literal (2^63) exceeds Long.MAX_VALUE; the JVM shift wraps to the
-    # sign bit, which is exactly the bit pattern we want
+    # sign bit, which is exactly the bit pattern we want (xxhash64 family
+    # only — the portable family stops at bit 59)
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sig = sig + F.when(
             F.col(f"__b{b}") > 0,
             F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0))
@@ -270,24 +315,27 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
-                            max_hamming: int = 3) -> DataFrame:
-    """Manku-style banding: split the 64-bit signature into
-    ``max_hamming + 1`` chunks — by pigeonhole, any pair within Hamming
-    distance ≤ max_hamming shares at least one exact chunk → bucket-join
-    on (chunk_idx, chunk_value), then exact Hamming filter via
+                            max_hamming: int = 3,
+                            hash_family: str = "portable") -> DataFrame:
+    """Manku-style banding: split the signature into ``max_hamming + 1``
+    chunks — by pigeonhole, any pair within Hamming distance ≤
+    max_hamming shares at least one exact chunk → bucket-join on
+    (chunk_idx, chunk_value), then exact Hamming filter via
     bit_count(xor).  Chunk count scales with the threshold so candidate
     recall is guaranteed for ANY max_hamming (a fixed 4-chunk split would
     silently miss pairs at max_hamming ≥ 4)."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bits = simhash_bits(hash_family)
+    if not 0 <= max_hamming <= n_bits - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bits - 1}], got {max_hamming}")
     df = ensure_parallelism(df, id_col)
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, hash_family)
     n_chunks = max_hamming + 1
-    base = 64 // n_chunks
+    base = n_bits // n_chunks
     chunk_exprs = []
     for c in range(n_chunks):
         off = c * base
-        width = base if c < n_chunks - 1 else 64 - off
+        width = base if c < n_chunks - 1 else n_bits - off
         if width >= 64:
             val = F.col("simhash")
         else:
