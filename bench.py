@@ -67,7 +67,7 @@ def main() -> None:
         timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    result = {
         "metric": f"suite_total_{sf_label}",
         "value": total,
         "unit": "sec",
@@ -75,7 +75,18 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "runs_per_query": runs,
-    }))
+    }
+    line = json.dumps(result)
+    # Persist to a file so the result survives even if stdout is
+    # truncated, and stop Spark BEFORE printing so no trailing JVM log
+    # lines land after the JSON — the driver parses the LAST stdout line.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

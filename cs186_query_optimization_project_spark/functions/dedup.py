@@ -11,8 +11,10 @@ Four families (SURVEY.md §7 phase 6; all additive over the reference):
   expressions + one shuffle per groupBy/join; no Python in the hot path.
   This is the standard near-dup pipeline (Broder '97; used by every LLM
   data pipeline since GPT-3).
-- **SimHash**: 64-bit signature whose Hamming neighbors are near-dups;
-  banded into 4 × 16-bit chunks for bucketing (Charikar '02, Manku '07).
+- **SimHash**: 60-bit portable signature (default; 64-bit with the
+  xxhash64 family) whose Hamming neighbors are near-dups; Manku-style
+  banding into ``max_hamming + 1`` chunks guarantees candidate recall at
+  any threshold (Charikar '02, Manku '07).
 - **n-gram Jaccard**: exact pairwise Jaccard on shingle sets *within LSH
   buckets only* — never all-pairs; the bucket join bounds the quadratic
   term.
@@ -360,6 +362,79 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
              .distinct()
              .filter(F.col("hamming") <= max_hamming))
     return pairs
+
+
+def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
+                            dst: str = "b",
+                            max_iter: int = 25) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) → same ``(doc_id, cluster_id)``
+    contract as :func:`duplicate_clusters`.
+
+    :func:`duplicate_clusters`' min-label propagation converges in
+    graph-*diameter* rounds — fine for near-dup clusters (dense, shallow)
+    but O(n) rounds on an adversarial path graph.  The star operations
+    instead contract whole neighborhoods toward their minimum each round:
+
+    - **large-star**: every node links its larger neighbors directly to
+      the smallest node in its closed neighborhood;
+    - **small-star**: every node re-links its smaller neighbors (and
+      itself) to that minimum.
+
+    Each round is two groupBy-min + join passes over the edge set, and
+    the edge set only ever shrinks toward a forest of stars centered at
+    component minima, reached in O(log n) rounds on ANY graph shape.
+
+    Convergence is detected by exact set equality (anti-join emptiness) —
+    one extra bounded action per round, cheap because rounds are few.
+    """
+    sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionByName(pairs.select(F.col(dst).alias("u"),
+                                     F.col(src).alias("v")))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    nodes = sym.select(F.col("u").alias("id")).distinct().localCheckpoint()
+    # orient larger→smaller: (big, small); the algorithm's invariant
+    edges = (sym.filter(F.col("u") > F.col("v"))
+             .localCheckpoint())
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        """(v, m) for every neighbor v > u, m = min of closed nbhd."""
+        s = e.unionByName(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+        m = (s.groupBy("u").agg(F.min("v").alias("__mn"))
+             .select(F.col("u"),
+                     F.least(F.col("__mn"), F.col("u")).alias("m")))
+        return (s.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        """Re-link smaller neighbors (and self) to the neighborhood min;
+        input/output both oriented larger→smaller."""
+        m = (e.groupBy("u").agg(F.min("v").alias("m")))
+        return (e.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        # set equality: both difference directions empty ⇒ fixed point
+        changed = (not nxt.exceptAll(edges).isEmpty()
+                   or not edges.exceptAll(nxt).isEmpty())
+        edges = nxt
+        if not changed:
+            break
+    # at the fixed point every non-minimum node has exactly the edge
+    # (node → component min); minima have no outgoing edge
+    return (nodes.join(edges, nodes["id"] == edges["u"], "left")
+            .select(nodes["id"].alias("doc_id"),
+                    F.coalesce(F.col("v"), nodes["id"]).alias("cluster_id")))
 
 
 def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",

@@ -58,3 +58,27 @@ def stratified_sample(df: DataFrame, strata_col: str,
     of the rows with ``strata_col = v`` and drops strata not listed.
     At scale this is a map-only pass — no shuffle, no collected state."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def hash_stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                           fractions: dict[object, float],
+                           salt: str = "") -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its md5 bucket (of
+    ``id_col``, in [0, 1000)) falls under ``fractions[stratum] * 1000``.
+
+    Same reproducibility argument as :func:`hash_split` vs ``randomSplit``:
+    ``sampleBy``'s seeded draw depends on row order *within partitions*,
+    so a repartition — or a different executor count — silently reselects
+    the sample.  Hash membership depends only on the row's id, survives
+    any relayout, and is replayable bit-for-bit by any engine with md5
+    (which also makes it oracle-checkable).  Strata not listed are
+    dropped, matching ``sampleBy``.  Fractions are quantized to 1/1000."""
+    for v, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {v!r} must be in "
+                             f"[0, 1], got {frac}")
+    bucket = hash_bucket(id_col, 1000, salt)
+    thresh = F.create_map(*[
+        x for v, frac in fractions.items()
+        for x in (F.lit(v), F.lit(int(round(frac * 1000))))])
+    return df.filter(bucket < thresh[F.col(strata_col)])

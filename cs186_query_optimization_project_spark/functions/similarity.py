@@ -162,12 +162,19 @@ def ivf_centroids(df: DataFrame, n_cells: int = 16,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> list[list[float]]:
     """Deterministic centroid pick: the n_cells corpus vectors with the
-    smallest xxhash64(id) — a seedless reservoir that is stable across
-    partitionings.  (A KMeans refinement would sharpen recall; the IVF
-    *plumbing* — assignment, cell pruning, probe — is identical.)  The
-    collect is bounded by n_cells, never corpus-sized."""
+    smallest *portable* hash of their id (top 60 bits of md5 — the same
+    family dedup.py uses) — a seedless reservoir that is stable across
+    partitionings AND reproducible in ANSI SQL (DuckDB:
+    ``('0x'||substr(md5(id::VARCHAR),1,15))::UBIGINT``), which is what
+    lets an external oracle re-derive the centroid list and verify the
+    whole IVF pipeline end-to-end.  (A KMeans refinement would sharpen
+    recall; the IVF *plumbing* — assignment, cell pruning, probe — is
+    identical.)  The collect is bounded by n_cells, never corpus-sized."""
+    phash = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) "
+        f"as bigint)")
     rows = (df.select(F.col(vec_col))
-            .orderBy(F.xxhash64(F.col(id_col)))
+            .orderBy(phash, F.col(id_col))
             .limit(n_cells).collect())
     return [[float(v) for v in r[0]] for r in rows]
 

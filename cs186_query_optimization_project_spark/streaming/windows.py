@@ -24,9 +24,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: path -> inferred source schema; file stream sources need an explicit
-#: schema and re-inferring it per query construction costs a footer read
+#: (path, mtime_ns) -> inferred source schema; file stream sources need
+#: an explicit schema and re-inferring it per query construction costs a
+#: footer read.  Keyed on the source's mtime so a regenerated file with a
+#: changed schema is re-inferred instead of silently served stale.
 _SCHEMA_CACHE: dict = {}
+
+#: schema served when the source directory has no files yet — a stream is
+#: allowed to start before its producer writes anything (Kafka-stand-in
+#: contract); matches the testdata events table
+_DEFAULT_EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts", T.TimestampNTZType()),
+    T.StructField("value", T.DoubleType()),
+])
 
 
 def stream_events(spark, path: str) -> DataFrame:
@@ -40,14 +53,32 @@ def stream_events(spark, path: str) -> DataFrame:
     stream tracks the table's real types (``ts`` is TIMESTAMP_NTZ on
     current testdata; an older TIMESTAMP(NANOS) file surfacing as long
     under ``nanosAsLong`` gets the same micros restore the batch path
-    applies).
+    applies).  An empty/not-yet-written source falls back to the default
+    events schema so the stream can start before its producer.
+
+    Event time must be wall-clock-stable: watermarks reject
+    TIMESTAMP_NTZ, and a bare cast to TIMESTAMP reinterprets wall time
+    through ``spark.sql.session.timeZone`` — on a non-UTC session the
+    window boundaries would shift vs. the batch/oracle path, and DST
+    fall-back wall times are ambiguous.  So the session timezone is
+    pinned to UTC here (the same move ``Database`` makes for
+    ``nanosAsLong``: required confs are asserted on ANY session handed
+    in, vanilla or not), making NTZ→TIMESTAMP a bijection.
     """
     import os
 
-    schema = _SCHEMA_CACHE.get(path)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, None)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:  # no files yet — start on the default schema
+            schema = _DEFAULT_EVENTS_SCHEMA
+        _SCHEMA_CACHE[key] = schema
     reader = spark.readStream.format("parquet").schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
@@ -58,8 +89,8 @@ def stream_events(spark, path: str) -> DataFrame:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
         # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
-        # on NTZ).  The cast maps wall time through the session timezone
-        # and collection maps it back, so observed values round-trip.
+        # on NTZ).  Under the UTC session timezone pinned above the cast
+        # is wall-time-preserving and unambiguous.
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 

@@ -42,6 +42,32 @@ def test_hash_split_rejects_degenerate_pct(docs):
         sampling.hash_split(docs, "doc_id", train_pct=100)
 
 
+def test_hash_stratified_sample_deterministic(docs):
+    kwargs = dict(strata_col="lang", id_col="doc_id",
+                  fractions={"en": 0.3, "de": 1.0})
+    a = {r.doc_id for r in
+         sampling.hash_stratified_sample(docs, **kwargs).collect()}
+    # partition relayout must not reselect the sample (unlike sampleBy)
+    b = {r.doc_id for r in
+         sampling.hash_stratified_sample(docs.repartition(13), **kwargs)
+         .collect()}
+    assert a == b
+    total = {r.lang: r["count"]
+             for r in docs.groupBy("lang").count().collect()}
+    kept = {r.lang: r["count"]
+            for r in sampling.hash_stratified_sample(docs, **kwargs)
+            .groupBy("lang").count().collect()}
+    assert kept.get("de", 0) == total["de"]          # fraction 1.0 = keep all
+    assert 0 < kept.get("en", 0) < total["en"]       # downsampled, nonempty
+    assert set(kept) <= {"en", "de"}                 # unlisted strata dropped
+
+
+def test_hash_stratified_sample_rejects_bad_fraction(docs):
+    with pytest.raises(ValueError):
+        sampling.hash_stratified_sample(docs, "lang", "doc_id",
+                                        {"en": 1.5})
+
+
 def test_stratified_sample_downsamples_named_stratum(docs):
     total = {r.lang: r["count"]
              for r in docs.groupBy("lang").count().collect()}
