@@ -285,6 +285,60 @@ def q_dml_lifecycle(spark, sf_dir):
     return out
 
 
+def q_txn_snapshot_isolation(spark, sf_dir):
+    """Concurrency driver row (SURVEY §2.12, behavioral surface of
+    ``TestLockManager.java`` / ``TestDeadlockPrevention.java``): two
+    optimistic transactions write the same table.
+
+    - t1 and t2 begin on the same published version; t1 tags rows and
+      commits first.
+    - Snapshot isolation: t2 must still read the PRE-t1 state after t1's
+      commit (asserted — a leak fails the query, hence the driver row).
+    - First-committer-wins: t2's commit must raise ConflictException
+      (the deadlock-victim analog of the reference's waits-for
+      prevention: abort-and-retry instead of block-and-refuse).
+    - The retry on a fresh snapshot serializes after t1, so the final
+      table equals the serial schedule t1;t2 — which is exactly what the
+      oracle replays in SQL."""
+    import os
+    import shutil
+
+    from cs186_query_optimization_project_spark.errors import (
+        ConflictException,
+    )
+
+    db = _db(spark, sf_dir)
+    parent = f"/tmp/spark_graft_txn_{os.getuid()}"
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    base = os.path.join(parent, _tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    db.create_table("nation_txn", db.table("nation"), f"{base}/nation",
+                    mode="overwrite")
+
+    t1 = db.begin()
+    t2 = db.begin()
+    t1.update_rows("nation_txn", F.col("n_regionkey") == 2,
+                   {"n_name": F.concat(F.col("n_name"), F.lit("~t1"))})
+    t2.delete_rows("nation_txn", F.col("n_nationkey") >= 20)
+    t1.commit()
+    leaked = (t2.table("nation_txn")
+              .filter(F.col("n_name").endswith("~t1")).count())
+    assert leaked == 0, "t2's snapshot saw t1's post-pin commit"
+    try:
+        t2.commit()
+        raise AssertionError("second committer must hit ConflictException")
+    except ConflictException:
+        pass
+    t3 = db.begin()  # the retry: fresh snapshot includes t1's update
+    t3.delete_rows("nation_txn", F.col("n_nationkey") >= 20)
+    t3.commit()
+
+    out = db.table("nation_txn").select("n_nationkey", "n_name",
+                                        "n_regionkey")
+    db.drop_table("nation_txn")
+    return out
+
+
 def q_distinct(spark, sf_dir):
     return (_db(spark, sf_dir).query("customer")
             .select("c_nationkey", "c_mktsegment").distinct().execute())
@@ -625,16 +679,43 @@ def q_quantiles_approx(spark, sf_dir):
     """Scale path for percentiles: ``approx_percentile`` is a
     Greenwald–Khanna sketch — per-group memory is O(accuracy), partials
     merge map-side, nothing buffers the full value list.  accuracy=10000
-    bounds rank error at 1/10000 of the group.  Rows-only check: the
-    sketch's answer is implementation-defined, so no value oracle —
-    the exact entry above is the correctness anchor."""
+    bounds rank error at 1/10000 of the group.
+
+    The sketch's exact answer is implementation-defined, so the checkable
+    contract is the RANK GUARANTEE itself: the returned value's rank
+    interval [#values < v, #values ≤ v] must overlap the target quantile
+    ± the accuracy bound (2/10000 here, 2× slack against boundary
+    arithmetic).  The query emits that check per group as booleans and
+    the oracle asserts them all true — a sketch regression (or a broken
+    merge) flips a row to false and hash-mismatches."""
+    eps = 2.0 / 10000
     db = _db(spark, sf_dir)
-    return (db.table("lineitem")
-            .groupBy("l_returnflag")
-            .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-                 .alias("median_price"),
-                 F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
-                 .alias("p90_price")))
+    li = db.table("lineitem").select("l_returnflag", "l_extendedprice")
+    approx = (li.groupBy("l_returnflag")
+              .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                   .alias("m50"),
+                   F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
+                   .alias("m90")))
+    # one broadcast join + one aggregation computes both rank intervals
+    j = li.join(F.broadcast(approx), "l_returnflag")
+    ranks = (j.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("l_extendedprice")
+                               < F.col("m50"), 1).otherwise(0)).alias("lt50"),
+                  F.sum(F.when(F.col("l_extendedprice")
+                               <= F.col("m50"), 1).otherwise(0)).alias("le50"),
+                  F.sum(F.when(F.col("l_extendedprice")
+                               < F.col("m90"), 1).otherwise(0)).alias("lt90"),
+                  F.sum(F.when(F.col("l_extendedprice")
+                               <= F.col("m90"), 1).otherwise(0)).alias("le90")))
+    return ranks.select(
+        "l_returnflag",
+        ((F.col("lt50") / F.col("n") <= 0.5 + eps)
+         & (F.col("le50") / F.col("n") >= 0.5 - eps))
+        .alias("median_rank_ok"),
+        ((F.col("lt90") / F.col("n") <= 0.9 + eps)
+         & (F.col("le90") / F.col("n") >= 0.9 - eps))
+        .alias("p90_rank_ok"))
 
 
 _BUCKETED_READY: set[str] = set()
@@ -976,6 +1057,18 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clustering contract as ``dedup_clusters`` but via alternating
+    large-star/small-star contraction (Kiveris et al., SoCC'14): O(log n)
+    rounds on ANY graph shape vs. min-label's O(diameter) — the variant
+    for adversarially deep duplicate graphs at 100 TB.  Output is
+    identical (cluster_id = min reachable id), so it shares the
+    recursive-CTE oracle."""
+    db = _db(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(_planted_docs(db), threshold=0.6)
+    return dedup.duplicate_clusters_star(pairs)
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counting per document."""
     db = _db(spark, sf_dir)
@@ -996,17 +1089,24 @@ def q_train_test_split(spark, sf_dir):
 
 def q_stratified_sample(spark, sf_dir):
     """Per-language stratified sample (class rebalancing): downsample the
-    dominant language, keep the rest.  Rows-only check — the seeded
-    Bernoulli draw depends on partition-internal row order."""
+    dominant language, keep the rest — via deterministic md5-bucket
+    membership (``hash_stratified_sample``), so the selection is
+    partition-layout-independent AND bit-replayable by the SQL oracle.
+    (The seeded ``sampleBy`` Bernoulli variant stays in the library for
+    approximate rebalancing; its draw depends on partition-internal row
+    order, which is why it was rows-only checked before.)"""
     db = _db(spark, sf_dir)
-    return (sampling.stratified_sample(
-        db.table("documents"), "lang",
-        {"en": 0.3, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0}, seed=7)
+    return (sampling.hash_stratified_sample(
+        db.table("documents"), "lang", "doc_id",
+        {"en": 0.3, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0})
         .select("doc_id", "lang"))
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs over the same planted corpus (rows-only)."""
+    """SimHash near-dup pairs over the same planted corpus.  The portable
+    60-bit signature exists precisely so this is fully oracle-checkable:
+    the DuckDB SQL re-derives signatures, Manku chunks, candidate
+    buckets, and exact Hamming distances bit-for-bit."""
     db = _db(spark, sf_dir)
     corpus = _planted_docs(db)
     return dedup.simhash_near_duplicates(corpus, max_hamming=3)
@@ -1034,6 +1134,12 @@ def q_embedding_topk(spark, sf_dir):
 #: with the old layout
 _ANN_PARAMS = {"lsh": {"n_planes": 4}, "ivf": {"n_cells": 16}}
 
+#: bump when the index CONTENT semantics change without a parameter
+#: change (e.g. v2: ivf_centroids switched from xxhash64 to the portable
+#: md5 pick) — keeps a stale on-disk index from silently serving the old
+#: layout to a probe whose oracle assumes the new one
+_ANN_INDEX_VERSION = 2
+
 
 def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
     """Build-or-load the materialized ANN index for this corpus.
@@ -1055,7 +1161,8 @@ def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
     params = _ANN_PARAMS[kind]
     parent = f"/tmp/spark_graft_ann_{os.getuid()}"
     os.makedirs(parent, mode=0o700, exist_ok=True)
-    key = hashlib.md5(f"{kind}|{sorted(params.items())}|{fp}"
+    key = hashlib.md5(f"{kind}|v{_ANN_INDEX_VERSION}|"
+                      f"{sorted(params.items())}|{fp}"
                       .encode()).hexdigest()[:12]
     path = os.path.join(parent, f"{kind}_{_tag(sf_dir)}_{key}")
     idx = similarity.load_ann_index(path)
@@ -1071,21 +1178,25 @@ def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k over a MATERIALIZED index (rows-only:
-    bucket membership depends on the engine's deterministic hyperplanes,
-    not SQL-expressible).  The corpus is written once partitioned by
-    signature (4 hyperplanes → 16 buckets at sf0.01; at scale n_planes
-    grows with log2(corpus/target_bucket_size)); the probe's filter on the
-    partition column prunes the scan to one directory."""
+    """LSH-bucketed approximate top-k over a MATERIALIZED index.  The
+    corpus is written once partitioned by signature (4 hyperplanes → 16
+    buckets at sf0.01; at scale n_planes grows with
+    log2(corpus/target_bucket_size)); the probe's filter on the partition
+    column prunes the scan to one directory.  Fully oracle-checked: the
+    hyperplanes are a deterministic seeded stream and DuckDB's
+    list_dot_product reproduces the engine's projection fold bit-for-bit,
+    so the oracle re-derives the bucket and the exact top-10 within it."""
     idx = _ann_index(spark, sf_dir, "lsh")
     return similarity.lsh_probe(spark, idx, _query_vec(spark, sf_dir), k=10)
 
 
 def q_embedding_ann_ivf(spark, sf_dir):
-    """IVF-flat ANN over a MATERIALIZED index (rows-only: cell membership
-    depends on the engine's centroid pick, not SQL-expressible).  The
-    corpus is written once partitioned by nearest-centroid cell; the probe
-    reads the 4 nearest of 16 cells via partition pruning."""
+    """IVF-flat ANN over a MATERIALIZED index.  The corpus is written
+    once partitioned by nearest-centroid cell; the probe reads the 4
+    nearest of 16 cells via partition pruning.  Fully oracle-checked:
+    the portable-md5 centroid pick is re-derivable in SQL, so the oracle
+    replays centroid selection, cell assignment (first-index tie-break),
+    probe choice, and the exact top-10 end-to-end."""
     idx = _ann_index(spark, sf_dir, "ivf")
     return similarity.ivf_probe(spark, idx, _query_vec(spark, sf_dir),
                                 k=10, n_probe=4)
@@ -1095,7 +1206,10 @@ def q_embedding_similar_pairs(spark, sf_dir):
     """Embedding near-dup pairs.  The synthetic corpus has no natural
     near-dups (max pairwise cosine ≈ 0.51), so plant perturbed copies of
     every 10th vector (first component +0.05, ids offset by 1e6) and
-    find them via LSH buckets + cosine ≥ 0.9 (rows-only check)."""
+    find them via LSH buckets + cosine ≥ 0.9.  Oracle-checked: the
+    planted perturbation is float-exact in SQL and the 6-plane bucket
+    equality + rounded-cosine threshold reproduce the engine's pair set
+    bit-for-bit."""
     db = _db(spark, sf_dir)
     emb = db.table("embeddings")
     planted = (emb.filter(F.col("vec_id") % 10 == 0)
@@ -1112,68 +1226,15 @@ def q_embedding_similar_pairs(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  The prefix is therefore one entry per
-    # SURVEY.md §2 row plus the full streaming + LLM-pipeline blocks;
-    # redundant variants of already-covered rows sit below the fold (still
-    # registered, still benched, just not in the driver's 50-row window).
+    # entries in registry order.  Round-5 policy: the window is spent on
+    # the queries with the LEAST accumulated driver evidence — the 30
+    # registered-but-never-checked entries, the 4 that were no_oracle
+    # until this round, the 2 new entries, the streaming block (its
+    # source changed this round), and a small core of flagship anchors.
+    # The 32 entries proven green in CORRECTNESS_r04 and untouched since
+    # sit below the fold (still registered, still benched).
     return {
-        # reference parity (SURVEY §2.1–2.4)
-        "scan": q_scan,
-        "filter_eq": q_filter_eq,
-        "filter_range": q_filter_range,
-        "project": q_project,
-        "groupby_count": q_groupby_count,
-        "groupby_sum_avg": q_groupby_sum_avg,
-        "join_two": q_join_two,
-        "join_three_flagship": q_join_three_flagship,
-        "self_join_alias": q_self_join_alias,
-        "index_range_scan": q_index_range_scan,
-        "lookup_key": q_lookup_key,
-        "contains_key": q_contains_key,
-        "grace_hash_join": q_grace_hash_join,
-        "broadcast_join": q_broadcast_join,
-        # sources / sinks
-        "csv_source": q_csv_source,
-        "indexed_write_scan": q_indexed_write_scan,
-        "dml_lifecycle": q_dml_lifecycle,
-        # additive relational (SURVEY §2.5–2.8)
-        "orderby_limit": q_orderby_limit,
-        "except": q_except,
-        "semi_join": q_semi_join,
-        "left_outer_join": q_left_outer_join,
-        "rollup": q_rollup,
-        "explode_array": q_explode_array,
-        "scalar_functions": q_scalar_functions,
-        "window_rank": q_window_rank,
-        "sessionize": q_sessionize,
-        "train_test_split": q_train_test_split,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "quantiles": q_quantiles,
-        "dedup_clusters": q_dedup_clusters,
-        "asof_join": q_asof_join,
-        # structured streaming (real readStream driven to completion)
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_session": q_streaming_session,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        "streaming_dedup": q_streaming_dedup,
-        # LLM-data-pipeline block
-        "multimodal_features": q_multimodal_features,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "token_counts": q_token_counts,
-        "embedding_topk": q_embedding_topk,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_similar_pairs": q_embedding_similar_pairs,
-        # ------------- below the driver's 50-row window ------------- #
-        # variants of rows already covered above
+        # --- never driver-checked before round 5 ---
         "time_window_agg": q_time_window_agg,
         "bucketed_join": q_bucketed_join,
         "streaming_sliding": q_streaming_sliding,
@@ -1197,15 +1258,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "pivot": q_pivot,
         "quantiles_approx": q_quantiles_approx,
-        "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
-        "streaming_interval_join": q_streaming_interval_join,
         "summary_stats": q_summary_stats,
         "unpivot": q_unpivot,
         "window_frame": q_window_frame,
         "collect_sorted": q_collect_sorted,
         "zorder_scan": q_zorder_scan,
         "streaming_enrich": q_streaming_enrich,
+        # --- no_oracle until round 5 (now fully oracle-checked) ---
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_similar_pairs": q_embedding_similar_pairs,
+        # --- new in round 5 ---
+        "txn_snapshot_isolation": q_txn_snapshot_isolation,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        # --- source code changed this round: re-verify ---
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_session": q_streaming_session,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+        "streaming_dedup": q_streaming_dedup,
+        "minhash_near_dups": q_minhash_near_dups,
+        # --- flagship anchors (keep continuously verified) ---
+        "scan": q_scan,
+        "join_three_flagship": q_join_three_flagship,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "dedup_clusters": q_dedup_clusters,
+        "asof_join": q_asof_join,
+        "dml_lifecycle": q_dml_lifecycle,
+        "embedding_topk": q_embedding_topk,
+        # ------------- below the driver's 50-row window ------------- #
+        # all green in CORRECTNESS_r04 and untouched since
+        "filter_eq": q_filter_eq,
+        "filter_range": q_filter_range,
+        "project": q_project,
+        "groupby_count": q_groupby_count,
+        "groupby_sum_avg": q_groupby_sum_avg,
+        "join_two": q_join_two,
+        "self_join_alias": q_self_join_alias,
+        "index_range_scan": q_index_range_scan,
+        "lookup_key": q_lookup_key,
+        "contains_key": q_contains_key,
+        "grace_hash_join": q_grace_hash_join,
+        "broadcast_join": q_broadcast_join,
+        "csv_source": q_csv_source,
+        "indexed_write_scan": q_indexed_write_scan,
+        "orderby_limit": q_orderby_limit,
+        "except": q_except,
+        "semi_join": q_semi_join,
+        "left_outer_join": q_left_outer_join,
+        "rollup": q_rollup,
+        "explode_array": q_explode_array,
+        "scalar_functions": q_scalar_functions,
+        "window_rank": q_window_rank,
+        "sessionize": q_sessionize,
+        "train_test_split": q_train_test_split,
+        "quantiles": q_quantiles,
+        "multimodal_features": q_multimodal_features,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_counts": q_token_counts,
     }
 
 
@@ -1255,6 +1372,61 @@ FROM (SELECT *, {lang_defs} FROM t)
 """
 
 
+#: FROZEN copy of dedup._affine_params(32, 42) — the oracle's
+#: independence from the engine's generator (see oracle_sql note).
+_MINHASH_AFFINE_32_SEED42 = [
+    (583350466, 142378351), (952521172, 876502179), (249989299, 789851165),
+    (162869062, 124583475), (571960639, 305229986), (277094826, 450939966),
+    (23527377, 920453611), (317285309, 818140468), (986594755, 75546018),
+    (883334098, 982039103), (900826638, 287678152), (77583870, 745719891),
+    (287298359, 82767796), (977223290, 909634511), (493840144, 897530700),
+    (513827471, 645587132), (690418846, 313383925), (290058267, 522671167),
+    (882325109, 659681338), (835568379, 918001331), (563655137, 231334905),
+    (593662787, 226427601), (905528997, 606369966), (842747702, 280579632),
+    (330248533, 732559832), (346420244, 339625070), (131745421, 241675048),
+    (666768180, 80764966), (763917881, 246210665), (314684960, 666299036),
+    (429909205, 842389730), (849569558, 277803767),
+]
+
+#: md5-of-repr checksums of similarity._hyperplanes(64, n, 42) for the
+#: plane counts the ANN entries use.  The ANN oracles inline the plane
+#: values as SQL literals (640 doubles — generated, not hand-frozen);
+#: these digests pin the generator's output so a generator change breaks
+#: the oracle construction LOUDLY instead of silently mirroring into it.
+_HYPERPLANE_MD5 = {
+    4: "abfdbe15e67e5129f56a1468edcde00f",
+    6: "31051120b0340378f051c43918e3c3c2",
+}
+
+
+def _frozen_hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
+    import hashlib
+
+    planes = similarity._hyperplanes(dim, n_planes, 42)
+    digest = hashlib.md5(repr(planes).encode()).hexdigest()
+    if digest != _HYPERPLANE_MD5[n_planes]:
+        raise AssertionError(
+            f"hyperplane generator drifted (n_planes={n_planes}: {digest}); "
+            f"the ANN oracles no longer describe the engine's buckets")
+    return planes
+
+
+def _sql_vec(vec: list[float]) -> str:
+    """A DOUBLE[] literal with full round-trip precision."""
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+
+def _lsh_sig_sql(planes: list[list[float]], vec_expr: str) -> str:
+    """Bit-pack sign-of-projection exactly as similarity.lsh_signature:
+    bit i set iff dot(v, plane_i) >= 0.  DuckDB's list_dot_product is
+    bit-identical to the engine's sequential double fold (verified over
+    the full corpus), so bucket membership reproduces exactly."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_sql_vec(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+
+
 def oracle_sql() -> dict[str, str]:
     lang_defs, lang_case = _lang_scores_sql()
     dec = "DECIMAL(18,4)"
@@ -1280,11 +1452,14 @@ def oracle_sql() -> dict[str, str]:
     # MinHash-LSH re-encoded in DuckDB SQL: the engine uses the portable
     # md5-top-60-bits base hash (dedup._PORTABLE_BASE_HASH) precisely so
     # the signatures — and therefore the LSH buckets and the final pair
-    # set — are bit-reproducible here.  Affine (a_i, b_i) constants are
-    # inlined from the same generator the Spark side uses.
-    from cs186_query_optimization_project_spark.functions.dedup import (
-        _PRIME, _affine_params)
-    mh_params = _affine_params(32, 42)
+    # set — are bit-reproducible here.  The affine (a_i, b_i) constants
+    # are FROZEN literals (n_hashes=32, seed=42 — the defaults the query
+    # uses), NOT imported from the engine: a bug in the engine's
+    # parameter generator must break the comparison, not mirror into the
+    # oracle.  tests/test_property_oracle.py asserts the engine still
+    # generates exactly these.
+    _PRIME = 1_000_000_007
+    mh_params = _MINHASH_AFFINE_32_SEED42
     rows_per_band = 32 // 8
     mh_mins = ", ".join(
         f"MIN((h * {a} + {b}) % {_PRIME}) AS m{i}"
@@ -1309,6 +1484,110 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT ca AS a, cb AS b, round({jacc}, 6) AS jaccard "
         f"FROM cand JOIN sh a ON a.doc_id = ca JOIN sh b ON b.doc_id = cb "
         f"WHERE {jacc} >= 0.5")
+    # SimHash re-encoded in DuckDB SQL (dedup.simhash_signatures /
+    # simhash_near_duplicates, portable family): 60-bit signature from
+    # per-bit ±1 sums of md5-top-60-bit token hashes, Manku banding into
+    # 4 × 15-bit chunks (max_hamming=3), exact bit_count(xor) verify.
+    planted_corpus = (
+        "corpus AS ("
+        "  SELECT doc_id, text FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000, text || ' appendix' FROM documents"
+        "  WHERE doc_id % 10 = 0)")
+    sh_bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60))
+    sh_sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(60))
+    simhash_sql = (
+        f"WITH {planted_corpus}, "
+        f"tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+        f"'\\s+')) AS t FROM corpus), "
+        f"hx AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15))"
+        f"::UBIGINT AS BIGINT) AS h FROM tok), "
+        f"bits AS (SELECT doc_id, {sh_bit_sums} FROM hx GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, CAST({sh_sig} AS BIGINT) AS s FROM bits), "
+        f"chunks AS (SELECT doc_id, s, c AS chunk, "
+        f"(s >> (c * 15)) & 32767 AS val "
+        f"FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)), "
+        f"cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, "
+        f"l.s AS ls, r.s AS rs FROM chunks l JOIN chunks r "
+        f"ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id) "
+        f"SELECT a, b, CAST(bit_count(xor(ls, rs)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(ls, rs)) <= 3")
+    # LSH ANN probe re-encoded: same 4 frozen hyperplanes → same bucket,
+    # exact top-10 within it (similarity.build_lsh_index + lsh_probe).
+    p4 = _frozen_hyperplanes(4)
+    lsh_sql = (
+        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings), "
+        f"s AS (SELECT vec_id, v, {_lsh_sig_sql(p4, 'v')} AS sig FROM e), "
+        f"q AS (SELECT v, sig FROM s WHERE vec_id = 0) "
+        f"SELECT s.vec_id, "
+        f"round(list_cosine_similarity(s.v, q.v), 6) AS cosine_sim "
+        f"FROM s, q WHERE s.sig = q.sig "
+        f"ORDER BY cosine_sim DESC, s.vec_id LIMIT 10")
+    # IVF ANN probe re-encoded end-to-end: centroid pick (16 smallest
+    # portable-md5 ids — similarity.ivf_centroids), nearest-centroid
+    # assignment with first-index tie-break (ivf_cell's array_position),
+    # 4-cell probe (_nearest_cells), exact top-10 within the probed cells.
+    ivf_sql = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "ph AS (SELECT vec_id, v, "
+        "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT AS hid "
+        "FROM e), "
+        "cents AS (SELECT row_number() OVER (ORDER BY hid, vec_id) - 1 "
+        "AS cidx, v AS cv, sqrt(list_dot_product(v, v)) AS cnorm "
+        "FROM ph ORDER BY hid, vec_id LIMIT 16), "
+        "assign AS (SELECT vec_id, v, cidx, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY dotn DESC, cidx) AS rn "
+        "FROM (SELECT p.vec_id, p.v, c.cidx, "
+        "list_dot_product(p.v, c.cv) / c.cnorm AS dotn "
+        "FROM e p CROSS JOIN cents c)), "
+        "cells AS (SELECT vec_id, v, cidx AS cell FROM assign WHERE rn = 1), "
+        "q AS (SELECT v, sqrt(list_dot_product(v, v)) AS qnorm FROM e "
+        "WHERE vec_id = 0), "
+        "probe AS (SELECT cidx FROM (SELECT c.cidx, row_number() OVER ("
+        "ORDER BY list_dot_product(q.v, c.cv) / (c.cnorm * q.qnorm) DESC, "
+        "c.cidx) AS pr FROM cents c, q) WHERE pr <= 4) "
+        "SELECT cells.vec_id, "
+        "round(list_cosine_similarity(cells.v, q.v), 6) AS cosine_sim "
+        "FROM cells, q WHERE cells.cell IN (SELECT cidx FROM probe) "
+        "ORDER BY cosine_sim DESC, cells.vec_id LIMIT 10")
+    # Embedding near-dup pairs re-encoded: planted float-exact perturbed
+    # copies, 6-plane bucket equality, cosine ≥ 0.9 on the rounded score
+    # (q_embedding_similar_pairs + similarity.similar_pairs).
+    p6 = _frozen_hyperplanes(6)
+    pairs_sql = (
+        f"WITH corpus AS ("
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        f"UNION ALL "
+        f"SELECT vec_id + 1000000, CAST("
+        f"[CAST(embedding[1] + 0.05::FLOAT AS FLOAT)] || embedding[2:] "
+        f"AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0), "
+        f"s AS (SELECT vec_id, v, {_lsh_sig_sql(p6, 'v')} AS sig "
+        f"FROM corpus), "
+        f"p AS (SELECT l.vec_id AS a, r.vec_id AS b, "
+        f"round(list_cosine_similarity(l.v, r.v), 6) AS cosine_sim "
+        f"FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id) "
+        f"SELECT a, b, cosine_sim FROM p WHERE cosine_sim >= 0.9")
+    clusters_sql = (
+        f"WITH RECURSIVE {ngram_sh}, "
+        f"pairs AS ("
+        f"  SELECT a.doc_id AS a, b.doc_id AS b "
+        f"  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"  WHERE {jacc} >= 0.6), "
+        f"und AS (SELECT a AS u, b AS v FROM pairs "
+        f"        UNION SELECT b, a FROM pairs), "
+        f"reach(id, comp) AS ("
+        f"  SELECT u, u FROM und"
+        f"  UNION"
+        f"  SELECT und.u, reach.comp FROM und "
+        f"  JOIN reach ON und.v = reach.id) "
+        f"SELECT id AS doc_id, MIN(comp) AS cluster_id "
+        f"FROM reach GROUP BY id")
     return {
         "scan": "SELECT * FROM region",
         "filter_eq": ("SELECT c_custkey, c_name FROM customer "
@@ -1700,21 +1979,8 @@ def oracle_sql() -> dict[str, str]:
             f"round({jacc}, 6) AS jaccard "
             f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             f"WHERE {jacc} >= 0.6"),
-        "dedup_clusters": (
-            f"WITH RECURSIVE {ngram_sh}, "
-            f"pairs AS ("
-            f"  SELECT a.doc_id AS a, b.doc_id AS b "
-            f"  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            f"  WHERE {jacc} >= 0.6), "
-            f"und AS (SELECT a AS u, b AS v FROM pairs "
-            f"        UNION SELECT b, a FROM pairs), "
-            f"reach(id, comp) AS ("
-            f"  SELECT u, u FROM und"
-            f"  UNION"
-            f"  SELECT und.u, reach.comp FROM und "
-            f"  JOIN reach ON und.v = reach.id) "
-            f"SELECT id AS doc_id, MIN(comp) AS cluster_id "
-            f"FROM reach GROUP BY id"),
+        "dedup_clusters": clusters_sql,
+        "dedup_clusters_star": clusters_sql,
         "token_counts": (
             "SELECT doc_id, "
             "len(regexp_split_to_array(text, '\\s+')) AS ws_tokens, "
@@ -1722,6 +1988,22 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens "
             "FROM documents"),
         "minhash_near_dups": minhash_sql,
-        # simhash_near_dups / embedding_ann_lsh / embedding_ann_ivf /
-        # embedding_similar_pairs: engine-hash-dependent → rows-only check
+        "simhash_near_dups": simhash_sql,
+        "embedding_ann_lsh": lsh_sql,
+        "embedding_ann_ivf": ivf_sql,
+        "embedding_similar_pairs": pairs_sql,
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT "
+            "% 1000 < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 1000 "
+            "WHEN 'zh' THEN 1000 WHEN 'fr' THEN 1000 WHEN 'es' THEN 1000 "
+            "ELSE -1 END"),
+        "quantiles_approx": (
+            "SELECT DISTINCT l_returnflag, TRUE AS median_rank_ok, "
+            "TRUE AS p90_rank_ok FROM lineitem"),
+        "txn_snapshot_isolation": (
+            "SELECT n_nationkey, "
+            "CASE WHEN n_regionkey = 2 THEN n_name || '~t1' "
+            "ELSE n_name END AS n_name, n_regionkey "
+            "FROM nation WHERE n_nationkey < 20"),
     }

@@ -92,3 +92,21 @@ def test_random_join_paths_agree(db, data):
         f"SELECT {out_col} FROM {left} "
         f"{sql_join[how]} {right} ON {lk} = {rk}")
     assert naive == want
+
+
+def test_frozen_oracle_constants_match_engine_generators():
+    """The oracle inlines FROZEN minhash affine params and pins the
+    hyperplane stream by checksum (oracle independence — a generator bug
+    must break the comparison, not mirror into the oracle).  This test
+    is the tripwire that the engine still generates exactly the frozen
+    values; if it fires, the generator changed semantics and the frozen
+    constants (and every signature on disk) are stale."""
+    import __spark_entry__ as entry
+    from cs186_query_optimization_project_spark.functions.dedup import (
+        _affine_params,
+    )
+
+    assert entry._MINHASH_AFFINE_32_SEED42 == _affine_params(32, 42)
+    # raises AssertionError on drift
+    assert len(entry._frozen_hyperplanes(4)) == 4
+    assert len(entry._frozen_hyperplanes(6)) == 6
