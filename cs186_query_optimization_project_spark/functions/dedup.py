@@ -274,29 +274,37 @@ def simhash_bits(hash_family: str) -> int:
     return 60 if hash_family == "portable" else 64
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id",
-                       hash_family: str = "portable") -> DataFrame:
-    """60/64-bit SimHash over word tokens, fully JVM-side.
+#: packed-counter lane layout: 2 bit-counters per aggregate long, 32 bits
+#: each.  32-bit lanes are overflow-proof by construction — a lane counts
+#: tokens of ONE document, and a document is a single Spark string value
+#: (hard 2 GiB limit), so its token count is < 2^31: the low lane can
+#: never carry into the high lane, and the high lane (count << 32, count
+#: < 2^31) never reaches the long's sign bit.  No routing, no cap, one
+#: scan.
+_LANES = 2
+_LANE_BITS = 32
 
-    For each bit position, sum (+1/−1) of the token hashes' bit values;
-    the signature bit is the sum's sign.  Shape: explode tokens → hash
-    each once → n_bits sum-aggregates with map-side partial aggregation
-    (see minhash_signatures for why explode+agg beats per-row array
-    lambdas).  The ``portable`` family (default) makes signatures
-    reproducible in ANSI SQL — see _PORTABLE_BASE_HASH."""
-    n_bits = simhash_bits(hash_family)
+
+def _simhash_base_expr(hash_family: str) -> str:
     if hash_family == "portable":
-        base = ("cast(conv(substr(md5(__t), 1, 15), 16, 10) as bigint)")
-    elif hash_family == "xxhash64":
-        base = "xxhash64(__t)"
-    else:
-        raise ValueError(f"unknown hash_family '{hash_family}'")
-    toks = (df.select(F.col(id_col),
+        return "cast(conv(substr(md5(__t), 1, 15), 16, 10) as bigint)"
+    if hash_family == "xxhash64":
+        return "xxhash64(__t)"
+    raise ValueError(f"unknown hash_family '{hash_family}'")
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str,
+            base: str) -> DataFrame:
+    return (df.select(F.col(id_col),
                       F.explode(F.split(F.col(text_col), r"\s+"))
                       .alias("__t"))
             .select(F.col(id_col), F.expr(base).alias("__h")))
-    # bit b contribution: sum over tokens of (2*((h >> b) & 1) - 1)
+
+
+def _simhash_wide(toks: DataFrame, id_col: str, n_bits: int) -> DataFrame:
+    """Reference shape: one ±1 sum-aggregate per bit (n_bits columns).
+    Kept as the independent cross-check for the packed shape (tests
+    assert identical signatures); not on the production path."""
     bit_cols = [
         F.sum(F.expr(f"CASE WHEN (__h >> {b}) & 1 = 1 THEN 1 ELSE -1 END"))
         .alias(f"__b{b}")
@@ -313,6 +321,55 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             F.col(f"__b{b}") > 0,
             F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0))
     return with_bits.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _simhash_packed(toks: DataFrame, id_col: str, n_bits: int) -> DataFrame:
+    """SWAR-packed shape: 2 bit-counters per aggregate long (32-bit
+    lanes), so 60 bits need 30 sum columns + 1 count instead of 60 —
+    half the partial-aggregation state and shuffle bytes per group at
+    bit-identical output (the win that matters at 1000 executors, where
+    partial aggs ride the shuffle).  See the lane-layout note above for
+    why 32-bit lanes cannot overflow."""
+    n_packs = -(-n_bits // _LANES)
+    pack_cols = [
+        F.sum(F.expr(" + ".join(
+            f"(((__h >> {p * _LANES + lane}) & 1) << {lane * _LANE_BITS})"
+            for lane in range(_LANES) if p * _LANES + lane < n_bits)))
+        .alias(f"__p{p}")
+        for p in range(n_packs)
+    ]
+    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"),
+                                   *pack_cols)
+    # bit b set iff 2 * count_of_ones(b) > n_tokens — exactly the sign
+    # of the wide path's ±1 sum (2c - n > 0), so signatures are
+    # bit-identical across the two shapes
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        count_b = F.expr(
+            f"(__p{b // _LANES} >> {(b % _LANES) * _LANE_BITS}) "
+            f"& {(1 << _LANE_BITS) - 1}")
+        sig = sig + F.when(
+            count_b * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       hash_family: str = "portable") -> DataFrame:
+    """60/64-bit SimHash over word tokens, fully JVM-side.
+
+    For each bit position the signature bit is the sign of the ±1 sum of
+    the token hashes' bit values.  Shape: explode tokens → hash each once
+    → SWAR-packed bit-count aggregation (:func:`_simhash_packed` — half
+    the aggregate columns/state of one-sum-per-bit, identical output,
+    overflow-proof by the 32-bit-lane argument).  The ``portable`` family
+    (default) makes signatures reproducible in ANSI SQL — see
+    _PORTABLE_BASE_HASH."""
+    n_bits = simhash_bits(hash_family)
+    base = _simhash_base_expr(hash_family)
+    return _simhash_packed(_tokens(df, text_col, id_col, base),
+                           id_col, n_bits)
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
@@ -386,8 +443,12 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
     the edge set only ever shrinks toward a forest of stars centered at
     component minima, reached in O(log n) rounds on ANY graph shape.
 
-    Convergence is detected by exact set equality (anti-join emptiness) —
-    one extra bounded action per round, cheap because rounds are few.
+    Convergence is detected in two tiers: a cheap per-round fingerprint
+    (edge count + exact decimal endpoint sums — one aggregate, no join),
+    and only when the fingerprint stops moving, an exact set-equality
+    check (anti-join emptiness) to rule out a fingerprint collision.  In
+    the common case the two anti-joins run exactly once, at the fixed
+    point.
     """
     sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(pairs.select(F.col(dst).alias("u"),
@@ -422,14 +483,26 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
                 .filter(F.col("u") != F.col("v"))
                 .distinct())
 
+    def _fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast(T.DecimalType(38, 0))).alias("su"),
+            F.sum(F.col("v").cast(T.DecimalType(38, 0))).alias("sv"),
+        ).collect()[0]
+        return (row["n"], row["su"], row["sv"])
+
+    fp = _fingerprint(edges)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint()
-        # set equality: both difference directions empty ⇒ fixed point
-        changed = (not nxt.exceptAll(edges).isEmpty()
-                   or not edges.exceptAll(nxt).isEmpty())
-        edges = nxt
-        if not changed:
-            break
+        nfp = _fingerprint(nxt)
+        if nfp == fp:
+            # fingerprint collision is possible in principle — confirm
+            # the fixed point with exact set equality before stopping
+            if (nxt.exceptAll(edges).isEmpty()
+                    and edges.exceptAll(nxt).isEmpty()):
+                edges = nxt
+                break
+        edges, fp = nxt, nfp
     # at the fixed point every non-minimum node has exactly the edge
     # (node → component min); minima have no outgoing edge
     return (nodes.join(edges, nodes["id"] == edges["u"], "left")

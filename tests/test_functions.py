@@ -106,6 +106,18 @@ def test_simhash(docs):
     assert all(h <= ham_13 for h in found.values())
 
 
+def test_simhash_packed_equals_wide(spark, docs):
+    # the SWAR-packed aggregation must produce bit-identical signatures
+    # to the reference one-sum-per-bit shape
+    base = dedup._simhash_base_expr("portable")
+    toks = dedup._tokens(docs, "text", "doc_id", base)
+    packed = {r["doc_id"]: r["simhash"]
+              for r in dedup._simhash_packed(toks, "doc_id", 60).collect()}
+    wide = {r["doc_id"]: r["simhash"]
+            for r in dedup._simhash_wide(toks, "doc_id", 60).collect()}
+    assert packed == wide
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math
