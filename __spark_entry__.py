@@ -235,6 +235,18 @@ def q_json_source(spark, sf_dir):
     return readers.read_json(spark, path, schema=db.schema("region"))
 
 
+def q_orc_source(spark, sf_dir):
+    """ORC ingestion path: export supplier to ORC, re-read through the
+    engine's schema-verified ORC reader — result must equal the parquet
+    original (same FAILFAST philosophy as the CSV/JSON readers)."""
+    from cs186_query_optimization_project_spark.sources import readers
+
+    db = _db(spark, sf_dir)
+    path = f"/tmp/spark_graft_orc_{_tag(sf_dir)}/supplier"
+    db.table("supplier").write.mode("overwrite").orc(path)
+    return readers.read_orc(spark, path, expected_schema=db.schema("supplier"))
+
+
 def q_indexed_write_scan(spark, sf_dir):
     """Index analog (§2.11): write lineitem sorted by l_shipdate (the
     'indexed' column), then range-scan the sorted copy — the pushed filter
@@ -1069,6 +1081,32 @@ def q_dedup_clusters_star(spark, sf_dir):
     return dedup.duplicate_clusters_star(pairs)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (batch construction for pretraining): documents
+    sharded by md5 bucket, laid out end-to-end in id order per shard,
+    assigned to 256-token packs by start offset.  Deterministic layout —
+    a pure function of (ids, token counts) — so the oracle replays it as
+    a windowed running sum."""
+    from cs186_query_optimization_project_spark.functions import packing
+
+    db = _db(spark, sf_dir)
+    counted = db.table("documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens"))
+    return packing.pack_sequences(counted, "n_tokens", budget=256,
+                                  n_shards=16)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-length fitting: split documents into overlapping 32-token
+    windows (stride 24).  Map-only array expressions; every token lands
+    in ≥1 chunk, short docs yield exactly one."""
+    from cs186_query_optimization_project_spark.functions import packing
+
+    db = _db(spark, sf_dir)
+    return packing.chunk_documents(db.table("documents"),
+                                   max_tokens=32, overlap=8)
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counting per document."""
     db = _db(spark, sf_dir)
@@ -1273,6 +1311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "txn_snapshot_isolation": q_txn_snapshot_isolation,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "orc_source": q_orc_source,
         # --- source code changed this round: re-verify ---
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
@@ -1286,11 +1327,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
+        # ------------- below the driver's 50-row window ------------- #
+        # all green in CORRECTNESS_r04 (or the round-5 local full run)
+        # and untouched since
         "asof_join": q_asof_join,
         "dml_lifecycle": q_dml_lifecycle,
         "embedding_topk": q_embedding_topk,
-        # ------------- below the driver's 50-row window ------------- #
-        # all green in CORRECTNESS_r04 and untouched since
         "filter_eq": q_filter_eq,
         "filter_range": q_filter_range,
         "project": q_project,
@@ -2006,4 +2048,27 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n_regionkey = 2 THEN n_name || '~t1' "
             "ELSE n_name END AS n_name, n_regionkey "
             "FROM nation WHERE n_nationkey < 20"),
+        "orc_source": "SELECT * FROM supplier",
+        "pack_sequences": (
+            "WITH c AS (SELECT doc_id, "
+            "len(regexp_split_to_array(text, '\\s+')) AS n_tokens, "
+            "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT "
+            "% 16 AS BIGINT) AS shard FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, shard, "
+            "COALESCE(SUM(n_tokens) OVER (PARTITION BY shard "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS start_offset FROM c) "
+            "SELECT doc_id, n_tokens, shard, "
+            "CAST(start_offset // 256 AS BIGINT) AS pack_id, "
+            "CAST(start_offset AS BIGINT) AS start_offset FROM o"),
+        "chunk_documents": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '\\s+') AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, 1 + CAST(ceil(greatest("
+            "len(toks) - 32, 0) / 24.0) AS INT) AS n_chunks FROM t), "
+            "e AS (SELECT doc_id, toks, n_chunks, "
+            "unnest(range(0, n_chunks)) AS chunk_idx FROM n) "
+            "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_chunks, "
+            "array_to_string(toks[chunk_idx * 24 + 1 : "
+            "chunk_idx * 24 + 32], ' ') AS chunk_text FROM e"),
     }

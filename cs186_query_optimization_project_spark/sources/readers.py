@@ -40,6 +40,18 @@ def read_json(spark: SparkSession, path: str,
             .schema(schema).json(path))
 
 
+def read_orc(spark: SparkSession, path: str,
+             expected_schema: T.StructType | None = None) -> DataFrame:
+    """ORC, the other columnar format a lake migration brings along.
+    Self-describing like parquet (no declared schema needed to read), so
+    verification is the parquet shape: read, then fail fast if the file's
+    schema doesn't match the expectation."""
+    df = spark.read.orc(path)
+    if expected_schema is not None:
+        _check_schema(df.schema, expected_schema, path)
+    return df
+
+
 def _check_schema(actual: T.StructType, expected: T.StructType,
                   path: str) -> None:
     a = [(f.name, f.dataType.simpleString()) for f in actual.fields]

@@ -1,0 +1,76 @@
+"""Sequence packing + document chunking (functions/packing.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.functions import packing
+
+
+@pytest.fixture(scope="module")
+def docs(db):
+    return db.table("documents")
+
+
+def test_pack_sequences_layout_invariants(spark):
+    # one shard so the layout is a single deterministic lane
+    df = spark.createDataFrame(
+        [(1, 40), (2, 50), (3, 30), (4, 100), (5, 10)], ["doc_id", "n"])
+    got = {r["doc_id"]: r for r in
+           packing.pack_sequences(df, "n", budget=100, n_shards=1)
+           .collect()}
+    # id order, running offsets: 0, 40, 90, 120, 220
+    assert [got[i]["start_offset"] for i in (1, 2, 3, 4, 5)] \
+        == [0, 40, 90, 120, 220]
+    # pack = floor(start/budget): doc 3 starts at 90 → pack 0 (overflow
+    # tail), doc 4 at 120 → pack 1, doc 5 at 220 → pack 2
+    assert [got[i]["pack_id"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 2]
+
+
+def test_pack_sequences_partition_invariant(docs):
+    counted = docs.select("doc_id",
+                          F.size(F.split("text", r"\s+")).alias("n"))
+    a = {(r["doc_id"], r["shard"], r["pack_id"], r["start_offset"])
+         for r in packing.pack_sequences(counted, "n", 256).collect()}
+    b = {(r["doc_id"], r["shard"], r["pack_id"], r["start_offset"])
+         for r in packing.pack_sequences(counted.repartition(13), "n", 256)
+         .collect()}
+    assert a == b
+    # every pack's start offsets stay within one budget of the pack base
+    assert all(off - pack * 256 < 256 for _, _, pack, off in a)
+
+
+def test_pack_sequences_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, "n", 0)
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, "n", 10, n_shards=0)
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+    rows = packing.chunk_documents(df, max_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2 is shorter than one window → exactly one chunk, whole text
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    # doc 1: stride 6, starts at 0/6/12/18 → 4 chunks ((25-10)/6 → 3 + 1)
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert len(chunks) == 4 and all(r["n_chunks"] == 4 for r in chunks)
+    assert chunks[0]["chunk_text"].split() == [f"t{i}" for i in range(10)]
+    assert chunks[3]["chunk_text"].split() == [f"t{i}" for i in range(18, 25)]
+    # overlap: consecutive chunks share `overlap` tokens
+    assert chunks[0]["chunk_text"].split()[-4:] \
+        == chunks[1]["chunk_text"].split()[:4]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = None
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, max_tokens=10, overlap=10)
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, max_tokens=0, overlap=0)
