@@ -104,3 +104,32 @@ def test_enrich_with_dimension_stream_matches_batch(spark, events_stream,
     got = {tuple(r) for r in spark.table("t_enrich").collect()}
     want = {tuple(r) for r in agg(events_batch).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_events_starts_on_empty_dir(spark, tmp_path):
+    # Kafka-stand-in contract: a stream may start before its producer
+    # writes any file — falls back to the default events schema
+    empty = str(tmp_path / "events_empty")
+    import os
+    os.makedirs(empty, exist_ok=True)
+    s = sw.stream_events(spark, empty)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp"
+
+
+def test_stream_events_schema_cache_tracks_mtime(spark, tmp_path):
+    # a regenerated source file re-infers instead of serving stale schema
+    import os
+    import shutil
+    import time
+
+    p = str(tmp_path / "events_copy.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", p)
+    sw.stream_events(spark, p)
+    keys_before = [k for k in sw._SCHEMA_CACHE if k[0] == p]
+    # rewrite the file with a different mtime → new cache key
+    time.sleep(0.01)
+    os.utime(p, None)
+    sw.stream_events(spark, p)
+    keys_after = [k for k in sw._SCHEMA_CACHE if k[0] == p]
+    assert len(keys_after) > len(keys_before)
