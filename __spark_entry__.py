@@ -351,6 +351,56 @@ def q_txn_snapshot_isolation(spark, sf_dir):
     return out
 
 
+def q_txn_2pl_serial(spark, sf_dir):
+    """Blocking-2PL driver row (SURVEY §2.12, the reference's actual
+    protocol: ``LockManager.java`` strict table-level 2PL): t1 takes the
+    X lock and updates; t2, in a second thread, issues a conflicting
+    update and BLOCKS (no ConflictException — the pessimistic contract)
+    until t1 commits, then applies on top.  Lock order forces the serial
+    schedule t1;t2 whatever the thread timing, which is what the oracle
+    replays.  Deadlock prevention (refuse-before-block,
+    DeadlockException) is unit-tested in tests/test_concurrency_2pl.py —
+    it needs two parked threads, too timing-dependent for a driver row."""
+    import os
+    import shutil
+    import threading
+
+    db = _db(spark, sf_dir)
+    parent = f"/tmp/spark_graft_2pl_{os.getuid()}"
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    base = os.path.join(parent, _tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    db.create_table("nation_2pl_q", db.table("nation"), f"{base}/nation",
+                    mode="overwrite")
+
+    t1 = db.begin(mode="2pl")
+    t1.update_rows("nation_2pl_q", F.col("n_regionkey") == 0,
+                   {"n_name": F.concat(F.col("n_name"), F.lit("~a"))})
+    state = {"t2_done": False}
+
+    def second_writer():
+        t2 = db.begin(mode="2pl")
+        t2.update_rows("nation_2pl_q", F.col("n_regionkey") == 0,
+                       {"n_name": F.concat(F.col("n_name"), F.lit("~b"))})
+        t2.commit()
+        state["t2_done"] = True
+
+    th = threading.Thread(target=second_writer, daemon=True)
+    th.start()
+    import time
+
+    time.sleep(0.3)
+    assert not state["t2_done"], "t2 must block on t1's X lock, not race"
+    t1.commit()
+    th.join(timeout=60)
+    assert state["t2_done"], "t2 must complete once t1 releases"
+
+    out = db.table("nation_2pl_q").select("n_nationkey", "n_name",
+                                          "n_regionkey")
+    db.drop_table("nation_2pl_q")
+    return out
+
+
 def q_distinct(spark, sf_dir):
     return (_db(spark, sf_dir).query("customer")
             .select("c_nationkey", "c_mktsegment").distinct().execute())
@@ -1310,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_similar_pairs": q_embedding_similar_pairs,
         # --- new in round 5 ---
         "txn_snapshot_isolation": q_txn_snapshot_isolation,
+        "txn_2pl_serial": q_txn_2pl_serial,
         "dedup_clusters_star": q_dedup_clusters_star,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
@@ -1326,10 +1377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_three_flagship": q_join_three_flagship,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
-        "dedup_clusters": q_dedup_clusters,
         # ------------- below the driver's 50-row window ------------- #
         # all green in CORRECTNESS_r04 (or the round-5 local full run)
         # and untouched since
+        "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         "dml_lifecycle": q_dml_lifecycle,
         "embedding_topk": q_embedding_topk,
@@ -2049,6 +2100,10 @@ def oracle_sql() -> dict[str, str]:
             "ELSE n_name END AS n_name, n_regionkey "
             "FROM nation WHERE n_nationkey < 20"),
         "orc_source": "SELECT * FROM supplier",
+        "txn_2pl_serial": (
+            "SELECT n_nationkey, "
+            "CASE WHEN n_regionkey = 0 THEN n_name || '~a~b' "
+            "ELSE n_name END AS n_name, n_regionkey FROM nation"),
         "pack_sequences": (
             "WITH c AS (SELECT doc_id, "
             "len(regexp_split_to_array(text, '\\s+')) AS n_tokens, "

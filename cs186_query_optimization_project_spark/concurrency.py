@@ -1,0 +1,299 @@
+"""Strict table-level 2PL with waits-for deadlock prevention.
+
+The reference serializes with blocking two-phase locking: table-level
+S/X locks with a FIFO wait queue that gives lock *upgrades* priority
+(``db/concurrency/Lock.java:74–171``), and deadlock **prevention** — a
+request that would close a cycle in the waits-for graph is refused
+before the thread ever blocks (``db/concurrency/LockManager.java:
+49–85``, ``db/concurrency/WaitsForGraph.java:58–88``).
+
+The engine's default concurrency is optimistic (``transactions.py``) —
+the honest translation for a *cluster*, where no shared lock manager
+exists.  But this catalog, like the reference's, is an in-process
+object on the driver, so the blocking protocol is implementable with
+full fidelity for driver-coordinated workloads; ``Database.begin(
+mode="2pl")`` selects it.  Same verbs, two protocols:
+
+- optimistic: never blocks, loser of a write-write race gets
+  ``ConflictException`` at commit and retries;
+- 2PL (this module): readers/writers block in FIFO order, a request
+  that would deadlock gets ``DeadlockException`` immediately, and
+  commit order equals lock order (conflict-serializable schedules).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.errors import (
+    DatabaseException,
+    DeadlockException,
+)
+
+S = "S"
+X = "X"
+
+
+def _compatible(held: str, requested: str) -> bool:
+    return held == S and requested == S
+
+
+class _WaitsForGraph:
+    """waiter → holders edges; cycle test BEFORE an edge is added (the
+    prevention decision: refuse the request that would close a cycle).
+    Mirrors ``WaitsForGraph.java:58–88``'s reachability walk."""
+
+    def __init__(self) -> None:
+        self._edges: dict[object, set] = {}
+
+    def would_cycle(self, waiter: object, holders: set) -> bool:
+        # adding waiter→holders closes a cycle iff waiter is already
+        # reachable FROM any holder
+        stack, seen = list(holders), set()
+        while stack:
+            node = stack.pop()
+            if node == waiter:
+                return True
+            if node in seen:
+                continue
+            seen.add(node)
+            stack.extend(self._edges.get(node, ()))
+        return False
+
+    def add(self, waiter: object, holders: set) -> None:
+        self._edges.setdefault(waiter, set()).update(holders)
+
+    def clear(self, waiter: object) -> None:
+        self._edges.pop(waiter, None)
+
+
+class LockManager:
+    """Table-granularity S/X lock table: FIFO wait queue with upgrade
+    priority, waits-for deadlock prevention, all-at-end release (strict
+    2PL).  One instance per ``Database``; all state driver-local, the
+    same locality the reference's in-process lock manager has."""
+
+    def __init__(self) -> None:
+        self._cv = threading.Condition()
+        #: table -> {txn_id: mode}
+        self._holders: dict[str, dict[object, str]] = {}
+        #: table -> ordered wait list of (txn_id, mode, is_upgrade)
+        self._queue: dict[str, list[tuple[object, str, bool]]] = {}
+        self._waits = _WaitsForGraph()
+
+    # ------------------------------------------------------------------ #
+    def acquire(self, txn_id: object, table: str, mode: str,
+                timeout: float | None = 30.0) -> None:
+        """Block until granted; raise :class:`DeadlockException` if
+        blocking would close a waits-for cycle (checked both on arrival
+        and whenever the holder set changes while waiting)."""
+        if mode not in (S, X):
+            raise DatabaseException(f"unknown lock mode {mode!r}")
+        with self._cv:
+            holders = self._holders.setdefault(table, {})
+            held = holders.get(txn_id)
+            if held == X or held == mode:
+                return  # X subsumes S; re-request is a no-op
+            is_upgrade = held == S and mode == X
+            entry = (txn_id, mode, is_upgrade)
+            queue = self._queue.setdefault(table, [])
+            # upgrades enter at the FRONT of the queue (reference's
+            # upgrade priority, Lock.java:74–171); everyone else FIFO
+            if is_upgrade:
+                queue.insert(0, entry)
+            else:
+                queue.append(entry)
+            try:
+                while not self._grantable(table, entry):
+                    blockers = self._blockers(table, entry)
+                    # re-derive this waiter's edges from the CURRENT
+                    # blocker set — stale edges to finished holders must
+                    # not feed the cycle test
+                    self._waits.clear(txn_id)
+                    if self._waits.would_cycle(txn_id, blockers):
+                        raise DeadlockException(
+                            f"txn {txn_id!r} waiting for {mode} on "
+                            f"'{table}' would deadlock with holders "
+                            f"{sorted(map(repr, blockers))}; request "
+                            f"refused (waits-for prevention)")
+                    self._waits.add(txn_id, blockers)
+                    if not self._cv.wait(timeout=timeout):
+                        raise DatabaseException(
+                            f"lock wait timeout: txn {txn_id!r}, "
+                            f"{mode} on '{table}'")
+            finally:
+                queue.remove(entry)
+                self._waits.clear(txn_id)
+            if is_upgrade or mode == X:
+                holders[txn_id] = X if is_upgrade else mode
+            else:
+                holders[txn_id] = mode
+            self._cv.notify_all()
+
+    def release_all(self, txn_id: object) -> None:
+        """Strict 2PL: every lock at once, at transaction end
+        (``db/Database.java:207–213,562–568``)."""
+        with self._cv:
+            for holders in self._holders.values():
+                holders.pop(txn_id, None)
+            self._waits.clear(txn_id)
+            self._cv.notify_all()
+
+    def holding(self, txn_id: object, table: str) -> str | None:
+        with self._cv:
+            return self._holders.get(table, {}).get(txn_id)
+
+    # ------------------------------------------------------------------ #
+    def _grantable(self, table: str,
+                   entry: tuple[object, str, bool]) -> bool:
+        txn_id, mode, is_upgrade = entry
+        holders = self._holders.get(table, {})
+        others = {t: m for t, m in holders.items() if t != txn_id}
+        if any(not _compatible(m, mode) for m in others.values()):
+            return False
+        # FIFO fairness: only the queue head may be granted (upgrades
+        # sit at the front by construction)
+        return self._queue[table][0] is entry
+
+    def _blockers(self, table: str,
+                  entry: tuple[object, str, bool]) -> set:
+        """Who this request waits for: incompatible holders, plus every
+        queued request ahead of it (FIFO order is part of the protocol —
+        granting around them would starve writers)."""
+        txn_id, mode, _ = entry
+        holders = self._holders.get(table, {})
+        out = {t for t, m in holders.items()
+               if t != txn_id and not _compatible(m, mode)}
+        for ahead in self._queue[table]:
+            if ahead is entry:
+                break
+            if ahead[0] != txn_id:
+                out.add(ahead[0])
+        return out
+
+
+class PessimisticTransaction:
+    """Blocking-2PL twin of ``transactions.Transaction``: same verbs
+    (``table`` / ``query`` / ``insert_rows`` / ``update_rows`` /
+    ``delete_rows`` / ``commit`` / ``rollback``), but isolation comes
+    from locks instead of snapshot validation — reads take S, writes
+    upgrade to X, everything releases at end, commits never conflict."""
+
+    _ids = iter(range(1, 1 << 62))
+    _ids_lock = threading.Lock()
+
+    def __init__(self, db, lock_manager: LockManager) -> None:
+        self._db = db
+        self._lm = lock_manager
+        with PessimisticTransaction._ids_lock:
+            self.txn_id = next(PessimisticTransaction._ids)
+        self._writes: dict[str, list] = {}
+        self._active = True
+
+    # ---- reads ------------------------------------------------------- #
+    def table(self, name: str) -> DataFrame:
+        self._check_active()
+        self._lm.acquire(self.txn_id, name, S)
+        df = self._db._entry(name).df
+        for transform in self._writes.get(name, ()):
+            df = transform(df)
+        return df
+
+    def query(self, table: str, alias: str | None = None):
+        self._check_active()
+        from cs186_query_optimization_project_spark.plans.builder import (
+            Query,
+        )
+
+        return Query(self._view(), table, alias)
+
+    # ---- buffered DML (applied at commit, under the X lock) ---------- #
+    def insert_rows(self, name: str, rows: DataFrame):
+        self._check_active()
+        self._lm.acquire(self.txn_id, name, X)
+        expected = [(f.name, f.dataType)
+                    for f in self.table(name).schema.fields]
+        got = [(f.name, f.dataType) for f in rows.schema.fields]
+        if expected != got:
+            raise DatabaseException(
+                f"insert into '{name}': schema mismatch; table has "
+                f"{expected}, rows have {got}")
+        self._writes.setdefault(name, []).append(
+            lambda df, rows=rows: df.unionByName(rows))
+        return self
+
+    def delete_rows(self, name: str, condition):
+        self._check_active()
+        self._lm.acquire(self.txn_id, name, X)
+        self._writes.setdefault(name, []).append(
+            lambda df, c=condition: df.filter(~c))
+        return self
+
+    def update_rows(self, name: str, condition,
+                    assignments: dict[str, Any]):
+        self._check_active()
+        self._lm.acquire(self.txn_id, name, X)
+        base_cols = self.table(name).columns
+        for col_name in assignments:
+            if col_name not in base_cols:
+                raise DatabaseException(
+                    f"update '{name}': unknown column '{col_name}'")
+
+        def _apply(df: DataFrame, cond=condition,
+                   assigns=dict(assignments)) -> DataFrame:
+            for col_name, value in assigns.items():
+                val = value if isinstance(value, F.Column) else F.lit(value)
+                df = df.withColumn(
+                    col_name,
+                    F.when(cond, val.cast(df.schema[col_name].dataType))
+                    .otherwise(F.col(col_name)))
+            return df
+
+        self._writes.setdefault(name, []).append(_apply)
+        return self
+
+    # ---- outcome ----------------------------------------------------- #
+    def commit(self) -> None:
+        """Apply the intent log under the held X locks, then release.
+        No validation step: the X lock held since the first write IS the
+        guarantee that no concurrent writer interleaved."""
+        self._check_active()
+        try:
+            for name in self._writes:
+                self._db._rewrite(self._db._entry(name), self.table(name))
+        finally:
+            self._finish()
+
+    def rollback(self) -> None:
+        self._finish()
+        self._writes.clear()
+
+    # ------------------------------------------------------------------ #
+    def _finish(self) -> None:
+        self._active = False
+        self._lm.release_all(self.txn_id)
+
+    def _view(self):
+        txn = self
+
+        class _View:
+            def table(self, name):
+                return txn.table(name)
+
+            def schema(self, name):
+                return txn.table(name).schema
+
+            def __getattr__(self, attr):
+                return getattr(txn._db, attr)
+
+        return _View()
+
+    def _check_active(self) -> None:
+        if not self._active:
+            raise DatabaseException(
+                "transaction is no longer active (committed, rolled "
+                "back, or aborted)")

@@ -166,6 +166,14 @@ class Database:
         except Exception:
             pass
         self._tables: dict[str, TableEntry] = {}
+        # one lock table per catalog, shared by every 2PL transaction on
+        # it (the reference's Database-owned LockManager); built lazily
+        # on first use would race, so eagerly — it is three dicts
+        from cs186_query_optimization_project_spark.concurrency import (
+            LockManager,
+        )
+
+        self._lock_manager = LockManager()
         if data_dir is not None:
             self.register_directory(data_dir)
 
@@ -416,18 +424,37 @@ class Database:
         return bool(self.lookup(table, column, value).take(1))
 
     # ------------------------------------------------------------------ #
-    # transactions (§2.12 analog: optimistic snapshot concurrency over
-    # the copy-on-write versions; see transactions.py for the mapping
-    # from the reference's 2PL + waits-for design)
+    # transactions (§2.12: two protocols over the copy-on-write
+    # versions — optimistic snapshot (transactions.py, the cluster
+    # default) and blocking strict 2PL with waits-for prevention
+    # (concurrency.py, full-fidelity reference parity for
+    # driver-coordinated workloads))
     # ------------------------------------------------------------------ #
-    def begin(self):
-        """Open an optimistic snapshot transaction
-        (:class:`~cs186_query_optimization_project_spark.transactions.Transaction`)."""
-        from cs186_query_optimization_project_spark.transactions import (
-            Transaction,
-        )
+    def begin(self, mode: str = "optimistic"):
+        """Open a transaction.
 
-        return Transaction(self)
+        ``mode="optimistic"`` (default): snapshot reads, buffered DML,
+        first-committer-wins validation — never blocks, loser raises
+        ``ConflictException`` at commit.
+        ``mode="2pl"``: the reference's blocking protocol — S/X table
+        locks with FIFO + upgrade priority, waits-for deadlock
+        prevention (``DeadlockException`` instead of ever deadlocking),
+        commits never conflict."""
+        if mode == "optimistic":
+            from cs186_query_optimization_project_spark.transactions import (
+                Transaction,
+            )
+
+            return Transaction(self)
+        if mode == "2pl":
+            from cs186_query_optimization_project_spark.concurrency import (
+                PessimisticTransaction,
+            )
+
+            return PessimisticTransaction(self, self._lock_manager)
+        raise DatabaseException(
+            f"unknown transaction mode {mode!r} "
+            f"(expected 'optimistic' or '2pl')")
 
     # ------------------------------------------------------------------ #
     # query entry points (Transaction.query / queryAs,

@@ -25,3 +25,11 @@ class ConflictException(DatabaseException):
     transaction's snapshot was taken.  The analog of being chosen as the
     reference's deadlock victim (``WaitsForGraph.java:58–88``) — the
     caller retries on a fresh snapshot instead of blocking on a lock."""
+
+
+class DeadlockException(DatabaseException):
+    """Pessimistic (2PL) path: granting this lock request would close a
+    cycle in the waits-for graph, so it is refused BEFORE blocking — the
+    reference's deadlock *prevention* (``WaitsForGraph.java:58–88``,
+    ``LockManager.java:49–85``): the requester aborts/retries instead of
+    the system ever entering deadlock."""
