@@ -74,3 +74,20 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         packing.chunk_documents(df, max_tokens=10, overlap=10)
     with pytest.raises(ValueError):
         packing.chunk_documents(df, max_tokens=0, overlap=0)
+
+
+def test_chunk_documents_is_map_only(docs):
+    # the scale contract: explode + projections, no shuffle anywhere
+    plan = (packing.chunk_documents(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_is_single_shuffle(docs):
+    counted = docs.select("doc_id",
+                          F.size(F.split("text", r"\s+")).alias("n"))
+    plan = (packing.pack_sequences(counted, "n", 256)
+            ._jdf.queryExecution().executedPlan().toString())
+    # one hash-partitioning exchange on the shard key feeds the window;
+    # nothing else shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
