@@ -60,6 +60,18 @@ def _db(spark: SparkSession, sf_dir: str) -> Database:
     return _DBS[key]
 
 
+def _tmp_path(kind: str, sf_dir: str, leaf: str) -> str:
+    """Scratch path under a per-uid 0700 parent — no other local user can
+    pre-create, poison, or collide with it (the same guard the ANN index
+    and DML/txn entries use; every /tmp write in this module must go
+    through it)."""
+    import os
+
+    parent = f"/tmp/spark_graft_{kind}_{os.getuid()}"
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    return os.path.join(parent, _tag(sf_dir), leaf)
+
+
 
 def _planted_docs(db):
     """Documents corpus with perturbed near-duplicate plants (every 10th
@@ -219,7 +231,7 @@ def q_csv_source(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import readers
 
     db = _db(spark, sf_dir)
-    path = f"/tmp/spark_graft_csv_{_tag(sf_dir)}/nation"
+    path = _tmp_path("csv", sf_dir, "nation")
     db.table("nation").write.mode("overwrite").option("header", True).csv(path)
     return readers.read_csv(spark, path, db.schema("nation"), header=True)
 
@@ -230,7 +242,7 @@ def q_json_source(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import readers
 
     db = _db(spark, sf_dir)
-    path = f"/tmp/spark_graft_json_{_tag(sf_dir)}/region"
+    path = _tmp_path("json", sf_dir, "region")
     db.table("region").write.mode("overwrite").json(path)
     return readers.read_json(spark, path, schema=db.schema("region"))
 
@@ -242,7 +254,7 @@ def q_orc_source(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import readers
 
     db = _db(spark, sf_dir)
-    path = f"/tmp/spark_graft_orc_{_tag(sf_dir)}/supplier"
+    path = _tmp_path("orc", sf_dir, "supplier")
     db.table("supplier").write.mode("overwrite").orc(path)
     return readers.read_orc(spark, path, expected_schema=db.schema("supplier"))
 
@@ -255,7 +267,7 @@ def q_indexed_write_scan(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import writers
 
     db = _db(spark, sf_dir)
-    path = f"/tmp/spark_graft_idx_{_tag(sf_dir)}/lineitem"
+    path = _tmp_path("idx", sf_dir, "lineitem")
     writers.write_indexed(db.table("lineitem"), path,
                           index_columns=("l_shipdate",))
     return (spark.read.parquet(path)

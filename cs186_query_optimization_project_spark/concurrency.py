@@ -27,7 +27,6 @@ import threading
 from typing import Any
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark.errors import (
     DatabaseException,
@@ -122,12 +121,21 @@ class LockManager:
                             f"refused (waits-for prevention)")
                     self._waits.add(txn_id, blockers)
                     if not self._cv.wait(timeout=timeout):
+                        # the wake may have been missed in the same tick
+                        # the timeout fired — grant if eligible NOW,
+                        # only a genuinely stuck request aborts
+                        if self._grantable(table, entry):
+                            break
                         raise DatabaseException(
                             f"lock wait timeout: txn {txn_id!r}, "
                             f"{mode} on '{table}'")
             finally:
                 queue.remove(entry)
                 self._waits.clear(txn_id)
+                # leaving the queue (grant OR abnormal exit — deadlock
+                # refusal / timeout) can make the new head eligible; a
+                # silent departure would leave it parked forever
+                self._cv.notify_all()
             if is_upgrade or mode == X:
                 holders[txn_id] = X if is_upgrade else mode
             else:
@@ -215,13 +223,11 @@ class PessimisticTransaction:
     def insert_rows(self, name: str, rows: DataFrame):
         self._check_active()
         self._lm.acquire(self.txn_id, name, X)
-        expected = [(f.name, f.dataType)
-                    for f in self.table(name).schema.fields]
-        got = [(f.name, f.dataType) for f in rows.schema.fields]
-        if expected != got:
-            raise DatabaseException(
-                f"insert into '{name}': schema mismatch; table has "
-                f"{expected}, rows have {got}")
+        from cs186_query_optimization_project_spark.transactions import (
+            verify_insert_schema,
+        )
+
+        verify_insert_schema(self.table(name), rows, name)
         self._writes.setdefault(name, []).append(
             lambda df, rows=rows: df.unionByName(rows))
         return self
@@ -237,23 +243,17 @@ class PessimisticTransaction:
                     assignments: dict[str, Any]):
         self._check_active()
         self._lm.acquire(self.txn_id, name, X)
+        from cs186_query_optimization_project_spark.transactions import (
+            make_update_applier,
+        )
+
         base_cols = self.table(name).columns
         for col_name in assignments:
             if col_name not in base_cols:
                 raise DatabaseException(
                     f"update '{name}': unknown column '{col_name}'")
-
-        def _apply(df: DataFrame, cond=condition,
-                   assigns=dict(assignments)) -> DataFrame:
-            for col_name, value in assigns.items():
-                val = value if isinstance(value, F.Column) else F.lit(value)
-                df = df.withColumn(
-                    col_name,
-                    F.when(cond, val.cast(df.schema[col_name].dataType))
-                    .otherwise(F.col(col_name)))
-            return df
-
-        self._writes.setdefault(name, []).append(_apply)
+        self._writes.setdefault(name, []).append(
+            make_update_applier(condition, assignments))
         return self
 
     # ---- outcome ----------------------------------------------------- #

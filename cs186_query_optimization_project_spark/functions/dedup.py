@@ -504,8 +504,14 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
                 break
         edges, fp = nxt, nfp
     # at the fixed point every non-minimum node has exactly the edge
-    # (node → component min); minima have no outgoing edge
-    return (nodes.join(edges, nodes["id"] == edges["u"], "left")
+    # (node → component min); minima have no outgoing edge.  The
+    # groupBy-min collapse is a no-op there, but if max_iter ran out
+    # before convergence a node may still carry several outgoing edges —
+    # min-collapsing keeps the one-row-per-doc contract (the labeling is
+    # then merely under-merged, the same failure mode as min-label
+    # propagation hitting ITS iteration cap, never duplicated rows)
+    best = edges.groupBy("u").agg(F.min("v").alias("v"))
+    return (nodes.join(best, nodes["id"] == best["u"], "left")
             .select(nodes["id"].alias("doc_id"),
                     F.coalesce(F.col("v"), nodes["id"]).alias("cluster_id")))
 

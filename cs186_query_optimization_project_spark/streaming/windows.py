@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: (path, mtime_ns) -> inferred source schema; file stream sources need
-#: an explicit schema and re-inferring it per query construction costs a
-#: footer read.  Keyed on the source's mtime so a regenerated file with a
-#: changed schema is re-inferred instead of silently served stale.
+#: path -> (mtime_ns, inferred schema); file stream sources need an
+#: explicit schema and re-inferring it per query construction costs a
+#: footer read.  The stored mtime invalidates the entry when the source
+#: is regenerated (stale schemas are re-inferred, and the cache stays
+#: one entry per path instead of growing per regeneration).
 _SCHEMA_CACHE: dict = {}
 
 #: schema served when the source directory has no files yet — a stream is
@@ -67,18 +68,32 @@ def stream_events(spark, path: str) -> DataFrame:
     """
     import os
 
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        mtime = os.stat(path).st_mtime_ns
     except OSError:
-        key = (path, None)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+        mtime = None
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None and cached[0] == mtime:
+        schema = cached[1]
+    else:
         try:
             schema = spark.read.parquet(path).schema
-        except Exception:  # no files yet — start on the default schema
+        except AnalysisException as exc:
+            # ONLY "source not written yet" falls back to the default
+            # schema (missing path / nothing to infer from); any other
+            # analysis error — and every IO/corruption error — must
+            # fail fast like the batch readers, never silently read
+            # real data under a guessed schema
+            cond = exc.getCondition() or ""
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
             schema = _DEFAULT_EVENTS_SCHEMA
-        _SCHEMA_CACHE[key] = schema
+        # one (mtime, schema) entry per path — replaced on regeneration,
+        # so the cache can't grow into an append-only log
+        _SCHEMA_CACHE[path] = (mtime, schema)
     reader = spark.readStream.format("parquet").schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))

@@ -41,6 +41,37 @@ from cs186_query_optimization_project_spark.errors import (
 )
 
 
+def verify_insert_schema(table_df: DataFrame, rows: DataFrame,
+                         name: str) -> None:
+    """The reference's insert-time ``Schema.verify``; shared by both
+    transaction protocols (optimistic here, 2PL in concurrency.py)."""
+    expected = [(f.name, f.dataType) for f in table_df.schema.fields]
+    got = [(f.name, f.dataType) for f in rows.schema.fields]
+    if expected != got:
+        raise DatabaseException(
+            f"insert into '{name}': schema mismatch; table has "
+            f"{expected}, rows have {got}")
+
+
+def make_update_applier(condition, assignments: dict[str, Any]):
+    """DataFrame→DataFrame transform for an UPDATE intent: each assigned
+    column becomes when(cond, value-cast-to-column-type).otherwise(old).
+    Shared by both transaction protocols so cast/nullability behavior
+    can never diverge between them."""
+
+    def _apply(df: DataFrame, cond=condition,
+               assigns=dict(assignments)) -> DataFrame:
+        for col_name, value in assigns.items():
+            val = value if isinstance(value, F.Column) else F.lit(value)
+            df = df.withColumn(
+                col_name,
+                F.when(cond, val.cast(df.schema[col_name].dataType))
+                .otherwise(F.col(col_name)))
+        return df
+
+    return _apply
+
+
 def _version_token(entry) -> object:
     """Identity of a table's current published version.  On-disk tables
     get a new path per rewrite (``Database._rewrite``), so the path IS
@@ -114,13 +145,7 @@ class Transaction:
     # ------------------------------------------------------------------ #
     def insert_rows(self, name: str, rows: DataFrame) -> "Transaction":
         self._check_active()
-        expected = [(f.name, f.dataType)
-                    for f in self.table(name).schema.fields]
-        got = [(f.name, f.dataType) for f in rows.schema.fields]
-        if expected != got:
-            raise DatabaseException(
-                f"insert into '{name}': schema mismatch; table has "
-                f"{expected}, rows have {got}")
+        verify_insert_schema(self.table(name), rows, name)
         self._writes.setdefault(name, []).append(
             lambda df, rows=rows: df.unionByName(rows))
         return self
@@ -140,18 +165,8 @@ class Transaction:
             if col_name not in base_cols:
                 raise DatabaseException(
                     f"update '{name}': unknown column '{col_name}'")
-
-        def _apply(df: DataFrame, cond=condition,
-                   assigns=dict(assignments)) -> DataFrame:
-            for col_name, value in assigns.items():
-                val = value if isinstance(value, F.Column) else F.lit(value)
-                df = df.withColumn(
-                    col_name,
-                    F.when(cond, val.cast(df.schema[col_name].dataType))
-                    .otherwise(F.col(col_name)))
-            return df
-
-        self._writes.setdefault(name, []).append(_apply)
+        self._writes.setdefault(name, []).append(
+            make_update_applier(condition, assignments))
         return self
 
     # ------------------------------------------------------------------ #

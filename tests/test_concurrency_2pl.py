@@ -150,6 +150,35 @@ def test_upgrade_deadlock_second_upgrader_refused():
     assert not th.is_alive()
 
 
+def test_abnormal_queue_exit_wakes_next_waiter():
+    # t1 holds S; t3's X request heads the queue; t4's S queues behind
+    # it (FIFO).  When t3 exits ABNORMALLY (timeout), t4 becomes head
+    # and compatible — it must be woken and granted promptly, not sleep
+    # to its own timeout
+    lm = LockManager()
+    lm.acquire(1, "t", S)
+    granted = threading.Event()
+
+    def writer_times_out():
+        try:
+            lm.acquire(3, "t", X, timeout=0.4)
+        except DatabaseException:
+            pass
+
+    def reader():
+        time.sleep(0.15)                   # queue behind the writer
+        lm.acquire(4, "t", S, timeout=30)
+        granted.set()
+
+    threading.Thread(target=writer_times_out, daemon=True).start()
+    threading.Thread(target=reader, daemon=True).start()
+    # well before the reader's own 30s timeout: the writer's departure
+    # at ~0.4s must wake it
+    assert granted.wait(3)
+    lm.release_all(1)
+    lm.release_all(4)
+
+
 def test_lock_wait_timeout():
     lm = LockManager()
     lm.acquire(1, "t", X)

@@ -288,3 +288,16 @@ def test_duplicate_clusters_star_long_chain(spark):
     got = dedup.duplicate_clusters_star(pairs).collect()
     assert len(got) == n
     assert all(r["cluster_id"] == 1 for r in got)
+
+
+def test_duplicate_clusters_star_iteration_cap_keeps_cardinality(spark):
+    # with max_iter too small to converge, the result may be
+    # under-merged but must STILL be one row per node (the min-collapse
+    # on the final edge set), never duplicated doc_ids
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["a", "b"])
+    got = dedup.duplicate_clusters_star(pairs, max_iter=1).collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == n and len(set(ids)) == n
+    assert all(r["cluster_id"] <= r["doc_id"] for r in got)

@@ -37,8 +37,17 @@ def test_pack_sequences_partition_invariant(docs):
          for r in packing.pack_sequences(counted.repartition(13), "n", 256)
          .collect()}
     assert a == b
-    # every pack's start offsets stay within one budget of the pack base
-    assert all(off - pack * 256 < 256 for _, _, pack, off in a)
+    # the layout is really end-to-end: within a shard (in id order) each
+    # doc's start equals the previous doc's start + its token count
+    n_by_id = {r["doc_id"]: r["n"] for r in counted.collect()}
+    by_shard = {}
+    for doc_id, shard, pack, off in a:
+        by_shard.setdefault(shard, []).append((doc_id, off))
+    for shard, rows_ in by_shard.items():
+        rows_.sort()
+        assert rows_[0][1] == 0
+        for (prev_id, prev_off), (_, off) in zip(rows_, rows_[1:]):
+            assert off == prev_off + n_by_id[prev_id]
 
 
 def test_pack_sequences_rejects_bad_params(docs):

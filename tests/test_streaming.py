@@ -118,7 +118,9 @@ def test_stream_events_starts_on_empty_dir(spark, tmp_path):
 
 
 def test_stream_events_schema_cache_tracks_mtime(spark, tmp_path):
-    # a regenerated source file re-infers instead of serving stale schema
+    # a regenerated source file re-infers instead of serving stale
+    # schema, and the cache holds ONE entry per path (replaced, not
+    # appended)
     import os
     import shutil
     import time
@@ -126,10 +128,21 @@ def test_stream_events_schema_cache_tracks_mtime(spark, tmp_path):
     p = str(tmp_path / "events_copy.parquet")
     shutil.copy(f"{SF_DIR}/events.parquet", p)
     sw.stream_events(spark, p)
-    keys_before = [k for k in sw._SCHEMA_CACHE if k[0] == p]
-    # rewrite the file with a different mtime → new cache key
+    mtime_before = sw._SCHEMA_CACHE[p][0]
     time.sleep(0.01)
     os.utime(p, None)
     sw.stream_events(spark, p)
-    keys_after = [k for k in sw._SCHEMA_CACHE if k[0] == p]
-    assert len(keys_after) > len(keys_before)
+    mtime_after = sw._SCHEMA_CACHE[p][0]
+    assert mtime_after != mtime_before
+    assert sum(1 for k in sw._SCHEMA_CACHE if k == p) == 1
+
+
+def test_stream_events_fails_fast_on_corrupt_source(spark, tmp_path):
+    # a source that EXISTS but can't be read must raise, not silently
+    # fall back to the default schema
+    import pathlib
+
+    p = tmp_path / "corrupt.parquet"
+    pathlib.Path(p).write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        sw.stream_events(spark, str(p))
