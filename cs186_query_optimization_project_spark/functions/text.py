@@ -174,3 +174,48 @@ def profile(df: DataFrame, text_col: str = "text",
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     ngram: int = 3) -> DataFrame:
+    """Within-document repetition signals (the Gopher quality rules,
+    Rae et al. 2021 §A1.1): the fraction of tokens that are repeats of
+    an earlier token, and the fraction of word n-grams that are repeats
+    of an earlier n-gram.  Boilerplate, keyboard-mash, and template spam
+    score high; prose scores low — the standard pretraining-corpus
+    filter alongside :func:`quality_score`.
+
+    Pure per-row JVM array expressions (token/shingle arrays +
+    ``array_distinct``) — map-only, no shuffle, no Python.  Fractions
+    round to 6 decimals so the result is engine-reproducible
+    (DuckDB: ``list_distinct``/``len`` on the same splits)."""
+    toks = tokens(text_col)
+    sh = shingles(text_col, ngram)
+    n = F.size(toks)
+    n_sh = F.size(sh)
+    rep_tok = F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n) \
+        .otherwise(F.lit(0.0))
+    rep_ng = F.when(n_sh > 0, 1.0 - F.size(F.array_distinct(sh)) / n_sh) \
+        .otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(rep_tok, 6).alias("rep_token_frac"),
+        F.round(rep_ng, 6).alias(f"rep_{ngram}gram_frac"))
+
+
+def drop_repetitive(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_token_rep: float = 0.6,
+                    max_ngram_rep: float = 0.2,
+                    ngram: int = 3) -> DataFrame:
+    """Gopher-style repetition filter: keep documents under BOTH
+    repetition thresholds (defaults in the published rules' range).
+    Composes with :func:`profile` in a single map-only pass."""
+    stats = repetition_stats(df, text_col, id_col, ngram)
+    keep = stats.filter(
+        (F.col("rep_token_frac") <= max_token_rep)
+        & (F.col(f"rep_{ngram}gram_frac") <= max_ngram_rep)) \
+        .select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -106,6 +106,23 @@ def test_simhash(docs):
     assert all(h <= ham_13 for h in found.values())
 
 
+def test_repetition_stats_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a b a b a b a b a b a b")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    # doc 1: one distinct token of six → 5/6 repeated; all 3-grams equal
+    assert got[1]["rep_token_frac"] == round(5 / 6, 6)
+    assert got[1]["rep_3gram_frac"] == 0.75
+    # prose repeats only 'the' once and no 3-gram
+    assert got[2]["rep_token_frac"] == round(1 / 9, 6)
+    assert got[2]["rep_3gram_frac"] == 0.0
+    kept = text.drop_repetitive(df).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {2}
+
+
 def test_simhash_packed_equals_wide(spark, docs):
     # the SWAR-packed aggregation must produce bit-identical signatures
     # to the reference one-sum-per-bit shape
