@@ -33,12 +33,15 @@ physical execution (pushdown, pruning, codegen, AQE); nothing from the
 reference's physical layer (pages, B+ trees, locks) is ported.
 """
 
+from cs186_query_optimization_project_spark.concurrency import (
+    PessimisticTransaction,
+)
 from cs186_query_optimization_project_spark.database import Database
 from cs186_query_optimization_project_spark.predicates import PredicateOperator
 from cs186_query_optimization_project_spark.session import get_spark, stop_spark
 from cs186_query_optimization_project_spark.transactions import Transaction
 
-__all__ = ["Database", "PredicateOperator", "Transaction", "get_spark",
-           "stop_spark"]
+__all__ = ["Database", "PessimisticTransaction", "PredicateOperator",
+           "Transaction", "get_spark", "stop_spark"]
 
 __version__ = "0.1.0"

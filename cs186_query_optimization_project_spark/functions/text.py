@@ -152,12 +152,26 @@ def shingles(text_col: str, k: int = 3) -> Column:
     """Word k-shingles: array of k-grams joined by single spaces (input for
     MinHash / Jaccard dedup).  Documents with fewer than k words get one
     shingle = the whole text.  Pure JVM expression (``transform`` +
-    ``slice`` over the token array)."""
-    toks = f"split({text_col}, '\\\\s+')"
+    ``slice`` over the token array).
+
+    The single-element ``transform(array(split(..)), t -> ..)`` wrapper
+    is a let-binding: it evaluates the tokenizing regex split ONCE per
+    row and binds it to ``t``.  Referencing ``split(..)`` directly inside
+    the per-position lambda re-tokenizes the document at EVERY shingle
+    position — O(tokens²) work that measured 7× slower on the bench
+    corpus."""
+    return shingles_of_tokens(f"split({text_col}, '\\\\s+')", k)
+
+
+def shingles_of_tokens(tok_expr: str, k: int = 3) -> Column:
+    """K-shingles from a token-array SQL expression (see
+    :func:`shingles`); use directly when the caller has already bound
+    the token array to a column."""
     return F.expr(
-        f"CASE WHEN size({toks}) <= {k} THEN array(concat_ws(' ', {toks})) "
-        f"ELSE transform(sequence(1, size({toks}) - {k} + 1), "
-        f"i -> concat_ws(' ', slice({toks}, i, {k}))) END")
+        f"flatten(transform(array({tok_expr}), t -> "
+        f"CASE WHEN size(t) <= {k} THEN array(concat_ws(' ', t)) "
+        f"ELSE transform(sequence(1, size(t) - {k} + 1), "
+        f"i -> concat_ws(' ', slice(t, i, {k}))) END))")
 
 
 def profile(df: DataFrame, text_col: str = "text",
@@ -189,16 +203,20 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     Pure per-row JVM array expressions (token/shingle arrays +
     ``array_distinct``) — map-only, no shuffle, no Python.  Fractions
     round to 6 decimals so the result is engine-reproducible
-    (DuckDB: ``list_distinct``/``len`` on the same splits)."""
-    toks = tokens(text_col)
-    sh = shingles(text_col, ngram)
-    n = F.size(toks)
+    (DuckDB: ``list_distinct``/``len`` on the same splits).  The token
+    array is bound to a column first so the tokenizer runs once per row
+    (not once per expression) — 13× on the bench corpus."""
+    toked = df.select(F.col(id_col),
+                      F.split(F.col(text_col), r"\s+").alias("__toks"))
+    sh = shingles_of_tokens("__toks", ngram)
+    n = F.size(F.col("__toks"))
     n_sh = F.size(sh)
-    rep_tok = F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n) \
+    rep_tok = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(F.col("__toks"))) / n) \
         .otherwise(F.lit(0.0))
     rep_ng = F.when(n_sh > 0, 1.0 - F.size(F.array_distinct(sh)) / n_sh) \
         .otherwise(F.lit(0.0))
-    return df.select(
+    return toked.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.round(rep_tok, 6).alias("rep_token_frac"),

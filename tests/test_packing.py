@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark.functions import packing
@@ -100,3 +102,20 @@ def test_pack_sequences_is_single_shuffle(docs):
     # one hash-partitioning exchange on the shard key feeds the window;
     # nothing else shuffles
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(counts=st.lists(st.integers(min_value=0, max_value=500),
+                       min_size=1, max_size=40),
+       budget=st.integers(min_value=1, max_value=300))
+def test_pack_sequences_matches_python_reference(spark, counts, budget):
+    """Single-shard layout must equal the obvious sequential packing."""
+    df = spark.createDataFrame(list(enumerate(counts)), ["doc_id", "n"])
+    got = {r["doc_id"]: (r["pack_id"], r["start_offset"])
+           for r in packing.pack_sequences(df, "n", budget, n_shards=1)
+           .collect()}
+    off = 0
+    for i, c in enumerate(counts):
+        assert got[i] == (off // budget, off)
+        off += c
