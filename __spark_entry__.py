@@ -716,6 +716,73 @@ def q_range_join(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("countAgg")))
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Q10 returned-item reporting (TPC-H 2.4.10), adapted to the
+    testdata customer columns (no address/phone/comment): revenue lost
+    to returned items per customer in a quarter, top 20.  Plan shape is
+    Q10's — date-windowed orders⋈lineitem with the returnflag filter
+    pushed to the scan, nation broadcast at the end."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (_db(spark, sf_dir).query("customer")
+           .join("orders", "c_custkey", "o_custkey")
+           .join("lineitem", "o_orderkey", "l_orderkey")
+           .join("nation", "c_nationkey", "n_nationkey")
+           .where("o_orderdate", GTE, "1996-10-01")
+           .where("o_orderdate", LT, "1997-01-01")
+           .where("l_returnflag", EQ, "R")
+           .group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+           .sum(revenue, out="revenue", exact=True)
+           .execute())
+    return (out.select("c_custkey", "c_name",
+                       F.round(F.col("revenue").cast("double"), 4)
+                       .alias("revenue"),
+                       F.round("c_acctbal", 2).alias("c_acctbal"),
+                       "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+def q_tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between two nations (TPC-H 2.4.7): supplier
+    nation vs customer nation needs the nation dimension joined TWICE;
+    the standard pair disjunction ((A,B) or (B,A)) is expressed as
+    both-in-the-two-nation-universe AND supp ≠ cust — identical
+    semantics, no OR needed.  Core 4-table join through the builder;
+    both nation copies broadcast (25 rows)."""
+    db = _db(spark, sf_dir)
+    base = (db.query("supplier")
+            .join("lineitem", "s_suppkey", "l_suppkey")
+            .join("orders", "l_orderkey", "o_orderkey")
+            .join("customer", "o_custkey", "c_custkey")
+            .where("l_shipdate", GTE, "1995-01-01")
+            .where("l_shipdate", LTE, "1996-12-31")
+            .select(("s_nationkey", "sk"), ("c_nationkey", "ck"),
+                    ("l_extendedprice", "ep"), ("l_discount", "di"),
+                    ("l_shipdate", "sd"))
+            .execute())
+    sup_n = db.table("nation").select(
+        F.col("n_nationkey").alias("sk2"),
+        F.col("n_name").alias("supp_nation"))
+    cus_n = db.table("nation").select(
+        F.col("n_nationkey").alias("ck2"),
+        F.col("n_name").alias("cust_nation"))
+    two = ["NATION_1", "NATION_2"]
+    return (base
+            .join(F.broadcast(sup_n), F.col("sk") == F.col("sk2"))
+            .join(F.broadcast(cus_n), F.col("ck") == F.col("ck2"))
+            .filter(F.col("supp_nation").isin(two)
+                    & F.col("cust_nation").isin(two)
+                    & (F.col("supp_nation") != F.col("cust_nation")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("sd").alias("l_year"))
+            .agg(F.sum((F.col("ep") * (1 - F.col("di")))
+                       .cast("decimal(18,4)")).alias("rev"))
+            .select("supp_nation", "cust_nation", "l_year",
+                    F.round(F.col("rev").cast("double"), 4)
+                    .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
 def q_salted_join(spark, sf_dir):
     """Explicit hot-key salting (for paths AQE skew-splitting can't touch);
     result must equal the unsalted join."""
@@ -1387,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "orc_source": q_orc_source,
         "doc_repetition": q_doc_repetition,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
         # --- source code changed this round: re-verify ---
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
@@ -1394,13 +1463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "streaming_dedup": q_streaming_dedup,
         "minhash_near_dups": q_minhash_near_dups,
-        # --- flagship anchors (keep continuously verified) ---
+        # --- flagship anchor (keep continuously verified) ---
         "join_three_flagship": q_join_three_flagship,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
         # ------------- below the driver's 50-row window ------------- #
         # all green in CORRECTNESS_r04 (or the round-5 local full run)
         # and untouched since
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
         "scan": q_scan,
         "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
@@ -1879,6 +1948,35 @@ def oracle_sql() -> dict[str, str]:
             f"FROM lineitem "
             f"WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00' "
             f"GROUP BY l_returnflag, l_linestatus"),
+        "tpch_q7": (
+            f"SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            f"CAST(year(l_shipdate) AS INT) AS l_year, "
+            f"round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            f"AS {dec})) AS DOUBLE), 4) AS revenue "
+            f"FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+            f"JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            f"JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            f"WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' "
+            f"AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00' "
+            f"AND sn.n_name IN ('NATION_1', 'NATION_2') "
+            f"AND cn.n_name IN ('NATION_1', 'NATION_2') "
+            f"AND sn.n_name <> cn.n_name "
+            f"GROUP BY 1, 2, 3"),
+        "tpch_q10": (
+            f"SELECT c_custkey, c_name, "
+            f"round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            f"AS {dec})) AS DOUBLE), 4) AS revenue, "
+            f"round(c_acctbal, 2) AS c_acctbal, n_name "
+            f"FROM customer JOIN orders ON c_custkey = o_custkey "
+            f"JOIN lineitem ON o_orderkey = l_orderkey "
+            f"JOIN nation ON c_nationkey = n_nationkey "
+            f"WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00' "
+            f"AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+            f"AND l_returnflag = 'R' "
+            f"GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            f"ORDER BY revenue DESC, c_custkey LIMIT 20"),
         "tpch_q3": (
             f"SELECT l_orderkey, "
             f"strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
