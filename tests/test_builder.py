@@ -368,3 +368,15 @@ def test_naive_explain_takes_index_path(spark, db, tmp_path):
     grouped = (db.query("cust_idx").where("c_custkey", LTE, 100)
                .group_by("c_mktsegment").count().explain())
     assert "type: INDEXSCAN" not in grouped
+
+
+def test_tpch_q7_q10_broadcast_dimensions(spark):
+    """The nation dimension(s) must broadcast in the new TPC-H entries —
+    a shuffle on a 25-row table would be the wrong plan at any scale."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    for fn in (entry.q_tpch_q7, entry.q_tpch_q10):
+        plan = (fn(spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan, fn.__name__
