@@ -892,12 +892,15 @@ def q_pivot(spark, sf_dir):
     """Pivot (group rows, spread a categorical column into columns).  The
     value list is pinned ('O','F') so the output schema is deterministic."""
     db = _db(spark, sf_dir)
+    # Both sides pin the count dtype to 64-bit int: DuckDB's SUM(CASE…)
+    # natively yields HUGEINT, which serializes to a different pandas
+    # dtype than Spark's BIGINT and trips dtype-sensitive value hashing.
     return windows.pivot_table(
         db.table("lineitem"), "l_returnflag", "l_linestatus", ["O", "F"],
         F.count(F.lit(1))).select(
             "l_returnflag",
-            F.coalesce("O", F.lit(0)).alias("n_open"),
-            F.coalesce("F", F.lit(0)).alias("n_filled"))
+            F.coalesce("O", F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce("F", F.lit(0)).cast("long").alias("n_filled"))
 
 
 # ===================================================================== #
@@ -1159,10 +1162,13 @@ def q_window_frame(spark, sf_dir):
 def q_collect_sorted(spark, sf_dir):
     """Aggregate-to-array (feature packing): per nation, the sorted set
     of market segments its customers appear in.  array_sort makes the
-    collect_set deterministic."""
+    collect_set deterministic; the array is emitted as a comma-joined
+    string because downstream pandas-based comparators can't hash an
+    array<string> column (semantics are identical — the set is sorted
+    and its elements contain no commas)."""
     return (_db(spark, sf_dir).table("customer")
             .groupBy("c_nationkey")
-            .agg(F.array_sort(F.collect_set("c_mktsegment"))
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment")))
                  .alias("segments")))
 
 
@@ -2054,7 +2060,8 @@ def oracle_sql() -> dict[str, str]:
             f"AS moving_avg FROM orders"),
         "collect_sorted": (
             "SELECT c_nationkey, "
-            "list_sort(list(DISTINCT c_mktsegment)) AS segments "
+            "array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') "
+            "AS segments "
             "FROM customer GROUP BY c_nationkey"),
         "summary_stats": (
             "SELECT l_returnflag, "
@@ -2115,10 +2122,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY s_nationkey"),
         "pivot": (
             "SELECT l_returnflag, "
-            "COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) "
-            "AS n_open, "
-            "COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) "
-            "AS n_filled FROM lineitem GROUP BY l_returnflag"),
+            "CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) "
+            "AS BIGINT) AS n_open, "
+            "CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) "
+            "AS BIGINT) AS n_filled FROM lineitem GROUP BY l_returnflag"),
         "streaming_sliding": (
             "SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) "
             "- i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') "
