@@ -76,17 +76,32 @@ def main() -> None:
         "n_queries": len(timings),
         "runs_per_query": runs,
     }
-    line = json.dumps(result)
-    # Persist to a file so the result survives even if stdout is
-    # truncated, and stop Spark BEFORE printing so no trailing JVM log
-    # lines land after the JSON — the driver parses the LAST stdout line.
+    # Persist the FULL result (all per-query timings) to a file; the
+    # printed line must stay compact — the capture of stdout keeps only
+    # a bounded tail, and a ~2 KB line with the whole 89-query map gets
+    # truncated from the front, breaking last-line JSON parsing.  The
+    # printed line carries the headline numbers plus the 5 slowest
+    # queries; BENCH.json holds the complete map.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(result) + "\n")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": f"suite_total_{sf_label}",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "runs_per_query": runs,
+        "queries_full": "BENCH.json",
+    }
+    # Stop Spark BEFORE printing so no trailing JVM log lines land
+    # after the JSON — the driver parses the LAST stdout line.
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
-    print(line, flush=True)
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
