@@ -380,3 +380,20 @@ def test_tpch_q7_q10_broadcast_dimensions(spark):
         plan = (fn(spark, SF_DIR)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_tpch_q7_nation_filter_pushed_to_scans(spark):
+    """Q7's two-nation restriction must reach the supplier and customer
+    parquet scans as pushed `In` filters (literal keys resolved from the
+    25-row dimension up front) — filtering after the 4-table join would
+    discard ~(2/25)^2 of the join output at any scale."""
+    import re
+
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    plan = (entry.q_tpch_q7(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    for col in ("s_nationkey", "c_nationkey"):
+        assert re.search(rf"PushedFilters: \[[^\]]*In\({col}", plan), (
+            f"{col} In-filter not pushed to the parquet scan:\n{plan}")
