@@ -1423,72 +1423,15 @@ def q_embedding_similar_pairs(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-5 policy: the window is spent on
-    # the queries with the LEAST accumulated driver evidence — the 30
-    # registered-but-never-checked entries, the 4 that were no_oracle
-    # until this round, the 2 new entries, the streaming block (its
-    # source changed this round), and a small core of flagship anchors.
-    # The 32 entries proven green in CORRECTNESS_r04 and untouched since
-    # sit below the fold (still registered, still benched).
+    # entries in registry order.  Round-6 policy (alternating halves from
+    # here, so window(rN) ∪ window(rN-1) always covers all 89 with ≤1
+    # round of staleness): the r5 window verified the 50 entries with the
+    # least evidence; this round flips back to the 39 r4-proven queries
+    # (unchecked since r4), plus everything whose source changed this
+    # round (pivot, collect_sorted, tpch_q7), the flagship anchor, and
+    # the r5 heavyweights/perf-drift trio as fillers to reach 50.
     return {
-        # --- never driver-checked before round 5 ---
-        "time_window_agg": q_time_window_agg,
-        "bucketed_join": q_bucketed_join,
-        "streaming_sliding": q_streaming_sliding,
-        "range_join": q_range_join,
-        "filter_neq": q_filter_neq,
-        "json_source": q_json_source,
-        "distinct": q_distinct,
-        "union": q_union,
-        "intersect": q_intersect,
-        "anti_join": q_anti_join,
-        "having": q_having,
-        "cube": q_cube,
-        "case_expr": q_case_expr,
-        "json_extract": q_json_extract,
-        "window_running": q_window_running,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "salted_join": q_salted_join,
-        "pivot": q_pivot,
-        "quantiles_approx": q_quantiles_approx,
-        "stratified_sample": q_stratified_sample,
-        "summary_stats": q_summary_stats,
-        "unpivot": q_unpivot,
-        "window_frame": q_window_frame,
-        "collect_sorted": q_collect_sorted,
-        "zorder_scan": q_zorder_scan,
-        "streaming_enrich": q_streaming_enrich,
-        # --- no_oracle until round 5 (now fully oracle-checked) ---
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_similar_pairs": q_embedding_similar_pairs,
-        # --- new in round 5 ---
-        "txn_snapshot_isolation": q_txn_snapshot_isolation,
-        "txn_2pl_serial": q_txn_2pl_serial,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "pack_sequences": q_pack_sequences,
-        "chunk_documents": q_chunk_documents,
-        "orc_source": q_orc_source,
-        "doc_repetition": q_doc_repetition,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        # --- source code changed this round: re-verify ---
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_session": q_streaming_session,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        "streaming_dedup": q_streaming_dedup,
-        "minhash_near_dups": q_minhash_near_dups,
-        # --- flagship anchor (keep continuously verified) ---
-        "join_three_flagship": q_join_three_flagship,
-        # ------------- below the driver's 50-row window ------------- #
-        # all green in CORRECTNESS_r04 (or the round-5 local full run)
-        # and untouched since
+        # --- r4-proven core, unchecked since r4 (39) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "scan": q_scan,
@@ -1528,6 +1471,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "token_counts": q_token_counts,
+        # --- source changed in round 6: must re-verify (3) ---
+        "pivot": q_pivot,
+        "collect_sorted": q_collect_sorted,
+        "tpch_q7": q_tpch_q7,
+        # --- flagship anchor (keep continuously verified) (1) ---
+        "join_three_flagship": q_join_three_flagship,
+        # --- fillers to 50: r5 heavyweights + perf-drift trio (7) ---
+        "tpch_q3": q_tpch_q3,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "txn_2pl_serial": q_txn_2pl_serial,
+        "txn_snapshot_isolation": q_txn_snapshot_isolation,
+        "minhash_near_dups": q_minhash_near_dups,
+        # ------------- below the driver's 50-row window ------------- #
+        # all green in CORRECTNESS_r05 and untouched since
+        "time_window_agg": q_time_window_agg,
+        "bucketed_join": q_bucketed_join,
+        "streaming_sliding": q_streaming_sliding,
+        "range_join": q_range_join,
+        "filter_neq": q_filter_neq,
+        "json_source": q_json_source,
+        "distinct": q_distinct,
+        "union": q_union,
+        "intersect": q_intersect,
+        "anti_join": q_anti_join,
+        "having": q_having,
+        "cube": q_cube,
+        "case_expr": q_case_expr,
+        "json_extract": q_json_extract,
+        "window_running": q_window_running,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "salted_join": q_salted_join,
+        "quantiles_approx": q_quantiles_approx,
+        "stratified_sample": q_stratified_sample,
+        "summary_stats": q_summary_stats,
+        "unpivot": q_unpivot,
+        "window_frame": q_window_frame,
+        "zorder_scan": q_zorder_scan,
+        "streaming_enrich": q_streaming_enrich,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_similar_pairs": q_embedding_similar_pairs,
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "orc_source": q_orc_source,
+        "doc_repetition": q_doc_repetition,
+        "tpch_q10": q_tpch_q10,
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_session": q_streaming_session,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
