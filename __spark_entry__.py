@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark import Database
+from cs186_query_optimization_project_spark.database import (
+    ensure_private_dir as _ensure_private_dir,
+)
 from cs186_query_optimization_project_spark.functions import (
     dedup,
     multimodal,
@@ -64,11 +67,12 @@ def _tmp_path(kind: str, sf_dir: str, leaf: str) -> str:
     """Scratch path under a per-uid 0700 parent — no other local user can
     pre-create, poison, or collide with it (the same guard the ANN index
     and DML/txn entries use; every /tmp write in this module must go
-    through it)."""
+    through it).  ``ensure_private_dir`` verifies ownership+mode after
+    the mkdir: ``mode=`` is ignored for a pre-existing directory, so a
+    bare makedirs would accept another user's planted path."""
     import os
 
-    parent = f"/tmp/spark_graft_{kind}_{os.getuid()}"
-    os.makedirs(parent, mode=0o700, exist_ok=True)
+    parent = _ensure_private_dir(f"/tmp/spark_graft_{kind}_{os.getuid()}")
     return os.path.join(parent, _tag(sf_dir), leaf)
 
 
@@ -290,8 +294,8 @@ def q_dml_lifecycle(spark, sf_dir):
     import shutil
 
     db = _db(spark, sf_dir)
-    parent = f"/tmp/spark_graft_dml_{os.getuid()}"
-    os.makedirs(parent, mode=0o700, exist_ok=True)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_dml_{os.getuid()}")
     base = os.path.join(parent, _tag(sf_dir))
     shutil.rmtree(base, ignore_errors=True)
 
@@ -332,8 +336,8 @@ def q_txn_snapshot_isolation(spark, sf_dir):
     )
 
     db = _db(spark, sf_dir)
-    parent = f"/tmp/spark_graft_txn_{os.getuid()}"
-    os.makedirs(parent, mode=0o700, exist_ok=True)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_txn_{os.getuid()}")
     base = os.path.join(parent, _tag(sf_dir))
     shutil.rmtree(base, ignore_errors=True)
     db.create_table("nation_txn", db.table("nation"), f"{base}/nation",
@@ -378,8 +382,8 @@ def q_txn_2pl_serial(spark, sf_dir):
     import threading
 
     db = _db(spark, sf_dir)
-    parent = f"/tmp/spark_graft_2pl_{os.getuid()}"
-    os.makedirs(parent, mode=0o700, exist_ok=True)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_2pl_{os.getuid()}")
     base = os.path.join(parent, _tag(sf_dir))
     shutil.rmtree(base, ignore_errors=True)
     db.create_table("nation_2pl_q", db.table("nation"), f"{base}/nation",
@@ -1149,8 +1153,8 @@ def q_zorder_scan(spark, sf_dir):
     from cs186_query_optimization_project_spark.sources import writers
 
     db = _db(spark, sf_dir)
-    parent = f"/tmp/spark_graft_z_{os.getuid()}"
-    os.makedirs(parent, mode=0o700, exist_ok=True)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_z_{os.getuid()}")
     path = os.path.join(parent, _tag(sf_dir))
     writers.write_zordered(db.table("lineitem"), path,
                            ("l_partkey", "l_suppkey"))
@@ -1356,8 +1360,8 @@ def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
     src = f"{sf_dir}/embeddings.parquet"
     fp = similarity.source_fingerprint(src)
     params = _ANN_PARAMS[kind]
-    parent = f"/tmp/spark_graft_ann_{os.getuid()}"
-    os.makedirs(parent, mode=0o700, exist_ok=True)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_ann_{os.getuid()}")
     key = hashlib.md5(f"{kind}|v{_ANN_INDEX_VERSION}|"
                       f"{sorted(params.items())}|{fp}"
                       .encode()).hexdigest()[:12]

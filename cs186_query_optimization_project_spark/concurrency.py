@@ -36,6 +36,17 @@ from cs186_query_optimization_project_spark.errors import (
 S = "S"
 X = "X"
 
+#: shared transaction-id stream — EVERY lock-table participant draws
+#: from it (2PL transactions, optimistic commits, autocommit DML), so
+#: ids can never collide across protocols sharing one LockManager.
+_TXN_IDS = iter(range(1, 1 << 62))
+_TXN_IDS_LOCK = threading.Lock()
+
+
+def next_txn_id() -> int:
+    with _TXN_IDS_LOCK:
+        return next(_TXN_IDS)
+
 
 def _compatible(held: str, requested: str) -> bool:
     return held == S and requested == S
@@ -68,6 +79,16 @@ class _WaitsForGraph:
 
     def clear(self, waiter: object) -> None:
         self._edges.pop(waiter, None)
+
+    def remove_target(self, txn: object) -> None:
+        """Drop every edge pointing AT ``txn``.  Sleeping waiters only
+        re-derive their own edges when they wake, so after ``txn``
+        departs (release, deadlock refusal, timeout) their cached
+        edges to it are stale — a new request's cycle walk traversing
+        one would raise a spurious DeadlockException for a schedule
+        that can no longer deadlock."""
+        for targets in self._edges.values():
+            targets.discard(txn)
 
 
 class LockManager:
@@ -106,6 +127,7 @@ class LockManager:
                 queue.insert(0, entry)
             else:
                 queue.append(entry)
+            granted = False
             try:
                 while not self._grantable(table, entry):
                     blockers = self._blockers(table, entry)
@@ -129,9 +151,21 @@ class LockManager:
                         raise DatabaseException(
                             f"lock wait timeout: txn {txn_id!r}, "
                             f"{mode} on '{table}'")
+                granted = True
             finally:
                 queue.remove(entry)
                 self._waits.clear(txn_id)
+                if not granted:
+                    # abnormal exit (deadlock refusal / timeout): this
+                    # request is leaving the protocol, but the txn may
+                    # RETRY under the same id — edges other sleeping
+                    # waiters cached toward it are stale (they only
+                    # re-derive on wake) and would make the retry's
+                    # cycle test see a departed blocker, aborting a
+                    # schedule that can no longer deadlock.  A GRANT
+                    # must NOT prune: the txn becomes a holder and
+                    # cached edges toward it are still live.
+                    self._waits.remove_target(txn_id)
                 # leaving the queue (grant OR abnormal exit — deadlock
                 # refusal / timeout) can make the new head eligible; a
                 # silent departure would leave it parked forever
@@ -149,6 +183,9 @@ class LockManager:
             for holders in self._holders.values():
                 holders.pop(txn_id, None)
             self._waits.clear(txn_id)
+            # the departing holder can no longer block anyone; prune
+            # sleeping waiters' cached edges toward it
+            self._waits.remove_target(txn_id)
             self._cv.notify_all()
 
     def holding(self, txn_id: object, table: str) -> str | None:
@@ -191,14 +228,10 @@ class PessimisticTransaction:
     from locks instead of snapshot validation — reads take S, writes
     upgrade to X, everything releases at end, commits never conflict."""
 
-    _ids = iter(range(1, 1 << 62))
-    _ids_lock = threading.Lock()
-
     def __init__(self, db, lock_manager: LockManager) -> None:
         self._db = db
         self._lm = lock_manager
-        with PessimisticTransaction._ids_lock:
-            self.txn_id = next(PessimisticTransaction._ids)
+        self.txn_id = next_txn_id()
         self._writes: dict[str, list] = {}
         self._active = True
 

@@ -18,6 +18,7 @@ report (plans/optimizer.py) treats those columns as index-eligible.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cs186_query_optimization_project_spark.errors import DatabaseException
+
+
+def ensure_private_dir(path: str) -> str:
+    """``mkdir -p`` with an ownership check.  ``mode=`` on ``makedirs``
+    is IGNORED when the directory already exists, so a world-readable or
+    foreign-owned pre-created path would silently defeat the 0700
+    anti-poisoning guard (pickle caches, DML table versions, ANN
+    indexes all live under such parents).  Verify the dir is ours and
+    closed to group/other, failing loudly otherwise."""
+    import stat
+
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    st = os.stat(path)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise DatabaseException(
+            f"scratch dir '{path}' is owned by uid {st.st_uid} with mode "
+            f"{stat.filemode(st.st_mode)}; expected own uid "
+            f"{os.getuid()} and 0700 — refusing to use it")
+    return path
 
 
 def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
@@ -259,39 +279,61 @@ class Database:
     # copy-on-write is exactly what Delta does per touched file — here it
     # is per table, the honest cost of DML without file-level metadata.
 
+    @contextmanager
+    def _autocommit_x(self, *names: str):
+        """X-lock ``names`` through the shared LockManager for the span
+        of one immediate-DML statement (an autocommit transaction).
+        Every writer — 2PL txns, optimistic commits, and db-level DML —
+        goes through the same lock table (the reference routes all DML
+        through its LockManager, ``db/Database.java:317–401``), so an
+        immediate write can never clobber a table an active 2PL
+        transaction holds X on (lost update)."""
+        from cs186_query_optimization_project_spark import concurrency
+
+        tid = concurrency.next_txn_id()
+        try:
+            for name in sorted(names):  # global order: no lock-order cycles
+                self._lock_manager.acquire(tid, name, concurrency.X)
+            yield
+        finally:
+            self._lock_manager.release_all(tid)
+
     def insert_rows(self, name: str, rows: DataFrame) -> "Database":
         """Append rows (schema-verified like ``Schema.verify``,
         ``db/table/Schema.java:45–64``)."""
-        entry = self._entry(name)
-        expected = [(f.name, f.dataType) for f in entry.schema.fields]
-        got = [(f.name, f.dataType) for f in rows.schema.fields]
-        if expected != got:
-            raise DatabaseException(
-                f"insert into '{name}': schema mismatch; table has "
-                f"{expected}, rows have {got}")
-        return self._rewrite(entry, entry.df.unionByName(rows))
+        with self._autocommit_x(name):
+            entry = self._entry(name)
+            expected = [(f.name, f.dataType) for f in entry.schema.fields]
+            got = [(f.name, f.dataType) for f in rows.schema.fields]
+            if expected != got:
+                raise DatabaseException(
+                    f"insert into '{name}': schema mismatch; table has "
+                    f"{expected}, rows have {got}")
+            return self._rewrite(entry, entry.df.unionByName(rows))
 
     def delete_rows(self, name: str, condition) -> "Database":
         """Delete rows matching ``condition`` (a boolean Column)."""
-        entry = self._entry(name)
-        return self._rewrite(entry, entry.df.filter(~condition))
+        with self._autocommit_x(name):
+            entry = self._entry(name)
+            return self._rewrite(entry, entry.df.filter(~condition))
 
     def update_rows(self, name: str, condition,
                     assignments: dict[str, object]) -> "Database":
         """Set ``column -> value/Column expression`` on rows matching
         ``condition``; other rows unchanged."""
-        entry = self._entry(name)
-        df = entry.df
-        for col_name, value in assignments.items():
-            if col_name not in df.columns:
-                raise DatabaseException(
-                    f"update '{name}': unknown column '{col_name}'")
-            val = value if isinstance(value, F.Column) else F.lit(value)
-            df = df.withColumn(
-                col_name,
-                F.when(condition, val.cast(df.schema[col_name].dataType))
-                .otherwise(F.col(col_name)))
-        return self._rewrite(entry, df)
+        with self._autocommit_x(name):
+            entry = self._entry(name)
+            df = entry.df
+            for col_name, value in assignments.items():
+                if col_name not in df.columns:
+                    raise DatabaseException(
+                        f"update '{name}': unknown column '{col_name}'")
+                val = value if isinstance(value, F.Column) else F.lit(value)
+                df = df.withColumn(
+                    col_name,
+                    F.when(condition, val.cast(df.schema[col_name].dataType))
+                    .otherwise(F.col(col_name)))
+            return self._rewrite(entry, df)
 
     def _rewrite(self, entry: TableEntry, new_df: DataFrame) -> "Database":
         if entry.path is None:
@@ -372,6 +414,11 @@ class Database:
         if key is None:
             return None
         path = os.path.join(self._STATS_CACHE_DIR, key + ".pkl")
+        # verify BEFORE unpickling — and OUTSIDE the best-effort except:
+        # loading from a foreign-owned or open directory would execute
+        # attacker-planted bytecode, so tampering fails loudly rather
+        # than degrading to a cache miss
+        ensure_private_dir(self._STATS_CACHE_DIR)
         try:
             import pickle
 
@@ -390,7 +437,7 @@ class Database:
         try:
             import pickle
 
-            os.makedirs(self._STATS_CACHE_DIR, mode=0o700, exist_ok=True)
+            ensure_private_dir(self._STATS_CACHE_DIR)
             final = os.path.join(self._STATS_CACHE_DIR, key + ".pkl")
             # write-then-rename: concurrent processes never observe a
             # torn pickle (os.replace is atomic within a filesystem)

@@ -31,6 +31,15 @@ from pyspark.sql import types as T
 #: one entry per path instead of growing per regeneration).
 _SCHEMA_CACHE: dict = {}
 
+#: session-timezone values accepted as "already UTC" — zero-offset,
+#: no-DST aliases only.  Anything else fails loudly in stream_events.
+_UTC_EQUIVALENT_ZONES = frozenset({
+    "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Etc/GMT0", "Etc/GMT+0",
+    "Etc/GMT-0", "Greenwich", "Etc/Greenwich", "Universal",
+    "Etc/Universal", "Zulu", "Etc/Zulu", "Z", "+00:00", "UTC+00:00",
+    "GMT+00:00",
+})
+
 #: schema served when the source directory has no files yet — a stream is
 #: allowed to start before its producer writes anything (Kafka-stand-in
 #: contract); matches the testdata events table
@@ -61,16 +70,29 @@ def stream_events(spark, path: str) -> DataFrame:
     TIMESTAMP_NTZ, and a bare cast to TIMESTAMP reinterprets wall time
     through ``spark.sql.session.timeZone`` — on a non-UTC session the
     window boundaries would shift vs. the batch/oracle path, and DST
-    fall-back wall times are ambiguous.  So the session timezone is
-    pinned to UTC here (the same move ``Database`` makes for
-    ``nanosAsLong``: required confs are asserted on ANY session handed
-    in, vanilla or not), making NTZ→TIMESTAMP a bijection.
+    fall-back wall times are ambiguous.  The session timezone is
+    therefore REQUIRED to be UTC(-equivalent): a mismatch raises
+    instead of being silently overwritten, because repinning a shared
+    session's timezone as a side effect of opening one stream would
+    alter timestamp/``year()`` results for every later batch query of
+    a caller who intentionally runs in another zone.
     """
     import os
 
     from pyspark.errors import AnalysisException
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_EQUIVALENT_ZONES:
+        raise DatabaseException(
+            f"streaming requires a UTC session (NTZ event time must cast "
+            f"to TIMESTAMP without wall-clock shift), but "
+            f"spark.sql.session.timeZone={tz!r}; set it to 'UTC' before "
+            f"opening streams — it is not overwritten here because the "
+            f"change would leak into every later query on this session")
     try:
         mtime = os.stat(path).st_mtime_ns
     except OSError:

@@ -26,6 +26,11 @@ protocol a Delta/Iceberg commit uses per table:
 Read-only tables are not validated (snapshot isolation, not full
 serializability — same granularity trade the reference makes by locking
 whole tables).
+
+Both protocols (and ``Database``'s immediate autocommit DML) share one
+``LockManager``: an optimistic commit X-locks its written tables for
+the validate+publish instant, so mixing optimistic, 2PL, and db-level
+writers on the same table cannot lose updates.
 """
 
 from __future__ import annotations
@@ -173,23 +178,52 @@ class Transaction:
     # outcome
     # ------------------------------------------------------------------ #
     def commit(self) -> None:
-        """Validate-then-publish.  Validation and publication are
-        table-at-a-time on the driver: single-process catalog swaps, the
-        same atomicity domain the reference's in-process lock manager
-        has.  (Multi-process publication would move this CAS into a
-        shared catalog service — the Delta-log role.)"""
+        """Validate-then-publish under the shared lock table.
+
+        The commit X-locks every *written* table (sorted order — no
+        lock-order cycles) for the validate+publish span, so an
+        optimistic publication can never interleave with an active 2PL
+        transaction's writes (both protocols share one LockManager;
+        mixed-mode lost updates are structurally impossible) and two
+        optimistic commits on the same table serialize their
+        CAS+publish sections.  Reads and buffered DML stay lock-free —
+        only the commit instant blocks, and only against a concurrent
+        writer of the same table.  A lock acquisition the waits-for
+        graph refuses surfaces as :class:`ConflictException` (the
+        optimistic retry signal), not a deadlock.  (Multi-process
+        publication would move this CAS into a shared catalog service —
+        the Delta-log role.)"""
         self._check_active()
-        for name in self._writes:
-            entry = self._db._entry(name)
-            if _version_token(entry) != self._pins[name][0]:
+        from cs186_query_optimization_project_spark import concurrency
+        from cs186_query_optimization_project_spark.errors import (
+            DeadlockException,
+        )
+
+        lm = self._db._lock_manager
+        tid = concurrency.next_txn_id()
+        try:
+            try:
+                for name in sorted(self._writes):
+                    lm.acquire(tid, name, concurrency.X)
+            except DeadlockException as exc:
                 self._active = False
                 raise ConflictException(
-                    f"write-write conflict on '{name}': version advanced "
-                    f"since this transaction's snapshot; retry on a fresh "
-                    f"snapshot")
-        for name in self._writes:
-            self._db._rewrite(self._db._entry(name), self.table(name))
-        self._active = False
+                    f"commit lock refused (would deadlock with an active "
+                    f"2PL transaction): {exc}; retry on a fresh snapshot"
+                ) from exc
+            for name in self._writes:
+                entry = self._db._entry(name)
+                if _version_token(entry) != self._pins[name][0]:
+                    self._active = False
+                    raise ConflictException(
+                        f"write-write conflict on '{name}': version "
+                        f"advanced since this transaction's snapshot; "
+                        f"retry on a fresh snapshot")
+            for name in self._writes:
+                self._db._rewrite(self._db._entry(name), self.table(name))
+            self._active = False
+        finally:
+            lm.release_all(tid)
 
     def rollback(self) -> None:
         """Discard the intent log; nothing was published."""
