@@ -135,14 +135,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_bands: int = 8,
-                        hash_family: str = "portable") -> DataFrame:
+                        hash_family: str = "portable",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash).
 
     Output: distinct (a, b) with a < b.  The explode produces n_bands rows
     per doc; the join shuffles on the band hash — the scalable LSH shape
     (no all-pairs comparison anywhere).  ``portable`` band keys are md5
     of the band's comma-joined minhash values (engine-reproducible,
-    16-byte keys); ``xxhash64`` keys are 8 bytes and Spark-only."""
+    16-byte keys); ``xxhash64`` keys are 8 bytes and Spark-only.
+
+    ``max_bucket_size`` caps the per-bucket quadratic term.  A
+    boilerplate-heavy corpus (license headers, templated pages) can
+    drive one band bucket to millions of members — n² pairs from a
+    single degenerate bucket is the one way this plan dies at 100 TB.
+    Buckets over the cap short-circuit to a STAR: every member pairs
+    with the bucket's min-id hub only (linear), which preserves the
+    connected component the downstream clustering derives — members of
+    one bucket stay one cluster — while dropping the non-hub pairwise
+    edges (documented trade: pair-level recall inside degenerate
+    buckets, not cluster-level).  ``None`` (default) keeps exact
+    all-within-bucket pairs."""
     band_fn = "md5" if hash_family == "portable" else "xxhash64"
     banded = signatures.select(
         F.col(id_col),
@@ -152,6 +165,22 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                    f"b * (size(signature) div {n_bands}) + 1, "
                    f"size(signature) div {n_bands}))))")
         ).alias("band", "band_hash"))
+    star = None
+    if max_bucket_size is not None:
+        # one window shuffle on the same key the self-join uses; the
+        # size/hub columns ride along instead of a separate count join
+        w = Window.partitionBy("band", "band_hash")
+        banded = (banded
+                  .withColumn("__bn", F.count(F.lit(1)).over(w))
+                  .withColumn("__hub", F.min(id_col).over(w)))
+        over = banded.filter(F.col("__bn") > max_bucket_size)
+        # hub = min(id), so (hub, member) is already (a < b)
+        star = (over.filter(F.col(id_col) != F.col("__hub"))
+                .select(F.col("__hub").alias("a"),
+                        F.col(id_col).alias("b"))
+                .distinct())
+        banded = (banded.filter(F.col("__bn") <= max_bucket_size)
+                  .drop("__bn", "__hub"))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right,
@@ -161,6 +190,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
              .select(F.col(f"l.{id_col}").alias("a"),
                      F.col(f"r.{id_col}").alias("b"))
              .distinct())
+    if star is not None:
+        pairs = pairs.unionByName(star).distinct()
     return pairs
 
 

@@ -23,7 +23,7 @@ import math
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark.parallel import ensure_parallelism
@@ -360,25 +360,60 @@ def ivf_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
 
 def similar_pairs(df: DataFrame, threshold: float = 0.95,
                   vec_col: str = "embedding", id_col: str = "vec_id",
-                  n_planes: int = 8, seed: int = 42) -> DataFrame:
+                  n_planes: int = 8, seed: int = 42,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: bucket on the LSH signature, compare
     within buckets only, keep cosine ≥ threshold.  The quadratic term is
-    bounded per bucket (2^n_planes buckets)."""
+    bounded per bucket (2^n_planes buckets).
+
+    ``max_bucket_size`` caps the per-bucket quadratic term for
+    degenerate corpora (embedding collapse, exact-duplicate floods):
+    over-full buckets short-circuit to hub-spoke comparisons — every
+    member's cosine against the bucket's min-id hub only (LINEAR per
+    bucket) — so a near-dup cluster still forms around the hub, at the
+    documented cost of non-hub pairwise edges.  ``None`` keeps exact
+    within-bucket pairs."""
     df = ensure_parallelism(df, id_col)
     sigs = df.select(F.col(id_col), F.col(vec_col),
                      lsh_signature(vec_col,
                                    _dim_of(df, vec_col), n_planes, seed)
                      .alias("__sig"))
+    star = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__sig")
+        sized = (sigs
+                 .withColumn("__bn", F.count(F.lit(1)).over(w))
+                 .withColumn("__hub", F.min(id_col).over(w)))
+        over = sized.filter(F.col("__bn") > max_bucket_size)
+        hubs = (over.filter(F.col(id_col) == F.col("__hub"))
+                .select(F.col("__sig"),
+                        F.col(id_col).alias("a"),
+                        F.col(vec_col).alias("__hub_vec")))
+        spokes = (over.filter(F.col(id_col) != F.col("__hub"))
+                  .select("__sig", F.col(id_col).alias("b"),
+                          F.col(vec_col)))
+        he = F.transform(F.col("__hub_vec"), lambda x: x.cast("double"))
+        se = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # one hub row per bucket → the join is linear in members
+        star = (spokes.join(hubs, "__sig")
+                .select("a", "b",
+                        F.round(cosine(he, se), 6).alias("cosine_sim"))
+                .filter(F.col("cosine_sim") >= threshold))
+        sigs = (sized.filter(F.col("__bn") <= max_bucket_size)
+                .drop("__bn", "__hub"))
     left, right = sigs.alias("l"), sigs.alias("r")
     le = F.transform(F.col(f"l.{vec_col}"), lambda x: x.cast("double"))
     re_ = F.transform(F.col(f"r.{vec_col}"), lambda x: x.cast("double"))
-    return (left.join(right,
-                      (F.col("l.__sig") == F.col("r.__sig"))
-                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("a"),
-                    F.col(f"r.{id_col}").alias("b"),
-                    F.round(cosine(le, re_), 6).alias("cosine_sim"))
-            .filter(F.col("cosine_sim") >= threshold))
+    pairs = (left.join(right,
+                       (F.col("l.__sig") == F.col("r.__sig"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("a"),
+                     F.col(f"r.{id_col}").alias("b"),
+                     F.round(cosine(le, re_), 6).alias("cosine_sim"))
+             .filter(F.col("cosine_sim") >= threshold))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:

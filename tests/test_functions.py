@@ -318,3 +318,42 @@ def test_duplicate_clusters_star_iteration_cap_keeps_cardinality(spark):
     ids = [r["doc_id"] for r in got]
     assert len(ids) == n and len(set(ids)) == n
     assert all(r["cluster_id"] <= r["doc_id"] for r in got)
+
+def test_lsh_candidate_pairs_bucket_cap(spark):
+    """Degenerate-bucket cap: a boilerplate-heavy corpus (40 identical
+    docs) must short-circuit to a hub star (39 linear edges) instead of
+    C(40,2)=780 quadratic pairs, while small buckets keep exact pairs
+    and the capped bucket stays ONE connected component."""
+    boiler = [(i, "the same license header boilerplate repeated verbatim "
+                  "across every file in the corpus") for i in range(40)]
+    near = [(100, "a genuinely distinct document about query engines"),
+            (101, "a genuinely distinct document about query engines")]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, k=3, n_hashes=8)
+
+    capped = dedup.lsh_candidate_pairs(sigs, n_bands=4, max_bucket_size=10)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    star = {(0, b) for b in range(1, 40)}
+    assert star <= got                       # hub star covers the bucket
+    assert (100, 101) in got                 # small bucket: exact pair kept
+    assert got == star | {(100, 101)}        # and nothing quadratic leaked
+
+    uncapped = dedup.lsh_candidate_pairs(sigs, n_bands=4)
+    assert uncapped.count() == 780 + 1       # the quadratic shape it avoids
+
+
+def test_similar_pairs_bucket_cap(spark):
+    """Embedding flood: 30 identical vectors collapse into one LSH
+    bucket; the cap yields 29 hub-spoke rows (cosine still computed and
+    thresholded) instead of C(30,2)=435."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    emb = (spark.createDataFrame(rows, ["vec_id", "embedding"])
+           .select("vec_id", F.col("embedding").cast("array<float>")
+                   .alias("embedding")))
+    capped = similarity.similar_pairs(emb, threshold=0.9, n_planes=4,
+                                      max_bucket_size=5)
+    got = capped.collect()
+    assert {(r["a"], r["b"]) for r in got} == {(0, b) for b in range(1, 30)}
+    assert all(r["cosine_sim"] == 1.0 for r in got)
+    assert similarity.similar_pairs(emb, threshold=0.9,
+                                    n_planes=4).count() == 435
