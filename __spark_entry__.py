@@ -1056,6 +1056,246 @@ def q_tpch_q18(spark, sf_dir):
             .limit(100))
 
 
+def q_tpch_q8(spark, sf_dir):
+    """Q8 national market share (TPC-H 2.4.8, adapted: p_type filter in
+    place of the reference's three-level type string): of AMERICA-region
+    customers' spend on STANDARD parts in 1996–1997, what fraction was
+    supplied by NATION_3, per year.  7-table join with nation joined
+    twice; the conditional share lives in the aggregate — one pass, no
+    self-join.  The nation/region dims broadcast; the p_type and
+    o_orderdate filters push to their scans, shrinking both fact-join
+    inputs before any shuffle (part ~6×, orders ~3.5×)."""
+    db = _db(spark, sf_dir)
+    part = (db.table("part").filter(F.col("p_type") == "STANDARD")
+            .select("p_partkey"))
+    li = db.table("lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount")
+    orders = (db.table("orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") <= "1997-12-31"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    cust = db.table("customer").select("c_custkey", "c_nationkey")
+    n1 = db.table("nation").select(
+        F.col("n_nationkey").alias("cn_key"), "n_regionkey")
+    region = (db.table("region").filter(F.col("r_name") == "AMERICA")
+              .select("r_regionkey"))
+    sup = db.table("supplier").select("s_suppkey", "s_nationkey")
+    n2 = db.table("nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation3 = F.when(F.col("supp_nation") == "NATION_3",
+                     revenue).otherwise(0.0)
+    joined = (li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n1),
+                    F.col("c_nationkey") == F.col("cn_key"))
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(n2),
+                    F.col("s_nationkey") == F.col("sn_key")))
+    return (joined.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(nation3.cast("decimal(18,4)")).alias("n3_rev"),
+                 F.sum(revenue.cast("decimal(18,4)")).alias("tot_rev"))
+            .select("o_year",
+                    F.round(F.col("n3_rev").cast("double")
+                            / F.col("tot_rev").cast("double"), 4)
+                    .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Q9 product-type profit (TPC-H 2.4.9, adapted: the testdata has no
+    partsupp, so profit omits the ps_supplycost·l_quantity term and the
+    part filter is p_type = 'ECONOMY' instead of p_name LIKE): profit by
+    supplier nation and order year.  5-table join; nation broadcasts,
+    the part filter pushes to its scan and shrinks the first fact join
+    ~6× before the shuffle."""
+    db = _db(spark, sf_dir)
+    part = (db.table("part").filter(F.col("p_type") == "ECONOMY")
+            .select("p_partkey"))
+    li = db.table("lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount")
+    sup = db.table("supplier").select("s_suppkey", "s_nationkey")
+    nation = db.table("nation").select("n_nationkey", "n_name")
+    orders = db.table("orders").select("o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(profit.cast("decimal(18,4)")).alias("profit_dec"))
+            .select("nation", "o_year",
+                    F.round(F.col("profit_dec").cast("double"), 4)
+                    .alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution (TPC-H 2.4.13, adapted:
+    the o_comment NOT LIKE filter becomes o_orderpriority <> '1-URGENT'
+    — same shape, join-side filter on the OUTER side's right relation).
+    LEFT OUTER join so zero-order customers survive with c_count = 0,
+    then a second aggregate over the counts.  Both aggregates are
+    map-side-partial; the distribution fits anywhere."""
+    db = _db(spark, sf_dir)
+    orders_f = (db.table("orders")
+                .filter(F.col("o_orderpriority") != "1-URGENT")
+                .select("o_custkey", "o_orderkey"))
+    counts = (db.table("customer")
+              .join(orders_f,
+                    F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Q15 top supplier (TPC-H 2.4.15): revenue per supplier over one
+    quarter, keep the supplier(s) at the max.  The max is computed as a
+    1-row aggregate joined back (broadcast) — no window over a single
+    partition, so the shape scales; equality is tested on the EXACT
+    decimal revenue (both engines sum decimals exactly, so the tie set
+    is deterministic)."""
+    db = _db(spark, sf_dir)
+    rev = (db.table("lineitem")
+           .filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")).alias("total_rev")))
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (rev.join(F.broadcast(top),
+                     F.col("total_rev") == F.col("max_rev"))
+            .join(db.table("supplier"),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.round(F.col("total_rev").cast("double"), 4)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16 supplier-part relationships (TPC-H 2.4.16, adapted: the
+    part-supplier relation is derived from lineitem — the testdata has
+    no partsupp — and the 'complaints' exclusion becomes s_acctbal < 0):
+    distinct supplier count per (brand, type, size) for mid-size
+    non-PROMO parts, excluding flagged suppliers via ANTI join.  The
+    lineitem projection is distinct-ed to (partkey, suppkey) FIRST —
+    the only wide shuffle is over that deduplicated pair set, not raw
+    lineitem."""
+    db = _db(spark, sf_dir)
+    parts_f = (db.table("part")
+               .filter((F.col("p_brand") != "Brand#1")
+                       & (F.col("p_type") != "PROMO")
+                       & F.col("p_size").isin([5, 10, 15, 20, 25, 30]))
+               .select("p_partkey", "p_brand", "p_type", "p_size"))
+    flagged = db.table("supplier").filter(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    ps = (db.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+          .join(flagged, F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti"))
+    return (ps.join(parts_f, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue (TPC-H 2.4.17, adapted: p_type
+    stands in for p_container): average yearly revenue lost if orders
+    below 20% of a part's mean quantity were not taken.  The correlated
+    per-part average is a groupBy-agg joined back on p_partkey — both
+    sides already hash-partitioned on the same key, and only Brand#3
+    lineitems (semi-joined via the filtered part dim) are averaged.
+    l_quantity is integral in this corpus, so the 0.2·avg threshold is
+    exact on both engines."""
+    db = _db(spark, sf_dir)
+    parts_f = (db.table("part")
+               .filter((F.col("p_brand") == "Brand#3")
+                       & (F.col("p_type") == "SMALL"))
+               .select("p_partkey"))
+    li = (db.table("lineitem")
+          .join(F.broadcast(parts_f),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    avgs = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+            .agg(F.avg("l_quantity").alias("avg_qty")))
+    out = (li.join(avgs, F.col("l_partkey") == F.col("a_partkey"))
+           .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .alias("loss")))
+    return out.select(F.round((F.col("loss") / 7.0).cast("double"), 4)
+                      .alias("avg_yearly"))
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Q19 discounted revenue (TPC-H 2.4.19, adapted: p_type stands in
+    for p_container): three OR'd (brand ∧ type ∧ size-range ∧
+    quantity-range) branches — the disjunction-of-conjunctions shape
+    that exercises Catalyst's CNF conversion: the common l_partkey =
+    p_partkey stays an equi-join and the per-branch part predicates
+    push below it."""
+    db = _db(spark, sf_dir)
+    li, p = db.table("lineitem"), db.table("part")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_type") == "SMALL")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_type") == "LARGE")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .filter(branch)
+            .agg(F.round(F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")).cast("double"), 4)
+                .alias("revenue")))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity (TPC-H 2.4.22, adapted: c_nationkey
+    stands in for the phone-prefix country code, and 'no orders' becomes
+    'no orders since 1999' so the anti-join side is date-pruned):
+    well-funded dormant customers per nation.  The acctbal threshold is
+    a 1-row broadcast (exact decimal sum ÷ count → bit-identical double
+    on any engine); the dormancy test is an ANTI join against the
+    date-filtered orders."""
+    db = _db(spark, sf_dir)
+    nations = [1, 3, 5, 7]
+    cust = (db.table("customer")
+            .filter(F.col("c_nationkey").isin(nations)))
+    thr = (cust.filter(F.col("c_acctbal") > 0.0)
+           .agg((F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                 .cast("double")
+                 / F.count(F.lit(1))).alias("avg_bal")))
+    recent = (db.table("orders")
+              .filter(F.col("o_orderdate") >= "1999-01-01")
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(thr))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                         .cast("double"), 2).alias("totacctbal"))
+            .orderBy("c_nationkey"))
+
+
 # ===================================================================== #
 # training-data pipeline operators (documents / embeddings)
 # ===================================================================== #
@@ -1481,7 +1721,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         # --- flagship anchor (keep continuously verified) (1) ---
         "join_three_flagship": q_join_three_flagship,
-        # --- fillers to 50: r5 heavyweights + perf-drift trio (7) ---
+        # --- NEW in round 6: need first driver evidence (7) ---
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        # ------------- below the driver's 50-row window ------------- #
+        # all green in CORRECTNESS_r05 (or new with local oracle checks)
+        # and ≤1 round stale
+        "tpch_q22": q_tpch_q22,
         "tpch_q3": q_tpch_q3,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -1489,8 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_2pl_serial": q_txn_2pl_serial,
         "txn_snapshot_isolation": q_txn_snapshot_isolation,
         "minhash_near_dups": q_minhash_near_dups,
-        # ------------- below the driver's 50-row window ------------- #
-        # all green in CORRECTNESS_r05 and untouched since
         "time_window_agg": q_time_window_agg,
         "bucketed_join": q_bucketed_join,
         "streaming_sliding": q_streaming_sliding,
@@ -2040,6 +2289,103 @@ def oracle_sql() -> dict[str, str]:
             "            WHERE l_orderkey = o_orderkey "
             "            AND l_quantity > 45.0) "
             "GROUP BY o_orderpriority"),
+        "tpch_q8": (
+            f"SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+            f"round(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN "
+            f"l_extendedprice * (1 - l_discount) ELSE 0.0 END AS {dec})) "
+            f"AS DOUBLE) / CAST(SUM(CAST(l_extendedprice * (1 - "
+            f"l_discount) AS {dec})) AS DOUBLE), 4) AS mkt_share "
+            f"FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            f"JOIN region ON n1.n_regionkey = r_regionkey "
+            f"JOIN supplier ON l_suppkey = s_suppkey "
+            f"JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            f"WHERE p_type = 'STANDARD' AND r_name = 'AMERICA' "
+            f"AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            f"AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00' "
+            f"GROUP BY year(o_orderdate) ORDER BY o_year"),
+        "tpch_q9": (
+            f"SELECT n_name AS nation, "
+            f"CAST(year(o_orderdate) AS INT) AS o_year, "
+            f"round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            f"AS {dec})) AS DOUBLE), 4) AS sum_profit "
+            f"FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"JOIN supplier ON l_suppkey = s_suppkey "
+            f"JOIN nation ON s_nationkey = n_nationkey "
+            f"JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE p_type = 'ECONOMY' "
+            f"GROUP BY n_name, year(o_orderdate) "
+            f"ORDER BY nation, o_year DESC"),
+        "tpch_q13": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) "
+            "AS c_count "
+            "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' "
+            "GROUP BY c_custkey) "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+        "tpch_q15": (
+            f"WITH rev AS (SELECT l_suppkey, "
+            f"SUM(CAST(l_extendedprice * (1 - l_discount) AS {dec})) "
+            f"AS total_rev FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' "
+            f"GROUP BY l_suppkey) "
+            f"SELECT s_suppkey, s_name, "
+            f"round(CAST(total_rev AS DOUBLE), 4) AS total_revenue "
+            f"FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            f"WHERE total_rev = (SELECT MAX(total_rev) FROM rev) "
+            f"ORDER BY s_suppkey"),
+        "tpch_q16": (
+            "SELECT p_brand, p_type, p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+            "AND p_size IN (5, 10, 15, 20, 25, 30) "
+            "AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+        "tpch_q17": (
+            f"WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice "
+            f"FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'), "
+            f"avgs AS (SELECT l_partkey AS a_partkey, "
+            f"AVG(l_quantity) AS avg_qty FROM li GROUP BY l_partkey) "
+            f"SELECT round(CAST(SUM(CAST(l_extendedprice AS {dec})) "
+            f"/ 7.0 AS DOUBLE), 4) AS avg_yearly "
+            f"FROM li JOIN avgs ON l_partkey = a_partkey "
+            f"WHERE l_quantity < 0.2 * avg_qty"),
+        "tpch_q19": (
+            f"SELECT round(CAST(SUM(CAST(l_extendedprice * "
+            f"(1 - l_discount) AS {dec})) AS DOUBLE), 4) AS revenue "
+            f"FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE (p_brand = 'Brand#12' AND p_type = 'SMALL' "
+            f"AND p_size BETWEEN 1 AND 5 "
+            f"AND l_quantity BETWEEN 1 AND 11) "
+            f"OR (p_brand = 'Brand#23' AND p_type = 'MEDIUM' "
+            f"AND p_size BETWEEN 1 AND 10 "
+            f"AND l_quantity BETWEEN 10 AND 20) "
+            f"OR (p_brand = 'Brand#34' AND p_type = 'LARGE' "
+            f"AND p_size BETWEEN 1 AND 15 "
+            f"AND l_quantity BETWEEN 20 AND 30)"),
+        "tpch_q22": (
+            f"WITH cust AS (SELECT * FROM customer "
+            f"WHERE c_nationkey IN (1, 3, 5, 7)), "
+            f"thr AS (SELECT CAST(SUM(CAST(c_acctbal AS {dec})) "
+            f"AS DOUBLE) / COUNT(*) AS avg_bal "
+            f"FROM cust WHERE c_acctbal > 0.0) "
+            f"SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            f"round(CAST(SUM(CAST(c_acctbal AS {dec})) AS DOUBLE), 2) "
+            f"AS totacctbal "
+            f"FROM cust, thr WHERE c_acctbal > avg_bal "
+            f"AND NOT EXISTS (SELECT 1 FROM orders "
+            f"WHERE o_custkey = c_custkey "
+            f"AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') "
+            f"GROUP BY c_nationkey ORDER BY c_nationkey"),
         "tpch_q14": (
             f"SELECT round("
             f"100 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' "
