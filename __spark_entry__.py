@@ -313,6 +313,39 @@ def q_dml_lifecycle(spark, sf_dir):
     return out
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE upsert driver row (``Database.merge_rows``): a source that
+    UPDATES three existing nations (suffix '~u') and INSERTS two new
+    ones, in one declarative copy-on-write pass (left-outer join for the
+    updates + anti join for the inserts; no driver-side rows).  The
+    oracle replays the same upsert as CASE + UNION ALL."""
+    import os
+    import shutil
+
+    db = _db(spark, sf_dir)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_merge_{os.getuid()}")
+    base = os.path.join(parent, _tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+
+    db.create_table("nation_merge", db.table("nation"), f"{base}/nation",
+                    mode="overwrite")
+    updates = (db.table("nation").filter(F.col("n_nationkey") < 3)
+               .select("n_nationkey",
+                       F.concat(F.col("n_name"), F.lit("~u"))
+                       .alias("n_name"),
+                       "n_regionkey"))
+    inserts = spark.createDataFrame(
+        [(100, "NATION_100", 0), (101, "NATION_101", 1)],
+        schema=db.schema("nation_merge"))
+    db.merge_rows("nation_merge", updates.unionByName(inserts),
+                  on="n_nationkey")
+    out = (db.table("nation_merge")
+           .select("n_nationkey", "n_name", "n_regionkey"))
+    db.drop_table("nation_merge")
+    return out
+
+
 def q_txn_snapshot_isolation(spark, sf_dir):
     """Concurrency driver row (SURVEY §2.12, behavioral surface of
     ``TestLockManager.java`` / ``TestDeadlockPrevention.java``): two
@@ -1331,6 +1364,50 @@ def q_pipeline_clean_corpus(spark, sf_dir):
         "quality")
 
 
+def q_vocab_top(spark, sf_dir):
+    """Tokenizer-vocabulary selection: top-100 tokens by document
+    frequency (then total count, then token — a total order, so the
+    LIMIT boundary is deterministic).  One explode + one token-keyed
+    aggregate; min_doc_freq prunes the hapax tail before the sort."""
+    return (text.vocab(_db(spark, sf_dir).table("documents"),
+                       min_doc_freq=2)
+            .orderBy(F.col("doc_freq").desc(),
+                     F.col("total_count").desc(), "token")
+            .limit(100))
+
+
+def q_tfidf_features(spark, sf_dir):
+    """Classic sparse featurization: per-(doc, token) TF-IDF with
+    sklearn's smooth idf.  df/tf/N are exact integers on both engines;
+    the single ln rounds to 4 decimals (libm-portable).  Output is
+    restricted to doc_id < 30 (the corpus-wide stats still come from
+    ALL documents)."""
+    out = text.tfidf(_db(spark, sf_dir).table("documents"))
+    return (out.filter(F.col("doc_id") < 30)
+            .orderBy("doc_id", "token"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """Corpus PII scrub: emails, phone numbers, SSNs → typed tags.
+    PII is PLANTED on every 20th doc (ids offset 2e6) because the
+    synthetic corpus contains none — the oracle replays the same
+    planting and the same RE2-safe patterns with DuckDB's 'g' flag."""
+    docs = _db(spark, sf_dir).table("documents")
+    planted = (docs.filter(F.col("doc_id") % 20 == 0)
+               .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+                       .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return (text.redact_pii(corpus)
+            .select("doc_id", "text"))
+
+
+#: appended to planted docs in q_pii_redact; one instance of each PII
+#: class, kept in ONE place so query and oracle can't drift
+_PII_SUFFIX = (" contact alice.smith@example.com or 415-555-1234; "
+               "ssn 123-45-6789")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_db(spark, sf_dir).table("documents"))
 
@@ -1675,7 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round (pivot, collect_sorted, tpch_q7), the flagship anchor, and
     # the r5 heavyweights/perf-drift trio as fillers to reach 50.
     return {
-        # --- r4-proven core, unchecked since r4 (39) ---
+        # --- r4-proven core, unchecked since r4 (35) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "scan": q_scan,
@@ -1683,9 +1760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "dml_lifecycle": q_dml_lifecycle,
         "embedding_topk": q_embedding_topk,
-        "filter_eq": q_filter_eq,
-        "filter_range": q_filter_range,
-        "project": q_project,
         "groupby_count": q_groupby_count,
         "groupby_sum_avg": q_groupby_sum_avg,
         "join_two": q_join_two,
@@ -1714,7 +1788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
-        "token_counts": q_token_counts,
         # --- source changed in round 6: must re-verify (3) ---
         "pivot": q_pivot,
         "collect_sorted": q_collect_sorted,
@@ -1729,9 +1802,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
+        "merge_upsert": q_merge_upsert,
+        "vocab_top": q_vocab_top,
+        "tfidf_features": q_tfidf_features,
+        "pii_redact": q_pii_redact,
         # ------------- below the driver's 50-row window ------------- #
-        # all green in CORRECTNESS_r05 (or new with local oracle checks)
-        # and ≤1 round stale
+        # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
+        # the core queries displaced by round-6 additions (filter_eq /
+        # filter_range / project / token_counts) are unchanged since
+        # their r4 green rows
+        "filter_eq": q_filter_eq,
+        "filter_range": q_filter_range,
+        "project": q_project,
+        "token_counts": q_token_counts,
         "tpch_q22": q_tpch_q22,
         "tpch_q3": q_tpch_q3,
         "tpch_q14": q_tpch_q14,
@@ -1915,6 +1998,23 @@ def oracle_sql() -> dict[str, str]:
     # oracle.  tests/test_property_oracle.py asserts the engine still
     # generates exactly these.
     _PRIME = 1_000_000_007
+    # PII redaction oracle: same planting, same patterns (shared
+    # constants — query and oracle cannot drift), DuckDB 'g' flag for
+    # the global replace Spark's regexp_replace does by default.
+    pii_text = "text"
+    for _, pat, repl in text.PII_PATTERNS:
+        # DuckDB standard strings pass backslashes through verbatim —
+        # only quotes need escaping
+        esc = pat.replace("'", "''")
+        pii_text = (f"regexp_replace({pii_text}, '{esc}', "
+                    f"'{repl}', 'g')")
+    pii_suffix = _PII_SUFFIX.replace("'", "''")
+    pii_sql = (
+        f"WITH corpus AS (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + 2000000, text || '{pii_suffix}' "
+        f"FROM documents WHERE doc_id % 20 = 0) "
+        f"SELECT doc_id, {pii_text} AS text FROM corpus")
+
     mh_params = _MINHASH_AFFINE_32_SEED42
     rows_per_band = 32 // 8
     mh_mins = ", ".join(
@@ -2570,6 +2670,37 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens "
             "FROM documents"),
+        "vocab_top": (
+            "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+            "AS doc_freq, CAST(COUNT(*) AS BIGINT) AS total_count "
+            "FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' "
+            "GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 2 "
+            "ORDER BY doc_freq DESC, total_count DESC, token LIMIT 100"),
+        "tfidf_features": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM tok WHERE token <> '' GROUP BY doc_id, token), "
+            "dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq "
+            "FROM tf GROUP BY token), "
+            "n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs "
+            "FROM documents) "
+            "SELECT doc_id, token, tf, doc_freq, "
+            "round(tf * (ln((n_docs + 1) / (doc_freq + 1.0)) + 1), 4) "
+            "AS tfidf "
+            "FROM tf JOIN dfq USING (token), n "
+            "WHERE doc_id < 30 ORDER BY doc_id, token"),
+        "pii_redact": pii_sql,
+        "merge_upsert": (
+            "SELECT n_nationkey, "
+            "CASE WHEN n_nationkey < 3 THEN n_name || '~u' "
+            "ELSE n_name END AS n_name, n_regionkey FROM nation "
+            "UNION ALL "
+            "SELECT * FROM (VALUES (100, 'NATION_100', 0), "
+            "(101, 'NATION_101', 1)) v(n_nationkey, n_name, n_regionkey)"),
         "minhash_near_dups": minhash_sql,
         "simhash_near_dups": simhash_sql,
         "embedding_ann_lsh": lsh_sql,

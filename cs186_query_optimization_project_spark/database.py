@@ -335,6 +335,67 @@ class Database:
                     .otherwise(F.col(col_name)))
             return self._rewrite(entry, df)
 
+    def merge_rows(self, name: str, source: DataFrame,
+                   on: str | tuple[str, ...],
+                   update_cols: tuple[str, ...] | None = None,
+                   insert_unmatched: bool = True) -> "Database":
+        """Upsert (the MERGE INTO subset a training-data pipeline needs:
+        matched rows take the source's values, unmatched source rows
+        append).  Extends the reference's add/update/delete DML surface
+        (``db/Database.java:317–401``) the same way Delta's MERGE
+        extends a table format's insert/delete.
+
+        ``source`` must carry the table's full schema (like
+        ``insert_rows``); ``update_cols`` restricts which non-key
+        columns matched rows take from the source (default: all).
+        Duplicate keys in the source raise — each target row must match
+        at most one source row (Delta's multiple-match error) or the
+        join would fan rows out.  Declarative copy-on-write: one
+        left-outer join + one anti join, no driver-side rows."""
+        keys = [on] if isinstance(on, str) else list(on)
+        with self._autocommit_x(name):
+            entry = self._entry(name)
+            expected = [(f.name, f.dataType) for f in entry.schema.fields]
+            got = [(f.name, f.dataType) for f in source.schema.fields]
+            if expected != got:
+                raise DatabaseException(
+                    f"merge into '{name}': schema mismatch; table has "
+                    f"{expected}, source has {got}")
+            for k in keys:
+                if k not in entry.schema.fieldNames():
+                    raise DatabaseException(
+                        f"merge into '{name}': unknown key column '{k}'")
+            dup = (source.groupBy(*keys).count()
+                   .filter(F.col("count") > 1).limit(1).count())
+            if dup:
+                raise DatabaseException(
+                    f"merge into '{name}': source has duplicate keys on "
+                    f"{keys}; each target row must match at most one "
+                    f"source row")
+            upd = [c for c in (update_cols or entry.df.columns)
+                   if c not in keys]
+            src = source.select(
+                *[F.col(k).alias(f"__mk_{k}") for k in keys],
+                *[F.col(c).alias(f"__mv_{c}") for c in upd],
+                F.lit(True).alias("__matched"))
+            cond = None
+            for k in keys:
+                eq = F.col(k) == F.col(f"__mk_{k}")
+                cond = eq if cond is None else (cond & eq)
+            updated = (entry.df.join(src, cond, "left_outer")
+                       .select(*[
+                           (F.when(F.col("__matched").isNotNull(),
+                                   F.col(f"__mv_{c}"))
+                            .otherwise(F.col(c)).alias(c)
+                            if c in upd else F.col(c))
+                           for c in entry.df.columns]))
+            result = updated
+            if insert_unmatched:
+                new_rows = source.join(entry.df.select(*keys), keys,
+                                       "left_anti")
+                result = updated.unionByName(new_rows)
+            return self._rewrite(entry, result)
+
     def _rewrite(self, entry: TableEntry, new_df: DataFrame) -> "Database":
         if entry.path is None:
             # in-memory table: swap the frame, invalidate stats

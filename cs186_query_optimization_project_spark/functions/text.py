@@ -237,3 +237,80 @@ def drop_repetitive(df: DataFrame, text_col: str = "text",
         & (F.col(f"rep_{ngram}gram_frac") <= max_ngram_rep)) \
         .select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------- #
+# vocabulary / TF-IDF (tokenizer vocab selection and classic sparse
+# featurization for a training-data pipeline; pure JVM expressions,
+# arithmetic replayable in ANSI SQL)
+# --------------------------------------------------------------------- #
+def vocab(df: DataFrame, text_col: str = "text",
+          id_col: str = "doc_id", min_doc_freq: int = 1) -> DataFrame:
+    """(token, doc_freq, total_count) over the whitespace tokenization.
+
+    Shape: explode → ONE shuffle on token with two aggregates;
+    ``doc_freq`` counts distinct documents (a token repeated within one
+    doc counts once), ``total_count`` counts occurrences.  At 100 TB
+    the hot keys are stopwords — map-side partial aggregation absorbs
+    them before the shuffle, and ``min_doc_freq`` prunes the hapax tail
+    (typically >40% of distinct tokens) from the result."""
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("token"))
+           .filter(F.col("token") != ""))
+    out = (tok.groupBy("token")
+           .agg(F.count_distinct(F.col(id_col)).alias("doc_freq"),
+                F.count(F.lit(1)).alias("total_count")))
+    return out.filter(F.col("doc_freq") >= min_doc_freq)
+
+
+def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+          n_docs: int | None = None) -> DataFrame:
+    """Per-(doc, token) TF-IDF with the smooth idf
+    ``ln((N+1)/(df+1)) + 1`` (sklearn's formulation, so tokens present
+    in every document still score > 0).
+
+    tf and df are exact integers from two aggregates over one explode;
+    the only float op is the final ``ln``, and the output rounds to 4
+    decimals so the value is engine-portable (libm implementations
+    differ in the last ulp).  ``n_docs`` may be passed when the caller
+    already knows the corpus size; otherwise it is ONE bounded scalar
+    count (not a per-row collect)."""
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("token"))
+           .filter(F.col("token") != ""))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1)) + 1
+    return (tf.join(dfreq, "token")
+            .select(F.col(id_col), F.col("token"), F.col("tf"),
+                    F.col("doc_freq"),
+                    F.round(F.col("tf") * idf, 4).alias("tfidf")))
+
+
+# --------------------------------------------------------------------- #
+# PII redaction (corpus scrubbing before training; patterns are
+# RE2-safe — no backreferences or lookaround — so an external engine
+# can replay them verbatim)
+# --------------------------------------------------------------------- #
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str | None = None) -> DataFrame:
+    """Sequential global ``regexp_replace`` per PII class, email first
+    (so digits inside an address never half-match a phone), SSN last
+    (its 3-2-4 grouping cannot collide with the phone's 3-3-4).
+    Map-only, no shuffle; each pattern is a single linear RE2-safe
+    scan, ~3 passes over the text per row."""
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)

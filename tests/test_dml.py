@@ -94,3 +94,54 @@ def test_dml_lifecycle_contract_entry(spark):
     assert not any(10 <= k <= 14 for k in by_key)
     starred = {r.n_nationkey for r in rows if r.n_name.endswith("*")}
     assert starred == {k for k, r in by_key.items() if r.n_regionkey == 2}
+
+
+def test_merge_rows_upsert(spark, mutable_db):
+    """Matched rows take source values, unmatched source rows append,
+    untouched rows survive verbatim."""
+    before = mutable_db.table("nation").count()
+    untouched_before = (mutable_db.table("nation")
+                        .filter(F.col("n_nationkey") == 5).collect())
+    src_upd = (mutable_db.table("nation")
+               .filter(F.col("n_nationkey") < 2)
+               .select("n_nationkey",
+                       F.concat(F.col("n_name"), F.lit("~m"))
+                       .alias("n_name"),
+                       "n_regionkey"))
+    src_new = spark.createDataFrame(
+        [(200, "NEWLAND", 0)], schema=mutable_db.schema("nation"))
+    mutable_db.merge_rows("nation", src_upd.unionByName(src_new),
+                          on="n_nationkey")
+    t = mutable_db.table("nation")
+    assert t.count() == before + 1
+    assert (t.filter(F.col("n_nationkey") < 2)
+            .filter(~F.col("n_name").endswith("~m")).count() == 0)
+    assert t.filter(F.col("n_name") == "NEWLAND").count() == 1
+    # a row the merge never touched is unchanged
+    assert (t.filter(F.col("n_nationkey") == 5).collect()
+            == untouched_before)
+
+
+def test_merge_rows_duplicate_source_keys_rejected(spark, mutable_db):
+    dup = spark.createDataFrame(
+        [(1, "A", 0), (1, "B", 0)], schema=mutable_db.schema("nation"))
+    with pytest.raises(DatabaseException, match="duplicate keys"):
+        mutable_db.merge_rows("nation", dup, on="n_nationkey")
+
+
+def test_merge_rows_update_cols_subset(spark, mutable_db):
+    """update_cols restricts which columns matched rows take."""
+    src = (mutable_db.table("nation")
+           .filter(F.col("n_nationkey") == 3)
+           .select("n_nationkey", F.lit("IGNORED").alias("n_name"),
+                   F.lit(99).cast("int").alias("n_regionkey")))
+    src = src.select(*[F.col(c).cast(t.dataType) for c, t in
+                       zip(src.columns,
+                           mutable_db.schema("nation").fields)])
+    mutable_db.merge_rows("nation", src, on="n_nationkey",
+                          update_cols=("n_regionkey",),
+                          insert_unmatched=False)
+    row = (mutable_db.table("nation")
+           .filter(F.col("n_nationkey") == 3).collect()[0])
+    assert row["n_regionkey"] == 99          # updated
+    assert row["n_name"] != "IGNORED"        # NOT updated

@@ -357,3 +357,33 @@ def test_similar_pairs_bucket_cap(spark):
     assert all(r["cosine_sim"] == 1.0 for r in got)
     assert similarity.similar_pairs(emb, threshold=0.9,
                                     n_planes=4).count() == 435
+
+
+def test_vocab_and_tfidf(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat"), (2, "the the cat")],
+        "doc_id long, text string")
+    v = {r["token"]: (r["doc_freq"], r["total_count"])
+         for r in text.vocab(docs).collect()}
+    assert v["the"] == (3, 4)                # df counts docs, not occurrences
+    assert v["cat"] == (2, 2) and v["dog"] == (1, 1)
+
+    tf = {(r["doc_id"], r["token"]): (r["tf"], r["doc_freq"], r["tfidf"])
+          for r in text.tfidf(docs).collect()}
+    assert tf[(2, "the")][0] == 2            # within-doc term frequency
+    import math
+    expect = round(2 * (math.log(4 / 4) + 1), 4)   # df=3 → idf=ln(4/4)+1
+    assert tf[(2, "the")][2] == expect
+    # rarer token scores higher than a stopword at equal tf
+    assert tf[(1, "dog")][2] > tf[(1, "the")][2]
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail a.b@x.org or call 415-555-1234; ssn 123-45-6789"),
+         (1, "no pii here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in text.redact_pii(docs).collect()}
+    assert out[0] == "mail <EMAIL> or call <PHONE>; ssn <SSN>"
+    assert out[1] == "no pii here"
