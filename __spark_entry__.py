@@ -486,6 +486,35 @@ def q_except(spark, sf_dir):
         .select(F.col("c_custkey").alias("custkey")))
 
 
+def q_except_all(spark, sf_dir):
+    """Multiset difference (EXCEPT ALL): per-row COUNTS subtract, not
+    just membership — the orders before 1999 minus those from 1997 on
+    leaves each (priority, bucket) pair with its pre-1997 multiplicity."""
+    db = _db(spark, sf_dir)
+    proj = ["o_orderpriority",
+            (F.col("o_custkey") % 50).alias("bucket")]
+    a = (db.table("orders")
+         .filter(F.col("o_orderdate") < "1999-01-01").select(*proj))
+    b = (db.table("orders")
+         .filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1999-01-01")).select(*proj))
+    return setops.except_all(a, b)
+
+
+def q_intersect_all(spark, sf_dir):
+    """Multiset intersection (INTERSECT ALL): each (priority, bucket)
+    pair survives min(count_a, count_b) times — the 1997–1998 overlap
+    of two date ranges."""
+    db = _db(spark, sf_dir)
+    proj = ["o_orderpriority",
+            (F.col("o_custkey") % 50).alias("bucket")]
+    a = (db.table("orders")
+         .filter(F.col("o_orderdate") < "1999-01-01").select(*proj))
+    b = (db.table("orders")
+         .filter(F.col("o_orderdate") >= "1997-01-01").select(*proj))
+    return setops.intersect_all(a, b)
+
+
 def q_semi_join(spark, sf_dir):
     return (_db(spark, sf_dir).query("customer")
             .join("orders", "c_custkey", "o_custkey", how="semi")
@@ -1816,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project": q_project,
         "token_counts": q_token_counts,
         "tpch_q22": q_tpch_q22,
+        "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
         "tpch_q3": q_tpch_q3,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -2234,6 +2265,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_nationkey FROM supplier"),
         "except": ("SELECT o_custkey AS custkey FROM orders EXCEPT "
                    "SELECT c_custkey FROM customer WHERE c_acctbal > 0"),
+        "except_all": (
+            "SELECT o_orderpriority, o_custkey % 50 AS bucket "
+            "FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' "
+            "EXCEPT ALL "
+            "SELECT o_orderpriority, o_custkey % 50 AS bucket "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1999-01-01'"),
+        "intersect_all": (
+            "SELECT o_orderpriority, o_custkey % 50 AS bucket "
+            "FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' "
+            "INTERSECT ALL "
+            "SELECT o_orderpriority, o_custkey % 50 AS bucket "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'"),
         "semi_join": ("SELECT c_custkey FROM customer WHERE c_custkey IN "
                       "(SELECT o_custkey FROM orders)"),
         "anti_join": ("SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
