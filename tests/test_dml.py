@@ -145,3 +145,26 @@ def test_merge_rows_update_cols_subset(spark, mutable_db):
            .filter(F.col("n_nationkey") == 3).collect()[0])
     assert row["n_regionkey"] == 99          # updated
     assert row["n_name"] != "IGNORED"        # NOT updated
+
+
+def test_ensure_private_dir_rejects_foreign_or_open_dir(tmp_path):
+    """mode= on makedirs is ignored for an existing dir — the guard must
+    verify, not assume: a group/other-accessible scratch parent is
+    refused, a fresh or already-private one is accepted."""
+    import os
+
+    from cs186_query_optimization_project_spark.database import (
+        ensure_private_dir,
+    )
+
+    opened = tmp_path / "opened"
+    opened.mkdir()
+    os.chmod(opened, 0o755)
+    with pytest.raises(DatabaseException, match="refusing"):
+        ensure_private_dir(str(opened))
+
+    fresh = tmp_path / "fresh"
+    assert ensure_private_dir(str(fresh)) == str(fresh)
+    assert (os.stat(fresh).st_mode & 0o777) == 0o700
+    # idempotent on the dir it just created
+    assert ensure_private_dir(str(fresh)) == str(fresh)

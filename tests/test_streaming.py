@@ -146,3 +146,25 @@ def test_stream_events_fails_fast_on_corrupt_source(spark, tmp_path):
     pathlib.Path(p).write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         sw.stream_events(spark, str(p))
+
+
+def test_stream_events_rejects_non_utc_session(spark):
+    """The stream must REFUSE a non-UTC session rather than silently
+    repin the shared session's timezone (which would shift timestamp
+    results for every later batch query)."""
+    import pytest
+
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(DatabaseException, match="UTC"):
+            sw.stream_events(spark, f"{SF_DIR}/events.parquet")
+        # and the foreign setting was NOT clobbered
+        assert (spark.conf.get("spark.sql.session.timeZone")
+                == "America/New_York")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
