@@ -1358,6 +1358,195 @@ def q_tpch_q22(spark, sf_dir):
             .orderBy("c_nationkey"))
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier (TPC-H 2.4.2, adapted: no partsupp table
+    in the corpus, so 'supplies part P' means a (l_partkey, l_suppkey)
+    pair exists in lineitem and the correlated MIN is over s_acctbal
+    instead of ps_supplycost): for each LARGE part of size 10–20, the
+    cheapest EUROPE supplier who has ever shipped it.  The correlated
+    `= (SELECT MIN ...)` becomes a window MIN over p_partkey — one
+    shuffle keyed on the part, no second join or subquery re-scan.  The
+    filtered part/nation/region dims broadcast; the only wide shuffles
+    are the pair-distinct and the window, both keyed on l_partkey."""
+    from pyspark.sql.window import Window
+
+    db = _db(spark, sf_dir)
+    part = (db.table("part")
+            .filter((F.col("p_type") == "LARGE")
+                    & F.col("p_size").between(10, 20))
+            .select("p_partkey", "p_name"))
+    pairs = (db.table("lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    sup = db.table("supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = db.table("nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = (db.table("region").filter(F.col("r_name") == "EUROPE")
+              .select("r_regionkey"))
+    cand = (pairs.join(F.broadcast(part),
+                       F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey")))
+    w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+            .filter(F.col("s_acctbal") == F.col("min_bal"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name")
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11 important stock identification (TPC-H 2.4.11, adapted: value
+    is shipped revenue from lineitem rather than ps_supplycost·availqty,
+    and the nation is NATION_7): parts whose NATION_7-supplied value
+    exceeds 2.5× the mean per-part value (TPC-H scales its fraction as
+    0.0001/SF for the same reason: a fixed share of the total vanishes
+    as the corpus grows; the mean-relative form is scale-invariant).
+    The scalar threshold subquery is a 1-row re-aggregation of the
+    grouped result broadcast back over it — the fact table is scanned
+    ONCE (Q11's trap is scanning it twice).  Supplier⋈nation prunes
+    lineitem ~25× before the group-by shuffle."""
+    db = _db(spark, sf_dir)
+    nat_sup = (db.table("supplier")
+               .join(F.broadcast(db.table("nation")
+                                 .filter(F.col("n_name") == "NATION_7")
+                                 .select("n_nationkey")),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey"))
+    value = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    grouped = (db.table("lineitem")
+               .join(F.broadcast(nat_sup),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+               .groupBy(F.col("l_partkey").alias("part_key"))
+               .agg(F.sum(value.cast("decimal(18,4)")).alias("val_dec")))
+    total = grouped.agg(
+        (F.sum("val_dec").cast("double") / F.count(F.lit(1)))
+        .alias("mean_val"))
+    return (grouped.crossJoin(F.broadcast(total))
+            .filter(F.col("val_dec").cast("double")
+                    > F.col("mean_val") * 2.5)
+            .select("part_key",
+                    F.round(F.col("val_dec").cast("double"), 2)
+                    .alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "part_key"))
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shipping modes and order priority (TPC-H 2.4.12, adapted: the
+    corpus has no l_shipmode/commitdate/receiptdate, so the mode groups
+    become l_returnflag and 'received late' becomes 'shipped more than
+    60 days after the order date'): per return flag, how many late-1997
+    shipments belonged to critical- vs normal-priority orders.  Single
+    equi-join + one conditional aggregate pass; the shipdate window
+    pushes to the lineitem scan before the join shuffle."""
+    db = _db(spark, sf_dir)
+    li = (db.table("lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    orders = db.table("orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(late)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+                 .alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20 potential part promotion (TPC-H 2.4.20, adapted: availability
+    comes from shipped quantity instead of partsupp.ps_availqty):
+    EUROPE suppliers who shipped more than 80 units of Brand#5 parts
+    during 1997.  The nested IN chain becomes two LEFT SEMI joins — the
+    Brand#5 part list broadcasts into the date-pruned lineitem scan, the
+    qualifying-supplier aggregate (≤ |supplier| rows) broadcasts into
+    supplier.  No correlated re-execution anywhere."""
+    db = _db(spark, sf_dir)
+    promo = (db.table("part").filter(F.col("p_brand") == "Brand#5")
+             .select("p_partkey"))
+    qualifying = (db.table("lineitem")
+                  .filter((F.col("l_shipdate") >= "1997-01-01")
+                          & (F.col("l_shipdate") < "1998-01-01"))
+                  .join(F.broadcast(promo),
+                        F.col("l_partkey") == F.col("p_partkey"),
+                        "left_semi")
+                  .groupBy("l_suppkey")
+                  .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                       .cast("double").alias("qty"))
+                  .filter(F.col("qty") > 80.0)
+                  .select("l_suppkey"))
+    euro_nations = (db.table("nation")
+                    .filter(F.col("n_regionkey") == 3)
+                    .select("n_nationkey"))
+    return (db.table("supplier")
+            .join(F.broadcast(euro_nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"),
+                  "left_semi")
+            .join(F.broadcast(qualifying),
+                  F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21 suppliers who kept orders waiting (TPC-H 2.4.21, adapted: no
+    commit/receipt dates, so 'late' is shipping 60+ days after the order
+    date and the EXISTS/NOT-EXISTS pair tests 'another supplier shares
+    the order' / 'no other supplier shipped later'): per supplier, count
+    late line-items in finished multi-supplier orders where THIS
+    supplier was the last to ship.  Both correlated subqueries collapse
+    into one per-order aggregate: distinct-supplier count plus the top-2
+    per-supplier max shipdates (sort_array over a per-order list bounded
+    by suppliers-per-order, ≤7 here) — so 'max over the OTHER suppliers'
+    is top1 unless you ARE top1, else top2.  Three shuffles total, all
+    keyed on l_orderkey, then a broadcast of the 100-row supplier dim."""
+    db = _db(spark, sf_dir)
+    fo = (db.table("orders").filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    li = (db.table("lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(fo, F.col("l_orderkey") == F.col("o_orderkey")))
+    sup_max = (li.groupBy("l_orderkey", "l_suppkey")
+               .agg(F.max("l_shipdate").alias("sup_max")))
+    ord_stats = (sup_max.groupBy(F.col("l_orderkey").alias("okey"))
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sort_array(
+                          F.collect_list(F.struct("sup_max", "l_suppkey")),
+                          asc=False).alias("top"))
+                 .filter(F.col("n_supp") >= 2)
+                 .select("okey", "n_supp",
+                         F.col("top")[0].alias("top1"),
+                         F.col("top")[1].alias("top2")))
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    other_max = F.when(
+        F.col("top1.l_suppkey") != F.col("l_suppkey"),
+        F.col("top1.sup_max")).otherwise(F.col("top2.sup_max"))
+    waits = (li.filter(late)
+             .join(ord_stats, F.col("l_orderkey") == F.col("okey"))
+             .filter(F.col("l_shipdate") >= other_max))
+    return (waits.join(F.broadcast(db.table("supplier")
+                                   .select("s_suppkey", "s_name")),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100))
+
+
 # ===================================================================== #
 # training-data pipeline operators (documents / embeddings)
 # ===================================================================== #
@@ -1773,15 +1962,17 @@ def q_embedding_similar_pairs(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-6 policy (alternating halves from
-    # here, so window(rN) ∪ window(rN-1) always covers all 89 with ≤1
-    # round of staleness): the r5 window verified the 50 entries with the
-    # least evidence; this round flips back to the 39 r4-proven queries
-    # (unchecked since r4), plus everything whose source changed this
-    # round (pivot, collect_sorted, tpch_q7), the flagship anchor, and
-    # the r5 heavyweights/perf-drift trio as fillers to reach 50.
+    # entries in registry order.  Round-6 policy: with 108 registered
+    # queries the rotation is now three windows wide — this round's
+    # window holds (a) the r4-proven core unchecked since r4, (b) every
+    # query whose source changed in round 6 (pivot, collect_sorted,
+    # tpch_q7), (c) the flagship anchor, and (d) all round-6 additions,
+    # which need FIRST driver evidence (new queries outrank re-checking
+    # entries with existing green rows, so five trivially-stable r4
+    # entries — lookup_key/contains_key/csv_source/orderby_limit/except
+    # — moved below the window to make room; they rotate back in r7).
     return {
-        # --- r4-proven core, unchecked since r4 (35) ---
+        # --- r4-proven core, unchecked since r4 (30) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "scan": q_scan,
@@ -1794,14 +1985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_two": q_join_two,
         "self_join_alias": q_self_join_alias,
         "index_range_scan": q_index_range_scan,
-        "lookup_key": q_lookup_key,
-        "contains_key": q_contains_key,
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
-        "csv_source": q_csv_source,
         "indexed_write_scan": q_indexed_write_scan,
-        "orderby_limit": q_orderby_limit,
-        "except": q_except,
         "semi_join": q_semi_join,
         "left_outer_join": q_left_outer_join,
         "rollup": q_rollup,
@@ -1831,6 +2017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "merge_upsert": q_merge_upsert,
         "vocab_top": q_vocab_top,
         "tfidf_features": q_tfidf_features,
@@ -1844,6 +2035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range": q_filter_range,
         "project": q_project,
         "token_counts": q_token_counts,
+        "lookup_key": q_lookup_key,
+        "contains_key": q_contains_key,
+        "csv_source": q_csv_source,
+        "orderby_limit": q_orderby_limit,
+        "except": q_except,
         "tpch_q22": q_tpch_q22,
         "except_all": q_except_all,
         "intersect_all": q_intersect_all,
@@ -2530,6 +2726,73 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE o_custkey = c_custkey "
             f"AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') "
             f"GROUP BY c_nationkey ORDER BY c_nationkey"),
+        "tpch_q2": (
+            "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem), "
+            "cand AS (SELECT p_partkey, p_name, s_name, s_acctbal, n_name "
+            "FROM pairs JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20 "
+            "AND r_name = 'EUROPE') "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, p_name "
+            "FROM cand c1 WHERE s_acctbal = (SELECT MIN(s_acctbal) "
+            "FROM cand c2 WHERE c2.p_partkey = c1.p_partkey) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey "
+            "LIMIT 100"),
+        "tpch_q11": (
+            f"WITH nat_sup AS (SELECT s_suppkey FROM supplier "
+            f"JOIN nation ON s_nationkey = n_nationkey "
+            f"WHERE n_name = 'NATION_7'), "
+            f"grouped AS (SELECT l_partkey AS part_key, "
+            f"SUM(CAST(l_extendedprice * (1 - l_discount) AS {dec})) "
+            f"AS val_dec FROM lineitem "
+            f"JOIN nat_sup ON l_suppkey = s_suppkey GROUP BY l_partkey), "
+            f"tot AS (SELECT CAST(SUM(val_dec) AS DOUBLE) / COUNT(*) "
+            f"AS mean_val FROM grouped) "
+            f"SELECT part_key, round(CAST(val_dec AS DOUBLE), 2) "
+            f"AS part_value FROM grouped, tot "
+            f"WHERE CAST(val_dec AS DOUBLE) > mean_val * 2.5 "
+            f"ORDER BY part_value DESC, part_key"),
+        "tpch_q12": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "tpch_q20": (
+            f"SELECT s_name, s_acctbal FROM supplier "
+            f"WHERE s_nationkey IN "
+            f"(SELECT n_nationkey FROM nation WHERE n_regionkey = 3) "
+            f"AND s_suppkey IN ("
+            f"SELECT l_suppkey FROM lineitem "
+            f"WHERE l_partkey IN "
+            f"(SELECT p_partkey FROM part WHERE p_brand = 'Brand#5') "
+            f"AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            f"AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+            f"GROUP BY l_suppkey "
+            f"HAVING CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) "
+            f"> 80.0) ORDER BY s_name"),
+        "tpch_q21": (
+            "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey "
+            "JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "WHERE o_orderstatus = 'F' "
+            "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey "
+            "AND l3.l_shipdate > l1.l_shipdate) "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
         "tpch_q14": (
             f"SELECT round("
             f"100 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' "
