@@ -25,6 +25,7 @@ from cs186_query_optimization_project_spark.database import (
     ensure_private_dir as _ensure_private_dir,
 )
 from cs186_query_optimization_project_spark.functions import (
+    contamination,
     dedup,
     multimodal,
     sampling,
@@ -1626,6 +1627,34 @@ _PII_SUFFIX = (" contact alice.smith@example.com or 415-555-1234; "
                "ssn 123-45-6789")
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: every doc_id % 97 == 0 document plays
+    the eval set, the rest are the training corpus; each training doc
+    is scored by the fraction of its distinct 5-gram shingles that
+    appear anywhere in the eval set.  Contaminated docs are PLANTED
+    (ids offset 3e6: each eval doc re-enters the training side with a
+    three-word suffix — same pattern as q_pii_redact) because the
+    synthetic near-dup families never cross the %97 split, so the
+    unplanted score would be identically zero.  The eval shingle-hash
+    set broadcasts — the corpus side never shuffles for the membership
+    probe; see functions/contamination.py for the 100 TB shape."""
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CONTA_SUFFIX)).alias("text"))
+    train = (docs.filter(F.col("doc_id") % 97 != 0)
+             .select("doc_id", "text").unionByName(planted))
+    return contamination.contamination_scores(
+        train, bench, k=5, threshold=0.5)
+
+
+#: appended to planted near-copies in q_contamination_check; one place
+#: so query and oracle can't drift
+_CONTA_SUFFIX = " graft overlap probe"
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_db(spark, sf_dir).table("documents"))
 
@@ -1975,7 +2004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4-proven core, unchecked since r4 (30) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
-        "scan": q_scan,
         "dedup_clusters": q_dedup_clusters,
         "asof_join": q_asof_join,
         "dml_lifecycle": q_dml_lifecycle,
@@ -2026,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "tfidf_features": q_tfidf_features,
         "pii_redact": q_pii_redact,
+        "contamination_check": q_contamination_check,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
         # the core queries displaced by round-6 additions (filter_eq /
@@ -2035,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range": q_filter_range,
         "project": q_project,
         "token_counts": q_token_counts,
+        "scan": q_scan,
         "lookup_key": q_lookup_key,
         "contains_key": q_contains_key,
         "csv_source": q_csv_source,
@@ -2241,6 +2271,39 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT doc_id + 2000000, text || '{pii_suffix}' "
         f"FROM documents WHERE doc_id % 20 = 0) "
         f"SELECT doc_id, {pii_text} AS text FROM corpus")
+
+    # contamination_check: k=5 shingles + the portable md5-top-60-bit
+    # hash mod 1e9+7 (same family the MinHash oracle replays); distinct
+    # is applied to the STRING grams before hashing on both engines so
+    # a hash collision cannot change multiplicities differently.
+    conta_gram5 = (
+        "CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(range(1, len(toks) - 3), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' "
+        "|| toks[i+3] || ' ' || toks[i+4]) END")
+    conta_hash = ("CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT "
+                  "% 1000000007 AS BIGINT)")
+    conta_sql = (
+        f"WITH bt AS (SELECT regexp_split_to_array(text, '\\s+') AS toks "
+        f"FROM documents WHERE doc_id % 97 = 0), "
+        f"bsh AS (SELECT DISTINCT {conta_hash} AS gh FROM "
+        f"(SELECT unnest(list_distinct({conta_gram5})) AS g FROM bt)), "
+        f"train AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % 97 <> 0 "
+        f"UNION ALL SELECT doc_id + 3000000, text || '{_CONTA_SUFFIX}' "
+        f"FROM documents WHERE doc_id % 97 = 0), "
+        f"tt AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') "
+        f"AS toks FROM train), "
+        f"tsh AS (SELECT doc_id, {conta_hash} AS gh FROM "
+        f"(SELECT doc_id, unnest(list_distinct({conta_gram5})) AS g "
+        f"FROM tt)), "
+        f"j AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        f"CAST(SUM(CASE WHEN bsh.gh IS NOT NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_matched "
+        f"FROM tsh LEFT JOIN bsh USING (gh) GROUP BY doc_id) "
+        f"SELECT doc_id, n_grams, n_matched, "
+        f"round(n_matched / n_grams, 6) AS contamination, "
+        f"(n_matched / n_grams) >= 0.5 AS contaminated FROM j")
 
     mh_params = _MINHASH_AFFINE_32_SEED42
     rows_per_band = 32 // 8
@@ -3001,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dfq USING (token), n "
             "WHERE doc_id < 30 ORDER BY doc_id, token"),
         "pii_redact": pii_sql,
+        "contamination_check": conta_sql,
         "merge_upsert": (
             "SELECT n_nationkey, "
             "CASE WHEN n_nationkey < 3 THEN n_name || '~u' "

@@ -387,3 +387,43 @@ def test_redact_pii(spark):
            for r in text.redact_pii(docs).collect()}
     assert out[0] == "mail <EMAIL> or call <PHONE>; ssn <SSN>"
     assert out[1] == "no pii here"
+
+
+def test_contamination_scores(spark):
+    from cs186_query_optimization_project_spark.functions import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),   # full copy
+         (2, "alpha beta gamma delta epsilon unrelated tail words here"),
+         (3, "totally different text with no overlap at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contamination.contamination_scores(
+        train, bench, k=5, threshold=0.5).collect()}
+    # doc 1: every 5-gram is in the benchmark
+    assert got[1]["contamination"] == 1.0 and got[1]["contaminated"]
+    # doc 2: exactly the first 5-gram overlaps (1 of 5)
+    assert got[2]["n_grams"] == 5 and got[2]["n_matched"] == 1
+    assert got[2]["contamination"] == 0.2 and not got[2]["contaminated"]
+    # doc 3: clean
+    assert got[3]["n_matched"] == 0 and not got[3]["contaminated"]
+
+
+def test_decontaminate_drops_flagged(spark):
+    from cs186_query_optimization_project_spark.functions import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "one two three four five six seven"),
+         (2, "eight nine ten eleven twelve thirteen fourteen")],
+        "doc_id long, text string")
+    kept = contamination.decontaminate(train, bench, k=5).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+    # the membership probe must be a broadcast join (no corpus shuffle)
+    plan = (contamination.contamination_scores(train, bench, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
