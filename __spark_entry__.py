@@ -1655,6 +1655,22 @@ def q_contamination_check(spark, sf_dir):
 _CONTA_SUFFIX = " graft overlap probe"
 
 
+def q_doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (MOSS scheme): char-8-gram rolling hashes,
+    window-4 local minima, distinct per doc — any shared passage of
+    >= 11 chars between two documents yields a common fingerprint, the
+    partial-overlap primitive whole-doc hashes can't provide.  Map-only
+    (no shuffle): fingerprints are row-local array expressions.
+    Restricted to doc_id < 40 to bound the row count; the operator
+    itself is corpus-wide."""
+    docs = (_db(spark, sf_dir).table("documents")
+            .filter(F.col("doc_id") < 40))
+    return docs.select(
+        "doc_id",
+        F.explode(text.winnow_fingerprints("text", k=8, w=4))
+        .alias("fingerprint"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_db(spark, sf_dir).table("documents"))
 
@@ -2008,7 +2024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "dml_lifecycle": q_dml_lifecycle,
         "embedding_topk": q_embedding_topk,
-        "groupby_count": q_groupby_count,
         "groupby_sum_avg": q_groupby_sum_avg,
         "join_two": q_join_two,
         "self_join_alias": q_self_join_alias,
@@ -2055,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_features": q_tfidf_features,
         "pii_redact": q_pii_redact,
         "contamination_check": q_contamination_check,
+        "doc_fingerprints": q_doc_fingerprints,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
         # the core queries displaced by round-6 additions (filter_eq /
@@ -2065,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project": q_project,
         "token_counts": q_token_counts,
         "scan": q_scan,
+        "groupby_count": q_groupby_count,
         "lookup_key": q_lookup_key,
         "contains_key": q_contains_key,
         "csv_source": q_csv_source,
@@ -3065,6 +3082,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id < 30 ORDER BY doc_id, token"),
         "pii_redact": pii_sql,
         "contamination_check": conta_sql,
+        "doc_fingerprints": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id < 40), "
+            "g AS (SELECT doc_id, CASE WHEN length(text) < 8 "
+            "THEN [text] ELSE list_transform(range(1, length(text) - 6), "
+            "i -> substr(text, i, 8)) END AS grams FROM d), "
+            "h AS (SELECT doc_id, list_transform(grams, g -> "
+            "CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT "
+            "% 1000000007 AS BIGINT)) AS hs FROM g), "
+            "f AS (SELECT doc_id, CASE WHEN len(hs) <= 4 "
+            "THEN [list_aggregate(hs, 'min')] "
+            "ELSE list_transform(range(1, len(hs) - 2), "
+            "j -> list_aggregate(hs[j:j+3], 'min')) END AS fps FROM h) "
+            "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
+            "FROM f"),
         "merge_upsert": (
             "SELECT n_nationkey, "
             "CASE WHEN n_nationkey < 3 THEN n_name || '~u' "

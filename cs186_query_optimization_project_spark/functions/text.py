@@ -148,6 +148,36 @@ def rolling_fingerprint(text: Column | str, base: int = 1_000_003,
             + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)))
 
 
+def winnow_fingerprints(text_col: str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS scheme): hash every character k-gram, slide a window of w
+    consecutive hashes, keep each window's minimum, return the DISTINCT
+    selected hashes.  Guarantees any shared substring of length
+    >= k + w − 1 contributes at least one common fingerprint, so two
+    documents sharing a long passage share fingerprints even when the
+    rest differs — the partial-overlap detector that whole-doc
+    fingerprints (md5 / rolling) cannot be.
+
+    Pure JVM array expressions, O(len·w) per row, no shuffle.  Gram
+    hashes use the portable top-60-bits-of-md5 family (mod 1e9+7), so
+    the selected fingerprints are bit-reproducible in ANSI SQL.  Texts
+    shorter than k characters yield one whole-text fingerprint.  The
+    outer ``transform(array(...), hs -> ...)`` is the let-binding idiom
+    (see ``shingles``): it evaluates the gram-hash array ONCE per row
+    instead of once per window position."""
+    grams = (f"CASE WHEN length({text_col}) < {k} THEN array({text_col}) "
+             f"ELSE transform(sequence(1, length({text_col}) - {k} + 1), "
+             f"i -> substring({text_col}, i, {k})) END")
+    hashes = (f"transform({grams}, g -> pmod(cast("
+              f"conv(substr(md5(g), 1, 15), 16, 10) as bigint), "
+              f"1000000007))")
+    return F.expr(
+        f"array_distinct(flatten(transform(array({hashes}), hs -> "
+        f"CASE WHEN size(hs) <= {w} THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(1, size(hs) - {w} + 1), "
+        f"j -> array_min(slice(hs, j, {w}))) END)))")
+
+
 def shingles(text_col: str, k: int = 3) -> Column:
     """Word k-shingles: array of k-grams joined by single spaces (input for
     MinHash / Jaccard dedup).  Documents with fewer than k words get one

@@ -427,3 +427,21 @@ def test_decontaminate_drops_flagged(spark):
     plan = (contamination.contamination_scores(train, bench, k=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_fingerprints_shared_passage(spark):
+    # Winnowing guarantee: any shared substring of length >= k + w - 1
+    # (= 11 here) yields at least one common fingerprint.
+    passage = "the stolen paragraph lives here"
+    docs = spark.createDataFrame(
+        [(1, "intro words before " + passage + " and some trailing"),
+         (2, "completely other framing yet " + passage + " again"),
+         (3, "nothing in common with either document at all"),
+         (4, "tiny")],                                  # shorter than k
+        "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in docs.select(
+        "doc_id", text.winnow_fingerprints("text", k=8, w=4).alias("fps")
+    ).collect()}
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert len(fps[4]) == 1                              # whole-text hash
