@@ -347,6 +347,36 @@ def q_merge_upsert(spark, sf_dir):
     return out
 
 
+def q_scd2_dimension(spark, sf_dir):
+    """Type-2 slowly-changing-dimension merge (operators/scd.py —
+    complements MERGE, which overwrites history): bootstrap the
+    customer dim as of 2020-01-01, then apply a 2024-06-01 batch that
+    (a) migrates every 10th customer's segment (close + new version),
+    (b) re-sends every (10k+1)th customer UNCHANGED (no-op: must create
+    no version — the idempotence property), and (c) inserts two new
+    customers.  One key-shuffle full-outer join of current-vs-batch;
+    history rows never enter the join."""
+    from cs186_query_optimization_project_spark.operators import scd
+
+    db = _db(spark, sf_dir)
+    cust = db.table("customer")
+    dim = scd.scd2_init(cust, "c_custkey", ["c_name", "c_mktsegment"],
+                        "2020-01-01")
+    migrated = (cust.filter(F.col("c_custkey") % 10 == 0)
+                .select("c_custkey", "c_name",
+                        F.lit("MIGRATED").alias("c_mktsegment")))
+    noop = (cust.filter(F.col("c_custkey") % 10 == 1)
+            .select("c_custkey", "c_name", "c_mktsegment"))
+    fresh = spark.createDataFrame(
+        [(9900001, "Customer#9900001", "FURNITURE"),
+         (9900002, "Customer#9900002", "MACHINERY")],
+        "c_custkey long, c_name string, c_mktsegment string")
+    out = scd.scd2_apply(
+        dim, migrated.unionByName(noop).unionByName(fresh),
+        "c_custkey", ["c_name", "c_mktsegment"], "2024-06-01")
+    return out
+
+
 def q_txn_snapshot_isolation(spark, sf_dir):
     """Concurrency driver row (SURVEY §2.12, behavioral surface of
     ``TestLockManager.java`` / ``TestDeadlockPrevention.java``): two
@@ -2025,7 +2055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_lifecycle": q_dml_lifecycle,
         "embedding_topk": q_embedding_topk,
         "groupby_sum_avg": q_groupby_sum_avg,
-        "join_two": q_join_two,
         "self_join_alias": q_self_join_alias,
         "index_range_scan": q_index_range_scan,
         "grace_hash_join": q_grace_hash_join,
@@ -2071,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "contamination_check": q_contamination_check,
         "doc_fingerprints": q_doc_fingerprints,
+        "scd2_dimension": q_scd2_dimension,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
         # the core queries displaced by round-6 additions (filter_eq /
@@ -2082,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "scan": q_scan,
         "groupby_count": q_groupby_count,
+        "join_two": q_join_two,
         "lookup_key": q_lookup_key,
         "contains_key": q_contains_key,
         "csv_source": q_csv_source,
@@ -3097,6 +3128,25 @@ def oracle_sql() -> dict[str, str]:
             "j -> list_aggregate(hs[j:j+3], 'min')) END AS fps FROM h) "
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
+        "scd2_dimension": (
+            "SELECT c_custkey, c_name, c_mktsegment, "
+            "'2020-01-01' AS valid_from, '2024-06-01' AS valid_to, "
+            "FALSE AS is_current FROM customer WHERE c_custkey % 10 = 0 "
+            "UNION ALL "
+            "SELECT c_custkey, c_name, c_mktsegment, '2020-01-01', "
+            "CAST(NULL AS VARCHAR), TRUE FROM customer "
+            "WHERE c_custkey % 10 <> 0 "
+            "UNION ALL "
+            "SELECT c_custkey, c_name, 'MIGRATED', '2024-06-01', "
+            "CAST(NULL AS VARCHAR), TRUE FROM customer "
+            "WHERE c_custkey % 10 = 0 "
+            "UNION ALL "
+            "SELECT * FROM (VALUES "
+            "(9900001, 'Customer#9900001', 'FURNITURE', '2024-06-01', "
+            "CAST(NULL AS VARCHAR), TRUE), "
+            "(9900002, 'Customer#9900002', 'MACHINERY', '2024-06-01', "
+            "CAST(NULL AS VARCHAR), TRUE)) v(c_custkey, c_name, "
+            "c_mktsegment, valid_from, valid_to, is_current)"),
         "merge_upsert": (
             "SELECT n_nationkey, "
             "CASE WHEN n_nationkey < 3 THEN n_name || '~u' "

@@ -168,3 +168,33 @@ def test_ensure_private_dir_rejects_foreign_or_open_dir(tmp_path):
     assert (os.stat(fresh).st_mode & 0o777) == 0o700
     # idempotent on the dir it just created
     assert ensure_private_dir(str(fresh)) == str(fresh)
+
+
+def test_scd2_apply(spark):
+    from cs186_query_optimization_project_spark.operators import scd
+
+    snap = spark.createDataFrame(
+        [(1, "alice", "GOLD"), (2, "bob", "SILVER"), (3, "cara", "GOLD")],
+        "id long, name string, tier string")
+    dim = scd.scd2_init(snap, "id", ["name", "tier"], "2020-01-01")
+    batch = spark.createDataFrame(
+        [(1, "alice", "PLATINUM"),   # changed -> close + new version
+         (2, "bob", "SILVER"),       # identical -> no-op
+         (4, "dee", "BRONZE")],      # new key -> insert
+        "id long, name string, tier string")
+    out = scd.scd2_apply(dim, batch, "id", ["name", "tier"], "2024-06-01")
+    rows = {(r["id"], r["valid_from"]): r for r in out.collect()}
+    assert len(rows) == 5
+    closed = rows[(1, "2020-01-01")]
+    assert closed["valid_to"] == "2024-06-01" and not closed["is_current"]
+    new_v = rows[(1, "2024-06-01")]
+    assert new_v["tier"] == "PLATINUM" and new_v["is_current"]
+    assert new_v["valid_to"] is None
+    assert rows[(2, "2020-01-01")]["is_current"]      # no-op untouched
+    assert rows[(3, "2020-01-01")]["is_current"]      # absent untouched
+    assert rows[(4, "2024-06-01")]["tier"] == "BRONZE"
+    # idempotence: re-applying the same batch changes nothing
+    again = scd.scd2_apply(out, batch, "id", ["name", "tier"],
+                           "2025-01-01")
+    assert again.count() == 5
+    assert again.filter("valid_from = '2025-01-01'").count() == 0
