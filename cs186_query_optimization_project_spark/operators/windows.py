@@ -85,3 +85,82 @@ def frame_aggregate(df: DataFrame, partition_by: list[str],
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           stages: list[str]) -> DataFrame:
+    """Ordered funnel analysis: how many users completed each stage
+    prefix IN ORDER — stage i counts only if an event of stage i's type
+    occurs strictly after the user's chosen stage-(i−1) event (earliest
+    valid, the standard funnel semantics).
+
+    One shuffle total: per user, collect each stage's event times into
+    arrays, then chain ``array_min(filter(ts_list, t -> t > prev))``
+    row-locally — no join per stage (the join-chain formulation costs
+    one shuffle PER stage).  Arrays hold only the stage-typed event
+    times of one user; for users with pathological event counts,
+    pre-cap with a per-(user, type) earliest-k reduction before calling
+    (the aggregate itself min-combines map-side, so the shuffle carries
+    at most |stages| arrays per user per input partition).
+
+    Returns (stage_idx, stage, n_users), stage_idx 1-based."""
+    aggs = [
+        F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        .alias(f"__ts_{i}")
+        for i, s in enumerate(stages)
+    ]
+    per_user = df.groupBy(user_col).agg(*aggs)
+    def _min_after(lst: Column, prev: Column) -> Column:
+        # closure (not a default arg: pyspark reads a 2-param lambda as
+        # (element, index) and passes an INT index)
+        return F.array_min(F.filter(lst, lambda x: x > prev))
+
+    reach_prev: Column | None = None
+    reached = []
+    for i in range(len(stages)):
+        lst = F.col(f"__ts_{i}")
+        t = (F.array_min(lst) if reach_prev is None
+             else _min_after(lst, reach_prev))
+        reached.append(t)
+        reach_prev = t
+    scored = per_user.select(*[
+        t.isNotNull().cast("int").alias(f"__r{i}")
+        for i, t in enumerate(reached)
+    ])
+    counts = scored.agg(*[
+        F.sum(f"__r{i}").cast("bigint").alias(f"__n{i}")
+        for i in range(len(stages))
+    ])
+    stack = ", ".join(
+        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(stages))
+    return counts.select(F.expr(
+        f"stack({len(stages)}, {stack}) AS (stage_idx, stage, n_users)"))
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     max_weeks: int | None = None) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    distinct cohort users active in that later week.
+
+    Shape: per-user first-event week (one groupBy shuffle, map-side
+    min-combined) joins back onto the per-(user, week) distinct
+    activity — both sides keyed on the user, so the join reuses the
+    aggregation's partitioning — then one count-distinct per cell.
+    Offsets are exact multiples of 7 days (both ends Monday-truncated).
+
+    Returns (cohort_week DATE, week_offset INT, n_users)."""
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    activity = (df.select(F.col(user_col).alias("__u"),
+                          week.alias("__w")).distinct())
+    first = (activity.groupBy("__u")
+             .agg(F.min("__w").alias("cohort_week")))
+    cells = (activity.join(first, "__u")
+             .withColumn("week_offset",
+                         (F.datediff("__w", "cohort_week") / 7)
+                         .cast("int")))
+    if max_weeks is not None:
+        cells = cells.filter(F.col("week_offset") <= max_weeks)
+    return (cells.groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("__u").alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))

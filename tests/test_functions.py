@@ -445,3 +445,40 @@ def test_winnow_fingerprints_shared_passage(spark):
     assert fps[1] & fps[2], "shared passage must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
     assert len(fps[4]) == 1                              # whole-text hash
+
+
+def test_funnel_ordering(spark):
+    from cs186_query_optimization_project_spark.operators import windows
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes in order: view@1 click@2 purchase@3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2 clicks BEFORE viewing; purchase after -> reaches view only
+        (2, t(2), "click"), (2, t(5), "view"),
+        # u3 views then purchases but never clicks -> stops after view
+        (3, t(1), "view"), (3, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"] for r in windows.funnel(
+        df, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention(spark):
+    from cs186_query_optimization_project_spark.operators import windows
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),    # Mon wk0
+        (1, dt.datetime(2024, 1, 10)),   # wk1
+        (2, dt.datetime(2024, 1, 2)),    # wk0 cohort, only wk0
+        (3, dt.datetime(2024, 1, 9)),    # wk1 cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+           for r in windows.cohort_retention(df, "user_id", "ts").collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1}
