@@ -395,6 +395,49 @@ def q_incremental_agg(spark, sf_dir):
             .orderBy("day", "event_type"))
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts on the co-supplier graph (edge = two
+    suppliers sharing a 2-supplier order — the full co-occurrence graph
+    is complete at this corpus, which would make the demo vacuous).
+    Engine orients edges by DEGREE (operators/graphs.py — O(m^1.5)
+    wedge bound on power-law graphs); the oracle orients by ID.  The
+    per-vertex counts are orientation-invariant, so agreement checks
+    the enumeration, not a shared shortcut."""
+    from cs186_query_optimization_project_spark.operators import graphs
+
+    db = _db(spark, sf_dir)
+    pairs = (db.table("lineitem")
+             .select("l_orderkey", "l_suppkey").distinct())
+    two = (pairs.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") == 2).select("l_orderkey"))
+    p2 = pairs.join(two, "l_orderkey", "left_semi")
+    edges = (p2.alias("x").join(
+        p2.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
+        .select(F.col("x.l_suppkey").alias("a"),
+                F.col("y.l_suppkey").alias("b")).distinct())
+    return graphs.triangle_counts(edges).orderBy("vertex")
+
+
+def q_resample_fill(spark, sf_dir):
+    """Time-series regularization: hourly per-user value sums with
+    every missing hour in each user's span materialized and
+    forward-filled (operators/windows.py resample_fill).  The dense
+    grid is a row-local sequence+explode per key — a key spanning
+    years expands on its own executor, never on the driver."""
+    db = _db(spark, sf_dir)
+    ev = db.table("events").filter(F.col("user_id") < 20)
+    val = F.round(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4)
+    out = windows.resample_fill(ev, "user_id", "ts", val, "hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value", "is_gap")
+
+
 def q_scd2_dimension(spark, sf_dir):
     """Type-2 slowly-changing-dimension merge (operators/scd.py —
     complements MERGE, which overwrites history): bootstrap the
@@ -2108,8 +2151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
-        "semi_join": q_semi_join,
-        "rollup": q_rollup,
         "window_rank": q_window_rank,
         "sessionize": q_sessionize,
         "train_test_split": q_train_test_split,
@@ -2149,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "incremental_agg": q_incremental_agg,
+        "triangle_count": q_triangle_count,
+        "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
         # the core queries displaced by round-6 additions (filter_eq /
@@ -2161,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan": q_scan,
         "groupby_count": q_groupby_count,
         "join_two": q_join_two,
+        "rollup": q_rollup,
+        "semi_join": q_semi_join,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3179,6 +3224,40 @@ def oracle_sql() -> dict[str, str]:
             "j -> list_aggregate(hs[j:j+3], 'min')) END AS fps FROM h) "
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
+        "triangle_count": (
+            "WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey "
+            "FROM lineitem), "
+            "two AS (SELECT l_orderkey FROM p GROUP BY l_orderkey "
+            "HAVING COUNT(*) = 2), "
+            "p2 AS (SELECT * FROM p WHERE l_orderkey IN "
+            "(SELECT l_orderkey FROM two)), "
+            "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b "
+            "FROM p2 x JOIN p2 y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_suppkey < y.l_suppkey), "
+            "t AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3 "
+            "FROM e e1 JOIN e e2 ON e1.b = e2.a "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "v AS (SELECT v1 AS vertex FROM t "
+            "UNION ALL SELECT v2 FROM t UNION ALL SELECT v3 FROM t) "
+            "SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM v GROUP BY vertex ORDER BY vertex"),
+        "resample_fill": (
+            f"WITH agg AS (SELECT user_id, date_trunc('hour', ts) AS b, "
+            f"round(CAST(SUM(CAST(value AS {dec})) AS DOUBLE), 4) AS v "
+            f"FROM events WHERE user_id < 20 "
+            f"GROUP BY user_id, date_trunc('hour', ts)), "
+            f"span AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi "
+            f"FROM agg GROUP BY user_id), "
+            f"grid AS (SELECT user_id, "
+            f"unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b "
+            f"FROM span) "
+            f"SELECT g.user_id, strftime(g.b, '%Y-%m-%d %H:%M:%S') "
+            f"AS bucket, last_value(a.v IGNORE NULLS) OVER ("
+            f"PARTITION BY g.user_id ORDER BY g.b "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS value, (a.v IS NULL) AS is_gap "
+            f"FROM grid g LEFT JOIN agg a "
+            f"ON g.user_id = a.user_id AND g.b = a.b"),
         "funnel": (
             "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
             "WHERE event_type = 'view' GROUP BY user_id), "

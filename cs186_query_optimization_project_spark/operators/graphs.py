@@ -1,0 +1,79 @@
+"""Distributed graph primitives on DataFrames.
+
+Connected components live in functions/dedup.py (min-label + star
+contraction, built for the near-dup use); this module holds the general
+graph operators.  Beyond-reference surface (the reference engine has no
+graph operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orient_by_degree(edges: DataFrame, a: str = "a",
+                     b: str = "b") -> DataFrame:
+    """Acyclically orient an undirected edge set from the lower-degree
+    endpoint to the higher (ties by vertex id) — the standard trick
+    (Suri & Vassilvitskii, WWW'11) that bounds per-vertex out-degree by
+    O(sqrt(m)), so wedge enumeration is O(m^1.5) even on power-law
+    graphs where id-ordering would leave a hub with out-degree ~n.
+    Input edges must be distinct with ``a != b`` (either direction).
+    Output columns: (src, dst), each undirected edge appearing once."""
+    # materialize once: und feeds the degree count AND the orientation
+    # join, and the caller self-joins the result three ways — without a
+    # checkpoint every reference re-derives the whole edge lineage
+    # (measured 8× slower on the co-supplier graph)
+    und = (edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+           .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+           .distinct().localCheckpoint())
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (und.join(deg, "u")
+              .join(deg.select(F.col("u").alias("v"),
+                               F.col("deg").alias("deg_v")), "v"))
+    fwd = (F.col("deg") < F.col("deg_v")) | (
+        (F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    return (ranked.filter(fwd)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst")))
+
+
+def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Enumerate each triangle of the undirected graph exactly once as
+    (v1, v2, v3).  Degree-oriented edges → wedges (src with two
+    out-neighbors) → close the wedge against the oriented edge set.
+    Every triangle has exactly one vertex with two out-edges under an
+    acyclic orientation, so no dedup pass is needed.  Two shuffles
+    (wedge join on src, closing join on the far pair) after the
+    orientation's degree join."""
+    # o is referenced three times (both wedge legs + the closing set);
+    # at scale this is the "write the oriented edge list, then join it"
+    # step of the MapReduce formulation
+    o = orient_by_degree(edges, a, b).localCheckpoint()
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                     & (F.col("e1.dst") < F.col("e2.dst")))
+              .select(F.col("e1.src").alias("apex"),
+                      F.col("e1.dst").alias("w1"),
+                      F.col("e2.dst").alias("w2")))
+    # the closing edge's degree orientation is unknown relative to the
+    # wedge's id-ordered far pair — canonicalize it to (min, max) so the
+    # close is a pure EQUI-join on both columns (an OR-of-directions
+    # predicate would force a nested-loop join: measured 10× slower)
+    canon = o.select(F.least("src", "dst").alias("w1"),
+                     F.greatest("src", "dst").alias("w2"))
+    return (wedges.join(canon, ["w1", "w2"])
+            .select(F.col("apex").alias("v1"), F.col("w1").alias("v2"),
+                    F.col("w2").alias("v3")))
+
+
+def triangle_counts(edges: DataFrame, a: str = "a",
+                    b: str = "b") -> DataFrame:
+    """Per-vertex triangle participation: (vertex, n_triangles).
+    Vertices in no triangle are absent (semi-join them back against
+    the vertex set if zeros are needed)."""
+    t = triangles(edges, a, b)
+    verts = (t.select(F.col("v1").alias("vertex"))
+             .union(t.select("v2")).union(t.select("v3")))
+    return verts.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

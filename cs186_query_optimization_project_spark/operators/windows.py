@@ -164,3 +164,35 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
     return (cells.groupBy("cohort_week", "week_offset")
             .agg(F.count_distinct("__u").alias("n_users"))
             .orderBy("cohort_week", "week_offset"))
+
+
+def resample_fill(df: DataFrame, key_col: str, ts_col: str,
+                  value: Column, unit: str = "hour") -> DataFrame:
+    """Regularize an event series: aggregate ``value`` per (key, time
+    bucket), materialize EVERY bucket in each key's [first, last] span,
+    and forward-fill gaps with the last observed value.
+
+    Returns (key, bucket, value, is_gap).  Shape: one groupBy shuffle
+    for the per-bucket aggregate; the dense grid comes from a row-local
+    ``sequence`` + explode over the per-key span (never a driver-side
+    loop — a key spanning years explodes on its own executor); the
+    fill is ``last(..., ignorenulls)`` over the per-key bucket order.
+    Buckets are exact unit multiples, so the grid join key matches the
+    aggregate's bucket bit-for-bit."""
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    agg = (df.groupBy(F.col(key_col).alias("__k"),
+                      bucket.alias("__b"))
+           .agg(value.alias("__v")))
+    step = F.expr(f"INTERVAL 1 {unit.upper()}")
+    grid = (agg.groupBy("__k")
+            .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+            .select("__k", F.explode(F.sequence("__lo", "__hi", step))
+                    .alias("__b")))
+    w = (Window.partitionBy("__k").orderBy("__b")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    joined = grid.join(agg, ["__k", "__b"], "left")
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias("bucket"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("is_gap"))

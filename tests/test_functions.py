@@ -482,3 +482,19 @@ def test_cohort_retention(spark):
            for r in windows.cohort_retention(df, "user_id", "ts").collect()}
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-08", 0): 1}
+
+
+def test_triangles_known_graph(spark):
+    from cs186_query_optimization_project_spark.operators import graphs
+
+    # K4 on {1,2,3,4} (4 triangles) plus pendant edge 4-5 (none)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a long, b long")
+    tri = graphs.triangles(edges).collect()
+    assert len(tri) == 4
+    assert all(sorted({r["v1"], r["v2"], r["v3"]}) != [4, 5] for r in tri)
+    counts = {r["vertex"]: r["n_triangles"]
+              for r in graphs.triangle_counts(edges).collect()}
+    # each K4 vertex sits in C(3,2)=3 triangles; 5 in none
+    assert counts == {1: 3, 2: 3, 3: 3, 4: 3}
