@@ -49,12 +49,18 @@ def main() -> None:
 
     def cleanup() -> None:
         """Drop state a query run leaves behind (streaming memory-sink
-        tables hold full result sets on the driver) so later queries
-        aren't measured under accumulated memory pressure."""
+        tables hold full result sets on the driver; localCheckpoint
+        blocks from the dedup/graph queries stay persisted forever and
+        tax every later query's GC) so later queries aren't measured
+        under accumulated memory pressure."""
         for t in spark.catalog.listTables():
             if t.tableType == "TEMPORARY" and t.name.startswith("stream_"):
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
