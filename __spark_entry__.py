@@ -421,6 +421,36 @@ def q_triangle_count(spark, sf_dir):
     return graphs.triangle_counts(edges).orderBy("vertex")
 
 
+def q_pagerank(spark, sf_dir):
+    """3-iteration PageRank on the symmetrized co-supplier graph
+    (operators/graphs.py): the iterative-algorithm pattern — per-round
+    localCheckpoint keeps lineage O(1), per-vertex contribution sums go
+    through DECIMAL so the result is partition-order-independent, which
+    is exactly what lets a 3-level unrolled SQL replay agree to full
+    precision."""
+    from cs186_query_optimization_project_spark.operators import graphs
+
+    db = _db(spark, sf_dir)
+    pairs = (db.table("lineitem")
+             .select("l_orderkey", "l_suppkey").distinct())
+    two = (pairs.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") == 2).select("l_orderkey"))
+    p2 = pairs.join(two, "l_orderkey", "left_semi")
+    und = (p2.alias("x").join(
+        p2.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
+        .select(F.col("x.l_suppkey").alias("a"),
+                F.col("y.l_suppkey").alias("b")).distinct())
+    edges = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(und.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst"))))
+    pr = graphs.pagerank(edges, iterations=3, damping=0.85)
+    return (pr.select("v", F.round("rank", 6).alias("rank"))
+            .orderBy(F.col("rank").desc(), "v"))
+
+
 def q_resample_fill(spark, sf_dir):
     """Time-series regularization: hourly per-user value sums with
     every missing hour in each user's span materialized and
@@ -2152,7 +2182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
         "window_rank": q_window_rank,
-        "sessionize": q_sessionize,
         "train_test_split": q_train_test_split,
         "quantiles": q_quantiles,
         "multimodal_features": q_multimodal_features,
@@ -2191,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "incremental_agg": q_incremental_agg,
         "triangle_count": q_triangle_count,
+        "pagerank": q_pagerank,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2206,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_two": q_join_two,
         "rollup": q_rollup,
         "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -2415,6 +2446,37 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT doc_id + 2000000, text || '{pii_suffix}' "
         f"FROM documents WHERE doc_id % 20 = 0) "
         f"SELECT doc_id, {pii_text} AS text FROM corpus")
+
+    pr_base = (
+        "WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey "
+        "FROM lineitem), "
+        "two AS (SELECT l_orderkey FROM p GROUP BY l_orderkey "
+        "HAVING COUNT(*) = 2), "
+        "p2 AS (SELECT * FROM p WHERE l_orderkey IN "
+        "(SELECT l_orderkey FROM two)), "
+        "und AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b "
+        "FROM p2 x JOIN p2 y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_suppkey < y.l_suppkey), "
+        "e AS (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b, a FROM und), "
+        "verts AS (SELECT DISTINCT src AS v FROM e), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts), "
+        "outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src), "
+        "r0 AS (SELECT v, 1.0 / n AS rank FROM verts, nn)")
+    pr_iters = []
+    for i in range(1, 4):
+        pr_iters.append(
+            f"s{i} AS (SELECT dst AS v, "
+            f"CAST(SUM(CAST(rank / od AS DECIMAL(27,15))) AS DOUBLE) "
+            f"AS s FROM e JOIN outd USING (src) "
+            f"JOIN r{i-1} ON e.src = r{i-1}.v GROUP BY dst), "
+            f"r{i} AS (SELECT verts.v, (1 - 0.85) / n "
+            f"+ 0.85 * COALESCE(s, 0.0) AS rank "
+            f"FROM verts CROSS JOIN nn "
+            f"LEFT JOIN s{i} ON verts.v = s{i}.v)")
+    pagerank_sql = (pr_base + ", " + ", ".join(pr_iters)
+                    + " SELECT v, round(rank, 6) AS rank FROM r3 "
+                    + "ORDER BY rank DESC, v")
 
     # contamination_check: k=5 shingles + the portable md5-top-60-bit
     # hash mod 1e9+7 (same family the MinHash oracle replays); distinct
@@ -3224,6 +3286,7 @@ def oracle_sql() -> dict[str, str]:
             "j -> list_aggregate(hs[j:j+3], 'min')) END AS fps FROM h) "
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
+        "pagerank": pagerank_sql,
         "triangle_count": (
             "WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey "
             "FROM lineitem), "

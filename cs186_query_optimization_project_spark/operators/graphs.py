@@ -77,3 +77,51 @@ def triangle_counts(edges: DataFrame, a: str = "a",
              .union(t.select("v2")).union(t.select("v3")))
     return verts.groupBy("vertex").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over DIRECTED (src, dst) edges:
+    rank' = (1−d)/N + d·Σ_in rank/out_degree.  Returns (v, rank).
+
+    Scale/determinism shape:
+    - each iteration is one contributions join (keyed on src, reusing
+      the out-degree aggregation's partitioning) plus one groupBy(dst);
+      ranks are localCheckpoint-ed per round so lineage stays O(1), the
+      same discipline as the connected-components loop in
+      functions/dedup.py.
+    - the per-vertex contribution sum goes through DECIMAL(27,15) —
+      float addition is not associative, so a raw double sum would vary
+      with partitioning run to run; the decimal sum is exact and
+      engine-independent, which is what makes a 3-iteration unrolled
+      SQL replay agree to full precision.
+    - N is a single scalar count (one aggregate; the only driver-side
+      value).  Vertices with no in-edges get the (1−d)/N floor via the
+      left join's coalesce.  Dangling vertices (no OUT-edges) simply
+      leak their mass, the common simplification; symmetrize the edge
+      set if that matters for your graph."""
+    verts = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint())
+    n = verts.count()
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("__outd"))
+    ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (edges.join(out_deg, "src")
+                    .join(ranks.select(F.col("v").alias("src"),
+                                       "rank"), "src")
+                    .select(F.col("dst").alias("v"),
+                            (F.col("rank") / F.col("__outd"))
+                            .alias("__c")))
+        sums = (contribs.groupBy("v")
+                .agg(F.sum(F.col("__c").cast("decimal(27,15)"))
+                     .cast("double").alias("__s")))
+        ranks = (verts.join(sums, "v", "left")
+                 .select("v",
+                         (F.lit((1 - damping) / n)
+                          + F.lit(damping)
+                          * F.coalesce(F.col("__s"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks

@@ -498,3 +498,17 @@ def test_triangles_known_graph(spark):
               for r in graphs.triangle_counts(edges).collect()}
     # each K4 vertex sits in C(3,2)=3 triangles; 5 in none
     assert counts == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_star(spark):
+    from cs186_query_optimization_project_spark.operators import graphs
+
+    # symmetric star: hub 1 — leaves 2,3,4
+    und = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long")
+    ranks = {r["v"]: r["rank"]
+             for r in graphs.pagerank(edges, iterations=3).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9       # mass conserved
+    assert ranks[2] == ranks[3] == ranks[4]            # symmetry
+    assert ranks[1] > ranks[2]                         # hub dominates
