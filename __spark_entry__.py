@@ -899,6 +899,48 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_outer_join(spark, sf_dir):
+    """REAL stream-stream LEFT OUTER interval join: every click, with
+    its purchase when one follows within 30 min, else nulls.  Outer
+    rows only emit when the watermark PROVES no match can arrive, so a
+    finite drain would silently drop trailing unmatched clicks; the
+    source dir therefore carries a far-future sentinel click+purchase
+    (user_id −1, max(ts)+10 days — the EOF-flush idiom) that pushes the
+    final watermark past every real click's match window.  Oracle = the
+    equivalent batch left join over the real events."""
+    import datetime as dt
+    import os
+    import shutil
+
+    db = _db(spark, sf_dir)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_outer_{os.getuid()}")
+    base = os.path.join(parent, _tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, mode=0o700)
+    src = f"{sf_dir}/events.parquet"
+    try:
+        os.link(src, os.path.join(base, "events.parquet"))
+    except OSError:
+        shutil.copy(src, os.path.join(base, "events.parquet"))
+    ev = db.table("events")
+    far = (ev.agg(F.max("ts")).collect()[0][0]
+           + dt.timedelta(days=10))
+    sentinel = spark.createDataFrame(
+        [(1_000_000_000, far, -1, "click", 0.0, None),
+         (1_000_000_001, far, -1, "purchase", 0.0, None)],
+        schema=ev.schema)
+    sentinel.coalesce(1).write.mode("append").parquet(base)
+
+    name = "stream_outer_" + _tag(sf_dir)
+    events = stream_windows.stream_events(spark, base)
+    joined = stream_windows.click_purchase_join(events, how="left_outer")
+    stream_windows.run_to_memory(joined, name, output_mode="append",
+                                 shuffle_partitions=8)
+    return (spark.table(name).filter(F.col("user_id") >= 0)
+            .select("user_id", "click_id", "purchase_id"))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (absent from both the reference and Spark's
     built-ins): attribute every click to the user's most recent purchase
@@ -2182,7 +2224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
         "window_rank": q_window_rank,
-        "train_test_split": q_train_test_split,
         "quantiles": q_quantiles,
         "multimodal_features": q_multimodal_features,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -2221,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "triangle_count": q_triangle_count,
         "pagerank": q_pagerank,
+        "streaming_outer_join": q_streaming_outer_join,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2237,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "semi_join": q_semi_join,
         "sessionize": q_sessionize,
+        "train_test_split": q_train_test_split,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3287,6 +3330,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
         "pagerank": pagerank_sql,
+        "streaming_outer_join": (
+            "SELECT c.user_id, c.event_id AS click_id, "
+            "p.event_id AS purchase_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "LEFT JOIN (SELECT * FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND p.ts > c.ts "
+            "AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
         "triangle_count": (
             "WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey "
             "FROM lineitem), "

@@ -188,7 +188,8 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour",
 
 def click_purchase_join(events: DataFrame, max_gap: str = "30 minutes",
                         watermark: str = "2 hours",
-                        ts_col: str = "ts") -> DataFrame:
+                        ts_col: str = "ts",
+                        how: str = "inner") -> DataFrame:
     """Stream-stream interval self-join: each click matched to the same
     user's purchases in ``(click_ts, click_ts + max_gap]`` — the
     streaming analog of operators/joins.py's range join, and the
@@ -200,6 +201,15 @@ def click_purchase_join(events: DataFrame, max_gap: str = "30 minutes",
     watermark horizon), not O(stream).  Inner-join matches emit
     immediately (no watermark wait), so a drained run yields the full
     batch-equivalent result.
+
+    ``how="left_outer"`` additionally emits each unmatched click with
+    null purchase columns — but only once the watermark passes the
+    click's match window (Spark must prove no purchase can still
+    arrive).  A drained FINITE run therefore under-reports trailing
+    unmatched clicks unless the caller advances the watermark past
+    ``max(ts) + max_gap`` — e.g. by appending a far-future sentinel
+    event to the source (see the registered ``streaming_outer_join``
+    query), the streaming equivalent of closing a session at EOF.
     """
     left = (events.filter(F.col("event_type") == "click")
             .select(F.col("user_id").alias("l_user"),
@@ -216,7 +226,7 @@ def click_purchase_join(events: DataFrame, max_gap: str = "30 minutes",
             & (F.col("purchase_ts") > F.col("click_ts"))
             & (F.col("purchase_ts")
                <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")))
-    return (left.join(right, cond)
+    return (left.join(right, cond, how)
             .select(F.col("l_user").alias("user_id"),
                     "click_id", "purchase_id"))
 

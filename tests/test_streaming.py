@@ -168,3 +168,22 @@ def test_stream_events_rejects_non_utc_session(spark):
                 == "America/New_York")
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_outer_join_emits_unmatched_after_sentinel(spark):
+    """Left-outer stream-stream join: unmatched clicks appear with null
+    purchase columns once the watermark passes their match window (the
+    sentinel-advanced EOF flush), and the drained result equals the
+    batch left join."""
+    import __spark_entry__ as entry
+
+    out = entry.q_streaming_outer_join(spark, SF_DIR).collect()
+    clicks = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+              .filter(F.col("event_type") == "click"))
+    matched = [r for r in out if r["purchase_id"] is not None]
+    unmatched = [r for r in out if r["purchase_id"] is None]
+    assert unmatched, "some clicks must have no purchase within 30 min"
+    assert all(r["user_id"] >= 0 for r in out)      # sentinel filtered
+    # every click appears at least once (outer semantics)
+    assert (len({r["click_id"] for r in out}) == clicks.count())
+    assert matched, "and some clicks do convert"
