@@ -899,6 +899,47 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((status, priority), (status), ()) over
+    orders — the general form cube/rollup specialize; grouping_id
+    disambiguates the NULL markers.  One pass (Spark expands the sets
+    into a single Expand + aggregate, not one scan per set)."""
+    db = _db(spark, sf_dir)
+    return (db.table("orders")
+            .groupingSets([["o_orderstatus", "o_orderpriority"],
+                           ["o_orderstatus"], []],
+                          "o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.grouping_id().cast("bigint").alias("gid"))
+            .orderBy("gid", "o_orderstatus", "o_orderpriority"))
+
+
+def q_constraint_check(spark, sf_dir):
+    """Data-quality gate (operators/constraints.py): not-null, unique
+    key, and referential integrity over orders→customer, with three
+    violation rows PLANTED (the corpus itself is clean): a duplicated
+    order key pointing at a nonexistent customer (×2) and a null-
+    priority row.  Expected report: not_null=1, unique=1, fk=2."""
+    from cs186_query_optimization_project_spark.operators import (
+        constraints,
+    )
+
+    db = _db(spark, sf_dir)
+    orders = db.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    planted = spark.createDataFrame(
+        [(9000001, -5, "5-LOW"), (9000001, -5, "5-LOW"),
+         (9000002, None, None)],
+        "o_orderkey long, o_custkey long, o_orderpriority string")
+    o2 = orders.unionByName(planted)
+    return constraints.constraint_report([
+        constraints.check_not_null(o2, "o_orderpriority"),
+        constraints.check_unique(o2, ["o_orderkey"]),
+        constraints.check_foreign_key(
+            o2, "o_custkey", db.table("customer"), "c_custkey"),
+    ])
+
+
 def q_streaming_outer_join(spark, sf_dir):
     """REAL stream-stream LEFT OUTER interval join: every click, with
     its purchase when one follows within 30 min, else nulls.  Outer
@@ -2224,8 +2265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
         "window_rank": q_window_rank,
-        "quantiles": q_quantiles,
-        "multimodal_features": q_multimodal_features,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -2263,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "pagerank": q_pagerank,
         "streaming_outer_join": q_streaming_outer_join,
+        "grouping_sets": q_grouping_sets,
+        "constraint_check": q_constraint_check,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2280,6 +2321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "sessionize": q_sessionize,
         "train_test_split": q_train_test_split,
+        "quantiles": q_quantiles,
+        "multimodal_features": q_multimodal_features,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3330,6 +3373,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
         "pagerank": pagerank_sql,
+        "grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) "
+            "AS gid FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+            "(o_orderstatus), ()) "
+            "ORDER BY gid, o_orderstatus, o_orderpriority"),
+        "constraint_check": (
+            "WITH planted(o_orderkey, o_custkey, o_orderpriority) AS "
+            "(VALUES (9000001, -5, '5-LOW'), (9000001, -5, '5-LOW'), "
+            "(9000002, NULL, NULL)), "
+            "o2 AS (SELECT o_orderkey, o_custkey, o_orderpriority "
+            "FROM orders UNION ALL SELECT * FROM planted) "
+            "SELECT 'not_null(o_orderpriority)' AS check_name, "
+            "CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS violations FROM o2 "
+            "UNION ALL "
+            "SELECT 'unique(o_orderkey)', "
+            "CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM "
+            "(SELECT COUNT(*) AS n FROM o2 GROUP BY o_orderkey "
+            "HAVING COUNT(*) > 1) "
+            "UNION ALL "
+            "SELECT 'foreign_key(o_custkey->c_custkey)', "
+            "CAST(COUNT(*) AS BIGINT) FROM o2 "
+            "WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer)"),
         "streaming_outer_join": (
             "SELECT c.user_id, c.event_id AS click_id, "
             "p.event_id AS purchase_id "

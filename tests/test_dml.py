@@ -198,3 +198,31 @@ def test_scd2_apply(spark):
                            "2025-01-01")
     assert again.count() == 5
     assert again.filter("valid_from = '2025-01-01'").count() == 0
+
+
+def test_constraint_checks(spark):
+    from cs186_query_optimization_project_spark.operators import (
+        constraints,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 99), (3, None)],
+        "id long, ref long")
+    parent = spark.createDataFrame([(10,), (20,)], "pid long")
+    rep = {r["check_name"]: r["violations"]
+           for r in constraints.constraint_report([
+               constraints.check_not_null(child, "ref"),
+               constraints.check_unique(child, ["id"]),
+               constraints.check_foreign_key(child, "ref", parent, "pid"),
+           ]).collect()}
+    assert rep["not_null(ref)"] == 1
+    assert rep["unique(id)"] == 1            # id=2 twice -> 1 surplus
+    assert rep["foreign_key(ref->pid)"] == 1  # 99 orphan; null passes
+    # clean data yields all-zero report, not missing rows
+    clean = spark.createDataFrame([(1, 10)], "id long, ref long")
+    rep0 = {r["check_name"]: r["violations"]
+            for r in constraints.constraint_report([
+                constraints.check_unique(clean, ["id"]),
+                constraints.check_foreign_key(clean, "ref", parent, "pid"),
+            ]).collect()}
+    assert set(rep0.values()) == {0}
