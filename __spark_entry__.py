@@ -693,6 +693,57 @@ def q_left_outer_join(spark, sf_dir):
                  F.count("o_orderkey").alias("n_orders")))
 
 
+def q_full_outer_join(spark, sf_dir):
+    """FULL OUTER equi-join: orders-per-customer joined full-outer with
+    a planted dimension that covers only even customer keys plus two
+    keys with no orders — both unmatched directions exercised.  At
+    scale a full-outer shuffles both sides on the key (no broadcast
+    path exists for it by definition)."""
+    db = _db(spark, sf_dir)
+    per_cust = (db.table("orders").groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    dim = (db.table("customer")
+           .filter(F.col("c_custkey") % 2 == 0)
+           .select("c_custkey", "c_mktsegment")
+           .unionByName(spark.createDataFrame(
+               [(9000001, "PHANTOM"), (9000002, "PHANTOM")],
+               "c_custkey long, c_mktsegment string")))
+    j = per_cust.join(dim, F.col("o_custkey") == F.col("c_custkey"),
+                      "full_outer")
+    side = (F.when(F.col("o_custkey").isNull(), "dim_only")
+            .when(F.col("c_custkey").isNull(), "orders_only")
+            .otherwise("both"))
+    return (j.groupBy(side.alias("side"),
+                      F.coalesce("c_mktsegment", F.lit("?"))
+                      .alias("segment"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                 F.coalesce(F.sum("n_orders"), F.lit(0)).cast("bigint")
+                 .alias("total_orders"))
+            .orderBy("side", "segment"))
+
+
+def q_cross_join(spark, sf_dir):
+    """Explicit CROSS JOIN (the one join with no key): region × region
+    ordered pairs with their nation-count product — tiny × tiny, the
+    only shape a cross join is ever legitimate at scale."""
+    db = _db(spark, sf_dir)
+    per_region = (db.table("nation").groupBy("n_regionkey")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_nat")))
+    r = (db.table("region")
+         .join(per_region, F.col("r_regionkey") == F.col("n_regionkey"))
+         .select("r_regionkey", "r_name", "n_nat"))
+    a = r.select(F.col("r_regionkey").alias("ak"),
+                 F.col("r_name").alias("a_name"),
+                 F.col("n_nat").alias("a_n"))
+    b = r.select(F.col("r_regionkey").alias("bk"),
+                 F.col("r_name").alias("b_name"),
+                 F.col("n_nat").alias("b_n"))
+    return (a.crossJoin(b).filter(F.col("ak") < F.col("bk"))
+            .select("a_name", "b_name",
+                    (F.col("a_n") * F.col("b_n")).alias("pair_count"))
+            .orderBy("a_name", "b_name"))
+
+
 def q_having(spark, sf_dir):
     return (_db(spark, sf_dir).query("orders")
             .group_by("o_custkey").count()
@@ -2269,9 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
-        "window_rank": q_window_rank,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2309,6 +2358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_outer_join": q_streaming_outer_join,
         "grouping_sets": q_grouping_sets,
         "constraint_check": q_constraint_check,
+        "full_outer_join": q_full_outer_join,
+        "cross_join": q_cross_join,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2328,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "quantiles": q_quantiles,
         "multimodal_features": q_multimodal_features,
+        "window_rank": q_window_rank,
+        "dedup_exact": q_dedup_exact,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3378,6 +3431,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
         "pagerank": pagerank_sql,
+        "full_outer_join": (
+            "WITH per_cust AS (SELECT o_custkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders "
+            "GROUP BY o_custkey), "
+            "dim AS (SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey % 2 = 0 "
+            "UNION ALL SELECT * FROM (VALUES (9000001, 'PHANTOM'), "
+            "(9000002, 'PHANTOM')) v(c_custkey, c_mktsegment)) "
+            "SELECT CASE WHEN o_custkey IS NULL THEN 'dim_only' "
+            "WHEN c_custkey IS NULL THEN 'orders_only' "
+            "ELSE 'both' END AS side, "
+            "COALESCE(c_mktsegment, '?') AS segment, "
+            "CAST(COUNT(*) AS BIGINT) AS n_keys, "
+            "CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) "
+            "AS total_orders "
+            "FROM per_cust FULL OUTER JOIN dim "
+            "ON o_custkey = c_custkey "
+            "GROUP BY side, segment ORDER BY side, segment"),
+        "cross_join": (
+            "WITH pr AS (SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) "
+            "AS n_nat FROM nation GROUP BY n_regionkey), "
+            "r AS (SELECT r_regionkey, r_name, n_nat FROM region "
+            "JOIN pr ON r_regionkey = n_regionkey) "
+            "SELECT a.r_name AS a_name, b.r_name AS b_name, "
+            "a.n_nat * b.n_nat AS pair_count "
+            "FROM r a CROSS JOIN r b WHERE a.r_regionkey < b.r_regionkey "
+            "ORDER BY a_name, b_name"),
         "grouping_sets": (
             "SELECT o_orderstatus, o_orderpriority, "
             "CAST(COUNT(*) AS BIGINT) AS n_orders, "
