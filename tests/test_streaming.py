@@ -187,3 +187,43 @@ def test_outer_join_emits_unmatched_after_sentinel(spark):
     # every click appears at least once (outer semantics)
     assert (len({r["click_id"] for r in out}) == clicks.count())
     assert matched, "and some clicks do convert"
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-restart with a checkpoint: the restarted query must NOT
+    re-read files the first run processed (exactly-once source
+    tracking), yet its complete-mode output must still cover them
+    (aggregation state restored from the state store, not recomputed
+    from the source)."""
+    from pyspark.sql import functions as FF
+
+    src = tmp_path / "src"
+    cp = str(tmp_path / "cp")
+    src.mkdir()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total = ev.count()
+    ev.filter(FF.col("event_id") % 2 == 0).write.mode(
+        "append").parquet(str(src))
+
+    def run(name):
+        stream = sw.stream_events(spark, str(src))
+        agg = sw.tumbling_counts(stream)
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).option("checkpointLocation", cp).start())
+        q.processAllAvailable()
+        rows_in = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        return rows_in
+
+    first_in = run("ckpt_run1")
+    ev.filter(FF.col("event_id") % 2 == 1).write.mode(
+        "append").parquet(str(src))
+    second_in = run("ckpt_run2")
+
+    # run 2 read only the NEW files...
+    assert first_in + second_in == total
+    assert second_in < total
+    # ...yet its output covers the whole corpus (state recovered)
+    got = (spark.table("ckpt_run2")
+           .agg(FF.sum("n").cast("long").alias("s")).collect()[0]["s"])
+    assert got == total
