@@ -397,3 +397,50 @@ def test_tpch_q7_nation_filter_pushed_to_scans(spark):
     for col in ("s_nationkey", "c_nationkey"):
         assert re.search(rf"PushedFilters: \[[^\]]*In\({col}", plan), (
             f"{col} In-filter not pushed to the parquet scan:\n{plan}")
+
+
+def test_round6_tpch_plan_shapes(spark):
+    """Round-6 TPC-H adaptations: dimension filters must reach the
+    parquet scans and the small sides must broadcast — the plan
+    properties that keep these queries viable at 100 TB."""
+    import re
+
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    # q2: all four dims broadcast; the part filter pushes to its scan
+    p2 = (entry.q_tpch_q2(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert p2.count("BroadcastHashJoin") >= 4
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_type,LARGE\)", p2)
+    # q20: date window pushed to the lineitem scan, semi-joins broadcast
+    p20 = (entry.q_tpch_q20(spark, SF_DIR)
+           ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", p20)
+    assert "BroadcastHashJoin" in p20 and "LeftSemi" in p20
+    # q12: shipdate window pushed; one equi-join only
+    p12 = (entry.q_tpch_q12(spark, SF_DIR)
+           ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", p12)
+
+
+def test_round6_operator_plan_shapes(spark):
+    """New operators keep their promised shuffle budgets: the funnel is
+    ONE exchange (per-user aggregate only), grouping sets is one Expand
+    + aggregate (not one scan per set), and the contamination probe is
+    a broadcast join."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    pf = (entry.q_funnel(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert pf.count("Exchange hashpartitioning") == 1, pf
+    pg = (entry.q_grouping_sets(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert pg.count("Expand") == 1
+    assert pg.count("FileScan") == 1
+    pc = (entry.q_contamination_check(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in pc
