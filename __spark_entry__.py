@@ -2044,6 +2044,47 @@ def q_zorder_scan(spark, sf_dir):
                     "l_suppkey"))
 
 
+def q_window_ntile(spark, sf_dir):
+    """Distribution window functions: quartile (ntile), percent_rank,
+    and cume_dist of each customer's balance within its market segment
+    — one shuffle on the segment, rank family computed in one window
+    pass.  acctbal ties broken by c_custkey so every rank is
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    db = _db(spark, sf_dir)
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+    return (db.table("customer")
+            .filter(F.col("c_custkey") < 200)
+            .select("c_custkey", "c_mktsegment", "c_acctbal",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6)
+                    .alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume"))
+            .orderBy("c_custkey"))
+
+
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=>, IS NOT DISTINCT FROM): planted
+    null keys on both sides MUST match each other — the semantics a
+    plain equi-join silently drops.  Still hash-joinable (null hashes
+    to a regular bucket), unlike a null-tolerant OR predicate."""
+    left = (_db(spark, sf_dir).table("orders")
+            .select(F.when(F.col("o_orderkey") % 100 == 0, None)
+                    .otherwise(F.col("o_orderpriority")).alias("k"),
+                    "o_orderkey"))
+    right = spark.createDataFrame(
+        [("1-URGENT", 10), ("2-HIGH", 5), (None, 1)],
+        "k string, weight long")
+    return (left.join(right, left["k"].eqNullSafe(right["k"]))
+            .groupBy(F.coalesce(left["k"], F.lit("<null>"))
+                     .alias("key"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("weight").cast("bigint").alias("w"))
+            .orderBy("key"))
+
+
 def q_window_frame(spark, sf_dir):
     """Sliding-frame window aggregate: 3-row moving average of order
     totals per customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
@@ -2336,8 +2377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "lang_id": q_lang_id,
-        "ngram_jaccard": q_ngram_jaccard,
         # --- source changed in round 6: must re-verify (3) ---
         "pivot": q_pivot,
         "collect_sorted": q_collect_sorted,
@@ -2375,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_join": q_full_outer_join,
         "cross_join": q_cross_join,
         "text_source": q_text_source,
+        "window_ntile": q_window_ntile,
+        "null_safe_join": q_null_safe_join,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2397,6 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3448,6 +3491,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
         "pagerank": pagerank_sql,
+        "window_ntile": (
+            "SELECT c_custkey, c_mktsegment, c_acctbal, "
+            "CAST(ntile(4) OVER w AS INT) AS quartile, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "round(cume_dist() OVER w, 6) AS cume "
+            "FROM customer WHERE c_custkey < 200 "
+            "WINDOW w AS (PARTITION BY c_mktsegment "
+            "ORDER BY c_acctbal DESC, c_custkey) "
+            "ORDER BY c_custkey"),
+        "null_safe_join": (
+            "WITH l AS (SELECT CASE WHEN o_orderkey % 100 = 0 "
+            "THEN NULL ELSE o_orderpriority END AS k, o_orderkey "
+            "FROM orders), "
+            "r AS (SELECT * FROM (VALUES ('1-URGENT', 10), "
+            "('2-HIGH', 5), (NULL, 1)) v(k, weight)) "
+            "SELECT COALESCE(l.k, '<null>') AS key, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(weight) AS BIGINT) AS w "
+            "FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k "
+            "GROUP BY COALESCE(l.k, '<null>') ORDER BY key"),
         "full_outer_join": (
             "WITH per_cust AS (SELECT o_custkey, "
             "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders "
