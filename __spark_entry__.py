@@ -1851,6 +1851,28 @@ def q_tpch_q21(spark, sf_dir):
 # ===================================================================== #
 # training-data pipeline operators (documents / embeddings)
 # ===================================================================== #
+def q_udtf_sentences(spark, sf_dir):
+    """Python UDTF extension point (functions/udtfs.py): LATERAL-join a
+    table function that emits one row per sentence.  Sentence breaks
+    are PLANTED (every ' table ' becomes '. ' — the synthetic corpus is
+    one long sentence per doc) so the expansion is genuinely 1:N.
+    Arrow-batched; the oracle replays the same split with DuckDB's
+    subscript zip."""
+    from cs186_query_optimization_project_spark.functions import udtfs
+
+    db = _db(spark, sf_dir)
+    udtfs.register_all(spark)
+    view = "udtf_docs_" + _tag(sf_dir)
+    (db.table("documents").filter(F.col("doc_id") < 30)
+     .select("doc_id",
+             F.replace(F.col("text"), F.lit(" table "), F.lit(". "))
+             .alias("text"))
+     .createOrReplaceTempView(view))
+    return spark.sql(
+        f"SELECT doc_id, s.sent_idx, s.sentence "
+        f"FROM {view}, LATERAL split_sentences(text) s")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary asset column + Arrow-batched
     mapInPandas feature extraction (decode stubbed — see
@@ -2376,7 +2398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # --- source changed in round 6: must re-verify (3) ---
         "pivot": q_pivot,
         "collect_sorted": q_collect_sorted,
@@ -2416,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source": q_text_source,
         "window_ntile": q_window_ntile,
         "null_safe_join": q_null_safe_join,
+        "udtf_sentences": q_udtf_sentences,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2440,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3491,6 +3514,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
         "pagerank": pagerank_sql,
+        "udtf_sentences": (
+            "SELECT doc_id, "
+            "CAST(generate_subscripts(parts, 1) - 1 AS INT) "
+            "AS sent_idx, unnest(parts) AS sentence "
+            "FROM (SELECT doc_id, string_split("
+            "replace(text, ' table ', '. '), '. ') AS parts "
+            "FROM documents WHERE doc_id < 30)"),
         "window_ntile": (
             "SELECT c_custkey, c_mktsegment, c_acctbal, "
             "CAST(ntile(4) OVER w AS INT) AS quartile, "
