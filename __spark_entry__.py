@@ -252,6 +252,30 @@ def q_json_source(spark, sf_dir):
     return readers.read_json(spark, path, schema=db.schema("region"))
 
 
+def q_compact_scan(spark, sf_dir):
+    """Small-file compaction (sources/writers.py compact_table — the
+    Delta OPTIMIZE / Iceberg rewrite analog): fragment orders into 40
+    tiny files, compact to size-targeted files with re-sort on the
+    key, and return the content — identical to the original (the
+    oracle), while the file count drops ~40× (asserted in
+    tests/test_sources.py)."""
+    import os
+    import shutil
+
+    from cs186_query_optimization_project_spark.sources import writers
+
+    db = _db(spark, sf_dir)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_compact_{os.getuid()}")
+    base = os.path.join(parent, _tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    path = os.path.join(base, "orders")
+    db.table("orders").repartition(40).write.parquet(path)
+    writers.compact_table(spark, path, target_file_bytes=512 << 20,
+                          sort_by=("o_orderkey",))
+    return spark.read.parquet(path)
+
+
 def q_text_source(spark, sf_dir):
     """Raw line-delimited text ingestion (the rawest corpus landing
     format): export document bodies one per line, re-read through the
@@ -2438,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntile": q_window_ntile,
         "null_safe_join": q_null_safe_join,
         "udtf_sentences": q_udtf_sentences,
+        "compact_scan": q_compact_scan,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2459,10 +2484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "text_stats": q_text_stats,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3514,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint "
             "FROM f"),
         "pagerank": pagerank_sql,
+        "compact_scan": "SELECT * FROM orders",
         "udtf_sentences": (
             "SELECT doc_id, "
             "CAST(generate_subscripts(parts, 1) - 1 AS INT) "

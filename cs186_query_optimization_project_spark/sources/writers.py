@@ -119,3 +119,44 @@ def write_zordered(df: DataFrame, path: str, columns: tuple[str, str],
     (df.repartitionByRange(num_files, z)
      .sortWithinPartitions(z)
      .write.mode(mode).parquet(path))
+
+
+def compact_table(spark, path: str, target_file_bytes: int = 128 << 20,
+                  sort_by: tuple[str, ...] = ()) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(bytes / target) files (optionally re-sorted so compaction
+    doubles as re-clustering), then atomically swap via rename.
+    Returns (files_before, files_after).
+
+    The small-files problem is THE silent scale killer for streaming /
+    incremental sinks: a 100 TB table accreted in 1 MB files costs
+    ~10^8 open/footer-parse round trips per scan and floods the driver
+    with task scheduling.  At lake scale this is Delta OPTIMIZE /
+    Iceberg rewrite_data_files; the same plan (read → repartition to
+    size → rewrite → swap) expressed directly.  Sizing uses the real
+    on-disk bytes, not row counts — compressed width varies too much
+    across tables for a row heuristic."""
+    import math
+    import os
+    import shutil
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = (df.repartitionByRange(n_out, *sort_by)
+               .sortWithinPartitions(*sort_by))
+    else:
+        out = df.repartition(n_out)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = len([f for f in os.listdir(path)
+                   if f.endswith(".parquet")])
+    return len(files), n_after

@@ -200,3 +200,21 @@ def test_zordered_write_prunes_on_both_columns(db, tmp_path):
     assert z_part < total_part // 2   # ...on the leading column too
     # and the data round-trips
     assert (db.spark.read.parquet(zpath).count() == li.count())
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from cs186_query_optimization_project_spark.sources import writers
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "orders")
+    orig = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orig.repartition(37).write.parquet(path)
+    before, after = writers.compact_table(
+        spark, path, target_file_bytes=512 << 20,
+        sort_by=("o_orderkey",))
+    assert before == 37 and after < 5
+    got = spark.read.parquet(path)
+    assert got.count() == orig.count()
+    # compaction re-clustered: the key filter prunes to one file's rows
+    assert (got.filter("o_orderkey = 1").count()
+            == orig.filter("o_orderkey = 1").count())
