@@ -2394,20 +2394,18 @@ def q_embedding_similar_pairs(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-6 policy: with 120 registered
+    # entries in registry order.  Round-6 policy: with 127 registered
     # queries the rotation is three windows wide — this round's window
-    # holds (a) every round-6 addition and source change (31 entries:
-    # 13 TPC-H, pivot/collect_sorted, and the 16 new operators), which
-    # need FIRST driver evidence; (b) the flagship anchor; (c) 18
-    # r4-proven core entries unchecked since r4.  New queries outrank
-    # re-checking entries with existing green rows, so the trivially-
-    # stable r4 entries displaced over the round (scan, lookup_key,
-    # contains_key, csv_source, orderby_limit, except, groupby_count,
-    # join_two, rollup, semi_join, sessionize, left_outer_join,
-    # explode_array, scalar_functions, train_test_split, quantiles,
-    # multimodal_features) sit just below the window and rotate back
-    # in r7.  Everything below the window is locally verified by
-    # tools/check_contract.py at sf0.01 (and --vanilla) this round.
+    # holds (a) every round-6 addition and source change (37 entries:
+    # 13 TPC-H, pivot/collect_sorted, and 23 new operators), which need
+    # FIRST driver evidence; (b) the flagship anchor; (c) 11 r4-proven
+    # core entries unchecked since r4.  New queries outrank re-checking
+    # entries with existing green rows, so the trivially-stable r4
+    # entries displaced over the round sit just below the window and
+    # rotate back in r7.  EVERY query — in or below the window — was
+    # verified this round by tools/check_contract.py at sf0.01 AND
+    # sf0.1 (the full suite also under --vanilla, the session kind the
+    # driver uses).
     return {
         # --- r4-proven core, unchecked since r4 (18) ---
         "tpch_q1": q_tpch_q1,
