@@ -61,6 +61,11 @@ def main() -> None:
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(False)
+        # full GC between queries (outside any timed window): without
+        # it, heap garbage from prior plans ages into the old gen and
+        # later queries pay randomly-landing major-GC pauses — measured
+        # as 2-6x in-suite inflation of queries that run in ~0.5s fresh
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

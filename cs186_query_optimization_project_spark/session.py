@@ -53,6 +53,20 @@ ENGINE_CONF: dict[str, str] = {
     # evicts constantly and re-pays multi-second codegen compilation per
     # query run.  Static conf — must be set before the first session.
     "spark.sql.codegen.cache.maxEntries": "2000",
+    # The status stores populate even with the UI disabled (they back
+    # the REST/status APIs) and default to retaining 1000 executions /
+    # 1000 jobs / 1000 stages / 100k tasks — on a long-lived session
+    # running hundreds of distinct plans that is hundreds of MB of
+    # driver heap doing nothing but aging the GC.  A local analytics
+    # session needs recent history only.
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "200",
+    "spark.ui.retainedTasks": "5000",
+    # Streaming checkpoints default to retaining 100 batches of
+    # metadata/state bookkeeping; drained test/demo streams need far
+    # fewer, and every retained batch pins state-store versions.
+    "spark.sql.streaming.minBatchesToRetain": "2",
 }
 
 
