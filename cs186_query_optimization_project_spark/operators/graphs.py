@@ -100,6 +100,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
       left join's coalesce.  Dangling vertices (no OUT-edges) simply
       leak their mass, the common simplification; symmetrize the edge
       set if that matters for your graph."""
+    # materialize the edge list once: every iteration joins it, and
+    # without this each round re-derives the caller's whole edge
+    # lineage (for the co-supplier demo that is a fact-table distinct +
+    # self-join PER ITERATION — the "write the edge list first" step
+    # every production PageRank starts with)
+    edges = edges.localCheckpoint()
     verts = (edges.select(F.col("src").alias("v"))
              .union(edges.select(F.col("dst").alias("v")))
              .distinct().localCheckpoint())
