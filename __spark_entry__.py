@@ -1959,6 +1959,21 @@ def q_tfidf_features(spark, sf_dir):
             .orderBy("doc_id", "token"))
 
 
+def q_encode_documents(spark, sf_dir):
+    """tokenize→encode: map every document to its token-id sequence
+    under a frequency-ranked top-50 vocabulary (OOV → 0) — the bridge
+    between vocab_top and pack_sequences that completes the
+    tokenize→encode→pack training-data path.  The vocabulary is
+    dimension-sized and broadcasts; position survives the shuffle via
+    posexplode so the sequence rebuilds deterministically."""
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    vids = text.vocab_with_ids(docs, size=50)
+    return (text.encode_documents(docs.filter(F.col("doc_id") < 30),
+                                  vids)
+            .orderBy("doc_id"))
+
+
 def q_pii_redact(spark, sf_dir):
     """Corpus PII scrub: emails, phone numbers, SSNs → typed tags.
     PII is PLANTED on every 20th doc (ids offset 2e6) because the
@@ -2418,7 +2433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
-        "asof_join": q_asof_join,
         "dml_lifecycle": q_dml_lifecycle,
         "embedding_topk": q_embedding_topk,
         "groupby_sum_avg": q_groupby_sum_avg,
@@ -2468,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join": q_null_safe_join,
         "udtf_sentences": q_udtf_sentences,
         "compact_scan": q_compact_scan,
+        "encode_documents": q_encode_documents,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2493,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "text_stats": q_text_stats,
+        "asof_join": q_asof_join,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3545,6 +3561,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM f"),
         "pagerank": pagerank_sql,
         "compact_scan": "SELECT * FROM orders",
+        "encode_documents": (
+            "WITH tok_all AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "tc AS (SELECT token, COUNT(*) AS total_count FROM tok_all "
+            "WHERE token <> '' GROUP BY token), "
+            "vids AS (SELECT token, CAST(row_number() OVER "
+            "(ORDER BY total_count DESC, token) AS INT) AS token_id "
+            "FROM tc QUALIFY token_id <= 50), "
+            "d AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') "
+            "AS toks FROM documents WHERE doc_id < 30), "
+            "tok AS (SELECT doc_id, unnest(toks) AS token, "
+            "generate_subscripts(toks, 1) AS pos FROM d), "
+            "m AS (SELECT doc_id, pos, COALESCE(token_id, 0) AS tid "
+            "FROM (SELECT * FROM tok WHERE token <> '') "
+            "LEFT JOIN vids USING (token)) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov, "
+            "string_agg(tid::VARCHAR, ',' ORDER BY pos) AS ids "
+            "FROM m GROUP BY doc_id"),
         "udtf_sentences": (
             "SELECT doc_id, "
             "CAST(generate_subscripts(parts, 1) - 1 AS INT) "

@@ -344,3 +344,52 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return df.withColumn(out_col, c)
+
+
+def vocab_with_ids(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", size: int | None = None,
+                   min_doc_freq: int = 1) -> DataFrame:
+    """(token, token_id) — ids assigned 1..N by corpus frequency
+    (total_count desc, token asc as the deterministic tie-break; 0 is
+    reserved for OOV).  The ranking window is global but runs over the
+    ALREADY-AGGREGATED vocab (|distinct tokens| rows, not corpus
+    rows); cap with ``size`` for a fixed vocabulary."""
+    from pyspark.sql.window import Window
+
+    v = vocab(df, text_col, id_col, min_doc_freq)
+    w = Window.orderBy(F.col("total_count").desc(), F.col("token"))
+    out = v.select("token", F.row_number().over(w).alias("token_id"))
+    return out.filter(F.col("token_id") <= size) if size else out
+
+
+def encode_documents(df: DataFrame, vocab_ids: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Tokenize and map each document to its id sequence:
+    (id, n_tokens, n_oov, ids) with ``ids`` the comma-joined token-id
+    string in document order (OOV → 0).  The bridge between
+    ``vocab``/``vocab_with_ids`` and sequence packing — together they
+    are the tokenize→encode→pack training-data path.
+
+    Shape: posexplode (position must survive the shuffle to rebuild
+    order), broadcast vocab join (a vocabulary is ≤ a few million rows
+    — dimension-sized next to a corpus), then one groupBy(id) that
+    sorts (pos, id) structs row-locally.  Ids ride as a STRING, not
+    array<int>, because downstream comparators hash rows (arrays are
+    unhashable in pandas-based canonicalizers)."""
+    tok = (df.select(F.col(id_col),
+                     F.posexplode(tokens(text_col))
+                     .alias("__pos", "token"))
+           .filter(F.col("token") != ""))
+    mapped = (tok.join(F.broadcast(vocab_ids), "token", "left")
+              .select(F.col(id_col),
+                      F.struct("__pos",
+                               F.coalesce(F.col("token_id"), F.lit(0))
+                               .alias("tid")).alias("__s")))
+    ordered = F.transform(F.sort_array(F.collect_list("__s")),
+                          lambda s: s["tid"])
+    return (mapped.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum((F.col("__s.tid") == 0).cast("bigint"))
+                 .cast("bigint").alias("n_oov"),
+                 F.array_join(ordered, ",").alias("ids")))

@@ -512,3 +512,16 @@ def test_pagerank_star(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9       # mass conserved
     assert ranks[2] == ranks[3] == ranks[4]            # symmetry
     assert ranks[1] > ranks[2]                         # hub dominates
+
+
+def test_encode_documents(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a c"), (2, "a zz b")],
+        "doc_id long, text string")
+    # corpus counts: a=3, b=2, c=1, zz=1 -> ids a=1, b=2, c=3 (size=3)
+    vids = text.vocab_with_ids(docs, size=3)
+    got = {r["doc_id"]: r for r in
+           text.encode_documents(docs, vids).collect()}
+    assert got[1]["ids"] == "2,1,1,3" and got[1]["n_oov"] == 0
+    assert got[2]["ids"] == "1,0,2"   # zz is OOV -> 0
+    assert got[2]["n_tokens"] == 3 and got[2]["n_oov"] == 1
