@@ -2416,9 +2416,9 @@ def q_embedding_similar_pairs(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-6 policy: with 127 registered
+    # entries in registry order.  Round-6 policy: with 128 registered
     # queries the rotation is three windows wide — this round's window
-    # holds (a) every round-6 addition and source change (37 entries:
+    # holds (a) every round-6 addition and source change (39 entries:
     # 13 TPC-H, pivot/collect_sorted, and 23 new operators), which need
     # FIRST driver evidence; (b) the flagship anchor; (c) 11 r4-proven
     # core entries unchecked since r4.  New queries outrank re-checking
