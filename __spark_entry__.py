@@ -2418,7 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries in registry order.  Round-6 policy: with 128 registered
     # queries the rotation is three windows wide — this round's window
-    # holds (a) every round-6 addition and source change (39 entries:
+    # holds (a) every round-6 addition and source change (38 entries:
     # 13 TPC-H, pivot/collect_sorted, and 23 new operators), which need
     # FIRST driver evidence; (b) the flagship anchor; (c) 11 r4-proven
     # core entries unchecked since r4.  New queries outrank re-checking
@@ -2429,7 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 (the full suite also under --vanilla, the session kind the
     # driver uses).
     return {
-        # --- r4-proven core, unchecked since r4 (18) ---
+        # --- r4-proven core, unchecked since r4 (11) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
