@@ -989,6 +989,57 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_table_histogram(spark, sf_dir):
+    """Equi-width histogram as a fully-distributed query (the
+    DataFrame twin of plans/stats.py's TableStats histograms, §4.1):
+    min/max are a 1-row broadcast, bucket assignment is row-local
+    floor arithmetic, counts partial-aggregate map-side.  Unlike
+    TableStats.collect (driver dataclass for the optimizer), nothing
+    but the 10 output rows ever reaches the driver."""
+    db = _db(spark, sf_dir)
+    li = db.table("lineitem").select("l_quantity")
+    mm = li.agg(F.min("l_quantity").cast("double").alias("__lo"),
+                F.max("l_quantity").cast("double").alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / 10
+    bucket = F.least(
+        F.floor((F.col("l_quantity") - F.col("__lo")) / width)
+        .cast("int") + 1, F.lit(10))
+    return (li.crossJoin(F.broadcast(mm))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.first("__lo").alias("__l"), F.first("__hi").alias("__h"))
+            .select("bucket",
+                    F.round(F.col("__l") + (F.col("bucket") - 1)
+                            * (F.col("__h") - F.col("__l")) / 10, 4)
+                    .alias("bucket_lo"),
+                    F.round(F.col("__l") + F.col("bucket")
+                            * (F.col("__h") - F.col("__l")) / 10, 4)
+                    .alias("bucket_hi"), "n")
+            .orderBy("bucket"))
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (the A-priori first step): part
+    pairs bought together in >= 2 orders.  Per-order pair generation
+    is bounded by lines-per-order (≤7 → ≤21 pairs), never all-pairs
+    over the catalog; the pair count shuffles on the (a, b) key with
+    map-side combine.  Top-100 with a full tie-break."""
+    db = _db(spark, sf_dir)
+    op = (db.table("lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    pairs = (op.alias("x").join(
+        op.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .select(F.col("x.l_partkey").alias("a"),
+                F.col("y.l_partkey").alias("b")))
+    return (pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+            .filter(F.col("n_orders") >= 2)
+            .orderBy(F.col("n_orders").desc(), "a", "b")
+            .limit(100))
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS ((status, priority), (status), ()) over
     orders — the general form cube/rollup specialize; grouping_id
@@ -2416,10 +2467,10 @@ def q_embedding_similar_pairs(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-6 policy: with 128 registered
+    # entries in registry order.  Round-6 policy: with 130 registered
     # queries the rotation is three windows wide — this round's window
-    # holds (a) every round-6 addition and source change (38 entries:
-    # 13 TPC-H, pivot/collect_sorted, and 23 new operators), which need
+    # holds (a) every round-6 addition and source change (40 entries:
+    # 13 TPC-H, pivot/collect_sorted, and 25 new operators), which need
     # FIRST driver evidence; (b) the flagship anchor; (c) 11 r4-proven
     # core entries unchecked since r4.  New queries outrank re-checking
     # entries with existing green rows, so the trivially-stable r4
@@ -2429,13 +2480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.1 (the full suite also under --vanilla, the session kind the
     # driver uses).
     return {
-        # --- r4-proven core, unchecked since r4 (11) ---
+        # --- r4-proven core, unchecked since r4 (9) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
         "dml_lifecycle": q_dml_lifecycle,
-        "embedding_topk": q_embedding_topk,
-        "groupby_sum_avg": q_groupby_sum_avg,
         "self_join_alias": q_self_join_alias,
         "index_range_scan": q_index_range_scan,
         "grace_hash_join": q_grace_hash_join,
@@ -2483,6 +2532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "compact_scan": q_compact_scan,
         "encode_documents": q_encode_documents,
+        "table_histogram": q_table_histogram,
+        "frequent_pairs": q_frequent_pairs,
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
@@ -2509,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "text_stats": q_text_stats,
         "asof_join": q_asof_join,
+        "embedding_topk": q_embedding_topk,
+        "groupby_sum_avg": q_groupby_sum_avg,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         "scalar_functions": q_scalar_functions,
@@ -3561,6 +3614,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM f"),
         "pagerank": pagerank_sql,
         "compact_scan": "SELECT * FROM orders",
+        "table_histogram": (
+            "WITH mm AS (SELECT CAST(MIN(l_quantity) AS DOUBLE) AS lo, "
+            "CAST(MAX(l_quantity) AS DOUBLE) AS hi FROM lineitem), "
+            "b AS (SELECT least(CAST(floor((l_quantity - lo) "
+            "/ ((hi - lo) / 10)) AS INT) + 1, 10) AS bucket, lo, hi "
+            "FROM lineitem, mm) "
+            "SELECT bucket, "
+            "round(lo + (bucket - 1) * (hi - lo) / 10, 4) AS bucket_lo, "
+            "round(lo + bucket * (hi - lo) / 10, 4) AS bucket_hi, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM b GROUP BY bucket, lo, hi ORDER BY bucket"),
+        "frequent_pairs": (
+            "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem) "
+            "SELECT x.l_partkey AS a, y.l_partkey AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM op x JOIN op y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_partkey < y.l_partkey "
+            "GROUP BY x.l_partkey, y.l_partkey HAVING COUNT(*) >= 2 "
+            "ORDER BY n_orders DESC, a, b LIMIT 100"),
         "encode_documents": (
             "WITH tok_all AS (SELECT doc_id, "
             "unnest(regexp_split_to_array(text, '\\s+')) AS token "
