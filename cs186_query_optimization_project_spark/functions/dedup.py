@@ -608,3 +608,44 @@ def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
             break
         prev_sum = cur_sum
     return labels.withColumnRenamed("id", "doc_id")
+
+
+# --------------------------------------------------------------------- #
+# edit-distance fuzzy matching
+# --------------------------------------------------------------------- #
+def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
+                        max_distance: int = 2,
+                        prefix_len: int = 2) -> DataFrame:
+    """Near-identical string pairs by Levenshtein distance, with
+    blocking so the quadratic term never sees the full table.
+
+    Classic record-linkage shape: candidate pairs are generated only
+    within a *block* — here ``(length bucket, first prefix_len chars)``
+    — then verified with the exact ``levenshtein`` distance (a JVM
+    builtin; no Python).  Two strings within distance d differ in
+    length by at most d, so blocking on ``length div (d+1)`` keeps
+    same-bucket recall for same-length-bucket edits while bounding each
+    block's candidate count; the prefix block cuts further (documented
+    trade: an edit inside the first ``prefix_len`` chars escapes the
+    block — multi-pass blocking on different keys is the standard
+    recall fix, same union shape).
+
+    At 100 TB: the self-join shuffles on the block key; block sizes are
+    data-dependent, so pair volume is bounded by the blocking choice,
+    never O(n²) global.
+
+    Output: ``(a, b, dist)`` with a < b, dist <= max_distance.
+    """
+    blocked = df.select(
+        F.col(id_col), F.col(text_col),
+        F.floor(F.length(text_col) / (max_distance + 1)).alias("__lb"),
+        F.substring(text_col, 1, prefix_len).alias("__pb"))
+    left, right = blocked.alias("l"), blocked.alias("r")
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    dist = F.levenshtein(F.col(f"l.{text_col}"), F.col(f"r.{text_col}"))
+    return (left.join(right,
+                      (F.col("l.__lb") == F.col("r.__lb"))
+                      & (F.col("l.__pb") == F.col("r.__pb"))
+                      & (lid < rid))
+            .select(lid.alias("a"), rid.alias("b"), dist.alias("dist"))
+            .filter(F.col("dist") <= max_distance))

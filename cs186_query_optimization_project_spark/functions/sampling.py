@@ -82,3 +82,26 @@ def hash_stratified_sample(df: DataFrame, strata_col: str, id_col: str,
         x for v, frac in fractions.items()
         for x in (F.lit(v), F.lit(int(round(frac * 1000))))])
     return df.filter(bucket < thresh[F.col(strata_col)])
+
+
+def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
+                    rate: float = 1.0) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each row keeps with
+    probability ``rate * weight / max_weight``.
+
+    The coin flip is ``hash_uniform(id) < p(row)`` with the portable
+    md5-based uniform — membership depends only on the row's id and
+    weight, never on partition layout, executor count, or visit order,
+    so the sample is reproducible across cluster shapes (the property
+    ``rand(seed)`` does NOT give you: its stream is per-partition).
+
+    ``max_weight`` comes from a one-row aggregate crossJoined back
+    (broadcast — no driver collect, no second pass over the data in
+    the plan; Spark reuses the scan via the exchange).
+    """
+    mx = df.agg(F.max(weight_col).alias("__mx"))
+    u = (F.expr("cast(conv(substr(md5(cast({} as string)), 1, 15), 16, 10)"
+                " as double)".format(id_col)) / float(2 ** 60))
+    return (df.crossJoin(F.broadcast(mx))
+            .filter(u < F.lit(rate) * F.col(weight_col) / F.col("__mx"))
+            .drop("__mx"))

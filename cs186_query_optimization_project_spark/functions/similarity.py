@@ -419,3 +419,103 @@ def similar_pairs(df: DataFrame, threshold: float = 0.95,
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])
+
+
+# --------------------------------------------------------------------- #
+# k-means clustering (Lloyd's algorithm, DataFrame-native)
+# --------------------------------------------------------------------- #
+def kmeans_init(dim: int, k: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-norm initial centroids from the same
+    splitmix64 stream as the LSH hyperplanes — reproducible everywhere,
+    frozen-checksum-pinnable by oracles exactly like the planes."""
+    planes = _hyperplanes(dim, k, seed)
+    out = []
+    for p in planes:
+        n = math.sqrt(sum(x * x for x in p)) or 1.0
+        out.append([x / n for x in p])
+    return out
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Σ (xᵢ-cᵢ)² as a sequential JVM fold (element order, so the
+    double result is reproducible by any engine that folds in order)."""
+    return F.aggregate(
+        F.zip_with(vec, _lit_vec(centroid), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding") -> DataFrame:
+    """Append ``cluster`` (argmin of squared distance, ties → lowest
+    cluster id) and ``dist`` (rounded).  Distances are rounded to 6
+    decimals BEFORE the argmin so the assignment is stable under
+    end-of-mantissa noise — the property that makes the whole
+    clustering replayable bit-for-bit by an external oracle."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.array(*[F.round(_sq_dist(emb, c), 6) for c in centroids])
+    return (df.withColumn("__d", dists)
+            .withColumn("cluster",
+                        (F.array_position(F.col("__d"),
+                                          F.array_min("__d")) - 1)
+                        .cast("int"))
+            .withColumn("dist", F.element_at("__d", F.col("cluster") + 1))
+            .drop("__d"))
+
+
+def kmeans_update(assigned: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """One Lloyd centroid update: per-cluster per-dimension mean.
+
+    ``element_at`` projections aggregate JVM-side; only k × dim rounded
+    doubles reach the driver (bounded scalar collect, same class as the
+    IVF centroid pull).  Means are rounded to 6 decimals — that is the
+    published precision of the new centroids, so any engine that
+    computes the same means at double precision lands on the same
+    rounded values (modulo a measure-zero half-ulp-at-the-6th-decimal
+    boundary).  Empty clusters keep their previous centroid.
+    """
+    dim = len(centroids[0])
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rows = (assigned
+            .select("cluster", emb.alias("__e"))
+            .groupBy("cluster")
+            .agg(*[F.round(F.avg(F.element_at("__e", d + 1)), 6)
+                   .alias(f"c{d}") for d in range(dim)])
+            .collect())
+    new = [list(c) for c in centroids]
+    for r in rows:
+        new[r["cluster"]] = [float(r[f"c{d}"]) for d in range(dim)]
+    return new
+
+
+def kmeans(df: DataFrame, vec_col: str = "embedding", k: int = 8,
+           n_iter: int = 1, seed: int = 42) -> tuple[DataFrame,
+                                                     list[list[float]]]:
+    """Lloyd's k-means over an embedding column, every step a DataFrame
+    op: assignment is a generated JVM projection (k fused squared
+    distances per row, no Python, no shuffle); the update is one
+    partial-aggregated groupBy per iteration shuffling k × dim doubles.
+
+    Returns ``(assignments, final_centroids)`` — assignments carry
+    ``cluster`` and ``dist``.  Iterations are synchronous barriers by
+    nature (each update needs all assignments), so the driver loop is
+    the honest orchestration, n_iter small by design.  At 100 TB each
+    iteration is one scan + one tiny shuffle — the standard distributed
+    k-means cost."""
+    dim = _dim_of(df, vec_col)
+    centroids = kmeans_init(dim, k, seed)
+    for _ in range(n_iter):
+        centroids = kmeans_update(kmeans_assign(df, centroids, vec_col),
+                                  centroids, vec_col)
+    return kmeans_assign(df, centroids, vec_col), centroids
+
+
+def kmeans_summary(df: DataFrame, vec_col: str = "embedding", k: int = 8,
+                   n_iter: int = 1, seed: int = 42) -> DataFrame:
+    """Per-cluster rollup of :func:`kmeans`: size and mean distance —
+    the compact fit report (k rows)."""
+    assigned, _ = kmeans(df, vec_col, k, n_iter, seed)
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.round(F.avg("dist"), 4).alias("mean_sq_dist"))
+            .orderBy("cluster"))

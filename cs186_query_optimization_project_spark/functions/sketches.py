@@ -1,0 +1,176 @@
+"""Distributed probabilistic sketches: HyperLogLog and Count-Min.
+
+At 100 TB an exact ``COUNT(DISTINCT token)`` or exact per-token counts
+over a web corpus shuffle the full key space; sketches bound the state:
+
+- **HyperLogLog** (Flajolet et al., AMS 2007 formulation): the whole
+  estimate reduces to ``m`` integer registers — a ``groupBy(register)
+  .max(rho)`` whose shuffle carries at most ``m`` rows per partition
+  after partial aggregation, regardless of input size.  Registers are
+  also mergeable (max), so sketches for different partitions/days union
+  for free.
+- **Count-Min** (Cormode & Muthukrishnan 2005): per-token frequency
+  estimates from a fixed ``d × w`` counter grid — ``groupBy((row,
+  idx)).count()`` with at most ``d·w`` output rows.  Point estimates
+  never touch the raw stream again; over-estimation is one-sided and
+  bounded by ``e·N/w`` with prob ``1 - e^-d``.
+
+Both use the repo's *portable* hash family (md5-hex prefix → 60-bit
+integer) so the exact register/counter contents are reproducible in
+ANSI SQL — the DuckDB oracles rebuild the sketches bit-for-bit rather
+than trusting the engine.  Spark's ``approx_count_distinct`` is the
+built-in alternative; this module exists because its HLL++ internals
+are not replayable by an external oracle (and the reference engine has
+no sketch surface at all — this is part of the training-data-pipeline
+extension, not reference parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 60-bit portable hash of a string expression (same family as
+#: dedup._PORTABLE_BASE_HASH): first 15 hex chars of md5 → bigint.
+#: DuckDB twin: ('0x' || substr(md5(x), 1, 15))::UBIGINT.
+_H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+#: Bits of hash left after the register index is peeled off.
+_RHO_FIELD_BITS = 52
+
+
+def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+    """The ``m``-register HLL sketch of ``col``'s distinct values.
+
+    Output: ``(register int, rho int)`` — one row per *occupied*
+    register, ``rho`` = max over hashed values of (leading zeros of the
+    52-bit suffix + 1).  Absent registers mean rho 0.
+
+    Shape at scale: the map side collapses every partition to ≤ m rows
+    before the (tiny) shuffle; no distinct, no wide state.  Sketches
+    from different inputs merge with ``unionByName`` + the same
+    groupBy-max.
+    """
+    if m & (m - 1):
+        raise ValueError(f"m must be a power of two, got {m}")
+    h = _H60.format(x=col)
+    # register = h mod m; suffix = h div m (52-ish bits for m=256).
+    # bin() drops leading zeros, so leading-zero count of the fixed
+    #-width field = field_bits - length(bin(suffix)); rho adds 1.
+    # suffix = 0 (all zeros) gets the max rho, field_bits + 1.
+    suffix_bits = 60 - m.bit_length() + 1  # 60 - log2(m)
+    return (df.select(
+                F.expr(f"pmod({h}, {m})").cast("int").alias("register"),
+                F.expr(f"({h}) div {m}").alias("__suffix"))
+            .select("register",
+                    F.when(F.col("__suffix") == 0, F.lit(suffix_bits + 1))
+                     .otherwise(suffix_bits + 1
+                                - F.length(F.expr("bin(__suffix)")))
+                     .cast("int").alias("__rho"))
+            .groupBy("register")
+            .agg(F.max("__rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
+    """Collapse a register table to the one-row cardinality estimate.
+
+    Columns: ``m``, ``filled_registers``, ``estimate`` (double, the
+    bias-corrected harmonic mean; linear counting below 2.5·m per the
+    original paper).  Pure aggregate — a single scalar row.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(F.expr("pow(2.0, -rho)")).alias("present_sum"))
+    raw = (F.lit(alpha * m * m)
+           / (F.col("present_sum") + (F.lit(m) - F.col("filled"))))
+    zeros = F.lit(m) - F.col("filled")
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                 ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("filled").cast("long").alias("filled_registers"),
+        F.round(est, 4).alias("estimate"))
+
+
+def hll_distinct(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+    """One-row HLL distinct-count of ``col`` with the exact count
+    alongside (the exact column is for accuracy reporting at test
+    scale; at 100 TB you'd run the sketch alone)."""
+    sketch = hll_estimate(hll_registers(df, col, m), m)
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    return (sketch.crossJoin(exact)
+            .select("m", "filled_registers", "estimate", "exact_distinct",
+                    F.round(F.abs(F.col("estimate")
+                                  - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4)
+                    .alias("rel_error")))
+
+
+# --------------------------------------------------------------------- #
+# Count-Min
+# --------------------------------------------------------------------- #
+def _cms_idx(col: str, row: int, w: int) -> str:
+    """SQL for the row-``row`` counter index of ``col``: salt the
+    portable hash with the row number so the d rows are independent."""
+    h = _H60.format(x=f"concat('{row}:', {col})")
+    return f"pmod({h}, {w})"
+
+
+def cms_counters(df: DataFrame, col: str, d: int = 3,
+                 w: int = 2048) -> DataFrame:
+    """The ``d × w`` Count-Min grid over ``col``'s values.
+
+    Output ``(row int, idx int, cnt long)`` — at most ``d·w`` rows total
+    (map-side partial counts make the shuffle O(d·w) per partition).
+    The d index computations are one generated projection, no Python.
+    """
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 F.expr(_cms_idx(col, r, w)).cast("int").alias("idx"))
+        for r in range(d)])
+    return (df.select(F.explode(rows).alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.idx").alias("idx"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_point_estimates(counters: DataFrame, keys: DataFrame, col: str,
+                        d: int = 3, w: int = 2048) -> DataFrame:
+    """min-over-rows CMS estimate for each distinct key in ``keys``.
+
+    ``keys`` rows are joined to the (≤ d·w row) counter grid on
+    ``(row, idx)`` — the grid broadcasts, so the probe is shuffle-free
+    no matter how many keys are probed.
+    """
+    probes = keys.select(
+        F.col(col),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     F.expr(_cms_idx(col, r, w)).cast("int").alias("idx"))
+            for r in range(d)])).alias("p"))
+    return (probes
+            .join(F.broadcast(counters),
+                  (F.col("p.row") == F.col("row"))
+                  & (F.col("p.idx") == F.col("idx")))
+            .groupBy(col)
+            .agg(F.min("cnt").alias("cms_estimate")))
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20, d: int = 3,
+                      w: int = 2048) -> DataFrame:
+    """Top-``k`` values of ``col`` by exact count, with the CMS estimate
+    alongside — ``cms_estimate >= exact_count`` always (one-sided
+    error), equality when no collision landed in all d rows.  The
+    exact column exists to surface the sketch's error at test scale;
+    the sketch itself never rescans the input."""
+    exact = (df.groupBy(col)
+             .agg(F.count(F.lit(1)).alias("exact_count")))
+    top = (exact.orderBy(F.col("exact_count").desc(), F.col(col).asc())
+           .limit(k))
+    counters = cms_counters(df, col, d, w)
+    est = cms_point_estimates(counters, top.select(col), col, d, w)
+    return (top.join(est, col)
+            .select(col, "exact_count", "cms_estimate")
+            .orderBy(F.col("exact_count").desc(), F.col(col).asc()))

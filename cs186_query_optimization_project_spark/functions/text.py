@@ -393,3 +393,77 @@ def encode_documents(df: DataFrame, vocab_ids: DataFrame,
                  F.sum((F.col("__s.tid") == 0).cast("bigint"))
                  .cast("bigint").alias("n_oov"),
                  F.array_join(ordered, ",").alias("ids")))
+
+
+# --------------------------------------------------------------------- #
+# corpus language-model statistics
+# --------------------------------------------------------------------- #
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram distribution — the classic cheap "perplexity"
+    quality signal (a doc of globally-rare tokens scores low; natural
+    prose scores high).
+
+    Shape at scale: one explode + groupBy builds the vocabulary (token
+    count table); docs' tokens join it on token and re-aggregate per
+    doc.  The vocab table is Zipf-bounded (far smaller than the corpus)
+    and the join key is the token itself, so AQE can broadcast it for
+    real corpora; no Python anywhere.
+
+    Output: ``(id, n_tokens, avg_logprob, pseudo_perplexity)`` where
+    ``pseudo_perplexity = exp(-avg_logprob)``.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(tokens(text_col)).alias("token"))
+            .filter(F.col("token") != ""))
+    vocab_counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("__tc"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (toks.join(vocab_counts, "token")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("__tc") / F.col("__n"))), 6)
+                 .alias("avg_logprob"))
+            .withColumn("pseudo_perplexity",
+                        F.round(F.exp(-F.col("avg_logprob")), 4)))
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text",
+                  min_count: int = 2) -> DataFrame:
+    """Corpus bigram table with conditional probability
+    ``p(next | first) = count(first next) / count(first ·)``.
+
+    The bigram array is built in place with ``zip_with`` over two
+    shifted slices (O(tokens) per doc, zero Python); counting is the
+    standard explode + partial-aggregated groupBy.  The denominator
+    counts *bigram occurrences starting with the token* (i.e. the token
+    as a non-final position), so probabilities sum to 1 per first
+    token.  At web scale you'd add count-min for the tail; the exact
+    table here is Zipf-bounded like the vocabulary.
+    """
+    # named intermediate column so both slices share one tokenization
+    # (the lambda let-binding lesson, SCALE.md)
+    with_toks = df.select(tokens(text_col).alias(f"{text_col}_toks"))
+    pair = (with_toks
+            .select(F.explode(F.expr(
+                f"zip_with(slice({text_col}_toks, 1, "
+                f"size({text_col}_toks) - 1), "
+                f"slice({text_col}_toks, 2, size({text_col}_toks) - 1), "
+                f"(a, b) -> concat(a, ' ', b))")).alias("bigram"))
+            .filter(~F.col("bigram").rlike("^ | $"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("pair_count")))
+    first = (pair
+             .withColumn("first_token",
+                         F.substring_index("bigram", " ", 1)))
+    totals = (first.groupBy("first_token")
+              .agg(F.sum("pair_count").alias("first_count")))
+    return (first.join(totals, "first_token")
+            .filter(F.col("pair_count") >= min_count)
+            .select("bigram",
+                    F.col("pair_count").cast("long").alias("pair_count"),
+                    F.col("first_count").cast("long").alias("first_count"),
+                    F.round(F.col("pair_count") / F.col("first_count"), 6)
+                    .alias("cond_prob")))

@@ -120,3 +120,93 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return (salted_left.join(salted_right, [on, "__salt"], how)
             .drop("__salt"))
+
+
+# --------------------------------------------------------------------- #
+# Bloom-filter semi-join pruning
+# --------------------------------------------------------------------- #
+def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
+                    build_key: str, m: int = 16384,
+                    k: int = 3) -> DataFrame:
+    """Semi-join ``probe`` to ``build`` with a Bloom-filter pre-pass.
+
+    The production problem: ``probe ⋉ build`` where build is too big to
+    broadcast but its *key set summary* isn't — a selective dimension
+    filter leaves millions of keys, and shuffling the full 100 TB probe
+    side just to discard 95% of it in the join is the dominant cost.
+    A Bloom filter of build's keys is O(m) bits regardless of build
+    size; probing it removes most non-matching probe rows *before* the
+    shuffle.  (Spark's own runtime row-level-filtering does this
+    automatically in some plans; this operator is the explicit,
+    plannable form, and its filter is replayable by an external
+    oracle via the portable hash family.)
+
+    Mechanics:
+    1. build side → its k bit positions (portable md5 hash, salted per
+       hash function) → OR-fold into an m-bit mask of m/64 longs.  The
+       fold is a distributed aggregate (map-side partial masks merge
+       with bitwise OR); only the finished 2 KB mask reaches the driver
+       — a bounded scalar collect, same class as the IVF centroid pull.
+    2. probe side filters on pure JVM expressions against the mask
+       array literal: all k bits set → candidate.  **No shuffle, no
+       join** — the Bloom test rides the probe scan itself, which is
+       the whole point at 100 TB.
+    3. exact ``leftsemi`` join against build keys removes the Bloom's
+       false positives, restoring exact semantics — but it now sees
+       only the pre-filtered probe rows.
+
+    The exactness contract means the result is identical to a plain
+    semi-join — the Bloom pass only changes *where* rows are dropped
+    (on the scan, before the shuffle, not after).
+    """
+    mask = bloom_mask(build, build_key, m, k)
+    candidates = probe.filter(bloom_test(probe_key, mask, m, k))
+    return candidates.join(build.select(F.col(build_key).alias("__bk"))
+                           .distinct(),
+                           candidates[probe_key] == F.col("__bk"),
+                           "leftsemi")
+
+
+def _bloom_pos(col: str, r: int, m: int) -> str:
+    """SQL for hash-function ``r``'s bit position of ``col`` (portable
+    md5 family, row-salted)."""
+    return (f"pmod(cast(conv(substr(md5(concat('{r}:', {col})), "
+            f"1, 15), 16, 10) as bigint), {m})")
+
+
+def bloom_mask(build: DataFrame, build_key: str, m: int = 16384,
+               k: int = 3) -> list[int]:
+    """The m-bit Bloom mask of ``build_key``'s values, as m/64 longs.
+
+    Distributed OR-fold: each row contributes k single-bit words,
+    partial-aggregated per partition with ``bit_or``; only the ≤ m/64
+    finished words reach the driver."""
+    n_words = (m + 63) // 64
+    contribs = build.select(F.explode(F.array(*[
+        F.struct(
+            (F.expr(_bloom_pos(build_key, r, m)) / 64).cast("int")
+            .alias("w"),
+            F.expr(f"shiftleft(1L, cast(pmod({_bloom_pos(build_key, r, m)}"
+                   f", 64) as int))").alias("bit"))
+        for r in range(k)])).alias("c"))
+    words = (contribs.groupBy(F.col("c.w").alias("w"))
+             .agg(F.bit_or("c.bit").alias("word"))
+             .collect())
+    mask = [0] * n_words
+    for row in words:
+        mask[row["w"]] = row["word"]
+    return mask
+
+
+def bloom_test(probe_key: str, mask: list[int], m: int = 16384,
+               k: int = 3):
+    """Pure-expression membership test against a :func:`bloom_mask` —
+    rides the probe scan, no shuffle, no join."""
+    mask_lit = ", ".join(f"{v}L" for v in mask)
+    tests = [
+        f"(element_at(array({mask_lit}), "
+        f"cast({_bloom_pos(probe_key, r, m)} / 64 as int) + 1) & "
+        f"shiftleft(1L, cast(pmod({_bloom_pos(probe_key, r, m)}, 64) "
+        f"as int))) != 0"
+        for r in range(k)]
+    return F.expr(" AND ".join(tests))

@@ -1,0 +1,259 @@
+"""Sketches (HLL, Count-Min), Bloom semi-join, edit-distance fuzzy
+dedup, k-means, LM stats, profiling, weighted sampling — the round-6
+batch-2 operators.
+
+The scale claims under test alongside correctness: the Bloom mask
+really prunes the probe scan (not just "result is right"), CMS error is
+one-sided, HLL lands within its published error envelope, and weighted
+sampling is partition-layout-independent (the property ``rand(seed)``
+does not give)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.functions import (
+    dedup,
+    profiling,
+    sampling,
+    sketches,
+    similarity,
+    text,
+)
+from cs186_query_optimization_project_spark.operators import joins
+
+from tests.conftest import rows
+
+
+# --------------------------------------------------------------------- #
+# HyperLogLog
+# --------------------------------------------------------------------- #
+def test_hll_estimate_within_error_envelope(spark):
+    # 10,000 distinct values at m=256: standard error ~1.04/sqrt(256)
+    # = 6.5%; assert within 4 sigma
+    vals = spark.range(10000).select(F.col("id").cast("string").alias("v"))
+    row = sketches.hll_distinct(vals, "v", m=256).collect()[0]
+    assert row["exact_distinct"] == 10000
+    assert abs(row["estimate"] - 10000) / 10000 < 4 * 1.04 / 16
+
+def test_hll_insensitive_to_duplication(spark):
+    # HLL registers depend only on the SET of values: duplicating every
+    # row must not move the estimate
+    vals = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    doubled = vals.unionAll(vals)
+    a = sketches.hll_distinct(vals, "v").collect()[0]["estimate"]
+    b = sketches.hll_distinct(doubled, "v").collect()[0]["estimate"]
+    assert a == b
+
+
+def test_hll_registers_merge_by_max(spark):
+    # sketch(A ∪ B) == merge(sketch(A), sketch(B)) via groupBy-max —
+    # the mergeability that makes HLL shardable across 1000 executors
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 5000).select(
+        F.col("id").cast("string").alias("v"))
+    whole = sketches.hll_registers(a.unionAll(b), "v")
+    merged = (sketches.hll_registers(a, "v")
+              .unionByName(sketches.hll_registers(b, "v"))
+              .groupBy("register").agg(F.max("rho").alias("rho")))
+    assert rows(whole) == rows(merged)
+
+
+# --------------------------------------------------------------------- #
+# Count-Min
+# --------------------------------------------------------------------- #
+def test_cms_one_sided_error(spark):
+    # estimate >= exact for EVERY key, tight grid or not
+    vals = spark.range(5000).select(
+        (F.col("id") % 97).cast("string").alias("v"))
+    out = sketches.cms_heavy_hitters(vals, "v", k=97, d=3, w=64).collect()
+    assert len(out) == 97
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in out)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    # 20 keys in a 3x2048 grid: collisions in all 3 rows are
+    # vanishingly unlikely, so min-of-rows recovers exact counts
+    vals = spark.range(2000).select(
+        (F.col("id") % 20).cast("string").alias("v"))
+    out = sketches.cms_heavy_hitters(vals, "v", k=20).collect()
+    assert all(r["cms_estimate"] == r["exact_count"] == 100 for r in out)
+
+
+# --------------------------------------------------------------------- #
+# Bloom semi-join
+# --------------------------------------------------------------------- #
+def test_bloom_semi_join_exact_and_pruning(spark):
+    probe = spark.range(2000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 7).alias("payload"))
+    build = spark.range(50).select((F.col("id") * 40).alias("bk"))
+    out = joins.bloom_semi_join(probe, build, "k", "bk")
+    exact = probe.join(build, probe["k"] == build["bk"], "leftsemi")
+    assert rows(out) == rows(exact)
+    # the mask must PRUNE: candidates well under probe size, and never
+    # under the true match count (no false negatives)
+    mask = joins.bloom_mask(build, "bk")
+    n_cand = probe.filter(joins.bloom_test("k", mask)).count()
+    assert 50 <= n_cand < 400  # 2000 keys, ~50/16384 bits set * 3
+
+
+def test_bloom_mask_distributed_or_fold(spark):
+    # mask built from a repartitioned build side is identical —
+    # bit_or partial aggregation is layout-independent
+    build = spark.range(100).select((F.col("id") * 13).alias("bk"))
+    assert (joins.bloom_mask(build, "bk")
+            == joins.bloom_mask(build.repartition(7), "bk"))
+
+
+# --------------------------------------------------------------------- #
+# edit-distance fuzzy dedup
+# --------------------------------------------------------------------- #
+def test_edit_distance_pairs_finds_planted_typo(spark):
+    names = [(1, "chartreuse goldenrod lace"),
+             (2, "chartreuse goldenrod lace"),   # exact dup of 1
+             (3, "chXrtreuse goldenrod lace"),   # 1 edit from 1 (pos 3)
+             (4, "completely different thing")]
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in dedup.edit_distance_pairs(df, "name", "id",
+                                              max_distance=2).collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert not any(4 in p for p in got)
+
+
+def test_edit_distance_blocking_bounds_candidates(spark):
+    # strings in different length buckets are never compared, even if
+    # within max_distance (documented recall trade for boundedness)
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdef")], ["id", "name"])
+    assert dedup.edit_distance_pairs(df, "name", "id",
+                                     max_distance=4).count() == 0
+
+
+# --------------------------------------------------------------------- #
+# k-means
+# --------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # two tight blobs far apart in 4-d
+    pts = ([(i, [10.0 + 0.01 * i, 10.0, 0.0, 0.0]) for i in range(30)]
+           + [(100 + i, [-10.0, -10.0 - 0.01 * i, 0.0, 0.0])
+              for i in range(30)])
+    return (spark.createDataFrame(pts, ["vec_id", "embedding"])
+            .select("vec_id", F.col("embedding").cast("array<float>")
+                    .alias("embedding")))
+
+
+def test_kmeans_separates_blobs(blobs):
+    assigned, cents = similarity.kmeans(blobs, k=2, n_iter=3)
+    clusters = (assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("dist").alias("d")).collect())
+    assert sorted(r["n"] for r in clusters) == [30, 30]
+    # after convergence each blob sits on its own centroid: tiny spread
+    assert all(r["d"] < 1.0 for r in clusters)
+
+
+def test_kmeans_iteration_decreases_distortion(blobs):
+    def distortion(n_iter):
+        out = similarity.kmeans_summary(blobs, k=2, n_iter=n_iter)
+        return sum(r["n_members"] * r["mean_sq_dist"]
+                   for r in out.collect())
+    assert distortion(3) <= distortion(1) <= distortion(0) + 1e-9
+
+
+def test_kmeans_init_frozen(spark):
+    # the oracle pins this generator by checksum — drift must be loud
+    import hashlib
+    c = similarity.kmeans_init(64, 8, 42)
+    assert (hashlib.md5(repr(c).encode()).hexdigest()
+            == "f2c5bff4c903bf58f044859a1bae3442")
+    assert all(abs(sum(x * x for x in row) - 1.0) < 1e-9 for row in c)
+
+
+# --------------------------------------------------------------------- #
+# LM statistics
+# --------------------------------------------------------------------- #
+def test_unigram_logprob_ranks_rare_docs_lower(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the the"),        # most common token only
+         (2, "the the rareword the")],  # one rare token
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[1]["n_tokens"] == 4
+    # p(the)=7/8 -> avg_logprob = ln(7/8)
+    assert abs(out[1]["avg_logprob"] - math.log(7 / 8)) < 1e-5
+
+
+def test_bigram_conditional_probs_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b a b a b")], ["doc_id", "text"])
+    out = text.bigram_counts(df, min_count=1).collect()
+    by_first = {}
+    for r in out:
+        first = r["bigram"].split(" ")[0]
+        by_first.setdefault(first, 0.0)
+        by_first[first] += r["cond_prob"]
+    for tot in by_first.values():
+        assert abs(tot - 1.0) < 1e-4
+
+
+# --------------------------------------------------------------------- #
+# profiling
+# --------------------------------------------------------------------- #
+def test_key_skew_flags_hot_key(spark):
+    df = spark.createDataFrame(
+        [(i % 10,) for i in range(90)] + [(99,)] * 110, ["k"])
+    row = profiling.key_skew(df, "k").collect()[0]
+    assert row["n_keys"] == 11 and row["n_rows"] == 200
+    assert row["max_count"] == 110
+    assert row["skew_ratio"] > 6 and row["hot_keys"] == 1
+
+
+def test_zscore_outliers_finds_planted(spark):
+    data = [(i, "g", 10.0) for i in range(50)] + [(99, "g", 1000.0)]
+    df = spark.createDataFrame(data, ["id", "grp", "v"])
+    out = profiling.zscore_outliers(df, "v", "grp", threshold=3.0)
+    got = out.collect()
+    assert [r["id"] for r in got] == [99]
+    assert got[0]["zscore"] > 3
+
+
+def test_zscore_constant_group_yields_none(spark):
+    df = spark.createDataFrame([(i, "g", 5.0) for i in range(10)],
+                               ["id", "grp", "v"])
+    assert profiling.zscore_outliers(df, "v", "grp").count() == 0
+
+
+# --------------------------------------------------------------------- #
+# weighted sampling
+# --------------------------------------------------------------------- #
+def test_weighted_sample_layout_independent(spark):
+    df = spark.range(2000).select(F.col("id"),
+                                  (F.col("id") % 100 + 1.0).alias("w"))
+    a = rows(sampling.weighted_sample(df, "w", "id", rate=0.5))
+    b = rows(sampling.weighted_sample(df.repartition(13), "w", "id",
+                                      rate=0.5))
+    assert a == b and len(a) > 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2000, 1.0).otherwise(100.0).alias("w"))
+    out = sampling.weighted_sample(df, "w", "id", rate=0.5)
+    light = out.filter("id < 2000").count()
+    heavy = out.filter("id >= 2000").count()
+    # heavy rows keep with p=0.5, light with p=0.005
+    assert heavy > 800 and light < 40
+    # zero-weight rows are never kept
+    z = spark.range(100).select(F.col("id"), F.lit(0.0).alias("w"))
+    zero = sampling.weighted_sample(
+        z.unionAll(spark.range(100, 200).select(F.col("id"),
+                                                F.lit(5.0).alias("w"))),
+        "w", "id", rate=1.0)
+    assert zero.filter("w = 0.0").count() == 0
