@@ -2492,7 +2492,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 def q_bloom_semi_join(spark, sf_dir):
-    """Bloom-filter semi-join pruning: customers having a >400k order.
+    """Bloom-filter semi-join pruning: customers having a >495k order.
     The >495k filter keeps ~1% of orders (~9% of customers), so the
     16 Kbit k=3 Bloom mask prunes ~90% of the probe scan before any
     shuffle; the exact leftsemi join then removes false positives, so
