@@ -2589,6 +2589,47 @@ def q_weighted_sample(spark, sf_dir):
             .select("o_orderkey", "o_totalprice"))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift check of o_totalprice between
+    the first and second half of the order history — the train-vs-serve
+    distribution monitor.  Shared equal-width bins from the union's
+    min/max (the table_histogram binning contract), per-bin PSI terms."""
+    from cs186_query_optimization_project_spark.functions import profiling
+    db = _db(spark, sf_dir)
+    orders = db.table("orders")
+    early = orders.filter(F.col("o_orderdate") < "1998-05-01")
+    late = orders.filter(F.col("o_orderdate") >= "1998-05-01")
+    return profiling.psi_drift(early, late, "o_totalprice", n_bins=10)
+
+
+def q_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem's numeric measures —
+    all six corr aggregates in ONE scan (map-side partials), unpivoted
+    to (col_a, col_b, corr) rows."""
+    from cs186_query_optimization_project_spark.functions import profiling
+    db = _db(spark, sf_dir)
+    return profiling.correlation_matrix(
+        db.table("lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def q_dedup_eval(spark, sf_dir):
+    """Evaluation harness for the near-dup detector: precision/recall
+    of the MinHash-LSH pair set against the planted ground truth
+    (doc -> doc+1e6 perturbed copies).  One full-outer pair join + one
+    scalar aggregate; the oracle recomputes the metrics from its own
+    SQL re-encoding of the MinHash pipeline — detector AND scorer are
+    both replayed."""
+    db = _db(spark, sf_dir)
+    corpus = _planted_docs(db)
+    pred = dedup.minhash_near_duplicates(corpus, threshold=0.5)
+    truth = (db.table("documents")
+             .filter(F.col("doc_id") % 10 == 0)
+             .select(F.col("doc_id").alias("a"),
+                     (F.col("doc_id") + 1000000).alias("b")))
+    return dedup.pair_metrics(pred, truth)
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -2665,10 +2706,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
-        # key_skew is the one batch-2 entry the window couldn't hold;
-        # the r4-proven core entries displaced by round-6 additions are
-        # unchanged since their r4 green rows and rotate back in r7
+        # key_skew + the batch-3 diagnostics are the entries the window
+        # couldn't hold; the r4-proven core entries displaced by round-6
+        # additions are unchanged since their r4 green rows and rotate
+        # back in r7
         "key_skew": q_key_skew,
+        "psi_drift": q_psi_drift,
+        "correlation_matrix": q_correlation_matrix,
+        "dedup_eval": q_dedup_eval,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -3058,6 +3103,34 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT ca AS a, cb AS b, round({jacc}, 6) AS jaccard "
         f"FROM cand JOIN sh a ON a.doc_id = ca JOIN sh b ON b.doc_id = cb "
         f"WHERE {jacc} >= 0.5")
+    # dedup_eval: precision/recall of the MinHash pair set vs planted
+    # truth — the detector's SQL re-encoding is reused verbatim as a
+    # derived table, so the scorer grades the same pair set the
+    # minhash_near_dups oracle verifies.
+    dedup_eval_sql = (
+        f"WITH pred AS (SELECT a, b FROM ({minhash_sql})), "
+        f"truth AS (SELECT doc_id AS a, doc_id + 1000000 AS b "
+        f"FROM documents WHERE doc_id % 10 = 0), "
+        f"j AS (SELECT COALESCE(p.pp, 0) AS pp, COALESCE(t.tt, 0) AS tt "
+        f"FROM (SELECT a, b, 1 AS pp FROM pred) p "
+        f"FULL OUTER JOIN (SELECT a, b, 1 AS tt FROM truth) t "
+        f"USING (a, b)), "
+        f"agg AS (SELECT SUM(pp) AS np, SUM(tt) AS nt, "
+        f"SUM(pp * tt) AS tp FROM j) "
+        f"SELECT np::BIGINT AS n_predicted, nt::BIGINT AS n_truth, "
+        f"tp::BIGINT AS tp, (np - tp)::BIGINT AS fp, "
+        f"(nt - tp)::BIGINT AS fn, "
+        f"round(CASE WHEN np > 0 THEN tp / np ELSE 0.0 END, 6) "
+        f'AS "precision", '
+        f"round(CASE WHEN nt > 0 THEN tp / nt ELSE 0.0 END, 6) "
+        f"AS recall, "
+        f"round(CASE WHEN (CASE WHEN np > 0 THEN tp / np ELSE 0.0 END) "
+        f"+ (CASE WHEN nt > 0 THEN tp / nt ELSE 0.0 END) > 0 THEN "
+        f"2 * (CASE WHEN np > 0 THEN tp / np ELSE 0.0 END) "
+        f"* (CASE WHEN nt > 0 THEN tp / nt ELSE 0.0 END) "
+        f"/ ((CASE WHEN np > 0 THEN tp / np ELSE 0.0 END) "
+        f"+ (CASE WHEN nt > 0 THEN tp / nt ELSE 0.0 END)) "
+        f"ELSE 0.0 END, 6) AS f1 FROM agg")
     # SimHash re-encoded in DuckDB SQL (dedup.simhash_signatures /
     # simhash_near_duplicates, portable family): 60-bit signature from
     # per-bit ±1 sums of md5-top-60-bit token hashes, Manku banding into
@@ -4231,4 +4304,51 @@ def oracle_sql() -> dict[str, str]:
             "1, 15))::UBIGINT::DOUBLE / 1152921504606846976.0 "
             "< 0.2 * o_totalprice / "
             "(SELECT MAX(o_totalprice) FROM orders)"),
+        # shared equal-width bins over the union's [min,max] (the
+        # table_histogram contract); PSI terms from eps-floored
+        # unrounded proportions, exactly profiling.psi_drift
+        "psi_drift": (
+            "WITH av AS (SELECT CAST(o_totalprice AS DOUBLE) AS v "
+            "FROM orders WHERE o_orderdate < '1998-05-01'), "
+            "bv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v "
+            "FROM orders WHERE o_orderdate >= '1998-05-01'), "
+            "mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM "
+            "(SELECT v FROM av UNION ALL SELECT v FROM bv)), "
+            "abin AS (SELECT least(CAST(floor((v - lo) / "
+            "((hi - lo) / 10)) AS INT) + 1, 10) AS bin, "
+            "COUNT(*) AS na FROM av, mm GROUP BY bin), "
+            "bbin AS (SELECT least(CAST(floor((v - lo) / "
+            "((hi - lo) / 10)) AS INT) + 1, 10) AS bin, "
+            "COUNT(*) AS nb FROM bv, mm GROUP BY bin), "
+            "ta AS (SELECT COUNT(*) AS c FROM av), "
+            "tb AS (SELECT COUNT(*) AS c FROM bv) "
+            "SELECT bin, "
+            "round(greatest(COALESCE(na, 0) / ta.c, 0.000001), 6) "
+            "AS pct_a, "
+            "round(greatest(COALESCE(nb, 0) / tb.c, 0.000001), 6) "
+            "AS pct_b, "
+            "round((greatest(COALESCE(na, 0) / ta.c, 0.000001) "
+            "- greatest(COALESCE(nb, 0) / tb.c, 0.000001)) "
+            "* ln(greatest(COALESCE(na, 0) / ta.c, 0.000001) "
+            "/ greatest(COALESCE(nb, 0) / tb.c, 0.000001)), 6) "
+            "AS psi_term "
+            "FROM abin FULL OUTER JOIN bbin USING (bin), ta, tb "
+            "ORDER BY bin"),
+        "correlation_matrix": (
+            "SELECT col_a, col_b, \"corr\" FROM ("
+            "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS \"corr\" "
+            "FROM lineitem UNION ALL "
+            "SELECT 'l_quantity', 'l_discount', "
+            "round(corr(l_quantity, l_discount), 6) FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', "
+            "round(corr(l_quantity, l_tax), 6) FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+            "round(corr(l_extendedprice, l_discount), 6) FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', "
+            "round(corr(l_extendedprice, l_tax), 6) FROM lineitem "
+            "UNION ALL SELECT 'l_discount', 'l_tax', "
+            "round(corr(l_discount, l_tax), 6) FROM lineitem) "
+            "ORDER BY col_a, col_b"),
+        "dedup_eval": dedup_eval_sql,
     }

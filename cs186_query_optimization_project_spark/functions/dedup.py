@@ -649,3 +649,40 @@ def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
                       & (lid < rid))
             .select(lid.alias("a"), rid.alias("b"), dist.alias("dist"))
             .filter(F.col("dist") <= max_distance))
+
+
+def pair_metrics(predicted: DataFrame, truth: DataFrame) -> DataFrame:
+    """Precision/recall of a predicted pair set against ground truth —
+    the evaluation harness for any near-dup detector (both inputs are
+    ``(a, b)`` with a < b; extra columns ignored).
+
+    One full-outer join on the pair key + one scalar aggregate — a
+    single job, no driver-side counting, works at any scale the pair
+    sets themselves exist at.  Output: one row (n_predicted, n_truth,
+    tp, fp, fn, precision, recall, f1).
+    """
+    p = (predicted.select("a", "b").distinct()
+         .withColumn("__p", F.lit(1)))
+    t = truth.select("a", "b").distinct().withColumn("__t", F.lit(1))
+    j = p.join(t, ["a", "b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("__p"), F.lit(0))).alias("n_predicted"),
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("n_truth"),
+        F.sum(F.when(F.col("__p").isNotNull()
+                     & F.col("__t").isNotNull(), 1).otherwise(0))
+        .alias("tp"))
+    prec = F.when(F.col("n_predicted") > 0,
+                  F.col("tp") / F.col("n_predicted")).otherwise(0.0)
+    rec = F.when(F.col("n_truth") > 0,
+                 F.col("tp") / F.col("n_truth")).otherwise(0.0)
+    return agg.select(
+        F.col("n_predicted").cast("long"),
+        F.col("n_truth").cast("long"),
+        F.col("tp").cast("long"),
+        (F.col("n_predicted") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.when(prec + rec > 0,
+                       2 * prec * rec / (prec + rec)).otherwise(0.0), 6)
+        .alias("f1"))

@@ -71,3 +71,67 @@ def zscore_outliers(df: DataFrame, value_col: str, group_col: str,
             .select(*cols,
                     F.round((F.col(value_col) - F.col("__mu"))
                             / F.col("__sigma"), 4).alias("zscore")))
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
+              n_bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two samples of ``value_col``
+    — the standard train-vs-serve / week-over-week drift check
+    (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 action).
+
+    Bin edges are equal-width over the UNION's [min, max] (one tiny
+    scalar aggregate, broadcast back), so both samples are binned
+    identically; each side then collapses to ≤ n_bins rows before the
+    final ≤ n_bins-row join.  Cost: one pass over each sample.
+    ``eps`` floors empty-bin proportions so the log term stays finite
+    (the PSI convention).
+
+    Output: one row per bin (bin, pct_a, pct_b, psi_term) — sum
+    psi_term for the headline index.
+    """
+    both = (df_a.select(F.col(value_col).cast("double").alias("v"))
+            .unionAll(df_b.select(F.col(value_col).cast("double")
+                                  .alias("v"))))
+    mm = both.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+
+    def binned(df, side):
+        return (df.select(F.col(value_col).cast("double").alias("v"))
+                .crossJoin(F.broadcast(mm))
+                .select(F.least(
+                    F.floor((F.col("v") - F.col("__lo"))
+                            / ((F.col("__hi") - F.col("__lo")) / n_bins))
+                    .cast("int") + 1, F.lit(n_bins)).alias("bin"))
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias(f"n_{side}")))
+    a, b = binned(df_a, "a"), binned(df_b, "b")
+    tot_a = df_a.count()
+    tot_b = df_b.count()
+    joined = a.join(b, "bin", "full_outer")
+    pct_a = F.greatest(F.coalesce(F.col("n_a"), F.lit(0)) / tot_a,
+                       F.lit(eps))
+    pct_b = F.greatest(F.coalesce(F.col("n_b"), F.lit(0)) / tot_b,
+                       F.lit(eps))
+    return (joined.select(
+        F.col("bin"),
+        F.round(pct_a, 6).alias("pct_a"),
+        F.round(pct_b, 6).alias("pct_b"),
+        F.round((pct_a - pct_b) * F.log(pct_a / pct_b), 6)
+        .alias("psi_term"))
+        .orderBy("bin"))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in one aggregation
+    pass: all C(n,2) ``corr`` aggregates compute map-side in a single
+    scan/shuffle (vs one job per pair the naive loop would run).
+
+    Output: (col_a, col_b, corr) for a < b, ordered.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in pairs]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return (wide.select(F.expr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"))
+        .orderBy("col_a", "col_b"))

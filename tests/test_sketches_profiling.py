@@ -257,3 +257,54 @@ def test_weighted_sample_prefers_heavy_rows(spark):
                                                 F.lit(5.0).alias("w"))),
         "w", "id", rate=1.0)
     assert zero.filter("w = 0.0").count() == 0
+
+
+# --------------------------------------------------------------------- #
+# PSI drift / correlation / dedup evaluation (batch 3)
+# --------------------------------------------------------------------- #
+def test_psi_zero_for_identical_samples(spark):
+    df = spark.range(1000).select((F.col("id") % 37).cast("double")
+                                  .alias("v"))
+    out = profiling.psi_drift(df, df, "v", n_bins=10).collect()
+    assert sum(r["psi_term"] for r in out) < 1e-9
+    assert all(r["pct_a"] == r["pct_b"] for r in out)
+
+
+def test_psi_detects_shift(spark):
+    a = spark.range(1000).select((F.col("id") % 100).cast("double")
+                                 .alias("v"))
+    b = spark.range(1000).select((F.col("id") % 100 + 60).cast("double")
+                                 .alias("v"))
+    out = profiling.psi_drift(a, b, "v", n_bins=10).collect()
+    assert sum(r["psi_term"] for r in out) > 0.25  # "action" territory
+
+
+def test_correlation_matrix_known_values(spark):
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 3).cast("double").alias("y"),
+        (99 - F.col("id")).cast("double").alias("z"))
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in profiling.correlation_matrix(df, ["x", "y", "z"])
+           .collect()}
+    assert got[("x", "y")] == 1.0 and got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0 and len(got) == 3
+
+
+def test_pair_metrics_precision_recall(spark):
+    pred = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], ["a", "b"])
+    truth = spark.createDataFrame([(1, 2), (3, 4), (7, 8), (9, 10)],
+                                  ["a", "b"])
+    r = dedup.pair_metrics(pred, truth).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 2)
+    assert abs(r["precision"] - 2 / 3) < 1e-6
+    assert abs(r["recall"] - 0.5) < 1e-6
+    assert abs(r["f1"] - (2 * (2/3) * 0.5 / ((2/3) + 0.5))) < 1e-6
+
+
+def test_pair_metrics_empty_prediction(spark):
+    pred = spark.createDataFrame([], "a long, b long")
+    truth = spark.createDataFrame([(1, 2)], ["a", "b"])
+    r = dedup.pair_metrics(pred, truth).collect()[0]
+    assert (r["n_predicted"], r["tp"], r["precision"], r["f1"]) \
+        == (0, 0, 0.0, 0.0)
