@@ -2589,6 +2589,32 @@ def q_weighted_sample(spark, sf_dir):
             .select("o_orderkey", "o_totalprice"))
 
 
+def q_streaming_hll(spark, sf_dir):
+    """Streaming distinct-users-per-hour via HyperLogLog registers —
+    exact streaming COUNT(DISTINCT) is not incrementally maintainable
+    (state = the full key set per window; Spark rejects it), but HLL
+    registers are a plain max aggregate: ≤ m rows of state per open
+    window, watermark-bounded.  The memory-sink register table is
+    collapsed to per-window estimates batch-side; the oracle rebuilds
+    registers AND estimates from the same portable hash in SQL."""
+    from cs186_query_optimization_project_spark.functions import sketches
+    name = "stream_hll_" + _tag(sf_dir)
+    events = stream_windows.stream_events(spark,
+                                          f"{sf_dir}/events.parquet")
+    regs = stream_windows.hll_window_registers(events, window="1 hour",
+                                               watermark="2 hours",
+                                               key_col="user_id", m=256)
+    stream_windows.run_to_memory(regs, name, output_mode="complete",
+                                 shuffle_partitions=8)
+    est = sketches.hll_estimate(
+        spark.table(name).select("window_start", "register", "rho"),
+        m=256, group_cols=["window_start"])
+    return est.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "m", "filled_registers", "estimate")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift check of o_totalprice between
     the first and second half of the order history — the train-vs-serve
@@ -2714,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "correlation_matrix": q_correlation_matrix,
         "dedup_eval": q_dedup_eval,
+        "streaming_hll": q_streaming_hll,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -4351,4 +4378,26 @@ def oracle_sql() -> dict[str, str]:
             "round(corr(l_discount, l_tax), 6) FROM lineitem) "
             "ORDER BY col_a, col_b"),
         "dedup_eval": dedup_eval_sql,
+        # per-hour HLL rebuilt register-for-register, then the same
+        # harmonic/linear-counting estimator per window — the batch
+        # replay of the streaming mergeable-sketch aggregation
+        "streaming_hll": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS w, "
+            "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT AS hv FROM events), "
+            "r AS (SELECT w, CAST(hv % 256 AS INT) AS register, "
+            "CASE WHEN hv // 256 = 0 THEN 53 "
+            "ELSE 53 - length(bin(hv // 256)) END AS rho FROM h), "
+            "regs AS (SELECT w, register, MAX(rho) AS rho FROM r "
+            "GROUP BY w, register), "
+            "agg AS (SELECT w, COUNT(*) AS filled, "
+            "SUM(pow(2.0, -rho)) AS ps FROM regs GROUP BY w) "
+            "SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "256 AS m, filled::BIGINT AS filled_registers, "
+            "round(CASE WHEN "
+            "(0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 "
+            "/ (ps + (256 - filled)) <= 640.0 AND (256 - filled) > 0 "
+            "THEN 256.0 * ln(256.0 / (256 - filled)) "
+            "ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 "
+            "/ (ps + (256 - filled)) END, 4) AS estimate FROM agg"),
     }

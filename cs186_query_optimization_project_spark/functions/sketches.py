@@ -71,15 +71,19 @@ def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
             .agg(F.max("__rho").alias("rho")))
 
 
-def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
-    """Collapse a register table to the one-row cardinality estimate.
+def hll_estimate(registers: DataFrame, m: int = 256,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Collapse a register table to the cardinality estimate — one row
+    per group (``group_cols``, e.g. a time window), or a single scalar
+    row with no groups.
 
-    Columns: ``m``, ``filled_registers``, ``estimate`` (double, the
-    bias-corrected harmonic mean; linear counting below 2.5·m per the
-    original paper).  Pure aggregate — a single scalar row.
+    Columns: group cols, ``m``, ``filled_registers``, ``estimate``
+    (double, the bias-corrected harmonic mean; linear counting below
+    2.5·m per the original paper).  Pure aggregate.
     """
+    group_cols = group_cols or []
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("filled"),
         F.sum(F.expr("pow(2.0, -rho)")).alias("present_sum"))
     raw = (F.lit(alpha * m * m)
@@ -89,6 +93,7 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
                  ).otherwise(raw)
     return agg.select(
+        *group_cols,
         F.lit(m).alias("m"),
         F.col("filled").cast("long").alias("filled_registers"),
         F.round(est, 4).alias("estimate"))

@@ -272,3 +272,47 @@ def run_to_memory(stream_df: DataFrame, name: str,
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(key, old)
+
+
+def hll_window_registers(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         key_col: str = "user_id",
+                         m: int = 256,
+                         ts_col: str = "ts") -> DataFrame:
+    """Streaming per-window HyperLogLog registers of ``key_col`` — the
+    mergeable-sketch answer to "distinct users per hour" on an
+    unbounded stream.
+
+    Exact streaming COUNT(DISTINCT) is not incrementally maintainable
+    (Spark rejects it in streaming aggregations: state would be the
+    full key set per window).  HLL registers ARE: ``max(rho)`` is a
+    plain streaming aggregate, so state is ≤ m rows per open window —
+    bounded by the watermark like any windowed count, independent of
+    how many distinct keys flow through.  The same registers a batch
+    job computes merge with these (functions/sketches.py contract),
+    so a lambda-architecture reconciliation is a groupBy-max union.
+
+    Output: (window_start, window_end, register, rho) — collapse with
+    ``sketches.hll_estimate(..., group_cols=["window_start"])``.
+    """
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _H60,
+    )
+    if m & (m - 1):
+        raise ValueError(f"m must be a power of two, got {m}")
+    h = _H60.format(x=f"cast({key_col} as string)")
+    suffix_bits = 60 - m.bit_length() + 1
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    base = src.select(
+        F.col(ts_col),
+        F.expr(f"pmod({h}, {m})").cast("int").alias("register"),
+        F.expr(f"CASE WHEN ({h}) div {m} = 0 THEN {suffix_bits + 1} "
+               f"ELSE {suffix_bits + 1} - length(bin(({h}) div {m})) "
+               f"END").cast("int").alias("rho"))
+    return (base.groupBy(F.window(F.col(ts_col), window).alias("win"),
+                         F.col("register"))
+            .agg(F.max("rho").alias("rho"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "register", "rho"))

@@ -308,3 +308,36 @@ def test_pair_metrics_empty_prediction(spark):
     r = dedup.pair_metrics(pred, truth).collect()[0]
     assert (r["n_predicted"], r["tp"], r["precision"], r["f1"]) \
         == (0, 0, 0.0, 0.0)
+
+
+# --------------------------------------------------------------------- #
+# streaming HLL (batch-mode evaluation; the streaming path is exercised
+# by the streaming_hll driver query through run_to_memory)
+# --------------------------------------------------------------------- #
+def test_hll_window_registers_match_per_window_batch_sketch(spark):
+    from cs186_query_optimization_project_spark.streaming import (
+        windows as stream_windows,
+    )
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 {10 + (i % 2)}:00:{i % 60:02d}", (i // 2) % 50)
+         for i in range(200)],
+        ["event_id", "ts_s", "user_id"]).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id")
+    regs = stream_windows.hll_window_registers(df, window="1 hour",
+                                               key_col="user_id")
+    est = sketches.hll_estimate(
+        regs.select("window_start", "register", "rho"),
+        group_cols=["window_start"]).collect()
+    assert len(est) == 2
+    # 50 distinct users per window in both hours; both windows see the
+    # SAME key set, so the sketches (and estimates) must be identical
+    assert est[0]["estimate"] == est[1]["estimate"]
+    # and each per-window register set equals the batch sketch of the
+    # same keys (merge/shard consistency)
+    batch = sketches.hll_registers(
+        df.filter("hour(ts) = 10").select(
+            F.col("user_id").cast("string").alias("v")), "v")
+    win0 = (regs.filter("hour(window_start) = 10")
+            .select("register", "rho"))
+    assert rows(win0) == rows(batch)
