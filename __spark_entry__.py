@@ -2615,6 +2615,27 @@ def q_streaming_hll(spark, sf_dir):
         "m", "filled_registers", "estimate")
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact positional phrase search ('slow hash batch') over the
+    inverted postings table — each phrase term joins on (doc, pos + i),
+    all equi-joins over single-term posting lists."""
+    from cs186_query_optimization_project_spark.functions import retrieval
+    db = _db(spark, sf_dir)
+    return retrieval.phrase_search(db.table("documents"),
+                                   "slow hash batch")
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 for the keyword query 'hash batch window' — the
+    keyword-retrieval half of a RAG stack (Lucene non-negative IDF,
+    k1=1.2, b=0.75); postings filtered to the query's terms before any
+    aggregation, scores rounded before ranking with id tie-break."""
+    from cs186_query_optimization_project_spark.functions import retrieval
+    db = _db(spark, sf_dir)
+    return retrieval.bm25_scores(db.table("documents"),
+                                 "hash batch window", top_k=10)
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift check of o_totalprice between
     the first and second half of the order history — the train-vs-serve
@@ -2741,6 +2762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_matrix": q_correlation_matrix,
         "dedup_eval": q_dedup_eval,
         "streaming_hll": q_streaming_hll,
+        "phrase_search": q_phrase_search,
+        "bm25_search": q_bm25_search,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -4378,6 +4401,45 @@ def oracle_sql() -> dict[str, str]:
             "round(corr(l_discount, l_tax), 6) FROM lineitem) "
             "ORDER BY col_a, col_b"),
         "dedup_eval": dedup_eval_sql,
+        # positional postings: subscripts assigned BEFORE the
+        # empty-token filter (posexplode numbers all elements), 1-based
+        # -> 0-based
+        "phrase_search": (
+            "WITH post AS (SELECT doc_id, token, pos - 1 AS pos FROM ("
+            "SELECT doc_id, unnest(toks) AS token, "
+            "generate_subscripts(toks, 1) AS pos FROM ("
+            "SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks "
+            "FROM documents)) WHERE token <> '') "
+            "SELECT p0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches "
+            "FROM post p0 "
+            "JOIN post p1 ON p1.doc_id = p0.doc_id "
+            "AND p1.token = 'hash' AND p1.pos = p0.pos + 1 "
+            "JOIN post p2 ON p2.doc_id = p0.doc_id "
+            "AND p2.token = 'batch' AND p2.pos = p0.pos + 2 "
+            "WHERE p0.token = 'slow' "
+            "GROUP BY p0.doc_id ORDER BY p0.doc_id"),
+        # constants spelled as the engine's Python computes them
+        # ((1.2 + 1), 1.2 * (0.25 + ...)) so both sides evaluate the
+        # same double ops in the same order
+        "bm25_search": (
+            "WITH post AS (SELECT doc_id, token FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents) WHERE token <> ''), "
+            "dl AS (SELECT doc_id, COUNT(*) AS dl FROM post "
+            "GROUP BY doc_id), "
+            "c AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM post "
+            "WHERE token IN ('batch', 'hash', 'window') "
+            "GROUP BY doc_id, token), "
+            "dfq AS (SELECT token, COUNT(*) AS df FROM tf "
+            "GROUP BY token), "
+            "s AS (SELECT tf.doc_id, "
+            "ln(1.0 + (n - df + 0.5) / (df + 0.5)) "
+            "* (tf * (1.2 + 1)) "
+            "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s "
+            "FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), c) "
+            "SELECT doc_id, round(SUM(s), 6) AS bm25 FROM s "
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
         # per-hour HLL rebuilt register-for-register, then the same
         # harmonic/linear-counting estimator per window — the batch
         # replay of the streaming mergeable-sketch aggregation

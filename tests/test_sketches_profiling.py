@@ -341,3 +341,33 @@ def test_hll_window_registers_match_per_window_batch_sketch(spark):
     win0 = (regs.filter("hour(window_start) = 10")
             .select("register", "rho"))
     assert rows(win0) == rows(batch)
+
+
+# --------------------------------------------------------------------- #
+# retrieval: phrase search + BM25
+# --------------------------------------------------------------------- #
+def test_phrase_search_positional_exactness(spark):
+    from cs186_query_optimization_project_spark.functions import retrieval
+    df = spark.createDataFrame(
+        [(1, "big data is big data"),       # phrase twice
+         (2, "data big"),                   # reversed -> no match
+         (3, "big shiny data"),             # gap -> no match
+         (4, "big data")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_matches"]
+           for r in retrieval.phrase_search(df, "big data").collect()}
+    assert got == {1: 2, 4: 1}
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    from cs186_query_optimization_project_spark.functions import retrieval
+    common = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(10)]
+        + [(100, common + " zyzzyva"), (101, "zyzzyva zyzzyva hello")],
+        ["doc_id", "text"])
+    top = retrieval.bm25_scores(df, "zyzzyva", top_k=3).collect()
+    # doc 101: higher tf, shorter doc -> strictly top; only the two
+    # docs containing the term score at all
+    assert [r["doc_id"] for r in top] == [101, 100]
+    assert top[0]["bm25"] > top[1]["bm25"] > 0
