@@ -110,3 +110,38 @@ def test_frozen_oracle_constants_match_engine_generators():
     # raises AssertionError on drift
     assert len(entry._frozen_hyperplanes(4)) == 4
     assert len(entry._frozen_hyperplanes(6)) == 6
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="ascii",
+                           exclude_characters="'\"\\\x00"),
+    min_size=0, max_size=40), min_size=1, max_size=60, unique=True))
+def test_portable_hash_family_matches_duckdb(spark, values):
+    """The md5-prefix 60-bit hash family underpins EVERY sketch/dedup
+    oracle (HLL registers, CMS cells, Bloom bits, minhash bases,
+    sampling uniforms).  Property: for arbitrary ascii strings, Spark's
+    conv(substr(md5 ..)) equals DuckDB's ('0x'||substr(md5 ..))::UBIGINT
+    — including mod and div derivations."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = {r["s"]: (r["h"], r["r"], r["q"]) for r in df.select(
+        "s",
+        F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)")
+        .alias("h"),
+        F.expr("pmod(cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint),"
+               " 2048)").alias("r"),
+        F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+               " div 256").alias("q")).collect()}
+    con = duckdb.connect()
+    for v in values:
+        h, r, q = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15))::UBIGINT "
+            "AS BIGINT), CAST(('0x' || substr(md5(?), 1, 15))::UBIGINT "
+            "% 2048 AS BIGINT), CAST(('0x' || substr(md5(?), 1, 15))"
+            "::UBIGINT // 256 AS BIGINT)", [v, v, v]).fetchone()
+        assert got[v] == (h, r, q), v
