@@ -2636,6 +2636,26 @@ def q_bm25_search(spark, sf_dir):
                                  "hash batch window", top_k=10)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the LSH-ANN probe against the exact brute-force
+    top-10 — the accuracy side of the ANN speed/recall trade, measured
+    in-engine (companion of dedup_eval: every approximate operator
+    ships with its evaluation harness).  The oracle recomputes BOTH
+    retrievals and the overlap from its own SQL re-encodings."""
+    idx = _ann_index(spark, sf_dir, "lsh")
+    ann = similarity.lsh_probe(spark, idx, _query_vec(spark, sf_dir),
+                               k=10).select("vec_id")
+    db = _db(spark, sf_dir)
+    exact = similarity.cosine_topk(db.table("embeddings"),
+                                   _query_vec(spark, sf_dir),
+                                   k=10).select("vec_id")
+    return (exact.join(ann, "vec_id")
+            .agg(F.count(F.lit(1)).alias("__o"))
+            .select(F.lit(10).alias("k"),
+                    F.col("__o").cast("long").alias("n_overlap"),
+                    F.round(F.col("__o") / 10.0, 4).alias("recall")))
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift check of o_totalprice between
     the first and second half of the order history — the train-vs-serve
@@ -2764,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "phrase_search": q_phrase_search,
         "bm25_search": q_bm25_search,
+        "ann_recall": q_ann_recall,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -4159,6 +4180,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": minhash_sql,
         "simhash_near_dups": simhash_sql,
         "embedding_ann_lsh": lsh_sql,
+        # recall@10 from the same two SQL re-encodings the ann/exact
+        # entries verify — overlap of the probed bucket's top-10 with
+        # the brute-force top-10
+        "ann_recall": (
+            f"WITH ann AS (SELECT vec_id FROM ({lsh_sql})), "
+            f"ex AS (SELECT vec_id FROM embeddings "
+            f"ORDER BY round(list_cosine_similarity("
+            f"CAST(embedding AS DOUBLE[]), "
+            f"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            f"WHERE vec_id = 0)), 6) DESC, vec_id LIMIT 10) "
+            f"SELECT 10 AS k, COUNT(*)::BIGINT AS n_overlap, "
+            f"round(COUNT(*) / 10.0, 4) AS recall "
+            f"FROM ex JOIN ann USING (vec_id)"),
         "embedding_ann_ivf": ivf_sql,
         "embedding_similar_pairs": pairs_sql,
         "stratified_sample": (
