@@ -2636,6 +2636,26 @@ def q_bm25_search(spark, sf_dir):
                                  "hash batch window", top_k=10)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: an incoming batch (the perturbed
+    copies from the shared planting) is near-dup-checked against the
+    existing corpus WITHOUT re-comparing the corpus to itself — the
+    batch's LSH bands join the corpus's bands cross-set only.  The
+    oracle is the full union pipeline's pair set restricted to
+    corpus×batch pairs, proving the incremental path finds exactly the
+    cross-set subset."""
+    db = _db(spark, sf_dir)
+    docs = db.table("documents").select("doc_id", "text")
+    batch = (db.table("documents")
+             .filter(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" appendix"))
+                     .alias("text")))
+    pairs = dedup.incremental_near_duplicates(docs, batch,
+                                              threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of the LSH-ANN probe against the exact brute-force
     top-10 — the accuracy side of the ANN speed/recall trade, measured
@@ -2785,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "bm25_search": q_bm25_search,
         "ann_recall": q_ann_recall,
+        "dedup_incremental": q_dedup_incremental,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -4435,6 +4456,11 @@ def oracle_sql() -> dict[str, str]:
             "round(corr(l_discount, l_tax), 6) FROM lineitem) "
             "ORDER BY col_a, col_b"),
         "dedup_eval": dedup_eval_sql,
+        # the union pipeline's pairs restricted to corpus(a)×batch(b) —
+        # the incremental path must find exactly this subset
+        "dedup_incremental": (
+            f"SELECT * FROM ({minhash_sql}) "
+            f"WHERE a < 1000000 AND b >= 1000000"),
         # positional postings: subscripts assigned BEFORE the
         # empty-token filter (posexplode numbers all elements), 1-based
         # -> 0-based

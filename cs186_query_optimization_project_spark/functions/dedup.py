@@ -133,6 +133,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature"))
 
 
+def banded_signatures(signatures: DataFrame, id_col: str = "doc_id",
+                      n_bands: int = 8,
+                      hash_family: str = "portable") -> DataFrame:
+    """(id, band, band_hash) — each signature split into n_bands slices,
+    each slice hashed; shared by the self-join (lsh_candidate_pairs) and
+    cross-set (incremental_near_duplicates) LSH joins."""
+    band_fn = "md5" if hash_family == "portable" else "xxhash64"
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {n_bands - 1}), "
+                   f"b -> {band_fn}(concat_ws(',', slice(signature, "
+                   f"b * (size(signature) div {n_bands}) + 1, "
+                   f"size(signature) div {n_bands}))))")
+        ).alias("band", "band_hash"))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_bands: int = 8,
                         hash_family: str = "portable",
@@ -156,15 +173,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     edges (documented trade: pair-level recall inside degenerate
     buckets, not cluster-level).  ``None`` (default) keeps exact
     all-within-bucket pairs."""
-    band_fn = "md5" if hash_family == "portable" else "xxhash64"
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {n_bands - 1}), "
-                   f"b -> {band_fn}(concat_ws(',', slice(signature, "
-                   f"b * (size(signature) div {n_bands}) + 1, "
-                   f"size(signature) div {n_bands}))))")
-        ).alias("band", "band_hash"))
+    banded = banded_signatures(signatures, id_col, n_bands, hash_family)
     star = None
     if max_bucket_size is not None:
         # one window shuffle on the same key the self-join uses; the
@@ -686,3 +695,41 @@ def pair_metrics(predicted: DataFrame, truth: DataFrame) -> DataFrame:
         F.round(F.when(prec + rec > 0,
                        2 * prec * rec / (prec + rec)).otherwise(0.0), 6)
         .alias("f1"))
+
+
+def incremental_near_duplicates(existing: DataFrame, new: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id", k: int = 3,
+                                n_hashes: int = 32, n_bands: int = 8,
+                                threshold: float = 0.8, seed: int = 42,
+                                hash_family: str = "portable",
+                                ) -> DataFrame:
+    """Near-dups of an INCOMING batch against an existing corpus — the
+    production ingest path: the corpus is never re-compared against
+    itself, only the batch's bands join the corpus's bands.
+
+    Per-batch cost is |batch| signature work + a band join whose corpus
+    side is the (materializable) signature table — at 100 TB you
+    persist ``minhash_signatures(corpus)`` once (bucketed by band hash)
+    and each nightly batch probes it; this function takes the two
+    frames, so the caller chooses recompute vs read-from-disk.
+
+    Output: (a = existing id, b = new id, jaccard >= threshold) —
+    exactly the cross-set subset of the pairs the full union pipeline
+    would emit (the property the oracle checks).
+    """
+    sig_e = minhash_signatures(ensure_parallelism(existing, id_col),
+                               text_col, id_col, k, n_hashes, seed,
+                               hash_family)
+    sig_n = minhash_signatures(ensure_parallelism(new, id_col),
+                               text_col, id_col, k, n_hashes, seed,
+                               hash_family)
+    be = (banded_signatures(sig_e, id_col, n_bands, hash_family)
+          .select(F.col(id_col).alias("a"), "band", "band_hash"))
+    bn = (banded_signatures(sig_n, id_col, n_bands, hash_family)
+          .select(F.col(id_col).alias("b"), "band", "band_hash"))
+    cand = (bn.join(be, ["band", "band_hash"])
+            .select("a", "b").distinct())
+    texts = (existing.select(id_col, text_col)
+             .unionByName(new.select(id_col, text_col)))
+    return jaccard_verify(texts, cand, text_col, id_col, k, threshold)

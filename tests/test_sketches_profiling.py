@@ -371,3 +371,18 @@ def test_bm25_ranks_rare_term_doc_first(spark):
     # docs containing the term score at all
     assert [r["doc_id"] for r in top] == [101, 100]
     assert top[0]["bm25"] > top[1]["bm25"] > 0
+
+
+def test_incremental_near_dups_equal_cross_subset(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over dog {i % 7}")
+         for i in range(40)], ["doc_id", "text"])
+    batch = corpus.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" appendix")).alias("text"))
+    inc = dedup.incremental_near_duplicates(corpus, batch, threshold=0.5)
+    full = dedup.minhash_near_duplicates(corpus.unionByName(batch),
+                                         threshold=0.5)
+    cross = full.filter("a < 1000 AND b >= 1000")
+    assert rows(inc) == rows(cross)
+    assert inc.count() >= 8  # every planted copy found
