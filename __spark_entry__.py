@@ -2676,6 +2676,53 @@ def q_ann_recall(spark, sf_dir):
                     F.round(F.col("__o") / 10.0, 4).alias("recall")))
 
 
+def q_streaming_cms(spark, sf_dir):
+    """Streaming per-hour Count-Min frequency tracking of ten watched
+    users: the grid (≤ d·w cells of state per open window) maintains
+    incrementally as a plain streaming count aggregate; the probe is a
+    batch min-over-rows against each user's 3 cell positions, with
+    missing cells counting 0 (a cell no key hashed into is an exact
+    zero).  The oracle rebuilds grid and probe from the portable hash."""
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _cms_idx,
+    )
+    name = "stream_cms_" + _tag(sf_dir)
+    events = stream_windows.stream_events(spark,
+                                          f"{sf_dir}/events.parquet")
+    grid = stream_windows.cms_window_counters(events, window="1 hour",
+                                              watermark="2 hours",
+                                              key_col="user_id",
+                                              d=3, w=2048)
+    stream_windows.run_to_memory(grid, name, output_mode="complete",
+                                 shuffle_partitions=8)
+    stored = spark.table(name)
+    windows_df = (stored.select(F.col("window_start").alias("__w"))
+                  .distinct())
+    probes = (spark.range(10).select(F.col("id").alias("user_id"))
+              .select("user_id", F.explode(F.array(*[
+                  F.struct(F.lit(r).alias("row"),
+                           F.expr(_cms_idx("cast(user_id as string)",
+                                           r, 2048))
+                           .cast("int").alias("idx"))
+                  for r in range(3)])).alias("p"))
+              .select("user_id", "p.row", "p.idx")
+              .crossJoin(F.broadcast(windows_df)))
+    grid = stored.select(F.col("window_start").alias("__gw"),
+                         F.col("row").alias("__gr"),
+                         F.col("idx").alias("__gi"), "cnt")
+    est = (probes.join(grid,
+                       (probes["__w"] == grid["__gw"])
+                       & (probes["row"] == grid["__gr"])
+                       & (probes["idx"] == grid["__gi"]), "left")
+           .groupBy(F.col("__w").alias("window_start"),
+                    F.col("user_id"))
+           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("long").alias("cms_estimate")))
+    return est.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"), "user_id", "cms_estimate")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift check of o_totalprice between
     the first and second half of the order history — the train-vs-serve
@@ -2806,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
+        "streaming_cms": q_streaming_cms,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -4500,6 +4548,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), c) "
             "SELECT doc_id, round(SUM(s), 6) AS bm25 FROM s "
             "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
+        # per-hour CMS grid rebuilt cell-for-cell; probes min over each
+        # watched user's 3 cells with missing cells as exact zeros
+        "streaming_cms": (
+            "WITH e AS (SELECT date_trunc('hour', ts) AS w, "
+            "CAST(user_id AS VARCHAR) AS k FROM events), "
+            "grid AS (SELECT w, rr.r, CAST(('0x' || substr(md5("
+            "CAST(rr.r AS VARCHAR) || ':' || k), 1, 15))::UBIGINT "
+            "% 2048 AS INT) AS idx, COUNT(*) AS cnt FROM e "
+            "CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr "
+            "GROUP BY w, rr.r, idx), "
+            "wins AS (SELECT DISTINCT w FROM grid), "
+            "probes AS (SELECT u.user_id, rr.r, CAST(('0x' || substr("
+            "md5(CAST(rr.r AS VARCHAR) || ':' "
+            "|| CAST(u.user_id AS VARCHAR)), 1, 15))::UBIGINT "
+            "% 2048 AS INT) AS idx, wins.w "
+            "FROM (SELECT unnest(range(0, 10)) AS user_id) u "
+            "CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr "
+            "CROSS JOIN wins) "
+            "SELECT strftime(p.w, '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "p.user_id, CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) "
+            "AS cms_estimate "
+            "FROM probes p LEFT JOIN grid g "
+            "ON g.w = p.w AND g.r = p.r AND g.idx = p.idx "
+            "GROUP BY p.w, p.user_id"),
         # per-hour HLL rebuilt register-for-register, then the same
         # harmonic/linear-counting estimator per window — the batch
         # replay of the streaming mergeable-sketch aggregation

@@ -316,3 +316,40 @@ def hll_window_registers(events: DataFrame, window: str = "1 hour",
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "register", "rho"))
+
+
+def cms_window_counters(events: DataFrame, window: str = "1 hour",
+                        watermark: str = "2 hours",
+                        key_col: str = "user_id", d: int = 3,
+                        w: int = 2048,
+                        ts_col: str = "ts") -> DataFrame:
+    """Streaming per-window Count-Min grid of ``key_col`` — bounded
+    per-key frequency tracking on an unbounded stream.
+
+    Exact per-key streaming counts need state proportional to the key
+    space; the CMS grid is a plain streaming count aggregate over at
+    most d·w cells per open window (watermark-evicted), with the usual
+    one-sided error.  Grids merge by cell-wise sum, so stream and
+    backfill reconcile like the HLL registers do.
+
+    Output: (window_start, window_end, row, idx, cnt) — probe with
+    min-over-rows against any key's d cell positions.
+    """
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _cms_idx,
+    )
+    key = f"cast({key_col} as string)"
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming \
+        else events
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 F.expr(_cms_idx(key, r, w)).cast("int").alias("idx"))
+        for r in range(d)])
+    base = src.select(F.col(ts_col), F.explode(cells).alias("c"))
+    return (base.groupBy(F.window(F.col(ts_col), window).alias("win"),
+                         F.col("c.row").alias("row"),
+                         F.col("c.idx").alias("idx"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "row", "idx", "cnt"))

@@ -386,3 +386,37 @@ def test_incremental_near_dups_equal_cross_subset(spark):
     cross = full.filter("a < 1000 AND b >= 1000")
     assert rows(inc) == rows(cross)
     assert inc.count() >= 8  # every planted copy found
+
+
+def test_edit_distance_multipass_recovers_prefix_edits(spark):
+    # an edit in char 1 escapes the prefix block; the suffix pass
+    # catches it
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "Xbcdef"), (3, "abcdeX")], ["id", "name"])
+    single = {(r["a"], r["b"]) for r in dedup.edit_distance_pairs(
+        df, "name", "id", max_distance=1).collect()}
+    multi = {(r["a"], r["b"]) for r in dedup.edit_distance_pairs_multipass(
+        df, "name", "id", max_distance=1).collect()}
+    assert (1, 2) not in single and (1, 3) in single
+    assert (1, 2) in multi and (1, 3) in multi
+
+
+def test_cms_window_counters_match_batch_grid(spark):
+    from cs186_query_optimization_project_spark.streaming import (
+        windows as stream_windows,
+    )
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 10:00:{i % 60:02d}", i % 7)
+         for i in range(100)],
+        ["event_id", "ts_s", "user_id"]).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id")
+    grid = stream_windows.cms_window_counters(df, window="1 hour",
+                                              key_col="user_id")
+    # single window; the windowed grid must equal the batch CMS grid
+    # over the same keys
+    batch = sketches.cms_counters(
+        df.select(F.col("user_id").cast("string").alias("v")), "v")
+    assert rows(grid.select("row", "idx", "cnt")) == rows(batch)
+    # grid is bounded: at most d*w cells
+    assert grid.count() <= 3 * 2048
