@@ -2769,7 +2769,7 @@ def q_dedup_eval(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-6 policy: with 146 registered
+    # entries in registry order.  Round-6 policy: with 149 registered
     # queries the rotation is three windows wide — this round's window
     # holds (a) every round-6 addition and source change (49 entries:
     # 13 TPC-H, pivot/collect_sorted, 25 operators from the first r6
