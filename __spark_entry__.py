@@ -2771,19 +2771,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries in registry order.  Round-6 policy: with 149 registered
     # queries the rotation is three windows wide — this round's window
-    # holds (a) every round-6 addition and source change (49 entries:
+    # holds (a) the round-6 additions and source changes (49 entries:
     # 13 TPC-H, pivot/collect_sorted, 25 operators from the first r6
-    # batch, and 9 of the 10 sketch/profiling/clustering entries from
+    # batch, and 8 of the sketch/profiling/clustering entries from
     # the second), which need FIRST driver evidence; (b) the flagship
     # anchor.  New queries outrank re-checking entries with existing
     # green rows, so the r4-proven core entries displaced over the
-    # round sit just below the window and rotate back in r7 (key_skew,
-    # the simplest new entry, waits with them — the window holds 50).
+    # round sit just below the window and rotate back in r7
+    # (weighted_sample, key_skew and the later batch-3 additions wait
+    # with them — the window holds exactly 50).
     # EVERY query — in or below the window — was verified this round by
     # tools/check_contract.py at sf0.01 AND sf0.1 (the full suite also
     # under --vanilla, the session kind the driver uses).
     return {
-        # --- NEW in round 6 batch 2: sketches / profiling / ML (9) ---
+        # --- NEW in round 6 batch 2: sketches / profiling / ML (8) ---
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_semi_join": q_bloom_semi_join,
@@ -2792,7 +2793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": q_doc_logprob,
         "bigram_lm": q_bigram_lm,
         "zscore_outliers": q_zscore_outliers,
-        "weighted_sample": q_weighted_sample,
         # --- source changed in round 6: must re-verify (3) ---
         "pivot": q_pivot,
         "collect_sorted": q_collect_sorted,
@@ -2840,10 +2840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill": q_resample_fill,
         # ------------- below the driver's 50-row window ------------- #
         # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
-        # key_skew + the batch-3 diagnostics are the entries the window
-        # couldn't hold; the r4-proven core entries displaced by round-6
-        # additions are unchanged since their r4 green rows and rotate
-        # back in r7
+        # key_skew, weighted_sample + the batch-3 additions are the
+        # entries the window couldn't hold; the r4-proven core entries
+        # displaced by round-6 additions are unchanged since their r4
+        # green rows and rotate back in r7
+        "weighted_sample": q_weighted_sample,
         "key_skew": q_key_skew,
         "psi_drift": q_psi_drift,
         "correlation_matrix": q_correlation_matrix,
@@ -3255,8 +3256,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (SELECT a, b, 1 AS pp FROM pred) p "
         f"FULL OUTER JOIN (SELECT a, b, 1 AS tt FROM truth) t "
         f"USING (a, b)), "
-        f"agg AS (SELECT SUM(pp) AS np, SUM(tt) AS nt, "
-        f"SUM(pp * tt) AS tp FROM j) "
+        f"agg AS (SELECT COALESCE(SUM(pp), 0) AS np, "
+        f"COALESCE(SUM(tt), 0) AS nt, "
+        f"COALESCE(SUM(pp * tt), 0) AS tp FROM j) "
         f"SELECT np::BIGINT AS n_predicted, nt::BIGINT AS n_truth, "
         f"tp::BIGINT AS tp, (np - tp)::BIGINT AS fp, "
         f"(nt - tp)::BIGINT AS fn, "
@@ -4462,19 +4464,25 @@ def oracle_sql() -> dict[str, str]:
         # unrounded proportions, exactly profiling.psi_drift
         "psi_drift": (
             "WITH av AS (SELECT CAST(o_totalprice AS DOUBLE) AS v "
-            "FROM orders WHERE o_orderdate < '1998-05-01'), "
+            "FROM orders WHERE o_orderdate < '1998-05-01' "
+            "AND o_totalprice IS NOT NULL), "
             "bv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v "
-            "FROM orders WHERE o_orderdate >= '1998-05-01'), "
+            "FROM orders WHERE o_orderdate >= '1998-05-01' "
+            "AND o_totalprice IS NOT NULL), "
             "mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM "
             "(SELECT v FROM av UNION ALL SELECT v FROM bv)), "
-            "abin AS (SELECT least(CAST(floor((v - lo) / "
-            "((hi - lo) / 10)) AS INT) + 1, 10) AS bin, "
+            "abin AS (SELECT CASE WHEN hi = lo THEN 1 ELSE "
+            "least(CAST(floor((v - lo) / "
+            "((hi - lo) / 10)) AS INT) + 1, 10) END AS bin, "
             "COUNT(*) AS na FROM av, mm GROUP BY bin), "
-            "bbin AS (SELECT least(CAST(floor((v - lo) / "
-            "((hi - lo) / 10)) AS INT) + 1, 10) AS bin, "
+            "bbin AS (SELECT CASE WHEN hi = lo THEN 1 ELSE "
+            "least(CAST(floor((v - lo) / "
+            "((hi - lo) / 10)) AS INT) + 1, 10) END AS bin, "
             "COUNT(*) AS nb FROM bv, mm GROUP BY bin), "
-            "ta AS (SELECT COUNT(*) AS c FROM av), "
-            "tb AS (SELECT COUNT(*) AS c FROM bv) "
+            "ta AS (SELECT greatest(COALESCE(SUM(na), 0), 1) AS c "
+            "FROM abin), "
+            "tb AS (SELECT greatest(COALESCE(SUM(nb), 0), 1) AS c "
+            "FROM bbin) "
             "SELECT bin, "
             "round(greatest(COALESCE(na, 0) / ta.c, 0.000001), 6) "
             "AS pct_a, "

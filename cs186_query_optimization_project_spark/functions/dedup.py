@@ -645,10 +645,19 @@ def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Output: ``(a, b, dist)`` with a < b, dist <= max_distance.
     """
+    return _blocked_edit_pairs(
+        df, text_col, id_col, max_distance,
+        F.substring(F.col(text_col), 1, prefix_len))
+
+
+def _blocked_edit_pairs(df: DataFrame, text_col: str, id_col: str,
+                        max_distance: int, affix: Column) -> DataFrame:
+    """One blocked-Levenshtein pass: block key = (length bucket,
+    ``affix``) — the shared body of the prefix and suffix passes."""
     blocked = df.select(
         F.col(id_col), F.col(text_col),
         F.floor(F.length(text_col) / (max_distance + 1)).alias("__lb"),
-        F.substring(text_col, 1, prefix_len).alias("__pb"))
+        affix.alias("__pb"))
     left, right = blocked.alias("l"), blocked.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     dist = F.levenshtein(F.col(f"l.{text_col}"), F.col(f"r.{text_col}"))
@@ -674,11 +683,16 @@ def pair_metrics(predicted: DataFrame, truth: DataFrame) -> DataFrame:
          .withColumn("__p", F.lit(1)))
     t = truth.select("a", "b").distinct().withColumn("__t", F.lit(1))
     j = p.join(t, ["a", "b"], "full_outer")
+    # outer COALESCE: SUM over zero rows (both pair sets empty) is
+    # null, and the counts must stay longs
     agg = j.agg(
-        F.sum(F.coalesce(F.col("__p"), F.lit(0))).alias("n_predicted"),
-        F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("n_truth"),
-        F.sum(F.when(F.col("__p").isNotNull()
-                     & F.col("__t").isNotNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.coalesce(F.col("__p"), F.lit(0))), F.lit(0))
+        .alias("n_predicted"),
+        F.coalesce(F.sum(F.coalesce(F.col("__t"), F.lit(0))), F.lit(0))
+        .alias("n_truth"),
+        F.coalesce(F.sum(F.when(F.col("__p").isNotNull()
+                                & F.col("__t").isNotNull(), 1)
+                         .otherwise(0)), F.lit(0))
         .alias("tp"))
     prec = F.when(F.col("n_predicted") > 0,
                   F.col("tp") / F.col("n_predicted")).otherwise(0.0)
@@ -747,20 +761,10 @@ def edit_distance_pairs_multipass(df: DataFrame, text_col: str,
     linkage, at exactly 2× the bounded per-pass cost.  (A pair with
     edits in BOTH affixes and nowhere else still needs a third key —
     documented residual, not silent.)"""
-    prefix = edit_distance_pairs(df, text_col, id_col, max_distance,
-                                 prefix_len=affix_len)
-    blocked = df.select(
-        F.col(id_col), F.col(text_col),
-        F.floor(F.length(text_col) / (max_distance + 1)).alias("__lb"),
-        F.substring(F.col(text_col), -affix_len, affix_len).alias("__pb"))
-    left, right = blocked.alias("l"), blocked.alias("r")
-    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
-    dist = F.levenshtein(F.col(f"l.{text_col}"), F.col(f"r.{text_col}"))
-    suffix = (left.join(right,
-                        (F.col("l.__lb") == F.col("r.__lb"))
-                        & (F.col("l.__pb") == F.col("r.__pb"))
-                        & (lid < rid))
-              .select(lid.alias("a"), rid.alias("b"),
-                      dist.alias("dist"))
-              .filter(F.col("dist") <= max_distance))
+    prefix = _blocked_edit_pairs(
+        df, text_col, id_col, max_distance,
+        F.substring(F.col(text_col), 1, affix_len))
+    suffix = _blocked_edit_pairs(
+        df, text_col, id_col, max_distance,
+        F.substring(F.col(text_col), -affix_len, affix_len))
     return prefix.unionByName(suffix).distinct()

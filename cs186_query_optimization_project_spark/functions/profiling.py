@@ -82,35 +82,50 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
     Bin edges are equal-width over the UNION's [min, max] (one tiny
     scalar aggregate, broadcast back), so both samples are binned
     identically; each side then collapses to ≤ n_bins rows before the
-    final ≤ n_bins-row join.  Cost: one pass over each sample.
-    ``eps`` floors empty-bin proportions so the log term stays finite
-    (the PSI convention).
+    final ≤ n_bins-row join — totals are re-aggregated from those bin
+    counts, so each sample is scanned once, lazily.  ``eps`` floors
+    empty-bin proportions so the log term stays finite (the PSI
+    convention).  NULL values are excluded (a drift check on presence
+    of nulls is a different check); a constant column (min == max)
+    degenerates to one bin with PSI 0 instead of dividing by a zero
+    bin width.
 
     Output: one row per bin (bin, pct_a, pct_b, psi_term) — sum
     psi_term for the headline index.
     """
-    both = (df_a.select(F.col(value_col).cast("double").alias("v"))
-            .unionAll(df_b.select(F.col(value_col).cast("double")
-                                  .alias("v"))))
-    mm = both.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    va = (df_a.select(F.col(value_col).cast("double").alias("v"))
+          .filter(F.col("v").isNotNull()))
+    vb = (df_b.select(F.col(value_col).cast("double").alias("v"))
+          .filter(F.col("v").isNotNull()))
+    mm = (va.unionAll(vb)
+          .agg(F.min("v").alias("__lo"), F.max("v").alias("__hi")))
 
     def binned(df, side):
-        return (df.select(F.col(value_col).cast("double").alias("v"))
-                .crossJoin(F.broadcast(mm))
-                .select(F.least(
-                    F.floor((F.col("v") - F.col("__lo"))
-                            / ((F.col("__hi") - F.col("__lo")) / n_bins))
-                    .cast("int") + 1, F.lit(n_bins)).alias("bin"))
+        # the CASE guards the otherwise-branch division: Spark
+        # evaluates CASE branches lazily per row, so hi == lo never
+        # reaches the zero-width divide (ANSI mode raises on it)
+        return (df.crossJoin(F.broadcast(mm))
+                .select(F.when(F.col("__hi") == F.col("__lo"), F.lit(1))
+                        .otherwise(F.least(
+                            F.floor((F.col("v") - F.col("__lo"))
+                                    / ((F.col("__hi") - F.col("__lo"))
+                                       / n_bins))
+                            .cast("int") + 1, F.lit(n_bins)))
+                        .alias("bin"))
                 .groupBy("bin")
                 .agg(F.count(F.lit(1)).alias(f"n_{side}")))
-    a, b = binned(df_a, "a"), binned(df_b, "b")
-    tot_a = df_a.count()
-    tot_b = df_b.count()
-    joined = a.join(b, "bin", "full_outer")
-    pct_a = F.greatest(F.coalesce(F.col("n_a"), F.lit(0)) / tot_a,
-                       F.lit(eps))
-    pct_b = F.greatest(F.coalesce(F.col("n_b"), F.lit(0)) / tot_b,
-                       F.lit(eps))
+    a, b = binned(va, "a"), binned(vb, "b")
+    tot_a = a.agg(F.greatest(F.coalesce(F.sum("n_a"), F.lit(0)),
+                             F.lit(1)).alias("__ta"))
+    tot_b = b.agg(F.greatest(F.coalesce(F.sum("n_b"), F.lit(0)),
+                             F.lit(1)).alias("__tb"))
+    joined = (a.join(b, "bin", "full_outer")
+              .crossJoin(F.broadcast(tot_a))
+              .crossJoin(F.broadcast(tot_b)))
+    pct_a = F.greatest(F.coalesce(F.col("n_a"), F.lit(0))
+                       / F.col("__ta"), F.lit(eps))
+    pct_b = F.greatest(F.coalesce(F.col("n_b"), F.lit(0))
+                       / F.col("__tb"), F.lit(eps))
     return (joined.select(
         F.col("bin"),
         F.round(pct_a, 6).alias("pct_a"),

@@ -99,9 +99,12 @@ def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
     (broadcast — no driver collect, no second pass over the data in
     the plan; Spark reuses the scan via the exchange).
     """
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _H60,
+    )
     mx = df.agg(F.max(weight_col).alias("__mx"))
-    u = (F.expr("cast(conv(substr(md5(cast({} as string)), 1, 15), 16, 10)"
-                " as double)".format(id_col)) / float(2 ** 60))
+    u = (F.expr(_H60.format(x=f"cast({id_col} as string)")).cast("double")
+         / float(2 ** 60))
     return (df.crossJoin(F.broadcast(mx))
             .filter(u < F.lit(rate) * F.col(weight_col) / F.col("__mx"))
             .drop("__mx"))

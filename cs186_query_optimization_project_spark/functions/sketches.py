@@ -35,10 +35,6 @@ from pyspark.sql import functions as F
 #: DuckDB twin: ('0x' || substr(md5(x), 1, 15))::UBIGINT.
 _H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
-#: Bits of hash left after the register index is peeled off.
-_RHO_FIELD_BITS = 52
-
-
 def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     """The ``m``-register HLL sketch of ``col``'s distinct values.
 
@@ -147,7 +143,10 @@ def cms_point_estimates(counters: DataFrame, keys: DataFrame, col: str,
 
     ``keys`` rows are joined to the (≤ d·w row) counter grid on
     ``(row, idx)`` — the grid broadcasts, so the probe is shuffle-free
-    no matter how many keys are probed.
+    no matter how many keys are probed.  LEFT join with
+    missing-cell-is-zero: a cell no value hashed into is an exact 0,
+    so a key absent from the stream estimates 0 (never a positive
+    collision artifact, and never silently dropped).
     """
     probes = keys.select(
         F.col(col),
@@ -158,9 +157,10 @@ def cms_point_estimates(counters: DataFrame, keys: DataFrame, col: str,
     return (probes
             .join(F.broadcast(counters),
                   (F.col("p.row") == F.col("row"))
-                  & (F.col("p.idx") == F.col("idx")))
+                  & (F.col("p.idx") == F.col("idx")), "left")
             .groupBy(col)
-            .agg(F.min("cnt").alias("cms_estimate")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_estimate")))
 
 
 def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20, d: int = 3,

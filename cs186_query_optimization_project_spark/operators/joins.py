@@ -168,10 +168,15 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
 
 
 def _bloom_pos(col: str, r: int, m: int) -> str:
-    """SQL for hash-function ``r``'s bit position of ``col`` (portable
-    md5 family, row-salted)."""
-    return (f"pmod(cast(conv(substr(md5(concat('{r}:', {col})), "
-            f"1, 15), 16, 10) as bigint), {m})")
+    """SQL for hash-function ``r``'s bit position of ``col`` — the
+    shared portable 60-bit md5 family (sketches._H60), row-salted.
+    Every oracle depends on this family staying bit-identical across
+    call sites, so the template lives in exactly one place."""
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _H60,
+    )
+    salted = f"concat('{r}:', {col})"
+    return f"pmod({_H60.format(x=salted)}, {m})"
 
 
 def bloom_mask(build: DataFrame, build_key: str, m: int = 16384,

@@ -420,3 +420,42 @@ def test_cms_window_counters_match_batch_grid(spark):
     assert rows(grid.select("row", "idx", "cnt")) == rows(batch)
     # grid is bounded: at most d*w cells
     assert grid.count() <= 3 * 2048
+
+
+# --------------------------------------------------------------------- #
+# review-fix regressions
+# --------------------------------------------------------------------- #
+def test_psi_constant_column_degenerates_to_zero(spark):
+    # min == max previously divided by a zero bin width (ANSI raises)
+    df = spark.createDataFrame([(5.0,)] * 50, ["v"])
+    out = profiling.psi_drift(df, df, "v").collect()
+    assert len(out) == 1 and out[0]["bin"] == 1
+    assert out[0]["psi_term"] == 0.0
+
+
+def test_psi_nulls_excluded(spark):
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)]
+                              + [(None,)] * 50, ["v"])
+    b = spark.createDataFrame([(float(i % 10),) for i in range(100)],
+                              ["v"])
+    out = profiling.psi_drift(a, b, "v").collect()
+    # identical non-null distributions -> zero drift despite the nulls
+    assert sum(r["psi_term"] for r in out) < 1e-9
+
+
+def test_cms_absent_key_estimates_zero(spark):
+    vals = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("v"))
+    counters = sketches.cms_counters(vals, "v")
+    probes = spark.createDataFrame([("never-seen-key",)], ["v"])
+    got = sketches.cms_point_estimates(counters, probes, "v").collect()
+    # with 5 keys in a 3x2048 grid the absent key's cells are empty
+    assert len(got) == 1 and got[0]["cms_estimate"] == 0
+
+
+def test_pair_metrics_both_empty(spark):
+    empty = spark.createDataFrame([], "a long, b long")
+    r = dedup.pair_metrics(empty, empty).collect()[0]
+    assert (r["n_predicted"], r["n_truth"], r["tp"], r["fp"], r["fn"]) \
+        == (0, 0, 0, 0, 0)
+    assert r["precision"] == 0.0 and r["f1"] == 0.0
