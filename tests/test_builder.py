@@ -444,3 +444,35 @@ def test_round6_operator_plan_shapes(spark):
     pc = (entry.q_contamination_check(spark, SF_DIR)
           ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in pc
+
+
+def test_round6_batch2_plan_shapes(spark):
+    """Sketch/retrieval operators keep their promised shapes: the Bloom
+    membership test rides the probe SCAN (a Filter with the md5 family,
+    no pre-filter join or exchange before it), the HLL sketch partially
+    aggregates (map-side combine caps the shuffle at m rows per
+    partition), BM25's term filter reaches the postings' source scan,
+    and the k-means assignment is pure JVM projection (no Python)."""
+    import re
+
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    pb = (entry.q_bloom_semi_join(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"Filter .*conv\(substr\(md5", pb)
+    ph = (entry.q_hll_distinct(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_max" in ph or re.search(
+        r"HashAggregate\(keys=\[register", ph)
+    pm = (entry.q_bm25_search(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "token" in pm and "Filter" in pm
+    pk = (entry.q_kmeans_clusters(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in pk
+    # phrase search: every posting-list join is an equi hash join,
+    # never a nested loop
+    pp = (entry.q_phrase_search(spark, SF_DIR)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in pp
