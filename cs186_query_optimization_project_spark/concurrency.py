@@ -24,6 +24,7 @@ mode="2pl")`` selects it.  Same verbs, two protocols:
 from __future__ import annotations
 
 import threading
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -128,6 +129,13 @@ class LockManager:
             else:
                 queue.append(entry)
             granted = False
+            # one absolute deadline for the whole wait: the Condition is
+            # shared by every table, so each unrelated grant/release
+            # wakes this waiter too — restarting the timeout per wake
+            # would let steady traffic elsewhere postpone the backstop
+            # forever for a genuinely stuck request
+            deadline = (None if timeout is None
+                        else time.monotonic() + timeout)
             try:
                 while not self._grantable(table, entry):
                     blockers = self._blockers(table, entry)
@@ -142,7 +150,10 @@ class LockManager:
                             f"{sorted(map(repr, blockers))}; request "
                             f"refused (waits-for prevention)")
                     self._waits.add(txn_id, blockers)
-                    if not self._cv.wait(timeout=timeout):
+                    remaining = (None if deadline is None
+                                 else deadline - time.monotonic())
+                    if remaining is not None and remaining <= 0 \
+                            or not self._cv.wait(timeout=remaining):
                         # the wake may have been missed in the same tick
                         # the timeout fired — grant if eligible NOW,
                         # only a genuinely stuck request aborts
@@ -170,11 +181,9 @@ class LockManager:
                 # refusal / timeout) can make the new head eligible; a
                 # silent departure would leave it parked forever
                 self._cv.notify_all()
-            if is_upgrade or mode == X:
-                holders[txn_id] = X if is_upgrade else mode
-            else:
-                holders[txn_id] = mode
-            self._cv.notify_all()
+            # (an upgrade has mode == X, so every branch assigns mode;
+            # the queue-departure notify in finally already woke peers)
+            holders[txn_id] = mode
 
     def release_all(self, txn_id: object) -> None:
         """Strict 2PL: every lock at once, at transaction end
@@ -293,11 +302,22 @@ class PessimisticTransaction:
     def commit(self) -> None:
         """Apply the intent log under the held X locks, then release.
         No validation step: the X lock held since the first write IS the
-        guarantee that no concurrent writer interleaved."""
+        guarantee that no concurrent writer interleaved.
+
+        Two-phase apply for multi-table atomicity: every table's new
+        version is STAGED first (the failure-prone parquet writes, no
+        catalog change), then all catalog pointers swap in a publish
+        loop that performs no I/O.  A failure mid-staging aborts with
+        the catalog untouched — no other transaction can ever observe
+        a half-committed state (the only residue is an orphaned,
+        never-registered version directory)."""
         self._check_active()
         try:
-            for name in self._writes:
-                self._db._rewrite(self._db._entry(name), self.table(name))
+            staged = [self._db._stage(self._db._entry(name),
+                                      self.table(name))
+                      for name in self._writes]
+            for st in staged:
+                self._db._publish(st)
         finally:
             self._finish()
 
@@ -311,19 +331,13 @@ class PessimisticTransaction:
         self._lm.release_all(self.txn_id)
 
     def _view(self):
-        txn = self
+        # the same facade both protocols need: table()/schema() through
+        # the transaction, everything else through the parent catalog
+        from cs186_query_optimization_project_spark.transactions import (
+            _SnapshotView,
+        )
 
-        class _View:
-            def table(self, name):
-                return txn.table(name)
-
-            def schema(self, name):
-                return txn.table(name).schema
-
-            def __getattr__(self, attr):
-                return getattr(txn._db, attr)
-
-        return _View()
+        return _SnapshotView(self)
 
     def _check_active(self) -> None:
         if not self._active:

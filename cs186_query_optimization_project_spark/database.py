@@ -397,11 +397,19 @@ class Database:
             return self._rewrite(entry, result)
 
     def _rewrite(self, entry: TableEntry, new_df: DataFrame) -> "Database":
+        self._publish(self._stage(entry, new_df))
+        return self
+
+    def _stage(self, entry: TableEntry, new_df: DataFrame) -> tuple:
+        """Phase 1 of a two-phase rewrite: materialize the new version
+        WITHOUT touching the catalog.  All the failure-prone work (the
+        parquet write) happens here; a multi-table commit stages every
+        table first and only then publishes, so a mid-commit failure
+        leaves the catalog entirely on the old versions (an orphaned
+        ``.vN`` directory is the only residue — it just consumes a
+        version number, it is never registered)."""
         if entry.path is None:
-            # in-memory table: swap the frame, invalidate stats
-            entry.df = new_df
-            entry.stats = None
-            return self
+            return ("mem", entry.name, new_df)
         import re
 
         base = entry.path.rstrip("/")
@@ -416,8 +424,20 @@ class Database:
         if entry.index_columns:
             writer = new_df.sortWithinPartitions(*entry.index_columns)
         writer.write.mode("error").parquet(new_path)
-        return self.register_parquet(entry.name, new_path,
-                                     entry.index_columns)
+        return ("parquet", entry.name, new_path, entry.index_columns)
+
+    def _publish(self, staged: tuple) -> None:
+        """Phase 2: point the catalog at a staged version — pure
+        in-memory pointer swaps (no I/O, nothing to fail), so a loop of
+        publishes over pre-staged versions is effectively atomic."""
+        if staged[0] == "mem":
+            _, name, new_df = staged
+            entry = self._entry(name)
+            entry.df = new_df
+            entry.stats = None
+        else:
+            _, name, new_path, index_columns = staged
+            self.register_parquet(name, new_path, index_columns)
 
     # ------------------------------------------------------------------ #
     # lookup

@@ -35,6 +35,28 @@ from pyspark.sql import functions as F
 #: DuckDB twin: ('0x' || substr(md5(x), 1, 15))::UBIGINT.
 _H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
+def hll_register_sql(col_sql: str, m: int) -> tuple[str, str]:
+    """THE definition of the sketch's register contents:
+    ``(register_sql, rho_sql)`` for the value expression ``col_sql``.
+    register = h mod m; rho = leading zeros of the remaining-bits
+    suffix + 1 (``bin()`` drops leading zeros in every engine, so
+    rho = field_bits + 1 - length(bin(suffix)); an all-zero suffix
+    takes the max, field_bits + 1).  Batch (:func:`hll_registers`) and
+    streaming (``streaming.windows.hll_window_registers``) sketches
+    both build from this one template — they MUST stay bit-identical
+    for groupBy-max merge/reconciliation to be sound, and the DuckDB
+    oracles re-encode exactly this formula."""
+    if m & (m - 1):
+        raise ValueError(f"m must be a power of two, got {m}")
+    h = _H60.format(x=col_sql)
+    suffix_bits = 60 - m.bit_length() + 1  # 60 - log2(m)
+    register = f"cast(pmod({h}, {m}) as int)"
+    rho = (f"cast(CASE WHEN ({h}) div {m} = 0 THEN {suffix_bits + 1} "
+           f"ELSE {suffix_bits + 1} - length(bin(({h}) div {m})) END "
+           f"as int)")
+    return register, rho
+
+
 def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     """The ``m``-register HLL sketch of ``col``'s distinct values.
 
@@ -47,22 +69,9 @@ def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     from different inputs merge with ``unionByName`` + the same
     groupBy-max.
     """
-    if m & (m - 1):
-        raise ValueError(f"m must be a power of two, got {m}")
-    h = _H60.format(x=col)
-    # register = h mod m; suffix = h div m (52-ish bits for m=256).
-    # bin() drops leading zeros, so leading-zero count of the fixed
-    #-width field = field_bits - length(bin(suffix)); rho adds 1.
-    # suffix = 0 (all zeros) gets the max rho, field_bits + 1.
-    suffix_bits = 60 - m.bit_length() + 1  # 60 - log2(m)
-    return (df.select(
-                F.expr(f"pmod({h}, {m})").cast("int").alias("register"),
-                F.expr(f"({h}) div {m}").alias("__suffix"))
-            .select("register",
-                    F.when(F.col("__suffix") == 0, F.lit(suffix_bits + 1))
-                     .otherwise(suffix_bits + 1
-                                - F.length(F.expr("bin(__suffix)")))
-                     .cast("int").alias("__rho"))
+    register, rho = hll_register_sql(col, m)
+    return (df.select(F.expr(register).alias("register"),
+                      F.expr(rho).alias("__rho"))
             .groupBy("register")
             .agg(F.max("__rho").alias("rho")))
 

@@ -44,7 +44,9 @@ def _update_user(key: tuple[Any, ...],
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Streaming: per-user running (count, sum) via arbitrary state.
     Batch fallback (tests): plain groupBy aggregation with identical
-    output schema."""
+    output schema — total_value coalesces to 0.0 because the streaming
+    path's pandas ``sum`` over an all-null group yields 0.0, and the
+    two paths must agree row-for-row (lambda reconciliation)."""
     if events.isStreaming:
         return (events.groupBy("user_id")
                 .applyInPandasWithState(
@@ -54,4 +56,5 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 
     return (events.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("total_value")))
+                 F.coalesce(F.sum("value"), F.lit(0.0))
+                 .alias("total_value")))

@@ -266,8 +266,13 @@ def run_to_memory(stream_df: DataFrame, name: str,
     try:
         q = (stream_df.writeStream.outputMode(output_mode)
              .format("memory").queryName(name).start())
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # stop on failure too: a leaked running query keeps the
+            # memory-sink name registered (a corrected retry under the
+            # same name then fails) and keeps consuming source files
+            q.stop()
         return q
     finally:
         if shuffle_partitions is not None:
@@ -296,20 +301,15 @@ def hll_window_registers(events: DataFrame, window: str = "1 hour",
     ``sketches.hll_estimate(..., group_cols=["window_start"])``.
     """
     from cs186_query_optimization_project_spark.functions.sketches import (
-        _H60,
+        hll_register_sql,
     )
-    if m & (m - 1):
-        raise ValueError(f"m must be a power of two, got {m}")
-    h = _H60.format(x=f"cast({key_col} as string)")
-    suffix_bits = 60 - m.bit_length() + 1
+    register, rho = hll_register_sql(f"cast({key_col} as string)", m)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming \
         else events
     base = src.select(
         F.col(ts_col),
-        F.expr(f"pmod({h}, {m})").cast("int").alias("register"),
-        F.expr(f"CASE WHEN ({h}) div {m} = 0 THEN {suffix_bits + 1} "
-               f"ELSE {suffix_bits + 1} - length(bin(({h}) div {m})) "
-               f"END").cast("int").alias("rho"))
+        F.expr(register).alias("register"),
+        F.expr(rho).alias("rho"))
     return (base.groupBy(F.window(F.col(ts_col), window).alias("win"),
                          F.col("register"))
             .agg(F.max("rho").alias("rho"))

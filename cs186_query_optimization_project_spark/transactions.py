@@ -205,12 +205,16 @@ class Transaction:
             try:
                 for name in sorted(self._writes):
                     lm.acquire(tid, name, concurrency.X)
-            except DeadlockException as exc:
+            except (DeadlockException, DatabaseException) as exc:
+                # deadlock refusal AND lock-wait timeout are both
+                # "a concurrent writer holds this table" — the
+                # documented optimistic retry signal, not a generic
+                # engine failure the caller's retry loop would miss
                 self._active = False
                 raise ConflictException(
-                    f"commit lock refused (would deadlock with an active "
-                    f"2PL transaction): {exc}; retry on a fresh snapshot"
-                ) from exc
+                    f"commit lock refused or timed out (concurrent "
+                    f"writer holds a written table): {exc}; retry on a "
+                    f"fresh snapshot") from exc
             for name in self._writes:
                 entry = self._db._entry(name)
                 if _version_token(entry) != self._pins[name][0]:
@@ -219,8 +223,20 @@ class Transaction:
                         f"write-write conflict on '{name}': version "
                         f"advanced since this transaction's snapshot; "
                         f"retry on a fresh snapshot")
-            for name in self._writes:
-                self._db._rewrite(self._db._entry(name), self.table(name))
+            # two-phase apply: stage every table's new version (the
+            # failure-prone writes), then publish all catalog pointers
+            # (pure swaps, no I/O) — a mid-staging failure aborts the
+            # transaction with the catalog untouched, so a fresh
+            # transaction's retry never conflicts with a half-publish
+            try:
+                staged = [self._db._stage(self._db._entry(name),
+                                          self.table(name))
+                          for name in self._writes]
+            except Exception:
+                self._active = False
+                raise
+            for st in staged:
+                self._db._publish(st)
             self._active = False
         finally:
             lm.release_all(tid)

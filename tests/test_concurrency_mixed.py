@@ -175,3 +175,87 @@ def test_grant_keeps_live_edges_real_deadlock_still_caught():
     lm.release_all(2)
     th.join(timeout=5)
     assert not th.is_alive()
+
+
+def _failing_second_stage(db, fail_on):
+    """Monkeypatch helper: Database._stage that raises on one table."""
+    from cs186_query_optimization_project_spark.database import Database
+
+    orig = Database._stage
+
+    def stage(self, entry, new_df, _orig=orig):
+        if entry.name == fail_on:
+            raise RuntimeError("simulated disk-full during staging")
+        return _orig(self, entry, new_df)
+
+    return orig, stage
+
+
+def test_2pl_commit_all_or_nothing(db, tmp_path, monkeypatch):
+    """A mid-commit staging failure must leave EVERY table on its old
+    version (two-phase stage-then-publish) — not publish the tables
+    staged before the failure — and must release the locks."""
+    from cs186_query_optimization_project_spark.database import Database
+
+    for t in ("atom_a", "atom_b"):
+        db.create_table(t, db.table("nation"),
+                        str(tmp_path / t), mode="overwrite")
+    try:
+        before_a = db.table("atom_a").count()
+        before_b = db.table("atom_b").count()
+        txn = db.begin(mode="2pl")
+        extra = db.table("nation").limit(2)
+        txn.insert_rows("atom_a", extra)
+        txn.insert_rows("atom_b", extra)
+        orig, failing = _failing_second_stage(db, "atom_b")
+        monkeypatch.setattr(Database, "_stage", failing)
+        with pytest.raises(RuntimeError):
+            txn.commit()
+        monkeypatch.setattr(Database, "_stage", orig)
+        # atomicity: atom_a was staged BEFORE atom_b failed, but must
+        # not have been published
+        assert db.table("atom_a").count() == before_a
+        assert db.table("atom_b").count() == before_b
+        # locks released: a fresh writer proceeds immediately
+        db.insert_rows("atom_a", extra)
+        assert db.table("atom_a").count() == before_a + 2
+    finally:
+        for t in ("atom_a", "atom_b"):
+            db.drop_table(t)
+
+
+def test_optimistic_commit_all_or_nothing(db, tmp_path, monkeypatch):
+    """Same atomicity contract on the optimistic path: staging failure
+    aborts with the catalog untouched and the transaction dead (a
+    retry starts fresh instead of self-conflicting on a half-publish)."""
+    from cs186_query_optimization_project_spark.database import Database
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+
+    for t in ("atom_c", "atom_d"):
+        db.create_table(t, db.table("nation"),
+                        str(tmp_path / t), mode="overwrite")
+    try:
+        before = db.table("atom_c").count()
+        txn = db.begin()
+        extra = db.table("nation").limit(2)
+        txn.insert_rows("atom_c", extra)
+        txn.insert_rows("atom_d", extra)
+        orig, failing = _failing_second_stage(db, "atom_d")
+        monkeypatch.setattr(Database, "_stage", failing)
+        with pytest.raises(RuntimeError):
+            txn.commit()
+        monkeypatch.setattr(Database, "_stage", orig)
+        assert db.table("atom_c").count() == before
+        assert db.table("atom_d").count() == before
+        # txn is dead; a FRESH transaction commits cleanly
+        with pytest.raises(DatabaseException):
+            txn.commit()
+        t2 = db.begin()
+        t2.insert_rows("atom_c", extra)
+        t2.commit()
+        assert db.table("atom_c").count() == before + 2
+    finally:
+        for t in ("atom_c", "atom_d"):
+            db.drop_table(t)
