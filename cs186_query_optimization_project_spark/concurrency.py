@@ -278,7 +278,7 @@ class PessimisticTransaction:
         self._check_active()
         self._lm.acquire(self.txn_id, name, X)
         self._writes.setdefault(name, []).append(
-            lambda df, c=condition: df.filter(~c))
+            lambda df, c=condition: df.filter(~c | c.isNull()))
         return self
 
     def update_rows(self, name: str, condition,

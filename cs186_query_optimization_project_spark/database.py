@@ -312,28 +312,35 @@ class Database:
             return self._rewrite(entry, entry.df.unionByName(rows))
 
     def delete_rows(self, name: str, condition) -> "Database":
-        """Delete rows matching ``condition`` (a boolean Column)."""
+        """Delete rows matching ``condition`` (a boolean Column).  SQL
+        DELETE semantics: only rows where the condition is TRUE are
+        deleted — a NULL condition (e.g. ``x > 5`` on a NULL x) keeps
+        the row, which a bare ``filter(~condition)`` would silently
+        drop (NOT NULL is NULL, and filter keeps only TRUE)."""
         with self._autocommit_x(name):
             entry = self._entry(name)
-            return self._rewrite(entry, entry.df.filter(~condition))
+            return self._rewrite(
+                entry, entry.df.filter(~condition | condition.isNull()))
 
     def update_rows(self, name: str, condition,
                     assignments: dict[str, object]) -> "Database":
         """Set ``column -> value/Column expression`` on rows matching
-        ``condition``; other rows unchanged."""
+        ``condition``; other rows unchanged.  All assignments and the
+        condition evaluate against the PRE-update row (one projection —
+        see make_update_applier), exactly like SQL UPDATE."""
+        from cs186_query_optimization_project_spark.transactions import (
+            make_update_applier,
+        )
+
         with self._autocommit_x(name):
             entry = self._entry(name)
             df = entry.df
-            for col_name, value in assignments.items():
+            for col_name in assignments:
                 if col_name not in df.columns:
                     raise DatabaseException(
                         f"update '{name}': unknown column '{col_name}'")
-                val = value if isinstance(value, F.Column) else F.lit(value)
-                df = df.withColumn(
-                    col_name,
-                    F.when(condition, val.cast(df.schema[col_name].dataType))
-                    .otherwise(F.col(col_name)))
-            return self._rewrite(entry, df)
+            return self._rewrite(
+                entry, make_update_applier(condition, assignments)(df))
 
     def merge_rows(self, name: str, source: DataFrame,
                    on: str | tuple[str, ...],
@@ -372,7 +379,10 @@ class Database:
                     f"merge into '{name}': source has duplicate keys on "
                     f"{keys}; each target row must match at most one "
                     f"source row")
-            upd = [c for c in (update_cols or entry.df.columns)
+            # `is not None`: an explicit empty tuple means "update no
+            # columns on match" (insert-only merge), not "update all"
+            upd = [c for c in (update_cols if update_cols is not None
+                               else entry.df.columns)
                    if c not in keys]
             src = source.select(
                 *[F.col(k).alias(f"__mk_{k}") for k in keys],
@@ -484,10 +494,25 @@ class Database:
     def _stats_cache_key(self, entry: TableEntry) -> str | None:
         if entry.path is None or not os.path.exists(entry.path):
             return None
-        st = os.stat(entry.path)
         import hashlib
 
+        st = os.stat(entry.path)
         raw = f"{entry.path}|{st.st_mtime_ns}|{st.st_size}"
+        if os.path.isdir(entry.path):
+            # a directory's own mtime/size don't change when files
+            # inside a SUBDIRECTORY are rewritten in place (partitioned
+            # tables): fold every data file's identity in.  Metadata
+            # walk only — cost is one listing, the same one the scan's
+            # file index pays.
+            parts = []
+            for dirpath, _dirnames, filenames in os.walk(entry.path):
+                for fn in filenames:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    fst = os.stat(os.path.join(dirpath, fn))
+                    parts.append(f"{dirpath}/{fn}|{fst.st_mtime_ns}"
+                                 f"|{fst.st_size}")
+            raw += "||" + "|".join(sorted(parts))
         return hashlib.md5(raw.encode()).hexdigest()
 
     def _load_cached_stats(self, entry: TableEntry, histograms: bool):

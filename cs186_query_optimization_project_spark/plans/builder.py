@@ -178,6 +178,7 @@ class Query:
         self.distinct_flag = False
         self.strict_reference_mode = False
         self._last_plan = None  # optimizer.PlannedQuery after execute_optimal
+        self._plan_intent = None  # _intent_key() snapshot the plan is for
 
     # ------------------------------------------------------------------ #
     # scope & name resolution (QueryOperator.java:109–156)
@@ -481,14 +482,31 @@ class Query:
                     f"QueryPlan.java:544–547)")
         agg_cols = [a.spark() for a in self.aggs]
         if self.group_bys:
-            out = df.groupBy([g.spark() for g in self.group_bys]).agg(*agg_cols)
+            # alias each group key positionally: two tables' same-named
+            # columns (a.name, b.name) must stay distinct through the
+            # aggregate — bare g.spark() would emit two output columns
+            # both called 'name' and the projection below would raise
+            # AMBIGUOUS_REFERENCE
+            out = df.groupBy([g.spark().alias(f"__g{i}")
+                              for i, g in enumerate(self.group_bys)]
+                             ).agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
+
+        def group_slot(alias: str, column: str) -> str:
+            for i, g in enumerate(self.group_bys):
+                if (g.alias, g.column) == (alias, column):
+                    return f"__g{i}"
+            raise QueryPlanException(
+                f"'{alias}.{column}' is not a grouped column")
+
         # project to selected group columns (with output aliases) + aggs
         if self.selects:
-            keep = [F.col(s.ref.column).alias(s.out) for s in self.selects]
+            keep = [F.col(group_slot(s.ref.alias, s.ref.column))
+                    .alias(s.out) for s in self.selects]
         else:
-            keep = [F.col(g.column) for g in self.group_bys]
+            keep = [F.col(f"__g{i}").alias(g.column)
+                    for i, g in enumerate(self.group_bys)]
         return out.select(*keep, *[F.col(a.out) for a in self.aggs])
 
     # ------------------------------------------------------------------ #
@@ -532,9 +550,28 @@ class Query:
 
         plan = optimize(self)
         self._last_plan = plan
+        self._plan_intent = self._intent_key()
         return self._assemble(plan=plan)
 
     executeOptimal = execute_optimal
+
+    def _intent_key(self) -> tuple:
+        """Fingerprint of the planning-relevant intent.  Builder clauses
+        only ever append, so clause counts (+ the scalar knobs) change
+        on every mutation — explain(optimal=True) uses this to refuse a
+        cached plan computed for an earlier shape of the query."""
+        return (len(self.joins), len(self.wheres), len(self.col_wheres),
+                len(self.group_bys), len(self.aggs), len(self.selects),
+                len(self.havings), len(self.order_bys), self.limit_n,
+                self.distinct_flag)
+
+    def cached_plan(self):
+        """The last execute_optimal plan IF the query hasn't been
+        mutated since; else None (the caller re-optimizes)."""
+        if (self._last_plan is not None
+                and self._plan_intent == self._intent_key()):
+            return self._last_plan
+        return None
 
     # ------------------------------------------------------------------ #
     # explain (QueryOperator.toString, Project2Spec.md:80–97)

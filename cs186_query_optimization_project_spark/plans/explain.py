@@ -40,7 +40,7 @@ def explain_query(query: "Query", optimal: bool = False) -> str:
     if optimal:
         from cs186_query_optimization_project_spark.plans.optimizer import optimize
 
-        plan = query._last_plan or optimize(query)
+        plan = query.cached_plan() or optimize(query)
         tree = _optimal_tree(query, plan)
     else:
         tree = _naive_tree(query)

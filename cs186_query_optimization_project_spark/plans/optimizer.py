@@ -34,7 +34,10 @@ from typing import TYPE_CHECKING
 from cs186_query_optimization_project_spark.errors import QueryPlanException
 from cs186_query_optimization_project_spark.plans import cost as C
 from cs186_query_optimization_project_spark.plans.stats import TableStats
-from cs186_query_optimization_project_spark.predicates import PredicateOperator
+from cs186_query_optimization_project_spark.predicates import (
+    REFERENCE_OPS,
+    PredicateOperator,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     from cs186_query_optimization_project_spark.plans.builder import ColumnRef, Query
@@ -97,7 +100,13 @@ def _access_path(query: "Query", alias: str, table: str,
     best_kind, best_col, best_cost = "SEQSCAN", None, seq_cost
     index_cols = set(db.index_columns(table))
     for w in wheres:
+        # sargable = the reference's comparison subset minus NOT_EQUALS —
+        # the SAME rule explain's _naive_index_where applies, so naive
+        # and optimal reports agree; the additive ops (LIKE/IN/BETWEEN/
+        # IS NULL) can't be served by min/max row-group skipping and
+        # must never elect the index path
         if (w.ref.column in index_cols
+                and w.op in REFERENCE_OPS
                 and w.op is not PredicateOperator.NOT_EQUALS):
             rf = base_stats.reduction_factor(w.ref.column, w.op, w.value)
             # index entry ≈ key + record-id (10 bytes), reference-style
@@ -212,11 +221,23 @@ def optimize(query: "Query",
                     int(sub.rows * ap_new.stats.num_records
                         / max(v_in, v_out, 1)), 1)
                 # a user-pinned strategy on the join clause wins over the
-                # stats-derived hint (reference: JoinType is caller-chosen)
-                strategy = (clause.strategy if clause.strategy != "auto"
-                            else _spark_strategy(
-                                probe_bytes=sub.rows * sub.width,
-                                build_bytes=ap_new.stats.total_bytes))
+                # stats-derived hint (reference: JoinType is caller-chosen).
+                # The pin names the clause's DECLARED joined table
+                # (clause.alias); if the DP's edge orientation adds the
+                # OTHER end instead, the declared table now sits on the
+                # accumulated (left) side, so a side-specific broadcast
+                # pin must flip — otherwise a reordered plan would
+                # broadcast the big fact table the user meant to probe
+                if clause.strategy != "auto":
+                    strategy = clause.strategy
+                    if new_alias != clause.alias:
+                        strategy = {"broadcast": "broadcast_left",
+                                    "broadcast_left": "broadcast",
+                                    }.get(strategy, strategy)
+                else:
+                    strategy = _spark_strategy(
+                        probe_bytes=sub.rows * sub.width,
+                        build_bytes=ap_new.stats.total_bytes)
                 step = JoinStep(
                     table=alias_table[new_alias], alias=new_alias,
                     left=in_ref, right=out_ref, how="inner",

@@ -21,6 +21,8 @@ import shutil
 
 from pyspark.sql import DataFrame
 
+from cs186_query_optimization_project_spark.errors import DatabaseException
+
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite",
                 partition_by: tuple[str, ...] = ()) -> None:
@@ -110,6 +112,12 @@ def write_zordered(df: DataFrame, path: str, columns: tuple[str, str],
     c0, c1 = columns
     row = df.agg(F.min(c0).alias("min0"), F.max(c0).alias("max0"),
                  F.min(c1).alias("min1"), F.max(c1).alias("max1")).first()
+    if row["min0"] is None or row["min1"] is None:
+        # empty table / all-NULL cluster column: nothing to interleave —
+        # write as-is (matching write_table's behavior) instead of
+        # crashing on None arithmetic
+        df.write.mode(mode).parquet(path)
+        return
     top = (1 << bits) - 1
     span0 = (row["max0"] - row["min0"]) or 1
     span1 = (row["max1"] - row["min1"]) or 1
@@ -135,13 +143,35 @@ def compact_table(spark, path: str, target_file_bytes: int = 128 << 20,
     Iceberg rewrite_data_files; the same plan (read → repartition to
     size → rewrite → swap) expressed directly.  Sizing uses the real
     on-disk bytes, not row counts — compressed width varies too much
-    across tables for a row heuristic."""
+    across tables for a row heuristic.
+
+    Flat layouts only: a hive-partitioned table is refused (its files
+    live in subdirectories, and a naive rewrite would both mis-size the
+    output and silently DISCARD the partition layout — partition-aware
+    compaction rewrites per-partition, the Delta OPTIMIZE WHERE shape).
+    The swap itself is two renames; a crash between them leaves the
+    table at ``<path>.compact_old`` (recover by renaming it back) —
+    single-directory rename is the strongest atomicity a plain
+    filesystem offers, which is precisely why lakehouse formats move
+    the commit into a log."""
     import math
     import os
     import shutil
 
-    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    files, part_dirs = [], []
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry.endswith(".parquet"):
+            files.append(full)
+        elif os.path.isdir(full) and "=" in entry:
+            part_dirs.append(entry)
+    if part_dirs:
+        raise DatabaseException(
+            f"compact_table('{path}'): table is hive-partitioned "
+            f"({part_dirs[0]}, ...); flat-layout compaction would "
+            f"discard the partition layout — compact per-partition "
+            f"instead")
+    total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     if sort_by:

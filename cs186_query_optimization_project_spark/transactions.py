@@ -61,18 +61,29 @@ def verify_insert_schema(table_df: DataFrame, rows: DataFrame,
 def make_update_applier(condition, assignments: dict[str, Any]):
     """DataFrame→DataFrame transform for an UPDATE intent: each assigned
     column becomes when(cond, value-cast-to-column-type).otherwise(old).
-    Shared by both transaction protocols so cast/nullability behavior
-    can never diverge between them."""
+    Shared by both transaction protocols and Database.update_rows so
+    cast/nullability behavior can never diverge between them.
+
+    All assignments apply in ONE select, so the condition and every
+    right-hand side read the PRE-update row (SQL UPDATE semantics): a
+    sequential withColumn chain would re-evaluate the condition against
+    already-updated values (``SET status='new' WHERE status='old'``
+    silently skipping later assignments) and break column swaps
+    (``SET a=b, b=a``)."""
 
     def _apply(df: DataFrame, cond=condition,
                assigns=dict(assignments)) -> DataFrame:
-        for col_name, value in assigns.items():
-            val = value if isinstance(value, F.Column) else F.lit(value)
-            df = df.withColumn(
-                col_name,
-                F.when(cond, val.cast(df.schema[col_name].dataType))
-                .otherwise(F.col(col_name)))
-        return df
+        projected = []
+        for col_name in df.columns:
+            if col_name in assigns:
+                value = assigns[col_name]
+                val = value if isinstance(value, F.Column) else F.lit(value)
+                projected.append(
+                    F.when(cond, val.cast(df.schema[col_name].dataType))
+                    .otherwise(F.col(col_name)).alias(col_name))
+            else:
+                projected.append(F.col(col_name))
+        return df.select(*projected)
 
     return _apply
 
@@ -159,7 +170,7 @@ class Transaction:
         self._check_active()
         self._pin(name)
         self._writes.setdefault(name, []).append(
-            lambda df, c=condition: df.filter(~c))
+            lambda df, c=condition: df.filter(~c | c.isNull()))
         return self
 
     def update_rows(self, name: str, condition,

@@ -1,0 +1,162 @@
+"""Regressions for the round-6 core review findings: SQL DML semantics
+(NULL-condition deletes, simultaneous UPDATE assignment), merge
+update_cols=(), optimizer pin orientation and sargability, builder
+group-by ambiguity, explain plan staleness, and writer edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark import Database
+from cs186_query_optimization_project_spark.errors import (
+    DatabaseException,
+    QueryPlanException,
+)
+
+from tests.conftest import SF_DIR, rows
+
+
+def test_delete_rows_null_condition_keeps_row(spark, tmp_path):
+    db = Database(spark, SF_DIR)
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 3.0)], "id long, x double")
+    db.create_table("del_null", df, str(tmp_path / "del_null"))
+    try:
+        db.delete_rows("del_null", F.col("x") > 5)
+        left = {r["id"] for r in db.table("del_null").collect()}
+        # SQL DELETE WHERE x > 5: row 1 goes, NULL row 2 STAYS
+        assert left == {2, 3}
+    finally:
+        db.drop_table("del_null")
+
+
+def test_update_rows_reads_pre_update_row(spark, tmp_path):
+    db = Database(spark, SF_DIR)
+    df = spark.createDataFrame(
+        [(1, "old", False), (2, "other", False)],
+        "id long, status string, modified boolean")
+    db.create_table("upd_sim", df, str(tmp_path / "upd_sim"))
+    try:
+        # the classic trap: the condition references an assigned column
+        db.update_rows("upd_sim", F.col("status") == "old",
+                       {"status": F.lit("new"), "modified": F.lit(True)})
+        got = {r["id"]: (r["status"], r["modified"])
+               for r in db.table("upd_sim").collect()}
+        assert got[1] == ("new", True)       # BOTH assignments applied
+        assert got[2] == ("other", False)
+    finally:
+        db.drop_table("upd_sim")
+
+
+def test_update_rows_column_swap(spark, tmp_path):
+    db = Database(spark, SF_DIR)
+    df = spark.createDataFrame([(1, 10, 20)], "id long, a long, b long")
+    db.create_table("upd_swap", df, str(tmp_path / "upd_swap"))
+    try:
+        db.update_rows("upd_swap", F.lit(True),
+                       {"a": F.col("b"), "b": F.col("a")})
+        r = db.table("upd_swap").collect()[0]
+        assert (r["a"], r["b"]) == (20, 10)
+    finally:
+        db.drop_table("upd_swap")
+
+
+def test_merge_empty_update_cols_is_insert_only(spark, tmp_path):
+    db = Database(spark, SF_DIR)
+    df = spark.createDataFrame([(1, "keep")], "id long, v string")
+    db.create_table("mrg_io", df, str(tmp_path / "mrg_io"))
+    try:
+        src = spark.createDataFrame([(1, "clobber"), (2, "new")],
+                                    "id long, v string")
+        db.merge_rows("mrg_io", src, on="id", update_cols=())
+        got = {r["id"]: r["v"] for r in db.table("mrg_io").collect()}
+        # matched row 1 untouched (update NOTHING), row 2 inserted
+        assert got == {1: "keep", 2: "new"}
+    finally:
+        db.drop_table("mrg_io")
+
+
+def test_optimizer_broadcast_pin_follows_declared_table(spark, db):
+    """strategy='broadcast' pins the DECLARED joined table; if the DP
+    orients the edge the other way, the hint must flip to
+    broadcast_left so the same physical table is broadcast."""
+    q = (db.query("lineitem")
+         .join("nation", "l_suppkey", "n_nationkey",
+               strategy="broadcast"))
+    from cs186_query_optimization_project_spark.plans.optimizer import (
+        optimize,
+    )
+
+    plan = optimize(q)
+    (step,) = plan.steps
+    if step.alias == "nation":
+        assert step.strategy == "broadcast"
+    else:  # nation seeded as base; lineitem added — broadcast the LEFT
+        assert step.alias == "lineitem"
+        assert step.strategy == "broadcast_left"
+
+
+def test_optimizer_additive_ops_never_take_index_path(spark, db,
+                                                      tmp_path):
+    from cs186_query_optimization_project_spark.plans.optimizer import (
+        optimize,
+    )
+
+    db.create_table("idx_like", db.table("orders"),
+                    str(tmp_path / "idx_like"),
+                    index_columns=("o_orderkey",), mode="overwrite")
+    try:
+        # a LIKE on the indexed column must NOT elect the index path
+        # (min/max skipping can't serve it) ...
+        q = (db.query("idx_like")
+             .where("o_orderkey", "like", "%7%"))
+        plan = optimize(q)
+        assert plan.access_paths["idx_like"].kind == "SEQSCAN"
+        # ... while a selective sargable equality on the same column does
+        q2 = db.query("idx_like").where("o_orderkey", "=", 7)
+        assert optimize(q2).access_paths["idx_like"].kind == "INDEXSCAN"
+    finally:
+        db.drop_table("idx_like")
+
+
+def test_groupby_same_named_columns_from_two_tables(spark, db):
+    """Two tables' same-named group columns must survive aggregation
+    without an ambiguous-reference crash."""
+    df = (db.query("nation", alias="a")
+          .join("nation", "n_regionkey", "n_regionkey", alias="b")
+          .group_by("a.n_regionkey", "b.n_regionkey")
+          .count()
+          .execute())
+    assert df.columns.count("n_regionkey") == 2
+    assert df.count() == 5  # self-join on the key: 5 matched groups
+
+
+def test_explain_optimal_reoptimizes_after_mutation(db):
+    q = (db.query("customer")
+         .join("orders", "c_custkey", "o_custkey"))
+    q.execute_optimal()
+    assert q.cached_plan() is not None
+    q.join("lineitem", "o_orderkey", "l_orderkey")
+    assert q.cached_plan() is None          # stale plan refused
+    out = q.explain(optimal=True)
+    assert "lineitem" in out                # re-optimized with 3 tables
+
+
+def test_zorder_empty_table_writes_cleanly(spark, tmp_path):
+    from cs186_query_optimization_project_spark.sources import writers
+
+    empty = spark.createDataFrame([], "x long, y long")
+    path = str(tmp_path / "z_empty")
+    writers.write_zordered(empty, path, ("x", "y"))
+    assert spark.read.parquet(path).count() == 0
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    from cs186_query_optimization_project_spark.sources import writers
+
+    path = str(tmp_path / "part_tbl")
+    (spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("p"))
+     .write.partitionBy("p").parquet(path))
+    with pytest.raises(DatabaseException, match="hive-partitioned"):
+        writers.compact_table(spark, path)
