@@ -4061,12 +4061,17 @@ def oracle_sql() -> dict[str, str]:
             "generate_subscripts(toks, 1) AS pos FROM d), "
             "m AS (SELECT doc_id, pos, COALESCE(token_id, 0) AS tid "
             "FROM (SELECT * FROM tok WHERE token <> '') "
-            "LEFT JOIN vids USING (token)) "
-            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "LEFT JOIN vids USING (token)), "
+            "e AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
             "CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_oov, "
             "string_agg(tid::VARCHAR, ',' ORDER BY pos) AS ids "
-            "FROM m GROUP BY doc_id"),
+            "FROM m GROUP BY doc_id) "
+            "SELECT dd.doc_id, COALESCE(e.n_tokens, 0) AS n_tokens, "
+            "COALESCE(e.n_oov, 0) AS n_oov, "
+            "COALESCE(e.ids, '') AS ids "
+            "FROM (SELECT DISTINCT doc_id FROM d) dd "
+            "LEFT JOIN e USING (doc_id)"),
         "udtf_sentences": (
             "SELECT doc_id, "
             "CAST(generate_subscripts(parts, 1) - 1 AS INT) "

@@ -37,13 +37,28 @@ ASSET_META_SCHEMA = T.StructType([
     T.StructField("duration_ms", T.IntegerType()),
 ])
 
-FEATURE_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
+#: feature columns appended after the caller's id column (the id field
+#: keeps its input name AND type — see _with_id_field)
+FEATURE_FIELDS = [
     T.StructField("mime", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("checksum", T.StringType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
-])
+]
+
+
+def _with_id_field(df: DataFrame, id_col: str,
+                   fields: list[T.StructField]) -> T.StructType:
+    """Output schema led by the input's OWN id field — hardcoding
+    ('doc_id', LongType) would silently rename a caller's id column and
+    crash Arrow serialization for non-long id types."""
+    return T.StructType([T.StructField(id_col,
+                                       df.schema[id_col].dataType),
+                         *fields])
+
+
+def _mime_of(meta) -> str | None:
+    return meta["mime"] if meta is not None else None
 
 
 def decode_stub(payload: bytes, mime: str) -> list[float]:
@@ -91,9 +106,9 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[asset_col]
-            mimes = pdf[meta_col].map(lambda m: m["mime"])
+            mimes = pdf[meta_col].map(_mime_of)  # NULL meta tolerated
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "mime": mimes,
                 "n_bytes": payloads.map(lambda p: len(p or b"")),
                 "checksum": payloads.map(
@@ -102,7 +117,8 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
                             for p, m in zip(payloads, mimes)],
             })
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    return df.mapInPandas(run, _with_id_field(df, id_col,
+                                              FEATURE_FIELDS))
 
 
 def resize_stub(payload: bytes, width: int, height: int) -> bytes:
@@ -122,16 +138,17 @@ def resize_assets(df: DataFrame, width: int = 64, height: int = 64,
     """Arrow-batched image resize: binary in → binary out with updated
     metadata.  Output schema mirrors the input asset convention so resize
     stages compose (resize → feature-extract pipelines)."""
-    out_schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+    out_schema = _with_id_field(df, id_col, [
         T.StructField(asset_col, T.BinaryType()),
         T.StructField(meta_col, ASSET_META_SCHEMA),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [{"mime": m["mime"], "width": width, "height": height,
-                      "duration_ms": m["duration_ms"]}
+            metas = [None if m is None
+                     else {"mime": m["mime"], "width": width,
+                           "height": height,
+                           "duration_ms": m["duration_ms"]}
                      for m in pdf[meta_col]]
             yield pd.DataFrame({
                 id_col: pdf[id_col],
@@ -143,11 +160,10 @@ def resize_assets(df: DataFrame, width: int = 64, height: int = 64,
     return ensure_parallelism(df, id_col).mapInPandas(run, out_schema)
 
 
-FRAME_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
+FRAME_FIELDS = [
     T.StructField("frame_idx", T.IntegerType()),
     T.StructField("frame_feature", T.ArrayType(T.FloatType())),
-])
+]
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4,
@@ -170,8 +186,9 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                     window = payload[i * step: (i + 1) * step]
                     ids.append(doc_id)
                     idxs.append(i)
-                    feats.append(decode_stub(window, meta["mime"]))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                    feats.append(decode_stub(window, _mime_of(meta)))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "frame_feature": feats})
 
-    return ensure_parallelism(df, id_col).mapInPandas(run, FRAME_SCHEMA)
+    return ensure_parallelism(df, id_col).mapInPandas(
+        run, _with_id_field(df, id_col, FRAME_FIELDS))

@@ -28,7 +28,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization → array<string>."""
+    """Whitespace tokenization → array<string>.
+
+    CONTRACT: leading/trailing whitespace yields empty boundary tokens
+    (Spark ``split`` keeps them) — deliberately NOT stripped here,
+    because every DuckDB oracle mirrors ``regexp_split_to_array``,
+    which has the same behavior, and ~15 oracle-verified operators
+    (profile, repetition, chunking, packing, vocab, LM stats) are
+    consistent twins on that basis.  Consumers that must not see
+    empties filter ``token <> ''`` after exploding, exactly like the
+    oracles do."""
     return F.split(F.col(text) if isinstance(text, str) else text, r"\s+")
 
 
@@ -359,7 +368,9 @@ def vocab_with_ids(df: DataFrame, text_col: str = "text",
     v = vocab(df, text_col, id_col, min_doc_freq)
     w = Window.orderBy(F.col("total_count").desc(), F.col("token"))
     out = v.select("token", F.row_number().over(w).alias("token_id"))
-    return out.filter(F.col("token_id") <= size) if size else out
+    # `is not None`: size=0 is a legitimate (empty) cap, not "no cap"
+    return (out.filter(F.col("token_id") <= size)
+            if size is not None else out)
 
 
 def encode_documents(df: DataFrame, vocab_ids: DataFrame,
@@ -388,11 +399,20 @@ def encode_documents(df: DataFrame, vocab_ids: DataFrame,
                                .alias("tid")).alias("__s")))
     ordered = F.transform(F.sort_array(F.collect_list("__s")),
                           lambda s: s["tid"])
-    return (mapped.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-                 F.sum((F.col("__s.tid") == 0).cast("bigint"))
-                 .cast("bigint").alias("n_oov"),
-                 F.array_join(ordered, ",").alias("ids")))
+    encoded = (mapped.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                    F.sum((F.col("__s.tid") == 0).cast("bigint"))
+                    .cast("bigint").alias("n_oov"),
+                    F.array_join(ordered, ",").alias("ids")))
+    # empty/whitespace-only documents lose all their rows to the token
+    # filter above — re-attach them as n_tokens=0 rows rather than
+    # silently dropping documents from a tokenize→encode→pack pipeline
+    return (df.select(id_col).distinct()
+            .join(encoded, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                    F.coalesce("ids", F.lit("")).alias("ids")))
 
 
 # --------------------------------------------------------------------- #

@@ -44,6 +44,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # latest right row in favor of a stale older one and (b) mix values
     # from different right rows when several columns are carried.
     vals = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    # join semantics for NULL keys: a NULL never equals a NULL, so
+    # NULL-key right rows can never match — but window PARTITION BY
+    # groups NULLs together, which would carry a NULL-key right row
+    # onto a NULL-key left row; drop them before the union (NULL-key
+    # left rows then sit alone in their partition and keep nulls, the
+    # correct LEFT-join outcome)
+    right = right.filter(F.col(on).isNotNull())
     r_tag = right.select(
         F.col(on), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
         vals.alias("__vals"))
@@ -109,7 +116,9 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     null-padded output row.  Prefer AQE skew-join splitting when available
     — this is for paths AQE can't touch (pinned strategies, streaming
     joins)."""
-    if how.replace("_outer", "") in ("right", "full", "outer"):
+    # normalize Spark's aliases (right_outer/rightouter/right, ...)
+    if how.lower().replace("_", "").replace("outer", "") in ("right",
+                                                             "full", ""):
         raise ValueError(
             f"salted_join does not support how='{how}': replicated right "
             f"copies would emit spurious unmatched rows; use AQE skew "
@@ -187,6 +196,10 @@ def bloom_mask(build: DataFrame, build_key: str, m: int = 16384,
     partial-aggregated per partition with ``bit_or``; only the ≤ m/64
     finished words reach the driver."""
     n_words = (m + 63) // 64
+    # NULL keys can never match any probe row (NULL != NULL in a join),
+    # and a NULL hash would surface as a None word index crashing the
+    # fold — drop them up front
+    build = build.filter(F.col(build_key).isNotNull())
     contribs = build.select(F.explode(F.array(*[
         F.struct(
             (F.expr(_bloom_pos(build_key, r, m)) / 64).cast("int")

@@ -54,7 +54,11 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, key: str,
               .select(F.col(f"cur.{key}").alias(key),
                       *[F.col(f"cur.{c}").alias(c) for c in tracked],
                       F.col(f"cur.{from_col}").alias(from_col),
-                      F.lit(batch_ts).alias(to_col),
+                      # cast like the fresh branch does: an uncast
+                      # string literal would widen a TIMESTAMP valid_to
+                      # column to string through the union
+                      F.lit(batch_ts).cast(dim.schema[to_col].dataType)
+                      .alias(to_col),
                       F.lit(False).alias(current_col)))
     unchanged = (j.filter(has_cur & (~has_chg | ~differs))
                  .select(F.col(f"cur.{key}").alias(key),

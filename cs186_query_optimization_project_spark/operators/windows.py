@@ -131,8 +131,11 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
         F.sum(f"__r{i}").cast("bigint").alias(f"__n{i}")
         for i in range(len(stages))
     ])
+    # escape quotes: stage names are data, not SQL — an unescaped
+    # apostrophe would break (or alter) the generated expression
     stack = ", ".join(
-        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(stages))
+        "{}, '{}', __n{}".format(i + 1, s.replace("'", "\\'"), i)
+        for i, s in enumerate(stages))
     return counts.select(F.expr(
         f"stack({len(stages)}, {stack}) AS (stage_idx, stage, n_users)"))
 

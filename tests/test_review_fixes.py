@@ -160,3 +160,101 @@ def test_compact_refuses_partitioned_layout(spark, tmp_path):
      .write.partitionBy("p").parquet(path))
     with pytest.raises(DatabaseException, match="hive-partitioned"):
         writers.compact_table(spark, path)
+
+
+# --------------------------------------------------------------------- #
+# round-4 review batch: operators / functions edge cases
+# --------------------------------------------------------------------- #
+def test_salted_join_rejects_all_outer_aliases(spark):
+    from cs186_query_optimization_project_spark.operators import joins
+
+    l = spark.range(10).select(F.col("id").alias("k"))
+    r = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "rightouter", "right_outer", "full",
+                "fullouter", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            joins.salted_join(l, r, "k", how=how)
+    # allowed forms still work
+    assert joins.salted_join(l, r, "k", how="left_outer").count() == 10
+
+
+def test_bloom_and_asof_tolerate_null_keys(spark):
+    from cs186_query_optimization_project_spark.operators import joins
+
+    probe = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    build = spark.createDataFrame([(1,), (None,)], "bk long")
+    out = joins.bloom_semi_join(probe, build, "k", "bk")
+    assert [r["k"] for r in out.collect()] == [1]  # NULL never matches
+
+    left = spark.createDataFrame(
+        [(None, 10, "L1"), (1, 10, "L2")], "k long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(None, 5, "R-null"), (1, 5, "R1")], "k long, ts long, rv string")
+    got = {r["lv"]: r["rv"]
+           for r in joins.asof_join(left, right, on="k").collect()}
+    assert got == {"L1": None, "L2": "R1"}  # NULL key carries nothing
+
+
+def test_multimodal_custom_id_and_null_meta(spark):
+    from cs186_query_optimization_project_spark.functions import multimodal
+
+    df = spark.createDataFrame(
+        [("a", b"hello", ("image/x", 1, 1, 0)), ("b", b"", None)],
+        "uid string, asset binary, "
+        "asset_meta struct<mime:string,width:int,height:int,"
+        "duration_ms:int>")
+    feats = multimodal.extract_features(df, id_col="uid")
+    assert feats.columns[0] == "uid"
+    got = {r["uid"]: r["mime"] for r in feats.collect()}
+    assert got == {"a": "image/x", "b": None}
+    frames = multimodal.sample_frames(df, n_frames=2, id_col="uid")
+    assert frames.count() == 4 and frames.columns[0] == "uid"
+
+
+def test_scd2_preserves_valid_to_type(spark):
+    from cs186_query_optimization_project_spark.operators import scd
+
+    dim = spark.createDataFrame(
+        [(1, "x", "2020-01-01", None, True)],
+        "id long, v string, valid_from string, valid_to timestamp, "
+        "is_current boolean")
+    batch = spark.createDataFrame([(1, "y")], "id long, v string")
+    out = scd.scd2_apply(dim, batch, key="id", tracked=("v",),
+                         batch_ts="2024-06-01")
+    assert dict(out.dtypes)["valid_to"] == "timestamp"
+
+
+def test_encode_documents_keeps_empty_docs(spark):
+    from cs186_query_optimization_project_spark.functions import text as tx
+
+    df = spark.createDataFrame([(1, "hello world"), (2, ""), (3, "  ")],
+                               ["doc_id", "text"])
+    vocab = tx.vocab_with_ids(df)
+    out = {r["doc_id"]: (r["n_tokens"], r["ids"])
+           for r in tx.encode_documents(df, vocab).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0, "") and out[3] == (0, "")
+    assert out[1][0] == 2
+
+
+def test_vocab_size_zero_is_empty(spark):
+    from cs186_query_optimization_project_spark.functions import text as tx
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert tx.vocab_with_ids(df, size=0).count() == 0
+    assert tx.vocab_with_ids(df, size=2).count() == 2
+
+
+def test_funnel_escapes_stage_quotes(spark):
+    from cs186_query_optimization_project_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(1, "sign'up", "2024-01-01 10:00:00"),
+         (1, "buy", "2024-01-01 11:00:00")],
+        ["user_id", "event_type", "ts_s"]).select(
+            "user_id", "event_type",
+            F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r["stage"]: r["n_users"]
+           for r in windows.funnel(df, "user_id", "ts", "event_type",
+                                   ["sign'up", "buy"]).collect()}
+    assert out == {"sign'up": 1, "buy": 1}
