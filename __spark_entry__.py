@@ -434,6 +434,25 @@ def q_incremental_agg(spark, sf_dir):
             .orderBy("day", "event_type"))
 
 
+def _cosupplier_edges(db):
+    """Undirected co-supplier edge set (a < b): suppliers sharing an
+    exactly-2-supplier order.  ONE definition shared by triangle_count
+    and pagerank — their oracles re-encode the same graph, so the two
+    queries must never drift onto different edge sets."""
+    pairs = (db.table("lineitem")
+             .select("l_orderkey", "l_suppkey").distinct())
+    two = (pairs.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") == 2).select("l_orderkey"))
+    p2 = pairs.join(two, "l_orderkey", "left_semi")
+    return (p2.alias("x").join(
+        p2.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
+        .select(F.col("x.l_suppkey").alias("a"),
+                F.col("y.l_suppkey").alias("b")).distinct())
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-vertex triangle counts on the co-supplier graph (edge = two
     suppliers sharing a 2-supplier order — the full co-occurrence graph
@@ -445,19 +464,8 @@ def q_triangle_count(spark, sf_dir):
     from cs186_query_optimization_project_spark.operators import graphs
 
     db = _db(spark, sf_dir)
-    pairs = (db.table("lineitem")
-             .select("l_orderkey", "l_suppkey").distinct())
-    two = (pairs.groupBy("l_orderkey")
-           .agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") == 2).select("l_orderkey"))
-    p2 = pairs.join(two, "l_orderkey", "left_semi")
-    edges = (p2.alias("x").join(
-        p2.alias("y"),
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
-        .select(F.col("x.l_suppkey").alias("a"),
-                F.col("y.l_suppkey").alias("b")).distinct())
-    return graphs.triangle_counts(edges).orderBy("vertex")
+    return (graphs.triangle_counts(_cosupplier_edges(db))
+            .orderBy("vertex"))
 
 
 def q_pagerank(spark, sf_dir):
@@ -470,18 +478,7 @@ def q_pagerank(spark, sf_dir):
     from cs186_query_optimization_project_spark.operators import graphs
 
     db = _db(spark, sf_dir)
-    pairs = (db.table("lineitem")
-             .select("l_orderkey", "l_suppkey").distinct())
-    two = (pairs.groupBy("l_orderkey")
-           .agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") == 2).select("l_orderkey"))
-    p2 = pairs.join(two, "l_orderkey", "left_semi")
-    und = (p2.alias("x").join(
-        p2.alias("y"),
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
-        .select(F.col("x.l_suppkey").alias("a"),
-                F.col("y.l_suppkey").alias("b")).distinct())
+    und = _cosupplier_edges(db)
     edges = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .union(und.select(F.col("b").alias("src"),
                                F.col("a").alias("dst"))))
@@ -575,7 +572,11 @@ def q_txn_snapshot_isolation(spark, sf_dir):
     t1.commit()
     leaked = (t2.table("nation_txn")
               .filter(F.col("n_name").endswith("~t1")).count())
-    assert leaked == 0, "t2's snapshot saw t1's post-pin commit"
+    if leaked:
+        # explicit raise, not assert: python -O strips asserts and this
+        # is the ONLY detection of a snapshot-isolation leak (the final
+        # table would still match the serial oracle)
+        raise RuntimeError("t2's snapshot saw t1's post-pin commit")
     try:
         t2.commit()
         raise AssertionError("second committer must hit ConflictException")
@@ -630,10 +631,12 @@ def q_txn_2pl_serial(spark, sf_dir):
     import time
 
     time.sleep(0.3)
-    assert not state["t2_done"], "t2 must block on t1's X lock, not race"
+    if state["t2_done"]:  # raise, not assert: must survive python -O
+        raise RuntimeError("t2 must block on t1's X lock, not race")
     t1.commit()
     th.join(timeout=60)
-    assert state["t2_done"], "t2 must complete once t1 releases"
+    if not state["t2_done"]:
+        raise RuntimeError("t2 must complete once t1 releases")
 
     out = db.table("nation_2pl_q").select("n_nationkey", "n_name",
                                           "n_regionkey")
@@ -1104,12 +1107,17 @@ def q_streaming_outer_join(spark, sf_dir):
     base = os.path.join(parent, f"{_tag(sf_dir)}_{mtime}")
     done = os.path.join(base, "_READY")
     if not os.path.exists(done):
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base, mode=0o700)
+        # cross-process race guard: a builder assembles the dir under a
+        # per-pid scratch name, writes _READY inside it, and atomically
+        # renames it into place; a concurrent run (bench + contract
+        # check on the same sf_dir) waits for _READY instead of
+        # rmtree-ing files a running stream may be reading
+        build = base + f".build_{os.getpid()}"
+        os.makedirs(build, mode=0o700, exist_ok=True)
         try:
-            os.link(src, os.path.join(base, "events.parquet"))
+            os.link(src, os.path.join(build, "events.parquet"))
         except OSError:
-            shutil.copy(src, os.path.join(base, "events.parquet"))
+            shutil.copy(src, os.path.join(build, "events.parquet"))
         ev = db.table("events")
         far = (ev.agg(F.max("ts")).collect()[0][0]
                + dt.timedelta(days=10))
@@ -1117,9 +1125,23 @@ def q_streaming_outer_join(spark, sf_dir):
             [(1_000_000_000, far, -1, "click", 0.0, None),
              (1_000_000_001, far, -1, "purchase", 0.0, None)],
             schema=ev.schema)
-        sentinel.coalesce(1).write.mode("append").parquet(base)
-        with open(done, "w"):
+        sentinel.coalesce(1).write.mode("append").parquet(build)
+        with open(os.path.join(build, "_READY"), "w"):
             pass
+        shutil.rmtree(base, ignore_errors=True)  # legacy unready dir
+        try:
+            os.rename(build, base)               # atomic publish
+        except OSError:
+            # a concurrent builder published first; keep theirs
+            shutil.rmtree(build, ignore_errors=True)
+        import time as _time
+        for _ in range(600):
+            if os.path.exists(done):
+                break
+            _time.sleep(0.1)
+        else:
+            raise RuntimeError(
+                f"sentinel source dir never became ready: {base}")
 
     name = "stream_outer_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark, base)
@@ -2646,11 +2668,9 @@ def q_dedup_incremental(spark, sf_dir):
     cross-set subset."""
     db = _db(spark, sf_dir)
     docs = db.table("documents").select("doc_id", "text")
-    batch = (db.table("documents")
-             .filter(F.col("doc_id") % 10 == 0)
-             .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                     F.concat(F.col("text"), F.lit(" appendix"))
-                     .alias("text")))
+    # the batch = the perturbed half of the SHARED planting: derive it
+    # from _planted_docs so the plant constants live in one place
+    batch = _planted_docs(db).filter(F.col("doc_id") >= 1000000)
     pairs = dedup.incremental_near_duplicates(docs, batch,
                                               threshold=0.5)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
@@ -2757,10 +2777,11 @@ def q_dedup_eval(spark, sf_dir):
     db = _db(spark, sf_dir)
     corpus = _planted_docs(db)
     pred = dedup.minhash_near_duplicates(corpus, threshold=0.5)
-    truth = (db.table("documents")
-             .filter(F.col("doc_id") % 10 == 0)
-             .select(F.col("doc_id").alias("a"),
-                     (F.col("doc_id") + 1000000).alias("b")))
+    # truth pairs from the SHARED planting: each planted id maps back
+    # to its source (id - 1e6), so the constants stay in _planted_docs
+    truth = (_planted_docs(db).filter(F.col("doc_id") >= 1000000)
+             .select((F.col("doc_id") - 1000000).alias("a"),
+                     F.col("doc_id").alias("b")))
     return dedup.pair_metrics(pred, truth)
 
 
@@ -2799,7 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         # --- flagship anchor (keep continuously verified) (1) ---
         "join_three_flagship": q_join_three_flagship,
-        # --- NEW in round 6: need first driver evidence (7) ---
+        # --- NEW in round 6: need first driver evidence (38) ---
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q13": q_tpch_q13,

@@ -89,7 +89,7 @@ def main() -> None:
     }
     # Persist the FULL result (all per-query timings) to a file; the
     # printed line must stay compact — the capture of stdout keeps only
-    # a bounded tail, and a ~2 KB line with the whole 89-query map gets
+    # a bounded tail, and a multi-KB line with the whole per-query map (149 entries) gets
     # truncated from the front, breaking last-line JSON parsing.  The
     # printed line carries the headline numbers plus the 5 slowest
     # queries; BENCH.json holds the complete map.

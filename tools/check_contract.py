@@ -56,8 +56,13 @@ def main():
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    # first positional is sf_dir only if it IS a directory — a bare
+    # query name (`check_contract.py table_histogram`) otherwise gets
+    # consumed as the data dir and dies with an opaque parquet error
+    if argv and os.path.isdir(argv[0]):
+        sf_dir, only = argv[0], set(argv[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(argv)
     if vanilla:
         from pyspark.sql import SparkSession
 
