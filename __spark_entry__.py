@@ -2743,6 +2743,35 @@ def q_streaming_cms(spark, sf_dir):
         .alias("window_start"), "user_id", "cms_estimate")
 
 
+def q_similar_docs(spark, sf_dir):
+    """"More like this" retrieval: top-10 documents by exact shingle
+    Jaccard to document 7 — the query-time one-vs-all complement of the
+    corpus-wide near-dup pair detectors.  The query doc's shingle set
+    broadcasts; only shingle-sharing docs are scored."""
+    from cs186_query_optimization_project_spark.functions import retrieval
+    db = _db(spark, sf_dir)
+    return retrieval.similar_docs(db.table("documents"), query_id=7,
+                                  k=10)
+
+
+def q_dedup_apply(spark, sf_dir):
+    """The dedup pipeline's OUTPUT: the planted corpus with near-dup
+    cluster non-representatives removed (keep-one = min id; untouched
+    singletons survive).  Composes the pair detector and connected
+    components into the materialized clean corpus — clustering says
+    who matches, this entry actually drops them."""
+    db = _db(spark, sf_dir)
+    corpus = _planted_docs(db)
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
+    clusters = dedup.duplicate_clusters(pairs)
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select("doc_id"))
+    return (corpus.join(losers, "doc_id", "left_anti")
+            .select("doc_id",
+                    text.token_count("text").alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift check of o_totalprice between
     the first and second half of the order history — the train-vs-serve
@@ -2790,7 +2819,7 @@ def q_dedup_eval(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-6 policy: with 149 registered
+    # entries in registry order.  Round-6 policy: with 151 registered
     # queries the rotation is three windows wide — this round's window
     # holds (a) the round-6 additions and source changes (49 entries:
     # 13 TPC-H, pivot/collect_sorted, 25 operators from the first r6
@@ -2876,6 +2905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
+        "similar_docs": q_similar_docs,
+        "dedup_apply": q_dedup_apply,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -4538,6 +4569,33 @@ def oracle_sql() -> dict[str, str]:
             "round(corr(l_discount, l_tax), 6) FROM lineitem) "
             "ORDER BY col_a, col_b"),
         "dedup_eval": dedup_eval_sql,
+        # keep-one materialization over the recursive-CTE clustering:
+        # survivors = corpus minus non-representative cluster members
+        "dedup_apply": (
+            f"WITH losers AS (SELECT doc_id FROM ({clusters_sql}) "
+            f"WHERE doc_id <> cluster_id), "
+            f"corpus2 AS (SELECT doc_id, text FROM documents "
+            f"UNION ALL SELECT doc_id + 1000000, text || ' appendix' "
+            f"FROM documents WHERE doc_id % 10 = 0) "
+            f"SELECT doc_id, CAST(len(regexp_split_to_array(text, "
+            f"'\\s+')) AS INT) AS n_tokens FROM corpus2 "
+            f"WHERE doc_id NOT IN (SELECT doc_id FROM losers) "
+            f"ORDER BY doc_id"),
+        "similar_docs": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(text, "
+            "'\\s+') AS toks FROM documents), "
+            "shd AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) "
+            "<= 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END"
+            ") AS s FROM t), "
+            "q AS (SELECT s AS qs, len(s) AS qn FROM shd "
+            "WHERE doc_id = 7) "
+            "SELECT doc_id, round(CAST(len(list_intersect(s, qs)) "
+            "AS DOUBLE) / (qn + len(s) - len(list_intersect(s, qs))), "
+            "6) AS jaccard FROM shd, q "
+            "WHERE doc_id <> 7 AND len(list_intersect(s, qs)) > 0 "
+            "ORDER BY jaccard DESC, doc_id LIMIT 10"),
         # the union pipeline's pairs restricted to corpus(a)×batch(b) —
         # the incremental path must find exactly this subset
         "dedup_incremental": (

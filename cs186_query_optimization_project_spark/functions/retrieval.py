@@ -107,3 +107,43 @@ def bm25_scores(df: DataFrame, query: str, text_col: str = "text",
             .agg(F.round(F.sum("__s"), 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
             .limit(top_k))
+
+
+def similar_docs(df: DataFrame, query_id, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 10,
+                 shingle_k: int = 3) -> DataFrame:
+    """"More like this": top-``k`` documents by shingle-set Jaccard to
+    one query document — the query-time, one-vs-all complement of the
+    corpus-wide pair detection in ``functions/dedup.py``.
+
+    Shape: the query doc's (tiny) shingle set broadcasts; the corpus
+    postings semi-join it, so only documents sharing ≥ 1 shingle are
+    scored and the scoring aggregate touches |postings(query
+    shingles)| rows, never the corpus.  Jaccard from three integers
+    (|∩|, |A|, |B|) — exact, no hashing.  Rounded-then-ranked with id
+    tie-break: stable across partitionings, SQL-replayable.
+    """
+    from cs186_query_optimization_project_spark.functions.text import (
+        shingles,
+    )
+
+    sized = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"))
+    sized = sized.select(id_col, "__sh", F.size("__sh").alias("__n"))
+    q = sized.filter(F.col(id_col) == query_id)
+    q_sh = q.select(F.explode("__sh").alias("shingle"))
+    q_n = q.select(F.col("__n").alias("__qn"))
+    post = sized.select(id_col, "__n",
+                        F.explode("__sh").alias("shingle"))
+    common = (post.join(F.broadcast(q_sh), "shingle")
+              .filter(F.col(id_col) != query_id)
+              .groupBy(id_col, "__n")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    return (common.crossJoin(F.broadcast(q_n))
+            .select(F.col(id_col),
+                    F.round(F.col("__c")
+                            / (F.col("__qn") + F.col("__n")
+                               - F.col("__c")), 6).alias("jaccard"))
+            .orderBy(F.col("jaccard").desc(), F.col(id_col).asc())
+            .limit(k))

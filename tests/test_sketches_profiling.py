@@ -459,3 +459,36 @@ def test_pair_metrics_both_empty(spark):
     assert (r["n_predicted"], r["n_truth"], r["tp"], r["fp"], r["fn"]) \
         == (0, 0, 0, 0, 0)
     assert r["precision"] == 0.0 and r["f1"] == 0.0
+
+
+# --------------------------------------------------------------------- #
+# more-like-this retrieval + dedup materialization
+# --------------------------------------------------------------------- #
+def test_similar_docs_ranks_true_neighbor_first(spark):
+    from cs186_query_optimization_project_spark.functions import retrieval
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),     # 4/5 shingle overlap-ish
+         (3, "alpha beta gamma nu xi"),          # less overlap
+         (4, "totally different words here now")],
+        ["doc_id", "text"])
+    got = [r["doc_id"]
+           for r in retrieval.similar_docs(df, query_id=1, k=3).collect()]
+    assert got[0] == 2 and 3 in got and 4 not in got
+
+
+def test_dedup_apply_keeps_representatives_and_singletons(spark):
+    from cs186_query_optimization_project_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (3, "completely unrelated text about spark engines")],
+        ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.6)
+    clusters = dedup.duplicate_clusters(pairs)
+    losers = clusters.filter("doc_id != cluster_id").select("doc_id")
+    kept = {r["doc_id"]
+            for r in df.join(losers, "doc_id", "left_anti").collect()}
+    assert kept == {1, 3}  # min-id representative + untouched singleton
