@@ -3158,28 +3158,76 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
         f"FROM a1 GROUP BY cid ORDER BY cluster")
 
 
+# shared by ngram_jaccard and dedup_clusters — the SQL re-encoding of
+# _planted_docs + dedup.ngram_jaccard_pairs' shingling (module-level so
+# tests can rebuild the clustering at other unroll depths)
+_NGRAM_SH_SQL = (
+    "corpus AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000, text || ' appendix' FROM documents"
+    "  WHERE doc_id % 10 = 0), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct("
+    "    CASE WHEN len(toks) <= 3"
+    "         THEN [array_to_string(toks, ' ')]"
+    "         ELSE list_transform(range(1, len(toks) - 1),"
+    "              i -> toks[i] || ' ' || toks[i+1] || ' ' "
+    "                   || toks[i+2]) END) AS s"
+    "  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') "
+    "        AS toks FROM corpus))")
+_JACC_SQL = ("len(list_intersect(a.s, b.s))::DOUBLE "
+             "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))")
+# Pair detection is blocked on a shared shingle (exact: Jaccard >=
+# 0.6 > 0 implies at least one common shingle, so the equi-join on
+# exploded shingles loses no qualifying pair) — this replaces the
+# O(n^2) all-pairs Jaccard scan with an inverted-index join, the
+# same candidate-generation asymptotics the engine's LSH side has.
+_NGRAM_BLOCK_SQL = (
+    "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+    "cand AS (SELECT DISTINCT l.doc_id AS ca, r.doc_id AS cb "
+    "FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id)")
+
+
+def _ngram_cc_sql(rounds: int = 5) -> str:
+    """dedup_clusters oracle: connected components as FIXED-ROUND
+    unrolled min-label propagation (the pagerank oracle's pattern)
+    instead of a recursive CTE: DuckDB's ``reach`` recursion enumerates
+    every (node, reachable-comp) path and took ~25 min at sf0.1; five
+    bounded rounds cost five small joins.  Round k's label is the min
+    over every node within k hops, so round k is exact for components
+    of diameter <= k; the planted pair graph's largest component is 5
+    nodes (diameter <= 4) at sf0.1 — 5 rounds has a full round of
+    slack, and tests/test_property_oracle.py pins the fixed point
+    (round 5 == round 4 would catch a too-deep graph).  DuckDB inlines
+    multiply-referenced CTEs (AS MATERIALIZED exists but serializes the
+    whole pipeline — slower), so the edge list is built with ONE
+    ``pairs`` reference (zipped unnest emits both directions +
+    self-loops) and round 1 folds the identity labels into a plain MIN
+    — ``pairs`` is evaluated once per round, not 2-3x per round."""
+    ngram_pairs = (
+        f"{_NGRAM_BLOCK_SQL}, "
+        f"pairs AS (SELECT ca AS a, cb AS b FROM cand "
+        f"JOIN sh a ON a.doc_id = ca JOIN sh b ON b.doc_id = cb "
+        f"WHERE {_JACC_SQL} >= 0.6)")
+    cc_iters = ", ".join(
+        f"l{i} AS (SELECT ed.u AS id, MIN(l{i-1}.lbl) AS lbl "
+        f"FROM ed JOIN l{i-1} ON ed.v = l{i-1}.id GROUP BY ed.u)"
+        for i in range(2, rounds + 1))
+    return (
+        f"WITH {_NGRAM_SH_SQL}, {ngram_pairs}, "
+        f"ed AS (SELECT unnest([a, b, a, b]) AS u, "
+        f"unnest([b, a, a, b]) AS v FROM pairs), "
+        f"l1 AS (SELECT u AS id, MIN(v) AS lbl FROM ed GROUP BY u), "
+        f"{cc_iters} "
+        f"SELECT id AS doc_id, lbl AS cluster_id FROM l{rounds}")
+
+
 def oracle_sql() -> dict[str, str]:
     lang_defs, lang_case = _lang_scores_sql()
     dec = "DECIMAL(18,4)"
-    # shared by ngram_jaccard and dedup_clusters — the SQL re-encoding of
-    # _planted_docs + dedup.ngram_jaccard_pairs' shingling
-    ngram_sh = (
-        "corpus AS ("
-        "  SELECT doc_id, text FROM documents"
-        "  UNION ALL"
-        "  SELECT doc_id + 1000000, text || ' appendix' FROM documents"
-        "  WHERE doc_id % 10 = 0), "
-        "sh AS ("
-        "  SELECT doc_id, list_distinct("
-        "    CASE WHEN len(toks) <= 3"
-        "         THEN [array_to_string(toks, ' ')]"
-        "         ELSE list_transform(range(1, len(toks) - 1),"
-        "              i -> toks[i] || ' ' || toks[i+1] || ' ' "
-        "                   || toks[i+2]) END) AS s"
-        "  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') "
-        "        AS toks FROM corpus))")
-    jacc = ("len(list_intersect(a.s, b.s))::DOUBLE "
-            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))")
+    ngram_sh = _NGRAM_SH_SQL
+    jacc = _JACC_SQL
     # MinHash-LSH re-encoded in DuckDB SQL: the engine uses the portable
     # md5-top-60-bits base hash (dedup._PORTABLE_BASE_HASH) precisely so
     # the signatures — and therefore the LSH buckets and the final pair
@@ -3414,21 +3462,10 @@ def oracle_sql() -> dict[str, str]:
         f"round(list_cosine_similarity(l.v, r.v), 6) AS cosine_sim "
         f"FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id) "
         f"SELECT a, b, cosine_sim FROM p WHERE cosine_sim >= 0.9")
-    clusters_sql = (
-        f"WITH RECURSIVE {ngram_sh}, "
-        f"pairs AS ("
-        f"  SELECT a.doc_id AS a, b.doc_id AS b "
-        f"  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-        f"  WHERE {jacc} >= 0.6), "
-        f"und AS (SELECT a AS u, b AS v FROM pairs "
-        f"        UNION SELECT b, a FROM pairs), "
-        f"reach(id, comp) AS ("
-        f"  SELECT u, u FROM und"
-        f"  UNION"
-        f"  SELECT und.u, reach.comp FROM und "
-        f"  JOIN reach ON und.v = reach.id) "
-        f"SELECT id AS doc_id, MIN(comp) AS cluster_id "
-        f"FROM reach GROUP BY id")
+    ngram_block = _NGRAM_BLOCK_SQL
+    # see _ngram_cc_sql: unrolled min-label CC (recursive CTE was ~25
+    # min at sf0.1; this is seconds)
+    clusters_sql = _ngram_cc_sql(rounds=5)
     return {
         "scan": "SELECT * FROM region",
         "filter_eq": ("SELECT c_custkey, c_name FROM customer "
@@ -4022,12 +4059,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)), 6) AS cosine_sim "
             "FROM embeddings ORDER BY cosine_sim DESC, vec_id LIMIT 10"),
+        # shared-shingle blocking (ngram_block) — exact, see clusters_sql
         "ngram_jaccard": (
-            f"WITH {ngram_sh} "
-            f"SELECT a.doc_id AS a, b.doc_id AS b, "
-            f"round({jacc}, 6) AS jaccard "
-            f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            f"WHERE {jacc} >= 0.6"),
+            f"WITH {ngram_sh}, {ngram_block} "
+            f"SELECT ca AS a, cb AS b, round({jacc}, 6) AS jaccard "
+            f"FROM cand JOIN sh a ON a.doc_id = ca "
+            f"JOIN sh b ON b.doc_id = cb WHERE {jacc} >= 0.6"),
         "dedup_clusters": clusters_sql,
         "dedup_clusters_star": clusters_sql,
         "token_counts": (

@@ -112,6 +112,28 @@ def test_frozen_oracle_constants_match_engine_generators():
     assert len(entry._frozen_hyperplanes(6)) == 6
 
 
+def test_cc_oracle_unroll_depth_reaches_fixed_point():
+    """The dedup_clusters/dedup_apply oracle unrolls min-label
+    propagation to a FIXED 5 rounds (a recursive CTE was ~25 min at
+    sf0.1).  Round k is exact only for components of diameter <= k, so
+    this pins the fixed point on real data: round-4 labels == round-5
+    labels at sf0.01 AND sf0.001.  If the planted pair graph ever grows
+    a deeper component, this fires before the driver records a silent
+    value mismatch."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR, SF_DIR_001
+
+    for sf_dir in (SF_DIR, SF_DIR_001):
+        con = __import__("duckdb").connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+        l4 = sorted(con.execute(entry._ngram_cc_sql(rounds=4)).fetchall())
+        l5 = sorted(con.execute(entry._ngram_cc_sql(rounds=5)).fetchall())
+        assert l4 == l5, f"CC not converged by round 4 at {sf_dir}"
+        assert len(l5) > 0
+
+
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(st.text(
