@@ -2819,81 +2819,19 @@ def q_dedup_eval(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-6 policy: with 151 registered
-    # queries the rotation is three windows wide — this round's window
-    # holds (a) the round-6 additions and source changes (49 entries:
-    # 13 TPC-H, pivot/collect_sorted, 25 operators from the first r6
-    # batch, and 8 of the sketch/profiling/clustering entries from
-    # the second), which need FIRST driver evidence; (b) the flagship
-    # anchor.  New queries outrank re-checking entries with existing
-    # green rows, so the r4-proven core entries displaced over the
-    # round sit just below the window and rotate back in r7
-    # (weighted_sample, key_skew and the later batch-3 additions wait
-    # with them — the window holds exactly 50).
-    # EVERY query — in or below the window — was verified this round by
-    # tools/check_contract.py at sf0.01 AND sf0.1 (the full suite also
-    # under --vanilla, the session kind the driver uses).
+    # entries in registry order.  Round-8 policy (the r7 verdict's #1
+    # item): the window leads with the 16 entries that have NEVER had a
+    # driver row (registry positions 50-62 and 102-104 in r6/r7 —
+    # weighted_sample .. dedup_apply, tpch_q22, except_all,
+    # intersect_all), then the flagship anchor, then the STALEST
+    # r4-proven core entries (unchanged since their CORRECTNESS_r04
+    # green rows) to refresh their evidence.  The r6/r7-window entries —
+    # freshest driver evidence, 50/50 green twice — rotate to the
+    # bottom.  EVERY query — in or below the window — was verified this
+    # round by tools/check_contract.py at sf0.01 AND sf0.1 (also under
+    # --vanilla, the session kind the driver uses).
     return {
-        # --- NEW in round 6 batch 2: sketches / profiling / ML (8) ---
-        "hll_distinct": q_hll_distinct,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "bloom_semi_join": q_bloom_semi_join,
-        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
-        "kmeans_clusters": q_kmeans_clusters,
-        "doc_logprob": q_doc_logprob,
-        "bigram_lm": q_bigram_lm,
-        "zscore_outliers": q_zscore_outliers,
-        # --- source changed in round 6: must re-verify (3) ---
-        "pivot": q_pivot,
-        "collect_sorted": q_collect_sorted,
-        "tpch_q7": q_tpch_q7,
-        # --- flagship anchor (keep continuously verified) (1) ---
-        "join_three_flagship": q_join_three_flagship,
-        # --- NEW in round 6: need first driver evidence (38) ---
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "merge_upsert": q_merge_upsert,
-        "vocab_top": q_vocab_top,
-        "tfidf_features": q_tfidf_features,
-        "pii_redact": q_pii_redact,
-        "contamination_check": q_contamination_check,
-        "doc_fingerprints": q_doc_fingerprints,
-        "scd2_dimension": q_scd2_dimension,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "incremental_agg": q_incremental_agg,
-        "triangle_count": q_triangle_count,
-        "pagerank": q_pagerank,
-        "streaming_outer_join": q_streaming_outer_join,
-        "grouping_sets": q_grouping_sets,
-        "constraint_check": q_constraint_check,
-        "full_outer_join": q_full_outer_join,
-        "cross_join": q_cross_join,
-        "text_source": q_text_source,
-        "window_ntile": q_window_ntile,
-        "null_safe_join": q_null_safe_join,
-        "udtf_sentences": q_udtf_sentences,
-        "compact_scan": q_compact_scan,
-        "encode_documents": q_encode_documents,
-        "table_histogram": q_table_histogram,
-        "frequent_pairs": q_frequent_pairs,
-        "resample_fill": q_resample_fill,
-        # ------------- below the driver's 50-row window ------------- #
-        # green in CORRECTNESS_r04/r05 (or new with local oracle checks);
-        # key_skew, weighted_sample + the batch-3 additions are the
-        # entries the window couldn't hold; the r4-proven core entries
-        # displaced by round-6 additions are unchanged since their r4
-        # green rows and rotate back in r7
+        # --- never driver-checked before round 8 (16) ---
         "weighted_sample": q_weighted_sample,
         "key_skew": q_key_skew,
         "psi_drift": q_psi_drift,
@@ -2907,6 +2845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms": q_streaming_cms,
         "similar_docs": q_similar_docs,
         "dedup_apply": q_dedup_apply,
+        "tpch_q22": q_tpch_q22,
+        "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
+        # --- flagship anchor (keep continuously verified) (1) ---
+        "join_three_flagship": q_join_three_flagship,
+        # --- stalest evidence: green in r4, displaced since (33) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
@@ -2940,15 +2884,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_sum_avg": q_groupby_sum_avg,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
+        # ------------- below the driver's 50-row window ------------- #
+        # r4/r5-green entries the window couldn't hold, then the
+        # r6/r7-window entries (freshest evidence, 50/50 green twice)
+        # at the bottom.
         "scalar_functions": q_scalar_functions,
         "lookup_key": q_lookup_key,
         "contains_key": q_contains_key,
         "csv_source": q_csv_source,
         "orderby_limit": q_orderby_limit,
         "except": q_except,
-        "tpch_q22": q_tpch_q22,
-        "except_all": q_except_all,
-        "intersect_all": q_intersect_all,
         "tpch_q3": q_tpch_q3,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -2995,6 +2940,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "streaming_dedup": q_streaming_dedup,
+        # --- r6/r7 driver window: 50/50 green twice (r06, r07) ---
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_semi_join": q_bloom_semi_join,
+        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
+        "kmeans_clusters": q_kmeans_clusters,
+        "doc_logprob": q_doc_logprob,
+        "bigram_lm": q_bigram_lm,
+        "zscore_outliers": q_zscore_outliers,
+        "pivot": q_pivot,
+        "collect_sorted": q_collect_sorted,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "merge_upsert": q_merge_upsert,
+        "vocab_top": q_vocab_top,
+        "tfidf_features": q_tfidf_features,
+        "pii_redact": q_pii_redact,
+        "contamination_check": q_contamination_check,
+        "doc_fingerprints": q_doc_fingerprints,
+        "scd2_dimension": q_scd2_dimension,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "incremental_agg": q_incremental_agg,
+        "triangle_count": q_triangle_count,
+        "pagerank": q_pagerank,
+        "streaming_outer_join": q_streaming_outer_join,
+        "grouping_sets": q_grouping_sets,
+        "constraint_check": q_constraint_check,
+        "full_outer_join": q_full_outer_join,
+        "cross_join": q_cross_join,
+        "text_source": q_text_source,
+        "window_ntile": q_window_ntile,
+        "null_safe_join": q_null_safe_join,
+        "udtf_sentences": q_udtf_sentences,
+        "compact_scan": q_compact_scan,
+        "encode_documents": q_encode_documents,
+        "table_histogram": q_table_histogram,
+        "frequent_pairs": q_frequent_pairs,
+        "resample_fill": q_resample_fill,
     }
 
 
