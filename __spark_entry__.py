@@ -2278,8 +2278,8 @@ def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components (min-label propagation)
     over the exact n-gram Jaccard pair graph — (doc_id, cluster_id) with
     cluster_id = min reachable id; keep-one = doc_id == cluster_id.
-    Deterministic (exact pairs, exact min labels) → full recursive-CTE
-    oracle."""
+    Deterministic (exact pairs, exact min labels) → fixed-round unrolled
+    min-label oracle (_ngram_cc_sql)."""
     db = _db(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(_planted_docs(db), threshold=0.6)
     return dedup.duplicate_clusters(pairs)
@@ -2291,7 +2291,7 @@ def q_dedup_clusters_star(spark, sf_dir):
     rounds on ANY graph shape vs. min-label's O(diameter) — the variant
     for adversarially deep duplicate graphs at 100 TB.  Output is
     identical (cluster_id = min reachable id), so it shares the
-    recursive-CTE oracle."""
+    unrolled min-label oracle (_ngram_cc_sql)."""
     db = _db(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(_planted_docs(db), threshold=0.6)
     return dedup.duplicate_clusters_star(pairs)
@@ -3194,12 +3194,23 @@ def _ngram_cc_sql(rounds: int = 5) -> str:
     of diameter <= k; the planted pair graph's largest component is 5
     nodes (diameter <= 4) at sf0.1 — 5 rounds has a full round of
     slack, and tests/test_property_oracle.py pins the fixed point
-    (round 5 == round 4 would catch a too-deep graph).  DuckDB inlines
-    multiply-referenced CTEs (AS MATERIALIZED exists but serializes the
-    whole pipeline — slower), so the edge list is built with ONE
-    ``pairs`` reference (zipped unnest emits both directions +
-    self-loops) and round 1 folds the identity labels into a plain MIN
-    — ``pairs`` is evaluated once per round, not 2-3x per round."""
+    (round 5 == round 4 would catch a too-deep graph) at sf0.001,
+    sf0.01 AND sf0.1.  DuckDB inlines multiply-referenced CTEs (AS
+    MATERIALIZED exists but serializes the whole pipeline — slower), so
+    the edge list is built with ONE ``pairs`` reference (zipped unnest
+    emits both directions + self-loops) and round 1 folds the identity
+    labels into a plain MIN — ``pairs`` is evaluated once per round,
+    not 2-3x per round.
+
+    COST, measured at sf0.1 (5,500 docs, ~1.37M blocked candidate
+    pairs): rounds=5 runs in ~30 s — driver-feasible, not free; the
+    Jaccard verification pass over the blocked candidates dominates.
+    Because each unroll round re-inlines the ``pairs`` pipeline, cost
+    grows SUPER-LINEARLY in ``rounds`` (rounds=6 measured ~500 s) —
+    do not bump the unroll depth casually; if a deeper component ever
+    appears, switch the oracle to a pre-materialized temp table for
+    ``pairs`` instead of raising ``rounds``."""
+    assert rounds >= 2, "rounds=1 emits invalid SQL (empty cc_iters)"
     ngram_pairs = (
         f"{_NGRAM_BLOCK_SQL}, "
         f"pairs AS (SELECT ca AS a, cb AS b FROM cand "
@@ -3458,8 +3469,8 @@ def oracle_sql() -> dict[str, str]:
         f"FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id) "
         f"SELECT a, b, cosine_sim FROM p WHERE cosine_sim >= 0.9")
     ngram_block = _NGRAM_BLOCK_SQL
-    # see _ngram_cc_sql: unrolled min-label CC (recursive CTE was ~25
-    # min at sf0.1; this is seconds)
+    # see _ngram_cc_sql: unrolled min-label CC (the recursive CTE it
+    # replaced was ~25 min at sf0.1; rounds=5 measures ~30 s there)
     clusters_sql = _ngram_cc_sql(rounds=5)
     return {
         "scan": "SELECT * FROM region",
@@ -4601,8 +4612,9 @@ def oracle_sql() -> dict[str, str]:
             "round(corr(l_discount, l_tax), 6) FROM lineitem) "
             "ORDER BY col_a, col_b"),
         "dedup_eval": dedup_eval_sql,
-        # keep-one materialization over the recursive-CTE clustering:
-        # survivors = corpus minus non-representative cluster members
+        # keep-one materialization over the unrolled min-label
+        # clustering: survivors = corpus minus non-representative
+        # cluster members
         "dedup_apply": (
             f"WITH losers AS (SELECT doc_id FROM ({clusters_sql}) "
             f"WHERE doc_id <> cluster_id), "

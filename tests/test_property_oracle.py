@@ -117,13 +117,21 @@ def test_cc_oracle_unroll_depth_reaches_fixed_point():
     propagation to a FIXED 5 rounds (a recursive CTE was ~25 min at
     sf0.1).  Round k is exact only for components of diameter <= k, so
     this pins the fixed point on real data: round-4 labels == round-5
-    labels at sf0.01 AND sf0.001.  If the planted pair graph ever grows
-    a deeper component, this fires before the driver records a silent
-    value mismatch."""
+    labels at sf0.001, sf0.01 AND sf0.1 — sf0.1 is the scale the
+    driver's bench runs at and the scale the 5-round depth was sized
+    for (largest planted component: 5 nodes, diameter <= 4; the sf0.1
+    leg costs ~30 s, see _ngram_cc_sql's cost note).  If the planted
+    pair graph ever grows a deeper component, this fires before the
+    driver records a silent value mismatch."""
+    import os
+
     import __spark_entry__ as entry
     from tests.conftest import SF_DIR, SF_DIR_001
 
-    for sf_dir in (SF_DIR, SF_DIR_001):
+    sf_dirs = [SF_DIR, SF_DIR_001]
+    if os.path.isdir("/root/testdata/sf0.1"):
+        sf_dirs.append("/root/testdata/sf0.1")
+    for sf_dir in sf_dirs:
         con = __import__("duckdb").connect()
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM "
@@ -132,6 +140,25 @@ def test_cc_oracle_unroll_depth_reaches_fixed_point():
         l5 = sorted(con.execute(entry._ngram_cc_sql(rounds=5)).fetchall())
         assert l4 == l5, f"CC not converged by round 4 at {sf_dir}"
         assert len(l5) > 0
+
+
+def test_cc_oracle_rejects_invalid_unroll_depth():
+    """rounds=1 would emit SQL with a dangling comma (empty cc_iters);
+    the guard turns that into a loud assert instead."""
+    import pytest
+
+    import __spark_entry__ as entry
+
+    with pytest.raises(AssertionError):
+        entry._ngram_cc_sql(rounds=1)
+    # rounds=2 is the smallest valid depth — must parse and run
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')")
+    assert con.execute(entry._ngram_cc_sql(rounds=2)).fetchall()
 
 
 @settings(max_examples=5, deadline=None,
