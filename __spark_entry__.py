@@ -2516,9 +2516,10 @@ def q_cms_heavy_hitters(spark, sf_dir):
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter semi-join pruning: customers having a >495k order.
     The >495k filter keeps ~1% of orders (~9% of customers), so the
-    16 Kbit k=3 Bloom mask prunes ~90% of the probe scan before any
-    shuffle; the exact leftsemi join then removes false positives, so
-    the result — and the oracle — is the plain EXISTS semi-join.
+    adaptively-sized k=3 Bloom mask (the 16 Kbit floor at this key
+    cardinality) prunes ~90% of the probe scan before any shuffle; the
+    exact leftsemi join then removes false positives, so the result —
+    and the oracle — is the plain EXISTS semi-join.
     tests/test_sketches_joins.py asserts the mask really prunes."""
     from cs186_query_optimization_project_spark.operators import joins
     db = _db(spark, sf_dir)

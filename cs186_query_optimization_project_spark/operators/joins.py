@@ -134,8 +134,38 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
 # --------------------------------------------------------------------- #
 # Bloom-filter semi-join pruning
 # --------------------------------------------------------------------- #
+#: floor for adaptive mask sizing — 16 Kbit / 2 KB, negligible to ship.
+_BLOOM_MIN_M = 16384
+#: ceiling for adaptive mask sizing.  The mask is inlined into the probe
+#: filter as a SQL array literal (that's what lets it ride the scan with
+#: no shuffle), so it has a hard practical size limit: 2^20 bits =
+#: 16,384 longs ≈ 300 KB of expression text.  Beyond ~175k build keys
+#: even the ceiling mask saturates (>50% fill at k=3) and prunes
+#: nothing — the adaptive path then SKIPS the Bloom pass entirely
+#: rather than paying for a filter that drops no rows.
+_BLOOM_MAX_M = 1 << 20
+
+
+def adaptive_bloom_m(n_keys: int, k: int = 3) -> int | None:
+    """Mask size (bits) for ``n_keys`` distinct build keys: ~10 bits per
+    key (false-positive rate ≈ 1.7% at k=3), rounded up to a power of
+    two and clamped to [_BLOOM_MIN_M, _BLOOM_MAX_M].  Returns ``None``
+    when even the ceiling mask would exceed 50% estimated fill
+    (1 - e^(-k·n/m)) — the caller should skip the Bloom pass."""
+    import math
+
+    n_keys = max(int(n_keys), 1)
+    m = _BLOOM_MIN_M
+    while m < 10 * n_keys and m < _BLOOM_MAX_M:
+        m <<= 1
+    est_fill = 1.0 - math.exp(-k * n_keys / m)
+    if est_fill > 0.5:
+        return None
+    return m
+
+
 def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
-                    build_key: str, m: int = 16384,
+                    build_key: str, m: int | None = None,
                     k: int = 3) -> DataFrame:
     """Semi-join ``probe`` to ``build`` with a Bloom-filter pre-pass.
 
@@ -167,7 +197,31 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
     The exactness contract means the result is identical to a plain
     semi-join — the Bloom pass only changes *where* rows are dropped
     (on the scan, before the shuffle, not after).
+
+    ``m=None`` (the default) sizes the mask adaptively: one
+    ``approx_count_distinct`` pass over the build keys picks ~10 bits
+    per key (power-of-two, clamped to [2^14, 2^20] — see
+    :data:`_BLOOM_MAX_M`).  When the build cardinality is so large
+    that even the ceiling mask would sit above 50% fill and prune
+    nothing, the Bloom pass is skipped and the operator degrades
+    EXPLICITLY (with a warning) to the plain exact semi-join it
+    wraps — never a silently saturated filter.
     """
+    if m is None:
+        n_keys = (build.filter(F.col(build_key).isNotNull())
+                  .agg(F.approx_count_distinct(build_key)).first()[0])
+        m = adaptive_bloom_m(n_keys, k)
+        if m is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bloom_semi_join: ~%d distinct build keys would "
+                "saturate even the %d-bit ceiling mask; skipping the "
+                "Bloom pass (plain exact semi-join)", n_keys,
+                _BLOOM_MAX_M)
+            return probe.join(
+                build.select(F.col(build_key).alias("__bk")).distinct(),
+                probe[probe_key] == F.col("__bk"), "leftsemi")
     mask = bloom_mask(build, build_key, m, k)
     candidates = probe.filter(bloom_test(probe_key, mask, m, k))
     return candidates.join(build.select(F.col(build_key).alias("__bk"))
@@ -213,6 +267,14 @@ def bloom_mask(build: DataFrame, build_key: str, m: int = 16384,
     mask = [0] * n_words
     for row in words:
         mask[row["w"]] = row["word"]
+    fill = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in mask) / m
+    if fill > 0.5:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bloom_mask: %.0f%% of %d bits set — the filter will prune "
+            "little; widen m (or let bloom_semi_join size it "
+            "adaptively)", 100 * fill, m)
     return mask
 
 

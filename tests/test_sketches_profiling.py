@@ -108,6 +108,42 @@ def test_bloom_mask_distributed_or_fold(spark):
             == joins.bloom_mask(build.repartition(7), "bk"))
 
 
+def test_bloom_adaptive_sizing_widens_mask():
+    # small key sets sit on the 16 Kbit floor; a large key set widens
+    # the mask (power of two, ~10 bits/key); an enormous one returns
+    # None (the caller skips the Bloom pass entirely)
+    assert joins.adaptive_bloom_m(100) == 16384
+    assert joins.adaptive_bloom_m(1500) == 16384
+    m_big = joins.adaptive_bloom_m(40_000)
+    assert m_big == 1 << 19 and m_big & (m_big - 1) == 0
+    assert joins.adaptive_bloom_m(100_000) == joins._BLOOM_MAX_M
+    # ~175k keys is the 50%-fill frontier at the 2^20 ceiling, k=3
+    assert joins.adaptive_bloom_m(500_000) is None
+
+
+def test_bloom_saturated_and_skipped_paths_stay_exact(spark):
+    probe = spark.range(2000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 7).alias("payload"))
+    build = spark.range(50).select((F.col("id") * 40).alias("bk"))
+    exact = rows(probe.join(build, probe["k"] == build["bk"], "leftsemi"))
+    # forced-tiny mask (m=64, fully saturated): prunes nothing but the
+    # final semi-join keeps the result exact
+    out_sat = joins.bloom_semi_join(probe, build, "k", "bk", m=64)
+    assert rows(out_sat) == exact
+    # adaptive skip path: monkeypatch the frontier so the adaptive
+    # sizing declines a mask — plan must contain no md5 Bloom filter,
+    # result identical
+    orig = joins._BLOOM_MIN_M, joins._BLOOM_MAX_M
+    joins._BLOOM_MIN_M = joins._BLOOM_MAX_M = 64
+    try:
+        out_skip = joins.bloom_semi_join(probe, build, "k", "bk")
+        plan = out_skip._jdf.queryExecution().executedPlan().toString()
+        assert "md5" not in plan
+        assert rows(out_skip) == exact
+    finally:
+        joins._BLOOM_MIN_M, joins._BLOOM_MAX_M = orig
+
+
 # --------------------------------------------------------------------- #
 # edit-distance fuzzy dedup
 # --------------------------------------------------------------------- #
