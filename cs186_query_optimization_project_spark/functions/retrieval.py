@@ -19,9 +19,11 @@ Shapes at scale:
 
 from __future__ import annotations
 
+import json
+import os
+from dataclasses import dataclass
 
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs186_query_optimization_project_spark.functions.text import tokens
@@ -51,6 +53,13 @@ def phrase_search(df: DataFrame, phrase: str, text_col: str = "text",
     if not terms:
         raise ValueError("empty phrase")
     post = build_postings(df, text_col, id_col)
+    return _phrase_join(post, terms, id_col)
+
+
+def _phrase_join(post: DataFrame, terms: list[str],
+                 id_col: str) -> DataFrame:
+    """The positional phrase join over a postings source (in-scan or
+    materialized) — (id, n_matches) ordered by id."""
     anchor = (post.filter(F.col("token") == terms[0])
               .select(F.col(id_col), F.col("pos")))
     for i, term in enumerate(terms[1:], start=1):
@@ -89,6 +98,16 @@ def bm25_scores(df: DataFrame, query: str, text_col: str = "text",
     tf = (post.filter(F.col("token").isin(terms))
           .groupBy(id_col, "token")
           .agg(F.count(F.lit(1)).alias("__tf")))
+    return _bm25_rank(tf, doc_len, corpus, id_col, k1, b, top_k)
+
+
+def _bm25_rank(tf: DataFrame, doc_len: DataFrame, corpus: DataFrame,
+               id_col: str, k1: float, b: float,
+               top_k: int) -> DataFrame:
+    """BM25 scoring/ranking given the three aggregates: per-(doc, term)
+    frequencies (``__tf``), per-doc lengths (``__dl``), and the one-row
+    corpus stats (``__n``, ``__avgdl``) — shared by the in-scan and the
+    materialized-index paths so both rank identically."""
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     idf = F.log(F.lit(1.0)
                 + (F.col("__n") - F.col("__df") + 0.5)
@@ -147,3 +166,156 @@ def similar_docs(df: DataFrame, query_id, text_col: str = "text",
                                - F.col("__c")), 6).alias("jaccard"))
             .orderBy(F.col("jaccard").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+# --------------------------------------------------------------------- #
+# materialized postings index — build once, probe via partition pruning
+# --------------------------------------------------------------------- #
+# The in-scan paths above rebuild the postings table from the raw text
+# on every query — fine as a fallback, wrong as an index.  At 100 TB the
+# index is a TABLE LAYOUT (the same move as the ANN indexes in
+# similarity.py and the sorted-write index in database.py): postings are
+# written ONCE hive-partitioned by a TOKEN-HASH BUCKET ``tb`` (one
+# directory per token would explode the namespace at vocabulary scale;
+# n_buckets directories bound it), and a query filters on ``tb`` —
+# Catalyst partition pruning lists only the query terms' buckets, so a
+# 3-term query reads ≤ 3/n_buckets of the postings files instead of
+# re-tokenizing the corpus.  Doc lengths and the corpus stats BM25 needs
+# (N, avgdl) are computed at build time: doc lengths as a compact
+# sidecar table, N/avgdl as metadata constants — query-time scoring
+# touches only the matched posting lists, never a corpus-wide
+# aggregate.  The bucket hash is the portable md5 60-bit family
+# (sketches._H60), so the driver routes a literal term to its bucket in
+# plain Python and external oracles can replay the layout.
+
+_POSTINGS_META = "_postings_index_meta.json"
+
+
+@dataclass(frozen=True)
+class PostingsIndex:
+    """Handle to a materialized postings index: the partitioned postings
+    table, the doc-length sidecar, and the BM25 corpus constants."""
+
+    path: str                      # root; postings/ + doclen/ under it
+    n_buckets: int
+    n_docs: int                    # docs with >= 1 token (as bm25_scores)
+    avgdl: float
+    source_fingerprint: str = ""
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    @property
+    def doclen_path(self) -> str:
+        return os.path.join(self.path, "doclen")
+
+
+def token_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side bucket routing for a literal term — the Python mirror
+    of the ``tb`` partition expression (portable md5 60-bit family,
+    sketches._H60), pinned equal by tests."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def _token_bucket_col(n_buckets: int):
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _H60,
+    )
+
+    return F.expr(f"pmod({_H60.format(x='token')}, {n_buckets})")
+
+
+def build_postings_index(df: DataFrame, path: str, text_col: str = "text",
+                         id_col: str = "doc_id", n_buckets: int = 64,
+                         files_per_bucket: int = 1,
+                         fingerprint: str = "") -> PostingsIndex:
+    """Materialize the postings index: one corpus pass tokenizes and
+    writes postings partitioned by token bucket (``_bucket_partitioned``
+    bounds files per directory, same as the ANN builds); doc lengths and
+    the corpus stats are then aggregated off the written postings'
+    (tb, doc_id) columns — a column-pruned second read, not a second
+    tokenization pass."""
+    from cs186_query_optimization_project_spark.functions.similarity import (
+        _bucket_partitioned,
+    )
+
+    post = (build_postings(df, text_col, id_col)
+            .withColumn("tb", _token_bucket_col(n_buckets)))
+    (_bucket_partitioned(post, "tb", id_col, files_per_bucket)
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(os.path.join(path, "postings")))
+    spark = df.sparkSession
+    doc_len = (spark.read.parquet(os.path.join(path, "postings"))
+               .groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl")))
+    doc_len.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    stats = (spark.read.parquet(os.path.join(path, "doclen"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.avg("__dl").alias("avgdl")).first())
+    idx = PostingsIndex(path, n_buckets, int(stats["n"]),
+                        float(stats["avgdl"]), fingerprint)
+    with open(os.path.join(path, _POSTINGS_META), "w") as f:
+        json.dump({"n_buckets": idx.n_buckets, "n_docs": idx.n_docs,
+                   "avgdl": idx.avgdl,
+                   "source_fingerprint": idx.source_fingerprint}, f)
+    return idx
+
+
+def load_postings_index(path: str) -> PostingsIndex | None:
+    """Load a previously built postings index; None if absent/unreadable
+    (caller rebuilds — the index is a cache of the corpus)."""
+    try:
+        with open(os.path.join(path, _POSTINGS_META)) as f:
+            meta = json.load(f)
+        return PostingsIndex(path, meta["n_buckets"], meta["n_docs"],
+                             meta["avgdl"],
+                             meta.get("source_fingerprint", ""))
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def term_postings(spark: SparkSession, index: PostingsIndex,
+                  terms: list[str], id_col: str = "doc_id") -> DataFrame:
+    """The pruned postings scan for ``terms``: the bucket filter is a
+    PartitionFilter (directory pruning), the token filter rides the scan
+    as a pushed parquet predicate."""
+    buckets = sorted({token_bucket(t, index.n_buckets) for t in terms})
+    return (spark.read.parquet(index.postings_path)
+            .filter(F.col("tb").isin(buckets))
+            .filter(F.col("token").isin(list(terms)))
+            .select(F.col(id_col), F.col("pos"), F.col("token")))
+
+
+def phrase_search_indexed(spark: SparkSession, index: PostingsIndex,
+                          phrase: str,
+                          id_col: str = "doc_id") -> DataFrame:
+    """:func:`phrase_search` against a materialized index — identical
+    output, but the scan reads only the phrase terms' bucket
+    directories instead of re-tokenizing the corpus."""
+    terms = [t for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    return _phrase_join(term_postings(spark, index, terms, id_col),
+                        terms, id_col)
+
+
+def bm25_indexed(spark: SparkSession, index: PostingsIndex, query: str,
+                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                 top_k: int = 10) -> DataFrame:
+    """:func:`bm25_scores` against a materialized index — identical
+    ranking, but term frequencies come from the pruned postings scan,
+    doc lengths from the compact sidecar, and N/avgdl are build-time
+    constants (no corpus-wide aggregate at query time)."""
+    terms = sorted({t for t in query.split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    tf = (term_postings(spark, index, terms, id_col)
+          .groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    doc_len = spark.read.parquet(index.doclen_path)
+    corpus = spark.range(1).select(
+        F.lit(index.n_docs).alias("__n"),
+        F.lit(index.avgdl).alias("__avgdl"))
+    return _bm25_rank(tf, doc_len, corpus, id_col, k1, b, top_k)

@@ -1,0 +1,84 @@
+"""Materialized postings index: build-once token-bucket-partitioned
+postings probed via partition pruning (the keyword-retrieval analog of
+tests/test_ann_index.py — same scale claim: the PLAN must prune).
+
+At 100 TB a query must read the query terms' bucket directories, not
+re-tokenize the corpus: the ``tb`` filter must appear as
+``PartitionFilters`` on the postings scan, and doc lengths / corpus
+stats must come from the build-time sidecar, not a corpus aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.functions import retrieval
+
+from tests.conftest import SF_DIR, rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def pindex(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("postings") / "idx")
+    return retrieval.build_postings_index(docs, path, n_buckets=16,
+                                          fingerprint="test-fp")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_phrase_indexed_matches_in_scan_path(spark, docs, pindex):
+    assert (rows(retrieval.phrase_search_indexed(
+                spark, pindex, "slow hash batch"))
+            == rows(retrieval.phrase_search(docs, "slow hash batch")))
+
+
+def test_bm25_indexed_matches_in_scan_path(spark, docs, pindex):
+    assert (rows(retrieval.bm25_indexed(spark, pindex,
+                                        "hash batch window", top_k=10))
+            == rows(retrieval.bm25_scores(docs, "hash batch window",
+                                          top_k=10)))
+
+
+def test_term_postings_plan_prunes_partitions(spark, pindex):
+    plan = _plan(retrieval.term_postings(spark, pindex, ["hash", "batch"]))
+    # the bucket filter must be a PartitionFilter (directory pruning),
+    # not a post-scan Filter over every bucket; the token filter rides
+    # the scan as a pushed parquet predicate
+    assert "PartitionFilters" in plan
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "tb" in pf.split("PartitionFilters", 1)[1][:120]
+    assert "PushedFilters" in plan and "token" in plan
+    # and the layout really is one directory per token bucket
+    tb_dirs = [d for d in os.listdir(pindex.postings_path)
+               if d.startswith("tb=")]
+    assert len(tb_dirs) > 1
+
+
+def test_driver_side_bucket_routing_matches_sql(spark, pindex):
+    # the Python router and the SQL partition expression must agree on
+    # every token in the corpus — otherwise pruning would silently drop
+    # matching postings
+    mismatch = (spark.read.parquet(pindex.postings_path)
+                .select("token", "tb").distinct()
+                .collect())
+    assert mismatch
+    for r in mismatch:
+        assert retrieval.token_bucket(r["token"],
+                                      pindex.n_buckets) == r["tb"]
+
+
+def test_postings_index_load_roundtrip(pindex):
+    loaded = retrieval.load_postings_index(pindex.path)
+    assert loaded == pindex
+    assert loaded.n_docs > 0 and loaded.avgdl > 0
+    assert retrieval.load_postings_index("/nonexistent/idx") is None
