@@ -2638,6 +2638,54 @@ def q_streaming_hll(spark, sf_dir):
         "m", "filled_registers", "estimate")
 
 
+def q_hll_reconcile(spark, sf_dir):
+    """Lambda-architecture sketch reconciliation (the SCALE.md claim as
+    a checked query): a BATCH HLL sketch over events before 2024-01-16
+    and a STREAMED per-window HLL sketch over events from 2024-01-16 on
+    merge by plain groupBy-max into one sketch — bit-identical to the
+    single-pass sketch over the whole table, because register-max merge
+    is associative and both paths build registers from the same
+    portable-hash template (sketches.hll_register_sql).  Output pins
+    the claim: the merged estimate, the exact distinct count, and
+    ``registers_match`` = (merged register table == single-pass
+    register table, via symmetric exceptAll).  The oracle replays the
+    single-pass sketch in SQL and asserts TRUE."""
+    from cs186_query_optimization_project_spark.functions import sketches
+    cutoff = "2024-01-16 00:00:00"
+    db = _db(spark, sf_dir)
+    batch_keys = (db.table("events").filter(F.col("ts") < cutoff)
+                  .select(F.col("user_id").cast("string").alias("k")))
+    batch_regs = sketches.hll_registers(batch_keys, "k", m=256)
+    name = "stream_reconcile_" + _tag(sf_dir)
+    events = stream_windows.stream_events(spark,
+                                          f"{sf_dir}/events.parquet")
+    regs = stream_windows.hll_window_registers(
+        events.filter(F.col("ts") >= cutoff), window="1 hour",
+        watermark="2 hours", key_col="user_id", m=256)
+    stream_windows.run_to_memory(regs, name, output_mode="complete",
+                                 shuffle_partitions=8)
+    stream_regs = (spark.table(name)
+                   .groupBy("register").agg(F.max("rho").alias("rho")))
+    merged = (batch_regs.unionByName(stream_regs)
+              .groupBy("register").agg(F.max("rho").alias("rho")))
+    full_regs = sketches.hll_registers(
+        db.table("events").select(F.col("user_id").cast("string")
+                                  .alias("k")), "k", m=256)
+    match = (merged.exceptAll(full_regs)
+             .unionByName(full_regs.exceptAll(merged))
+             .agg((F.count(F.lit(1)) == 0).alias("registers_match")))
+    exact = db.table("events").agg(
+        F.count_distinct("user_id").alias("exact_distinct"))
+    return (sketches.hll_estimate(merged, m=256)
+            .crossJoin(exact).crossJoin(match)
+            .select("m", "filled_registers", "estimate", "exact_distinct",
+                    F.round(F.abs(F.col("estimate")
+                                  - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 4)
+                    .alias("rel_error"),
+                    "registers_match"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact positional phrase search ('slow hash batch') over the
     inverted postings table — each phrase term joins on (doc, pos + i),
@@ -2894,9 +2942,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "phrase_search": q_phrase_search,
         "bm25_search": q_bm25_search,
-        # --- NEW in round 8: materialized postings index (2) ---
+        # --- NEW in round 8: postings index + sketch reconcile (3) ---
         "phrase_indexed": q_phrase_indexed,
         "bm25_indexed": q_bm25_indexed,
+        "hll_reconcile": q_hll_reconcile,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
@@ -2938,10 +2987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "asof_join": q_asof_join,
         "embedding_topk": q_embedding_topk,
-        "groupby_sum_avg": q_groupby_sum_avg,
         # ------------- below the driver's 50-row window ------------- #
-        # (left_outer_join / explode_array were displaced by the two new
-        # round-8 entries; both keep their r4 green rows)
+        # (groupby_sum_avg / left_outer_join / explode_array were
+        # displaced by the three new round-8 entries; all keep their r4
+        # green rows)
+        "groupby_sum_avg": q_groupby_sum_avg,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
         # r4/r5-green entries the window couldn't hold, then the
@@ -4795,4 +4845,31 @@ def oracle_sql() -> dict[str, str]:
     # they share the oracles verbatim
     out["phrase_indexed"] = out["phrase_search"]
     out["bm25_indexed"] = out["bm25_search"]
+    # hll_reconcile: merged batch+stream sketch == the single-pass
+    # sketch (register-max merge is associative over a disjoint time
+    # split), so the oracle replays the SINGLE-PASS sketch over all
+    # events and asserts registers_match TRUE
+    out["hll_reconcile"] = (
+        "WITH h AS (SELECT ('0x' || substr(md5("
+        "CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv "
+        "FROM events), "
+        "r AS (SELECT CAST(hv % 256 AS INT) AS register, "
+        "CASE WHEN hv // 256 = 0 THEN 53 "
+        "ELSE 53 - length(bin(hv // 256)) END AS rho FROM h), "
+        "regs AS (SELECT register, MAX(rho) AS rho FROM r "
+        "GROUP BY register), "
+        "agg AS (SELECT COUNT(*) AS filled, "
+        "SUM(pow(2.0, -rho)) AS ps FROM regs), "
+        "est AS (SELECT filled, round(CASE WHEN "
+        "(0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 "
+        "/ (ps + (256 - filled)) <= 640.0 AND (256 - filled) > 0 "
+        "THEN 256.0 * ln(256.0 / (256 - filled)) "
+        "ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 "
+        "/ (ps + (256 - filled)) END, 4) AS estimate FROM agg), "
+        "x AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct "
+        "FROM events) "
+        "SELECT 256 AS m, filled::BIGINT AS filled_registers, "
+        "estimate, exact_distinct::BIGINT AS exact_distinct, "
+        "round(abs(estimate - exact_distinct) / exact_distinct, 4) "
+        "AS rel_error, TRUE AS registers_match FROM est, x")
     return out
