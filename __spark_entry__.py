@@ -1084,6 +1084,32 @@ def q_constraint_check(spark, sf_dir):
     ])
 
 
+def _publish_sentinel_dir(build: str, base: str, done: str) -> None:
+    """Atomically publish a fully-assembled sentinel source dir.
+
+    ``done`` (= base/_READY) is re-checked INSIDE the conflict branch:
+    a concurrent builder may have published a ready dir between our
+    initial readiness check and this publish — an unconditional rmtree
+    of ``base`` here would delete files a running stream is reading.
+    Only a base still missing its _READY marker (a crashed builder's
+    residue) is cleared and replaced, with one retry; losing the retry
+    race keeps the winner's dir."""
+    import os
+    import shutil
+
+    try:
+        os.rename(build, base)               # atomic publish
+    except OSError:
+        if os.path.exists(done):
+            shutil.rmtree(build, ignore_errors=True)
+        else:
+            shutil.rmtree(base, ignore_errors=True)
+            try:
+                os.rename(build, base)
+            except OSError:
+                shutil.rmtree(build, ignore_errors=True)
+
+
 def q_streaming_outer_join(spark, sf_dir):
     """REAL stream-stream LEFT OUTER interval join: every click, with
     its purchase when one follows within 30 min, else nulls.  Outer
@@ -1128,12 +1154,7 @@ def q_streaming_outer_join(spark, sf_dir):
         sentinel.coalesce(1).write.mode("append").parquet(build)
         with open(os.path.join(build, "_READY"), "w"):
             pass
-        shutil.rmtree(base, ignore_errors=True)  # legacy unready dir
-        try:
-            os.rename(build, base)               # atomic publish
-        except OSError:
-            # a concurrent builder published first; keep theirs
-            shutil.rmtree(build, ignore_errors=True)
+        _publish_sentinel_dir(build, base, done)
         import time as _time
         for _ in range(600):
             if os.path.exists(done):

@@ -166,7 +166,8 @@ class LockManager:
             finally:
                 queue.remove(entry)
                 self._waits.clear(txn_id)
-                if not granted:
+                if not granted and not any(
+                        txn_id in h for h in self._holders.values()):
                     # abnormal exit (deadlock refusal / timeout): this
                     # request is leaving the protocol, but the txn may
                     # RETRY under the same id — edges other sleeping
@@ -175,7 +176,12 @@ class LockManager:
                     # cycle test see a departed blocker, aborting a
                     # schedule that can no longer deadlock.  A GRANT
                     # must NOT prune: the txn becomes a holder and
-                    # cached edges toward it are still live.
+                    # cached edges toward it are still live.  Neither
+                    # must a txn that still HOLDS locks (a refused
+                    # UPGRADE keeps its S; a multi-table txn keeps its
+                    # other grants): sleeping waiters blocked by those
+                    # holds have LIVE edges toward it, and pruning them
+                    # would blind a later cycle test to a real deadlock.
                     self._waits.remove_target(txn_id)
                 # leaving the queue (grant OR abnormal exit — deadlock
                 # refusal / timeout) can make the new head eligible; a

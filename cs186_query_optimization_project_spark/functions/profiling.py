@@ -146,7 +146,18 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs = [F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
             for a, b in pairs]
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+
+    # column names are DATA here: backtick-quote the identifier
+    # references (doubling any embedded backtick) and escape the string
+    # literals, so names with spaces/quotes/dashes generate valid SQL
+    def _ident(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def _lit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    stack = ", ".join(
+        f"{_lit(a)}, {_lit(b)}, {_ident(f'{a}__{b}')}" for a, b in pairs)
     return (wide.select(F.expr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"))
         .orderBy("col_a", "col_b"))

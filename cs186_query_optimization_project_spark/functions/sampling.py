@@ -105,6 +105,15 @@ def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
     mx = df.agg(F.max(weight_col).alias("__mx"))
     u = (F.expr(_H60.format(x=f"cast({id_col} as string)")).cast("double")
          / float(2 ** 60))
+    # weight-domain guard: membership requires a POSITIVE weight and a
+    # positive max.  Without it, an all-non-positive weight column
+    # flips the ratio's sign (negative/negative) and would sample the
+    # MOST negative weights with the highest probability; with it,
+    # zero/negative-weight rows are never sampled (p ∝ weight, and
+    # p <= 0 means out) and a degenerate corpus yields an empty sample
+    # instead of a nonsensical one.
     return (df.crossJoin(F.broadcast(mx))
-            .filter(u < F.lit(rate) * F.col(weight_col) / F.col("__mx"))
+            .filter((F.col(weight_col) > 0) & (F.col("__mx") > 0)
+                    & (u < F.lit(rate) * F.col(weight_col)
+                       / F.col("__mx")))
             .drop("__mx"))

@@ -131,10 +131,13 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
         F.sum(f"__r{i}").cast("bigint").alias(f"__n{i}")
         for i in range(len(stages))
     ])
-    # escape quotes: stage names are data, not SQL — an unescaped
-    # apostrophe would break (or alter) the generated expression
+    # escape backslashes THEN quotes: stage names are data, not SQL —
+    # an unescaped apostrophe would break (or alter) the generated
+    # expression, and a trailing backslash would swallow the closing
+    # quote if escaped in the other order
     stack = ", ".join(
-        "{}, '{}', __n{}".format(i + 1, s.replace("'", "\\'"), i)
+        "{}, '{}', __n{}".format(
+            i + 1, s.replace("\\", "\\\\").replace("'", "\\'"), i)
         for i, s in enumerate(stages))
     return counts.select(F.expr(
         f"stack({len(stages)}, {stack}) AS (stage_idx, stage, n_users)"))

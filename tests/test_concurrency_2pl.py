@@ -232,3 +232,27 @@ def test_2pl_read_does_not_block_read(db):
     finally:
         t1.rollback()
         t2.rollback()
+
+
+def test_refused_upgrade_keeps_live_edges_toward_its_holds():
+    # T1 and T2 hold S on A; a sleeping waiter T3 has cached waits-for
+    # edges toward both (seeded directly — sleeping waiters only
+    # re-derive on wake).  T1's upgrade to X times out: T1 STILL HOLDS
+    # its S lock, so T3's edge toward T1 is live and must survive the
+    # abnormal exit — pruning it would blind a later cycle test to a
+    # real deadlock through T1's remaining hold.
+    lm = LockManager()
+    lm.acquire(1, "A", S)
+    lm.acquire(2, "A", S)
+    lm._waits.add(3, {1, 2})
+    with pytest.raises(DatabaseException):
+        lm.acquire(1, "A", X, timeout=0.05)    # blocked by T2's S
+    assert lm.holding(1, "A") == S
+    assert 1 in lm._waits._edges[3]
+    # a txn that leaves holding NOTHING still prunes (retry hygiene):
+    lm.acquire(4, "B", X)
+    lm._waits.add(3, {5})
+    with pytest.raises(DatabaseException):
+        lm.acquire(5, "B", X, timeout=0.05)    # blocked, holds nothing
+    assert lm.holding(5, "B") is None
+    assert 5 not in lm._waits._edges[3]

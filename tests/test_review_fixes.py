@@ -258,3 +258,83 @@ def test_funnel_escapes_stage_quotes(spark):
            for r in windows.funnel(df, "user_id", "ts", "event_type",
                                    ["sign'up", "buy"]).collect()}
     assert out == {"sign'up": 1, "buy": 1}
+
+
+def test_funnel_escapes_stage_backslashes(spark):
+    from cs186_query_optimization_project_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(1, "path\\", "2024-01-01 10:00:00"),
+         (1, "it's\\", "2024-01-01 11:00:00")],
+        ["user_id", "event_type", "ts_s"]).select(
+            "user_id", "event_type",
+            F.col("ts_s").cast("timestamp").alias("ts"))
+    # a trailing backslash must not swallow the closing quote (escape
+    # order: backslashes before quotes)
+    out = {r["stage"]: r["n_users"]
+           for r in windows.funnel(df, "user_id", "ts", "event_type",
+                                   ["path\\", "it's\\"]).collect()}
+    assert out == {"path\\": 1, "it's\\": 1}
+
+
+def test_weighted_sample_ignores_non_positive_weights(spark):
+    from cs186_query_optimization_project_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([-5.0, -1.0, 0.0] * 50)],
+        ["id", "w"])
+    # all weights <= 0: the sample must be EMPTY, not biased toward the
+    # most negative weights (negative/negative ratio flip)
+    assert sampling.weighted_sample(df, "w", "id", rate=1.0).count() == 0
+    mixed = spark.createDataFrame(
+        [(i, float(i % 3) - 1.0) for i in range(300)], ["id", "w"])
+    picked = sampling.weighted_sample(mixed, "w", "id", rate=1.0)
+    got = picked.select("w").distinct().collect()
+    # only the positive-weight stratum can ever be sampled
+    assert {r["w"] for r in got} <= {1.0}
+    assert picked.count() > 0
+
+
+def test_correlation_matrix_quotes_odd_column_names(spark):
+    from cs186_query_optimization_project_spark.functions import profiling
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 2.0), (2.0, 4.0, 1.0), (3.0, 6.0, 7.0)],
+        ["a col", "b-col", "c'col"])
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in profiling.correlation_matrix(
+               df, ["a col", "b-col", "c'col"]).collect()}
+    assert out[("a col", "b-col")] == 1.0
+    assert len(out) == 3
+
+
+def test_sentinel_publish_keeps_concurrent_ready_dir(tmp_path):
+    import os
+
+    import __spark_entry__ as entry
+
+    # a concurrent builder published a READY dir between our readiness
+    # check and our publish: theirs must survive untouched, ours is
+    # discarded
+    base, build = str(tmp_path / "base"), str(tmp_path / "b.build_1")
+    done = os.path.join(base, "_READY")
+    os.makedirs(base)
+    with open(os.path.join(base, "winner.parquet"), "w") as f:
+        f.write("theirs")
+    open(done, "w").close()
+    os.makedirs(build)
+    open(os.path.join(build, "_READY"), "w").close()
+    entry._publish_sentinel_dir(build, base, done)
+    assert os.path.exists(os.path.join(base, "winner.parquet"))
+    assert not os.path.exists(build)
+    # whereas a crashed builder's UNREADY residue is cleared+replaced
+    base2, build2 = str(tmp_path / "base2"), str(tmp_path / "b2.build_1")
+    done2 = os.path.join(base2, "_READY")
+    os.makedirs(base2)
+    with open(os.path.join(base2, "stale.parquet"), "w") as f:
+        f.write("residue")                     # no _READY marker
+    os.makedirs(build2)
+    open(os.path.join(build2, "_READY"), "w").close()
+    entry._publish_sentinel_dir(build2, base2, done2)
+    assert os.path.exists(done2)
+    assert not os.path.exists(os.path.join(base2, "stale.parquet"))
