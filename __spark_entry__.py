@@ -2707,6 +2707,56 @@ def q_hll_reconcile(spark, sf_dir):
                     "registers_match"))
 
 
+def q_cms_reconcile(spark, sf_dir):
+    """Lambda reconciliation, Count-Min half (hll_reconcile's sibling):
+    the batch CMS grid over events before 2024-01-16 and the streamed
+    per-window grid over events from then on merge by CELL-WISE SUM
+    into a grid identical to the single-pass grid over the whole table
+    (counts are additive over a disjoint split; both paths hash with
+    the same row-salted portable template).  Output probes ten watched
+    users against the MERGED grid with exact counts alongside, plus
+    ``grids_match`` pinned by symmetric exceptAll; the oracle replays
+    the single-pass grid and probe in SQL and asserts TRUE."""
+    from cs186_query_optimization_project_spark.functions import sketches
+    cutoff = "2024-01-16 00:00:00"
+    db = _db(spark, sf_dir)
+    batch = (db.table("events").filter(F.col("ts") < cutoff)
+             .select(F.col("user_id").cast("string").alias("k")))
+    batch_grid = sketches.cms_counters(batch, "k", d=3, w=2048)
+    name = "stream_cms_rec_" + _tag(sf_dir)
+    events = stream_windows.stream_events(spark,
+                                          f"{sf_dir}/events.parquet")
+    grid = stream_windows.cms_window_counters(
+        events.filter(F.col("ts") >= cutoff), window="1 hour",
+        watermark="2 hours", key_col="user_id", d=3, w=2048)
+    stream_windows.run_to_memory(grid, name, output_mode="complete",
+                                 shuffle_partitions=8)
+    stream_grid = (spark.table(name)
+                   .groupBy("row", "idx").agg(F.sum("cnt").alias("cnt")))
+    merged = (batch_grid.unionByName(stream_grid)
+              .groupBy("row", "idx").agg(F.sum("cnt").alias("cnt")))
+    full_grid = sketches.cms_counters(
+        db.table("events").select(F.col("user_id").cast("string")
+                                  .alias("k")), "k", d=3, w=2048)
+    match = (merged.exceptAll(full_grid)
+             .unionByName(full_grid.exceptAll(merged))
+             .agg((F.count(F.lit(1)) == 0).alias("grids_match")))
+    keys = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    est = sketches.cms_point_estimates(merged, keys, "k", d=3, w=2048)
+    exact = (db.table("events").filter(F.col("user_id") < 10)
+             .groupBy(F.col("user_id").cast("string").alias("k"))
+             .agg(F.count(F.lit(1)).alias("exact_count")))
+    return (est.join(exact, "k", "left")
+            .crossJoin(F.broadcast(match))
+            .select(F.col("k").cast("bigint").alias("user_id"),
+                    F.col("cms_estimate").cast("bigint")
+                    .alias("cms_estimate"),
+                    F.coalesce("exact_count", F.lit(0)).cast("bigint")
+                    .alias("exact_count"),
+                    "grids_match")
+            .orderBy("user_id"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact positional phrase search ('slow hash batch') over the
     inverted postings table — each phrase term joins on (doc, pos + i),
@@ -2963,10 +3013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "phrase_search": q_phrase_search,
         "bm25_search": q_bm25_search,
-        # --- NEW in round 8: postings index + sketch reconcile (3) ---
+        # --- NEW in round 8: postings index + sketch reconcile (4) ---
         "phrase_indexed": q_phrase_indexed,
         "bm25_indexed": q_bm25_indexed,
         "hll_reconcile": q_hll_reconcile,
+        "cms_reconcile": q_cms_reconcile,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
@@ -3007,11 +3058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "text_stats": q_text_stats,
         "asof_join": q_asof_join,
-        "embedding_topk": q_embedding_topk,
         # ------------- below the driver's 50-row window ------------- #
-        # (groupby_sum_avg / left_outer_join / explode_array were
-        # displaced by the three new round-8 entries; all keep their r4
-        # green rows)
+        # (embedding_topk / groupby_sum_avg / left_outer_join /
+        # explode_array were displaced by the four new round-8 entries;
+        # all keep their r4 green rows)
+        "embedding_topk": q_embedding_topk,
         "groupby_sum_avg": q_groupby_sum_avg,
         "left_outer_join": q_left_outer_join,
         "explode_array": q_explode_array,
@@ -4893,4 +4944,29 @@ def oracle_sql() -> dict[str, str]:
         "estimate, exact_distinct::BIGINT AS exact_distinct, "
         "round(abs(estimate - exact_distinct) / exact_distinct, 4) "
         "AS rel_error, TRUE AS registers_match FROM est, x")
+    # cms_reconcile: merged batch+stream grid == the single-pass grid
+    # (cell-wise sum over a disjoint time split), so the oracle replays
+    # the SINGLE-PASS grid + probe and asserts grids_match TRUE
+    out["cms_reconcile"] = (
+        "WITH e AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events), "
+        "ri AS (SELECT rr.r, k, CAST(('0x' || substr(md5("
+        "CAST(rr.r AS VARCHAR) || ':' || k), 1, 15))::UBIGINT "
+        "% 2048 AS INT) AS idx FROM e "
+        "CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr), "
+        "cnt AS (SELECT r, idx, COUNT(*) AS c FROM ri GROUP BY r, idx), "
+        "probe AS (SELECT u.uid, rr.r, CAST(('0x' || substr(md5("
+        "CAST(rr.r AS VARCHAR) || ':' || CAST(u.uid AS VARCHAR)), 1, 15)"
+        ")::UBIGINT % 2048 AS INT) AS idx "
+        "FROM (SELECT unnest(range(0, 10)) AS uid) u "
+        "CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr), "
+        "est AS (SELECT p.uid, MIN(COALESCE(c.c, 0)) AS cms_estimate "
+        "FROM probe p LEFT JOIN cnt c ON c.r = p.r AND c.idx = p.idx "
+        "GROUP BY p.uid), "
+        "x AS (SELECT user_id, COUNT(*) AS exact_count FROM events "
+        "WHERE user_id < 10 GROUP BY user_id) "
+        "SELECT est.uid::BIGINT AS user_id, "
+        "est.cms_estimate::BIGINT AS cms_estimate, "
+        "COALESCE(x.exact_count, 0)::BIGINT AS exact_count, "
+        "TRUE AS grids_match "
+        "FROM est LEFT JOIN x ON x.user_id = est.uid ORDER BY user_id")
     return out
