@@ -2757,6 +2757,23 @@ def q_cms_reconcile(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Training-mixture composition to TARGET PROPORTIONS (50% src0,
+    25% src1, 25% src2): rates are DERIVED from the targets and the
+    observed per-domain counts, capped by the scarcest domain (src0
+    binds at rate 1.0 — it must supply half the output from 1/20 of a
+    uniform corpus).  Membership is the portable md5 uniform, so the
+    whole pipeline — counts, cap, rates, coin flips — replays in SQL.
+    The contract weights sum to exactly 1.0 in binary (0.5 + 0.25 +
+    0.25), so normalization is bit-exact across engines."""
+    from cs186_query_optimization_project_spark.functions import sampling
+    db = _db(spark, sf_dir)
+    return (sampling.mixture_sample(
+                db.table("documents"), "source",
+                {"src0": 0.5, "src1": 0.25, "src2": 0.25}, "doc_id")
+            .select("doc_id", "source"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact positional phrase search ('slow hash batch') over the
     inverted postings table — each phrase term joins on (doc, pos + i),
@@ -3013,11 +3030,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "phrase_search": q_phrase_search,
         "bm25_search": q_bm25_search,
-        # --- NEW in round 8: postings index + sketch reconcile (4) ---
+        # --- NEW in round 8: postings index, sketch reconcile,
+        # --- mixture composition (5) ---
         "phrase_indexed": q_phrase_indexed,
         "bm25_indexed": q_bm25_indexed,
         "hll_reconcile": q_hll_reconcile,
         "cms_reconcile": q_cms_reconcile,
+        "mixture_sample": q_mixture_sample,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
@@ -3057,11 +3076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "text_stats": q_text_stats,
-        "asof_join": q_asof_join,
         # ------------- below the driver's 50-row window ------------- #
-        # (embedding_topk / groupby_sum_avg / left_outer_join /
-        # explode_array were displaced by the four new round-8 entries;
-        # all keep their r4 green rows)
+        # (asof_join / embedding_topk / groupby_sum_avg /
+        # left_outer_join / explode_array were displaced by the five
+        # new round-8 entries; all keep their r4 green rows)
+        "asof_join": q_asof_join,
         "embedding_topk": q_embedding_topk,
         "groupby_sum_avg": q_groupby_sum_avg,
         "left_outer_join": q_left_outer_join,
@@ -4969,4 +4988,24 @@ def oracle_sql() -> dict[str, str]:
         "COALESCE(x.exact_count, 0)::BIGINT AS exact_count, "
         "TRUE AS grids_match "
         "FROM est LEFT JOIN x ON x.user_id = est.uid ORDER BY user_id")
+    # mixture_sample: replay counts -> cap -> rates -> md5 coin flips.
+    # Weights are ::DOUBLE (DuckDB parses bare 0.5 as DECIMAL, whose
+    # division semantics differ); the contract weights sum to exactly
+    # 1.0 in binary so normalization is a bit-exact no-op both sides.
+    out["mixture_sample"] = (
+        "WITH w AS (SELECT * FROM (VALUES "
+        "('src0', 0.5::DOUBLE), ('src1', 0.25::DOUBLE), "
+        "('src2', 0.25::DOUBLE)) AS t(src, wt)), "
+        "n AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM documents WHERE source IN ('src0', 'src1', 'src2') "
+        "GROUP BY source), "
+        "cap AS (SELECT MIN(n.n / w.wt) AS c FROM n "
+        "JOIN w ON n.source = w.src), "
+        "r AS (SELECT w.src, LEAST(1.0::DOUBLE, w.wt * cap.c / n.n) "
+        "AS rate FROM w JOIN n ON n.source = w.src CROSS JOIN cap) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "JOIN r ON d.source = r.src "
+        "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))"
+        "::UBIGINT::DOUBLE / 1152921504606846976.0 < r.rate "
+        "ORDER BY doc_id")
     return out

@@ -117,3 +117,55 @@ def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
                     & (u < F.lit(rate) * F.col(weight_col)
                        / F.col("__mx")))
             .drop("__mx"))
+
+
+def mixture_sample(df: DataFrame, domain_col: str, weights: dict,
+                   id_col: str, salt: str = "") -> DataFrame:
+    """Compose a training mixture to TARGET PROPORTIONS: keep a subset
+    of ``df`` in which each listed domain contributes ``weights[d]`` of
+    the output (in expectation), at the largest total the corpus can
+    supply without repeating rows.
+
+    This is the data-mixture step of corpus assembly (e.g. "50% web,
+    25% code, 25% books"): :func:`hash_stratified_sample` takes per-
+    stratum RATES; this derives the rates FROM the targets and the
+    observed counts.  Feasibility: the output total is capped by the
+    scarcest domain, ``T = min_d(count_d / weight_d)``, giving keep
+    rates ``rate_d = weight_d * T / count_d`` (== 1.0 for the binding
+    domain).  Domains not listed are dropped; a listed domain with no
+    rows raises (the mixture is unsatisfiable, not silently skewed).
+
+    Shape at scale: one tiny aggregate collects |domains| counts
+    (bounded-scalar class, like the IVF centroid pull), then the filter
+    is a map-only pass — membership is ``hash_uniform(id) < rate_d``
+    with the portable md5 uniform, so the sample is independent of
+    partition layout and replayable bit-for-bit by an external SQL
+    oracle (the :func:`hash_split` reproducibility argument).
+    """
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _H60,
+    )
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for d, w in weights.items():
+        if w <= 0:
+            raise ValueError(
+                f"weight for domain {d!r} must be > 0, got {w}")
+    total_w = sum(weights.values())
+    norm = {d: w / total_w for d, w in weights.items()}
+    counts = {r["d"]: r["n"] for r in
+              (df.filter(F.col(domain_col).isin(list(weights)))
+               .groupBy(F.col(domain_col).alias("d"))
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    missing = [d for d in weights if d not in counts]
+    if missing:
+        raise ValueError(
+            f"mixture unsatisfiable: no rows for domains {missing!r}")
+    cap = min(counts[d] / norm[d] for d in norm)
+    rates = {d: min(1.0, norm[d] * cap / counts[d]) for d in norm}
+    u = (F.expr(_H60.format(
+            x=f"concat('{salt}', cast({id_col} as string))"))
+         .cast("double") / float(2 ** 60))
+    rate = F.create_map(*[
+        x for d, r in rates.items() for x in (F.lit(d), F.lit(r))])
+    return df.filter(u < rate[F.col(domain_col)])

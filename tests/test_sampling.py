@@ -78,3 +78,49 @@ def test_stratified_sample_downsamples_named_stratum(docs):
     assert kept.get("de", 0) == total["de"]          # fraction 1.0 = keep all
     assert kept.get("en", 0) < total["en"]           # downsampled
     assert set(kept) <= {"en", "de"}                 # unlisted strata dropped
+
+
+def test_mixture_sample_hits_target_proportions(docs):
+    from cs186_query_optimization_project_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    out = mixture_sample(docs, "source",
+                         {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+                         "doc_id")
+    by_src = {r["source"]: r["n"]
+              for r in out.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    # src0 is the binding domain (rate 1.0: needs 50% of the output
+    # from 1/20 of a uniform corpus): ALL its rows are kept
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert by_src["src0"] == n0
+    # the others keep ~half (hash-uniform at rate 0.5); exact counts
+    # are deterministic, bounded well away from 0 and from full
+    assert 0.25 * n0 < by_src["src1"] < 0.75 * n0
+    assert 0.25 * n0 < by_src["src2"] < 0.75 * n0
+    # unlisted domains are dropped entirely
+    assert set(by_src) == {"src0", "src1", "src2"}
+    # membership is partition-layout independent
+    out2 = mixture_sample(docs.repartition(13), "source",
+                          {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+                          "doc_id")
+    assert (sorted(r["doc_id"] for r in out.select("doc_id").collect())
+            == sorted(r["doc_id"]
+                      for r in out2.select("doc_id").collect()))
+
+
+def test_mixture_sample_rejects_bad_weights(docs):
+    import pytest
+
+    from cs186_query_optimization_project_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(docs, "source", {}, "doc_id")
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_sample(docs, "source", {"src0": 0.0}, "doc_id")
+    with pytest.raises(ValueError, match="unsatisfiable"):
+        mixture_sample(docs, "source", {"src0": 0.5, "no_such": 0.5},
+                       "doc_id")
