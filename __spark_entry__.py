@@ -2774,6 +2774,19 @@ def q_mixture_sample(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-1 reshuffle of the corpus into 8 shards:
+    (shard, pos) is a pure function of md5('1::' || doc_id) with id
+    tie-break — reproducible without RNG state, re-keyed per epoch.
+    One hash shuffle + per-shard sort (the shard-materialization shape
+    at 100 TB); the oracle replays shard and row_number in SQL."""
+    from cs186_query_optimization_project_spark.functions import packing
+    db = _db(spark, sf_dir)
+    return (packing.epoch_shuffle(db.table("documents"), "doc_id",
+                                  n_shards=8, epoch=1)
+            .select("doc_id", "shard", "pos"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact positional phrase search ('slow hash batch') over the
     inverted postings table — each phrase term joins on (doc, pos + i),
@@ -3031,12 +3044,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "bm25_search": q_bm25_search,
         # --- NEW in round 8: postings index, sketch reconcile,
-        # --- mixture composition (5) ---
+        # --- mixture composition, epoch shuffle (6) ---
         "phrase_indexed": q_phrase_indexed,
         "bm25_indexed": q_bm25_indexed,
         "hll_reconcile": q_hll_reconcile,
         "cms_reconcile": q_cms_reconcile,
         "mixture_sample": q_mixture_sample,
+        "epoch_shuffle": q_epoch_shuffle,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
@@ -3075,11 +3089,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "text_stats": q_text_stats,
         # ------------- below the driver's 50-row window ------------- #
-        # (asof_join / embedding_topk / groupby_sum_avg /
-        # left_outer_join / explode_array were displaced by the five
+        # (text_stats / asof_join / embedding_topk / groupby_sum_avg /
+        # left_outer_join / explode_array were displaced by the six
         # new round-8 entries; all keep their r4 green rows)
+        "text_stats": q_text_stats,
         "asof_join": q_asof_join,
         "embedding_topk": q_embedding_topk,
         "groupby_sum_avg": q_groupby_sum_avg,
@@ -5008,4 +5022,14 @@ def oracle_sql() -> dict[str, str]:
         "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))"
         "::UBIGINT::DOUBLE / 1152921504606846976.0 < r.rate "
         "ORDER BY doc_id")
+    # epoch_shuffle: shard = h60 % 8, pos = row_number within shard
+    # ordered by (h60, doc_id) — the same total permutation
+    out["epoch_shuffle"] = (
+        "WITH h AS (SELECT doc_id, ('0x' || substr(md5("
+        "'1::' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS hv "
+        "FROM documents) "
+        "SELECT doc_id, CAST(hv % 8 AS INT) AS shard, "
+        "row_number() OVER (PARTITION BY hv % 8 "
+        "ORDER BY hv, doc_id) AS pos "
+        "FROM h ORDER BY shard, pos")
     return out

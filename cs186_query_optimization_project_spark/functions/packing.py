@@ -105,3 +105,37 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                         F.slice(F.col("__toks"),
                                 F.col("chunk_idx") * stride + 1,
                                 max_tokens), " ").alias("chunk_text")))
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, n_shards: int = 16,
+                  epoch: int = 0, salt: str = "") -> DataFrame:
+    """Deterministic between-epochs reshuffle: assign every row a
+    ``shard`` and a ``pos`` within its shard, as a pure function of
+    (epoch, salt, id) — the training-data analog of ``pack_sequences``'
+    layout determinism applied to ORDER.
+
+    Training loaders need a different global order each epoch without
+    RNG state to checkpoint: here order is md5(epoch:salt:id), so epoch
+    k's permutation is reproducible from the ids alone (resumable from
+    any point, independent of partitioning/executor count/engine) and
+    epoch k+1's is an independent permutation (the hash re-keys).
+
+    Scale shape: ONE hash shuffle on ``shard`` + an in-partition sort —
+    exactly how shards are materialized at 100 TB (each shard is a
+    bounded sort; n_shards sized so a shard fits a task).  No global
+    sort, no RNG, no driver state.  Hash ties (birthday-bounded) break
+    by id, so the permutation is total and the SQL oracle replays it
+    row-for-row.
+    """
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _H60,
+    )
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    h = F.expr(_H60.format(
+        x=f"concat('{epoch}:{salt}:', cast({id_col} as string))"))
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (out.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__h"))

@@ -119,3 +119,42 @@ def test_pack_sequences_matches_python_reference(spark, counts, budget):
     for i, c in enumerate(counts):
         assert got[i] == (off // budget, off)
         off += c
+
+
+def test_epoch_shuffle_total_deterministic_permutation(docs):
+    out = packing.epoch_shuffle(docs, "doc_id", n_shards=8, epoch=1)
+    n = docs.count()
+    rows_ = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows_) == n
+    # every row gets exactly one (shard, pos); positions are dense
+    # 1..len(shard) within each shard (a total permutation)
+    by_shard = {}
+    for r in rows_:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # partition-layout independence: same permutation after repartition
+    again = {(r["doc_id"]): (r["shard"], r["pos"])
+             for r in packing.epoch_shuffle(
+                 docs.repartition(13), "doc_id", n_shards=8, epoch=1)
+             .select("doc_id", "shard", "pos").collect()}
+    assert {(r["doc_id"]): (r["shard"], r["pos"]) for r in rows_} == again
+
+
+def test_epoch_shuffle_epochs_are_independent_permutations(docs):
+    e1 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in packing.epoch_shuffle(docs, "doc_id", 8, epoch=1)
+          .select("doc_id", "shard", "pos").collect()}
+    e2 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in packing.epoch_shuffle(docs, "doc_id", 8, epoch=2)
+          .select("doc_id", "shard", "pos").collect()}
+    # the hash re-keys between epochs: assignments must differ for the
+    # overwhelming majority of rows
+    same = sum(1 for k in e1 if e1[k] == e2[k])
+    assert same < len(e1) * 0.1
+
+
+def test_epoch_shuffle_rejects_bad_shards(docs):
+    with pytest.raises(ValueError, match="n_shards"):
+        packing.epoch_shuffle(docs, "doc_id", n_shards=0)
