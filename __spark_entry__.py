@@ -1087,27 +1087,32 @@ def q_constraint_check(spark, sf_dir):
 def _publish_sentinel_dir(build: str, base: str, done: str) -> None:
     """Atomically publish a fully-assembled sentinel source dir.
 
-    ``done`` (= base/_READY) is re-checked INSIDE the conflict branch:
-    a concurrent builder may have published a ready dir between our
-    initial readiness check and this publish — an unconditional rmtree
-    of ``base`` here would delete files a running stream is reading.
-    Only a base still missing its _READY marker (a crashed builder's
-    residue) is cleared and replaced, with one retry; losing the retry
-    race keeps the winner's dir."""
+    The readiness re-check and the clear+rename run under an exclusive
+    ``flock`` on a sidecar lock file, making check-and-publish one
+    atomic step across processes: a concurrent builder that published a
+    READY dir between our initial readiness check and this call keeps
+    its dir untouched (ours is discarded), and only a base still
+    missing its _READY marker — a crashed builder's residue — is
+    cleared and replaced.  Without the lock, two losers of the first
+    rename could each pass the ``done`` check before the other's
+    publish landed and rmtree a just-published ready dir (TOCTOU).
+    Every publisher goes through this helper, so the advisory lock is
+    sufficient; waiters only poll ``done`` and never take the lock."""
+    import fcntl
     import os
     import shutil
 
-    try:
-        os.rename(build, base)               # atomic publish
-    except OSError:
-        if os.path.exists(done):
-            shutil.rmtree(build, ignore_errors=True)
-        else:
-            shutil.rmtree(base, ignore_errors=True)
-            try:
-                os.rename(build, base)
-            except OSError:
+    with open(base + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(done):
+                # a concurrent builder published first; keep theirs
                 shutil.rmtree(build, ignore_errors=True)
+            else:
+                shutil.rmtree(base, ignore_errors=True)
+                os.rename(build, base)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def q_streaming_outer_join(spark, sf_dir):
@@ -2425,10 +2430,12 @@ _ANN_PARAMS = {"lsh": {"n_planes": 4}, "ivf": {"n_cells": 16}}
 _ANN_INDEX_VERSION = 2
 
 
-def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
-    """Build-or-load the materialized ANN index for this corpus.
+def _build_or_load_index(sf_dir, src_file: str, family: str, kind: str,
+                         version: int, params: dict, loader, builder):
+    """ONE build-or-load cache scheme for every materialized index
+    (ANN tables, postings index).
 
-    The directory name is keyed by (kind, build params, source
+    The directory name is keyed by (kind, version, build params, source
     fingerprint), under a per-uid 0700 parent (same reasoning as the
     stats cache, database.py): a changed corpus or changed parameters
     lands in a FRESH directory instead of overwriting one a concurrent
@@ -2436,29 +2443,42 @@ def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
     poison the path.  Stale versions accumulate bounded garbage in /tmp,
     like the DML copy-on-write versions — a vacuum is a directory
     delete.  Repeated runs and separate driver subprocesses resolve the
-    same key and reuse the same on-disk index."""
+    same key and reuse the same on-disk index.
+
+    ``loader(path)`` returns the index handle or None; ``builder(path,
+    fingerprint)`` materializes it.  Staleness = missing on disk OR a
+    source fingerprint that no longer matches."""
     import hashlib
     import os
 
-    src = f"{sf_dir}/embeddings.parquet"
-    fp = similarity.source_fingerprint(src)
-    params = _ANN_PARAMS[kind]
+    fp = similarity.source_fingerprint(f"{sf_dir}/{src_file}")
     parent = _ensure_private_dir(
-        f"/tmp/spark_graft_ann_{os.getuid()}")
-    key = hashlib.md5(f"{kind}|v{_ANN_INDEX_VERSION}|"
-                      f"{sorted(params.items())}|{fp}"
+        f"/tmp/spark_graft_{family}_{os.getuid()}")
+    key = hashlib.md5(f"{kind}|v{version}|{sorted(params.items())}|{fp}"
                       .encode()).hexdigest()[:12]
     path = os.path.join(parent, f"{kind}_{_tag(sf_dir)}_{key}")
-    idx = similarity.load_ann_index(path)
+    idx = loader(path)
     if idx is None or idx.source_fingerprint != fp:
+        idx = builder(path, fp)
+    return idx
+
+
+def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
+    """Build-or-load the materialized ANN index for this corpus (the
+    shared :func:`_build_or_load_index` scheme)."""
+    params = _ANN_PARAMS[kind]
+
+    def build(path, fp):
         emb = _db(spark, sf_dir).table("embeddings")
         if kind == "lsh":
-            idx = similarity.build_lsh_index(emb, path, fingerprint=fp,
-                                             **params)
-        else:
-            idx = similarity.build_ivf_index(emb, path, fingerprint=fp,
-                                             **params)
-    return idx
+            return similarity.build_lsh_index(emb, path, fingerprint=fp,
+                                              **params)
+        return similarity.build_ivf_index(emb, path, fingerprint=fp,
+                                          **params)
+
+    return _build_or_load_index(sf_dir, "embeddings.parquet", "ann",
+                                kind, _ANN_INDEX_VERSION, params,
+                                similarity.load_ann_index, build)
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
@@ -2801,29 +2821,20 @@ _POSTINGS_INDEX_VERSION = 1
 
 
 def _postings_index(spark, sf_dir):
-    """Build-or-load the materialized postings index for this corpus —
-    same key/caching scheme as :func:`_ann_index` (per-uid 0700 parent,
-    path keyed by params + source fingerprint, stale versions are
-    bounded /tmp garbage)."""
-    import hashlib
-    import os
-
+    """Build-or-load the materialized postings index for this corpus
+    (the shared :func:`_build_or_load_index` scheme)."""
     from cs186_query_optimization_project_spark.functions import retrieval
 
-    src = f"{sf_dir}/documents.parquet"
-    fp = similarity.source_fingerprint(src)
-    n_buckets = 64
-    parent = _ensure_private_dir(f"/tmp/spark_graft_postings_{os.getuid()}")
-    key = hashlib.md5(f"v{_POSTINGS_INDEX_VERSION}|{n_buckets}|{fp}"
-                      .encode()).hexdigest()[:12]
-    path = os.path.join(parent, f"post_{_tag(sf_dir)}_{key}")
-    idx = retrieval.load_postings_index(path)
-    if idx is None or idx.source_fingerprint != fp:
+    params = {"n_buckets": 64}
+
+    def build(path, fp):
         docs = _db(spark, sf_dir).table("documents")
-        idx = retrieval.build_postings_index(docs, path,
-                                             n_buckets=n_buckets,
-                                             fingerprint=fp)
-    return idx
+        return retrieval.build_postings_index(docs, path, fingerprint=fp,
+                                              **params)
+
+    return _build_or_load_index(sf_dir, "documents.parquet", "postings",
+                                "post", _POSTINGS_INDEX_VERSION, params,
+                                retrieval.load_postings_index, build)
 
 
 def q_phrase_indexed(spark, sf_dir):

@@ -127,13 +127,16 @@ def epoch_shuffle(df: DataFrame, id_col: str, n_shards: int = 16,
     by id, so the permutation is total and the SQL oracle replays it
     row-for-row.
     """
-    from cs186_query_optimization_project_spark.functions.sketches import (
-        _H60,
-    )
     if n_shards <= 0:
         raise ValueError(f"n_shards must be > 0, got {n_shards}")
-    h = F.expr(_H60.format(
-        x=f"concat('{epoch}:{salt}:', cast({id_col} as string))"))
+    # the (epoch, salt) prefix rides in as a Column literal, never
+    # interpolated into SQL text — a salt with quotes/backslashes must
+    # not crash or alter the hash expression (the funnel escaping
+    # lesson); int(epoch) keeps the prefix canonical
+    h = (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{int(epoch)}:{salt}:"),
+            F.col(id_col).cast("string"))), 1, 15), 16, 10)
+         .cast("bigint"))
     out = df.withColumn("__h", h).withColumn(
         "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
     w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))

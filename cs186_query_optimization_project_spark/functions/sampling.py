@@ -142,9 +142,6 @@ def mixture_sample(df: DataFrame, domain_col: str, weights: dict,
     partition layout and replayable bit-for-bit by an external SQL
     oracle (the :func:`hash_split` reproducibility argument).
     """
-    from cs186_query_optimization_project_spark.functions.sketches import (
-        _H60,
-    )
     if not weights:
         raise ValueError("weights must be non-empty")
     for d, w in weights.items():
@@ -163,9 +160,12 @@ def mixture_sample(df: DataFrame, domain_col: str, weights: dict,
             f"mixture unsatisfiable: no rows for domains {missing!r}")
     cap = min(counts[d] / norm[d] for d in norm)
     rates = {d: min(1.0, norm[d] * cap / counts[d]) for d in norm}
-    u = (F.expr(_H60.format(
-            x=f"concat('{salt}', cast({id_col} as string))"))
-         .cast("double") / float(2 ** 60))
+    # salt rides in as a Column literal, never interpolated into SQL
+    # text (the funnel/correlation_matrix escaping lesson): a salt
+    # containing quotes/backslashes must not alter the hash expression
+    u = (F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+         .cast("bigint").cast("double") / float(2 ** 60))
     rate = F.create_map(*[
         x for d, r in rates.items() for x in (F.lit(d), F.lit(r))])
     return df.filter(u < rate[F.col(domain_col)])

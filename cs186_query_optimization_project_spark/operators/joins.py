@@ -139,7 +139,7 @@ _BLOOM_MIN_M = 16384
 #: ceiling for adaptive mask sizing.  The mask is inlined into the probe
 #: filter as a SQL array literal (that's what lets it ride the scan with
 #: no shuffle), so it has a hard practical size limit: 2^20 bits =
-#: 16,384 longs ≈ 300 KB of expression text.  Beyond ~175k build keys
+#: 16,384 longs ≈ 300 KB of expression text.  Beyond ~242k build keys (m·ln2/k)
 #: even the ceiling mask saturates (>50% fill at k=3) and prunes
 #: nothing — the adaptive path then SKIPS the Bloom pass entirely
 #: rather than paying for a filter that drops no rows.

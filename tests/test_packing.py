@@ -158,3 +158,9 @@ def test_epoch_shuffle_epochs_are_independent_permutations(docs):
 def test_epoch_shuffle_rejects_bad_shards(docs):
     with pytest.raises(ValueError, match="n_shards"):
         packing.epoch_shuffle(docs, "doc_id", n_shards=0)
+
+
+def test_epoch_shuffle_salt_is_data_not_sql(docs):
+    out = packing.epoch_shuffle(docs, "doc_id", n_shards=4, epoch=1,
+                                salt="it's \\ weird")
+    assert out.count() == docs.count()

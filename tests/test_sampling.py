@@ -124,3 +124,15 @@ def test_mixture_sample_rejects_bad_weights(docs):
     with pytest.raises(ValueError, match="unsatisfiable"):
         mixture_sample(docs, "source", {"src0": 0.5, "no_such": 0.5},
                        "doc_id")
+
+
+def test_mixture_sample_salt_is_data_not_sql(docs):
+    from cs186_query_optimization_project_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    # a salt full of SQL metacharacters must neither crash nor alter
+    # semantics (it rides in as a Column literal)
+    out = mixture_sample(docs, "source", {"src0": 1.0}, "doc_id",
+                         salt="it's \\ weird")
+    assert out.count() == docs.filter(F.col("source") == "src0").count()

@@ -117,7 +117,7 @@ def test_bloom_adaptive_sizing_widens_mask():
     m_big = joins.adaptive_bloom_m(40_000)
     assert m_big == 1 << 19 and m_big & (m_big - 1) == 0
     assert joins.adaptive_bloom_m(100_000) == joins._BLOOM_MAX_M
-    # ~175k keys is the 50%-fill frontier at the 2^20 ceiling, k=3
+    # ~242k keys (m·ln2/k) is the 50%-fill frontier at the 2^20 ceiling, k=3
     assert joins.adaptive_bloom_m(500_000) is None
 
 
