@@ -2142,6 +2142,29 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_db(spark, sf_dir).table("documents"))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated 8-token spans across the corpus (Lee et al.
+    2022 exact-substring dedup — the verbatim-boilerplate complement to
+    the whole-doc MinHash path).  One gram-keyed aggregation; top-40 by
+    the total order (n_docs desc, n_occurrences desc, gram) so the
+    limit is deterministic."""
+    corpus = _db(spark, sf_dir).table("documents")
+    spans = dedup.duplicated_spans(corpus, k=8)
+    return (spans.orderBy(F.desc("n_docs"), F.desc("n_occurrences"),
+                          "gram")
+            .limit(40)
+            .select("gram", "n_docs", "n_occurrences"))
+
+
+def q_dup_span_coverage(spark, sf_dir):
+    """Per-document fraction of 8-gram positions inside a cross-doc
+    duplicated span — the exact-substring removal metric (docs above a
+    coverage threshold get trimmed/dropped).  Unlimited deterministic
+    row set: every doc with >= 1 duplicated span."""
+    corpus = _db(spark, sf_dir).table("documents")
+    return dedup.span_dup_coverage(corpus, k=8).orderBy("doc_id")
+
+
 def q_text_stats(spark, sf_dir):
     return text.profile(_db(spark, sf_dir).table("documents"))
 
@@ -3215,6 +3238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_histogram": q_table_histogram,
         "frequent_pairs": q_frequent_pairs,
         "resample_fill": q_resample_fill,
+        # --- round 8, post-window: exact-substring dedup pair ---
+        "dup_spans": q_dup_spans,
+        "dup_span_coverage": q_dup_span_coverage,
     }
 
 
@@ -4955,6 +4981,44 @@ def oracle_sql() -> dict[str, str]:
             "THEN 256.0 * ln(256.0 / (256 - filled)) "
             "ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 "
             "/ (ps + (256 - filled)) END, 4) AS estimate FROM agg"),
+        # exact-substring dedup pair: same tokenization contract as
+        # doc_repetition (regexp_split_to_array == Spark split on \s+);
+        # 8-gram at position i spans toks[i:i+7] (DuckDB list slices
+        # are 1-based inclusive), count = len - 7 → range(1, len - 6)
+        "dup_spans": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '\\s+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(toks) <= 8 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 6), "
+            "i -> array_to_string(toks[i:i+7], ' ')) END AS grams "
+            "FROM t), "
+            "ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh) "
+            "SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+            "AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+            "FROM ex GROUP BY gram "
+            "HAVING COUNT(DISTINCT doc_id) >= 2 "
+            "ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 40"),
+        "dup_span_coverage": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '\\s+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(toks) <= 8 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 6), "
+            "i -> array_to_string(toks[i:i+7], ' ')) END AS grams "
+            "FROM t), "
+            "ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh), "
+            "dup AS (SELECT gram FROM ex GROUP BY gram "
+            "HAVING COUNT(DISTINCT doc_id) >= 2), "
+            "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_spans FROM ex GROUP BY doc_id), "
+            "d AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_dup_spans FROM ex e JOIN dup USING (gram) "
+            "GROUP BY e.doc_id) "
+            "SELECT tot.doc_id, tot.n_spans, d.n_dup_spans, "
+            "round(d.n_dup_spans::DOUBLE / tot.n_spans, 6) "
+            "AS dup_ratio FROM tot JOIN d USING (doc_id) "
+            "ORDER BY doc_id"),
     }
     # the materialized-index variants return IDENTICAL results to their
     # in-scan counterparts (the index only changes the scan layout), so

@@ -768,3 +768,68 @@ def edit_distance_pairs_multipass(df: DataFrame, text_col: str,
         df, text_col, id_col, max_distance,
         F.substring(F.col(text_col), -affix_len, affix_len))
     return prefix.unionByName(suffix).distinct()
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 8,
+                     min_docs: int = 2) -> DataFrame:
+    """Exact duplicated k-token spans across documents — the
+    exact-substring side of training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    complementing the whole-doc near-dup MinHash path: two documents
+    that are globally dissimilar can still share a verbatim boilerplate
+    span that an LM will memorize.
+
+    Shape: explode every k-gram position (NOT distinct — within-doc
+    repeats count toward ``n_occurrences``) → ONE groupBy(gram) with
+    map-side partial aggregation → keep grams seen in >= ``min_docs``
+    distinct documents.  A pure aggregation: one shuffle keyed on the
+    gram, no joins, linear in corpus token count — at 100 TB this is
+    the same cost class as a word count.  (The reference's nearest
+    analog is its GROUP BY + COUNT pipeline, GroupByOperator.java +
+    SelectOperator countAgg; the span semantics are the
+    beyond-reference training-pipeline extension.)
+
+    Output: (gram, n_docs, n_occurrences), unaggregated order.
+    """
+    grams = df.select(F.col(id_col),
+                      F.explode(shingles(text_col, k)).alias("gram"))
+    return (grams.groupBy("gram")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count("*").alias("n_occurrences"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def span_dup_coverage(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      min_docs: int = 2) -> DataFrame:
+    """Per-document fraction of k-gram positions lying inside a span
+    duplicated across >= ``min_docs`` documents — the removal metric of
+    exact-substring dedup (how much of each doc is cross-corpus
+    boilerplate; docs above a threshold get trimmed or dropped).
+
+    Shape: the gram explode feeds BOTH sides — per-doc totals
+    (groupBy id) and the duplicated-gram set (groupBy gram) — then one
+    inner join back on the gram counts only duplicated positions.  The
+    join is gram-keyed against an already-aggregated set (one row per
+    duplicated gram), so its size is bounded by the duplicated
+    vocabulary, not the corpus; Spark recomputes the shared explode per
+    branch (a projection over the same scan — cheap, columnar, and at
+    100 TB preferable to materializing the exploded grams).
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_ratio) for docs with at
+    least one duplicated span; counts exact ints, ratio rounded.
+    """
+    grams = df.select(F.col(id_col),
+                      F.explode(shingles(text_col, k)).alias("gram"))
+    dup = (grams.groupBy("gram")
+           .agg(F.countDistinct(id_col).alias("__nd"))
+           .where(F.col("__nd") >= min_docs)
+           .select("gram"))
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    dups = (grams.join(dup, "gram")
+            .groupBy(id_col).agg(F.count("*").alias("n_dup_spans")))
+    return (totals.join(dups, id_col)
+            .select(F.col(id_col), "n_spans", "n_dup_spans",
+                    F.round(F.col("n_dup_spans")
+                            / F.col("n_spans"), 6).alias("dup_ratio")))

@@ -525,3 +525,23 @@ def test_encode_documents(spark):
     assert got[1]["ids"] == "2,1,1,3" and got[1]["n_oov"] == 0
     assert got[2]["ids"] == "1,0,2"   # zz is OOV -> 0
     assert got[2]["n_tokens"] == 3 and got[2]["n_oov"] == 1
+
+
+def test_duplicated_spans(docs):
+    # k=8 over 9-token docs → 2 gram positions each; docs 1/2/3 share
+    # the leading 8-gram, docs 1/2 also share the trailing one
+    rows = {r["gram"]: (r["n_docs"], r["n_occurrences"])
+            for r in dedup.duplicated_spans(docs, k=8).collect()}
+    assert rows == {
+        "the quick brown fox jumps over the lazy": (3, 3),
+        "quick brown fox jumps over the lazy dog": (2, 2),
+    }
+
+
+def test_span_dup_coverage(docs):
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"])
+           for r in dedup.span_dup_coverage(docs, k=8).collect()}
+    # only docs with >= 1 duplicated span appear
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (2, 2, 1.0) and got[2] == (2, 2, 1.0)
+    assert got[3] == (2, 1, 0.5)  # its "lazy cat" tail gram is unique
