@@ -3009,6 +3009,19 @@ def q_dedup_apply(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic on document
+    lengths between single-digit sources (src0–src9) and double-digit
+    ones (src10–src19) — the bin-free complement to psi_drift.  Counts
+    per distinct value, one running-sum window over the value domain,
+    one scalar max of the ECDF gap."""
+    from cs186_query_optimization_project_spark.functions import profiling
+    docs = _db(spark, sf_dir).table("documents")
+    a = docs.filter(F.length("source") == 4)
+    b = docs.filter(F.length("source") == 5)
+    return profiling.ks_drift(a, b, "n_chars")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift check of o_totalprice between
     the first and second half of the order history — the train-vs-serve
@@ -3238,9 +3251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_histogram": q_table_histogram,
         "frequent_pairs": q_frequent_pairs,
         "resample_fill": q_resample_fill,
-        # --- round 8, post-window: exact-substring dedup pair ---
+        # --- round 8, post-window: exact-substring dedup pair,
+        # --- KS drift ---
         "dup_spans": q_dup_spans,
         "dup_span_coverage": q_dup_span_coverage,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -5019,6 +5034,34 @@ def oracle_sql() -> dict[str, str]:
             "round(d.n_dup_spans::DOUBLE / tot.n_spans, 6) "
             "AS dup_ratio FROM tot JOIN d USING (doc_id) "
             "ORDER BY doc_id"),
+        # two-sample KS: per-value counts -> full-outer merge ->
+        # running-sum ECDFs -> scalar max gap (mirrors
+        # profiling.ks_drift step for step)
+        "ks_drift": (
+            "WITH av AS (SELECT CAST(n_chars AS DOUBLE) AS v "
+            "FROM documents WHERE length(source) = 4 "
+            "AND n_chars IS NOT NULL), "
+            "bv AS (SELECT CAST(n_chars AS DOUBLE) AS v "
+            "FROM documents WHERE length(source) = 5 "
+            "AND n_chars IS NOT NULL), "
+            "ca AS (SELECT v, COUNT(*) AS n_a FROM av GROUP BY v), "
+            "cb AS (SELECT v, COUNT(*) AS n_b FROM bv GROUP BY v), "
+            "m AS (SELECT COALESCE(ca.v, cb.v) AS v, "
+            "COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b "
+            "FROM ca FULL OUTER JOIN cb ON ca.v = cb.v), "
+            "c AS (SELECT n_a, n_b, "
+            "SUM(n_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum_a, "
+            "SUM(n_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum_b FROM m), "
+            "t AS (SELECT COALESCE(SUM(n_a), 0) AS ta, "
+            "COALESCE(SUM(n_b), 0) AS tb FROM c) "
+            "SELECT CAST(ta AS BIGINT) AS n_a, "
+            "CAST(tb AS BIGINT) AS n_b, "
+            "round(COALESCE(MAX(abs("
+            "CASE WHEN ta > 0 THEN cum_a / ta ELSE 0.0 END - "
+            "CASE WHEN tb > 0 THEN cum_b / tb ELSE 0.0 END)), 0.0), 6) "
+            "AS ks_stat FROM c, t GROUP BY ta, tb"),
     }
     # the materialized-index variants return IDENTICAL results to their
     # in-scan counterparts (the index only changes the scan layout), so

@@ -161,3 +161,56 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return (wide.select(F.expr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"))
         .orderBy("col_a", "col_b"))
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame,
+             value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = sup over v of
+    |ECDF_a(v) − ECDF_b(v)| — the bin-free complement to
+    :func:`psi_drift` (PSI needs a bin count and is blind to drift
+    inside a bin; KS is exact on the observed value domain, the
+    classic train-vs-serve distribution test).
+
+    Shape: each side collapses to per-value counts first (one groupBy
+    whose shuffle carries DISTINCT values with map-side combine, not
+    rows), the two count tables full-outer-merge on the value, and one
+    running-sum window ordered by value turns counts into ECDFs whose
+    pointwise gap is max-aggregated to a scalar.  The unpartitioned
+    window orders the distinct value domain, not the corpus — fine for
+    metric-like columns (lengths, scores, counts); for a continuous
+    column at 100 TB, round/discretize upstream, which bounds the
+    domain and turns KS into its standard grid approximation.  NULLs
+    are excluded on both sides; an empty side yields ks_stat 0 via the
+    guarded division rather than an ANSI divide-by-zero.
+
+    Output: one row (n_a, n_b, ks_stat).
+    """
+    from pyspark.sql import Window
+
+    def counts(df, side):
+        return (df.select(F.col(value_col).cast("double").alias("v"))
+                .filter(F.col("v").isNotNull())
+                .groupBy("v").agg(F.count(F.lit(1)).alias(f"n_{side}")))
+
+    merged = (counts(df_a, "a")
+              .join(counts(df_b, "b"), "v", "full_outer")
+              .fillna(0, ["n_a", "n_b"]))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = merged.select(
+        "n_a", "n_b",
+        F.sum("n_a").over(w).alias("__ca"),
+        F.sum("n_b").over(w).alias("__cb"))
+    tot = cum.agg(F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb"))
+    ecdf_gap = F.abs(
+        F.when(F.col("__ta") > 0, F.col("__ca") / F.col("__ta"))
+        .otherwise(F.lit(0.0))
+        - F.when(F.col("__tb") > 0, F.col("__cb") / F.col("__tb"))
+        .otherwise(F.lit(0.0)))
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.coalesce(F.max("__ta"), F.lit(0)).cast("long")
+                 .alias("n_a"),
+                 F.coalesce(F.max("__tb"), F.lit(0)).cast("long")
+                 .alias("n_b"),
+                 F.round(F.coalesce(F.max(ecdf_gap), F.lit(0.0)), 6)
+                 .alias("ks_stat")))

@@ -528,3 +528,24 @@ def test_dedup_apply_keeps_representatives_and_singletons(spark):
     kept = {r["doc_id"]
             for r in df.join(losers, "doc_id", "left_anti").collect()}
     assert kept == {1, 3}  # min-id representative + untouched singleton
+
+
+def test_ks_drift_known_value(spark):
+    # a = {1,2,3,4}, b = {3,4,5,6}: ECDF gap peaks at 0.5 (v in [2,4))
+    a = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], ["v"])
+    b = spark.createDataFrame([(float(v),) for v in (3, 4, 5, 6)], ["v"])
+    out = profiling.ks_drift(a, b, "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_stat"] == 0.5
+
+
+def test_ks_drift_identical_and_empty(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(20)], ["v"])
+    same = profiling.ks_drift(df, df, "v").collect()[0]
+    assert same["ks_stat"] == 0.0
+    empty = df.filter(F.col("v") < 0)
+    r = profiling.ks_drift(df, empty, "v").collect()[0]
+    # guarded division: empty side contributes ECDF 0 everywhere
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (20, 0, 1.0)
