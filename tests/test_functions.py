@@ -545,3 +545,13 @@ def test_span_dup_coverage(docs):
     assert set(got) == {1, 2, 3}
     assert got[1] == (2, 2, 1.0) and got[2] == (2, 2, 1.0)
     assert got[3] == (2, 1, 0.5)  # its "lazy cat" tail gram is unique
+
+
+def test_duplicated_spans_plan_shape(docs):
+    # Catalyst must plan the mixed count/count-distinct as the two-level
+    # aggregate (partial combine on (gram, doc_id), re-agg on gram) —
+    # NOT an Expand, which would double the exploded gram stream
+    plan = (dedup.duplicated_spans(docs, k=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" not in plan
+    assert "partial_count(distinct" in plan
