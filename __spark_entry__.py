@@ -3119,14 +3119,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "indexed_write_scan": q_indexed_write_scan,
         "filter_eq": q_filter_eq,
-        "filter_range": q_filter_range,
-        "project": q_project,
+        # --- round-8 late additions, never driver-checked: exact-
+        # --- substring span dedup pair + KS drift (3).  They displace
+        # --- filter_range / project / semi_join, whose r4 driver rows
+        # --- stand and whose mechanics are covered in-window by
+        # --- filter_eq / scan / join_two+anti variants. ---
+        "dup_spans": q_dup_spans,
+        "dup_span_coverage": q_dup_span_coverage,
+        "ks_drift": q_ks_drift,
         "token_counts": q_token_counts,
         "scan": q_scan,
         "groupby_count": q_groupby_count,
         "join_two": q_join_two,
         "rollup": q_rollup,
-        "semi_join": q_semi_join,
         "sessionize": q_sessionize,
         "train_test_split": q_train_test_split,
         "quantiles": q_quantiles,
@@ -3251,11 +3256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_histogram": q_table_histogram,
         "frequent_pairs": q_frequent_pairs,
         "resample_fill": q_resample_fill,
-        # --- round 8, post-window: exact-substring dedup pair,
-        # --- KS drift ---
-        "dup_spans": q_dup_spans,
-        "dup_span_coverage": q_dup_span_coverage,
-        "ks_drift": q_ks_drift,
+        # (dup_spans / dup_span_coverage / ks_drift moved into the
+        # driver window; filter_range / project / semi_join rotated
+        # down here with their r4 driver rows intact)
+        "filter_range": q_filter_range,
+        "project": q_project,
+        "semi_join": q_semi_join,
     }
 
 
