@@ -2014,6 +2014,40 @@ def q_multimodal_features(spark, sf_dir):
             .select("doc_id", "mime", "n_bytes", "checksum"))
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (multimodal.sample_frames): one
+    binary asset row fans out to n_frames rows inside a single Arrow
+    batch — the mapInPandas 1->N explode a real frame sampler needs.
+    Oracle replays the SQL-expressible projection (frame windowing
+    math: step = max(len//n, 1), window i = bytes [i*step, (i+1)*step)
+    clipped to len); the stubbed per-frame feature vector is
+    engine-internal and unit-tested (tests/test_functions.py)."""
+    db = _db(spark, sf_dir)
+    assets = multimodal.attach_fake_assets(db.table("documents"))
+    return (multimodal.sample_frames(assets, n_frames=4)
+            .select("doc_id",
+                    F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                    F.col("frame_n_bytes").cast("bigint")
+                    .alias("frame_n_bytes")))
+
+
+def q_asset_resize(spark, sf_dir):
+    """Image-resize plumbing (multimodal.resize_assets): Arrow-batched
+    binary->binary transform with metadata rewrite, composable with
+    feature extraction.  The stub resizer's output SIZE is a pure
+    function of the input length (stride = max(len // (w*h//64), 1);
+    out = min(ceil(len/stride), w*h)), so the oracle value-checks the
+    whole metadata projection including the resized byte count."""
+    db = _db(spark, sf_dir)
+    assets = multimodal.attach_fake_assets(db.table("documents"))
+    resized = multimodal.resize_assets(assets, width=64, height=64)
+    return resized.select(
+        "doc_id",
+        F.octet_length("asset").cast("bigint").alias("resized_bytes"),
+        F.col("asset_meta.mime").alias("mime"),
+        F.col("asset_meta.width").alias("width"),
+        F.col("asset_meta.height").alias("height"))
+
 
 def q_pipeline_clean_corpus(spark, sf_dir):
     """Composite training-data prep pipeline: quality gate → English-only
@@ -3113,7 +3147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
         "dml_lifecycle": q_dml_lifecycle,
-        "self_join_alias": q_self_join_alias,
         "index_range_scan": q_index_range_scan,
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
@@ -3127,13 +3160,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_span_coverage": q_dup_span_coverage,
         "ks_drift": q_ks_drift,
+        # --- new this session: multimodal resize + frame-sample
+        # --- plumbing as value-checked entries (displacing r4-green
+        # --- train_test_split / self_join_alias; sampling and join
+        # --- mechanics stay covered in-window) ---
+        "frame_sample": q_frame_sample,
+        "asset_resize": q_asset_resize,
         "token_counts": q_token_counts,
         "scan": q_scan,
         "groupby_count": q_groupby_count,
         "join_two": q_join_two,
         "rollup": q_rollup,
         "sessionize": q_sessionize,
-        "train_test_split": q_train_test_split,
         "quantiles": q_quantiles,
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
@@ -3262,6 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_range": q_filter_range,
         "project": q_project,
         "semi_join": q_semi_join,
+        "self_join_alias": q_self_join_alias,
+        "train_test_split": q_train_test_split,
     }
 
 
@@ -4301,6 +4341,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'image/fake' AS mime, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS checksum FROM documents"),
+        # frame windowing math of multimodal.sample_frames: step =
+        # max(len//n, 1); frame i covers bytes [i*step, (i+1)*step)
+        # clipped to len (python slice semantics)
+        "frame_sample": (
+            "WITH d AS (SELECT doc_id, "
+            "           octet_length(encode(text)) AS len, "
+            "           greatest(octet_length(encode(text)) // 4, 1) "
+            "             AS step FROM documents) "
+            "SELECT doc_id, CAST(f.i AS BIGINT) AS frame_idx, "
+            "CAST(greatest(least(len, (f.i + 1) * step) - f.i * step, 0)"
+            "     AS BIGINT) AS frame_n_bytes "
+            "FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) f"),
+        # resize_stub size law: stride = max(len // (w*h//64), 1);
+        # out = min(ceil(len/stride), w*h)  (w = h = 64 -> w*h//64 = 64)
+        "asset_resize": (
+            "WITH d AS (SELECT doc_id, "
+            "           octet_length(encode(text)) AS len, "
+            "           greatest(octet_length(encode(text)) // 64, 1) "
+            "             AS stride FROM documents) "
+            "SELECT doc_id, "
+            "CAST(least((len + stride - 1) // stride, 4096) AS BIGINT) "
+            "  AS resized_bytes, "
+            "'image/fake' AS mime, 64 AS width, 64 AS height FROM d"),
         # pipeline
         "pipeline_clean_corpus": (
             "WITH scored AS ("

@@ -162,6 +162,7 @@ def resize_assets(df: DataFrame, width: int = 64, height: int = 64,
 
 FRAME_FIELDS = [
     T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_n_bytes", T.IntegerType()),
     T.StructField("frame_feature", T.ArrayType(T.FloatType())),
 ]
 
@@ -177,7 +178,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
     no driver involvement."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, feats = [], [], []
+            ids, idxs, sizes, feats = [], [], [], []
             for doc_id, payload, meta in zip(
                     pdf[id_col], pdf[asset_col], pdf[meta_col]):
                 payload = payload or b""
@@ -186,8 +187,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                     window = payload[i * step: (i + 1) * step]
                     ids.append(doc_id)
                     idxs.append(i)
+                    sizes.append(len(window))
                     feats.append(decode_stub(window, _mime_of(meta)))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
+                                "frame_n_bytes": sizes,
                                 "frame_feature": feats})
 
     return ensure_parallelism(df, id_col).mapInPandas(

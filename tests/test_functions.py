@@ -555,3 +555,18 @@ def test_duplicated_spans_plan_shape(docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Expand" not in plan
     assert "partial_count(distinct" in plan
+
+
+def test_frame_n_bytes_windowing(docs):
+    """sample_frames' byte windows follow python slice math: step =
+    max(len//n, 1), frames cover min(len, n*step) bytes in total."""
+    from cs186_query_optimization_project_spark.functions.multimodal import (
+        attach_fake_assets, sample_frames)
+    frames = sample_frames(attach_fake_assets(docs), n_frames=4)
+    per_doc = {r["doc_id"]: r["total"]
+               for r in frames.groupBy("doc_id")
+               .agg(F.sum("frame_n_bytes").alias("total")).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        n = len(r["text"].encode("utf-8"))
+        step = max(n // 4, 1)
+        assert per_doc[r["doc_id"]] == min(n, 4 * step)
