@@ -570,3 +570,17 @@ def test_frame_n_bytes_windowing(docs):
         n = len(r["text"].encode("utf-8"))
         step = max(n // 4, 1)
         assert per_doc[r["doc_id"]] == min(n, 4 * step)
+
+
+def test_frame_fanout_adds_no_shuffle(docs):
+    """The 1->N frame explode happens inside each Arrow batch: the only
+    Exchange in the plan is the parallelism guard BELOW MapInPandas
+    (absent at real scale); nothing between MapInPandas and the root —
+    the frame stream keeps its source partitioning."""
+    from cs186_query_optimization_project_spark.functions.multimodal import (
+        attach_fake_assets, sample_frames)
+    frames = sample_frames(attach_fake_assets(docs), n_frames=4)
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    above_fanout = plan.split("MapInPandas")[0]
+    assert "Exchange" not in above_fanout
+    assert plan.count("Exchange") <= 1   # guard only, below the fan-out
