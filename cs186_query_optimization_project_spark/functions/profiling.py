@@ -171,21 +171,25 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame,
     inside a bin; KS is exact on the observed value domain, the
     classic train-vs-serve distribution test).
 
-    Shape: each side collapses to per-value counts first (one groupBy
-    whose shuffle carries DISTINCT values with map-side combine, not
-    rows), the two count tables full-outer-merge on the value, and one
-    running-sum window ordered by value turns counts into ECDFs whose
-    pointwise gap is max-aggregated to a scalar.  The unpartitioned
-    window orders the distinct value domain, not the corpus — fine for
-    metric-like columns (lengths, scores, counts); for a continuous
-    column at 100 TB, round/discretize upstream, which bounds the
-    domain and turns KS into its standard grid approximation.  NULLs
-    are excluded on both sides; an empty side yields ks_stat 0 via the
+    Shape — the fully distributed ECDF (no global window): each side
+    collapses to per-value counts first (one groupBy whose shuffle
+    carries DISTINCT values with map-side combine, not rows), the two
+    count tables full-outer-merge on the value, and the merged table is
+    range-repartitioned by value and pinned with a localCheckpoint so
+    two passes see identical partitions.  Pass 1 collects ONE row per
+    partition (its count totals — bounded by the partition count, never
+    the data) and the driver turns them into per-partition prefix
+    offsets; pass 2 is an Arrow mapInPandas cumsum within each
+    range-sorted partition, offset by its prefix, so every partition
+    computes its ECDF span in parallel.  This keeps KS exact even for a
+    continuous column whose distinct-value domain is proportional to
+    the corpus — no single-partition WindowExec anywhere.  NULLs are
+    excluded on both sides; an empty side yields ks_stat 0 via the
     guarded division rather than an ANSI divide-by-zero.
 
     Output: one row (n_a, n_b, ks_stat).
     """
-    from pyspark.sql import Window
+    import pandas as pd
 
     def counts(df, side):
         return (df.select(F.col(value_col).cast("double").alias("v"))
@@ -195,22 +199,47 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame,
     merged = (counts(df_a, "a")
               .join(counts(df_b, "b"), "v", "full_outer")
               .fillna(0, ["n_a", "n_b"]))
-    w = (Window.orderBy("v")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = merged.select(
-        "n_a", "n_b",
-        F.sum("n_a").over(w).alias("__ca"),
-        F.sum("n_b").over(w).alias("__cb"))
-    tot = cum.agg(F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb"))
-    ecdf_gap = F.abs(
-        F.when(F.col("__ta") > 0, F.col("__ca") / F.col("__ta"))
-        .otherwise(F.lit(0.0))
-        - F.when(F.col("__tb") > 0, F.col("__cb") / F.col("__tb"))
-        .otherwise(F.lit(0.0)))
-    return (cum.crossJoin(F.broadcast(tot))
-            .agg(F.coalesce(F.max("__ta"), F.lit(0)).cast("long")
-                 .alias("n_a"),
-                 F.coalesce(F.max("__tb"), F.lit(0)).cast("long")
-                 .alias("n_b"),
-                 F.round(F.coalesce(F.max(ecdf_gap), F.lit(0.0)), 6)
-                 .alias("ks_stat")))
+    spark = merged.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    part = (merged.repartitionByRange(nparts, "v")
+            .sortWithinPartitions("v")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=False))
+    # pass 1: one row per partition; prefix-sum on the driver is over
+    # <= nparts entries regardless of data volume
+    offsets, cum_a, cum_b = {}, 0, 0
+    for r in sorted(part.groupBy("__pid")
+                    .agg(F.sum("n_a").alias("ta"),
+                         F.sum("n_b").alias("tb")).collect(),
+                    key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = (cum_a, cum_b)
+        cum_a += int(r["ta"] or 0)
+        cum_b += int(r["tb"] or 0)
+    total_a, total_b = cum_a, cum_b
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    # pass 2: in-partition running sum (input order = range sort), each
+    # partition shifted by its prefix offset
+    def run(batches):
+        run_a = run_b = None
+        for pdf in batches:
+            if run_a is None:
+                pid = int(pdf["__pid"].iloc[0])
+                run_a, run_b = b_offsets.value.get(pid, (0, 0))
+            ca = pdf["n_a"].cumsum() + run_a
+            cb = pdf["n_b"].cumsum() + run_b
+            run_a, run_b = int(ca.iloc[-1]), int(cb.iloc[-1])
+            ea = ca / total_a if total_a > 0 else 0.0
+            eb = cb / total_b if total_b > 0 else 0.0
+            yield pd.DataFrame({"gap": (ea - eb).abs()})
+
+    gaps = part.mapInPandas(run, "gap double")
+    # totals ride as literals (max over empty input -> NULL -> 0, the
+    # same empty-side degradation the windowed version had)
+    return gaps.agg(
+        F.coalesce(F.max(F.lit(total_a)), F.lit(0)).cast("long")
+        .alias("n_a"),
+        F.coalesce(F.max(F.lit(total_b)), F.lit(0)).cast("long")
+        .alias("n_b"),
+        F.round(F.coalesce(F.max("gap"), F.lit(0.0)), 6)
+        .alias("ks_stat"))

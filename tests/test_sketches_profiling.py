@@ -549,3 +549,16 @@ def test_ks_drift_identical_and_empty(spark):
     r = profiling.ks_drift(df, empty, "v").collect()[0]
     # guarded division: empty side contributes ECDF 0 everywhere
     assert (r["n_a"], r["n_b"], r["ks_stat"]) == (20, 0, 1.0)
+
+
+def test_ks_drift_no_global_window(spark):
+    """The ECDF running sum is distributed (range partitions + Arrow
+    cumsum) — no WindowExec, hence no single-partition sort, anywhere
+    in the plan."""
+    from cs186_query_optimization_project_spark.functions import profiling
+    a = spark.range(200).select((F.col("id") % 37).alias("v"))
+    b = spark.range(200).select((F.col("id") % 23).alias("v"))
+    out = profiling.ks_drift(a, b, "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
