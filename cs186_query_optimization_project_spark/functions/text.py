@@ -360,14 +360,20 @@ def vocab_with_ids(df: DataFrame, text_col: str = "text",
                    min_doc_freq: int = 1) -> DataFrame:
     """(token, token_id) — ids assigned 1..N by corpus frequency
     (total_count desc, token asc as the deterministic tie-break; 0 is
-    reserved for OOV).  The ranking window is global but runs over the
-    ALREADY-AGGREGATED vocab (|distinct tokens| rows, not corpus
-    rows); cap with ``size`` for a fixed vocabulary."""
-    from pyspark.sql.window import Window
+    reserved for OOV).  The ranking runs over the ALREADY-AGGREGATED
+    vocab (|distinct tokens| rows, not corpus rows) and is DISTRIBUTED
+    (operators.windows.global_row_number: range partitions + driver
+    prefix offsets) — web-scale corpora have vocabularies far too big
+    for a single-partition ranking window.  Cap with ``size`` for a
+    fixed vocabulary."""
+    from cs186_query_optimization_project_spark.operators.windows import (
+        global_row_number)
 
     v = vocab(df, text_col, id_col, min_doc_freq)
-    w = Window.orderBy(F.col("total_count").desc(), F.col("token"))
-    out = v.select("token", F.row_number().over(w).alias("token_id"))
+    out = (global_row_number(v, F.col("total_count").desc(),
+                             F.col("token"), out_col="token_id")
+           .select("token", F.col("token_id").cast("int")
+                   .alias("token_id")))
     # `is not None`: size=0 is a legitimate (empty) cap, not "no cap"
     return (out.filter(F.col("token_id") <= size)
             if size is not None else out)

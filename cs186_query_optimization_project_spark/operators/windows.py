@@ -202,3 +202,52 @@ def resample_fill(df: DataFrame, key_col: str, ts_col: str,
         F.col("__b").alias("bucket"),
         F.last("__v", ignorenulls=True).over(w).alias("value"),
         F.col("__v").isNull().alias("is_gap"))
+
+
+def global_row_number(df: DataFrame, *order_cols: Column,
+                      out_col: str = "rn") -> DataFrame:
+    """Total-order row numbering WITHOUT a single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through one
+    task; this is the distributed equivalent: range-repartition on the
+    order columns (pinned with a localCheckpoint so both passes see
+    identical partitions), collect ONE count row per partition and
+    prefix-sum on the driver (bounded by the partition count, never the
+    data), then number rows inside each range-sorted partition with an
+    Arrow cumcount shifted by the partition's prefix.  Numbers are
+    1-based and dense, identical to row_number over the same total
+    order — pass a unique tie-break column for determinism, exactly as
+    you would with a window.
+
+    Columns must round-trip through Arrow (scalars/strings/arrays —
+    true for every vocab/stats shape this engine ranks)."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    part = (df.repartitionByRange(nparts, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=False))
+    offsets, acc = {}, 0
+    for r in sorted(part.groupBy("__pid")
+                    .agg(F.count(F.lit(1)).alias("n")).collect(),
+                    key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["n"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col, T.LongType())])
+
+    def run(batches):
+        base = None
+        for pdf in batches:
+            if base is None:
+                base = b_offsets.value.get(int(pdf["__pid"].iloc[0]), 0)
+            out = pdf.drop(columns="__pid")
+            out[out_col] = range(base + 1, base + len(out) + 1)
+            base += len(out)
+            yield out
+
+    return part.mapInPandas(run, schema)

@@ -584,3 +584,21 @@ def test_frame_fanout_adds_no_shuffle(docs):
     above_fanout = plan.split("MapInPandas")[0]
     assert "Exchange" not in above_fanout
     assert plan.count("Exchange") <= 1   # guard only, below the fan-out
+
+
+def test_global_row_number_matches_window(spark):
+    """Distributed total-order numbering == row_number over the same
+    total order, and the plan has no Window node."""
+    from pyspark.sql import Window
+    from cs186_query_optimization_project_spark.operators.windows import (
+        global_row_number)
+    df = spark.range(500).select(
+        (F.col("id") % 41).alias("grp"), F.col("id"))
+    got = global_row_number(df, F.col("grp").desc(), F.col("id"),
+                            out_col="rn")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    w = Window.orderBy(F.col("grp").desc(), F.col("id"))
+    want = df.select("grp", "id", F.row_number().over(w).alias("rn"))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
