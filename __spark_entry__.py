@@ -2424,6 +2424,18 @@ def q_token_counts(spark, sf_dir):
                     text.bpe_token_count("text").alias("bpe_tokens")))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: the first 5 BPE merge rules learned from the
+    corpus word-frequency table (functions/bpe.py — Sennrich subword
+    BPE as a DataFrame-iterative op; corpus-scale work runs once, each
+    round costs one vocabulary-sized aggregate).  Oracle unrolls the
+    merge loop as MATERIALIZED CTEs over the identical string
+    representation (_bpe_sql)."""
+    from cs186_query_optimization_project_spark.functions import bpe
+    docs = _db(spark, sf_dir).table("documents")
+    return bpe.learn_bpe_merges(docs, n_merges=5)
+
+
 def q_train_test_split(spark, sf_dir):
     """Deterministic hash-bucket train/test split: membership depends only
     on doc_id (md5 bucket < 80), never on partitioning or engine — the
@@ -3166,12 +3178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- mechanics stay covered in-window) ---
         "frame_sample": q_frame_sample,
         "asset_resize": q_asset_resize,
+        "bpe_merges": q_bpe_merges,
         "token_counts": q_token_counts,
         "scan": q_scan,
         "groupby_count": q_groupby_count,
         "join_two": q_join_two,
         "rollup": q_rollup,
-        "sessionize": q_sessionize,
         "quantiles": q_quantiles,
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
@@ -3302,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "self_join_alias": q_self_join_alias,
         "train_test_split": q_train_test_split,
+        "sessionize": q_sessionize,
     }
 
 
@@ -3539,6 +3552,50 @@ def _ngram_cc_sql(rounds: int = 5) -> str:
         f"l1 AS (SELECT u AS id, MIN(v) AS lbl FROM ed GROUP BY u), "
         f"{cc_iters} "
         f"SELECT id AS doc_id, lbl AS cluster_id FROM l{rounds}")
+
+
+def _bpe_sql(rounds: int = 5) -> str:
+    """bpe_merges oracle: the merge loop unrolled as MATERIALIZED CTEs.
+
+    Mirrors functions/bpe.py exactly: same " a  b  c " sequence
+    representation, same literal-replace merge, same (count DESC, lhs,
+    rhs) tie-break.  MATERIALIZED matters here — round k references
+    round k-1 from BOTH its pair count and its replace, so DuckDB's
+    default CTE inlining would re-evaluate the whole prefix ~3^rounds
+    times; materializing each round keeps the oracle linear in rounds
+    (measured 0.14 s at sf0.1 for rounds=5)."""
+    assert rounds >= 1
+    parts = [
+        "WITH words AS MATERIALIZED ("
+        "  SELECT w, COUNT(*) AS n FROM ("
+        "    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w "
+        "    FROM documents) z WHERE w <> '' GROUP BY w), "
+        "s0 AS MATERIALIZED ("
+        "  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) "
+        "         || ' ' AS seq, n FROM words)"]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"p{k} AS MATERIALIZED ("
+            f"  SELECT t[i] AS lhs, t[i+1] AS rhs, SUM(n) AS cnt "
+            f"  FROM (SELECT string_split(trim(seq), '  ') AS t, n "
+            f"        FROM s{k-1}) z, "
+            f"  LATERAL (SELECT unnest(generate_series(1, len(z.t)-1)) "
+            f"           AS i) g "
+            f"  GROUP BY lhs, rhs), "
+            f"t{k} AS MATERIALIZED ("
+            f"  SELECT lhs, rhs, cnt, "
+            f"  ' '||lhs||'  '||rhs||' ' AS pat, "
+            f"  ' '||lhs||rhs||' ' AS rep "
+            f"  FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1), "
+            f"s{k} AS MATERIALIZED ("
+            f"  SELECT replace(seq, (SELECT pat FROM t{k}), "
+            f"                 (SELECT rep FROM t{k})) AS seq, n "
+            f"  FROM s{k-1})")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(1, rounds + 1))
+    return ", ".join(parts) + " " + finals
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4414,6 +4471,7 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens "
             "FROM documents"),
+        "bpe_merges": _bpe_sql(rounds=5),
         "vocab_top": (
             "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
             "AS doc_freq, CAST(COUNT(*) AS BIGINT) AS total_count "

@@ -602,3 +602,36 @@ def test_global_row_number_matches_window(spark):
     want = df.select("grp", "id", F.row_number().over(w).alias("rn"))
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, want.collect())))
+
+
+def test_bpe_learn_and_apply_hand_example(spark):
+    """Hand-traced Sennrich example: low x3, lower x2, newest x1.
+    Round-by-round: (l,o)5 beats (o,w)5 on the lhs tie-break; after
+    'low' exists, (low,e)2 ties (e,r)2 and 'e' < 'low' wins; merges
+    then cascade to 'lower'; last round picks (e,s) from newest's
+    all-singleton pairs."""
+    from cs186_query_optimization_project_spark.functions import bpe
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        ["doc_id", "text"])
+    got = [tuple(r) for r in bpe.learn_bpe_merges(df, n_merges=5)
+           .orderBy("merge_rank").collect()]
+    assert got == [(1, "l", "o", 5), (2, "lo", "w", 5),
+                   (3, "e", "r", 2), (4, "low", "er", 2),
+                   (5, "e", "s", 1)]
+    seg = bpe.apply_bpe_merges(
+        df, [(l, r) for _, l, r, _ in got])
+    by_id = {r["doc_id"]: r["bpe_tokens"] for r in seg.collect()}
+    assert by_id[1] == ["low", "low", "low"]
+    assert by_id[2] == ["lower", "lower"]
+    assert by_id[3] == ["n", "e", "w", "es", "t"]
+    # lossless: per-word concatenation restores the original words
+    assert "".join(by_id[3]) == "newest"
+
+
+def test_bpe_early_stop_without_pairs(spark):
+    """Single-char words have no adjacent pairs — learner returns an
+    empty (not failing) merge table."""
+    from cs186_query_optimization_project_spark.functions import bpe
+    df = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
+    assert bpe.learn_bpe_merges(df, n_merges=3).count() == 0
