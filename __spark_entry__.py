@@ -2436,6 +2436,29 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.learn_bpe_merges(docs, n_merges=5)
 
 
+#: fixed demonstration merge list for the bpe_segment entry — literal
+#: constants so the DuckDB oracle replays the identical replace chain
+_BPE_DEMO_MERGES = [("t", "h"), ("e", "r"), ("i", "n"),
+                    ("th", "e"), ("o", "n")]
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Tokenizer application (bpe_merges' sibling): segment every
+    document with a FIXED rank-ordered merge list via
+    functions/bpe.apply_bpe_merges — pure whole-stage-codegen string
+    expressions, no shuffle.  Output is per-doc subword count + the
+    first 12 subwords; the oracle replays the same per-word replace
+    chain with DuckDB list lambdas."""
+    from cs186_query_optimization_project_spark.functions import bpe
+    docs = _db(spark, sf_dir).table("documents")
+    seg = bpe.apply_bpe_merges(docs, _BPE_DEMO_MERGES)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_subwords"),
+        F.array_join(F.slice("bpe_tokens", 1, 12), " ")
+        .alias("head_subwords"))
+
+
 def q_train_test_split(spark, sf_dir):
     """Deterministic hash-bucket train/test split: membership depends only
     on doc_id (md5 bucket < 80), never on partitioning or engine — the
@@ -3179,12 +3202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "asset_resize": q_asset_resize,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "token_counts": q_token_counts,
         "scan": q_scan,
         "groupby_count": q_groupby_count,
         "join_two": q_join_two,
         "rollup": q_rollup,
-        "quantiles": q_quantiles,
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
@@ -3315,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_join_alias": q_self_join_alias,
         "train_test_split": q_train_test_split,
         "sessionize": q_sessionize,
+        "quantiles": q_quantiles,
     }
 
 
@@ -3596,6 +3620,23 @@ def _bpe_sql(rounds: int = 5) -> str:
         f"CAST(cnt AS BIGINT) AS pair_count FROM t{k}"
         for k in range(1, rounds + 1))
     return ", ".join(parts) + " " + finals
+
+
+def _bpe_segment_sql() -> str:
+    """bpe_segment oracle: apply_bpe_merges replayed with DuckDB list
+    lambdas — per word, the same sequence expansion and rank-ordered
+    literal replace chain over _BPE_DEMO_MERGES, flattened per doc."""
+    seq = r"' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '"
+    for l, r in _BPE_DEMO_MERGES:
+        seq = f"replace({seq}, ' {l}  {r} ', ' {l}{r} ')"
+    return (
+        "SELECT doc_id, CAST(len(sub) AS BIGINT) AS n_subwords, "
+        "array_to_string(sub[1:12], ' ') AS head_subwords FROM ("
+        "  SELECT doc_id, flatten(list_transform("
+        "    list_filter(regexp_split_to_array(text, '\\s+'), "
+        "                w -> w <> ''), "
+        f"   w -> string_split(trim({seq}), '  '))) AS sub "
+        "  FROM documents) z")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4472,6 +4513,7 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens "
             "FROM documents"),
         "bpe_merges": _bpe_sql(rounds=5),
+        "bpe_segment": _bpe_segment_sql(),
         "vocab_top": (
             "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
             "AS doc_freq, CAST(COUNT(*) AS BIGINT) AS total_count "
