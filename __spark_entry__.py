@@ -353,6 +353,42 @@ def q_dml_lifecycle(spark, sf_dir):
     return out
 
 
+def q_time_travel(spark, sf_dir):
+    """MVCC time travel over the copy-on-write DML trail
+    (``Database.table_at_version`` — Delta-style VERSION AS OF): create
+    a table, commit an insert then a delete, and read ALL three
+    published versions back, summarizing each (row count + key sum) so
+    the oracle can replay the version states in SQL.  Old versions are
+    plain parquet scans of retained paths — no log replay, and only
+    published commits appear (orphaned staged dirs never do)."""
+    import os
+    import shutil
+    from functools import reduce
+
+    db = _db(spark, sf_dir)
+    parent = _ensure_private_dir(
+        f"/tmp/spark_graft_tt_{os.getuid()}")
+    base = os.path.join(parent, _tag(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+
+    db.create_table("nation_tt", db.table("nation"), f"{base}/nation",
+                    mode="overwrite")
+    db.insert_rows("nation_tt", spark.createDataFrame(
+        [(200, "ATLANTIS", 0), (201, "ELDORADO", 1)],
+        schema=db.schema("nation_tt")))
+    db.delete_rows("nation_tt", F.col("n_nationkey").between(10, 14))
+    parts = [
+        db.table_at_version("nation_tt", v)
+        .select(F.lit(v).cast("bigint").alias("version"), "n_nationkey")
+        for v in db.table_versions("nation_tt")]
+    out = (reduce(lambda a, b: a.unionByName(b), parts)
+           .groupBy("version")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").alias("key_sum")))
+    db.drop_table("nation_tt")
+    return out
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE upsert driver row (``Database.merge_rows``): a source that
     UPDATES three existing nations (suffix '~u') and INSERTS two new
@@ -3182,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "dedup_clusters": q_dedup_clusters,
         "dml_lifecycle": q_dml_lifecycle,
+        "time_travel": q_time_travel,
         "index_range_scan": q_index_range_scan,
         "grace_hash_join": q_grace_hash_join,
         "broadcast_join": q_broadcast_join,
@@ -3211,7 +3248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
-        "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # ------------- below the driver's 50-row window ------------- #
@@ -3339,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "sessionize": q_sessionize,
         "quantiles": q_quantiles,
+        "lang_id": q_lang_id,
     }
 
 
@@ -3961,6 +3998,18 @@ def oracle_sql() -> dict[str, str]:
             "  FROM ins)"
             "SELECT n_nationkey, n_name, n_regionkey FROM upd "
             "WHERE n_nationkey NOT BETWEEN 10 AND 14"),
+        # replay of the three published versions q_time_travel reads
+        "time_travel": (
+            "WITH v0 AS (SELECT n_nationkey FROM nation), "
+            "v1 AS (SELECT n_nationkey FROM v0 "
+            "       UNION ALL SELECT unnest([200, 201])), "
+            "v2 AS (SELECT n_nationkey FROM v1 "
+            "       WHERE n_nationkey NOT BETWEEN 10 AND 14) "
+            "SELECT CAST(0 AS BIGINT) AS version, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM v0 "
+            "UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey) FROM v1 "
+            "UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey) FROM v2"),
         "distinct": ("SELECT DISTINCT c_nationkey, c_mktsegment "
                      "FROM customer"),
         "orderby_limit": (

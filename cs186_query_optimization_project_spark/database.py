@@ -148,6 +148,12 @@ class TableEntry:
     _df: DataFrame | None = field(default=None, repr=False)
     #: zero-arg callable producing the DataFrame; used when _df is None
     _loader: object | None = field(default=None, repr=False)
+    #: PUBLISHED version paths, oldest first (history[-1] is current).
+    #: Only commits that reached _publish appear — orphaned staged
+    #: ``.vN`` dirs from failed commits are never listed.  Catalog-
+    #: scoped, like the transaction boundary: history spans this
+    #: process's publishes, while the parquet trail on disk is durable.
+    history: list = field(default_factory=list, repr=False)
 
     @property
     def df(self) -> DataFrame:
@@ -222,7 +228,7 @@ class Database:
             return _restore_nanos_timestamps(df, path)
 
         self._tables[name] = TableEntry(name, path, index_columns,
-                                        _loader=_load)
+                                        _loader=_load, history=[path])
         return self
 
     def register_csv(self, name: str, path: str, schema: T.StructType,
@@ -447,7 +453,12 @@ class Database:
             entry.stats = None
         else:
             _, name, new_path, index_columns = staged
+            prior = (self._tables[name].history
+                     if name in self._tables else [])
             self.register_parquet(name, new_path, index_columns)
+            # register_parquet starts a fresh history; splice the prior
+            # published chain back in so time travel sees every commit
+            self._tables[name].history = [*prior, new_path]
 
     # ------------------------------------------------------------------ #
     # lookup
@@ -460,6 +471,30 @@ class Database:
 
     def table(self, name: str) -> DataFrame:
         return self._entry(name).df
+
+    def table_versions(self, name: str) -> list[int]:
+        """Published version numbers for a disk-backed table, oldest
+        first (0 = as first registered; each copy-on-write DML commit
+        appends one).  Delta-style ``DESCRIBE HISTORY``, scoped to this
+        catalog's publishes — see ``TableEntry.history``."""
+        return list(range(len(self._entry(name).history)))
+
+    def table_at_version(self, name: str, version: int) -> DataFrame:
+        """Time-travel read: the table exactly as published at
+        ``version`` (``VERSION AS OF``).  Copy-on-write DML leaves every
+        prior version's parquet in place, so this is a plain scan of the
+        old path — no log replay, and the current table is untouched."""
+        hist = self._entry(name).history
+        if not hist:
+            raise DatabaseException(
+                f"table '{name}' is not disk-backed; no version history")
+        if not 0 <= version < len(hist):
+            raise DatabaseException(
+                f"table '{name}' has versions 0..{len(hist) - 1}, "
+                f"not {version}")
+        path = hist[version]
+        return _restore_nanos_timestamps(
+            self.spark.read.parquet(path), path)
 
     def table_names(self) -> list[str]:
         return sorted(self._tables)

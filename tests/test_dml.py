@@ -226,3 +226,36 @@ def test_constraint_checks(spark):
                 constraints.check_foreign_key(clean, "ref", parent, "pid"),
             ]).collect()}
     assert set(rep0.values()) == {0}
+
+
+def test_time_travel_version_chain(spark, tmp_path):
+    """Every published copy-on-write commit appends one readable
+    version; version 0 is the table as created; out-of-range and
+    in-memory reads raise engine errors."""
+    import pytest
+    from cs186_query_optimization_project_spark import Database
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException)
+
+    db = Database(spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                               "id long, s string")
+    db.create_table("tt", df, str(tmp_path / "tt"))
+    db.insert_rows("tt", spark.createDataFrame([(4, "d")],
+                                               "id long, s string"))
+    db.update_rows("tt", F.col("id") == 1, {"s": F.lit("z")})
+    db.delete_rows("tt", F.col("id") == 2)
+    assert db.table_versions("tt") == [0, 1, 2, 3]
+    assert [db.table_at_version("tt", v).count() for v in range(4)] \
+        == [3, 4, 4, 3]
+    # v2 sees the update but not the delete
+    assert {r["s"] for r in db.table_at_version("tt", 2).collect()} \
+        == {"z", "b", "c", "d"}
+    # current == last version, bit for bit
+    assert sorted(map(tuple, db.table("tt").collect())) \
+        == sorted(map(tuple, db.table_at_version("tt", 3).collect()))
+    with pytest.raises(DatabaseException):
+        db.table_at_version("tt", 4)
+    db.register_dataframe("mem", df)
+    with pytest.raises(DatabaseException):
+        db.table_at_version("mem", 0)
