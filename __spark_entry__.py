@@ -2653,6 +2653,28 @@ def q_embedding_similar_pairs(spark, sf_dir):
     return similarity.similar_pairs(corpus, threshold=0.9, n_planes=6)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup END TO END over the planted
+    embedding corpus (:func:`q_embedding_similar_pairs`'s planting):
+    LSH-bucketed cosine pairs → connected components → keep-one (min
+    id), annotated with how many rows each survivor now represents.
+    Every planted +1e6 copy must vanish and its source must report
+    n_members=2; everything else survives as a singleton — the oracle
+    replays pairs, CC and the anti-join in SQL and checks all 2,000
+    survivor rows, not just the counts."""
+    db = _db(spark, sf_dir)
+    emb = db.table("embeddings")
+    planted = (emb.filter(F.col("vec_id") % 10 == 0)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.expr("transform(embedding, (x, i) -> "
+                              "CASE WHEN i = 0 THEN x + CAST(0.05 AS FLOAT) "
+                              "ELSE x END)").alias("embedding")))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return (similarity.semantic_keep_one(corpus, threshold=0.9,
+                                         n_planes=6)
+            .orderBy("vec_id"))
+
+
 # ===================================================================== #
 # sketches / profiling / clustering / LM stats (round-6 batch 2)
 # ===================================================================== #
@@ -3203,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_reconcile": q_cms_reconcile,
         "mixture_sample": q_mixture_sample,
         "epoch_shuffle": q_epoch_shuffle,
+        "semantic_dedup": q_semantic_dedup,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
@@ -3249,8 +3272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # ------------- below the driver's 50-row window ------------- #
+        # (pipeline_clean_corpus displaced by semantic_dedup; its r4
+        # driver row stands and its pieces stay covered in-window)
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # (text_stats / asof_join / embedding_topk / groupby_sum_avg /
         # left_outer_join / explode_array were displaced by the six
         # new round-8 entries; all keep their r4 green rows)
@@ -3902,8 +3927,8 @@ def oracle_sql() -> dict[str, str]:
     # copies, 6-plane bucket equality, cosine ≥ 0.9 on the rounded score
     # (q_embedding_similar_pairs + similarity.similar_pairs).
     p6 = _frozen_hyperplanes(6)
-    pairs_sql = (
-        f"WITH corpus AS ("
+    emb_ctes = (
+        f"corpus AS MATERIALIZED ("
         f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
         f"UNION ALL "
         f"SELECT vec_id + 1000000, CAST("
@@ -3913,8 +3938,32 @@ def oracle_sql() -> dict[str, str]:
         f"FROM corpus), "
         f"p AS (SELECT l.vec_id AS a, r.vec_id AS b, "
         f"round(list_cosine_similarity(l.v, r.v), 6) AS cosine_sim "
-        f"FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id) "
+        f"FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id)")
+    pairs_sql = (
+        f"WITH {emb_ctes} "
         f"SELECT a, b, cosine_sim FROM p WHERE cosine_sim >= 0.9")
+    # semantic_dedup: the pair CTEs + unrolled min-label CC (the
+    # _ngram_cc_sql pattern; self-loops fold identity labels into the
+    # MIN) + keep-one.  The planted graph is disjoint (orig, orig+1e6)
+    # edges — diameter 1 — so 3 rounds carries two rounds of slack; ed
+    # is MATERIALIZED so the pair pipeline evaluates once, not once per
+    # CC round.
+    sem_sql = (
+        f"WITH {emb_ctes}, "
+        f"hits AS (SELECT a, b FROM p WHERE cosine_sim >= 0.9), "
+        f"ed AS MATERIALIZED (SELECT unnest([a, b, a, b]) AS u, "
+        f"unnest([b, a, a, b]) AS v FROM hits), "
+        f"l1 AS (SELECT u AS id, MIN(v) AS lbl FROM ed GROUP BY u), "
+        f"l2 AS (SELECT ed.u AS id, MIN(l1.lbl) AS lbl FROM ed "
+        f"JOIN l1 ON ed.v = l1.id GROUP BY ed.u), "
+        f"l3 AS (SELECT ed.u AS id, MIN(l2.lbl) AS lbl FROM ed "
+        f"JOIN l2 ON ed.v = l2.id GROUP BY ed.u), "
+        f"sz AS (SELECT lbl, COUNT(*) AS n FROM l3 GROUP BY lbl) "
+        f"SELECT c.vec_id, CAST(COALESCE(sz.n, 1) AS BIGINT) AS n_members "
+        f"FROM corpus c "
+        f"LEFT JOIN l3 ON c.vec_id = l3.id "
+        f"LEFT JOIN sz ON sz.lbl = c.vec_id "
+        f"WHERE l3.id IS NULL OR l3.lbl = c.vec_id")
     ngram_block = _NGRAM_BLOCK_SQL
     # see _ngram_cc_sql: unrolled min-label CC (the recursive CTE it
     # replaced was ~25 min at sf0.1; rounds=5 measures ~30 s there)
@@ -4850,6 +4899,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ex JOIN ann USING (vec_id)"),
         "embedding_ann_ivf": ivf_sql,
         "embedding_similar_pairs": pairs_sql,
+        "semantic_dedup": sem_sql,
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT "

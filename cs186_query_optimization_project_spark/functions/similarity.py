@@ -416,6 +416,55 @@ def similar_pairs(df: DataFrame, threshold: float = 0.95,
     return pairs
 
 
+def semantic_keep_one(df: DataFrame, threshold: float = 0.95,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Semantic dedup in the SemDeDup mold (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): embedding-cosine near-duplicates
+    are clustered and each cluster keeps exactly one representative —
+    the smallest id — so the output is the semantically-deduplicated
+    corpus, not just the pair report.
+
+    Pipeline (all bounded, no all-pairs anywhere):
+
+    1. :func:`similar_pairs` — LSH-bucketed candidate generation +
+       exact cosine ≥ ``threshold`` (quadratic only within buckets);
+    2. min-label connected components over the pair graph
+       (:func:`~..functions.dedup.duplicate_clusters` — one join + one
+       aggregation per round, O(diameter) rounds);
+    3. keep-one materialization — non-representatives leave via ONE
+       anti-join; a left join against the per-cluster sizes annotates
+       each survivor with ``n_members`` (1 = was unique).
+
+    At 100 TB: the pair graph is orders of magnitude smaller than the
+    corpus (only bucket-colliding high-cosine rows appear), so the CC
+    rounds run on the small edge set while the corpus itself is touched
+    exactly twice (anti-join + annotate), both equi-joins on ``id_col``.
+
+    Returns ``(id_col, n_members)`` — the surviving rows and how many
+    corpus rows each one now represents.
+    """
+    from cs186_query_optimization_project_spark.functions import dedup
+
+    pairs = similar_pairs(df, threshold=threshold, vec_col=vec_col,
+                          id_col=id_col, n_planes=n_planes, seed=seed)
+    clusters = dedup.duplicate_clusters(pairs)  # (doc_id, cluster_id)
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    reps = (clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+            .join(sizes, "cluster_id")
+            .select(F.col("doc_id").alias(id_col), "n_members"))
+    return (df.select(id_col)
+            .join(losers, id_col, "left_anti")
+            .join(reps, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_members", F.lit(1))
+                    .cast("long").alias("n_members")))
+
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])

@@ -174,6 +174,25 @@ def test_similar_pairs_planted(spark, vectors):
         assert (i, i + 1000) in found
 
 
+def test_semantic_keep_one_planted(spark, vectors):
+    # exact copies of vecs 0-4 land in their source's LSH bucket at
+    # cosine 1.0: each copy must vanish, its source must report
+    # n_members >= 2, and untouched vectors survive as singletons
+    planted = vectors.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = vectors.unionByName(planted)
+    kept = {r["vec_id"]: r["n_members"]
+            for r in similarity.semantic_keep_one(
+                corpus, threshold=0.999, n_planes=4).collect()}
+    n_corpus = corpus.count()
+    for i in range(5):
+        assert i + 1000 not in kept       # copy dropped
+        assert kept[i] >= 2               # source represents the pair
+    assert sum(kept.values()) == n_corpus  # members partition the corpus
+    singles = [v for k, v in kept.items() if 5 <= k < 1000]
+    assert singles and all(v == 1 for v in singles)
+
+
 def test_multimodal_features(docs):
     import hashlib
 
