@@ -2239,6 +2239,17 @@ def q_text_stats(spark, sf_dir):
     return text.profile(_db(spark, sf_dir).table("documents"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Model-based quality filtering (the CCNet/DCLM classifier stage
+    with a transparent frozen linear model): logistic inference over
+    portable text features, every doc scored, keep ⇔ margin >= 0.  The
+    decision is +,*,/ double arithmetic only — bit-identical in the
+    SQL oracle — and splits the corpus non-trivially (~40% kept at
+    sf0.01), so both branches of the filter carry driver evidence."""
+    return text.classifier_quality(
+        _db(spark, sf_dir).table("documents")).orderBy("doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     db = _db(spark, sf_dir)
     return (db.table("documents")
@@ -3226,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "epoch_shuffle": q_epoch_shuffle,
         "semantic_dedup": q_semantic_dedup,
+        "quality_filter": q_quality_filter,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
@@ -3270,11 +3282,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
-        "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         # ------------- below the driver's 50-row window ------------- #
-        # (pipeline_clean_corpus displaced by semantic_dedup; its r4
-        # driver row stands and its pieces stay covered in-window)
+        # (pipeline_clean_corpus + dedup_exact displaced by
+        # semantic_dedup + quality_filter; both keep their r4 driver
+        # rows and their mechanics stay covered in-window — note
+        # ngram_jaccard stays IN the window because its oracle was
+        # rewritten in r7 and needs a driver row with the new SQL)
+        "dedup_exact": q_dedup_exact,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # (text_stats / asof_join / embedding_topk / groupby_sum_avg /
         # left_outer_join / explode_array were displaced by the six
@@ -4587,6 +4602,27 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS copies FROM documents GROUP BY md5(text)"),
         "text_stats": _TEXT_PROFILE_SQL.format(lang_case=lang_case,
                                                lang_defs=lang_defs),
+        # text.classifier_quality replayed: same features, same frozen
+        # weights (QUALITY_CLF_WEIGHTS), same left-assoc margin — the
+        # kept decision is exact double arithmetic, the sigmoid rounds
+        # to 4 decimals (one libm exp, far past its ulp)
+        "quality_filter": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), "
+            "x -> x <> '') AS tk, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ greatest(length(text), 1) AS alpha, "
+            "least(length(text) / 500.0, 1.0) AS len_sat, "
+            "CAST((length(' ' || text || ' ') - length(replace("
+            "' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS hits "
+            "FROM documents), "
+            "f AS (SELECT doc_id, "
+            "-5.4 + 4.0 * alpha "
+            "+ 2.0 * (len(list_distinct(tk)) / greatest(len(tk), 1)) "
+            "+ 1.5 * len_sat "
+            "+ 6.0 * (hits / greatest(len(tk), 1)) AS m FROM t) "
+            "SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS clf_score, "
+            "m >= 0 AS kept FROM f"),
         "lang_id": (
             f"SELECT {lang_case} AS lang_pred, COUNT(*) AS countAgg "
             f"FROM (SELECT {lang_defs} FROM documents) GROUP BY 1"),

@@ -213,6 +213,55 @@ def shingles_of_tokens(tok_expr: str, k: int = 3) -> Column:
         f"i -> concat_ws(' ', slice(t, i, {k}))) END))")
 
 
+#: Frozen logistic quality-classifier weights — the model-based filter
+#: stage of a web-corpus pipeline (CCNet, Wenzek et al. 2020; DCLM,
+#: Li et al. 2024 use fastText models; this is the same inference shape
+#: with a transparent linear model over portable text features).  The
+#: margin z = bias + w·x uses ONLY +,*,/ double arithmetic — IEEE 754
+#: ops are exactly specified, so the keep/drop decision (z >= 0) is
+#: bit-identical in Spark and any SQL oracle; the sigmoid score is
+#: reported at 4 decimals (the one libm exp, rounded well past its ulp).
+QUALITY_CLF_WEIGHTS = {
+    "bias": -5.4,
+    "alpha_ratio": 4.0,        # letters / chars
+    "type_token_ratio": 2.0,   # distinct tokens / tokens
+    "length_saturation": 1.5,  # min(chars/500, 1)
+    "stopword_ratio": 6.0,     # whole-token 'the' hits / tokens
+}
+
+
+def classifier_margin(text: Column | str) -> Column:
+    """Linear margin z of the frozen quality classifier (see
+    :data:`QUALITY_CLF_WEIGHTS`).  Kept ⇔ z >= 0 ⇔ sigmoid(z) >= 0.5."""
+    c = F.col(text) if isinstance(text, str) else text
+    tk = F.filter(tokens(c), lambda x: x != "")
+    ntok = F.greatest(F.size(tk), F.lit(1))
+    w = QUALITY_CLF_WEIGHTS
+    return (F.lit(w["bias"])
+            + F.lit(w["alpha_ratio"]) * alpha_ratio(c)
+            + F.lit(w["type_token_ratio"])
+            * (F.size(F.array_distinct(tk)) / ntok)
+            + F.lit(w["length_saturation"])
+            * F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+            + F.lit(w["stopword_ratio"]) * (marker_hits(c, "the") / ntok))
+
+
+def classifier_quality(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Quality-classifier inference over the corpus → ``(id, clf_score,
+    kept)``.  Pure row-wise JVM expressions — no shuffle, no UDF; at
+    100 TB this is a map-only stage that pipelines into whatever scan
+    produced the rows (predicates on ``kept`` push into the same
+    stage)."""
+    df = ensure_parallelism(df, id_col)
+    z = classifier_margin(text_col)
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+        .alias("clf_score"),
+        (z >= 0).alias("kept"))
+
+
 def profile(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: id, token count, char count, quality, lang,

@@ -193,6 +193,20 @@ def test_semantic_keep_one_planted(spark, vectors):
     assert singles and all(v == 1 for v in singles)
 
 
+def test_classifier_quality_split(spark):
+    from cs186_query_optimization_project_spark.functions import text as tx
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "the fox rests beside the quiet stream of the valley " * 6)
+    junk = "@@@@ #### 1234 @@@@ #### 1234 @@@@ #### 1234"
+    df = spark.createDataFrame(
+        [(1, prose), (2, junk)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r
+            for r in tx.classifier_quality(df).collect()}
+    assert rows[1]["kept"] and not rows[2]["kept"]
+    assert rows[1]["clf_score"] > 0.5 > rows[2]["clf_score"]
+    assert 0.0 <= rows[2]["clf_score"] <= 1.0
+
+
 def test_multimodal_features(docs):
     import hashlib
 
