@@ -2955,6 +2955,20 @@ def q_mixture_sample(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-flattened (tau=2, alpha=0.5) language rebalance of
+    the corpus: en is ~3x fr in the raw data, so en keeps
+    sqrt(c_fr/c_en) of its rows while fr keeps everything — the
+    multilingual-pretraining mixture.  alpha=0.5 keeps every rate in
+    IEEE-exact sqrt/divide arithmetic, so the oracle replays counts,
+    rates and md5 coin flips bit-for-bit."""
+    from cs186_query_optimization_project_spark.functions import sampling
+    db = _db(spark, sf_dir)
+    return (sampling.temperature_mixture(
+                db.table("documents"), "lang", "doc_id", alpha=0.5)
+            .select("doc_id", "lang"))
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Deterministic epoch-1 reshuffle of the corpus into 8 shards:
     (shard, pos) is a pure function of md5('1::' || doc_id) with id
@@ -3235,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_reconcile": q_hll_reconcile,
         "cms_reconcile": q_cms_reconcile,
         "mixture_sample": q_mixture_sample,
+        "mixture_temperature": q_mixture_temperature,
         "epoch_shuffle": q_epoch_shuffle,
         "semantic_dedup": q_semantic_dedup,
         "quality_filter": q_quality_filter,
@@ -3281,14 +3296,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_two": q_join_two,
         "rollup": q_rollup,
         "multimodal_features": q_multimodal_features,
-        "window_rank": q_window_rank,
         "ngram_jaccard": q_ngram_jaccard,
         # ------------- below the driver's 50-row window ------------- #
-        # (pipeline_clean_corpus + dedup_exact displaced by
-        # semantic_dedup + quality_filter; both keep their r4 driver
-        # rows and their mechanics stay covered in-window — note
-        # ngram_jaccard stays IN the window because its oracle was
-        # rewritten in r7 and needs a driver row with the new SQL)
+        # (pipeline_clean_corpus, dedup_exact and window_rank displaced
+        # by semantic_dedup, quality_filter and mixture_temperature;
+        # all three keep their r4 driver rows and their mechanics stay
+        # covered in-window — ngram_jaccard stays IN the window because
+        # its oracle was rewritten in r7 and needs a driver row with
+        # the new SQL)
+        "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         # (text_stats / asof_join / embedding_topk / groupby_sum_avg /
@@ -5442,6 +5458,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, d.source FROM documents d "
         "JOIN r ON d.source = r.src "
         "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))"
+        "::UBIGINT::DOUBLE / 1152921504606846976.0 < r.rate "
+        "ORDER BY doc_id")
+    # mixture_temperature: per-lang counts -> sqrt(c_min)/sqrt(c_d)
+    # rates (IEEE-exact at alpha=0.5) -> md5 coin flips, mirroring
+    # sampling.temperature_mixture expression for expression
+    out["mixture_temperature"] = (
+        "WITH c AS (SELECT lang AS d, CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM documents GROUP BY lang), "
+        "m AS (SELECT MIN(n) AS mn FROM c), "
+        "r AS (SELECT d, sqrt(mn) / sqrt(n) AS rate "
+        "FROM c CROSS JOIN m) "
+        "SELECT doc_id, lang FROM documents "
+        "JOIN r ON lang = r.d "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
         "::UBIGINT::DOUBLE / 1152921504606846976.0 < r.rate "
         "ORDER BY doc_id")
     # epoch_shuffle: shard = h60 % 8, pos = row_number within shard

@@ -169,3 +169,44 @@ def mixture_sample(df: DataFrame, domain_col: str, weights: dict,
     rate = F.create_map(*[
         x for d, r in rates.items() for x in (F.lit(d), F.lit(r))])
     return df.filter(u < rate[F.col(domain_col)])
+
+
+def temperature_mixture(df: DataFrame, domain_col: str, id_col: str,
+                        alpha: float = 0.5, salt: str = "") -> DataFrame:
+    """Temperature-flattened mixture: resample so domain d's output
+    share ∝ p_d^alpha — the multilingual-pretraining rebalance
+    (Arivazhagan et al. 2019 §5, "Massively Multilingual NMT"; XLM-R,
+    Conneau et al. 2020) that lifts tail domains without repeating
+    rows.  With no-repeat sampling the rate algebra collapses: the
+    binding (fully-kept) domain is the rarest one and every other
+    domain keeps ``rate_d = (c_min / c_d)^(1-alpha)``.
+
+    ``alpha=0.5`` (temperature 2, the default) computes the rate as
+    ``sqrt(c_min) / sqrt(c_d)`` — IEEE-754 ``sqrt`` and divide are
+    exactly rounded, so the rates (hence the md5-coin membership) are
+    bit-identical in any conforming engine, SQL oracles included.
+    Other alphas route through libm ``pow`` — deterministic on one
+    machine, last-ulp risk across math libraries (documented, not
+    oracle-checked).
+
+    Fully distributed — no driver collect: per-domain counts are a
+    groupBy, the min count is a one-row aggregate crossJoined back
+    (broadcast), and the |domains|-row rate table broadcast-joins onto
+    the corpus; the final membership filter is map-side.
+    """
+    counts = (df.groupBy(F.col(domain_col).alias("__d"))
+              .agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    mn = counts.agg(F.min("__n").alias("__mn"))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("__mn")) / F.sqrt(F.col("__n"))
+    else:
+        rate = F.pow(F.col("__mn") / F.col("__n"), F.lit(1.0 - alpha))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .select("__d", rate.alias("__rate")))
+    u = (F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+         .cast("bigint").cast("double") / float(2 ** 60))
+    return (df.join(F.broadcast(rates),
+                    df[domain_col] == F.col("__d"))
+            .filter(u < F.col("__rate"))
+            .drop("__d", "__rate"))

@@ -136,3 +136,37 @@ def test_mixture_sample_salt_is_data_not_sql(docs):
     out = mixture_sample(docs, "source", {"src0": 1.0}, "doc_id",
                          salt="it's \\ weird")
     assert out.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_temperature_mixture_flattens_skew(docs):
+    from math import sqrt
+
+    raw = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    out = sampling.temperature_mixture(docs, "lang", "doc_id", alpha=0.5)
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    c_min = min(raw.values())
+    binding = min(raw, key=raw.get)
+    # the rarest domain keeps everything
+    assert kept[binding] == raw[binding]
+    # every other domain lands near its sqrt-scaled expectation
+    for lang, n in raw.items():
+        exp = n * sqrt(c_min) / sqrt(n)
+        assert abs(kept[lang] - exp) < 0.35 * exp + 5
+    # output skew is strictly flatter than input skew
+    assert (max(kept.values()) / min(kept.values())
+            < max(raw.values()) / min(raw.values()))
+    # membership is partition-layout independent
+    out2 = sampling.temperature_mixture(docs.repartition(13), "lang",
+                                        "doc_id", alpha=0.5)
+    assert (sorted(r["doc_id"] for r in out.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in out2.select("doc_id").collect()))
+
+
+def test_temperature_mixture_alpha_one_keeps_all(docs):
+    # alpha=1 is identity temperature: every rate is (c_min/c_d)^0 = 1
+    out = sampling.temperature_mixture(docs, "lang", "doc_id", alpha=1.0)
+    assert out.count() == docs.count()
