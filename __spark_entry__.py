@@ -2702,6 +2702,21 @@ def q_hll_distinct(spark, sf_dir):
     return sketches.hll_distinct(keys, "k", m=256)
 
 
+def q_hll_by_group(spark, sf_dir):
+    """Per-group HLL: approximate distinct users per event type — the
+    sketch replacement for grouped COUNT DISTINCT (exact shuffles
+    every (group, user) pair; the sketch shuffles ≤ m register rows
+    per group).  Register template shared with the global and
+    streaming sketches, so the oracle rebuilds every group's registers
+    bit-for-bit and re-derives the same estimates."""
+    from cs186_query_optimization_project_spark.functions import sketches
+    db = _db(spark, sf_dir)
+    ev = db.table("events").select(
+        "event_type", F.col("user_id").cast("string").alias("u"))
+    return (sketches.hll_distinct_by(ev, "u", ["event_type"], m=256)
+            .orderBy("event_type"))
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min (d=3, w=2048) heavy hitters over document tokens, with
     the exact counts alongside: cms_estimate >= exact_count always, and
@@ -3253,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "semantic_dedup": q_semantic_dedup,
         "quality_filter": q_quality_filter,
+        "hll_by_group": q_hll_by_group,
         "ann_recall": q_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "streaming_cms": q_streaming_cms,
@@ -3295,15 +3311,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_count": q_groupby_count,
         "join_two": q_join_two,
         "rollup": q_rollup,
-        "multimodal_features": q_multimodal_features,
         "ngram_jaccard": q_ngram_jaccard,
         # ------------- below the driver's 50-row window ------------- #
-        # (pipeline_clean_corpus, dedup_exact and window_rank displaced
-        # by semantic_dedup, quality_filter and mixture_temperature;
-        # all three keep their r4 driver rows and their mechanics stay
-        # covered in-window — ngram_jaccard stays IN the window because
-        # its oracle was rewritten in r7 and needs a driver row with
-        # the new SQL)
+        # (pipeline_clean_corpus, dedup_exact, window_rank and
+        # multimodal_features displaced by semantic_dedup,
+        # quality_filter, mixture_temperature and hll_by_group; all
+        # four keep their r4 driver rows and their mechanics stay
+        # covered in-window — multimodal plumbing via frame_sample /
+        # asset_resize.  ngram_jaccard stays IN the window because its
+        # oracle was rewritten in r7 and needs a driver row with the
+        # new SQL)
+        "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -5039,6 +5057,33 @@ def oracle_sql() -> dict[str, str]:
             "estimate, exact_distinct::BIGINT AS exact_distinct, "
             "round(abs(estimate - exact_distinct) / exact_distinct, 4) "
             "AS rel_error FROM est, x"),
+        # per-group registers: the hll_distinct oracle with GROUP BY
+        # event_type threaded through every stage
+        "hll_by_group": (
+            "WITH h AS (SELECT event_type AS g, ('0x' || substr(md5("
+            "CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv "
+            "FROM events), "
+            "r AS (SELECT g, CAST(hv % 256 AS INT) AS register, "
+            "CASE WHEN hv // 256 = 0 THEN 53 "
+            "ELSE 53 - length(bin(hv // 256)) END AS rho FROM h), "
+            "regs AS (SELECT g, register, MAX(rho) AS rho FROM r "
+            "GROUP BY g, register), "
+            "agg AS (SELECT g, COUNT(*) AS filled, "
+            "SUM(pow(2.0, -rho)) AS ps FROM regs GROUP BY g), "
+            "est AS (SELECT g, filled, round(CASE WHEN "
+            "(0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 "
+            "/ (ps + (256 - filled)) <= 640.0 AND (256 - filled) > 0 "
+            "THEN 256.0 * ln(256.0 / (256 - filled)) "
+            "ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 "
+            "/ (ps + (256 - filled)) END, 4) AS estimate FROM agg), "
+            "x AS (SELECT event_type AS g, COUNT(DISTINCT user_id) "
+            "AS exact_distinct FROM events GROUP BY event_type) "
+            "SELECT est.g AS event_type, 256 AS m, "
+            "filled::BIGINT AS filled_registers, estimate, "
+            "exact_distinct::BIGINT AS exact_distinct, "
+            "round(abs(estimate - exact_distinct) / exact_distinct, 4) "
+            "AS rel_error FROM est JOIN x ON est.g = x.g "
+            "ORDER BY event_type"),
         # CMS grid rebuilt cell-for-cell: row-salted portable hash mod
         # w; estimates = min over the 3 rows' counters.
         "cms_heavy_hitters": (

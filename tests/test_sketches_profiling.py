@@ -62,6 +62,35 @@ def test_hll_registers_merge_by_max(spark):
     assert rows(whole) == rows(merged)
 
 
+def test_hll_by_group_matches_per_group_global_sketch(spark):
+    # each group's sketch must equal the global sketch of that group's
+    # rows alone — grouping threads through, it doesn't cross-pollute
+    df = spark.range(6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # overlapping value domains across groups
+        (F.col("id") % 2000).cast("string").alias("v"))
+    grouped = {r["g"]: r for r in
+               sketches.hll_distinct_by(df, "v", ["g"]).collect()}
+    assert set(grouped) == {"0", "1", "2"}
+    for g in ("0", "1", "2"):
+        solo = sketches.hll_distinct(
+            df.filter(F.col("g") == g), "v").collect()[0]
+        assert grouped[g]["estimate"] == solo["estimate"]
+        assert grouped[g]["filled_registers"] == solo["filled_registers"]
+        assert grouped[g]["exact_distinct"] == solo["exact_distinct"]
+
+
+def test_hll_by_group_registers_merge_with_global(spark):
+    # per-group registers groupBy-max-merge into exactly the global
+    # register table (same template ⇒ lambda-merge stays sound)
+    df = spark.range(4000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 1500).cast("string").alias("v"))
+    merged = (sketches.hll_registers_by(df, "v", ["g"])
+              .groupBy("register").agg(F.max("rho").alias("rho")))
+    assert rows(merged) == rows(sketches.hll_registers(df, "v"))
+
+
 # --------------------------------------------------------------------- #
 # Count-Min
 # --------------------------------------------------------------------- #
