@@ -2970,6 +2970,20 @@ def q_mixture_sample(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def q_sample_k_per_group(spark, sf_dir):
+    """Exact-5 deterministic docs per language: md5-uniform order
+    statistics within each stratum, two-phase (broadcast-count hash
+    pre-prune, then a row_number over the surviving sliver).  Both
+    phases replay in the oracle, so the exact ids AND ranks are
+    value-checked."""
+    from cs186_query_optimization_project_spark.functions import sampling
+    db = _db(spark, sf_dir)
+    return (sampling.sample_k_per_group(
+                db.table("documents").select("doc_id", "lang"),
+                "lang", "doc_id", k=5)
+            .select("doc_id", "lang", "rk"))
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-flattened (tau=2, alpha=0.5) language rebalance of
     the corpus: en is ~3x fr in the raw data, so en keeps
@@ -3265,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_reconcile": q_cms_reconcile,
         "mixture_sample": q_mixture_sample,
         "mixture_temperature": q_mixture_temperature,
+        "sample_k_per_group": q_sample_k_per_group,
         "epoch_shuffle": q_epoch_shuffle,
         "semantic_dedup": q_semantic_dedup,
         "quality_filter": q_quality_filter,
@@ -3310,17 +3325,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan": q_scan,
         "groupby_count": q_groupby_count,
         "join_two": q_join_two,
-        "rollup": q_rollup,
         "ngram_jaccard": q_ngram_jaccard,
         # ------------- below the driver's 50-row window ------------- #
-        # (pipeline_clean_corpus, dedup_exact, window_rank and
+        # (pipeline_clean_corpus, dedup_exact, window_rank, rollup and
         # multimodal_features displaced by semantic_dedup,
-        # quality_filter, mixture_temperature and hll_by_group; all
-        # four keep their r4 driver rows and their mechanics stay
-        # covered in-window — multimodal plumbing via frame_sample /
+        # quality_filter, mixture_temperature, hll_by_group and
+        # sample_k_per_group; all five keep their r4 driver rows and
+        # their mechanics stay covered in-window — grouped aggregation
+        # via groupby_count, multimodal plumbing via frame_sample /
         # asset_resize.  ngram_jaccard stays IN the window because its
         # oracle was rewritten in r7 and needs a driver row with the
         # new SQL)
+        "rollup": q_rollup,
         "multimodal_features": q_multimodal_features,
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
@@ -5505,6 +5521,22 @@ def oracle_sql() -> dict[str, str]:
         "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))"
         "::UBIGINT::DOUBLE / 1152921504606846976.0 < r.rate "
         "ORDER BY doc_id")
+    # sample_k_per_group: both phases replayed — the (20k+100)/n hash
+    # pre-prune, then row_number over (u, doc_id) within each lang
+    out["sample_k_per_group"] = (
+        "WITH c AS (SELECT lang AS d, CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM documents GROUP BY lang), "
+        "r AS (SELECT d, least(1.0, 200.0 / n) AS rate FROM c), "
+        "u AS (SELECT doc_id, lang, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::UBIGINT::DOUBLE / 1152921504606846976.0 AS uu "
+        "FROM documents), "
+        "cand AS (SELECT doc_id, lang, uu FROM u "
+        "JOIN r ON u.lang = r.d WHERE uu < r.rate), "
+        "rk AS (SELECT doc_id, lang, row_number() OVER ("
+        "PARTITION BY lang ORDER BY uu, doc_id) AS rk FROM cand) "
+        "SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM rk "
+        "WHERE rk <= 5")
     # mixture_temperature: per-lang counts -> sqrt(c_min)/sqrt(c_d)
     # rates (IEEE-exact at alpha=0.5) -> md5 coin flips, mirroring
     # sampling.temperature_mixture expression for expression

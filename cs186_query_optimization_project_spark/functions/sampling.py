@@ -21,7 +21,7 @@ row path, so they scale like any scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -169,6 +169,47 @@ def mixture_sample(df: DataFrame, domain_col: str, weights: dict,
     rate = F.create_map(*[
         x for d, r in rates.items() for x in (F.lit(d), F.lit(r))])
     return df.filter(u < rate[F.col(domain_col)])
+
+
+def sample_k_per_group(df: DataFrame, strata_col: str, id_col: str,
+                       k: int, salt: str = "") -> DataFrame:
+    """Exact-``k`` deterministic sample per stratum ("give me k docs
+    per language"): rows rank within their stratum by the portable
+    md5 uniform (id tie-break) and the first ``k`` win.  Membership is
+    a pure function of (id, salt) order statistics — partition-layout
+    independent and replayable in SQL.
+
+    Two-phase at scale: ranking a 100 TB stratum outright would sort
+    the whole stratum under one window.  Instead a broadcast count per
+    stratum derives a loose hash threshold ``rate = min(1,
+    (20k + 100) / n)`` that pre-prunes each stratum to an expected
+    ``20k + 100`` candidate rows MAP-SIDE (the same coin the final
+    rank orders by, so the true top-k always survives it unless fewer
+    than k candidates pass — Chernoff-bounded below e^-40 even at
+    k=1); the row_number window then sorts only the tiny candidate
+    set.  The pre-prune is part of the operator's definition (the
+    oracle replays both phases), so the output is deterministic even
+    on the astronomically-unlikely tail.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    counts = (df.groupBy(F.col(strata_col).alias("__d"))
+              .agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    rates = counts.select(
+        "__d", F.least(F.lit(1.0),
+                       F.lit(float(20 * k + 100)) / F.col("__n"))
+        .alias("__rate"))
+    u = (F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+         .cast("bigint").cast("double") / float(2 ** 60))
+    cand = (df.join(F.broadcast(rates), df[strata_col] == F.col("__d"))
+            .withColumn("__u", u)
+            .filter(F.col("__u") < F.col("__rate")))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col("__u"), F.col(id_col)))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("__d", "__rate", "__u"))
 
 
 def temperature_mixture(df: DataFrame, domain_col: str, id_col: str,
