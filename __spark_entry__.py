@@ -336,7 +336,9 @@ def q_dml_lifecycle(spark, sf_dir):
     db = _db(spark, sf_dir)
     parent = _ensure_private_dir(
         f"/tmp/spark_graft_dml_{os.getuid()}")
-    base = os.path.join(parent, _tag(sf_dir))
+    # pid suffix: concurrent bench/correctness processes of the same uid
+    # must not rmtree each other's in-flight version trail.
+    base = os.path.join(parent, f"{_tag(sf_dir)}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
 
     db.create_table("nation_dml", db.table("nation"), f"{base}/nation",
@@ -347,9 +349,14 @@ def q_dml_lifecycle(spark, sf_dir):
     db.update_rows("nation_dml", F.col("n_regionkey") == 2,
                    {"n_name": F.concat(F.col("n_name"), F.lit("*"))})
     db.delete_rows("nation_dml", F.col("n_nationkey").between(10, 14))
-    out = db.table("nation_dml").select("n_nationkey", "n_name",
-                                        "n_regionkey")
-    db.drop_table("nation_dml")  # catalog delete; files stay (MVCC trail)
+    # Detach the (nation-sized) result from the /tmp trail so the
+    # returned DataFrame survives a concurrent or subsequent rmtree of
+    # the version files, then reclaim the pid-suffixed dir eagerly.
+    out = (db.table("nation_dml")
+           .select("n_nationkey", "n_name", "n_regionkey")
+           .localCheckpoint())
+    db.drop_table("nation_dml")
+    shutil.rmtree(base, ignore_errors=True)
     return out
 
 
@@ -368,7 +375,9 @@ def q_time_travel(spark, sf_dir):
     db = _db(spark, sf_dir)
     parent = _ensure_private_dir(
         f"/tmp/spark_graft_tt_{os.getuid()}")
-    base = os.path.join(parent, _tag(sf_dir))
+    # pid suffix: concurrent bench/correctness processes of the same uid
+    # must not rmtree each other's in-flight version trail.
+    base = os.path.join(parent, f"{_tag(sf_dir)}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
 
     db.create_table("nation_tt", db.table("nation"), f"{base}/nation",
@@ -381,11 +390,16 @@ def q_time_travel(spark, sf_dir):
         db.table_at_version("nation_tt", v)
         .select(F.lit(v).cast("bigint").alias("version"), "n_nationkey")
         for v in db.table_versions("nation_tt")]
+    # localCheckpoint the 3-row summary: the result detaches from the
+    # /tmp version files, so it survives a concurrent invocation's
+    # rmtree, and we can reclaim the pid-suffixed dir eagerly.
     out = (reduce(lambda a, b: a.unionByName(b), parts)
            .groupBy("version")
            .agg(F.count(F.lit(1)).alias("n_rows"),
-                F.sum("n_nationkey").alias("key_sum")))
+                F.sum("n_nationkey").alias("key_sum"))
+           .localCheckpoint())
     db.drop_table("nation_tt")
+    shutil.rmtree(base, ignore_errors=True)
     return out
 
 
@@ -401,7 +415,9 @@ def q_merge_upsert(spark, sf_dir):
     db = _db(spark, sf_dir)
     parent = _ensure_private_dir(
         f"/tmp/spark_graft_merge_{os.getuid()}")
-    base = os.path.join(parent, _tag(sf_dir))
+    # pid suffix: concurrent bench/correctness processes of the same uid
+    # must not rmtree each other's in-flight version trail.
+    base = os.path.join(parent, f"{_tag(sf_dir)}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
 
     db.create_table("nation_merge", db.table("nation"), f"{base}/nation",
@@ -416,9 +432,12 @@ def q_merge_upsert(spark, sf_dir):
         schema=db.schema("nation_merge"))
     db.merge_rows("nation_merge", updates.unionByName(inserts),
                   on="n_nationkey")
+    # Detach from the /tmp trail (see q_dml_lifecycle) + eager reclaim.
     out = (db.table("nation_merge")
-           .select("n_nationkey", "n_name", "n_regionkey"))
+           .select("n_nationkey", "n_name", "n_regionkey")
+           .localCheckpoint())
     db.drop_table("nation_merge")
+    shutil.rmtree(base, ignore_errors=True)
     return out
 
 
@@ -4122,8 +4141,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS BIGINT) AS version, "
             "CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM v0 "
-            "UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey) FROM v1 "
-            "UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey) FROM v2"),
+            "UNION ALL SELECT CAST(1 AS BIGINT), "
+            "CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(n_nationkey) AS BIGINT) FROM v1 "
+            "UNION ALL SELECT CAST(2 AS BIGINT), "
+            "CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(n_nationkey) AS BIGINT) FROM v2"),
         "distinct": ("SELECT DISTINCT c_nationkey, c_mktsegment "
                      "FROM customer"),
         "orderby_limit": (

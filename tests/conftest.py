@@ -13,6 +13,11 @@ SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_001 = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: spawns a second Spark driver process")
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="cs186-tests")
