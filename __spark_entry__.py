@@ -16,6 +16,7 @@ every top-k has a unique tie-break column.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,6 +63,62 @@ def _db(spark: SparkSession, sf_dir: str) -> Database:
     if key not in _DBS:
         _DBS[key] = Database(spark, sf_dir)
     return _DBS[key]
+
+
+def _pid_alive(pid: int) -> bool:
+    """True iff ``pid`` is a live process we could signal.  EPERM means
+    alive-but-foreign; foreign uids can't be inside our 0700 scratch
+    parents anyway, so treating it as alive is the safe direction
+    (never reclaim a dir that might still be in use)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+@_contextmanager
+def _scratch_base(kind: str, sf_dir: str):
+    """Pid-suffixed private scratch base for entries that write a /tmp
+    copy-on-write version trail (DML / time-travel / merge / txn /
+    compaction).  Three guarantees, each pinned by
+    ``tests/test_dml_isolation.py``:
+
+    - **pid suffix**: a concurrent same-uid process lands on a disjoint
+      base, so its start-of-entry rmtree cannot clobber our in-flight
+      trail (the round-8 FAILED_READ_FILE class).
+    - **exception-safe reclaim**: the base is rmtree'd in ``finally`` —
+      a mid-entry failure cannot leak a version trail that no later run
+      would reclaim (pid-suffixed names are never reused).  Callers must
+      therefore ``localCheckpoint()`` their result BEFORE the with-block
+      exits.
+    - **migration + dead-pid sweep**: the pre-round-9 un-suffixed
+      ``<tag>`` dir and any ``<tag>_<pid>`` sibling whose pid is no
+      longer alive are removed at entry start, so crashed runs and
+      legacy residue cannot accumulate in /tmp forever.
+    """
+    import os
+    import shutil
+
+    parent = _ensure_private_dir(f"/tmp/spark_graft_{kind}_{os.getuid()}")
+    tag = _tag(sf_dir)
+    # one-time migration: the pre-r9 scheme used the bare tag
+    shutil.rmtree(os.path.join(parent, tag), ignore_errors=True)
+    for d in os.listdir(parent):
+        suffix = d[len(tag) + 1:]
+        if (d.startswith(f"{tag}_") and suffix.isdigit()
+                and not _pid_alive(int(suffix))):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    base = os.path.join(parent, f"{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        yield base
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _tmp_path(kind: str, sf_dir: str, leaf: str) -> str:
@@ -260,20 +317,19 @@ def q_compact_scan(spark, sf_dir):
     oracle), while the file count drops ~40× (asserted in
     tests/test_sources.py)."""
     import os
-    import shutil
 
     from cs186_query_optimization_project_spark.sources import writers
 
     db = _db(spark, sf_dir)
-    parent = _ensure_private_dir(
-        f"/tmp/spark_graft_compact_{os.getuid()}")
-    base = os.path.join(parent, _tag(sf_dir))
-    shutil.rmtree(base, ignore_errors=True)
-    path = os.path.join(base, "orders")
-    db.table("orders").repartition(40).write.parquet(path)
-    writers.compact_table(spark, path, target_file_bytes=512 << 20,
-                          sort_by=("o_orderkey",))
-    return spark.read.parquet(path)
+    with _scratch_base("compact", sf_dir) as base:
+        path = os.path.join(base, "orders")
+        db.table("orders").repartition(40).write.parquet(path)
+        writers.compact_table(spark, path, target_file_bytes=512 << 20,
+                              sort_by=("o_orderkey",))
+        # localCheckpoint: the compacted files are reclaimed on
+        # with-exit, so the returned frame must not read them lazily.
+        out = spark.read.parquet(path).localCheckpoint()
+    return out
 
 
 def q_text_source(spark, sf_dir):
@@ -330,33 +386,23 @@ def q_dml_lifecycle(spark, sf_dir):
     story is identical, per-file instead of per-table, under Delta or
     Iceberg).  Returns the final table content so the oracle can replay
     the same mutations in SQL."""
-    import os
-    import shutil
-
     db = _db(spark, sf_dir)
-    parent = _ensure_private_dir(
-        f"/tmp/spark_graft_dml_{os.getuid()}")
-    # pid suffix: concurrent bench/correctness processes of the same uid
-    # must not rmtree each other's in-flight version trail.
-    base = os.path.join(parent, f"{_tag(sf_dir)}_{os.getpid()}")
-    shutil.rmtree(base, ignore_errors=True)
-
-    db.create_table("nation_dml", db.table("nation"), f"{base}/nation",
-                    index_columns=("n_nationkey",), mode="overwrite")
-    db.insert_rows("nation_dml", spark.createDataFrame(
-        [(100, "ATLANTIS", 0), (101, "ELDORADO", 1)],
-        schema=db.schema("nation_dml")))
-    db.update_rows("nation_dml", F.col("n_regionkey") == 2,
-                   {"n_name": F.concat(F.col("n_name"), F.lit("*"))})
-    db.delete_rows("nation_dml", F.col("n_nationkey").between(10, 14))
-    # Detach the (nation-sized) result from the /tmp trail so the
-    # returned DataFrame survives a concurrent or subsequent rmtree of
-    # the version files, then reclaim the pid-suffixed dir eagerly.
-    out = (db.table("nation_dml")
-           .select("n_nationkey", "n_name", "n_regionkey")
-           .localCheckpoint())
-    db.drop_table("nation_dml")
-    shutil.rmtree(base, ignore_errors=True)
+    with _scratch_base("dml", sf_dir) as base:
+        db.create_table("nation_dml", db.table("nation"), f"{base}/nation",
+                        index_columns=("n_nationkey",), mode="overwrite")
+        db.insert_rows("nation_dml", spark.createDataFrame(
+            [(100, "ATLANTIS", 0), (101, "ELDORADO", 1)],
+            schema=db.schema("nation_dml")))
+        db.update_rows("nation_dml", F.col("n_regionkey") == 2,
+                       {"n_name": F.concat(F.col("n_name"), F.lit("*"))})
+        db.delete_rows("nation_dml", F.col("n_nationkey").between(10, 14))
+        # Detach the (nation-sized) result from the /tmp trail so the
+        # returned DataFrame survives the with-exit rmtree and any
+        # concurrent invocation's reclaim.
+        out = (db.table("nation_dml")
+               .select("n_nationkey", "n_name", "n_regionkey")
+               .localCheckpoint())
+        db.drop_table("nation_dml")
     return out
 
 
@@ -368,38 +414,28 @@ def q_time_travel(spark, sf_dir):
     the oracle can replay the version states in SQL.  Old versions are
     plain parquet scans of retained paths — no log replay, and only
     published commits appear (orphaned staged dirs never do)."""
-    import os
-    import shutil
     from functools import reduce
 
     db = _db(spark, sf_dir)
-    parent = _ensure_private_dir(
-        f"/tmp/spark_graft_tt_{os.getuid()}")
-    # pid suffix: concurrent bench/correctness processes of the same uid
-    # must not rmtree each other's in-flight version trail.
-    base = os.path.join(parent, f"{_tag(sf_dir)}_{os.getpid()}")
-    shutil.rmtree(base, ignore_errors=True)
-
-    db.create_table("nation_tt", db.table("nation"), f"{base}/nation",
-                    mode="overwrite")
-    db.insert_rows("nation_tt", spark.createDataFrame(
-        [(200, "ATLANTIS", 0), (201, "ELDORADO", 1)],
-        schema=db.schema("nation_tt")))
-    db.delete_rows("nation_tt", F.col("n_nationkey").between(10, 14))
-    parts = [
-        db.table_at_version("nation_tt", v)
-        .select(F.lit(v).cast("bigint").alias("version"), "n_nationkey")
-        for v in db.table_versions("nation_tt")]
-    # localCheckpoint the 3-row summary: the result detaches from the
-    # /tmp version files, so it survives a concurrent invocation's
-    # rmtree, and we can reclaim the pid-suffixed dir eagerly.
-    out = (reduce(lambda a, b: a.unionByName(b), parts)
-           .groupBy("version")
-           .agg(F.count(F.lit(1)).alias("n_rows"),
-                F.sum("n_nationkey").alias("key_sum"))
-           .localCheckpoint())
-    db.drop_table("nation_tt")
-    shutil.rmtree(base, ignore_errors=True)
+    with _scratch_base("tt", sf_dir) as base:
+        db.create_table("nation_tt", db.table("nation"), f"{base}/nation",
+                        mode="overwrite")
+        db.insert_rows("nation_tt", spark.createDataFrame(
+            [(200, "ATLANTIS", 0), (201, "ELDORADO", 1)],
+            schema=db.schema("nation_tt")))
+        db.delete_rows("nation_tt", F.col("n_nationkey").between(10, 14))
+        parts = [
+            db.table_at_version("nation_tt", v)
+            .select(F.lit(v).cast("bigint").alias("version"), "n_nationkey")
+            for v in db.table_versions("nation_tt")]
+        # localCheckpoint the 3-row summary: the result detaches from
+        # the /tmp version files before the with-exit rmtree.
+        out = (reduce(lambda a, b: a.unionByName(b), parts)
+               .groupBy("version")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_nationkey").alias("key_sum"))
+               .localCheckpoint())
+        db.drop_table("nation_tt")
     return out
 
 
@@ -409,35 +445,25 @@ def q_merge_upsert(spark, sf_dir):
     ones, in one declarative copy-on-write pass (left-outer join for the
     updates + anti join for the inserts; no driver-side rows).  The
     oracle replays the same upsert as CASE + UNION ALL."""
-    import os
-    import shutil
-
     db = _db(spark, sf_dir)
-    parent = _ensure_private_dir(
-        f"/tmp/spark_graft_merge_{os.getuid()}")
-    # pid suffix: concurrent bench/correctness processes of the same uid
-    # must not rmtree each other's in-flight version trail.
-    base = os.path.join(parent, f"{_tag(sf_dir)}_{os.getpid()}")
-    shutil.rmtree(base, ignore_errors=True)
-
-    db.create_table("nation_merge", db.table("nation"), f"{base}/nation",
-                    mode="overwrite")
-    updates = (db.table("nation").filter(F.col("n_nationkey") < 3)
-               .select("n_nationkey",
-                       F.concat(F.col("n_name"), F.lit("~u"))
-                       .alias("n_name"),
-                       "n_regionkey"))
-    inserts = spark.createDataFrame(
-        [(100, "NATION_100", 0), (101, "NATION_101", 1)],
-        schema=db.schema("nation_merge"))
-    db.merge_rows("nation_merge", updates.unionByName(inserts),
-                  on="n_nationkey")
-    # Detach from the /tmp trail (see q_dml_lifecycle) + eager reclaim.
-    out = (db.table("nation_merge")
-           .select("n_nationkey", "n_name", "n_regionkey")
-           .localCheckpoint())
-    db.drop_table("nation_merge")
-    shutil.rmtree(base, ignore_errors=True)
+    with _scratch_base("merge", sf_dir) as base:
+        db.create_table("nation_merge", db.table("nation"),
+                        f"{base}/nation", mode="overwrite")
+        updates = (db.table("nation").filter(F.col("n_nationkey") < 3)
+                   .select("n_nationkey",
+                           F.concat(F.col("n_name"), F.lit("~u"))
+                           .alias("n_name"),
+                           "n_regionkey"))
+        inserts = spark.createDataFrame(
+            [(100, "NATION_100", 0), (101, "NATION_101", 1)],
+            schema=db.schema("nation_merge"))
+        db.merge_rows("nation_merge", updates.unionByName(inserts),
+                      on="n_nationkey")
+        # Detach from the /tmp trail (see q_dml_lifecycle).
+        out = (db.table("nation_merge")
+               .select("n_nationkey", "n_name", "n_regionkey")
+               .localCheckpoint())
+        db.drop_table("nation_merge")
     return out
 
 
@@ -604,46 +630,43 @@ def q_txn_snapshot_isolation(spark, sf_dir):
     - The retry on a fresh snapshot serializes after t1, so the final
       table equals the serial schedule t1;t2 — which is exactly what the
       oracle replays in SQL."""
-    import os
-    import shutil
-
     from cs186_query_optimization_project_spark.errors import (
         ConflictException,
     )
 
     db = _db(spark, sf_dir)
-    parent = _ensure_private_dir(
-        f"/tmp/spark_graft_txn_{os.getuid()}")
-    base = os.path.join(parent, _tag(sf_dir))
-    shutil.rmtree(base, ignore_errors=True)
-    db.create_table("nation_txn", db.table("nation"), f"{base}/nation",
-                    mode="overwrite")
+    with _scratch_base("txn", sf_dir) as base:
+        db.create_table("nation_txn", db.table("nation"), f"{base}/nation",
+                        mode="overwrite")
 
-    t1 = db.begin()
-    t2 = db.begin()
-    t1.update_rows("nation_txn", F.col("n_regionkey") == 2,
-                   {"n_name": F.concat(F.col("n_name"), F.lit("~t1"))})
-    t2.delete_rows("nation_txn", F.col("n_nationkey") >= 20)
-    t1.commit()
-    leaked = (t2.table("nation_txn")
-              .filter(F.col("n_name").endswith("~t1")).count())
-    if leaked:
-        # explicit raise, not assert: python -O strips asserts and this
-        # is the ONLY detection of a snapshot-isolation leak (the final
-        # table would still match the serial oracle)
-        raise RuntimeError("t2's snapshot saw t1's post-pin commit")
-    try:
-        t2.commit()
-        raise AssertionError("second committer must hit ConflictException")
-    except ConflictException:
-        pass
-    t3 = db.begin()  # the retry: fresh snapshot includes t1's update
-    t3.delete_rows("nation_txn", F.col("n_nationkey") >= 20)
-    t3.commit()
+        t1 = db.begin()
+        t2 = db.begin()
+        t1.update_rows("nation_txn", F.col("n_regionkey") == 2,
+                       {"n_name": F.concat(F.col("n_name"), F.lit("~t1"))})
+        t2.delete_rows("nation_txn", F.col("n_nationkey") >= 20)
+        t1.commit()
+        leaked = (t2.table("nation_txn")
+                  .filter(F.col("n_name").endswith("~t1")).count())
+        if leaked:
+            # explicit raise, not assert: python -O strips asserts and
+            # this is the ONLY detection of a snapshot-isolation leak
+            # (the final table would still match the serial oracle)
+            raise RuntimeError("t2's snapshot saw t1's post-pin commit")
+        try:
+            t2.commit()
+            raise AssertionError(
+                "second committer must hit ConflictException")
+        except ConflictException:
+            pass
+        t3 = db.begin()  # the retry: fresh snapshot includes t1's update
+        t3.delete_rows("nation_txn", F.col("n_nationkey") >= 20)
+        t3.commit()
 
-    out = db.table("nation_txn").select("n_nationkey", "n_name",
-                                        "n_regionkey")
-    db.drop_table("nation_txn")
+        # Detach before the with-exit rmtree of the version trail.
+        out = (db.table("nation_txn")
+               .select("n_nationkey", "n_name", "n_regionkey")
+               .localCheckpoint())
+        db.drop_table("nation_txn")
     return out
 
 
@@ -657,45 +680,42 @@ def q_txn_2pl_serial(spark, sf_dir):
     replays.  Deadlock prevention (refuse-before-block,
     DeadlockException) is unit-tested in tests/test_concurrency_2pl.py —
     it needs two parked threads, too timing-dependent for a driver row."""
-    import os
-    import shutil
     import threading
-
-    db = _db(spark, sf_dir)
-    parent = _ensure_private_dir(
-        f"/tmp/spark_graft_2pl_{os.getuid()}")
-    base = os.path.join(parent, _tag(sf_dir))
-    shutil.rmtree(base, ignore_errors=True)
-    db.create_table("nation_2pl_q", db.table("nation"), f"{base}/nation",
-                    mode="overwrite")
-
-    t1 = db.begin(mode="2pl")
-    t1.update_rows("nation_2pl_q", F.col("n_regionkey") == 0,
-                   {"n_name": F.concat(F.col("n_name"), F.lit("~a"))})
-    state = {"t2_done": False}
-
-    def second_writer():
-        t2 = db.begin(mode="2pl")
-        t2.update_rows("nation_2pl_q", F.col("n_regionkey") == 0,
-                       {"n_name": F.concat(F.col("n_name"), F.lit("~b"))})
-        t2.commit()
-        state["t2_done"] = True
-
-    th = threading.Thread(target=second_writer, daemon=True)
-    th.start()
     import time
 
-    time.sleep(0.3)
-    if state["t2_done"]:  # raise, not assert: must survive python -O
-        raise RuntimeError("t2 must block on t1's X lock, not race")
-    t1.commit()
-    th.join(timeout=60)
-    if not state["t2_done"]:
-        raise RuntimeError("t2 must complete once t1 releases")
+    db = _db(spark, sf_dir)
+    with _scratch_base("2pl", sf_dir) as base:
+        db.create_table("nation_2pl_q", db.table("nation"),
+                        f"{base}/nation", mode="overwrite")
 
-    out = db.table("nation_2pl_q").select("n_nationkey", "n_name",
-                                          "n_regionkey")
-    db.drop_table("nation_2pl_q")
+        t1 = db.begin(mode="2pl")
+        t1.update_rows("nation_2pl_q", F.col("n_regionkey") == 0,
+                       {"n_name": F.concat(F.col("n_name"), F.lit("~a"))})
+        state = {"t2_done": False}
+
+        def second_writer():
+            t2 = db.begin(mode="2pl")
+            t2.update_rows(
+                "nation_2pl_q", F.col("n_regionkey") == 0,
+                {"n_name": F.concat(F.col("n_name"), F.lit("~b"))})
+            t2.commit()
+            state["t2_done"] = True
+
+        th = threading.Thread(target=second_writer, daemon=True)
+        th.start()
+        time.sleep(0.3)
+        if state["t2_done"]:  # raise, not assert: must survive python -O
+            raise RuntimeError("t2 must block on t1's X lock, not race")
+        t1.commit()
+        th.join(timeout=60)
+        if not state["t2_done"]:
+            raise RuntimeError("t2 must complete once t1 releases")
+
+        # Detach before the with-exit rmtree of the version trail.
+        out = (db.table("nation_2pl_q")
+               .select("n_nationkey", "n_name", "n_regionkey")
+               .localCheckpoint())
+        db.drop_table("nation_2pl_q")
     return out
 
 
