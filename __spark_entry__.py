@@ -439,6 +439,102 @@ def q_time_travel(spark, sf_dir):
     return out
 
 
+def q_mvcc_vacuum(spark, sf_dir):
+    """MVCC storage-reclamation driver row (``Database.vacuum`` —
+    Delta's ``VACUUM``): create a table, commit an insert then a delete
+    (versions 0..2), vacuum with ``keep_last=2``, and summarize the
+    RETAINED versions (version, n_rows, key_sum).  In-entry contract
+    raises (not asserts — must survive ``python -O``): vacuum must
+    delete exactly version 0's directory, a time-travel read of it must
+    raise the named vacuumed error, and retained numbering must stay
+    stable at [1, 2] (never renumbered).  The oracle replays the two
+    retained version states in SQL."""
+    import os
+    from functools import reduce
+
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("vac", sf_dir) as base:
+        db.create_table("nation_vac", db.table("nation"), f"{base}/nation",
+                        mode="overwrite")
+        db.insert_rows("nation_vac", spark.createDataFrame(
+            [(300, "ATLANTIS", 0), (301, "ELDORADO", 1)],
+            schema=db.schema("nation_vac")))
+        db.delete_rows("nation_vac", F.col("n_nationkey").between(5, 9))
+        removed = db.vacuum("nation_vac", keep_last=2)
+        if len(removed) != 1 or os.path.exists(removed[0]):
+            raise RuntimeError(
+                f"vacuum must delete exactly the v0 dir; got {removed}")
+        if db.table_versions("nation_vac") != [1, 2]:
+            raise RuntimeError(
+                "vacuum must keep version numbers stable at [1, 2]")
+        try:
+            db.table_at_version("nation_vac", 0)
+            raise RuntimeError("reading a vacuumed version must raise")
+        except DatabaseException:
+            pass
+        parts = [
+            db.table_at_version("nation_vac", v)
+            .select(F.lit(v).cast("bigint").alias("version"), "n_nationkey")
+            for v in db.table_versions("nation_vac")]
+        # localCheckpoint: detach the 2-row summary from the /tmp trail
+        # before the with-exit rmtree.
+        out = (reduce(lambda a, b: a.unionByName(b), parts)
+               .groupBy("version")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_nationkey").alias("key_sum"))
+               .localCheckpoint())
+        db.drop_table("nation_vac")
+    return out
+
+
+def q_optimizer_cardinality(spark, sf_dir):
+    """System-R cardinality audit (the live analog of the reference's
+    ``QueryPlanCostsTest`` I/O goldens): plan the flagship 3-table join
+    with the DP (``plans/optimizer.py:219–223``), execute each left-deep
+    join-step PREFIX, and compare the DP's ``est_rows`` against the
+    actual row count.  Contract raises (not asserts — must survive
+    ``python -O``): the DP must pick the expected customer → orders →
+    lineitem order (pinning the plan the oracle replays), and every
+    step's q-error ``max(est/actual, actual/est)`` must stay under 16 —
+    FK joins estimated via |R|·|S|/max(V(R,a), V(S,b)) should land near
+    1.  Returns one row per join step so the oracle can replay the
+    prefix counts in SQL."""
+    from cs186_query_optimization_project_spark.plans.optimizer import (
+        optimize,
+    )
+
+    db = _db(spark, sf_dir)
+    q = (db.query("customer")
+         .join("orders", "c_custkey", "o_custkey")
+         .join("lineitem", "o_orderkey", "l_orderkey"))
+    plan = optimize(q)
+    order = [plan.base_alias] + [s.alias for s in plan.steps]
+    if order != ["customer", "orders", "lineitem"]:
+        raise RuntimeError(
+            f"DP picked unexpected join order {order}; the audit oracle "
+            f"replays customer → orders → lineitem")
+    cur = db.table(plan.base_table)
+    audited = []
+    for i, step in enumerate(plan.steps, start=1):
+        cur = cur.join(db.table(step.table),
+                       F.col(step.left.column) == F.col(step.right.column))
+        actual = cur.count()
+        q_err = max(step.est_rows / max(actual, 1),
+                    actual / max(step.est_rows, 1))
+        if q_err >= 16:
+            raise RuntimeError(
+                f"join step {i} ({step.alias}): est_rows={step.est_rows} "
+                f"vs actual={actual} — q-error {q_err:.1f} >= 16")
+        audited.append((i, step.alias, actual, True))
+    return spark.createDataFrame(
+        audited, "step int, joined string, actual_rows long, "
+                 "qerror_lt_16 boolean")
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE upsert driver row (``Database.merge_rows``): a source that
     UPDATES three existing nations (suffix '~u') and INSERTS two new
@@ -3289,222 +3385,197 @@ def q_dedup_eval(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-8 policy (the r7 verdict's #1
-    # item): the window leads with the 16 entries that have NEVER had a
-    # driver row (registry positions 50-62 and 102-104 in r6/r7 —
-    # weighted_sample .. dedup_apply, tpch_q22, except_all,
-    # intersect_all), then the flagship anchor, then the STALEST
-    # r4-proven core entries (unchanged since their CORRECTNESS_r04
-    # green rows) to refresh their evidence.  The r6/r7-window entries —
-    # freshest driver evidence, 50/50 green twice — rotate to the
-    # bottom.  EVERY query — in or below the window — was verified this
-    # round by tools/check_contract.py at sf0.01 AND sf0.1 (also under
-    # --vanilla, the session kind the driver uses).
+    # entries in registry order.  Round-10 policy (the r9 verdict's #2
+    # item, carried from r8): rotate the window to the STALEST evidence
+    # first — the two entries new this round (never driver-checked),
+    # then all 25 entries whose last driver-green row is r4, then 22 of
+    # the 46 r5-era entries (streaming / txn / ANN / join-layout
+    # mechanics prioritized — least covered by in-window lookalikes),
+    # plus the flagship anchor.  The r7/r9-green entries rotate below
+    # the window; every query — in or below the window — was verified
+    # this round by tools/check_contract.py at sf0.01.
     return {
-        # --- never driver-checked before round 8 (16) ---
-        "weighted_sample": q_weighted_sample,
-        "key_skew": q_key_skew,
-        "psi_drift": q_psi_drift,
-        "correlation_matrix": q_correlation_matrix,
-        "dedup_eval": q_dedup_eval,
-        "streaming_hll": q_streaming_hll,
-        "phrase_search": q_phrase_search,
-        "bm25_search": q_bm25_search,
-        # --- NEW in round 8: postings index, sketch reconcile,
-        # --- mixture composition, epoch shuffle (6) ---
-        "phrase_indexed": q_phrase_indexed,
-        "bm25_indexed": q_bm25_indexed,
-        "hll_reconcile": q_hll_reconcile,
-        "cms_reconcile": q_cms_reconcile,
-        "mixture_sample": q_mixture_sample,
-        "mixture_temperature": q_mixture_temperature,
-        "sample_k_per_group": q_sample_k_per_group,
-        "epoch_shuffle": q_epoch_shuffle,
-        "semantic_dedup": q_semantic_dedup,
-        "quality_filter": q_quality_filter,
-        "hll_by_group": q_hll_by_group,
-        "ann_recall": q_ann_recall,
-        "dedup_incremental": q_dedup_incremental,
-        "streaming_cms": q_streaming_cms,
-        "similar_docs": q_similar_docs,
-        "dedup_apply": q_dedup_apply,
-        "tpch_q22": q_tpch_q22,
-        "except_all": q_except_all,
-        "intersect_all": q_intersect_all,
-        # --- flagship anchor (keep continuously verified) (1) ---
-        "join_three_flagship": q_join_three_flagship,
-        # --- stalest evidence: green in r4, displaced since (33) ---
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "dedup_clusters": q_dedup_clusters,
-        "dml_lifecycle": q_dml_lifecycle,
-        "time_travel": q_time_travel,
-        "index_range_scan": q_index_range_scan,
-        "grace_hash_join": q_grace_hash_join,
-        "broadcast_join": q_broadcast_join,
-        "indexed_write_scan": q_indexed_write_scan,
-        "filter_eq": q_filter_eq,
-        # --- round-8 late additions, never driver-checked: exact-
-        # --- substring span dedup pair + KS drift (3).  They displace
-        # --- filter_range / project / semi_join, whose r4 driver rows
-        # --- stand and whose mechanics are covered in-window by
-        # --- filter_eq / scan / join_two+anti variants. ---
-        "dup_spans": q_dup_spans,
-        "dup_span_coverage": q_dup_span_coverage,
-        "ks_drift": q_ks_drift,
-        # --- new this session: multimodal resize + frame-sample
-        # --- plumbing as value-checked entries (displacing r4-green
-        # --- train_test_split / self_join_alias; sampling and join
-        # --- mechanics stay covered in-window) ---
-        "frame_sample": q_frame_sample,
-        "asset_resize": q_asset_resize,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment": q_bpe_segment,
-        "token_counts": q_token_counts,
-        "scan": q_scan,
-        "groupby_count": q_groupby_count,
-        "join_two": q_join_two,
-        "ngram_jaccard": q_ngram_jaccard,
-        # ------------- below the driver's 50-row window ------------- #
-        # (pipeline_clean_corpus, dedup_exact, window_rank, rollup and
-        # multimodal_features displaced by semantic_dedup,
-        # quality_filter, mixture_temperature, hll_by_group and
-        # sample_k_per_group; all five keep their r4 driver rows and
-        # their mechanics stay covered in-window — grouped aggregation
-        # via groupby_count, multimodal plumbing via frame_sample /
-        # asset_resize.  ngram_jaccard stays IN the window because its
-        # oracle was rewritten in r7 and needs a driver row with the
-        # new SQL)
-        "rollup": q_rollup,
-        "multimodal_features": q_multimodal_features,
-        "window_rank": q_window_rank,
-        "dedup_exact": q_dedup_exact,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        # (text_stats / asof_join / embedding_topk / groupby_sum_avg /
-        # left_outer_join / explode_array were displaced by the six
-        # new round-8 entries; all keep their r4 green rows)
-        "text_stats": q_text_stats,
+        # --- new this round (round 10): never driver-checked (2) ---
+        "mvcc_vacuum": q_mvcc_vacuum,
+        "optimizer_cardinality": q_optimizer_cardinality,
+        # --- stalest evidence: last driver-green in r4 (25) ---
         "asof_join": q_asof_join,
-        "embedding_topk": q_embedding_topk,
-        "groupby_sum_avg": q_groupby_sum_avg,
-        "left_outer_join": q_left_outer_join,
-        "explode_array": q_explode_array,
-        # r4/r5-green entries the window couldn't hold, then the
-        # r6/r7-window entries (freshest evidence, 50/50 green twice)
-        # at the bottom.
-        "scalar_functions": q_scalar_functions,
-        "lookup_key": q_lookup_key,
         "contains_key": q_contains_key,
         "csv_source": q_csv_source,
-        "orderby_limit": q_orderby_limit,
+        "dedup_exact": q_dedup_exact,
+        "embedding_topk": q_embedding_topk,
         "except": q_except,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "dedup_clusters_star": q_dedup_clusters_star,
+        "explode_array": q_explode_array,
+        "filter_range": q_filter_range,
+        "groupby_sum_avg": q_groupby_sum_avg,
+        "lang_id": q_lang_id,
+        "left_outer_join": q_left_outer_join,
+        "lookup_key": q_lookup_key,
+        "multimodal_features": q_multimodal_features,
+        "orderby_limit": q_orderby_limit,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "project": q_project,
+        "quantiles": q_quantiles,
+        "rollup": q_rollup,
+        "scalar_functions": q_scalar_functions,
+        "self_join_alias": q_self_join_alias,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "text_stats": q_text_stats,
+        "train_test_split": q_train_test_split,
+        "window_rank": q_window_rank,
+        # --- next-stalest: last driver-green in r5 (22) ---
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_session": q_streaming_session,
+        "streaming_sliding": q_streaming_sliding,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+        "streaming_interval_join": q_streaming_interval_join,
         "txn_2pl_serial": q_txn_2pl_serial,
         "txn_snapshot_isolation": q_txn_snapshot_isolation,
-        "minhash_near_dups": q_minhash_near_dups,
-        "time_window_agg": q_time_window_agg,
-        "bucketed_join": q_bucketed_join,
-        "streaming_sliding": q_streaming_sliding,
-        "range_join": q_range_join,
-        "filter_neq": q_filter_neq,
-        "json_source": q_json_source,
-        "distinct": q_distinct,
-        "union": q_union,
-        "intersect": q_intersect,
-        "anti_join": q_anti_join,
-        "having": q_having,
-        "cube": q_cube,
-        "case_expr": q_case_expr,
-        "json_extract": q_json_extract,
-        "window_running": q_window_running,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "salted_join": q_salted_join,
-        "quantiles_approx": q_quantiles_approx,
-        "stratified_sample": q_stratified_sample,
-        "summary_stats": q_summary_stats,
-        "unpivot": q_unpivot,
-        "window_frame": q_window_frame,
-        "zorder_scan": q_zorder_scan,
-        "streaming_enrich": q_streaming_enrich,
-        "simhash_near_dups": q_simhash_near_dups,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_similar_pairs": q_embedding_similar_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "bucketed_join": q_bucketed_join,
+        "range_join": q_range_join,
+        "salted_join": q_salted_join,
+        "zorder_scan": q_zorder_scan,
+        "time_window_agg": q_time_window_agg,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
-        "orc_source": q_orc_source,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        # --- flagship anchor (keep continuously verified) (1) ---
+        "join_three_flagship": q_join_three_flagship,
+        # ------------- below the driver's 50-row window ------------- #
+        # r5-green entries the window could not hold — first in line
+        # for the round-11 rotation
+        "quantiles_approx": q_quantiles_approx,
+        "anti_join": q_anti_join,
+        "case_expr": q_case_expr,
+        "cube": q_cube,
+        "distinct": q_distinct,
         "doc_repetition": q_doc_repetition,
+        "filter_neq": q_filter_neq,
+        "having": q_having,
+        "intersect": q_intersect,
+        "json_extract": q_json_extract,
+        "json_source": q_json_source,
+        "orc_source": q_orc_source,
+        "stratified_sample": q_stratified_sample,
+        "summary_stats": q_summary_stats,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_session": q_streaming_session,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        "streaming_dedup": q_streaming_dedup,
-        # --- r6/r7 driver window: 50/50 green twice (r06, r07) ---
-        "hll_distinct": q_hll_distinct,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "bloom_semi_join": q_bloom_semi_join,
-        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
-        "kmeans_clusters": q_kmeans_clusters,
-        "doc_logprob": q_doc_logprob,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "union": q_union,
+        "unpivot": q_unpivot,
+        "window_frame": q_window_frame,
+        "window_running": q_window_running,
+        # r7-green entries (rotate after the r5 block)
         "bigram_lm": q_bigram_lm,
-        "zscore_outliers": q_zscore_outliers,
-        "pivot": q_pivot,
+        "bloom_semi_join": q_bloom_semi_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cohort_retention": q_cohort_retention,
         "collect_sorted": q_collect_sorted,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
+        "compact_scan": q_compact_scan,
+        "constraint_check": q_constraint_check,
+        "contamination_check": q_contamination_check,
+        "cross_join": q_cross_join,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_logprob": q_doc_logprob,
+        "encode_documents": q_encode_documents,
+        "frequent_pairs": q_frequent_pairs,
+        "full_outer_join": q_full_outer_join,
+        "funnel": q_funnel,
+        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
+        "grouping_sets": q_grouping_sets,
+        "hll_distinct": q_hll_distinct,
+        "incremental_agg": q_incremental_agg,
+        "kmeans_clusters": q_kmeans_clusters,
+        "merge_upsert": q_merge_upsert,
+        "null_safe_join": q_null_safe_join,
+        "pagerank": q_pagerank,
+        "pii_redact": q_pii_redact,
+        "pivot": q_pivot,
+        "resample_fill": q_resample_fill,
+        "scd2_dimension": q_scd2_dimension,
+        "streaming_outer_join": q_streaming_outer_join,
+        "table_histogram": q_table_histogram,
+        "text_source": q_text_source,
+        "tfidf_features": q_tfidf_features,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
-        "merge_upsert": q_merge_upsert,
-        "vocab_top": q_vocab_top,
-        "tfidf_features": q_tfidf_features,
-        "pii_redact": q_pii_redact,
-        "contamination_check": q_contamination_check,
-        "doc_fingerprints": q_doc_fingerprints,
-        "scd2_dimension": q_scd2_dimension,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "incremental_agg": q_incremental_agg,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "triangle_count": q_triangle_count,
-        "pagerank": q_pagerank,
-        "streaming_outer_join": q_streaming_outer_join,
-        "grouping_sets": q_grouping_sets,
-        "constraint_check": q_constraint_check,
-        "full_outer_join": q_full_outer_join,
-        "cross_join": q_cross_join,
-        "text_source": q_text_source,
-        "window_ntile": q_window_ntile,
-        "null_safe_join": q_null_safe_join,
         "udtf_sentences": q_udtf_sentences,
-        "compact_scan": q_compact_scan,
-        "encode_documents": q_encode_documents,
-        "table_histogram": q_table_histogram,
-        "frequent_pairs": q_frequent_pairs,
-        "resample_fill": q_resample_fill,
-        # (dup_spans / dup_span_coverage / ks_drift moved into the
-        # driver window; filter_range / project / semi_join rotated
-        # down here with their r4 driver rows intact)
-        "filter_range": q_filter_range,
-        "project": q_project,
-        "semi_join": q_semi_join,
-        "self_join_alias": q_self_join_alias,
-        "train_test_split": q_train_test_split,
-        "sessionize": q_sessionize,
-        "quantiles": q_quantiles,
-        "lang_id": q_lang_id,
+        "vocab_top": q_vocab_top,
+        "window_ntile": q_window_ntile,
+        "zscore_outliers": q_zscore_outliers,
+        # r9-green entries: freshest driver evidence, 50/50 in r09
+        "ann_recall": q_ann_recall,
+        "asset_resize": q_asset_resize,
+        "bm25_indexed": q_bm25_indexed,
+        "bm25_search": q_bm25_search,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        "broadcast_join": q_broadcast_join,
+        "cms_reconcile": q_cms_reconcile,
+        "correlation_matrix": q_correlation_matrix,
+        "dedup_apply": q_dedup_apply,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_eval": q_dedup_eval,
+        "dedup_incremental": q_dedup_incremental,
+        "dml_lifecycle": q_dml_lifecycle,
+        "dup_span_coverage": q_dup_span_coverage,
+        "dup_spans": q_dup_spans,
+        "epoch_shuffle": q_epoch_shuffle,
+        "except_all": q_except_all,
+        "filter_eq": q_filter_eq,
+        "frame_sample": q_frame_sample,
+        "grace_hash_join": q_grace_hash_join,
+        "groupby_count": q_groupby_count,
+        "hll_by_group": q_hll_by_group,
+        "hll_reconcile": q_hll_reconcile,
+        "index_range_scan": q_index_range_scan,
+        "indexed_write_scan": q_indexed_write_scan,
+        "intersect_all": q_intersect_all,
+        "join_two": q_join_two,
+        "key_skew": q_key_skew,
+        "ks_drift": q_ks_drift,
+        "mixture_sample": q_mixture_sample,
+        "mixture_temperature": q_mixture_temperature,
+        "ngram_jaccard": q_ngram_jaccard,
+        "phrase_indexed": q_phrase_indexed,
+        "phrase_search": q_phrase_search,
+        "psi_drift": q_psi_drift,
+        "quality_filter": q_quality_filter,
+        "sample_k_per_group": q_sample_k_per_group,
+        "scan": q_scan,
+        "semantic_dedup": q_semantic_dedup,
+        "similar_docs": q_similar_docs,
+        "streaming_cms": q_streaming_cms,
+        "streaming_hll": q_streaming_hll,
+        "time_travel": q_time_travel,
+        "token_counts": q_token_counts,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q5": q_tpch_q5,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4167,6 +4238,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT CAST(2 AS BIGINT), "
             "CAST(COUNT(*) AS BIGINT), "
             "CAST(SUM(n_nationkey) AS BIGINT) FROM v2"),
+        "mvcc_vacuum": (
+            "WITH v1 AS (SELECT n_nationkey FROM nation "
+            "       UNION ALL SELECT unnest([300, 301])), "
+            "v2 AS (SELECT n_nationkey FROM v1 "
+            "       WHERE n_nationkey NOT BETWEEN 5 AND 9) "
+            "SELECT CAST(1 AS BIGINT) AS version, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM v1 "
+            "UNION ALL SELECT CAST(2 AS BIGINT), "
+            "CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(n_nationkey) AS BIGINT) FROM v2"),
+        "optimizer_cardinality": (
+            "SELECT CAST(1 AS INT) AS step, 'orders' AS joined, "
+            "CAST((SELECT COUNT(*) FROM customer c JOIN orders o "
+            "      ON c.c_custkey = o.o_custkey) AS BIGINT) "
+            "  AS actual_rows, "
+            "TRUE AS qerror_lt_16 "
+            "UNION ALL SELECT CAST(2 AS INT), 'lineitem', "
+            "CAST((SELECT COUNT(*) FROM customer c "
+            "      JOIN orders o ON c.c_custkey = o.o_custkey "
+            "      JOIN lineitem l ON o.o_orderkey = l.l_orderkey) "
+            "     AS BIGINT), "
+            "TRUE"),
         "distinct": ("SELECT DISTINCT c_nationkey, c_mktsegment "
                      "FROM customer"),
         "orderby_limit": (

@@ -473,11 +473,14 @@ class Database:
         return self._entry(name).df
 
     def table_versions(self, name: str) -> list[int]:
-        """Published version numbers for a disk-backed table, oldest
-        first (0 = as first registered; each copy-on-write DML commit
-        appends one).  Delta-style ``DESCRIBE HISTORY``, scoped to this
-        catalog's publishes — see ``TableEntry.history``."""
-        return list(range(len(self._entry(name).history)))
+        """RETAINED published version numbers for a disk-backed table,
+        oldest first (0 = as first registered; each copy-on-write DML
+        commit appends one).  Delta-style ``DESCRIBE HISTORY``, scoped
+        to this catalog's publishes — see ``TableEntry.history``.
+        Version numbers are stable across ``vacuum``: vacuumed versions
+        simply drop out of the list, they are never renumbered."""
+        return [i for i, p in enumerate(self._entry(name).history)
+                if p is not None]
 
     def table_at_version(self, name: str, version: int) -> DataFrame:
         """Time-travel read: the table exactly as published at
@@ -493,8 +496,52 @@ class Database:
                 f"table '{name}' has versions 0..{len(hist) - 1}, "
                 f"not {version}")
         path = hist[version]
+        if path is None:
+            raise DatabaseException(
+                f"table '{name}' version {version} has been vacuumed; "
+                f"retained versions: {self.table_versions(name)}")
         return _restore_nanos_timestamps(
             self.spark.read.parquet(path), path)
+
+    def vacuum(self, name: str, keep_last: int = 1) -> list[str]:
+        """Reclaim storage for old published versions (Delta's
+        ``VACUUM``): delete the parquet directories of all but the
+        newest ``keep_last`` retained versions and mark their history
+        slots vacuumed.  The current version is never deleted
+        (``keep_last`` is floored at 1 by validation), version numbers
+        stay stable, and a time-travel read of a vacuumed version
+        raises a named error instead of a raw missing-path failure.
+
+        Deletion goes through the Hadoop ``FileSystem`` API resolved
+        from each path, so it works identically for local paths and
+        remote URIs (s3a://, hdfs://) — at 100 TB this is the call that
+        keeps copy-on-write DML from doubling storage per commit.
+        Returns the deleted paths (oldest first)."""
+        if keep_last < 1:
+            raise DatabaseException(
+                f"vacuum '{name}': keep_last must be >= 1 (the current "
+                f"version is never deleted), got {keep_last}")
+        with self._autocommit_x(name):
+            entry = self._entry(name)
+            if not entry.history:
+                raise DatabaseException(
+                    f"table '{name}' is not disk-backed; nothing to "
+                    f"vacuum")
+            retained = [i for i, p in enumerate(entry.history)
+                        if p is not None]
+            to_drop = retained[:-keep_last]
+            removed: list[str] = []
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+            for i in to_drop:
+                path = entry.history[i]
+                if path == entry.path:  # paranoia: never the current
+                    continue
+                jpath = jvm.org.apache.hadoop.fs.Path(path)
+                jpath.getFileSystem(hconf).delete(jpath, True)
+                entry.history[i] = None
+                removed.append(path)
+            return removed
 
     def table_names(self) -> list[str]:
         return sorted(self._tables)

@@ -259,3 +259,49 @@ def test_time_travel_version_chain(spark, tmp_path):
     db.register_dataframe("mem", df)
     with pytest.raises(DatabaseException):
         db.table_at_version("mem", 0)
+
+
+def test_vacuum_reclaims_old_versions(spark, tmp_path):
+    """vacuum(keep_last=N) deletes all but the newest N retained
+    versions' directories, keeps version numbering stable, raises the
+    named vacuumed error on time-travel reads of reclaimed versions,
+    and never touches the current version."""
+    import os
+    from cs186_query_optimization_project_spark import Database
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException)
+
+    db = Database(spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                               "id long, s string")
+    db.create_table("vt", df, str(tmp_path / "vt"))
+    db.insert_rows("vt", spark.createDataFrame([(4, "d")],
+                                               "id long, s string"))
+    db.delete_rows("vt", F.col("id") == 2)
+    db.update_rows("vt", F.col("id") == 1, {"s": F.lit("z")})
+    hist_before = list(db._entry("vt").history)
+    assert db.table_versions("vt") == [0, 1, 2, 3]
+
+    removed = db.vacuum("vt", keep_last=2)
+    assert removed == hist_before[:2]
+    for p in removed:
+        assert not os.path.exists(p)
+    # numbering stable: 2 and 3 survive under their old numbers
+    assert db.table_versions("vt") == [2, 3]
+    assert db.table_at_version("vt", 2).count() == 3
+    with pytest.raises(DatabaseException, match="has been vacuumed"):
+        db.table_at_version("vt", 0)
+    # current table unaffected, still the v3 content
+    assert {r["s"] for r in db.table("vt").collect()} == {"z", "c", "d"}
+
+    # idempotent at the floor: keep_last=1 drops v2, keeps current only
+    assert db.vacuum("vt", keep_last=1) == [hist_before[2]]
+    assert db.table_versions("vt") == [3]
+    assert db.vacuum("vt", keep_last=1) == []   # nothing left to drop
+    assert os.path.exists(db._entry("vt").path)
+
+    with pytest.raises(DatabaseException, match="keep_last"):
+        db.vacuum("vt", keep_last=0)
+    db.register_dataframe("mem", df)
+    with pytest.raises(DatabaseException, match="not disk-backed"):
+        db.vacuum("mem")

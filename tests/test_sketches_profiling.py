@@ -580,6 +580,35 @@ def test_ks_drift_identical_and_empty(spark):
     assert (r["n_a"], r["n_b"], r["ks_stat"]) == (20, 0, 1.0)
 
 
+def test_ks_drift_single_distinct_value(spark):
+    """Partition-collapse edge: with ONE distinct value the merged
+    count table is a single row, so repartitionByRange degenerates to
+    one non-empty partition (every other partition empty) — the prefix
+    offsets and Arrow cumsum must still be exact.  Same value on both
+    sides → ECDFs jump 0→1 at the same point, D = 0; disjoint
+    single values → D = 1."""
+    a = spark.createDataFrame([(7.0,)] * 5, ["v"])
+    b = spark.createDataFrame([(7.0,)] * 3, ["v"])
+    r = profiling.ks_drift(a, b, "v").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (5, 3, 0.0)
+    c = spark.createDataFrame([(9.0,)] * 3, ["v"])
+    r2 = profiling.ks_drift(a, c, "v").collect()[0]
+    assert (r2["n_a"], r2["n_b"], r2["ks_stat"]) == (5, 3, 1.0)
+
+
+def test_ks_drift_both_sides_empty(spark):
+    """Both sides empty (also: all-NULL, which filters to empty): the
+    merged table has zero rows, every partition is empty, and the
+    guarded divisions must yield the documented degradation —
+    (0, 0, 0.0) — not a divide-by-zero or a max-over-nothing NULL."""
+    empty = spark.createDataFrame([], "v double")
+    r = profiling.ks_drift(empty, empty, "v").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (0, 0, 0.0)
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    r2 = profiling.ks_drift(nulls, empty, "v").collect()[0]
+    assert (r2["n_a"], r2["n_b"], r2["ks_stat"]) == (0, 0, 0.0)
+
+
 def test_ks_drift_no_global_window(spark):
     """The ECDF running sum is distributed (range partitions + Arrow
     cumsum) — no WindowExec, hence no single-partition sort, anywhere
