@@ -491,6 +491,71 @@ def q_mvcc_vacuum(spark, sf_dir):
     return out
 
 
+def q_partitioned_dml(spark, sf_dir):
+    """Partition-level copy-on-write DML driver row (``partitioned.py``
+    — the O(touched partitions) upgrade over the table-level DML the
+    SCALE.md DML section names): customer lands as a manifest-versioned
+    table partitioned by ``c_mktsegment`` (5 partitions), then an
+    insert (BUILDING), a delete (AUTOMOBILE negatives), and an update
+    (MACHINERY +100) commit three manifest versions.  In-entry contract
+    raises (must survive ``python -O``): each DML version must SHARE
+    every untouched partition's directory with its parent version (the
+    O(touched) claim, checked on the actual manifests), and a
+    partition-pruned read must list only that partition's directories.
+    Returns the final per-segment summary; the oracle replays the three
+    mutations in SQL."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("pdml", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("customer").select("c_custkey", "c_mktsegment",
+                                        "c_acctbal"),
+            f"{base}/customer", "c_mktsegment")
+        pt.insert(spark.createDataFrame(
+            [(900000001, "BUILDING", 1234.56),
+             (900000002, "BUILDING", 789.01)],
+            "c_custkey bigint, c_mktsegment string, c_acctbal double"))
+        pt.delete((F.col("c_mktsegment") == "AUTOMOBILE")
+                  & (F.col("c_acctbal") < 0))
+        pt.update(F.col("c_mktsegment") == "MACHINERY",
+                  {"c_acctbal": F.col("c_acctbal") + 100.0})
+
+        def dirs(v):
+            return pt._manifest(v)["parts"]
+
+        for ver, touched in ((1, {"BUILDING"}), (2, {"AUTOMOBILE"}),
+                             (3, {"MACHINERY"})):
+            for seg, ds in dirs(ver).items():
+                shared = ds == dirs(ver - 1).get(seg, [])
+                if (seg in touched) == shared:
+                    raise RuntimeError(
+                        f"v{ver}: partition {seg} "
+                        f"{'rewritten' if not shared else 'shared'} — "
+                        f"DML must touch exactly {touched}")
+        pruned = pt.read(partition_values=["FURNITURE"])
+        import os as _os
+        allowed = {_os.path.normpath(d) for d in dirs(3)["FURNITURE"]}
+        read_dirs = {
+            _os.path.normpath(_os.path.dirname(f.removeprefix("file:")))
+            for f in pruned.inputFiles()}
+        if not read_dirs or not read_dirs.issubset(allowed):
+            raise RuntimeError(
+                f"pruned read listed {read_dirs - allowed} beyond the "
+                f"FURNITURE manifest entries")
+
+        out = (pt.read()
+               .groupBy("c_mktsegment")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                    .cast("double").alias("acct_sum"))
+               .localCheckpoint())
+    return out
+
+
 def q_optimizer_cardinality(spark, sf_dir):
     """System-R cardinality audit (the live analog of the reference's
     ``QueryPlanCostsTest`` I/O goldens): plan the flagship 3-table join
@@ -3388,16 +3453,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in registry order.  Round-10 policy (the r9 verdict's #2
     # item, carried from r8): rotate the window to the STALEST evidence
     # first — the two entries new this round (never driver-checked),
-    # then all 25 entries whose last driver-green row is r4, then 22 of
+    # then all 25 entries whose last driver-green row is r4, then 21 of
     # the 46 r5-era entries (streaming / txn / ANN / join-layout
     # mechanics prioritized — least covered by in-window lookalikes),
     # plus the flagship anchor.  The r7/r9-green entries rotate below
     # the window; every query — in or below the window — was verified
     # this round by tools/check_contract.py at sf0.01.
     return {
-        # --- new this round (round 10): never driver-checked (2) ---
+        # --- new this round (round 10): never driver-checked (3) ---
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
+        "partitioned_dml": q_partitioned_dml,
         # --- stalest evidence: last driver-green in r4 (25) ---
         "asof_join": q_asof_join,
         "contains_key": q_contains_key,
@@ -3424,7 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "train_test_split": q_train_test_split,
         "window_rank": q_window_rank,
-        # --- next-stalest: last driver-green in r5 (22) ---
+        # --- next-stalest: last driver-green in r5 (21) ---
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_session": q_streaming_session,
         "streaming_sliding": q_streaming_sliding,
@@ -3446,13 +3512,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_window_agg": q_time_window_agg,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
-        "dedup_clusters_star": q_dedup_clusters_star,
         # --- flagship anchor (keep continuously verified) (1) ---
         "join_three_flagship": q_join_three_flagship,
         # ------------- below the driver's 50-row window ------------- #
         # r5-green entries the window could not hold — first in line
         # for the round-11 rotation
         "quantiles_approx": q_quantiles_approx,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "anti_join": q_anti_join,
         "case_expr": q_case_expr,
         "cube": q_cube,
@@ -4238,6 +4304,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT CAST(2 AS BIGINT), "
             "CAST(COUNT(*) AS BIGINT), "
             "CAST(SUM(n_nationkey) AS BIGINT) FROM v2"),
+        "partitioned_dml": (
+            "WITH ins AS ("
+            "  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
+            "  UNION ALL SELECT 900000001, 'BUILDING', 1234.56 "
+            "  UNION ALL SELECT 900000002, 'BUILDING', 789.01), "
+            "del AS (SELECT * FROM ins WHERE NOT "
+            "  (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0)), "
+            "upd AS (SELECT c_custkey, c_mktsegment, "
+            "  CASE WHEN c_mktsegment = 'MACHINERY' "
+            "       THEN c_acctbal + 100.0 ELSE c_acctbal END "
+            "    AS c_acctbal FROM del) "
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) "
+            "  AS acct_sum "
+            "FROM upd GROUP BY c_mktsegment"),
         "mvcc_vacuum": (
             "WITH v1 AS (SELECT n_nationkey FROM nation "
             "       UNION ALL SELECT unnest([300, 301])), "

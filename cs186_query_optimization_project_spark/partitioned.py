@@ -1,0 +1,375 @@
+"""Partition-level copy-on-write MVCC tables ("delta-lite").
+
+The engine's table-level DML (`database.py`) rewrites the WHOLE table
+per statement — correct, but O(table) however small the change.  This
+module is the scale upgrade the SCALE.md DML section names: a managed
+table whose versions are JSON *manifests* mapping partition values to
+data directories, so a DML statement rewrites only the partitions it
+touches and every untouched partition's directory is SHARED between
+versions.  This is the storage model of Delta/Iceberg re-expressed at
+partition granularity with manifests instead of a transaction log
+(reference DML surface: ``db/Database.java:317–401``; the reference has
+no partitioned storage — its tables are heap files of slotted pages).
+
+Costs at 100 TB:
+
+- ``insert`` / ``delete`` / ``update`` — O(touched partitions), not
+  O(table): the statement plans a bounded distinct over the partition
+  column of the affected rows (|partitions| rows, never data volume),
+  rewrites only those directories, and re-links the rest.
+- ``read(partition_values=...)`` — manifest-level pruning: directories
+  of non-matching partitions are never even listed, the analog of
+  Delta file-skipping (and stronger than parquet row-group skipping —
+  no footers are opened at all).
+- ``vacuum`` — reachability-based: a directory is deleted only when no
+  retained manifest references it, so storage is proportional to churn
+  × retention, not commits × table size.
+- commit — atomic first-committer-wins: the manifest file is created
+  with ``open(..., "x")`` after all data directories are fully
+  written, so a concurrent committer of the same next-version loses
+  with a named conflict and no torn state is ever readable (the same
+  optimistic-commit contract as ``transactions.py``).
+
+Insert appends a NEW directory per touched partition (manifest values
+are directory LISTS), so pure appends never rewrite existing data;
+delete/update collapse the touched partition's list into one rewritten
+directory, which doubles as incremental compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cs186_query_optimization_project_spark.errors import (
+    ConflictException,
+    DatabaseException,
+)
+
+#: Partition-column types with exact, injective string keys.  Floats /
+#: decimals / timestamps are refused: their string forms are not stable
+#: join keys for manifest lookup (Hive has the same restriction in
+#: practice).
+_KEYABLE = (T.StringType, T.IntegerType, T.LongType, T.ShortType,
+            T.ByteType, T.BooleanType, T.DateType)
+
+
+class PartitionedTable:
+    """A manifest-versioned, hive-partitioned parquet table.
+
+    Layout under ``root``::
+
+        root/_manifests/v<N>.json         one per published version
+        root/parts/<uuid>/__p=<val>/      data directories — each
+                                          <uuid> staging is ONE write
+                                          job's partitionBy output
+
+    Every write (create / insert / a DML statement's rewrites) is one
+    ``partitionBy`` job on a DUPLICATED partition column (``__p``), so
+    data files keep the real column while hive routing happens on the
+    copy — one job regardless of how many partitions it lands in.  A
+    manifest is ``{"version": N, "partition_col": c, "schema": ddl,
+    "parts": {key: [dir, ...]}}`` where ``key`` is the hive path
+    encoding of the value.  Directories are immutable once published;
+    versions share them.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        if not os.path.isdir(self._manifest_dir()):
+            raise DatabaseException(
+                f"no partitioned table at '{self.root}' "
+                f"(missing _manifests); use PartitionedTable.create")
+
+    # ------------------------------------------------------------------ #
+    # creation
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(cls, spark: SparkSession, df: DataFrame, root: str,
+               partition_col: str) -> "PartitionedTable":
+        """Materialize ``df`` as version 0, one directory per partition
+        value.  One job, one shuffle (repartition by the partition
+        column so each directory is written by the tasks that own its
+        keys)."""
+        root = root.rstrip("/")
+        if partition_col not in df.columns:
+            raise DatabaseException(
+                f"partition column '{partition_col}' not in "
+                f"{df.columns}")
+        ptype = df.schema[partition_col].dataType
+        if not isinstance(ptype, _KEYABLE):
+            raise DatabaseException(
+                f"partition column '{partition_col}' has type {ptype}; "
+                f"only string/integral/boolean/date columns partition "
+                f"(float keys are not stable manifest keys)")
+        if df.filter(F.col(partition_col).isNull()).take(1):
+            raise DatabaseException(
+                f"partition column '{partition_col}' contains NULLs; "
+                f"assign an explicit sentinel partition first")
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=False)
+        os.makedirs(os.path.join(root, "parts"), exist_ok=True)
+        self_stub = object.__new__(cls)
+        self_stub.spark = spark
+        self_stub.root = root
+        parts = self_stub._write_partitions(df, partition_col)
+        self_stub._commit(0, partition_col, df.schema, parts)
+        return cls(spark, root)
+
+    # ------------------------------------------------------------------ #
+    # manifest plumbing
+    # ------------------------------------------------------------------ #
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir(), f"v{version}.json")
+
+    def versions(self) -> list[int]:
+        """Retained (non-vacuumed) version numbers, oldest first.
+        Numbers are stable across vacuum, like ``Database
+        .table_versions``."""
+        out = []
+        for name in os.listdir(self._manifest_dir()):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-len(".json")]))
+        return sorted(out)
+
+    def _manifest(self, version: int | None = None) -> dict:
+        vs = self.versions()
+        if not vs:
+            raise DatabaseException(
+                f"partitioned table '{self.root}' has no retained "
+                f"versions")
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            raise DatabaseException(
+                f"partitioned table '{self.root}' version {version} is "
+                f"not retained (vacuumed or never published); retained: "
+                f"{vs}")
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, version: int, partition_col: str,
+                schema: T.StructType,
+                parts: dict[str, list[str]]) -> None:
+        """Publish: create v<version>.json atomically-exclusively.  All
+        data dirs are already fully written, so the manifest's
+        appearance IS the commit point; a concurrent committer of the
+        same version number hits FileExistsError → first-committer-wins
+        (optimistic, like ``transactions.py``)."""
+        payload = json.dumps({
+            "version": version, "partition_col": partition_col,
+            "schema": schema.simpleString(),
+            # keys sorted for stable manifests; dir lists keep APPEND
+            # order (oldest first) so history reads naturally
+            "parts": {k: list(v) for k, v in sorted(parts.items())},
+        })
+        try:
+            with open(self._manifest_path(version), "x") as f:
+                f.write(payload)
+        except FileExistsError:
+            raise ConflictException(
+                f"partitioned table '{self.root}': version {version} "
+                f"was published concurrently; retry on a fresh read")
+
+    def partition_col(self) -> str:
+        return self._manifest()["partition_col"]
+
+    def _key(self, value) -> str:
+        """The manifest key for a partition value — must equal Spark's
+        hive path encoding of it, so keys from ``partition_values=``
+        lookups and keys parsed from written directories agree."""
+        if value is None:
+            raise DatabaseException("NULL partition value")
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        key = str(value)  # str verbatim; int digits; date ISO
+        if not key:
+            raise DatabaseException(
+                "empty-string partition value (hive paths cannot "
+                "represent it distinctly); use a sentinel")
+        return key
+
+    def _new_dir(self) -> str:
+        return os.path.join(self.root, "parts", uuid.uuid4().hex)
+
+    def _write_partitions(self, df: DataFrame,
+                          partition_col: str) -> dict[str, list[str]]:
+        """Write every partition of ``df`` in ONE Spark job:
+        ``partitionBy`` on a duplicated column (``__p``), so the data
+        files keep the real partition column while hive routing happens
+        on the copy.  One job regardless of partition count — a
+        per-partition write loop would launch |partitions| jobs, which
+        at thousands of partitions is the difference between one pass
+        and a scheduler meltdown.  Returns ``{key: [dir]}`` parsed from
+        the staging layout."""
+        from urllib.parse import unquote
+
+        staging = self._new_dir()
+        (df.withColumn("__p", F.col(partition_col))
+         .write.mode("error").partitionBy("__p").parquet(staging))
+        out: dict[str, list[str]] = {}
+        for name in os.listdir(staging):
+            if name.startswith("__p="):
+                out[unquote(name[len("__p="):])] = [
+                    os.path.join(staging, name)]
+        return out
+
+    # ------------------------------------------------------------------ #
+    # reads
+    # ------------------------------------------------------------------ #
+    def read(self, version: int | None = None,
+             partition_values=None) -> DataFrame:
+        """Scan a version.  ``partition_values`` prunes at the MANIFEST:
+        non-matching partitions' directories are never listed, opened,
+        or footer-read — the Delta file-skipping analog."""
+        man = self._manifest(version)
+        parts = man["parts"]
+        if partition_values is not None:
+            wanted = {self._key(v) for v in partition_values}
+            parts = {k: v for k, v in parts.items() if k in wanted}
+        dirs = [d for ds in parts.values() for d in ds]
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], T._parse_datatype_string(man["schema"]))
+        return self.spark.read.parquet(*dirs)
+
+    # ------------------------------------------------------------------ #
+    # DML — O(touched partitions)
+    # ------------------------------------------------------------------ #
+    def _touched(self, df: DataFrame, condition, pcol: str) -> list:
+        """Partition values owning at least one row matching
+        ``condition`` — |partitions|-bounded collect."""
+        return [r[0] for r in (df.filter(condition)
+                               .select(pcol).distinct().collect())]
+
+    def insert(self, rows: DataFrame) -> "PartitionedTable":
+        """Append — writes ONE NEW directory per touched partition and
+        re-links every existing directory untouched (no rewrite of any
+        existing byte; the manifest's dir-lists absorb the append)."""
+        man = self._manifest()
+        pcol = man["partition_col"]
+        expected = T._parse_datatype_string(man["schema"])
+        got = rows.schema
+        if [(f.name, f.dataType) for f in expected.fields] != \
+                [(f.name, f.dataType) for f in got.fields]:
+            raise DatabaseException(
+                f"insert into '{self.root}': schema mismatch; table "
+                f"has {expected.simpleString()}, rows have "
+                f"{got.simpleString()}")
+        if rows.filter(F.col(pcol).isNull()).take(1):
+            raise DatabaseException(
+                f"insert into '{self.root}': NULL partition value")
+        parts = {k: list(v) for k, v in man["parts"].items()}
+        for key, ds in self._write_partitions(rows, pcol).items():
+            parts.setdefault(key, []).extend(ds)
+        self._commit(man["version"] + 1, pcol, expected, parts)
+        return self
+
+    def delete(self, condition) -> "PartitionedTable":
+        """SQL DELETE semantics (NULL condition keeps the row, like
+        ``Database.delete_rows``), rewriting only partitions that own a
+        matching row; each touched partition's dir-list collapses to
+        one directory (incremental compaction for free)."""
+        man = self._manifest()
+        pcol = man["partition_col"]
+        parts = {k: list(v) for k, v in man["parts"].items()}
+        touched = self._touched(self.read(), condition, pcol)
+        if touched:
+            # ONE job rewrites every touched partition's survivors; a
+            # partition whose rows all matched writes nothing and maps
+            # to an empty dir-list
+            survivors = (self.read(partition_values=touched)
+                         .filter(~condition | condition.isNull()))
+            new_parts = self._write_partitions(survivors, pcol)
+            for v in touched:
+                parts[self._key(v)] = new_parts.get(self._key(v), [])
+        self._commit(man["version"] + 1, pcol,
+                     T._parse_datatype_string(man["schema"]), parts)
+        return self
+
+    def update(self, condition, assignments: dict) -> "PartitionedTable":
+        """UPDATE over touched partitions only.  Assignments to the
+        partition column are refused — a value change would MOVE rows
+        between partitions (Hive's classic restriction; Delta pays a
+        two-partition rewrite for it; delete+insert expresses a move
+        here explicitly)."""
+        from cs186_query_optimization_project_spark.transactions import (
+            make_update_applier,
+        )
+
+        man = self._manifest()
+        pcol = man["partition_col"]
+        if pcol in assignments:
+            raise DatabaseException(
+                f"update '{self.root}': assigning the partition column "
+                f"'{pcol}' would move rows between partitions; express "
+                f"a move as delete + insert")
+        schema = T._parse_datatype_string(man["schema"])
+        for col_name in assignments:
+            if col_name not in schema.fieldNames():
+                raise DatabaseException(
+                    f"update '{self.root}': unknown column "
+                    f"'{col_name}'")
+        parts = {k: list(v) for k, v in man["parts"].items()}
+        touched = self._touched(self.read(), condition, pcol)
+        if touched:
+            rewritten = make_update_applier(condition, assignments)(
+                self.read(partition_values=touched))
+            new_parts = self._write_partitions(rewritten, pcol)
+            for v in touched:
+                parts[self._key(v)] = new_parts.get(self._key(v), [])
+        self._commit(man["version"] + 1, pcol, schema, parts)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # maintenance
+    # ------------------------------------------------------------------ #
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Reachability-based reclamation: drop manifests older than
+        the newest ``keep_last`` retained ones, then delete every data
+        directory no retained manifest references.  A directory shared
+        with a retained version SURVIVES — vacuum cost tracks churn,
+        not table size.  Returns deleted directories."""
+        import shutil
+
+        if keep_last < 1:
+            raise DatabaseException(
+                f"vacuum '{self.root}': keep_last must be >= 1, got "
+                f"{keep_last}")
+        vs = self.versions()
+        for v in vs[:-keep_last] if len(vs) > keep_last else []:
+            os.remove(self._manifest_path(v))
+        referenced = set()
+        for v in self.versions():
+            for ds in self._manifest(v)["parts"].values():
+                referenced.update(os.path.normpath(d) for d in ds)
+        removed = []
+        parts_root = os.path.join(self.root, "parts")
+        # top level = staging dirs; manifests reference their __p=<val>
+        # children.  A staging with no referenced child goes entirely;
+        # a partially-referenced one sheds its unreferenced children.
+        for name in sorted(os.listdir(parts_root)):
+            top = os.path.normpath(os.path.join(parts_root, name))
+            if not os.path.isdir(top):
+                continue
+            prefix = top + os.sep
+            if top not in referenced and not any(
+                    r.startswith(prefix) for r in referenced):
+                shutil.rmtree(top, ignore_errors=True)
+                removed.append(top)
+                continue
+            for sub in sorted(os.listdir(top)):
+                d = os.path.normpath(os.path.join(top, sub))
+                if (sub.startswith("__p=") and os.path.isdir(d)
+                        and d not in referenced):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+        return removed

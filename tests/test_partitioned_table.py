@@ -1,0 +1,175 @@
+"""Partition-level copy-on-write MVCC (partitioned.py — "delta-lite").
+
+The scale claims under test, not just the semantics: untouched
+partitions' directories are SHARED across versions (O(touched)
+DML), inserts never rewrite existing bytes, manifest pruning reads
+only the asked-for partitions' directories, and vacuum deletes
+exactly the directories no retained manifest references.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.errors import (
+    ConflictException,
+    DatabaseException,
+)
+from cs186_query_optimization_project_spark.partitioned import (
+    PartitionedTable,
+)
+
+
+@pytest.fixture()
+def pt(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0),
+         (4, "B", 40.0), (5, "C", 50.0)],
+        "id long, grp string, amt double")
+    return PartitionedTable.create(spark, df, str(tmp_path / "t"), "grp")
+
+
+def _dirs(pt, version=None):
+    return {k: tuple(v)
+            for k, v in pt._manifest(version)["parts"].items()}
+
+
+def test_create_and_read(pt):
+    assert pt.versions() == [0]
+    assert pt.partition_col() == "grp"
+    assert pt.read().count() == 5
+    assert sorted(_dirs(pt)) == ["A", "B", "C"]
+
+
+def test_manifest_pruning_reads_only_asked_partitions(pt):
+    out = pt.read(partition_values=["A"])
+    assert {r["grp"] for r in out.collect()} == {"A"}
+    # the pruned read's scan lists ONLY partition A's directory
+    read_dirs = {os.path.basename(os.path.dirname(f.removeprefix("file:")))
+                 for f in out.inputFiles()}
+    a_dir, = _dirs(pt)["A"]
+    assert read_dirs == {os.path.basename(a_dir)}
+    # unknown value -> empty frame with the table schema
+    empty = pt.read(partition_values=["ZZZ"])
+    assert empty.count() == 0 and empty.columns == ["id", "grp", "amt"]
+
+
+def test_delete_rewrites_only_touched_partition(pt):
+    before = _dirs(pt, 0)
+    pt.delete(F.col("id") == 3)            # lives in partition B
+    assert pt.versions() == [0, 1]
+    after = _dirs(pt, 1)
+    assert after["A"] == before["A"]       # shared directory, no rewrite
+    assert after["C"] == before["C"]
+    assert after["B"] != before["B"]
+    assert {r["id"] for r in pt.read().collect()} == {1, 2, 4, 5}
+    # NULL condition keeps the row (SQL DELETE semantics)
+    pt.delete(F.when(F.col("id") > 100, True).otherwise(
+        F.lit(None).cast("boolean")))
+    assert pt.read().count() == 4
+
+
+def test_insert_appends_new_dirs_only(pt, spark):
+    before = _dirs(pt, 0)
+    rows = spark.createDataFrame(
+        [(6, "A", 60.0), (7, "D", 70.0)], "id long, grp string, amt double")
+    pt.insert(rows)
+    after = _dirs(pt, 1)
+    # A grew by one NEW dir, keeping its old dir byte-identical
+    assert after["A"][:1] == before["A"] and len(after["A"]) == 2
+    assert after["B"] == before["B"] and after["C"] == before["C"]
+    assert len(after["D"]) == 1            # brand-new partition
+    assert pt.read().count() == 7
+    assert pt.read(version=0).count() == 5  # time travel unaffected
+
+
+def test_update_touched_partitions_only(pt):
+    before = _dirs(pt, 0)
+    pt.update(F.col("grp") == "B", {"amt": F.col("amt") + 1})
+    after = _dirs(pt, 1)
+    assert after["A"] == before["A"] and after["C"] == before["C"]
+    assert after["B"] != before["B"]
+    got = {r["id"]: r["amt"] for r in pt.read().collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 31.0, 4: 41.0, 5: 50.0}
+    with pytest.raises(DatabaseException, match="partition column"):
+        pt.update(F.lit(True), {"grp": F.lit("X")})
+    with pytest.raises(DatabaseException, match="unknown column"):
+        pt.update(F.lit(True), {"nope": F.lit(1)})
+
+
+def test_time_travel_and_vacuum_reachability(pt, spark):
+    pt.insert(spark.createDataFrame([(6, "A", 60.0)],
+                                    "id long, grp string, amt double"))
+    pt.delete(F.col("grp") == "C")
+    assert pt.versions() == [0, 1, 2]
+    assert [pt.read(version=v).count() for v in (0, 1, 2)] == [5, 6, 5]
+
+    v0_c, = _dirs(pt, 0)["C"]
+    v0_a = _dirs(pt, 0)["A"]
+    removed = pt.vacuum(keep_last=2)       # drops manifest v0
+    assert pt.versions() == [1, 2]
+    # C's original dir is still referenced by v1 -> SURVIVES;
+    # nothing v1/v2 reference was deleted
+    assert v0_c not in removed and os.path.exists(v0_c)
+    assert all(os.path.exists(d) for d in v0_a)
+    with pytest.raises(DatabaseException, match="not retained"):
+        pt.read(version=0)
+
+    removed2 = pt.vacuum(keep_last=1)      # drops manifest v1
+    # now C's dir (emptied in v2's rewrite... C was deleted entirely:
+    # v2 keeps an empty-C dir) — the v1-only dirs are reclaimed
+    assert pt.versions() == [2]
+    for d in removed2:
+        assert not os.path.exists(d)
+    assert pt.read().count() == 5
+    with pytest.raises(DatabaseException, match="keep_last"):
+        pt.vacuum(keep_last=0)
+
+
+def test_commit_is_first_committer_wins(pt, spark):
+    """The commit CAS: a committer that planned against version N loses
+    if another publish claimed N+1 first — ConflictException, winner's
+    state intact, and the loser's orphaned data dirs are unreferenced
+    so vacuum reclaims them."""
+    import json
+    from pyspark.sql import types as T
+
+    man = pt._manifest()                   # loser plans against v0
+    with open(pt._manifest_path(man["version"] + 1), "x") as f:
+        f.write(json.dumps(man | {"version": man["version"] + 1}))
+
+    orphan = pt._new_dir()                 # the loser's staged write
+    pt.read(partition_values=["A"]).write.parquet(orphan)
+    with pytest.raises(ConflictException, match="concurrently"):
+        pt._commit(man["version"] + 1, man["partition_col"],
+                   T._parse_datatype_string(man["schema"]),
+                   {"A": [orphan]})
+    assert pt.read().count() == 5          # winner's state intact
+    removed = pt.vacuum(keep_last=len(pt.versions()))
+    assert orphan in removed and not os.path.exists(orphan)
+
+
+def test_create_validations(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.5)], "id long, f double")
+    with pytest.raises(DatabaseException, match="not in"):
+        PartitionedTable.create(spark, df, str(tmp_path / "a"), "nope")
+    with pytest.raises(DatabaseException, match="stable manifest keys"):
+        PartitionedTable.create(spark, df, str(tmp_path / "b"), "f")
+    nulls = spark.createDataFrame([(1, None)], "id long, g string")
+    with pytest.raises(DatabaseException, match="NULL"):
+        PartitionedTable.create(spark, nulls, str(tmp_path / "c"), "g")
+    with pytest.raises(DatabaseException, match="missing _manifests"):
+        PartitionedTable(spark, str(tmp_path / "nowhere"))
+
+
+def test_insert_schema_and_null_validation(pt, spark):
+    bad = spark.createDataFrame([(1, "A")], "id long, grp string")
+    with pytest.raises(DatabaseException, match="schema mismatch"):
+        pt.insert(bad)
+    nulls = spark.createDataFrame([(9, None, 1.0)],
+                                  "id long, grp string, amt double")
+    with pytest.raises(DatabaseException, match="NULL partition"):
+        pt.insert(nulls)
