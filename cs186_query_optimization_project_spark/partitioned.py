@@ -329,6 +329,83 @@ class PartitionedTable:
         self._commit(man["version"] + 1, pcol, schema, parts)
         return self
 
+    def merge(self, source: DataFrame,
+              on: str | tuple[str, ...]) -> "PartitionedTable":
+        """MERGE upsert at partition granularity (the ``Database
+        .merge_rows`` analog): matched target rows take the source's
+        values, unmatched source rows append.  Touched partitions are
+        those owning a MATCHED TARGET row (the key match decides where
+        the rewrite happens — a source row may update a target row
+        living in a different partition than the source row's own
+        value, as long as the update doesn't move it); unmatched source
+        rows land as appended directories in their own partitions.  Two
+        |partitions|-bounded distincts plan the statement; two jobs
+        execute it."""
+        keys = [on] if isinstance(on, str) else list(on)
+        man = self._manifest()
+        pcol = man["partition_col"]
+        schema = T._parse_datatype_string(man["schema"])
+        expected = [(f.name, f.dataType) for f in schema.fields]
+        got = [(f.name, f.dataType) for f in source.schema.fields]
+        if expected != got:
+            raise DatabaseException(
+                f"merge into '{self.root}': schema mismatch; table has "
+                f"{expected}, source has {got}")
+        for k in keys:
+            if k not in schema.fieldNames():
+                raise DatabaseException(
+                    f"merge into '{self.root}': unknown key column "
+                    f"'{k}'")
+        if source.groupBy(*keys).count().filter(
+                F.col("count") > 1).take(1):
+            raise DatabaseException(
+                f"merge into '{self.root}': source has duplicate keys "
+                f"on {keys}")
+        cur = self.read()
+        # a matched row must not change partition value: refuse sources
+        # that would move rows (same restriction as update())
+        if pcol not in keys:
+            moved = (source.alias("s")
+                     .join(cur.alias("t"), keys, "inner")
+                     .filter(F.col(f"s.{pcol}") != F.col(f"t.{pcol}"))
+                     .take(1))
+            if moved:
+                raise DatabaseException(
+                    f"merge into '{self.root}': a matched source row "
+                    f"changes the partition column '{pcol}' — express "
+                    f"a move as delete + insert")
+        matched_keys = source.select(*keys)
+        touched = [r[0] for r in (cur.join(matched_keys, keys,
+                                           "left_semi")
+                                  .select(pcol).distinct().collect())]
+        parts = {k: list(v) for k, v in man["parts"].items()}
+        upd_cols = [c for c in schema.fieldNames() if c not in keys]
+        if touched:
+            src = source.select(
+                *[F.col(k).alias(f"__mk_{k}") for k in keys],
+                *[F.col(c).alias(f"__mv_{c}") for c in upd_cols],
+                F.lit(True).alias("__matched"))
+            cond = None
+            for k in keys:
+                eq = F.col(k) == F.col(f"__mk_{k}")
+                cond = eq if cond is None else (cond & eq)
+            rewritten = (self.read(partition_values=touched)
+                         .join(src, cond, "left_outer")
+                         .select(*[
+                             (F.when(F.col("__matched").isNotNull(),
+                                     F.col(f"__mv_{c}"))
+                              .otherwise(F.col(c)).alias(c)
+                              if c in upd_cols else F.col(c))
+                             for c in schema.fieldNames()]))
+            new_parts = self._write_partitions(rewritten, pcol)
+            for v in touched:
+                parts[self._key(v)] = new_parts.get(self._key(v), [])
+        inserts = source.join(cur.select(*keys), keys, "left_anti")
+        for key, ds in self._write_partitions(inserts, pcol).items():
+            parts.setdefault(key, []).extend(ds)
+        self._commit(man["version"] + 1, pcol, schema, parts)
+        return self
+
     # ------------------------------------------------------------------ #
     # maintenance
     # ------------------------------------------------------------------ #

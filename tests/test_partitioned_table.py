@@ -152,6 +152,42 @@ def test_commit_is_first_committer_wins(pt, spark):
     assert orphan in removed and not os.path.exists(orphan)
 
 
+def test_merge_upsert_touches_matched_partitions_only(pt, spark):
+    """Matched rows rewrite ONLY the partitions owning them; unmatched
+    source rows append as new directories; untouched partitions share
+    dirs with the parent version."""
+    before = _dirs(pt, 0)
+    src = spark.createDataFrame(
+        [(3, "B", 333.0),     # matches id=3 in partition B -> rewrite B
+         (9, "C", 90.0)],     # unmatched -> append to C
+        "id long, grp string, amt double")
+    pt.merge(src, on="id")
+    after = _dirs(pt, 1)
+    assert after["A"] == before["A"]               # untouched: shared
+    assert after["B"] != before["B"]               # matched: rewritten
+    assert after["C"][:1] == before["C"]           # append kept old dir
+    assert len(after["C"]) == 2
+    got = {r["id"]: r["amt"] for r in pt.read().collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 333.0, 4: 40.0, 5: 50.0,
+                   9: 90.0}
+
+
+def test_merge_validations(pt, spark):
+    dup = spark.createDataFrame(
+        [(3, "B", 1.0), (3, "B", 2.0)], "id long, grp string, amt double")
+    with pytest.raises(DatabaseException, match="duplicate keys"):
+        pt.merge(dup, on="id")
+    bad = spark.createDataFrame([(3, "B")], "id long, grp string")
+    with pytest.raises(DatabaseException, match="schema mismatch"):
+        pt.merge(bad, on="id")
+    # a matched source row whose partition value differs from the
+    # target's would MOVE the row — refused, like update()
+    mover = spark.createDataFrame(
+        [(3, "A", 1.0)], "id long, grp string, amt double")
+    with pytest.raises(DatabaseException, match="move"):
+        pt.merge(mover, on="id")
+
+
 def test_create_validations(spark, tmp_path):
     df = spark.createDataFrame([(1, 2.5)], "id long, f double")
     with pytest.raises(DatabaseException, match="not in"):
