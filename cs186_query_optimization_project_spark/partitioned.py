@@ -94,9 +94,10 @@ class PartitionedTable:
     def create(cls, spark: SparkSession, df: DataFrame, root: str,
                partition_col: str) -> "PartitionedTable":
         """Materialize ``df`` as version 0, one directory per partition
-        value.  One job, one shuffle (repartition by the partition
-        column so each directory is written by the tasks that own its
-        keys)."""
+        value, in ONE ``partitionBy`` write job (each task routes its
+        rows to per-value files; no pre-shuffle — callers with many
+        small partitions can ``repartition(partition_col)`` first to
+        get one file per partition)."""
         root = root.rstrip("/")
         if partition_col not in df.columns:
             raise DatabaseException(
@@ -157,19 +158,24 @@ class PartitionedTable:
             return json.load(f)
 
     def _commit(self, version: int, partition_col: str,
-                schema: T.StructType,
-                parts: dict[str, list[str]]) -> None:
+                schema: T.StructType, parts: dict[str, list[str]],
+                txns: dict[str, int] | None = None) -> None:
         """Publish: create v<version>.json atomically-exclusively.  All
         data dirs are already fully written, so the manifest's
         appearance IS the commit point; a concurrent committer of the
         same version number hits FileExistsError → first-committer-wins
-        (optimistic, like ``transactions.py``)."""
+        (optimistic, like ``transactions.py``).  ``txns`` is the
+        exactly-once watermark map for streaming sinks (Delta's ``txn``
+        action): highest committed batch id per sink id — DML commits
+        must carry the caller's manifest's map forward or replay
+        protection would be lost."""
         payload = json.dumps({
             "version": version, "partition_col": partition_col,
             "schema": schema.simpleString(),
             # keys sorted for stable manifests; dir lists keep APPEND
             # order (oldest first) so history reads naturally
             "parts": {k: list(v) for k, v in sorted(parts.items())},
+            "txns": dict(sorted((txns or {}).items())),
         })
         try:
             with open(self._manifest_path(version), "x") as f:
@@ -270,7 +276,8 @@ class PartitionedTable:
         parts = {k: list(v) for k, v in man["parts"].items()}
         for key, ds in self._write_partitions(rows, pcol).items():
             parts.setdefault(key, []).extend(ds)
-        self._commit(man["version"] + 1, pcol, expected, parts)
+        self._commit(man["version"] + 1, pcol, expected, parts,
+                     man.get("txns", {}))
         return self
 
     def delete(self, condition) -> "PartitionedTable":
@@ -292,7 +299,8 @@ class PartitionedTable:
             for v in touched:
                 parts[self._key(v)] = new_parts.get(self._key(v), [])
         self._commit(man["version"] + 1, pcol,
-                     T._parse_datatype_string(man["schema"]), parts)
+                     T._parse_datatype_string(man["schema"]), parts,
+                     man.get("txns", {}))
         return self
 
     def update(self, condition, assignments: dict) -> "PartitionedTable":
@@ -326,7 +334,8 @@ class PartitionedTable:
             new_parts = self._write_partitions(rewritten, pcol)
             for v in touched:
                 parts[self._key(v)] = new_parts.get(self._key(v), [])
-        self._commit(man["version"] + 1, pcol, schema, parts)
+        self._commit(man["version"] + 1, pcol, schema, parts,
+                     man.get("txns", {}))
         return self
 
     def merge(self, source: DataFrame,
@@ -403,8 +412,73 @@ class PartitionedTable:
         inserts = source.join(cur.select(*keys), keys, "left_anti")
         for key, ds in self._write_partitions(inserts, pcol).items():
             parts.setdefault(key, []).extend(ds)
-        self._commit(man["version"] + 1, pcol, schema, parts)
+        self._commit(man["version"] + 1, pcol, schema, parts,
+                     man.get("txns", {}))
         return self
+
+    # ------------------------------------------------------------------ #
+    # streaming sink — exactly-once micro-batch appends
+    # ------------------------------------------------------------------ #
+    def idempotent_append(self, rows: DataFrame, sink_id: str,
+                          batch_id: int) -> bool:
+        """Exactly-once append for streaming micro-batches (Delta's
+        ``txn`` action re-expressed on manifests): the manifest records
+        the highest committed ``batch_id`` per ``sink_id``, and a
+        replayed batch (``<=`` the recorded watermark) is a NO-OP — so
+        a foreachBatch retry after a mid-commit failure cannot
+        double-append.  The dedup check and the append commit
+        atomically together (both live in the same manifest file), so
+        there is no window where data landed but the watermark didn't.
+        On a commit race the append retries once on the fresh manifest,
+        re-checking the watermark (the loser's staged directories stay
+        unreferenced until vacuum).  Returns True if this call
+        committed the batch, False if it was a dedup no-op."""
+        for attempt in (0, 1):
+            man = self._manifest()
+            done = man.get("txns", {}).get(sink_id)
+            if done is not None and batch_id <= done:
+                return False
+            pcol = man["partition_col"]
+            expected = T._parse_datatype_string(man["schema"])
+            if [(f.name, f.dataType) for f in expected.fields] != \
+                    [(f.name, f.dataType) for f in rows.schema.fields]:
+                raise DatabaseException(
+                    f"append into '{self.root}': schema mismatch; "
+                    f"table has {expected.simpleString()}, batch has "
+                    f"{rows.schema.simpleString()}")
+            if rows.filter(F.col(pcol).isNull()).take(1):
+                raise DatabaseException(
+                    f"append into '{self.root}': NULL partition value")
+            parts = {k: list(v) for k, v in man["parts"].items()}
+            for key, ds in self._write_partitions(rows, pcol).items():
+                parts.setdefault(key, []).extend(ds)
+            txns = dict(man.get("txns", {}))
+            txns[sink_id] = batch_id
+            try:
+                self._commit(man["version"] + 1, pcol, expected, parts,
+                             txns)
+                return True
+            except ConflictException:
+                if attempt:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def foreach_batch_sink(self, sink_id: str):
+        """A ``writeStream.foreachBatch`` callable appending every
+        micro-batch exactly once::
+
+            (stream_df.writeStream
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(pt.foreach_batch_sink("events_ingest"))
+             .trigger(availableNow=True).start())
+
+        The checkpoint makes Spark replay at-least-once after failures;
+        ``idempotent_append``'s manifest watermark turns that into
+        exactly-once, the same contract Delta's streaming sink
+        documents."""
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.idempotent_append(batch_df, sink_id, int(batch_id))
+        return sink
 
     # ------------------------------------------------------------------ #
     # maintenance

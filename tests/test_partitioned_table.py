@@ -188,6 +188,62 @@ def test_merge_validations(pt, spark):
         pt.merge(mover, on="id")
 
 
+def test_idempotent_append_dedups_replays(pt, spark):
+    """The exactly-once contract: a replayed batch id is a no-op, the
+    watermark is per sink id, and DML commits carry the watermark
+    forward (a later delete must not reopen the replay window)."""
+    rows = spark.createDataFrame([(6, "A", 60.0)],
+                                 "id long, grp string, amt double")
+    assert pt.idempotent_append(rows, "s1", 0) is True
+    assert pt.read().count() == 6
+    assert pt.idempotent_append(rows, "s1", 0) is False   # replay
+    assert pt.idempotent_append(rows, "s1", 0) is False
+    assert pt.read().count() == 6                          # no dup rows
+    # a different sink id has its own watermark
+    rows2 = spark.createDataFrame([(7, "B", 70.0)],
+                                  "id long, grp string, amt double")
+    assert pt.idempotent_append(rows2, "s2", 0) is True
+    assert pt.read().count() == 7
+    # DML after streaming: watermark survives the delete's commit
+    pt.delete(F.col("id") == 7)
+    assert pt.idempotent_append(rows, "s1", 0) is False
+    assert pt.idempotent_append(rows2, "s2", 0) is False
+    assert pt.read().count() == 6
+    # the next batch id commits normally
+    rows3 = spark.createDataFrame([(8, "C", 80.0)],
+                                  "id long, grp string, amt double")
+    assert pt.idempotent_append(rows3, "s1", 1) is True
+    assert pt.read().count() == 7
+
+
+def test_foreach_batch_sink_end_to_end(pt, spark, tmp_path):
+    """Drive a real file-stream through writeStream.foreachBatch into
+    the partitioned table: all source rows land exactly once, routed to
+    their partitions, and a second identical run with the same
+    checkpoint appends nothing."""
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(10, "A", 1.0), (11, "B", 2.0), (12, "D", 3.0)],
+        "id long, grp string, amt double").write.parquet(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (spark.readStream
+             .schema("id long, grp string, amt double").parquet(src_dir)
+             .writeStream.option("checkpointLocation", ckpt)
+             .foreachBatch(pt.foreach_batch_sink("ingest"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    assert pt.read().count() == 8
+    assert {r["id"] for r in
+            pt.read(partition_values=["D"]).collect()} == {12}
+    run()                                   # same checkpoint: no-op
+    assert pt.read().count() == 8
+
+
 def test_create_validations(spark, tmp_path):
     df = spark.createDataFrame([(1, 2.5)], "id long, f double")
     with pytest.raises(DatabaseException, match="not in"):
