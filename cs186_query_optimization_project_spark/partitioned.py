@@ -222,11 +222,72 @@ class PartitionedTable:
         (df.withColumn("__p", F.col(partition_col))
          .write.mode("error").partitionBy("__p").parquet(staging))
         out: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
         for name in os.listdir(staging):
             if name.startswith("__p="):
                 out[unquote(name[len("__p="):])] = [
                     os.path.join(staging, name)]
+                stats[name] = self._dir_stats(
+                    os.path.join(staging, name))
+        # sidecar, immutable with the staging: per-directory min/max
+        # bounds for read_where skipping
+        with open(os.path.join(staging, "_stats.json"), "w") as f:
+            json.dump(stats, f)
         return out
+
+    # ------------------------------------------------------------------ #
+    # data-skipping stats (Delta file-stats analog, dir granularity)
+    # ------------------------------------------------------------------ #
+    def _dir_stats(self, d: str) -> dict:
+        """min/max per column for one data directory, read from parquet
+        FOOTERS — no data pages touched.  Runs once per directory at
+        write time (directories are immutable), driver-side and bounded
+        by the new directory's file count; at cluster scale this is the
+        stats-collection task Delta runs inside the write job itself.
+        Columns with any stats-less row group are omitted (fail-open:
+        no stats → no skipping, never a wrong skip)."""
+        import pyarrow.parquet as pq
+
+        mins: dict = {}
+        maxs: dict = {}
+        dropped: set = set()
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.read_metadata(os.path.join(d, fname))
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name or name in dropped:
+                        continue  # nested leaf — skip
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        dropped.add(name)
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            dropped.add(name)
+                            continue
+                    if hasattr(lo, "isoformat"):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    # ints/bools/strings only: float NaN ordering makes
+                    # footer min/max unsafe as skip bounds (UTF-8 byte
+                    # order == code-point order, so str compares match
+                    # Spark's)
+                    if isinstance(lo, float) or \
+                            not isinstance(lo, (bool, int, str)):
+                        dropped.add(name)
+                        continue
+                    mins[name] = lo if name not in mins else \
+                        min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else \
+                        max(maxs[name], hi)
+        return {c: [mins[c], maxs[c]] for c in mins if c not in dropped}
 
     # ------------------------------------------------------------------ #
     # reads
@@ -246,6 +307,53 @@ class PartitionedTable:
             return self.spark.createDataFrame(
                 [], T._parse_datatype_string(man["schema"]))
         return self.spark.read.parquet(*dirs)
+
+    def _staging_stats(self, staging: str) -> dict:
+        try:
+            with open(os.path.join(staging, "_stats.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}  # fail-open: no stats, no skipping
+
+    @staticmethod
+    def _bound(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    def read_where(self, column: str, lo=None, hi=None,
+                   version: int | None = None) -> DataFrame:
+        """Stats-skipping range scan (Delta data-skipping at directory
+        granularity): directories whose footer-derived ``[min, max]``
+        for ``column`` cannot intersect ``[lo, hi]`` are dropped from
+        the scan WITHOUT opening them; survivors still get the exact
+        filter, so the result equals ``read().filter(...)`` — skipping
+        is a pure I/O optimization.  Directories without recorded
+        bounds for the column are kept (fail-open).  Pass bounds in the
+        column's native type (dates compare via ISO strings)."""
+        man = self._manifest(version)
+        lo_b, hi_b = self._bound(lo), self._bound(hi)
+        keep = []
+        for ds in man["parts"].values():
+            for d in ds:
+                st = (self._staging_stats(os.path.dirname(d))
+                      .get(os.path.basename(d), {}).get(column))
+                if st is not None:
+                    dmin, dmax = st
+                    if (lo_b is not None and dmax < lo_b) or \
+                            (hi_b is not None and dmin > hi_b):
+                        continue
+                    # a dir emptied to zero rows has no stats row —
+                    # covered by the fail-open branch
+                keep.append(d)
+        if not keep:
+            out = self.spark.createDataFrame(
+                [], T._parse_datatype_string(man["schema"]))
+        else:
+            out = self.spark.read.parquet(*keep)
+        if lo is not None:
+            out = out.filter(F.col(column) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(column) <= F.lit(hi))
+        return out
 
     # ------------------------------------------------------------------ #
     # DML — O(touched partitions)

@@ -188,6 +188,50 @@ def test_merge_validations(pt, spark):
         pt.merge(mover, on="id")
 
 
+def test_read_where_skips_directories_by_stats(pt, spark):
+    """Data-skipping: dirs whose footer min/max can't intersect the
+    range are never opened; the result still equals the exact filter;
+    columns without recorded bounds (float amt) fail open."""
+    out = pt.read_where("id", lo=5)
+    assert {r["id"] for r in out.collect()} == {5}
+    read_dirs = {os.path.normpath(os.path.dirname(
+        f.removeprefix("file:").replace("///", "/")))
+        for f in out.inputFiles()}
+    c_dir, = _dirs(pt)["C"]                  # only C holds id=5
+    assert read_dirs == {os.path.normpath(c_dir)}
+
+    mid = pt.read_where("id", lo=2, hi=3)    # spans A and B, skips C
+    assert {r["id"] for r in mid.collect()} == {2, 3}
+    mid_dirs = {os.path.normpath(os.path.dirname(
+        f.removeprefix("file:").replace("///", "/")))
+        for f in mid.inputFiles()}
+    assert os.path.normpath(c_dir) not in mid_dirs
+
+    # float column: no stats recorded -> fail-open, exact result
+    f_out = pt.read_where("amt", lo=30.0, hi=40.0)
+    assert {r["id"] for r in f_out.collect()} == {3, 4}
+    # empty range -> empty frame with the table schema
+    none = pt.read_where("id", lo=99)
+    assert none.count() == 0 and none.columns == ["id", "grp", "amt"]
+    # string column stats work too
+    s_out = pt.read_where("grp", lo="C", hi="C")
+    assert {r["id"] for r in s_out.collect()} == {5}
+
+
+def test_read_where_matches_full_filter_after_dml(pt, spark):
+    """Skipping stays correct across versions: after an insert and a
+    delete, read_where over every dir-generation equals the exact
+    filter on read()."""
+    pt.insert(spark.createDataFrame([(0, "A", 5.0), (8, "D", 80.0)],
+                                    "id long, grp string, amt double"))
+    pt.delete(F.col("id") == 4)
+    want = sorted(r["id"] for r in
+                  pt.read().filter(F.col("id").between(2, 8)).collect())
+    got = sorted(r["id"] for r in
+                 pt.read_where("id", lo=2, hi=8).collect())
+    assert got == want == [2, 3, 5, 8]
+
+
 def test_idempotent_append_dedups_replays(pt, spark):
     """The exactly-once contract: a replayed batch id is a no-op, the
     watermark is per sink id, and DML commits carry the watermark
