@@ -591,6 +591,59 @@ class PartitionedTable:
     # ------------------------------------------------------------------ #
     # maintenance
     # ------------------------------------------------------------------ #
+    def optimize(self, target_file_bytes: int = 128 << 20,
+                 sort_by: tuple[str, ...] = ()) -> list[str]:
+        """Delta OPTIMIZE at partition granularity: compact every
+        partition whose directory list grew past one (append
+        accretion) or whose file count exceeds its size-targeted
+        budget, into ONE fresh directory each — published as a new
+        version whose untouched partitions share directories as usual.
+        ``sort_by`` re-clusters while compacting (OPTIMIZE ... ZORDER's
+        1-D analog; pushed range filters then skip row groups inside
+        the compacted files, complementing the directory-level
+        ``read_where`` skipping).  One ``repartitionByRange`` job over
+        the touched partitions only; sizing uses real on-disk bytes
+        like ``sources.writers.compact_table`` (its docstring carries
+        the small-files-at-100TB argument).  Returns the compacted
+        partition keys; a no-op publishes nothing."""
+        import math
+
+        man = self._manifest()
+        pcol = man["partition_col"]
+        parts = {k: list(v) for k, v in man["parts"].items()}
+
+        def usage(ds):
+            total = count = 0
+            for d in ds:
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(d, f))
+                        count += 1
+            return total, count
+
+        touched = []
+        touched_bytes = 0
+        for k, ds in parts.items():
+            total, count = usage(ds)
+            budget = max(1, math.ceil(total / target_file_bytes))
+            if len(ds) > 1 or count > budget:
+                touched.append(k)
+                touched_bytes += total
+        if not touched:
+            return []
+        n_out = max(1, math.ceil(touched_bytes / target_file_bytes))
+        cols = [pcol, *sort_by]
+        shaped = (self.read(partition_values=touched)
+                  .repartitionByRange(n_out, *[F.col(c) for c in cols])
+                  .sortWithinPartitions(*cols))
+        new_parts = self._write_partitions(shaped, pcol)
+        for k in touched:
+            parts[k] = new_parts.get(k, [])
+        self._commit(man["version"] + 1, pcol,
+                     T._parse_datatype_string(man["schema"]), parts,
+                     man.get("txns", {}))
+        return sorted(touched)
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Reachability-based reclamation: drop manifests older than
         the newest ``keep_last`` retained ones, then delete every data

@@ -232,6 +232,45 @@ def test_read_where_matches_full_filter_after_dml(pt, spark):
     assert got == want == [2, 3, 5, 8]
 
 
+def test_optimize_compacts_accreted_partitions(pt, spark):
+    """Appends grow a partition's dir-list; OPTIMIZE collapses touched
+    partitions to one directory each in a new shared-dir version, the
+    content is bit-identical, re-clustering sorts rows, and vacuum
+    then reclaims the pre-compaction append dirs."""
+    for i in (6, 7):
+        pt.insert(spark.createDataFrame(
+            [(i, "A", float(i) * 10)], "id long, grp string, amt double"))
+    assert len(_dirs(pt)["A"]) == 3              # accreted
+    before = _dirs(pt)
+    want = sorted(map(tuple, pt.read().collect()))
+
+    touched = pt.optimize(sort_by=("id",))
+    # A must be compacted (3 dirs); others may be flagged too if the
+    # create's parallelism left them in undersized multi-file form
+    assert "A" in touched
+    after = _dirs(pt)
+    assert len(after["A"]) == 1 and after["A"] != before["A"]
+    for k in after:
+        if k not in touched:
+            assert after[k] == before[k], k      # untouched: shared
+        else:
+            assert len(after[k]) == 1, k         # compacted: one dir
+    assert sorted(map(tuple, pt.read().collect())) == want
+    # one file, rows sorted by the cluster key inside it
+    a_dir, = after["A"]
+    files = [f for f in os.listdir(a_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    ids = [r["id"] for r in
+           spark.read.parquet(a_dir).collect()]
+    assert ids == sorted(ids)
+    # idempotent: nothing left to compact
+    assert pt.optimize() == []
+    # retention drop + vacuum reclaims the superseded A dirs
+    pt.vacuum(keep_last=1)
+    assert all(not os.path.exists(d) for d in before["A"])
+    assert pt.read().count() == 7
+
+
 def test_idempotent_append_dedups_replays(pt, spark):
     """The exactly-once contract: a replayed batch id is a no-op, the
     watermark is per sink id, and DML commits carry the watermark
