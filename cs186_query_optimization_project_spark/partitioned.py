@@ -296,17 +296,23 @@ class PartitionedTable:
              partition_values=None) -> DataFrame:
         """Scan a version.  ``partition_values`` prunes at the MANIFEST:
         non-matching partitions' directories are never listed, opened,
-        or footer-read — the Delta file-skipping analog."""
+        or footer-read — the Delta file-skipping analog.
+
+        The scan uses the MANIFEST schema explicitly (the source of
+        truth, like Delta reading schema from the log, not from file
+        footers): directories written before an additive schema
+        evolution reconcile with NULLs for the missing columns, and no
+        mergeSchema footer sweep is ever needed."""
         man = self._manifest(version)
         parts = man["parts"]
         if partition_values is not None:
             wanted = {self._key(v) for v in partition_values}
             parts = {k: v for k, v in parts.items() if k in wanted}
         dirs = [d for ds in parts.values() for d in ds]
+        schema = T._parse_datatype_string(man["schema"])
         if not dirs:
-            return self.spark.createDataFrame(
-                [], T._parse_datatype_string(man["schema"]))
-        return self.spark.read.parquet(*dirs)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     def _staging_stats(self, staging: str) -> dict:
         try:
@@ -344,11 +350,11 @@ class PartitionedTable:
                     # a dir emptied to zero rows has no stats row —
                     # covered by the fail-open branch
                 keep.append(d)
+        schema = T._parse_datatype_string(man["schema"])
         if not keep:
-            out = self.spark.createDataFrame(
-                [], T._parse_datatype_string(man["schema"]))
+            out = self.spark.createDataFrame([], schema)
         else:
-            out = self.spark.read.parquet(*keep)
+            out = self.spark.read.schema(schema).parquet(*keep)
         if lo is not None:
             out = out.filter(F.col(column) >= F.lit(lo))
         if hi is not None:
@@ -364,15 +370,32 @@ class PartitionedTable:
         return [r[0] for r in (df.filter(condition)
                                .select(pcol).distinct().collect())]
 
-    def insert(self, rows: DataFrame) -> "PartitionedTable":
+    def insert(self, rows: DataFrame,
+               merge_schema: bool = False) -> "PartitionedTable":
         """Append — writes ONE NEW directory per touched partition and
         re-links every existing directory untouched (no rewrite of any
-        existing byte; the manifest's dir-lists absorb the append)."""
+        existing byte; the manifest's dir-lists absorb the append).
+
+        ``merge_schema=True`` is Delta's additive schema evolution: the
+        batch may carry NEW trailing columns (recorded in the widened
+        manifest schema; old directories are never rewritten — reads
+        reconcile them with NULLs via a mergeSchema scan), but may
+        never drop, retype, or reorder existing columns."""
         man = self._manifest()
         pcol = man["partition_col"]
         expected = T._parse_datatype_string(man["schema"])
         got = rows.schema
-        if [(f.name, f.dataType) for f in expected.fields] != \
+        if merge_schema:
+            old = [(f.name, f.dataType) for f in expected.fields]
+            new = [(f.name, f.dataType) for f in got.fields]
+            if new[:len(old)] != old:
+                raise DatabaseException(
+                    f"insert into '{self.root}': merge_schema only ADDS "
+                    f"trailing columns; table has "
+                    f"{expected.simpleString()}, rows have "
+                    f"{got.simpleString()}")
+            expected = got  # widened schema published with this commit
+        elif [(f.name, f.dataType) for f in expected.fields] != \
                 [(f.name, f.dataType) for f in got.fields]:
             raise DatabaseException(
                 f"insert into '{self.root}': schema mismatch; table "

@@ -232,6 +232,40 @@ def test_read_where_matches_full_filter_after_dml(pt, spark):
     assert got == want == [2, 3, 5, 8]
 
 
+def test_schema_evolution_additive(pt, spark):
+    """merge_schema=True appends new trailing columns: old directories
+    are NOT rewritten (dir sharing holds), reads reconcile them with
+    NULLs from the manifest schema, later strict inserts must use the
+    widened schema, and non-additive changes are refused."""
+    before = _dirs(pt, 0)
+    widened = spark.createDataFrame(
+        [(6, "A", 60.0, "en")],
+        "id long, grp string, amt double, lang string")
+    pt.insert(widened, merge_schema=True)
+    after = _dirs(pt)
+    assert after["B"] == before["B"] and after["C"] == before["C"]
+    assert pt.read().columns == ["id", "grp", "amt", "lang"]
+    got = {r["id"]: r["lang"] for r in pt.read().collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None, 5: None,
+                   6: "en"}
+    # time travel still serves the OLD schema for the old version
+    assert pt.read(version=0).columns == ["id", "grp", "amt"]
+    # strict insert now requires the widened schema
+    old_shape = spark.createDataFrame([(7, "B", 70.0)],
+                                      "id long, grp string, amt double")
+    with pytest.raises(DatabaseException, match="schema mismatch"):
+        pt.insert(old_shape)
+    # DML over mixed-schema dirs works; rewritten rows carry NULL lang
+    pt.update(F.col("id") == 1, {"amt": F.lit(11.0)})
+    row = pt.read().filter(F.col("id") == 1).collect()[0]
+    assert row["amt"] == 11.0 and row["lang"] is None
+    # non-additive evolution refused
+    retyped = spark.createDataFrame(
+        [(8, "B", 1, "x")], "id long, grp string, amt long, lang string")
+    with pytest.raises(DatabaseException, match="only ADDS"):
+        pt.insert(retyped, merge_schema=True)
+
+
 def test_optimize_compacts_accreted_partitions(pt, spark):
     """Appends grow a partition's dir-list; OPTIMIZE collapses touched
     partitions to one directory each in a new shared-dir version, the
