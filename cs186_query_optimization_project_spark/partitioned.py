@@ -159,7 +159,8 @@ class PartitionedTable:
 
     def _commit(self, version: int, partition_col: str,
                 schema: T.StructType, parts: dict[str, list[str]],
-                txns: dict[str, int] | None = None) -> None:
+                txns: dict[str, int] | None = None,
+                tombstones: dict[str, list[str]] | None = None) -> None:
         """Publish: create v<version>.json atomically-exclusively.  All
         data dirs are already fully written, so the manifest's
         appearance IS the commit point; a concurrent committer of the
@@ -169,6 +170,7 @@ class PartitionedTable:
         action): highest committed batch id per sink id — DML commits
         must carry the caller's manifest's map forward or replay
         protection would be lost."""
+        referenced = {d for ds in parts.values() for d in ds}
         payload = json.dumps({
             "version": version, "partition_col": partition_col,
             "schema": schema.simpleString(),
@@ -176,6 +178,11 @@ class PartitionedTable:
             # order (oldest first) so history reads naturally
             "parts": {k: list(v) for k, v in sorted(parts.items())},
             "txns": dict(sorted((txns or {}).items())),
+            # tombstones pruned to referenced dirs: a rewrite that
+            # dropped a directory materialized its soft deletes
+            "tombstones": {d: list(ts) for d, ts in
+                           sorted((tombstones or {}).items())
+                           if ts and d in referenced},
         })
         try:
             with open(self._manifest_path(version), "x") as f:
@@ -309,10 +316,32 @@ class PartitionedTable:
             wanted = {self._key(v) for v in partition_values}
             parts = {k: v for k, v in parts.items() if k in wanted}
         dirs = [d for ds in parts.values() for d in ds]
-        schema = T._parse_datatype_string(man["schema"])
-        if not dirs:
+        return self._scan(dirs, T._parse_datatype_string(man["schema"]),
+                          man.get("tombstones", {}))
+
+    def _scan(self, dirs: list[str], schema: T.StructType,
+              tombs: dict[str, list[str]]) -> DataFrame:
+        """One DataFrame over ``dirs`` with each directory's tombstone
+        predicates applied (SQL DELETE null semantics: NULL keeps the
+        row).  Directories sharing a tombstone set scan together; the
+        union arity is the number of DISTINCT tombstone combinations
+        (usually 0 or 1), never the directory count."""
+        groups: dict[tuple, list[str]] = {}
+        for d in dirs:
+            groups.setdefault(tuple(tombs.get(d, ())), []).append(d)
+        outs = []
+        for conds, ds in sorted(groups.items()):
+            df = self.spark.read.schema(schema).parquet(*ds)
+            for cond in conds:
+                c = F.expr(cond)
+                df = df.filter(~c | c.isNull())
+            outs.append(df)
+        if not outs:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
 
     def _staging_stats(self, staging: str) -> dict:
         try:
@@ -350,11 +379,8 @@ class PartitionedTable:
                     # a dir emptied to zero rows has no stats row —
                     # covered by the fail-open branch
                 keep.append(d)
-        schema = T._parse_datatype_string(man["schema"])
-        if not keep:
-            out = self.spark.createDataFrame([], schema)
-        else:
-            out = self.spark.read.schema(schema).parquet(*keep)
+        out = self._scan(keep, T._parse_datatype_string(man["schema"]),
+                         man.get("tombstones", {}))
         if lo is not None:
             out = out.filter(F.col(column) >= F.lit(lo))
         if hi is not None:
@@ -408,7 +434,8 @@ class PartitionedTable:
         for key, ds in self._write_partitions(rows, pcol).items():
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcol, expected, parts,
-                     man.get("txns", {}))
+                     man.get("txns", {}),
+                     man.get("tombstones", {}))
         return self
 
     def delete(self, condition) -> "PartitionedTable":
@@ -431,7 +458,45 @@ class PartitionedTable:
                 parts[self._key(v)] = new_parts.get(self._key(v), [])
         self._commit(man["version"] + 1, pcol,
                      T._parse_datatype_string(man["schema"]), parts,
-                     man.get("txns", {}))
+                     man.get("txns", {}),
+                     man.get("tombstones", {}))
+        return self
+
+    def delete_soft(self, condition_sql: str) -> "PartitionedTable":
+        """Deletion-vector-style soft delete (Delta DVs re-expressed as
+        per-directory tombstone predicates): instead of rewriting the
+        touched partitions, record the SQL condition against every
+        CURRENT directory and publish — O(1) data movement however
+        large the partitions, the right shape when a few rows die
+        inside multi-GB partitions.  Reads apply ``NOT(cond)`` (with
+        SQL DELETE null semantics) per tombstoned directory, a map-only
+        filter.  Tombstones bind to directories, so rows appended AFTER
+        the soft delete are never affected.  A later hard ``delete`` /
+        ``update`` / ``merge`` / ``optimize`` of a partition
+        MATERIALIZES its tombstones (the rewrite reads through them)
+        and clears them.  The condition must be a deterministic SQL
+        boolean over the table's columns — it is validated by planning
+        it against the current schema before publish."""
+        man = self._manifest()
+        pcol = man["partition_col"]
+        schema = T._parse_datatype_string(man["schema"])
+        # fail-fast validation: the predicate must plan over the schema
+        try:
+            self.spark.createDataFrame([], schema).filter(
+                F.expr(condition_sql)).schema
+        except Exception as exc:
+            raise DatabaseException(
+                f"delete_soft '{self.root}': condition "
+                f"{condition_sql!r} does not plan against "
+                f"{schema.simpleString()}: {exc}") from None
+        parts = {k: list(v) for k, v in man["parts"].items()}
+        tombs = {d: list(ts)
+                 for d, ts in man.get("tombstones", {}).items()}
+        for ds in parts.values():
+            for d in ds:
+                tombs.setdefault(d, []).append(condition_sql)
+        self._commit(man["version"] + 1, pcol, schema, parts,
+                     man.get("txns", {}), tombs)
         return self
 
     def update(self, condition, assignments: dict) -> "PartitionedTable":
@@ -466,7 +531,8 @@ class PartitionedTable:
             for v in touched:
                 parts[self._key(v)] = new_parts.get(self._key(v), [])
         self._commit(man["version"] + 1, pcol, schema, parts,
-                     man.get("txns", {}))
+                     man.get("txns", {}),
+                     man.get("tombstones", {}))
         return self
 
     def merge(self, source: DataFrame,
@@ -544,7 +610,8 @@ class PartitionedTable:
         for key, ds in self._write_partitions(inserts, pcol).items():
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcol, schema, parts,
-                     man.get("txns", {}))
+                     man.get("txns", {}),
+                     man.get("tombstones", {}))
         return self
 
     # ------------------------------------------------------------------ #
@@ -587,7 +654,7 @@ class PartitionedTable:
             txns[sink_id] = batch_id
             try:
                 self._commit(man["version"] + 1, pcol, expected, parts,
-                             txns)
+                             txns, man.get("tombstones", {}))
                 return True
             except ConflictException:
                 if attempt:
@@ -644,12 +711,16 @@ class PartitionedTable:
                         count += 1
             return total, count
 
+        tombs = man.get("tombstones", {})
         touched = []
         touched_bytes = 0
         for k, ds in parts.items():
             total, count = usage(ds)
             budget = max(1, math.ceil(total / target_file_bytes))
-            if len(ds) > 1 or count > budget:
+            # tombstoned dirs compact too: the rewrite reads through
+            # the soft deletes and the new dir starts clean
+            if len(ds) > 1 or count > budget or \
+                    any(d in tombs for d in ds):
                 touched.append(k)
                 touched_bytes += total
         if not touched:
@@ -664,7 +735,8 @@ class PartitionedTable:
             parts[k] = new_parts.get(k, [])
         self._commit(man["version"] + 1, pcol,
                      T._parse_datatype_string(man["schema"]), parts,
-                     man.get("txns", {}))
+                     man.get("txns", {}),
+                     man.get("tombstones", {}))
         return sorted(touched)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

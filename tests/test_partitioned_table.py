@@ -361,6 +361,53 @@ def test_foreach_batch_sink_end_to_end(pt, spark, tmp_path):
     assert pt.read().count() == 8
 
 
+def test_soft_delete_tombstones(pt, spark):
+    """Deletion-vector analog: delete_soft publishes a new version with
+    ZERO data movement (parts identical), reads apply the predicate,
+    later appends are NOT affected (tombstones bind to directories),
+    a hard rewrite materializes-and-clears them, and optimize compacts
+    tombstoned partitions clean."""
+    before = _dirs(pt)
+    pt.delete_soft("id >= 4")
+    assert _dirs(pt) == before                   # no data movement
+    assert {r["id"] for r in pt.read().collect()} == {1, 2, 3}
+    assert pt.read(version=0).count() == 5       # time travel unaffected
+    # stats-skipping read composes with tombstones
+    assert {r["id"] for r in
+            pt.read_where("id", lo=2).collect()} == {2, 3}
+
+    # rows appended AFTER the soft delete survive even though id >= 4
+    pt.insert(spark.createDataFrame([(9, "B", 90.0)],
+                                    "id long, grp string, amt double"))
+    assert {r["id"] for r in pt.read().collect()} == {1, 2, 3, 9}
+
+    # hard update of partition A materializes its tombstone ("4"/"5"
+    # live in B/C — A's dirs rewrite, B keeps its tombstone + append)
+    pt.update(F.col("grp") == "A", {"amt": F.col("amt") + 1})
+    assert {r["id"] for r in pt.read().collect()} == {1, 2, 3, 9}
+    man = pt._manifest()
+    a_dirs = set(man["parts"]["A"])
+    assert not (a_dirs & set(man["tombstones"]))  # A is clean now
+
+    # optimize sweeps every remaining tombstone away
+    pt.optimize()
+    assert pt._manifest().get("tombstones", {}) == {}
+    assert {r["id"] for r in pt.read().collect()} == {1, 2, 3, 9}
+
+    with pytest.raises(DatabaseException, match="does not plan"):
+        pt.delete_soft("no_such_col = 1")
+
+
+def test_soft_delete_null_semantics(pt, spark):
+    """SQL DELETE semantics through tombstones: a NULL predicate keeps
+    the row."""
+    pt.insert(spark.createDataFrame(
+        [(20, "A", None)], "id long, grp string, amt double"))
+    pt.delete_soft("amt > 1000.0")               # NULL amt -> kept
+    assert 20 in {r["id"] for r in pt.read().collect()}
+    assert pt.read().count() == 6
+
+
 def test_random_dml_sequences_match_model(spark, tmp_path):
     """Property test: random insert/delete/update/merge/optimize
     sequences against an in-memory model — after every statement the
