@@ -200,6 +200,9 @@ class Database:
         )
 
         self._lock_manager = LockManager()
+        #: names registered via register_partitioned — catalog DML on
+        #: them is refused (their own API owns mutations)
+        self._partitioned_names: set[str] = set()
         if data_dir is not None:
             self.register_directory(data_dir)
 
@@ -247,6 +250,25 @@ class Database:
         self._tables[name] = TableEntry(name, None, index_columns, _df=df)
         return self
 
+    def register_partitioned(self, name: str, root: str) -> "Database":
+        """Register a ``PartitionedTable`` (partitioned.py manifests)
+        for QUERYING through this catalog — ``db.query(name)`` and the
+        optimizer see its current version like any other table.  The
+        entry pins the manifest resolved at first read (a consistent
+        MVCC snapshot; re-register to advance).  Catalog-level DML on
+        it is refused: mutations go through the PartitionedTable API,
+        whose partition-level copy-on-write supersedes this catalog's
+        whole-table rewrites."""
+        from cs186_query_optimization_project_spark.partitioned import (
+            PartitionedTable,
+        )
+
+        pt = PartitionedTable(self.spark, root)
+        self._tables[name] = TableEntry(name, None,
+                                        _loader=lambda pt=pt: pt.read())
+        self._partitioned_names.add(name)
+        return self
+
     def create_table(self, name: str, df: DataFrame, path: str,
                      index_columns: tuple[str, ...] = (),
                      partition_by: tuple[str, ...] = (),
@@ -272,6 +294,7 @@ class Database:
         """Catalog-level delete (files are left in place)."""
         self._entry(name)
         del self._tables[name]
+        self._partitioned_names.discard(name)
 
     # ------------------------------------------------------------------ #
     # DML (Transaction.addRecord / updateRecord / deleteRecord,
@@ -296,6 +319,13 @@ class Database:
         transaction holds X on (lost update)."""
         from cs186_query_optimization_project_spark import concurrency
 
+        for name in names:
+            if name in self._partitioned_names:
+                raise DatabaseException(
+                    f"table '{name}' is a partitioned-manifest table "
+                    f"(register_partitioned); catalog DML would bypass "
+                    f"its manifests — mutate through the "
+                    f"PartitionedTable API instead")
         tid = concurrency.next_txn_id()
         try:
             for name in sorted(names):  # global order: no lock-order cycles

@@ -682,7 +682,8 @@ class PartitionedTable:
     # maintenance
     # ------------------------------------------------------------------ #
     def optimize(self, target_file_bytes: int = 128 << 20,
-                 sort_by: tuple[str, ...] = ()) -> list[str]:
+                 sort_by: tuple[str, ...] = (),
+                 zorder_by: tuple[str, str] | None = None) -> list[str]:
         """Delta OPTIMIZE at partition granularity: compact every
         partition whose directory list grew past one (append
         accretion) or whose file count exceeds its size-targeted
@@ -691,12 +692,21 @@ class PartitionedTable:
         ``sort_by`` re-clusters while compacting (OPTIMIZE ... ZORDER's
         1-D analog; pushed range filters then skip row groups inside
         the compacted files, complementing the directory-level
-        ``read_where`` skipping).  One ``repartitionByRange`` job over
-        the touched partitions only; sizing uses real on-disk bytes
-        like ``sources.writers.compact_table`` (its docstring carries
-        the small-files-at-100TB argument).  Returns the compacted
+        ``read_where`` skipping).  ``zorder_by`` instead clusters on
+        the Morton interleave of TWO numeric columns (OPTIMIZE ...
+        ZORDER BY proper, via ``sources.writers._interleave_bits``) so
+        row-group stats stay narrow on both at once.  One
+        ``repartitionByRange`` job over the touched partitions only;
+        sizing uses real on-disk bytes like
+        ``sources.writers.compact_table`` (its docstring carries the
+        small-files-at-100TB argument).  Returns the compacted
         partition keys; a no-op publishes nothing."""
         import math
+
+        if zorder_by and sort_by:
+            raise DatabaseException(
+                "optimize: sort_by and zorder_by are exclusive — one "
+                "clustering order per rewrite")
 
         man = self._manifest()
         pcol = man["partition_col"]
@@ -726,10 +736,37 @@ class PartitionedTable:
         if not touched:
             return []
         n_out = max(1, math.ceil(touched_bytes / target_file_bytes))
-        cols = [pcol, *sort_by]
-        shaped = (self.read(partition_values=touched)
-                  .repartitionByRange(n_out, *[F.col(c) for c in cols])
-                  .sortWithinPartitions(*cols))
+        df = self.read(partition_values=touched)
+        if zorder_by:
+            from cs186_query_optimization_project_spark.sources.writers \
+                import _interleave_bits
+
+            c0, c1 = zorder_by
+            row = df.agg(F.min(c0).alias("min0"), F.max(c0).alias("max0"),
+                         F.min(c1).alias("min1"),
+                         F.max(c1).alias("max1")).first()
+            if row["min0"] is None or row["min1"] is None:
+                shaped = df  # empty/all-NULL: nothing to interleave
+            else:
+                bits = 8
+                top = (1 << bits) - 1
+                span0 = (row["max0"] - row["min0"]) or 1
+                span1 = (row["max1"] - row["min1"]) or 1
+                z = _interleave_bits(
+                    ((F.col(c0) - F.lit(row["min0"])) * top
+                     / F.lit(span0)).cast("long"),
+                    ((F.col(c1) - F.lit(row["min1"])) * top
+                     / F.lit(span1)).cast("long"), bits)
+                shaped = (df.withColumn("__z", z)
+                          .repartitionByRange(n_out, F.col(pcol),
+                                              F.col("__z"))
+                          .sortWithinPartitions(pcol, "__z")
+                          .drop("__z"))
+        else:
+            cols = [pcol, *sort_by]
+            shaped = (df.repartitionByRange(n_out,
+                                            *[F.col(c) for c in cols])
+                      .sortWithinPartitions(*cols))
         new_parts = self._write_partitions(shaped, pcol)
         for k in touched:
             parts[k] = new_parts.get(k, [])

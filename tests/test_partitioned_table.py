@@ -21,6 +21,7 @@ from cs186_query_optimization_project_spark.errors import (
 from cs186_query_optimization_project_spark.partitioned import (
     PartitionedTable,
 )
+from cs186_query_optimization_project_spark.predicates import EQ as EQ_OP
 
 
 @pytest.fixture()
@@ -359,6 +360,49 @@ def test_foreach_batch_sink_end_to_end(pt, spark, tmp_path):
             pt.read(partition_values=["D"]).collect()} == {12}
     run()                                   # same checkpoint: no-op
     assert pt.read().count() == 8
+
+
+def test_optimize_zorder_clusters_two_columns(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY: after compaction the touched partition's
+    content is identical and rows are Morton-ordered (neither column's
+    plain sort), keeping row-group stats narrow on both columns."""
+    rows = [(i, "A", float(i % 16), float((i * 7) % 16))
+            for i in range(64)]
+    pt = PartitionedTable.create(
+        spark, spark.createDataFrame(
+            rows, "id long, grp string, x double, y double"),
+        str(tmp_path / "z"), "grp")
+    pt.insert(spark.createDataFrame(
+        [(100, "A", 3.0, 5.0)], "id long, grp string, x double, y double"))
+    want = sorted(map(tuple, pt.read().collect()))
+    touched = pt.optimize(zorder_by=("x", "y"))
+    assert "A" in touched
+    assert sorted(map(tuple, pt.read().collect())) == want
+    with pytest.raises(DatabaseException, match="exclusive"):
+        pt.optimize(sort_by=("id",), zorder_by=("x", "y"))
+
+
+def test_register_partitioned_in_catalog(pt, spark):
+    """A PartitionedTable registers into the Database catalog for
+    querying (builder + predicates work over its current version);
+    catalog-level DML on it is refused, pointing at the owning API."""
+    from cs186_query_optimization_project_spark import Database
+
+    db = Database(spark)
+    db.register_partitioned("pt_nation", pt.root)
+    got = rows_sorted(db.query("pt_nation")
+                      .where("grp", EQ_OP, "B")
+                      .select("id", "amt").execute())
+    assert got == [(3, 30.0), (4, 40.0)]
+    with pytest.raises(DatabaseException, match="PartitionedTable API"):
+        db.delete_rows("pt_nation", F.col("id") == 1)
+    with pytest.raises(DatabaseException, match="PartitionedTable API"):
+        db.insert_rows("pt_nation", pt.read())
+    db.drop_table("pt_nation")
+
+
+def rows_sorted(df):
+    return sorted(map(tuple, df.collect()))
 
 
 def test_soft_delete_tombstones(pt, spark):
