@@ -614,6 +614,123 @@ class PartitionedTable:
                      man.get("tombstones", {}))
         return self
 
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Change data feed (Delta CDF's ``table_changes``): rows that
+        differ between two retained versions, annotated with
+        ``_change_type`` ('insert' | 'delete') and ``_commit_version``
+        (the version that introduced the change).  An update surfaces
+        as its delete+insert pair, like CDF without the pre/post-image
+        labels.
+
+        Cost tracks CHURN, not table size: each version step is diffed
+        manifest-to-manifest —
+
+        - a partition whose directory list only GREW (append commit)
+          contributes the new directories' rows as inserts, scanning
+          nothing else;
+        - new tombstones on a directory contribute the newly-matching
+          rows as deletes, a pruned scan of the bound directories only;
+        - a REWRITTEN partition (dir set replaced) diffs old vs new via
+          two ``exceptAll``s over just that partition.
+
+        Untouched partitions are never read.  Consumers drive
+        incremental pipelines from this instead of re-diffing a 100 TB
+        table."""
+        vs = self.versions()
+        if to_version is None:
+            to_version = vs[-1]
+        for v in (from_version, to_version):
+            if v not in vs:
+                raise DatabaseException(
+                    f"changes({from_version}, {to_version}): version "
+                    f"{v} is not retained; retained: {vs}")
+        if from_version > to_version:
+            raise DatabaseException(
+                f"changes: from_version {from_version} > to_version "
+                f"{to_version}")
+        steps = [v for v in vs if from_version < v <= to_version]
+        out_parts: list[DataFrame] = []
+        prev = self._manifest(from_version)
+        for v in steps:
+            cur = self._manifest(v)
+            schema = T._parse_datatype_string(cur["schema"])
+            old_tombs = prev.get("tombstones", {})
+            new_tombs = cur.get("tombstones", {})
+            for key, new_ds in cur["parts"].items():
+                old_ds = prev["parts"].get(key, [])
+                if new_ds[:len(old_ds)] == old_ds:
+                    # append-only step for this partition
+                    added = new_ds[len(old_ds):]
+                    if added:
+                        out_parts.append(
+                            self._scan(added, schema, new_tombs)
+                            .withColumn("_change_type", F.lit("insert")))
+                    for d in old_ds:
+                        fresh = [c for c in new_tombs.get(d, [])
+                                 if c not in old_tombs.get(d, [])]
+                        if fresh:
+                            # rows newly matching a tombstone = deletes
+                            hit = self._scan([d], schema, old_tombs)
+                            cond = None
+                            for c in fresh:
+                                e = F.expr(c)
+                                cond = e if cond is None else (cond | e)
+                            out_parts.append(
+                                hit.filter(cond)
+                                .withColumn("_change_type",
+                                            F.lit("delete")))
+                else:
+                    old_df = self._scan(old_ds,
+                                        T._parse_datatype_string(
+                                            prev["schema"]), old_tombs)
+                    for f in schema.fields:
+                        if f.name not in old_df.columns:
+                            old_df = old_df.withColumn(
+                                f.name, F.lit(None).cast(f.dataType))
+                    old_df = old_df.select(*schema.fieldNames())
+                    new_df = self._scan(new_ds, schema, new_tombs)
+                    out_parts.append(
+                        new_df.exceptAll(old_df)
+                        .withColumn("_change_type", F.lit("insert")))
+                    out_parts.append(
+                        old_df.exceptAll(new_df)
+                        .withColumn("_change_type", F.lit("delete")))
+            for key, old_ds in prev["parts"].items():
+                if key not in cur["parts"] and old_ds:
+                    out_parts.append(
+                        self._scan(old_ds, T._parse_datatype_string(
+                            prev["schema"]), old_tombs)
+                        .withColumn("_change_type", F.lit("delete")))
+            for i in range(len(out_parts)):
+                if "_commit_version" not in out_parts[i].columns:
+                    out_parts[i] = out_parts[i].withColumn(
+                        "_commit_version", F.lit(v).cast("bigint"))
+            prev = cur
+        final_schema = T._parse_datatype_string(
+            self._manifest(to_version)["schema"])
+        if not out_parts:
+            empty = self.spark.createDataFrame([], final_schema)
+            return (empty
+                    .withColumn("_change_type", F.lit(""))
+                    .withColumn("_commit_version",
+                                F.lit(0).cast("bigint")).limit(0))
+        # reconcile pre-evolution steps to the final schema
+        aligned = []
+        for df in out_parts:
+            for f in final_schema.fields:
+                if f.name not in df.columns:
+                    df = df.select(*df.columns[:-2],
+                                   F.lit(None).cast(f.dataType)
+                                   .alias(f.name),
+                                   "_change_type", "_commit_version")
+            aligned.append(df.select(*final_schema.fieldNames(),
+                                     "_change_type", "_commit_version"))
+        out = aligned[0]
+        for df in aligned[1:]:
+            out = out.unionByName(df)
+        return out
+
     # ------------------------------------------------------------------ #
     # streaming sink — exactly-once micro-batch appends
     # ------------------------------------------------------------------ #

@@ -405,6 +405,34 @@ def rows_sorted(df):
     return sorted(map(tuple, df.collect()))
 
 
+def test_change_data_feed(pt, spark):
+    """changes(v1, v2): appends surface as inserts from only the new
+    dirs, rewrites as exceptAll delete/insert pairs over just the
+    touched partition, soft deletes as deletes, each tagged with the
+    commit version; a no-change span is empty."""
+    pt.insert(spark.createDataFrame([(6, "A", 60.0)],
+                                    "id long, grp string, amt double"))
+    pt.update(F.col("id") == 3, {"amt": F.lit(33.0)})       # rewrite B
+    pt.delete_soft("id = 5")                                 # tomb C
+
+    def chg(a, b):
+        return sorted((r["id"], r["_change_type"], r["_commit_version"])
+                      for r in pt.changes(a, b).collect())
+
+    assert chg(0, 1) == [(6, "insert", 1)]
+    # the rewrite emits only the changed row's pair, not all of B
+    assert chg(1, 2) == [(3, "delete", 2), (3, "insert", 2)]
+    assert chg(2, 3) == [(5, "delete", 3)]
+    assert chg(0, 3) == [(3, "delete", 2), (3, "insert", 2),
+                         (5, "delete", 3), (6, "insert", 1)]
+    amts = {(r["id"], r["_change_type"]): r["amt"]
+            for r in pt.changes(1, 2).collect()}
+    assert amts == {(3, "delete"): 30.0, (3, "insert"): 33.0}
+    assert pt.changes(3, 3).count() == 0
+    with pytest.raises(DatabaseException, match="not retained"):
+        pt.changes(0, 99)
+
+
 def test_soft_delete_tombstones(pt, spark):
     """Deletion-vector analog: delete_soft publishes a new version with
     ZERO data movement (parts identical), reads apply the predicate,
