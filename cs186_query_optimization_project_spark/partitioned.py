@@ -731,6 +731,44 @@ class PartitionedTable:
             out = out.unionByName(df)
         return out
 
+    def consume_changes(self, cursor_path: str,
+                        initial: str = "latest"):
+        """Incremental CDF consumption with a durable cursor: returns
+        ``(changes_df, ack)`` where the frame holds every change after
+        the cursor's version up to the current version, and calling
+        ``ack()`` (atomically, write-then-rename) advances the cursor
+        — at-least-once delivery: a consumer that crashes before
+        acking re-reads the same span, one that acks after durably
+        processing gets each change exactly once.  A missing cursor
+        starts at the current version (``initial='latest'``, Delta's
+        default) or the oldest retained one (``'earliest'``)."""
+        vs = self.versions()
+        current = vs[-1]
+        try:
+            with open(cursor_path) as f:
+                start = int(json.load(f)["version"])
+        except OSError:
+            if initial not in ("latest", "earliest"):
+                raise DatabaseException(
+                    f"consume_changes: initial must be 'latest' or "
+                    f"'earliest', got {initial!r}")
+            start = current if initial == "latest" else vs[0]
+        if start not in vs:
+            raise DatabaseException(
+                f"consume_changes: cursor version {start} is no longer "
+                f"retained (vacuumed past the consumer); retained: "
+                f"{vs} — reset the cursor or raise vacuum retention")
+        feed = self.changes(start, current)
+
+        def ack() -> int:
+            tmp = f"{cursor_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"version": current}))
+            os.replace(tmp, cursor_path)
+            return current
+
+        return feed, ack
+
     # ------------------------------------------------------------------ #
     # streaming sink — exactly-once micro-batch appends
     # ------------------------------------------------------------------ #

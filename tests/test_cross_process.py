@@ -48,3 +48,37 @@ def test_cross_instance_commits_do_not_serialize(spark, tmp_path):
     assert _vals(db2) == {1: 10, 2: 222}
     # and the instances have permanently diverged
     assert _vals(db1) == {1: 111, 2: 20}
+
+
+def test_partitioned_manifest_commits_serialize_across_instances(
+        spark, tmp_path):
+    """The partitioned manifest layer (partitioned.py) CLOSES the gap
+    pinned above: its commit CAS lives in the FILESYSTEM (exclusive
+    manifest create), not in per-instance memory, so two independent
+    instances over the same root serialize — each statement re-reads
+    the latest manifest, and a true same-version race loses with
+    ConflictException (tests/test_partitioned_table.py) instead of
+    silently deriving from a stale snapshot."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    root = str(tmp_path / "p")
+    PartitionedTable.create(
+        spark, spark.createDataFrame([(1, "A", 10), (2, "B", 20)],
+                                     "k long, g string, x long"),
+        root, "g")
+    t1 = PartitionedTable(spark, root)
+    t2 = PartitionedTable(spark, root)
+
+    t1.update(F.col("k") == 1, {"x": F.lit(111)})
+    # unlike the Database case above, instance 2 SEES instance 1's
+    # committed version immediately...
+    assert {r["k"]: r["x"] for r in t2.read().collect()} == \
+        {1: 111, 2: 20}
+    t2.update(F.col("k") == 2, {"x": F.lit(222)})
+    # ...and its own commit derives from it: no lost update
+    for t in (t1, t2):
+        assert {r["k"]: r["x"] for r in t.read().collect()} == \
+            {1: 111, 2: 222}
+    assert t1.versions() == t2.versions() == [0, 1, 2]

@@ -433,6 +433,43 @@ def test_change_data_feed(pt, spark):
         pt.changes(0, 99)
 
 
+def test_consume_changes_cursor(pt, spark, tmp_path):
+    """At-least-once incremental consumption: un-acked spans redeliver,
+    acked spans never reappear, 'earliest' replays history, and a
+    cursor vacuumed past raises the documented reset error."""
+    cur = str(tmp_path / "cursor.json")
+    feed, ack = pt.consume_changes(cur)          # initial=latest
+    assert feed.count() == 0
+    ack()
+    pt.insert(spark.createDataFrame([(6, "A", 60.0)],
+                                    "id long, grp string, amt double"))
+    pt.delete(F.col("id") == 2)
+
+    feed, ack = pt.consume_changes(cur)
+    got = sorted((r["id"], r["_change_type"]) for r in feed.collect())
+    assert got == [(2, "delete"), (6, "insert")]
+    # crash before ack -> same span redelivers
+    feed2, ack2 = pt.consume_changes(cur)
+    assert sorted((r["id"], r["_change_type"])
+                  for r in feed2.collect()) == got
+    ack2()
+    feed3, _ = pt.consume_changes(cur)
+    assert feed3.count() == 0                    # acked: consumed
+
+    # a fresh consumer with initial='earliest' replays everything
+    cur2 = str(tmp_path / "cursor2.json")
+    feed4, _ = pt.consume_changes(cur2, initial="earliest")
+    assert sorted((r["id"], r["_change_type"])
+                  for r in feed4.collect()) == got
+
+    # vacuum past an acked cursor (pinned at v2) -> named reset error
+    pt.insert(spark.createDataFrame([(7, "B", 70.0)],
+                                    "id long, grp string, amt double"))
+    pt.vacuum(keep_last=1)                       # retains only v3
+    with pytest.raises(DatabaseException, match="no longer retained"):
+        pt.consume_changes(cur)
+
+
 def test_soft_delete_tombstones(pt, spark):
     """Deletion-vector analog: delete_soft publishes a new version with
     ZERO data movement (parts identical), reads apply the predicate,
