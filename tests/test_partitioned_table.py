@@ -433,6 +433,73 @@ def test_change_data_feed(pt, spark):
         pt.changes(0, 99)
 
 
+def test_manifest_stream_source(pt, spark, tmp_path):
+    """The Python-DataSource streaming SOURCE over manifests: with
+    startingVersion=earliest the first batch replays the snapshot,
+    later commits arrive as append batches (no duplicates across
+    restarts on the same checkpoint), and a rewrite between offsets
+    fails the stream unless ignoreChanges is set."""
+    from cs186_query_optimization_project_spark.sources.manifest_stream \
+        import ManifestStreamDataSource
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(name):
+        got = set()
+
+        def sink(batch_df, _bid, got=got):
+            got.update(r["id"] for r in batch_df.collect())
+
+        q = (spark.readStream.format("manifest_stream")
+             .option("root", pt.root)
+             .option("startingVersion", "earliest")
+             .option("ignoreDeletes", "true")
+             .load()
+             .writeStream.option("checkpointLocation", ckpt)
+             .foreachBatch(sink)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return got
+
+    assert drain("ms1") == {1, 2, 3, 4, 5}       # snapshot replay
+    pt.insert(spark.createDataFrame([(6, "D", 60.0)],
+                                    "id long, grp string, amt double"))
+    assert drain("ms2") == {6}                   # append only, no dups
+
+    # a rewrite poisons the next span: the stream must fail loudly
+    pt.update(F.col("id") == 1, {"amt": F.lit(1.0)})
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q = (spark.readStream.format("manifest_stream")
+             .option("root", pt.root)
+             .load()
+             .writeStream.option("checkpointLocation", ckpt)
+             .foreachBatch(lambda df, bid: df.count())
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    # ...and ignoreChanges skips the rewritten partition silently
+    ckpt2 = str(tmp_path / "ckpt2")
+    got = set()
+    q = (spark.readStream.format("manifest_stream")
+         .option("root", pt.root)
+         .option("startingVersion", "earliest")
+         .option("ignoreChanges", "true")
+         .load()
+         .writeStream.option("checkpointLocation", ckpt2)
+         .foreachBatch(lambda df, bid, got=got:
+                       got.update(r["id"] for r in df.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    # snapshot(v0: 1-5) + append(6); the update's rewrite of A skipped
+    assert got == {1, 2, 3, 4, 5, 6}
+
+
 def test_consume_changes_cursor(pt, spark, tmp_path):
     """At-least-once incremental consumption: un-acked spans redeliver,
     acked spans never reappear, 'earliest' replays history, and a
