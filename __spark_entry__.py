@@ -556,6 +556,203 @@ def q_partitioned_dml(spark, sf_dir):
     return out
 
 
+def q_partitioned_merge(spark, sf_dir):
+    """MERGE upsert on a PartitionedTable (same statement surface as
+    ``q_merge_upsert`` / the reference's bulk-load-then-update flows,
+    but at O(touched partitions) instead of O(table)).  Source =
+    every existing customer with ``c_custkey % 100 == 0`` (acctbal
+    zeroed) plus two brand-new keys.  In-entry contract (must survive
+    ``python -O``): partitions owning a MATCHED target row are
+    rewritten (old dir-list replaced); partitions touched only by
+    inserts keep their old dir-list as a prefix (pure append).  The
+    oracle replays MERGE as anti-join ∪ source."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("pmrg", sf_dir) as base:
+        target = db.table("customer").select("c_custkey", "c_mktsegment",
+                                             "c_acctbal")
+        pt = PartitionedTable.create(spark, target, f"{base}/customer",
+                                     "c_mktsegment")
+        matched = (target.filter(F.col("c_custkey") % 100 == 0)
+                   .withColumn("c_acctbal", F.lit(0.0)))
+        new_rows = spark.createDataFrame(
+            [(910000001, "BUILDING", 11.5), (910000002, "HOUSEHOLD", 22.5)],
+            "c_custkey bigint, c_mktsegment string, c_acctbal double")
+        touched = {r[0] for r in
+                   matched.select("c_mktsegment").distinct().collect()}
+        pt.merge(matched.unionByName(new_rows), "c_custkey")
+        d0 = pt._manifest(0)["parts"]
+        d1 = pt._manifest(1)["parts"]
+        for seg, ds in d1.items():
+            old = d0.get(seg, [])
+            appended = ds[:len(old)] == old
+            if seg in touched and appended and old:
+                raise RuntimeError(
+                    f"matched partition {seg} was not rewritten")
+            if seg not in touched and not appended:
+                raise RuntimeError(
+                    f"insert-only partition {seg} was rewritten")
+        out = (pt.read()
+               .groupBy("c_mktsegment")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.when(F.col("c_acctbal") == 0.0, 1)
+                          .otherwise(0)).cast("bigint").alias("n_zeroed"),
+                    F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                    .cast("double").alias("acct_sum"))
+               .localCheckpoint())
+    return out
+
+
+def q_cdf_feed(spark, sf_dir):
+    """Change data feed over a PartitionedTable version trail (Delta
+    CDF ``table_changes`` semantics: updates surface as delete+insert
+    pairs, each change stamped with the committing version).  Replays
+    insert → delete → update on nation, then aggregates the full feed
+    from version 0.  Cost tracks churn, not table size: each step is a
+    manifest diff reading only touched directories
+    (``partitioned.py:617``)."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("cdf", sf_dir) as base:
+        nat = db.table("nation").select("n_nationkey", "n_name",
+                                        "n_regionkey")
+        pt = PartitionedTable.create(spark, nat, f"{base}/nation",
+                                     "n_regionkey")
+        pt.insert(spark.createDataFrame(
+            [(300, "AAA", 0), (301, "BBB", 1)],
+            "n_nationkey int, n_name string, n_regionkey int"))
+        pt.delete(F.col("n_nationkey").between(5, 9))
+        pt.update(F.col("n_regionkey") == 2,
+                  {"n_name": F.concat(F.col("n_name"), F.lit("_X"))})
+        out = (pt.changes(0)
+               .groupBy("_commit_version", "_change_type")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_nationkey").cast("bigint").alias("key_sum"))
+               .localCheckpoint())
+    return out
+
+
+def q_partition_skipping(spark, sf_dir):
+    """Directory-level data skipping (Delta file-stats pruning,
+    ``partitioned.py:357``): orders lands in two generations of
+    directories per priority (pre/post 1998); a ``read_where`` on
+    ``o_orderdate >= 1999-06-01`` must skip every first-generation
+    directory WITHOUT opening it.  In-entry contract: the pruned
+    read's ``inputFiles`` are disjoint from the v0 directories.
+    Result equals a plain filter — skipping is pure I/O."""
+    import datetime as _dt
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("skip", sf_dir) as base:
+        orders = db.table("orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderdate",
+            "o_totalprice")
+        cut = F.lit("1998-01-01").cast("timestamp")
+        pt = PartitionedTable.create(
+            spark, orders.filter(F.col("o_orderdate") < cut),
+            f"{base}/orders", "o_orderpriority")
+        pt.insert(orders.filter(F.col("o_orderdate") >= cut))
+        pruned = pt.read_where("o_orderdate",
+                               lo=_dt.datetime(1999, 6, 1))
+        v0_dirs = {_os.path.normpath(d)
+                   for ds in pt._manifest(0)["parts"].values()
+                   for d in ds}
+        read_dirs = {
+            _os.path.normpath(_os.path.dirname(f.removeprefix("file:")))
+            for f in pruned.inputFiles()}
+        if not read_dirs or read_dirs & v0_dirs:
+            raise RuntimeError(
+                f"skipping failed: pruned read opened v0 dirs "
+                f"{read_dirs & v0_dirs} (read {len(read_dirs)} dirs)")
+        out = (pruned
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .cast("double").alias("price_sum"))
+               .localCheckpoint())
+    return out
+
+
+def q_soft_delete(spark, sf_dir):
+    """Deletion-vector-style soft delete (``partitioned.py:465``):
+    ``delete_soft('p_size < 10')`` publishes tombstone predicates
+    against the CURRENT directories — zero data movement — and rows
+    appended AFTERWARDS are untouched even when they match the
+    predicate.  In-entry contract: the soft-delete commit rewrites no
+    directory (v1 dir-lists == v0's), and the post-delete append's
+    small-size rows survive the read."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("sdel", sf_dir) as base:
+        part = db.table("part").select("p_partkey", "p_brand", "p_size")
+        pt = PartitionedTable.create(spark, part, f"{base}/part",
+                                     "p_brand")
+        pt.delete_soft("p_size < 10")
+        if pt._manifest(1)["parts"] != pt._manifest(0)["parts"]:
+            raise RuntimeError("soft delete rewrote data directories")
+        pt.insert(spark.createDataFrame(
+            [(920000001, "Brand#11", 5), (920000002, "Brand#22", 3)],
+            "p_partkey bigint, p_brand string, p_size int"))
+        out = (pt.read()
+               .groupBy("p_brand")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("p_size").cast("bigint").alias("size_sum"),
+                    F.sum(F.when(F.col("p_size") < 10, 1).otherwise(0))
+                    .cast("bigint").alias("n_small"))
+               .localCheckpoint())
+    return out
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Additive schema evolution (``partitioned.py:399``): an append
+    with ``merge_schema=True`` carries a NEW trailing column; old
+    directories are never rewritten — reads reconcile them with NULLs
+    (Delta ``mergeSchema`` semantics).  In-entry contract: the
+    evolving append leaves every pre-existing directory in place
+    (prefix-preserved dir-lists)."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("sevo", sf_dir) as base:
+        sup = db.table("supplier").select("s_suppkey", "s_nationkey",
+                                          "s_acctbal")
+        pt = PartitionedTable.create(spark, sup, f"{base}/supplier",
+                                     "s_nationkey")
+        pt.insert(spark.createDataFrame(
+            [(930000001, 0, 10.0, "gold"), (930000002, 1, 20.0, "silver")],
+            "s_suppkey bigint, s_nationkey int, s_acctbal double, "
+            "s_tier string"),
+            merge_schema=True)
+        d0 = pt._manifest(0)["parts"]
+        d1 = pt._manifest(1)["parts"]
+        for key, old in d0.items():
+            if d1.get(key, [])[:len(old)] != old:
+                raise RuntimeError(
+                    f"evolving append rewrote partition {key}")
+        out = (pt.read()
+               .groupBy("s_tier")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("s_suppkey").cast("bigint").alias("key_sum"))
+               .localCheckpoint())
+    return out
+
+
 def q_optimizer_cardinality(spark, sf_dir):
     """System-R cardinality audit (the live analog of the reference's
     ``QueryPlanCostsTest`` I/O goldens): plan the flagship 3-table join
@@ -3460,10 +3657,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window; every query — in or below the window — was verified
     # this round by tools/check_contract.py at sf0.01.
     return {
-        # --- new this round (round 10): never driver-checked (3) ---
+        # --- new this round (round 10): never driver-checked (8) ---
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
+        "partitioned_merge": q_partitioned_merge,
+        "cdf_feed": q_cdf_feed,
+        "partition_skipping": q_partition_skipping,
+        "soft_delete": q_soft_delete,
+        "schema_evolution": q_schema_evolution,
         # --- stalest evidence: last driver-green in r4 (25) ---
         "asof_join": q_asof_join,
         "contains_key": q_contains_key,
@@ -4319,6 +4521,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) "
             "  AS acct_sum "
             "FROM upd GROUP BY c_mktsegment"),
+        "partitioned_merge": (
+            "WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal "
+            "  FROM customer), "
+            "src AS (SELECT c_custkey, c_mktsegment, "
+            "  CAST(0.0 AS DOUBLE) AS c_acctbal FROM base "
+            "  WHERE c_custkey % 100 = 0 "
+            "  UNION ALL SELECT 910000001, 'BUILDING', "
+            "    CAST(11.5 AS DOUBLE) "
+            "  UNION ALL SELECT 910000002, 'HOUSEHOLD', "
+            "    CAST(22.5 AS DOUBLE)), "
+            "merged AS (SELECT * FROM base WHERE c_custkey NOT IN "
+            "  (SELECT c_custkey FROM src) "
+            "  UNION ALL SELECT * FROM src) "
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN c_acctbal = 0.0 THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_zeroed, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) "
+            "  AS acct_sum "
+            "FROM merged GROUP BY c_mktsegment"),
+        "cdf_feed": (
+            "WITH aff AS (SELECT n_nationkey FROM nation "
+            "  WHERE n_regionkey = 2 AND n_nationkey NOT BETWEEN 5 AND 9), "
+            "del AS (SELECT n_nationkey FROM nation "
+            "  WHERE n_nationkey BETWEEN 5 AND 9) "
+            "SELECT CAST(1 AS BIGINT) AS _commit_version, "
+            "  'insert' AS _change_type, CAST(2 AS BIGINT) AS n_rows, "
+            "  CAST(601 AS BIGINT) AS key_sum "
+            "UNION ALL SELECT CAST(2 AS BIGINT), 'delete', "
+            "  CAST((SELECT COUNT(*) FROM del) AS BIGINT), "
+            "  CAST((SELECT SUM(n_nationkey) FROM del) AS BIGINT) "
+            "UNION ALL SELECT CAST(3 AS BIGINT), 'insert', "
+            "  CAST((SELECT COUNT(*) FROM aff) AS BIGINT), "
+            "  CAST((SELECT SUM(n_nationkey) FROM aff) AS BIGINT) "
+            "UNION ALL SELECT CAST(3 AS BIGINT), 'delete', "
+            "  CAST((SELECT COUNT(*) FROM aff) AS BIGINT), "
+            "  CAST((SELECT SUM(n_nationkey) FROM aff) AS BIGINT)"),
+        "partition_skipping": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "  AS price_sum "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1999-06-01' "
+            "GROUP BY o_orderpriority"),
+        "soft_delete": (
+            "WITH kept AS (SELECT p_partkey, p_brand, p_size FROM part "
+            "  WHERE NOT (p_size < 10) "
+            "  UNION ALL SELECT 920000001, 'Brand#11', 5 "
+            "  UNION ALL SELECT 920000002, 'Brand#22', 3) "
+            "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(p_size) AS BIGINT) AS size_sum, "
+            "CAST(SUM(CASE WHEN p_size < 10 THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_small "
+            "FROM kept GROUP BY p_brand"),
+        "schema_evolution": (
+            "WITH allr AS (SELECT s_suppkey, "
+            "  CAST(NULL AS VARCHAR) AS s_tier FROM supplier "
+            "  UNION ALL SELECT 930000001, 'gold' "
+            "  UNION ALL SELECT 930000002, 'silver') "
+            "SELECT s_tier, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(s_suppkey) AS BIGINT) AS key_sum "
+            "FROM allr GROUP BY s_tier"),
         "mvcc_vacuum": (
             "WITH v1 AS (SELECT n_nationkey FROM nation "
             "       UNION ALL SELECT unnest([300, 301])), "
