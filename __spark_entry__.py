@@ -753,6 +753,47 @@ def q_schema_evolution(spark, sf_dir):
     return out
 
 
+def q_cdf_stream(spark, sf_dir):
+    """Streaming consumption of a PartitionedTable through the
+    ``manifest_stream`` Python DataSource
+    (``sources/manifest_stream.py``): ``startingVersion=earliest``
+    replays the snapshot exactly once, the append commit arrives as its
+    own micro-batch, and the drained aggregate equals a batch read of
+    the final table (the oracle).  Manifest versions are the offsets —
+    batch planning is a driver-side manifest diff; executors read
+    directories as Arrow record batches."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+    from cs186_query_optimization_project_spark.sources.manifest_stream \
+        import ManifestStreamDataSource
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    db = _db(spark, sf_dir)
+    name = "cdf_stream_" + _tag(sf_dir)
+    with _scratch_base("cstr", sf_dir) as base:
+        nat = db.table("nation").select("n_nationkey", "n_name",
+                                        "n_regionkey")
+        pt = PartitionedTable.create(spark, nat, f"{base}/nation",
+                                     "n_regionkey")
+        pt.insert(spark.createDataFrame(
+            [(300, "AAA", 0), (301, "BBB", 1)],
+            "n_nationkey int, n_name string, n_regionkey int"))
+        stream = (spark.readStream.format("manifest_stream")
+                  .option("root", pt.root)
+                  .option("startingVersion", "earliest")
+                  .load())
+        agg = (stream.groupBy("n_regionkey")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_nationkey").cast("bigint").alias("key_sum")))
+        stream_windows.run_to_memory(agg, name, output_mode="complete",
+                                     shuffle_partitions=8)
+        # detach from the (name-reused) memory sink before the scratch
+        # base is reclaimed, same policy as the DML entries
+        out = spark.table(name).localCheckpoint()
+    return out
+
+
 def q_optimizer_cardinality(spark, sf_dir):
     """System-R cardinality audit (the live analog of the reference's
     ``QueryPlanCostsTest`` I/O goldens): plan the flagship 3-table join
@@ -3666,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_skipping": q_partition_skipping,
         "soft_delete": q_soft_delete,
         "schema_evolution": q_schema_evolution,
+        "cdf_stream": q_cdf_stream,
         # --- stalest evidence: last driver-green in r4 (25) ---
         "asof_join": q_asof_join,
         "contains_key": q_contains_key,
@@ -4573,6 +4615,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN p_size < 10 THEN 1 ELSE 0 END) "
             "  AS BIGINT) AS n_small "
             "FROM kept GROUP BY p_brand"),
+        "cdf_stream": (
+            "WITH allr AS (SELECT n_nationkey, n_regionkey FROM nation "
+            "  UNION ALL SELECT 300, 0 UNION ALL SELECT 301, 1) "
+            "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+            "FROM allr GROUP BY n_regionkey"),
         "schema_evolution": (
             "WITH allr AS (SELECT s_suppkey, "
             "  CAST(NULL AS VARCHAR) AS s_tier FROM supplier "
