@@ -3690,15 +3690,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries in registry order.  Round-10 policy (the r9 verdict's #2
     # item, carried from r8): rotate the window to the STALEST evidence
-    # first — the two entries new this round (never driver-checked),
-    # then all 25 entries whose last driver-green row is r4, then 21 of
-    # the 46 r5-era entries (streaming / txn / ANN / join-layout
-    # mechanics prioritized — least covered by in-window lookalikes),
-    # plus the flagship anchor.  The r7/r9-green entries rotate below
+    # first — the nine entries new this round (never driver-checked),
+    # then all 25 entries whose last driver-green row is r4, then the
+    # oldest r5-era entries up to the 50-entry window (streaming / txn /
+    # ANN / join-layout mechanics prioritized — least covered by
+    # in-window lookalikes).  The remaining r5-era rows (salted_join,
+    # zorder_scan, time_window_agg, pack_sequences, chunk_documents) and
+    # the r9-green flagship sit just below the line for the next
+    # rotation.  The r7/r9-green entries rotate below
     # the window; every query — in or below the window — was verified
     # this round by tools/check_contract.py at sf0.01.
     return {
-        # --- new this round (round 10): never driver-checked (8) ---
+        # --- new this round (round 10): never driver-checked (9) ---
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
