@@ -258,6 +258,7 @@ class PartitionedTable:
         mins: dict = {}
         maxs: dict = {}
         dropped: set = set()
+        rows = 0
         for fname in sorted(os.listdir(d)):
             if not fname.endswith(".parquet"):
                 continue
@@ -294,7 +295,13 @@ class PartitionedTable:
                         min(mins[name], lo)
                     maxs[name] = hi if name not in maxs else \
                         max(maxs[name], hi)
-        return {c: [mins[c], maxs[c]] for c in mins if c not in dropped}
+            rows += meta.num_rows
+        out = {c: [mins[c], maxs[c]] for c in mins if c not in dropped}
+        # reserved key (never a column bound — read_where type-guards):
+        # exact row count from the footers, the Delta numRecords analog
+        # that lets COUNT(*) answer from metadata alone
+        out["__num_rows"] = rows
+        return out
 
     # ------------------------------------------------------------------ #
     # reads
@@ -371,7 +378,7 @@ class PartitionedTable:
             for d in ds:
                 st = (self._staging_stats(os.path.dirname(d))
                       .get(os.path.basename(d), {}).get(column))
-                if st is not None:
+                if isinstance(st, (list, tuple)):
                     dmin, dmax = st
                     if (lo_b is not None and dmax < lo_b) or \
                             (hi_b is not None and dmin > hi_b):
@@ -386,6 +393,58 @@ class PartitionedTable:
         if hi is not None:
             out = out.filter(F.col(column) <= F.lit(hi))
         return out
+
+    # ------------------------------------------------------------------ #
+    # metadata-only aggregates (Delta answers COUNT(*)/MIN/MAX from
+    # file stats without scanning; same contract here at directory
+    # granularity — zero Spark jobs, O(|directories|) driver work)
+    # ------------------------------------------------------------------ #
+    def metadata_count(self, version: int | None = None) -> int | None:
+        """Exact COUNT(*) from manifest + footer stats, or ``None``
+        when metadata alone cannot answer (fail-closed): any directory
+        written before stats carried row counts, or any live tombstone
+        (soft-deleted rows are masked at read time, so footer counts
+        overcount).  Callers fall back to ``read().count()``."""
+        man = self._manifest(version)
+        if any(ts for ts in man.get("tombstones", {}).values()):
+            return None
+        total = 0
+        for ds in man["parts"].values():
+            for d in ds:
+                st = (self._staging_stats(os.path.dirname(d))
+                      .get(os.path.basename(d), {}).get("__num_rows"))
+                if not isinstance(st, int):
+                    return None
+                total += st
+        return total
+
+    def metadata_min_max(self, column: str,
+                         version: int | None = None):
+        """Exact global ``(min, max)`` of ``column`` from the skipping
+        stats, or ``None`` when not answerable: live tombstones (the
+        true min/max row may be soft-deleted), an empty table, or any
+        directory without recorded bounds for the column (floats and
+        nested types never record — see ``_dir_stats``).  Values come
+        back as stored in the stats (ints native; dates/timestamps as
+        ISO strings)."""
+        man = self._manifest(version)
+        if any(ts for ts in man.get("tombstones", {}).values()):
+            return None
+        lo = hi = None
+        seen = False
+        for ds in man["parts"].values():
+            for d in ds:
+                stats = (self._staging_stats(os.path.dirname(d))
+                         .get(os.path.basename(d), {}))
+                if stats.get("__num_rows") == 0:
+                    continue  # empty rewrite artifact: no bounds, no rows
+                st = stats.get(column)
+                if not isinstance(st, (list, tuple)):
+                    return None
+                seen = True
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+        return (lo, hi) if seen else None
 
     # ------------------------------------------------------------------ #
     # DML — O(touched partitions)

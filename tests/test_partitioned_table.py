@@ -677,3 +677,36 @@ def test_insert_schema_and_null_validation(pt, spark):
                                   "id long, grp string, amt double")
     with pytest.raises(DatabaseException, match="NULL partition"):
         pt.insert(nulls)
+
+
+def test_metadata_count_answers_without_scanning(pt, spark):
+    """COUNT(*) from manifest + footer stats: exact across create /
+    append / delete, and fail-closed (None) the moment a live
+    tombstone could mask rows."""
+    assert pt.metadata_count() == 5
+    pt.insert(spark.createDataFrame([(6, "A", 60.0), (7, "D", 70.0)],
+                                    "id long, grp string, amt double"))
+    assert pt.metadata_count() == 7
+    pt.delete(F.col("grp") == "B")          # hard delete: still exact
+    assert pt.metadata_count() == 5
+    assert pt.metadata_count(version=0) == 5   # per-version
+    assert pt.metadata_count(version=1) == 7
+    pt.delete_soft("amt >= 60.0")           # tombstone: fail closed
+    assert pt.metadata_count() is None
+    assert pt.read().count() == 3           # the fallback path
+    # a rewrite of every partition materializes the tombstones -> the
+    # metadata answer comes back
+    pt.optimize()
+    assert pt.metadata_count() == 3
+
+
+def test_metadata_min_max(pt, spark):
+    """Global MIN/MAX of an int column from the skipping stats; floats
+    never record bounds (NaN ordering), so they answer None."""
+    assert pt.metadata_min_max("id") == (1, 5)
+    pt.insert(spark.createDataFrame([(99, "D", 1.0)],
+                                    "id long, grp string, amt double"))
+    assert pt.metadata_min_max("id") == (1, 99)
+    assert pt.metadata_min_max("amt") is None        # float: no bounds
+    pt.delete_soft("id = 99")
+    assert pt.metadata_min_max("id") is None         # tombstone masks
