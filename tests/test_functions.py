@@ -668,3 +668,51 @@ def test_bpe_early_stop_without_pairs(spark):
     from cs186_query_optimization_project_spark.functions import bpe
     df = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
     assert bpe.learn_bpe_merges(df, n_merges=3).count() == 0
+
+
+def test_sq8_quantize_codes_bounded_and_zero_safe(spark, vectors):
+    zero = spark.createDataFrame([(999, [0.0, 0.0, 0.0, 0.0])],
+                                 ["vec_id", "embedding"]) \
+        .select("vec_id", F.col("embedding").cast("array<float>")
+                .alias("embedding"))
+    quant = similarity.sq8_quantize(vectors.unionByName(zero))
+    assert quant.filter(
+        F.exists("codes", lambda c: (c < -127) | (c > 127))).count() == 0
+    zrow = quant.filter(F.col("vec_id") == 999).collect()[0]
+    assert list(zrow["codes"]) == [0, 0, 0, 0]  # no div-by-zero
+
+
+def test_sq8_topk_near_lossless_ranking(vectors):
+    q = [float(v) for v in vectors.filter(F.col("vec_id") == 0)
+         .collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk(vectors, q, k=5).collect()}
+    quant = similarity.sq8_topk(vectors, q, k=5).collect()
+    assert quant[0]["vec_id"] == 0
+    assert len({r["vec_id"] for r in quant} & exact) >= 4
+
+
+def test_pq_encode_codes_in_range(vectors):
+    books = similarity.pq_train(vectors, m=2, k=4, n_iter=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    enc = similarity.pq_encode(vectors, books)
+    assert enc.filter(
+        F.exists("pq_codes", lambda c: (c < 0) | (c > 3))).count() == 0
+    assert enc.filter(F.size("pq_codes") != 2).count() == 0
+
+
+def test_pq_topk_recall(vectors):
+    q = [float(v) for v in vectors.filter(F.col("vec_id") == 0)
+         .collect()[0]["embedding"]]
+    books = similarity.pq_train(vectors, m=2, k=4, n_iter=2)
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk(vectors, q, k=5).collect()}
+    pq = similarity.pq_topk(vectors, books, q, k=5, n_candidates=20)
+    got = [r["vec_id"] for r in pq.collect()]
+    assert got[0] == 0  # exact re-rank puts the query row first
+    assert len(set(got) & exact) >= 3
+
+
+def test_pq_train_rejects_indivisible_dim(vectors):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(vectors, m=3)
