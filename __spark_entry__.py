@@ -3071,14 +3071,16 @@ def q_pq_ann(spark, sf_dir):
     touching the fp32 vectors, exact-rerank the best 80.  In-entry
     contract raises (must survive ``python -O``): every code in
     [0, 16), and recall@10 vs the exact brute-force top-10 ≥ 0.4 (the
-    measured floor is 0.5–0.8 across SFs; PQ on near-orthogonal
-    synthetic vectors is the worst case).  The oracle checks the
-    SQL-recomputable scalars (corpus size, k) plus the contract bit."""
+    measured floor is 0.7–0.8 across SFs at one Lloyd iteration; PQ on
+    near-orthogonal synthetic vectors is the worst case).  The oracle
+    checks the SQL-recomputable scalars (corpus size, k) plus the
+    contract bit."""
     db = _db(spark, sf_dir)
     emb = db.table("embeddings")
     qv = _query_vec(spark, sf_dir)
-    books = similarity.pq_train(emb, m=8, k=16, n_iter=2)
-    enc = similarity.pq_encode(emb, books)
+    books = similarity.pq_train(emb, m=8, k=16, n_iter=1)
+    enc = similarity.pq_encode(
+        similarity.ensure_parallelism(emb, "vec_id"), books)
     n_bad, n_encoded = enc.agg(
         F.sum(F.when(F.exists("pq_codes",
                               lambda c: (c < 0) | (c > 15)), 1)

@@ -628,43 +628,76 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
     k×(dim/m) bounded collect per iteration).  m·n_iter scans total —
     training is a driver loop by nature; at scale it runs on a sample.
 
+    All m subspaces train TOGETHER: each iteration is ONE job — a fused
+    m×k-distance assignment projection, an explode to (subspace,
+    cluster, sub-vector) rows, and a single partial-aggregated groupBy
+    whose collect is m·k rows of dim/m rounded doubles (bounded).
+    n_iter jobs total instead of m·n_iter; the sliced projection is
+    localCheckpointed once so iterations never re-read the source.
+
     Returns ``codebooks[m][k][dim//m]`` (rounded to 6 decimals, the
-    same published precision as :func:`kmeans_update`)."""
+    same published precision as :func:`kmeans_update`; assignment uses
+    the same round-before-argmin contract as :func:`kmeans_assign`,
+    and empty clusters keep their previous codeword)."""
     dim = _dim_of(df, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        part = df.select(
-            F.slice(F.transform(F.col(vec_col),
-                                lambda x: x.cast("double")),
-                    j * sub + 1, sub).alias("__sub"))
-        centroids = kmeans_init(sub, k, seed + j)
-        for _ in range(n_iter):
-            centroids = kmeans_update(
-                kmeans_assign(part, centroids, "__sub"),
-                centroids, "__sub")
-        books.append(centroids)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # a small parquet source arrives as ONE partition; the per-row
+    # m·k-distance assignment is compute-heavy, so spread it first
+    subs = ensure_parallelism(
+        df.select(*[F.slice(emb, j * sub + 1, sub).alias(f"__s{j}")
+                    for j in range(m)])).localCheckpoint()
+    books = [kmeans_init(sub, k, seed + j) for j in range(m)]
+
+    for _ in range(n_iter):
+        assigned = subs.select(F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _argmin_code(F.col(f"__s{j}"), books[j])
+                     .alias("cluster"),
+                     F.col(f"__s{j}").alias("v"))
+            for j in range(m)])).alias("a")).select("a.*")
+        rows = (assigned.groupBy("j", "cluster")
+                .agg(*[F.round(F.avg(F.element_at("v", d + 1)), 6)
+                       .alias(f"c{d}") for d in range(sub)])
+                .collect())
+        new = [[list(c) for c in book] for book in books]
+        for r in rows:
+            new[r["j"]][r["cluster"]] = [float(r[f"c{d}"])
+                                         for d in range(sub)]
+        books = new
     return books
+
+
+def _argmin_code(sv: Column, book: list[list[float]]) -> Column:
+    """Index of the nearest codeword: distances computed by ONE
+    ``transform`` lambda looping data-side over the literal codebook
+    matrix — the expression tree stays constant-size in k, so Catalyst
+    analysis cost doesn't grow with the codebook (the unrolled
+    ``F.array(*[_sq_dist...])`` form made plan compilation, not
+    execution, the bottleneck).  Same round-before-argmin /
+    lowest-id-tie-break contract as :func:`kmeans_assign`."""
+    mat = F.array(*[_lit_vec(c) for c in book])
+    dists = F.transform(mat, lambda c: F.round(
+        F.aggregate(F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v), 6))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding") -> DataFrame:
     """Append ``pq_codes array<int>`` — per subspace, the argmin
     codeword (rounded distances, lowest-id tie-break: the
-    :func:`kmeans_assign` contract).  One generated projection of
-    m·k fused squared distances per row; no shuffle, no Python.
+    :func:`kmeans_assign` contract).  One projection of m data-side
+    codebook loops per row; no shuffle, no Python.
     m log₂k bits replace dim·32 — at m=8, k=16 a 64-dim fp32 vector
     compresses 64×(code arithmetic; 32× stored as int8 codes)."""
     sub = len(codebooks[0][0])
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes = []
-    for j, book in enumerate(codebooks):
-        sv = F.slice(emb, j * sub + 1, sub)
-        dists = F.array(*[F.round(_sq_dist(sv, c), 6) for c in book])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int"))
+    codes = [
+        _argmin_code(F.slice(emb, j * sub + 1, sub), book)
+        for j, book in enumerate(codebooks)]
     return df.withColumn("pq_codes", F.array(*codes))
 
 
@@ -680,6 +713,7 @@ def pq_topk(df: DataFrame, codebooks: list[list[list[float]]],
     m ints per row instead of dim floats, and the exact re-rank reads
     only 4k full vectors."""
     n_candidates = n_candidates or 4 * k
+    df = ensure_parallelism(df, id_col)
     sub = len(codebooks[0][0])
     luts = [
         [sum(q * c for q, c in zip(query_vec[j * sub:(j + 1) * sub],
