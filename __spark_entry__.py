@@ -3100,10 +3100,50 @@ def q_pq_ann(spark, sf_dir):
         "k int, n_encoded bigint, recall_ge_04 boolean")
 
 
+def q_ivfpq_probe(spark, sf_dir):
+    """IVF-PQ ANN over a MATERIALIZED index (the FAISS IVFPQ layout:
+    coarse Lloyd-refined centroids route rows to ``cell`` partitions,
+    each row stores only m=8 residual PQ codes — ~32× less than fp32).
+    The probe ADC-scores the 8 nearest cells from an m×k lookup table,
+    then exact-reranks the best 320 ids via a broadcast semi-join back
+    to the fp32 corpus.  In-entry contract raises (must survive
+    ``python -O``): (a) the candidate scan's executed plan carries a
+    ``PartitionFilters`` entry on ``cell`` — directory pruning, not a
+    post-scan filter; (b) recall@10 vs the exact brute-force top-10
+    ≥ 0.4 (measured 0.9 at sf0.01 and sf0.1 with these parameters).
+    The oracle checks the SQL-recomputable scalars plus the contract
+    bits."""
+    idx = _ann_index(spark, sf_dir, "ivfpq")
+    qv = _query_vec(spark, sf_dir)
+    emb = _db(spark, sf_dir).table("embeddings")
+    cand = similarity.ivfpq_probe(spark, idx, qv, n_probe=8,
+                                  n_candidates=320)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    if not pf or "cell" not in pf[0].split("PartitionFilters", 1)[1][:120]:
+        raise RuntimeError(
+            "IVF-PQ probe plan lacks a cell PartitionFilter — the scan "
+            "is not pruning unprobed cells")
+    top = similarity.ivfpq_topk(spark, idx, emb, qv, k=10, n_probe=8,
+                                n_candidates=320)
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    overlap = exact.select("vec_id").join(
+        top.select("vec_id"), "vec_id").count()
+    if overlap < 4:
+        raise RuntimeError(
+            f"IVF-PQ recall@10 = {overlap / 10} below the 0.4 floor")
+    n_indexed = spark.read.parquet(idx.path).count()
+    return spark.createDataFrame(
+        [(10, int(n_indexed), True, True)],
+        "k int, n_indexed bigint, pruned boolean, recall_ge_04 boolean")
+
+
 #: build parameters for the contract ANN indexes; PART OF THE INDEX DIR
 #: KEY below, so changing them can never silently reuse an index built
 #: with the old layout
-_ANN_PARAMS = {"lsh": {"n_planes": 4}, "ivf": {"n_cells": 16}}
+_ANN_PARAMS = {"lsh": {"n_planes": 4}, "ivf": {"n_cells": 16},
+               "ivfpq": {"n_cells": 16, "m": 8, "k": 16, "n_iter": 1,
+                         "refine_iters": 2}}
 
 #: bump when the index CONTENT semantics change without a parameter
 #: change (e.g. v2: ivf_centroids switched from xxhash64 to the portable
@@ -3155,6 +3195,9 @@ def _ann_index(spark, sf_dir, kind: str) -> similarity.AnnIndex:
         if kind == "lsh":
             return similarity.build_lsh_index(emb, path, fingerprint=fp,
                                               **params)
+        if kind == "ivfpq":
+            return similarity.build_ivfpq_index(emb, path, fingerprint=fp,
+                                                **params)
         return similarity.build_ivf_index(emb, path, fingerprint=fp,
                                           **params)
 
@@ -3810,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_agg": q_metadata_agg,
         "embedding_quantize": q_embedding_quantize,
         "pq_ann": q_pq_ann,
+        "ivfpq_probe": q_ivfpq_probe,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -4756,6 +4800,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": (
             "SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_encoded, "
             "TRUE AS recall_ge_04 FROM embeddings"),
+        "ivfpq_probe": (
+            "SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_indexed, "
+            "TRUE AS pruned, TRUE AS recall_ge_04 FROM embeddings"),
         "metadata_agg": (
             "SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows, "
             "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "

@@ -132,3 +132,33 @@ def test_lsh_probe_recall_vs_brute_force(spark, vectors, tmp_path):
                                      n_planes=4, fingerprint="test-fp")
     probe = similarity.lsh_probe(spark, idx, q, k=10)
     assert _recall_at_k(probe, exact, k=10) >= 0.7
+
+
+def test_ivfpq_probe_recall_and_pruning(spark, vectors, tmp_path):
+    q = _query_of(vectors)
+    idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "ivfpq"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    plan = _scan_plan(similarity.ivfpq_probe(spark, idx, q, n_probe=2))
+    assert "PartitionFilters" in plan
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "cell" in pf.split("PartitionFilters", 1)[1][:120]
+    top = similarity.ivfpq_topk(spark, idx, vectors, q, k=5, n_probe=4)
+    got = [r["vec_id"] for r in top.collect()]
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk(vectors, q, k=5).collect()}
+    assert got[0] == 0  # exact re-rank puts the query row first
+    assert len(set(got) & exact) >= 3
+
+
+def test_ivfpq_index_stores_codes_not_vectors(spark, vectors, tmp_path):
+    """The index table must carry only (id, codes) under the cell
+    partition — the fp32 corpus never enters the index."""
+    idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "ivfpq2"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    stored = spark.read.parquet(idx.path)
+    assert set(stored.columns) == {"vec_id", "pq_codes", "cell"}
+    assert stored.count() == vectors.count()
+    assert stored.filter(
+        F.exists("pq_codes", lambda c: (c < 0) | (c > 3))).count() == 0
