@@ -3662,6 +3662,22 @@ def q_bm25_search(spark, sf_dir):
                                  "hash batch window", top_k=10)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid RAG retrieval: reciprocal-rank fusion (c=60) of the BM25
+    keyword ranking for 'hash batch window' and the exact
+    embedding-cosine ranking to doc 0's vector — top-10 by
+    ``Σ 1/(60+rank)``.  Both constituent rankings already have exact
+    SQL replays (the bm25_search and embedding_topk oracles), so the
+    fused ranking is fully oracle-checked too: ranks are integers and
+    the fusion arithmetic is two IEEE divisions + a 6-decimal round."""
+    from cs186_query_optimization_project_spark.functions import retrieval
+    db = _db(spark, sf_dir)
+    return retrieval.hybrid_rrf(db.table("documents"),
+                                db.table("embeddings"),
+                                "hash batch window",
+                                _query_vec(spark, sf_dir), k=10)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental ingest dedup: an incoming batch (the perturbed
     copies from the shared planting) is near-dup-checked against the
@@ -3854,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_ann": q_pq_ann,
         "ivfpq_probe": q_ivfpq_probe,
+        "hybrid_search": q_hybrid_search,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -4803,6 +4820,39 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_probe": (
             "SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_indexed, "
             "TRUE AS pruned, TRUE AS recall_ge_04 FROM embeddings"),
+        "hybrid_search": (
+            "WITH post AS (SELECT doc_id, token FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents) WHERE token <> ''), "
+            "dl AS (SELECT doc_id, COUNT(*) AS dl FROM post "
+            "GROUP BY doc_id), "
+            "c AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM post "
+            "WHERE token IN ('batch', 'hash', 'window') "
+            "GROUP BY doc_id, token), "
+            "dfq AS (SELECT token, COUNT(*) AS df FROM tf "
+            "GROUP BY token), "
+            "s AS (SELECT tf.doc_id, "
+            "ln(1.0 + (n - df + 0.5) / (df + 0.5)) "
+            "* (tf * (1.2 + 1)) "
+            "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s "
+            "FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), c), "
+            "bm AS (SELECT doc_id, round(SUM(s), 6) AS bm25 FROM s "
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20), "
+            "rb AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY bm25 DESC, doc_id) AS rb FROM bm), "
+            "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id = 0), "
+            "vs AS (SELECT vec_id AS doc_id, "
+            "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT qv FROM q)), 6) AS cs FROM embeddings "
+            "ORDER BY cs DESC, doc_id LIMIT 20), "
+            "rv AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY cs DESC, doc_id) AS rv FROM vs) "
+            "SELECT doc_id, round(COALESCE(1.0 / (60 + rb), 0) "
+            "+ COALESCE(1.0 / (60 + rv), 0), 6) AS rrf "
+            "FROM rb FULL OUTER JOIN rv USING (doc_id) "
+            "ORDER BY rrf DESC, doc_id LIMIT 10"),
         "metadata_agg": (
             "SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows, "
             "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "

@@ -319,3 +319,47 @@ def bm25_indexed(spark: SparkSession, index: PostingsIndex, query: str,
         F.lit(index.n_docs).alias("__n"),
         F.lit(index.avgdl).alias("__avgdl"))
     return _bm25_rank(tf, doc_len, corpus, id_col, k1, b, top_k)
+
+
+def hybrid_rrf(docs: DataFrame, emb: DataFrame, query: str,
+               query_vec: list[float], k: int = 10, k_each: int = 20,
+               c: int = 60, text_col: str = "text",
+               id_col: str = "doc_id", vec_id_col: str = "vec_id",
+               ) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    SIGIR'09) of the BM25 keyword ranking and the exact embedding-cosine
+    ranking — ``score(d) = Σ 1/(c + rank(d))`` over the lists that
+    contain d.  Both input rankings are deterministic (6-decimal rounds,
+    id tie-breaks), so the fusion is SQL-replayable end-to-end.
+
+    Cost shape: each side is its own top-``k_each`` (the BM25 side
+    term-pruned, the vector side a TakeOrderedAndProject scan); the
+    fusion then joins two ≤k_each-row lists — driver-trivial at any
+    corpus size.  The rank windows run over those tiny lists, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    bm = bm25_scores(docs, query, text_col, id_col, top_k=k_each)
+    rb = bm.select(
+        F.col(id_col),
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc()))
+        .alias("__rb"))
+    from cs186_query_optimization_project_spark.functions.similarity import (
+        cosine_topk,
+    )
+    vs = cosine_topk(emb, query_vec, k=k_each, id_col=vec_id_col)
+    rv = vs.select(
+        F.col(vec_id_col).alias(id_col),
+        F.row_number().over(
+            Window.orderBy(F.col("cosine_sim").desc(),
+                           F.col(vec_id_col).asc()))
+        .alias("__rv"))
+    fused = (rb.join(rv, id_col, "full_outer")
+             .select(F.col(id_col),
+                     F.round(
+                         F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__rb")),
+                                    F.lit(0.0))
+                         + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__rv")),
+                                      F.lit(0.0)), 6).alias("rrf")))
+    return fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)

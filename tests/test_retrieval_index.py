@@ -82,3 +82,31 @@ def test_postings_index_load_roundtrip(pindex):
     assert loaded == pindex
     assert loaded.n_docs > 0 and loaded.avgdl > 0
     assert retrieval.load_postings_index("/nonexistent/idx") is None
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """A doc at rank 1 on BOTH lists must outscore a doc at rank 1 on
+    one list only; a doc appearing on a single list still scores
+    1/(c + rank) instead of dropping out (the full-outer contract)."""
+    docs = spark.createDataFrame(
+        [(0, "quantum flux everywhere quantum"),
+         (1, "quantum mention once"),
+         (2, "nothing relevant here"),
+         (3, "plain filler text")],
+        ["doc_id", "text"])
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (2, [0.9, 0.1]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>")
+        .alias("embedding"))
+    out = retrieval.hybrid_rrf(docs, emb, "quantum", [1.0, 0.0],
+                               k=4, k_each=3)
+    got = [(r["doc_id"], r["rrf"]) for r in out.collect()]
+    # doc 0: bm25 rank 1 AND cosine rank 1 -> 2/61
+    assert got[0][0] == 0 and abs(got[0][1] - 2 / 61) < 1e-6
+    # doc 2: cosine-only (rank 2) must still appear with 1/62
+    by_id = dict(got)
+    assert abs(by_id[2] - 1 / 62) < 1e-6
+    # doc 3: on neither top-3 list in a way that beats doc 0
+    assert got[0][1] == max(v for _, v in got)
