@@ -661,6 +661,56 @@ def q_metadata_agg(spark, sf_dir):
     return out
 
 
+def q_restore_clone(spark, sf_dir):
+    """RESTORE + SHALLOW CLONE driver row (Delta's ``RESTORE`` /
+    ``CLONE``, both O(metadata)): nation lands partitioned by
+    n_regionkey, a bad DELETE commits, RESTORE rolls it back as a NEW
+    version, then a shallow clone diverges with its own insert.
+    In-entry contract raises (must survive ``python -O``): the restore
+    must create ZERO new data directories (pure manifest write); the
+    clone's parts/ must be EMPTY at creation (zero rows copied); and
+    the clone's insert must leave the source's rows unchanged.  The
+    oracle replays both final states in SQL."""
+    import os
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("rstc", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("nation").select("n_nationkey", "n_name",
+                                      "n_regionkey"),
+            f"{base}/nation", "n_regionkey")
+        pt.delete(F.col("n_nationkey") % 2 == 0)         # the bad commit
+        dirs_before = set(os.listdir(os.path.join(pt.root, "parts")))
+        pt.restore(0)
+        if set(os.listdir(os.path.join(pt.root, "parts"))) != dirs_before:
+            raise RuntimeError("restore must not create data dirs")
+        clone = pt.clone(f"{base}/clone")
+        if os.listdir(os.path.join(clone.root, "parts")):
+            raise RuntimeError("shallow clone must copy zero data")
+        clone.insert(spark.createDataFrame(
+            [(300, "ATLANTIS", 2)],
+            schema=pt.read().schema))
+        n_src = pt.read().count()
+        if clone.read().count() != n_src + 1:
+            raise RuntimeError("clone insert must not be visible in "
+                               "source (or insert lost)")
+
+        def summary(table, tag):
+            return (table.read()
+                    .agg(F.count(F.lit(1)).alias("n_rows"),
+                         F.sum("n_nationkey").cast("bigint")
+                         .alias("key_sum"))
+                    .select(F.lit(tag).alias("tbl"), "n_rows", "key_sum"))
+
+        out = (summary(pt, "source").unionByName(summary(clone, "clone"))
+               .localCheckpoint())
+    return out
+
+
 def q_cdf_feed(spark, sf_dir):
     """Change data feed over a PartitionedTable version trail (Delta
     CDF ``table_changes`` semantics: updates surface as delete+insert
@@ -3871,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "ivfpq_probe": q_ivfpq_probe,
         "hybrid_search": q_hybrid_search,
+        "restore_clone": q_restore_clone,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -4853,6 +4904,12 @@ def oracle_sql() -> dict[str, str]:
             "+ COALESCE(1.0 / (60 + rv), 0), 6) AS rrf "
             "FROM rb FULL OUTER JOIN rv USING (doc_id) "
             "ORDER BY rrf DESC, doc_id LIMIT 10"),
+        "restore_clone": (
+            "SELECT 'source' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation "
+            "UNION ALL "
+            "SELECT 'clone', CAST(COUNT(*) + 1 AS BIGINT), "
+            "CAST(SUM(n_nationkey) + 300 AS BIGINT) FROM nation"),
         "metadata_agg": (
             "SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows, "
             "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "

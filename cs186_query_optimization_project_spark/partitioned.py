@@ -990,6 +990,51 @@ class PartitionedTable:
                      man.get("tombstones", {}))
         return sorted(touched)
 
+    def restore(self, version: int) -> "PartitionedTable":
+        """Delta ``RESTORE``: publish a NEW version whose content is
+        exactly the retained ``version``'s (parts, tombstones,
+        partition column, schema) — history only rolls FORWARD, so the
+        bad intermediate versions stay readable for audit, and the
+        restore itself is one manifest write: O(metadata), zero data
+        movement at any table size.  The streaming ``txns`` watermark
+        map carries forward from the CURRENT version, not the restored
+        one — exactly-once replay protection must survive a rollback.
+        ``changes()`` across the restore commit reports exactly the
+        rows that came back or disappeared (it is an ordinary manifest
+        diff)."""
+        cur = self._manifest()
+        old = self._manifest(version)
+        self._commit(cur["version"] + 1, old["partition_col"],
+                     T._parse_datatype_string(old["schema"]),
+                     old["parts"], txns=cur.get("txns"),
+                     tombstones=old.get("tombstones"))
+        return self
+
+    def clone(self, dest_root: str,
+              version: int | None = None) -> "PartitionedTable":
+        """SHALLOW CLONE (Delta ``CLONE``): a new table whose v0
+        manifest REFERENCES the source version's data directories —
+        zero rows copied, O(metadata).  DML on the clone copy-on-writes
+        fresh directories under the CLONE's own root (the source is
+        never written), and the clone's :meth:`vacuum` deletes only
+        under its own ``parts/``, so it can never reclaim source data.
+        Caveat (identical to Delta shallow clones): vacuuming the
+        SOURCE can delete directories the clone still references —
+        deep-copy (``clone.read().write``) before vacuuming a
+        cloned-from table."""
+        man = self._manifest(version)
+        dest_root = dest_root.rstrip("/")
+        os.makedirs(os.path.join(dest_root, "_manifests"),
+                    exist_ok=False)
+        os.makedirs(os.path.join(dest_root, "parts"), exist_ok=True)
+        stub = object.__new__(PartitionedTable)
+        stub.spark = self.spark
+        stub.root = dest_root
+        stub._commit(0, man["partition_col"],
+                     T._parse_datatype_string(man["schema"]),
+                     man["parts"], tombstones=man.get("tombstones"))
+        return PartitionedTable(self.spark, dest_root)
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Reachability-based reclamation: drop manifests older than
         the newest ``keep_last`` retained ones, then delete every data

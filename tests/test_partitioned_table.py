@@ -710,3 +710,56 @@ def test_metadata_min_max(pt, spark):
     assert pt.metadata_min_max("amt") is None        # float: no bounds
     pt.delete_soft("id = 99")
     assert pt.metadata_min_max("id") is None         # tombstone masks
+
+
+def test_restore_rolls_forward_metadata_only(pt, spark):
+    """RESTORE publishes a new version equal to the target's content
+    with zero data movement: the dir set on disk is unchanged, bad
+    versions stay readable, and CDF across the restore reports the
+    rows that came back."""
+    import os
+    v0_rows = rows_sorted(pt.read())
+    pt.delete(F.col("grp") == "B")                      # v1 (bad)
+    pt.insert(spark.createDataFrame([(9, "D", 90.0)],
+                                    "id long, grp string, amt double"))
+    before_dirs = set(os.listdir(os.path.join(pt.root, "parts")))
+    pt.restore(0)                                        # v3 == v0
+    assert set(os.listdir(os.path.join(pt.root, "parts"))) \
+        == before_dirs                                   # no new data
+    assert pt.versions() == [0, 1, 2, 3]
+    assert rows_sorted(pt.read()) == v0_rows
+    assert rows_sorted(pt.read(version=2)) != v0_rows           # audit intact
+    feed = pt.changes(2, 3).select("_change_type", "id").collect()
+    changed = {(r["_change_type"], r["id"]) for r in feed}
+    assert ("insert", 3) in changed and ("insert", 4) in changed
+    assert ("delete", 9) in changed
+
+
+def test_restore_preserves_txn_watermarks(pt, spark):
+    """Replay protection must survive a rollback: the restored commit
+    carries the CURRENT txns map, so a re-delivered batch id is still
+    rejected after restore."""
+    batch = spark.createDataFrame([(7, "A", 70.0)],
+                                  "id long, grp string, amt double")
+    assert pt.idempotent_append(batch, "sink1", 5)       # v1
+    pt.restore(0)                                        # v2 == v0
+    assert not pt.idempotent_append(batch, "sink1", 5)   # replay: no-op
+    assert pt.idempotent_append(batch, "sink1", 6)       # next batch ok
+
+
+def test_shallow_clone_shares_data_then_diverges(pt, spark, tmp_path):
+    import os
+    clone = pt.clone(str(tmp_path / "c"))
+    # zero data copied: the clone's parts dir is empty
+    assert os.listdir(os.path.join(clone.root, "parts")) == []
+    assert rows_sorted(clone.read()) == rows_sorted(pt.read())
+    # clone DML copy-on-writes under the CLONE root only
+    src_dirs = set(os.listdir(os.path.join(pt.root, "parts")))
+    clone.delete(F.col("grp") == "A")
+    assert set(os.listdir(os.path.join(pt.root, "parts"))) == src_dirs
+    assert rows_sorted(pt.read()) != rows_sorted(clone.read())
+    assert len(rows_sorted(pt.read())) == 5 and len(rows_sorted(clone.read())) == 3
+    # the clone's vacuum never deletes source data
+    removed = clone.vacuum(keep_last=1)
+    assert all(r.startswith(clone.root) for r in removed)
+    assert rows_sorted(pt.read(version=0)) and len(rows_sorted(pt.read())) == 5
