@@ -711,6 +711,59 @@ def q_restore_clone(spark, sf_dir):
     return out
 
 
+def q_check_constraints(spark, sf_dir):
+    """CHECK constraints on a PartitionedTable (Delta ``ALTER TABLE
+    ... ADD CONSTRAINT`` parity): registration validates existing rows
+    first; every later row-producing commit validates its batch before
+    publishing.  In-entry contract raises (must survive ``python -O``):
+    (a) adding a constraint the existing data violates must be refused
+    (``c_custkey > 10`` — keys 0..10 always exist); (b) a violating
+    insert must be refused AND publish nothing (version unchanged);
+    (c) a valid insert under the constraint commits.  The oracle
+    replays the final state in SQL."""
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("chk", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("customer").select("c_custkey", "c_mktsegment",
+                                        "c_acctbal"),
+            f"{base}/customer", "c_mktsegment")
+        try:
+            pt.add_constraint("key_gt_10", "c_custkey > 10")
+            raise RuntimeError(
+                "add_constraint must refuse a constraint existing rows "
+                "violate")
+        except DatabaseException:
+            pass
+        pt.add_constraint("key_nonneg", "c_custkey >= 0")
+        v = pt.versions()[-1]
+        bad = spark.createDataFrame([(-5, "BUILDING", 1.0)],
+                                    schema=pt.read().schema)
+        try:
+            pt.insert(bad)
+            raise RuntimeError("violating insert must be refused")
+        except DatabaseException:
+            pass
+        if pt.versions()[-1] != v:
+            raise RuntimeError(
+                "refused insert must not publish a version")
+        pt.insert(spark.createDataFrame([(920000001, "BUILDING", 7.5)],
+                                        schema=pt.read().schema))
+        out = (pt.read()
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.min("c_custkey").cast("bigint").alias("min_key"),
+                    F.max("c_custkey").cast("bigint").alias("max_key"))
+               .localCheckpoint())
+    return out
+
+
 def q_cdf_feed(spark, sf_dir):
     """Change data feed over a PartitionedTable version trail (Delta
     CDF ``table_changes`` semantics: updates surface as delete+insert
@@ -3922,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_probe": q_ivfpq_probe,
         "hybrid_search": q_hybrid_search,
         "restore_clone": q_restore_clone,
+        "check_constraints": q_check_constraints,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -4904,6 +4958,12 @@ def oracle_sql() -> dict[str, str]:
             "+ COALESCE(1.0 / (60 + rv), 0), 6) AS rrf "
             "FROM rb FULL OUTER JOIN rv USING (doc_id) "
             "ORDER BY rrf DESC, doc_id LIMIT 10"),
+        "check_constraints": (
+            "SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows, "
+            "CAST(MIN(c_custkey) AS BIGINT) AS min_key, "
+            "CAST(GREATEST(MAX(c_custkey), 920000001) AS BIGINT) "
+            "  AS max_key "
+            "FROM customer"),
         "restore_clone": (
             "SELECT 'source' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation "

@@ -160,7 +160,8 @@ class PartitionedTable:
     def _commit(self, version: int, partition_col: str,
                 schema: T.StructType, parts: dict[str, list[str]],
                 txns: dict[str, int] | None = None,
-                tombstones: dict[str, list[str]] | None = None) -> None:
+                tombstones: dict[str, list[str]] | None = None,
+                constraints: dict[str, str] | None = None) -> None:
         """Publish: create v<version>.json atomically-exclusively.  All
         data dirs are already fully written, so the manifest's
         appearance IS the commit point; a concurrent committer of the
@@ -170,6 +171,14 @@ class PartitionedTable:
         action): highest committed batch id per sink id — DML commits
         must carry the caller's manifest's map forward or replay
         protection would be lost."""
+        if constraints is None:
+            # CHECK constraints are table POLICY: every commit carries
+            # the current set forward unless a caller explicitly
+            # changes it (add/drop/clone pass their own dict)
+            try:
+                constraints = self._manifest().get("constraints", {})
+            except DatabaseException:
+                constraints = {}  # first commit of a fresh table
         referenced = {d for ds in parts.values() for d in ds}
         payload = json.dumps({
             "version": version, "partition_col": partition_col,
@@ -183,6 +192,7 @@ class PartitionedTable:
             "tombstones": {d: list(ts) for d, ts in
                            sorted((tombstones or {}).items())
                            if ts and d in referenced},
+            "constraints": dict(sorted(constraints.items())),
         })
         try:
             with open(self._manifest_path(version), "x") as f:
@@ -489,6 +499,7 @@ class PartitionedTable:
         if rows.filter(F.col(pcol).isNull()).take(1):
             raise DatabaseException(
                 f"insert into '{self.root}': NULL partition value")
+        self._enforce(rows, man.get("constraints", {}), "insert")
         parts = {k: list(v) for k, v in man["parts"].items()}
         for key, ds in self._write_partitions(rows, pcol).items():
             parts.setdefault(key, []).extend(ds)
@@ -586,6 +597,8 @@ class PartitionedTable:
         if touched:
             rewritten = make_update_applier(condition, assignments)(
                 self.read(partition_values=touched))
+            self._enforce(rewritten, man.get("constraints", {}),
+                          "update")
             new_parts = self._write_partitions(rewritten, pcol)
             for v in touched:
                 parts[self._key(v)] = new_parts.get(self._key(v), [])
@@ -662,16 +675,87 @@ class PartitionedTable:
                               .otherwise(F.col(c)).alias(c)
                               if c in upd_cols else F.col(c))
                              for c in schema.fieldNames()]))
+            self._enforce(rewritten, man.get("constraints", {}),
+                          "merge")
             new_parts = self._write_partitions(rewritten, pcol)
             for v in touched:
                 parts[self._key(v)] = new_parts.get(self._key(v), [])
         inserts = source.join(cur.select(*keys), keys, "left_anti")
+        self._enforce(inserts, man.get("constraints", {}), "merge")
         for key, ds in self._write_partitions(inserts, pcol).items():
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcol, schema, parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}))
         return self
+
+    # ------------------------------------------------------------------ #
+    # CHECK constraints (Delta ``ALTER TABLE ... ADD CONSTRAINT``) —
+    # table policy enforced on every row-producing commit
+    # ------------------------------------------------------------------ #
+    def constraints(self) -> dict[str, str]:
+        return dict(self._manifest().get("constraints", {}))
+
+    def add_constraint(self, name: str,
+                       expr_sql: str) -> "PartitionedTable":
+        """Register a CHECK constraint: first validate EXISTING rows
+        (one violation-count scan; SQL CHECK semantics — only rows
+        where the expression is FALSE violate, NULL/unknown passes),
+        then publish a metadata-only commit recording it.  Every later
+        insert / update / merge / idempotent_append batch is validated
+        against the registered set before its commit."""
+        man = self._manifest()
+        cons = dict(man.get("constraints", {}))
+        if name in cons:
+            raise DatabaseException(
+                f"constraint '{name}' already exists on '{self.root}' "
+                f"(drop it first to redefine)")
+        e = F.expr(expr_sql)
+        bad = (self.read().select(
+            F.coalesce(F.sum((e == F.lit(False)).cast("bigint")),
+                       F.lit(0)).alias("__bad")).collect()[0]["__bad"])
+        if bad:
+            raise DatabaseException(
+                f"cannot add constraint '{name}' ({expr_sql}): {bad} "
+                f"existing rows violate it")
+        cons[name] = expr_sql
+        self._commit(man["version"] + 1, man["partition_col"],
+                     T._parse_datatype_string(man["schema"]),
+                     man["parts"], man.get("txns", {}),
+                     man.get("tombstones", {}), constraints=cons)
+        return self
+
+    def drop_constraint(self, name: str) -> "PartitionedTable":
+        man = self._manifest()
+        cons = dict(man.get("constraints", {}))
+        if name not in cons:
+            raise DatabaseException(
+                f"no constraint '{name}' on '{self.root}'; defined: "
+                f"{sorted(cons)}")
+        del cons[name]
+        self._commit(man["version"] + 1, man["partition_col"],
+                     T._parse_datatype_string(man["schema"]),
+                     man["parts"], man.get("txns", {}),
+                     man.get("tombstones", {}), constraints=cons)
+        return self
+
+    def _enforce(self, rows: DataFrame, cons: dict[str, str],
+                 what: str) -> None:
+        """ONE aggregate job counts FALSE rows per constraint over the
+        outgoing batch; the commit is refused if any constraint has
+        violations.  Only runs when constraints are defined — an
+        unconstrained table pays nothing."""
+        if not cons:
+            return
+        counts = rows.select(*[
+            F.coalesce(F.sum((F.expr(e) == F.lit(False)).cast("bigint")),
+                       F.lit(0)).alias(n)
+            for n, e in sorted(cons.items())]).collect()[0]
+        for n, _ in sorted(cons.items()):
+            if counts[n]:
+                raise DatabaseException(
+                    f"{what} into '{self.root}' violates CHECK "
+                    f"constraint '{n}' ({cons[n]}): {counts[n]} rows")
 
     def changes(self, from_version: int,
                 to_version: int | None = None) -> DataFrame:
@@ -861,6 +945,7 @@ class PartitionedTable:
             if rows.filter(F.col(pcol).isNull()).take(1):
                 raise DatabaseException(
                     f"append into '{self.root}': NULL partition value")
+            self._enforce(rows, man.get("constraints", {}), "append")
             parts = {k: list(v) for k, v in man["parts"].items()}
             for key, ds in self._write_partitions(rows, pcol).items():
                 parts.setdefault(key, []).extend(ds)
@@ -1032,7 +1117,8 @@ class PartitionedTable:
         stub.root = dest_root
         stub._commit(0, man["partition_col"],
                      T._parse_datatype_string(man["schema"]),
-                     man["parts"], tombstones=man.get("tombstones"))
+                     man["parts"], tombstones=man.get("tombstones"),
+                     constraints=man.get("constraints", {}))
         return PartitionedTable(self.spark, dest_root)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

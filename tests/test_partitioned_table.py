@@ -763,3 +763,39 @@ def test_shallow_clone_shares_data_then_diverges(pt, spark, tmp_path):
     removed = clone.vacuum(keep_last=1)
     assert all(r.startswith(clone.root) for r in removed)
     assert rows_sorted(pt.read(version=0)) and len(rows_sorted(pt.read())) == 5
+
+
+def test_check_constraints_enforced_on_dml(pt, spark):
+    """Delta CHECK parity: add validates existing rows first; every
+    row-producing commit (insert/update/merge/append) rejects a
+    violating batch BEFORE publishing; NULL evaluations pass (SQL
+    CHECK); drop lifts enforcement; the set carries across unrelated
+    commits and into clones."""
+    with pytest.raises(DatabaseException, match="existing rows"):
+        pt.add_constraint("amt_big", "amt > 15.0")   # row (1,A,10) fails
+    pt.add_constraint("amt_pos", "amt > 0.0")
+    assert pt.constraints() == {"amt_pos": "amt > 0.0"}
+    v_before = pt.versions()[-1]
+    bad = spark.createDataFrame([(8, "A", -1.0)],
+                                "id long, grp string, amt double")
+    with pytest.raises(DatabaseException, match="amt_pos"):
+        pt.insert(bad)
+    assert pt.versions()[-1] == v_before            # nothing published
+    with pytest.raises(DatabaseException, match="amt_pos"):
+        pt.update(F.col("grp") == "A", {"amt": F.lit(-5.0)})
+    with pytest.raises(DatabaseException, match="amt_pos"):
+        pt.merge(bad, "id")
+    with pytest.raises(DatabaseException, match="amt_pos"):
+        pt.idempotent_append(bad, "s1", 1)
+    # NULL passes (SQL CHECK three-valued logic)
+    nulls = spark.createDataFrame([(8, "A", None)],
+                                  "id long, grp string, amt double")
+    pt.insert(nulls)
+    # constraint survives unrelated commits and clones
+    assert pt.constraints() == {"amt_pos": "amt > 0.0"}
+    clone = pt.clone(pt.root + "_ccl")
+    with pytest.raises(DatabaseException, match="amt_pos"):
+        clone.insert(bad)
+    pt.drop_constraint("amt_pos")
+    pt.insert(bad)                                   # enforcement lifted
+    assert pt.read().filter("amt < 0").count() == 1
