@@ -764,6 +764,64 @@ def q_check_constraints(spark, sf_dir):
     return out
 
 
+def q_mview_refresh(spark, sf_dir):
+    """Incrementally-maintained materialized view (Gupta/Mumick IVM):
+    per-segment (count, sum) over customer materializes once, then an
+    insert + delete + update churn the source and ``refresh()`` folds
+    ONLY the CDF deltas — never rescanning the source.  In-entry
+    contract raises (must survive ``python -O``): the refreshed view
+    must equal a from-scratch recompute (counts exactly, sums to 1e-6
+    — the incremental sum is float-order-independent only to last
+    bits); a second refresh must be a 0-change no-op.  The oracle
+    replays the final aggregate in SQL."""
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("mvw", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("customer").select("c_custkey", "c_mktsegment",
+                                        "c_acctbal"),
+            f"{base}/customer", "c_mktsegment")
+        mv = MaterializedView.create(spark, pt, f"{base}/mv",
+                                     keys=["c_mktsegment"],
+                                     sum_cols=["c_acctbal"])
+        pt.insert(spark.createDataFrame(
+            [(940000001, "BUILDING", 100.5),
+             (940000002, "MACHINERY", 200.25)],
+            schema=pt.read().schema))
+        pt.delete((F.col("c_mktsegment") == "AUTOMOBILE")
+                  & (F.col("c_custkey") % 2 == 0))
+        pt.update(F.col("c_mktsegment") == "FURNITURE",
+                  {"c_acctbal": F.col("c_acctbal") + 10.0})
+        if mv.refresh() == 0:
+            raise RuntimeError("refresh must fold the churned rows")
+        got = {r["c_mktsegment"]: (r["mv_count"], r["mv_sum_c_acctbal"])
+               for r in mv.read().collect()}
+        want = {r[0]: (r[1], r[2]) for r in
+                pt.read().groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)), F.sum("c_acctbal")).collect()}
+        if set(got) != set(want) or any(
+                got[k][0] != want[k][0]
+                or abs(got[k][1] - want[k][1]) > 1e-6 for k in want):
+            raise RuntimeError(
+                f"incremental view diverged from recompute: {got} vs "
+                f"{want}")
+        if mv.refresh() != 0:
+            raise RuntimeError("second refresh must be a no-op")
+        out = (mv.read()
+               .select(F.col("c_mktsegment"),
+                       F.col("mv_count").cast("bigint").alias("n_rows"),
+                       F.round("mv_sum_c_acctbal", 2).alias("acct_sum"))
+               .localCheckpoint())
+    return out
+
+
 def q_cdf_feed(spark, sf_dir):
     """Change data feed over a PartitionedTable version trail (Delta
     CDF ``table_changes`` semantics: updates surface as delete+insert
@@ -3976,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "restore_clone": q_restore_clone,
         "check_constraints": q_check_constraints,
+        "mview_refresh": q_mview_refresh,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -4958,6 +5017,20 @@ def oracle_sql() -> dict[str, str]:
             "+ COALESCE(1.0 / (60 + rv), 0), 6) AS rrf "
             "FROM rb FULL OUTER JOIN rv USING (doc_id) "
             "ORDER BY rrf DESC, doc_id LIMIT 10"),
+        "mview_refresh": (
+            "WITH cur AS ("
+            "  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
+            "  WHERE NOT (c_mktsegment = 'AUTOMOBILE' "
+            "             AND c_custkey % 2 = 0) "
+            "  UNION ALL SELECT 940000001, 'BUILDING', 100.5 "
+            "  UNION ALL SELECT 940000002, 'MACHINERY', 200.25), "
+            "adj AS (SELECT c_mktsegment, "
+            "  CASE WHEN c_mktsegment = 'FURNITURE' "
+            "       THEN c_acctbal + 10.0 ELSE c_acctbal END AS bal "
+            "  FROM cur) "
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "round(SUM(bal), 2) AS acct_sum "
+            "FROM adj GROUP BY c_mktsegment"),
         "check_constraints": (
             "SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows, "
             "CAST(MIN(c_custkey) AS BIGINT) AS min_key, "

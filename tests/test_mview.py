@@ -1,0 +1,79 @@
+"""Incremental materialized views (mview.py): refresh folds CDF deltas
+into the stored aggregate and must equal a from-scratch recompute after
+any DML mix; it never rescans the source."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark.errors import DatabaseException
+from cs186_query_optimization_project_spark.mview import MaterializedView
+from cs186_query_optimization_project_spark.partitioned import (
+    PartitionedTable,
+)
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0),
+         (4, "B", 40.0), (5, "C", 50.0)],
+        "id long, grp string, amt double")
+    return PartitionedTable.create(spark, df, str(tmp_path / "s"), "grp")
+
+
+def _as_dict(mv):
+    return {r["grp"]: (r["mv_count"], r["mv_sum_amt"])
+            for r in mv.read().collect()}
+
+
+def _recompute(src):
+    return {r["grp"]: (r["n"], r["s"]) for r in
+            src.read().groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("amt").alias("s")).collect()}
+
+
+def test_refresh_matches_recompute_across_dml_mix(src, spark, tmp_path):
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"])
+    assert _as_dict(mv) == _recompute(src)
+    assert mv.refresh() == 0                      # already current
+
+    src.insert(spark.createDataFrame(
+        [(6, "A", 5.0), (7, "D", 70.0)],          # new group D
+        "id long, grp string, amt double"))
+    src.delete(F.col("grp") == "C")               # group drops to zero
+    src.update(F.col("id") == 3, {"amt": F.col("amt") + 100.0})
+    n = mv.refresh()
+    assert n > 0
+    got = _as_dict(mv)
+    assert got == _recompute(src)
+    assert "C" not in got                         # zero-count group gone
+    assert got["D"] == (1, 70.0)
+    assert mv.refreshed_version() == src.versions()[-1]
+    # idempotent: nothing new -> no-op, state unchanged
+    assert mv.refresh() == 0
+    assert _as_dict(mv) == _recompute(src)
+
+
+def test_refresh_swap_is_atomic_and_vacuumable(src, spark, tmp_path):
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"])
+    src.insert(spark.createDataFrame([(8, "A", 1.0)],
+                                     "id long, grp string, amt double"))
+    old_store = mv._meta()["store"]
+    mv.refresh()
+    assert mv._meta()["store"] != old_store       # new generation
+    assert os.path.isdir(os.path.join(mv.root, old_store))  # kept
+    removed = mv.vacuum()
+    assert [os.path.basename(p) for p in removed] == [old_store]
+    assert _as_dict(mv) == _recompute(src)        # current gen intact
+
+
+def test_open_missing_view_raises(src, spark, tmp_path):
+    with pytest.raises(DatabaseException, match="no materialized view"):
+        MaterializedView(spark, src, str(tmp_path / "nope"))
