@@ -822,6 +822,34 @@ def q_mview_refresh(spark, sf_dir):
     return out
 
 
+def q_table_history(spark, sf_dir):
+    """DESCRIBE HISTORY parity: nation lands partitioned by
+    n_regionkey (5 partitions at every SF), gains one appended row and
+    loses one region; ``history()`` reports one row per version with
+    the committing op and manifest-level sizes — computed from
+    manifests alone, no data directory opened.  The timestamp column
+    is dropped from the gate (wall-clock); everything else is exactly
+    determined, so the oracle is a literal VALUES table."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("hist", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("nation").select("n_nationkey", "n_name",
+                                      "n_regionkey"),
+            f"{base}/nation", "n_regionkey")
+        pt.insert(spark.createDataFrame([(300, "ATLANTIS", 2)],
+                                        schema=pt.read().schema))
+        pt.delete(F.col("n_regionkey") == 0)
+        out = (pt.history()
+               .select("version", "op", "n_partitions", "n_dirs")
+               .localCheckpoint())
+    return out
+
+
 def q_cdf_feed(spark, sf_dir):
     """Change data feed over a PartitionedTable version trail (Delta
     CDF ``table_changes`` semantics: updates surface as delete+insert
@@ -4035,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restore_clone": q_restore_clone,
         "check_constraints": q_check_constraints,
         "mview_refresh": q_mview_refresh,
+        "table_history": q_table_history,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -5017,6 +5046,13 @@ def oracle_sql() -> dict[str, str]:
             "+ COALESCE(1.0 / (60 + rv), 0), 6) AS rrf "
             "FROM rb FULL OUTER JOIN rv USING (doc_id) "
             "ORDER BY rrf DESC, doc_id LIMIT 10"),
+        "table_history": (
+            "SELECT * FROM (VALUES "
+            "(CAST(0 AS BIGINT), 'CREATE', CAST(5 AS INT), "
+            " CAST(5 AS INT)), "
+            "(1, 'INSERT', 5, 6), "
+            "(2, 'DELETE', 4, 5)) "
+            "AS t(version, op, n_partitions, n_dirs)"),
         "mview_refresh": (
             "WITH cur AS ("
             "  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "

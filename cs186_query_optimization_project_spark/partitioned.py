@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,7 +120,8 @@ class PartitionedTable:
         self_stub.spark = spark
         self_stub.root = root
         parts = self_stub._write_partitions(df, partition_col)
-        self_stub._commit(0, partition_col, df.schema, parts)
+        self_stub._commit(0, partition_col, df.schema, parts,
+                          op="CREATE")
         return cls(spark, root)
 
     # ------------------------------------------------------------------ #
@@ -161,7 +163,8 @@ class PartitionedTable:
                 schema: T.StructType, parts: dict[str, list[str]],
                 txns: dict[str, int] | None = None,
                 tombstones: dict[str, list[str]] | None = None,
-                constraints: dict[str, str] | None = None) -> None:
+                constraints: dict[str, str] | None = None,
+                op: str = "WRITE") -> None:
         """Publish: create v<version>.json atomically-exclusively.  All
         data dirs are already fully written, so the manifest's
         appearance IS the commit point; a concurrent committer of the
@@ -193,6 +196,10 @@ class PartitionedTable:
                            sorted((tombstones or {}).items())
                            if ts and d in referenced},
             "constraints": dict(sorted(constraints.items())),
+            # audit fields (DESCRIBE HISTORY): never read by any
+            # correctness path, so the wall-clock stamp is harmless
+            "op": op,
+            "ts": _time.time(),
         })
         try:
             with open(self._manifest_path(version), "x") as f:
@@ -505,7 +512,7 @@ class PartitionedTable:
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcol, expected, parts,
                      man.get("txns", {}),
-                     man.get("tombstones", {}))
+                     man.get("tombstones", {}), op="INSERT")
         return self
 
     def delete(self, condition) -> "PartitionedTable":
@@ -529,7 +536,7 @@ class PartitionedTable:
         self._commit(man["version"] + 1, pcol,
                      T._parse_datatype_string(man["schema"]), parts,
                      man.get("txns", {}),
-                     man.get("tombstones", {}))
+                     man.get("tombstones", {}), op="DELETE")
         return self
 
     def delete_soft(self, condition_sql: str) -> "PartitionedTable":
@@ -566,7 +573,7 @@ class PartitionedTable:
             for d in ds:
                 tombs.setdefault(d, []).append(condition_sql)
         self._commit(man["version"] + 1, pcol, schema, parts,
-                     man.get("txns", {}), tombs)
+                     man.get("txns", {}), tombs, op="DELETE (soft)")
         return self
 
     def update(self, condition, assignments: dict) -> "PartitionedTable":
@@ -604,7 +611,7 @@ class PartitionedTable:
                 parts[self._key(v)] = new_parts.get(self._key(v), [])
         self._commit(man["version"] + 1, pcol, schema, parts,
                      man.get("txns", {}),
-                     man.get("tombstones", {}))
+                     man.get("tombstones", {}), op="UPDATE")
         return self
 
     def merge(self, source: DataFrame,
@@ -686,7 +693,7 @@ class PartitionedTable:
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcol, schema, parts,
                      man.get("txns", {}),
-                     man.get("tombstones", {}))
+                     man.get("tombstones", {}), op="MERGE")
         return self
 
     # ------------------------------------------------------------------ #
@@ -722,7 +729,8 @@ class PartitionedTable:
         self._commit(man["version"] + 1, man["partition_col"],
                      T._parse_datatype_string(man["schema"]),
                      man["parts"], man.get("txns", {}),
-                     man.get("tombstones", {}), constraints=cons)
+                     man.get("tombstones", {}), constraints=cons,
+                     op="ADD CONSTRAINT")
         return self
 
     def drop_constraint(self, name: str) -> "PartitionedTable":
@@ -736,7 +744,8 @@ class PartitionedTable:
         self._commit(man["version"] + 1, man["partition_col"],
                      T._parse_datatype_string(man["schema"]),
                      man["parts"], man.get("txns", {}),
-                     man.get("tombstones", {}), constraints=cons)
+                     man.get("tombstones", {}), constraints=cons,
+                     op="DROP CONSTRAINT")
         return self
 
     def _enforce(self, rows: DataFrame, cons: dict[str, str],
@@ -953,7 +962,8 @@ class PartitionedTable:
             txns[sink_id] = batch_id
             try:
                 self._commit(man["version"] + 1, pcol, expected, parts,
-                             txns, man.get("tombstones", {}))
+                             txns, man.get("tombstones", {}),
+                             op="STREAMING APPEND")
                 return True
             except ConflictException:
                 if attempt:
@@ -1072,8 +1082,29 @@ class PartitionedTable:
         self._commit(man["version"] + 1, pcol,
                      T._parse_datatype_string(man["schema"]), parts,
                      man.get("txns", {}),
-                     man.get("tombstones", {}))
+                     man.get("tombstones", {}), op="OPTIMIZE")
         return sorted(touched)
+
+    def history(self) -> DataFrame:
+        """Delta ``DESCRIBE HISTORY``: one row per retained version —
+        (version, op, timestamp, n_partitions, n_dirs).  Driver work is
+        O(retained versions); no data directory is opened.  Manifests
+        from before the audit fields existed report op 'WRITE' and a
+        NULL timestamp."""
+        import datetime as _dt
+
+        rows = []
+        for v in self.versions():
+            man = self._manifest(v)
+            ts = man.get("ts")
+            rows.append((
+                v, man.get("op", "WRITE"),
+                _dt.datetime.fromtimestamp(ts) if ts else None,
+                len([k for k, ds in man["parts"].items() if ds]),
+                sum(len(ds) for ds in man["parts"].values())))
+        return self.spark.createDataFrame(
+            rows, "version bigint, op string, ts timestamp, "
+                  "n_partitions int, n_dirs int")
 
     def restore(self, version: int) -> "PartitionedTable":
         """Delta ``RESTORE``: publish a NEW version whose content is
@@ -1092,7 +1123,8 @@ class PartitionedTable:
         self._commit(cur["version"] + 1, old["partition_col"],
                      T._parse_datatype_string(old["schema"]),
                      old["parts"], txns=cur.get("txns"),
-                     tombstones=old.get("tombstones"))
+                     tombstones=old.get("tombstones"),
+                     op=f"RESTORE (to v{version})")
         return self
 
     def clone(self, dest_root: str,
@@ -1118,7 +1150,8 @@ class PartitionedTable:
         stub._commit(0, man["partition_col"],
                      T._parse_datatype_string(man["schema"]),
                      man["parts"], tombstones=man.get("tombstones"),
-                     constraints=man.get("constraints", {}))
+                     constraints=man.get("constraints", {}),
+                     op="CLONE")
         return PartitionedTable(self.spark, dest_root)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

@@ -799,3 +799,21 @@ def test_check_constraints_enforced_on_dml(pt, spark):
     pt.drop_constraint("amt_pos")
     pt.insert(bad)                                   # enforcement lifted
     assert pt.read().filter("amt < 0").count() == 1
+
+
+def test_history_describes_each_commit(pt, spark):
+    """DESCRIBE HISTORY parity: one row per retained version with the
+    committing operation, a timestamp, and manifest-level sizes — all
+    from manifests alone (no data directory opened)."""
+    pt.insert(spark.createDataFrame([(6, "D", 60.0)],
+                                    "id long, grp string, amt double"))
+    pt.delete(F.col("grp") == "B")
+    pt.restore(0)
+    h = {r["version"]: r for r in pt.history().collect()}
+    assert [h[v]["op"] for v in sorted(h)] == \
+        ["CREATE", "INSERT", "DELETE", "RESTORE (to v0)"]
+    assert all(h[v]["ts"] is not None for v in h)
+    assert h[0]["n_partitions"] == 3          # A B C
+    assert h[1]["n_partitions"] == 4          # + D
+    assert h[2]["n_partitions"] == 3          # B deleted (empty list)
+    assert h[1]["n_dirs"] == 4                # append added one dir
