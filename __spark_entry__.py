@@ -4043,18 +4043,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries in registry order.  Round-10 policy (the r9 verdict's #2
     # item, carried from r8): rotate the window to the STALEST evidence
-    # first — the entries new this round (never driver-checked),
-    # then all 25 entries whose last driver-green row is r4, then the
-    # oldest r5-era entries up to the 50-entry window (streaming / txn /
-    # ANN / join-layout mechanics prioritized — least covered by
-    # in-window lookalikes).  The remaining r5-era rows (salted_join,
-    # zorder_scan, time_window_agg, pack_sequences, chunk_documents) and
-    # the r9-green flagship sit just below the line for the next
-    # rotation.  The r7/r9-green entries rotate below
-    # the window; every query — in or below the window — was verified
-    # this round by tools/check_contract.py at sf0.01.
+    # first — the 18 entries new this round (never driver-checked: the
+    # delta-lite batch, then metadata_agg / embedding_quantize / pq_ann
+    # / ivfpq_probe / hybrid_search / restore_clone / check_constraints
+    # / mview_refresh / table_history), then the entries whose last
+    # driver-green row is r4, filling the 50-entry window.  r5-era rows
+    # pushed below the line (bucketed_join, range_join, salted_join,
+    # zorder_scan, time_window_agg, pack_sequences, chunk_documents)
+    # lead the next rotation.  Every query — in or below the window —
+    # was verified this round by tools/check_contract.py at sf0.01
+    # (the 9 newest under --vanilla, the driver's plain session).
     return {
-        # --- new this round (round 10): never driver-checked (9) ---
+        # --- new this round (round 10): never driver-checked (18) ---
         "metadata_agg": q_metadata_agg,
         "embedding_quantize": q_embedding_quantize,
         "pq_ann": q_pq_ann,
