@@ -585,10 +585,10 @@ def test_soft_delete_null_semantics(pt, spark):
 
 
 def test_random_dml_sequences_match_model(spark, tmp_path):
-    """Property test: random insert/delete/update/merge/optimize
-    sequences against an in-memory model — after every statement the
-    table content equals the model, and version count tracks the
-    publish count (optimize/no-op rules included)."""
+    """Property test: random insert/delete/update/merge/optimize/
+    soft-delete/restore sequences against an in-memory model — after
+    every statement the table content equals the model; restore rolls
+    the model back to the snapshot the target version recorded."""
     from hypothesis import HealthCheck, given, settings, strategies as st
 
     grps = ["A", "B", "C", "D"]
@@ -608,10 +608,12 @@ def test_random_dml_sequences_match_model(spark, tmp_path):
                 "id long, grp string, amt double")
 
         table = PartitionedTable.create(spark, df_of(model), root, "grp")
+        snapshots = {table.versions()[-1]: dict(model)}
         next_id = 100
         for _ in range(data.draw(st.integers(2, 4))):
             op = data.draw(st.sampled_from(
-                ["insert", "delete", "update", "merge", "optimize"]))
+                ["insert", "delete", "update", "merge", "optimize",
+                 "soft_delete", "restore"]))
             if op == "insert":
                 n = data.draw(st.integers(1, 3))
                 new = {next_id + i:
@@ -646,8 +648,22 @@ def test_random_dml_sequences_match_model(spark, tmp_path):
                 next_id += 1
                 table.merge(df_of(src), on="id")
                 model.update(src)
+            elif op == "soft_delete":
+                g = data.draw(st.sampled_from(grps))
+                cut = data.draw(st.integers(1, 120))
+                table.delete_soft(f"grp = '{g}' AND id >= {cut}")
+                # tombstones mask only rows in dirs existing NOW;
+                # the model's current rows are exactly those
+                model = {k: v for k, v in model.items()
+                         if not (v[0] == g and k >= cut)}
+            elif op == "restore":
+                target = data.draw(st.sampled_from(
+                    sorted(snapshots)))
+                table.restore(target)
+                model = dict(snapshots[target])
             else:
                 table.optimize()
+            snapshots[table.versions()[-1]] = dict(model)
             got = sorted((r["id"], r["grp"], r["amt"])
                          for r in table.read().collect())
             want = sorted((k, g, a) for k, (g, a) in model.items())
