@@ -2749,6 +2749,25 @@ def q_frame_sample(spark, sf_dir):
                     .alias("frame_n_bytes")))
 
 
+def q_audio_chunks(spark, sf_dir):
+    """Audio chunking plumbing (multimodal.chunk_audio): binary
+    waveform + (sample_rate, n_samples) metadata fans out to
+    ceil(n_samples/chunk_len) rows — a DATA-DEPENDENT 1→N inside one
+    Arrow batch, the shape an ASR/feature pipeline needs (contrast
+    frame_sample's fixed fan-out).  Chunk boundaries and durations are
+    integer/div arithmetic over the metadata, so the oracle replays
+    everything except the stubbed per-chunk feature (engine-internal,
+    unit-tested)."""
+    db = _db(spark, sf_dir)
+    audio = multimodal.attach_fake_audio(db.table("documents"))
+    return (multimodal.chunk_audio(audio, chunk_seconds=2)
+            .select("doc_id",
+                    F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                    F.col("chunk_n_samples").cast("bigint")
+                    .alias("chunk_n_samples"),
+                    F.round("duration_s", 4).alias("duration_s")))
+
+
 def q_asset_resize(spark, sf_dir):
     """Image-resize plumbing (multimodal.resize_assets): Arrow-batched
     binary->binary transform with metadata rewrite, composable with
@@ -4064,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_constraints": q_check_constraints,
         "mview_refresh": q_mview_refresh,
         "table_history": q_table_history,
+        "audio_chunks": q_audio_chunks,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -5598,6 +5618,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(greatest(least(len, (f.i + 1) * step) - f.i * step, 0)"
             "     AS BIGINT) AS frame_n_bytes "
             "FROM d CROSS JOIN (SELECT unnest(range(4)) AS i) f"),
+        # chunk_len = sample_rate(100) * chunk_seconds(2) = 200; the
+        # empty waveform still yields one 0-sample chunk
+        "audio_chunks": (
+            "WITH d AS (SELECT doc_id, "
+            "           octet_length(encode(text)) AS len "
+            "           FROM documents), "
+            "n AS (SELECT doc_id, len, "
+            "      greatest((len + 199) // 200, 1) AS n_chunks FROM d), "
+            "e AS (SELECT doc_id, len, "
+            "      unnest(range(n_chunks)) AS i FROM n) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "CAST(greatest(least(len - i * 200, 200), 0) AS BIGINT) "
+            "  AS chunk_n_samples, "
+            "round(greatest(least(len - i * 200, 200), 0) / 100.0, 4) "
+            "  AS duration_s FROM e"),
         # resize_stub size law: stride = max(len // (w*h//64), 1);
         # out = min(ceil(len/stride), w*h)  (w = h = 64 -> w*h//64 = 64)
         "asset_resize": (

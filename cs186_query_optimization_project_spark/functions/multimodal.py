@@ -195,3 +195,65 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
 
     return ensure_parallelism(df, id_col).mapInPandas(
         run, _with_id_field(df, id_col, FRAME_FIELDS))
+
+
+AUDIO_CHUNK_FIELDS = [
+    T.StructField("chunk_idx", T.LongType()),
+    T.StructField("chunk_n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("chunk_feature", T.ArrayType(T.FloatType())),
+]
+
+
+def attach_fake_audio(df: DataFrame, text_col: str = "text",
+                      sample_rate: int = 100) -> DataFrame:
+    """Deterministic stand-in for real audio: the text's utf-8 bytes
+    act as int8 PCM mono samples, with typed metadata carrying the
+    sample rate and sample count — the schema shape a real audio
+    column needs (opaque binary + sidecar metadata)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("audio"),
+        F.struct(
+            F.lit("audio/fake").alias("mime"),
+            F.lit(sample_rate).alias("sample_rate"),
+            F.octet_length(F.encode(F.col(text_col), "utf-8"))
+            .cast("long").alias("n_samples")).alias("audio_meta"))
+
+
+def chunk_audio(df: DataFrame, chunk_seconds: int = 2,
+                id_col: str = "doc_id", asset_col: str = "audio",
+                meta_col: str = "audio_meta") -> DataFrame:
+    """Fixed-duration audio chunking: one input row (binary waveform)
+    → ceil(n_samples / chunk_len) output rows, the final chunk
+    partial.  Unlike :func:`sample_frames`' fixed fan-out, the 1→N
+    here is DATA-DEPENDENT (long recordings explode into many rows)
+    inside a single Arrow batch — the shape an ASR/feature pipeline
+    needs.  Decode is stubbed (``decode_stub`` over the chunk's byte
+    window); a real resampler slots into the same signature.  Chunk
+    boundary math is pure integer arithmetic on the metadata, so an
+    external oracle replays everything except the stub feature."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, durs, feats = [], [], [], [], []
+            for doc_id, payload, meta in zip(
+                    pdf[id_col], pdf[asset_col], pdf[meta_col]):
+                payload = payload or b""
+                rate = int(meta["sample_rate"]) if meta is not None \
+                    else 1
+                chunk_len = max(rate * chunk_seconds, 1)
+                n = max((len(payload) + chunk_len - 1) // chunk_len, 1)
+                for i in range(n):
+                    window = payload[i * chunk_len: (i + 1) * chunk_len]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ns.append(len(window))
+                    durs.append(len(window) / rate)
+                    feats.append(decode_stub(window, _mime_of(meta)))
+            yield pd.DataFrame({id_col: ids, "chunk_idx": idxs,
+                                "chunk_n_samples": ns,
+                                "duration_s": durs,
+                                "chunk_feature": feats})
+
+    return ensure_parallelism(df, id_col).mapInPandas(
+        run, _with_id_field(df, id_col, AUDIO_CHUNK_FIELDS))

@@ -716,3 +716,21 @@ def test_pq_topk_recall(vectors):
 def test_pq_train_rejects_indivisible_dim(vectors):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(vectors, m=3)
+
+
+def test_chunk_audio_data_dependent_fanout(spark):
+    """A 450-'sample' waveform at chunk_len 200 yields chunks of
+    200/200/50; an empty waveform still yields one 0-sample chunk."""
+    from cs186_query_optimization_project_spark.functions import (
+        multimodal,
+    )
+    docs = spark.createDataFrame([(1, "x" * 450), (2, "")],
+                                 ["doc_id", "text"])
+    out = multimodal.chunk_audio(
+        multimodal.attach_fake_audio(docs), chunk_seconds=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]):
+           (r["chunk_n_samples"], r["duration_s"]) for r in out}
+    assert got == {(1, 0): (200, 2.0), (1, 1): (200, 2.0),
+                   (1, 2): (50, 0.5), (2, 0): (0, 0.0)}
+    assert all(len(r["chunk_feature"]) > 0 for r in out
+               if r["chunk_n_samples"] > 0)
