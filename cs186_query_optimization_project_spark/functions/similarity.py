@@ -645,10 +645,14 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
     sub = dim // m
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # a small parquet source arrives as ONE partition; the per-row
-    # m·k-distance assignment is compute-heavy, so spread it first
+    # m·k-distance assignment is compute-heavy, so spread it first.
+    # Checkpoint only when a second iteration will re-read the
+    # projection — for n_iter=1 the materialization job buys nothing.
     subs = ensure_parallelism(
         df.select(*[F.slice(emb, j * sub + 1, sub).alias(f"__s{j}")
-                    for j in range(m)])).localCheckpoint()
+                    for j in range(m)]))
+    if n_iter > 1:
+        subs = subs.localCheckpoint()
     books = [kmeans_init(sub, k, seed + j) for j in range(m)]
 
     for _ in range(n_iter):
