@@ -4062,18 +4062,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries in registry order.  Round-10 policy (the r9 verdict's #2
     # item, carried from r8): rotate the window to the STALEST evidence
-    # first — the 18 entries new this round (never driver-checked: the
+    # first — the 19 entries new this round (never driver-checked: the
     # delta-lite batch, then metadata_agg / embedding_quantize / pq_ann
     # / ivfpq_probe / hybrid_search / restore_clone / check_constraints
-    # / mview_refresh / table_history), then the entries whose last
-    # driver-green row is r4, filling the 50-entry window.  r5-era rows
-    # pushed below the line (bucketed_join, range_join, salted_join,
-    # zorder_scan, time_window_agg, pack_sequences, chunk_documents)
-    # lead the next rotation.  Every query — in or below the window —
-    # was verified this round by tools/check_contract.py at sf0.01
-    # (the 9 newest under --vanilla, the driver's plain session).
+    # / mview_refresh / table_history / audio_chunks), then the entries
+    # whose last driver-green row is r4, filling the 50-entry window.
+    # r5-era rows pushed below the line (streaming_interval_join,
+    # bucketed_join, range_join, salted_join, zorder_scan,
+    # time_window_agg, pack_sequences, chunk_documents) lead the next
+    # rotation.  Every query — in or below the window — was verified
+    # this round by tools/check_contract.py at sf0.01 (the newest
+    # under --vanilla, the driver's plain session).
     return {
-        # --- new this round (round 10): never driver-checked (18) ---
+        # --- new this round (round 10): never driver-checked (19) ---
         "metadata_agg": q_metadata_agg,
         "embedding_quantize": q_embedding_quantize,
         "pq_ann": q_pq_ann,

@@ -601,9 +601,14 @@ def sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              ) -> DataFrame:
     """Top-k by cosine over the DEQUANTIZED int8 vectors — the accuracy
     side of the 4× compression trade, same deterministic contract as
-    :func:`cosine_topk` (rounded to 6 decimals, id tie-break).  At
-    100 TB the scan reads the int8 codes (¼ the bytes of fp32) and the
-    fp32 originals never leave cold storage."""
+    :func:`cosine_topk` (rounded to 6 decimals, id tie-break).
+
+    This path quantizes IN-QUERY from the fp32 column (it measures the
+    ranking fidelity of the codes, and the codes are integer-exact
+    reproducible so an external engine verifies them).  The
+    stored-codes deployment — where scans actually read ¼ the bytes
+    and fp32 stays cold — is the materialized-index path:
+    :func:`build_ivfpq_index` persists codes and never ships fp32."""
     q = _lit_vec(query_vec)
     quant = sq8_quantize(df, vec_col)
     deq = F.transform(F.col("codes"),
@@ -770,11 +775,17 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
     0.4→0.9 at the largest test SF).  Each iteration is one scan with
     an n_cells×dim bounded collect."""
     cents = ivf_centroids(df, n_cells, vec_col, id_col)
-    dd = df.select(F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("__v"))
+    # refine with the SAME metric the router uses (ivf_cell's cosine
+    # argmax), so each centroid really is the mean of the members that
+    # will be routed to it — refining under L2 while routing by cosine
+    # takes residuals off centroids optimized for a different
+    # membership
     for _ in range(refine_iters):
-        cents = kmeans_update(kmeans_assign(dd, cents, "__v"),
-                              cents, "__v")
+        assigned = df.select(
+            ivf_cell(vec_col, cents).alias("cluster"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("__v"))
+        cents = kmeans_update(assigned, cents, "__v")
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cmat = F.array(*[_lit_vec(c) for c in cents])
     resid = F.zip_with(emb,

@@ -75,10 +75,16 @@ class MaterializedView:
     @staticmethod
     def _aggregate(df: DataFrame, keys: list[str],
                    sum_cols: list[str]) -> DataFrame:
+        # mv_nn_<c> (non-null contribution count) rides along so the
+        # incremental merge can preserve SQL SUM's NULL semantics: a
+        # group whose contributions are all NULL must stay SUM=NULL,
+        # which coalesce-to-0 arithmetic alone cannot represent
         return (df.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("mv_count"),
-                     *[F.sum(F.col(c).cast("double"))
-                       .alias(f"mv_sum_{c}") for c in sum_cols]))
+                     *[e for c in sum_cols for e in
+                       (F.sum(F.col(c).cast("double"))
+                        .alias(f"mv_sum_{c}"),
+                        F.count(F.col(c)).alias(f"mv_nn_{c}"))]))
 
     @classmethod
     def create(cls, spark: SparkSession, source: PartitionedTable,
@@ -110,51 +116,84 @@ class MaterializedView:
         """The stored aggregate as of the last refresh (stale reads are
         the contract — consistency is 'reflects source version N',
         recorded and queryable)."""
-        return self._store().read().drop("__mv")
+        return self._store().read().drop(
+            "__mv", *[f"mv_nn_{c}" for c in self.sum_cols])
 
     # ------------------------------------------------------------------ #
     def refresh(self) -> int:
         """Fold the source's CDF since the last refreshed version into
-        the stored aggregate; returns the number of CHANGE rows folded
-        (0 = already current, no write).  Never rescans the source."""
+        the stored aggregate; returns the number of CHANGE rows folded.
+        Never rescans the source.  Row-free source commits (OPTIMIZE,
+        constraint changes, a no-op restore) advance the recorded
+        version WITHOUT rewriting the store; the group-key merge join
+        is NULL-safe (a NULL group key is an ordinary group, as in SQL
+        GROUP BY); and an orphaned generation directory left by a
+        refresh that crashed before its sidecar swap is reclaimed on
+        the retry."""
         meta = self._meta()
         last = meta["source_version"]
         cur = self.source.versions()[-1]
         if cur == last:
             return 0
-        feed = self.source.changes(last, cur)
+        # one materialization of the churn (bounded by CDF size): the
+        # count, the delta aggregation, and the merge all read it
+        feed = self.source.changes(last, cur).localCheckpoint()
+        n_changes = feed.count()
+        if n_changes == 0:
+            self._swap_meta(dict(meta, source_version=cur))
+            return 0
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
         delta = (feed.withColumn("__sign", sign)
                  .groupBy(*self.keys)
                  .agg(F.sum("__sign").alias("d_count"),
-                      *[F.sum(F.col(c).cast("double") * F.col("__sign"))
-                        .alias(f"d_sum_{c}") for c in self.sum_cols]))
-        n_changes = feed.count()
-        stored = self._store().read()
-        merged = (stored.drop("__mv")
-                  .join(delta, self.keys, "full_outer")
+                      *[e for c in self.sum_cols for e in
+                        (F.sum(F.col(c).cast("double") * F.col("__sign"))
+                         .alias(f"d_sum_{c}"),
+                         F.sum(F.col(c).isNotNull().cast("long")
+                               * F.col("__sign"))
+                         .alias(f"d_nn_{c}"))]))
+        stored = self._store().read().drop("__mv")
+        cond = None
+        for k in self.keys:
+            eq = stored[k].eqNullSafe(delta[k])  # NULL key = a group
+            cond = eq if cond is None else (cond & eq)
+
+        def _sum(c):
+            nn = (F.coalesce(stored[f"mv_nn_{c}"], F.lit(0))
+                  + F.coalesce(delta[f"d_nn_{c}"], F.lit(0)))
+            s = (F.coalesce(stored[f"mv_sum_{c}"], F.lit(0.0))
+                 + F.coalesce(delta[f"d_sum_{c}"], F.lit(0.0)))
+            return [F.when(nn > 0, s).alias(f"mv_sum_{c}"),
+                    nn.alias(f"mv_nn_{c}")]
+
+        merged = (stored.join(delta, cond, "full_outer")
                   .select(
-                      *self.keys,
-                      (F.coalesce(F.col("mv_count"), F.lit(0))
-                       + F.coalesce(F.col("d_count"), F.lit(0)))
+                      *[F.coalesce(stored[k], delta[k]).alias(k)
+                        for k in self.keys],
+                      (F.coalesce(stored["mv_count"], F.lit(0))
+                       + F.coalesce(delta["d_count"], F.lit(0)))
                       .alias("mv_count"),
-                      *[(F.coalesce(F.col(f"mv_sum_{c}"), F.lit(0.0))
-                         + F.coalesce(F.col(f"d_sum_{c}"), F.lit(0.0)))
-                        .alias(f"mv_sum_{c}") for c in self.sum_cols])
+                      *[e for c in self.sum_cols for e in _sum(c)])
                   .filter(F.col("mv_count") > 0)
                   .withColumn("__mv", F.lit(0)))
         store = f"gen_{cur}"
+        gen_path = os.path.join(self.root, store)
+        if os.path.isdir(gen_path):
+            # a prior refresh crashed after writing this generation
+            # but before the sidecar swap — it is unreferenced garbage
+            shutil.rmtree(gen_path, ignore_errors=True)
         PartitionedTable.create(
-            self.spark, merged.select(*stored.drop("__mv").columns,
-                                      "__mv"),
-            os.path.join(self.root, store), "__mv")
-        meta = dict(meta, source_version=cur, store=store)
+            self.spark, merged.select(*stored.columns, "__mv"),
+            gen_path, "__mv")
+        self._swap_meta(dict(meta, source_version=cur, store=store))
+        return n_changes
+
+    def _swap_meta(self, meta: dict) -> None:
         tmp = os.path.join(self.root, _META + ".tmp")
         with open(tmp, "w") as f:
             f.write(json.dumps(meta))
         os.replace(tmp, os.path.join(self.root, _META))  # the swap
-        return n_changes
 
     def vacuum(self) -> list[str]:
         """Delete every generation directory except the current one

@@ -1117,7 +1117,10 @@ class PartitionedTable:
         one — exactly-once replay protection must survive a rollback.
         ``changes()`` across the restore commit reports exactly the
         rows that came back or disappeared (it is an ordinary manifest
-        diff)."""
+        diff).  CHECK constraints are NOT re-validated against the
+        restored content (they gate row-producing batches, not
+        manifest-level rollbacks) — if a constraint was added after
+        the target version, validate explicitly before restoring."""
         cur = self._manifest()
         old = self._manifest(version)
         self._commit(cur["version"] + 1, old["partition_col"],

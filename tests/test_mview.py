@@ -77,3 +77,57 @@ def test_refresh_swap_is_atomic_and_vacuumable(src, spark, tmp_path):
 def test_open_missing_view_raises(src, spark, tmp_path):
     with pytest.raises(DatabaseException, match="no materialized view"):
         MaterializedView(spark, src, str(tmp_path / "nope"))
+
+
+def test_refresh_null_keys_and_null_sums(spark, tmp_path):
+    """NULL group keys are ordinary groups (SQL GROUP BY), and a group
+    whose sum contributions are all NULL stays SUM=NULL across
+    refreshes — both must match a from-scratch recompute."""
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, None, 2.0), (3, None, 3.0),
+         (4, "N", None), (5, "N", None), (6, "p", 6.0)],
+        "id long, grp string, amt double")
+    src = PartitionedTable.create(spark, df.withColumn(
+        "part", F.coalesce(F.col("grp"), F.lit("null"))),
+        str(tmp_path / "s"), "part")
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"])
+    src.delete(F.col("id") == 2)        # churn a NULL-key group
+    src.insert(spark.createDataFrame(
+        [(7, None, 7.0, "null"), (8, "N", None, "N")],
+        "id long, grp string, amt double, part string"))
+    assert mv.refresh() > 0
+    got = {r["grp"]: (r["mv_count"], r["mv_sum_amt"])
+           for r in mv.read().collect()}
+    want = {r["grp"]: (r["n"], r["s"]) for r in
+            src.read().groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("amt").alias("s")).collect()}
+    assert got == want
+    assert got[None] == (2, 10.0)       # NULL key folded, not dropped
+    assert got["N"] == (3, None)        # all-NULL sums stay NULL
+
+
+def test_refresh_rowfree_commit_is_metadata_only(src, spark, tmp_path):
+    """A source commit that changes no rows (OPTIMIZE) advances the
+    recorded version WITHOUT rewriting the store generation."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"])
+    gen = mv._meta()["store"]
+    src.optimize()
+    assert mv.refresh() == 0
+    assert mv._meta()["store"] == gen            # no new generation
+    assert mv.refreshed_version() == src.versions()[-1]
+
+
+def test_refresh_reclaims_orphaned_generation(src, spark, tmp_path):
+    """A generation directory left by a refresh that crashed before
+    its sidecar swap must not wedge the retry."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"])
+    src.insert(spark.createDataFrame([(9, "A", 9.0)],
+                                     "id long, grp string, amt double"))
+    orphan = os.path.join(mv.root, f"gen_{src.versions()[-1]}")
+    os.makedirs(orphan)                          # simulate the crash
+    assert mv.refresh() > 0                      # retry reclaims it
+    assert _as_dict(mv) == _recompute(src)
