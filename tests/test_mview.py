@@ -131,3 +131,58 @@ def test_refresh_reclaims_orphaned_generation(src, spark, tmp_path):
     os.makedirs(orphan)                          # simulate the crash
     assert mv.refresh() > 0                      # retry reclaims it
     assert _as_dict(mv) == _recompute(src)
+
+
+def test_mview_random_dml_refresh_matches_recompute(spark, tmp_path):
+    """Property test: random insert/delete/update churn on the source
+    with refreshes at random points — after every refresh the view
+    equals a from-scratch recompute (counts exact, sums to 1e-6)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    grps = ["A", "B", "C"]
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def run(data):
+        import uuid as _uuid
+
+        tag = _uuid.uuid4().hex
+        df = spark.createDataFrame(
+            [(i, grps[i % 3], float(i)) for i in range(1, 8)],
+            "id long, grp string, amt double")
+        src = PartitionedTable.create(spark, df,
+                                      str(tmp_path / f"s{tag}"), "grp")
+        mv = MaterializedView.create(spark, src,
+                                     str(tmp_path / f"m{tag}"),
+                                     keys=["grp"], sum_cols=["amt"])
+        next_id = 100
+        for _ in range(data.draw(st.integers(2, 4))):
+            op = data.draw(st.sampled_from(
+                ["insert", "delete", "update", "refresh"]))
+            if op == "insert":
+                src.insert(spark.createDataFrame(
+                    [(next_id, data.draw(st.sampled_from(grps)),
+                      float(next_id))],
+                    "id long, grp string, amt double"))
+                next_id += 1
+            elif op == "delete":
+                src.delete(F.col("id") % data.draw(
+                    st.integers(2, 5)) == 0)
+            elif op == "update":
+                src.update(F.col("id") < data.draw(st.integers(3, 90)),
+                           {"amt": F.col("amt") + 1.0})
+            else:
+                mv.refresh()
+        mv.refresh()
+        got = _as_dict(mv)
+        want = _recompute(src)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], k
+            if want[k][1] is None:
+                assert got[k][1] is None, k
+            else:
+                assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+    run()
