@@ -850,6 +850,78 @@ def q_table_history(spark, sf_dir):
     return out
 
 
+def q_stream_to_mview(spark, sf_dir):
+    """Capstone composition — the full incremental-pipeline shape:
+    a file stream (the Kafka stand-in) lands in a PartitionedTable
+    through the EXACTLY-ONCE foreachBatch sink (per-sink batch
+    watermarks in the manifest), and the downstream materialized view
+    refreshes by folding ONLY the change feed.  In-entry contract
+    raises (must survive ``python -O``): the refresh must fold > 0
+    change rows; a replayed batch id must be a dedup no-op (the
+    exactly-once guarantee) after which refresh folds 0; and the view
+    must equal a from-scratch recompute.  Sums surface as CENTS
+    (exact-integer totals of 2-decimal prices, so cross-engine double
+    noise cannot move a rounding boundary).  The oracle replays the
+    final aggregate in SQL."""
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    subset = (db.table("orders")
+              .filter(F.col("o_orderkey") % 50 == 0)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    with _scratch_base("smv", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark, subset.filter(F.col("o_orderkey") % 100 == 0),
+            f"{base}/orders", "o_orderstatus")
+        mv = MaterializedView.create(spark, pt, f"{base}/mv",
+                                     keys=["o_orderstatus"],
+                                     sum_cols=["o_totalprice"])
+        late = subset.filter(F.col("o_orderkey") % 100 == 50)
+        late.write.parquet(f"{base}/src")
+        q = (spark.readStream
+             .schema("o_orderkey bigint, o_orderstatus string, "
+                     "o_totalprice double")
+             .parquet(f"{base}/src")
+             .writeStream.option("checkpointLocation", f"{base}/ckpt")
+             .foreachBatch(pt.foreach_batch_sink("ingest"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        if mv.refresh() == 0:
+            raise RuntimeError("refresh must fold the streamed rows")
+        wm = pt._manifest().get("txns", {}).get("ingest")
+        if wm is None:
+            raise RuntimeError("sink watermark missing from manifest")
+        if pt.idempotent_append(late.limit(1), "ingest", wm):
+            raise RuntimeError(
+                "replayed batch id must be an exactly-once no-op")
+        if mv.refresh() != 0:
+            raise RuntimeError("no-op replay must leave nothing to fold")
+        got = {r["o_orderstatus"]: (r["mv_count"],
+                                    r["mv_sum_o_totalprice"])
+               for r in mv.read().collect()}
+        want = {r[0]: (r[1], r[2]) for r in
+                pt.read().groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)), F.sum("o_totalprice")).collect()}
+        if set(got) != set(want) or any(
+                got[k][0] != want[k][0]
+                or abs(got[k][1] - want[k][1]) > 1e-4 for k in want):
+            raise RuntimeError(
+                f"view diverged from recompute: {got} vs {want}")
+        out = (mv.read()
+               .select("o_orderstatus",
+                       F.col("mv_count").cast("bigint").alias("n_rows"),
+                       F.round(F.col("mv_sum_o_totalprice") * 100, 0)
+                       .cast("bigint").alias("total_cents"))
+               .localCheckpoint())
+    return out
+
+
 def q_cdf_feed(spark, sf_dir):
     """Change data feed over a PartitionedTable version trail (Delta
     CDF ``table_changes`` semantics: updates surface as delete+insert
@@ -4085,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mview_refresh": q_mview_refresh,
         "table_history": q_table_history,
         "audio_chunks": q_audio_chunks,
+        "stream_to_mview": q_stream_to_mview,
         "mvcc_vacuum": q_mvcc_vacuum,
         "optimizer_cardinality": q_optimizer_cardinality,
         "partitioned_dml": q_partitioned_dml,
@@ -5074,6 +5147,12 @@ def oracle_sql() -> dict[str, str]:
             "(1, 'INSERT', 5, 6), "
             "(2, 'DELETE', 4, 5)) "
             "AS t(version, op, n_partitions, n_dirs)"),
+        "stream_to_mview": (
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(round(SUM(o_totalprice) * 100, 0) AS BIGINT) "
+            "  AS total_cents "
+            "FROM orders WHERE o_orderkey % 50 = 0 "
+            "GROUP BY o_orderstatus"),
         "mview_refresh": (
             "WITH cur AS ("
             "  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
