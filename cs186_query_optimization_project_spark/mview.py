@@ -62,6 +62,7 @@ class MaterializedView:
         meta = self._meta()
         self.keys: list[str] = meta["keys"]
         self.sum_cols: list[str] = meta["sum_cols"]
+        self.filter_sql: str | None = meta.get("filter_sql")
 
     def _meta(self) -> dict:
         with open(os.path.join(self.root, _META)) as f:
@@ -89,14 +90,23 @@ class MaterializedView:
     @classmethod
     def create(cls, spark: SparkSession, source: PartitionedTable,
                root: str, keys: list[str],
-               sum_cols: list[str] | None = None) -> "MaterializedView":
+               sum_cols: list[str] | None = None,
+               filter_sql: str | None = None) -> "MaterializedView":
         """Materialize the initial aggregate (ONE full-source scan —
         the only one the view will ever do) and record the source
-        version it reflects."""
+        version it reflects.  ``filter_sql`` makes it a PREDICATE view
+        (``SELECT keys, agg FROM src WHERE <filter> GROUP BY keys``):
+        selection commutes with the signed-delta algebra, so refresh
+        simply applies the same predicate to the change feed before
+        folding — rows entering or leaving the predicate via UPDATE
+        surface in CDF as delete+insert pairs and fold correctly."""
         sum_cols = sum_cols or []
         root = root.rstrip("/")
         src_version = source.versions()[-1]
-        agg = cls._aggregate(source.read(), keys, sum_cols) \
+        base = source.read()
+        if filter_sql:
+            base = base.filter(F.expr(filter_sql))
+        agg = cls._aggregate(base, keys, sum_cols) \
             .withColumn("__mv", F.lit(0))
         os.makedirs(root, exist_ok=False)
         store = f"gen_{src_version}"
@@ -104,6 +114,7 @@ class MaterializedView:
                                 "__mv")
         with open(os.path.join(root, _META), "x") as f:
             f.write(json.dumps({"keys": keys, "sum_cols": sum_cols,
+                                "filter_sql": filter_sql,
                                 "source_version": src_version,
                                 "store": store}))
         return cls(spark, source, root)
@@ -137,7 +148,10 @@ class MaterializedView:
             return 0
         # one materialization of the churn (bounded by CDF size): the
         # count, the delta aggregation, and the merge all read it
-        feed = self.source.changes(last, cur).localCheckpoint()
+        feed = self.source.changes(last, cur)
+        if self.filter_sql:
+            feed = feed.filter(F.expr(self.filter_sql))
+        feed = feed.localCheckpoint()
         n_changes = feed.count()
         if n_changes == 0:
             self._swap_meta(dict(meta, source_version=cur))

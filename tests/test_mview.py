@@ -186,3 +186,30 @@ def test_mview_random_dml_refresh_matches_recompute(spark, tmp_path):
                 assert abs(got[k][1] - want[k][1]) < 1e-6, k
 
     run()
+
+
+def test_predicate_view_refresh_matches_filtered_recompute(
+        src, spark, tmp_path):
+    """A filter_sql view maintains SELECT keys, agg WHERE <pred>:
+    updates moving rows INTO and OUT OF the predicate fold correctly
+    (CDF surfaces them as delete+insert pairs)."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"],
+                                 filter_sql="amt >= 25.0")
+    def recompute():
+        return {r["grp"]: (r["n"], r["s"]) for r in
+                src.read().filter("amt >= 25.0").groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("amt").alias("s")).collect()}
+    assert _as_dict(mv) == recompute()
+    # id=2 (A, 20) moves INTO the predicate; id=3 (B, 30) moves OUT
+    src.update(F.col("id") == 2, {"amt": F.lit(26.0)})
+    src.update(F.col("id") == 3, {"amt": F.lit(1.0)})
+    src.insert(spark.createDataFrame([(9, "D", 99.0), (10, "D", 1.0)],
+                                     "id long, grp string, amt double"))
+    assert mv.refresh() > 0
+    got = _as_dict(mv)
+    assert got == recompute()
+    assert got["B"] == (1, 40.0)       # id=3 left; (4, 40) remains
+    assert got["D"] == (1, 99.0)       # only the qualifying insert
+    assert got["A"] == (1, 26.0)       # 20->26 entered the predicate
