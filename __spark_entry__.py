@@ -890,8 +890,13 @@ def q_stream_to_mview(spark, sf_dir):
              .writeStream.option("checkpointLocation", f"{base}/ckpt")
              .foreachBatch(pt.foreach_batch_sink("ingest"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
         q.stop()
+        if not finished:
+            raise RuntimeError(
+                "ingest stream timed out before draining — a partial "
+                "ingest would pass the in-entry contracts but diverge "
+                "from the oracle untraceably")
         if mv.refresh() == 0:
             raise RuntimeError("refresh must fold the streamed rows")
         wm = pt._manifest().get("txns", {}).get("ingest")
@@ -908,9 +913,14 @@ def q_stream_to_mview(spark, sf_dir):
         want = {r[0]: (r[1], r[2]) for r in
                 pt.read().groupBy("o_orderstatus")
                 .agg(F.count(F.lit(1)), F.sum("o_totalprice")).collect()}
+        # compare SUMs as exact-integer cents (the same representation
+        # the output uses): an absolute float tolerance would fail
+        # spuriously once group magnitude grows with SF, while cents of
+        # exact-2-decimal prices can never sit on a rounding boundary
         if set(got) != set(want) or any(
                 got[k][0] != want[k][0]
-                or abs(got[k][1] - want[k][1]) > 1e-4 for k in want):
+                or round(got[k][1] * 100) != round(want[k][1] * 100)
+                for k in want):
             raise RuntimeError(
                 f"view diverged from recompute: {got} vs {want}")
         out = (mv.read()
@@ -4134,19 +4144,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries in registry order.  Round-10 policy (the r9 verdict's #2
     # item, carried from r8): rotate the window to the STALEST evidence
-    # first — the 19 entries new this round (never driver-checked: the
+    # first — the 20 entries new this round (never driver-checked: the
     # delta-lite batch, then metadata_agg / embedding_quantize / pq_ann
     # / ivfpq_probe / hybrid_search / restore_clone / check_constraints
-    # / mview_refresh / table_history / audio_chunks), then the entries
-    # whose last driver-green row is r4, filling the 50-entry window.
-    # r5-era rows pushed below the line (streaming_interval_join,
+    # / mview_refresh / table_history / audio_chunks /
+    # stream_to_mview), then the entries whose last driver-green row is
+    # r4, filling the 50-entry window.  r5-era rows pushed below the
+    # line (streaming_stateful_totals, streaming_interval_join,
     # bucketed_join, range_join, salted_join, zorder_scan,
     # time_window_agg, pack_sequences, chunk_documents) lead the next
     # rotation.  Every query — in or below the window — was verified
     # this round by tools/check_contract.py at sf0.01 (the newest
     # under --vanilla, the driver's plain session).
     return {
-        # --- new this round (round 10): never driver-checked (19) ---
+        # --- new this round (round 10): never driver-checked (20) ---
         "metadata_agg": q_metadata_agg,
         "embedding_quantize": q_embedding_quantize,
         "pq_ann": q_pq_ann,

@@ -239,10 +239,10 @@ def chunk_audio(df: DataFrame, chunk_seconds: int = 2,
             for doc_id, payload, meta in zip(
                     pdf[id_col], pdf[asset_col], pdf[meta_col]):
                 payload = payload or b""
-                # clamp the rate itself, not just chunk_len: a zero or
-                # negative sample_rate must degrade, not divide by zero
-                # in the duration below
-                rate = max(int(meta["sample_rate"]), 1) \
+                # clamp the rate itself, not just chunk_len: a zero,
+                # negative, or NULL sample_rate must degrade, not
+                # divide by zero (or TypeError) in the duration below
+                rate = max(int(meta["sample_rate"] or 1), 1) \
                     if meta is not None else 1
                 chunk_len = max(rate * chunk_seconds, 1)
                 n = max((len(payload) + chunk_len - 1) // chunk_len, 1)

@@ -28,6 +28,11 @@ a reader re-opening the view sees either the old consistent pair or
 the new one, never a half-applied refresh.  Old generations persist
 until :meth:`MaterializedView.vacuum` (same reachability discipline as
 ``PartitionedTable.vacuum``).
+
+Store format: generations persist (keys, mv_count, mv_sum_<c>,
+mv_nn_<c>) — the non-null counts are load-bearing for NULL-correct
+sums, so a store written by a pre-mv_nn build cannot refresh; rebuild
+the view (create) rather than migrating.
 """
 
 from __future__ import annotations
@@ -191,11 +196,15 @@ class MaterializedView:
                       *[e for c in self.sum_cols for e in _sum(c)])
                   .filter(F.col("mv_count") > 0)
                   .withColumn("__mv", F.lit(0)))
-        store = f"gen_{cur}"
+        # pid-suffixed generation name: a CONCURRENT refresher writes
+        # its own directory (last sidecar swap wins atomically, nobody
+        # rmtrees a live peer's in-flight write), while a crashed
+        # refresh's orphan — reclaimed here only when it carries OUR
+        # pid, i.e. a recycled-pid leftover, never a live writer — or
+        # any non-current generation falls to vacuum()
+        store = f"gen_{cur}_{os.getpid()}"
         gen_path = os.path.join(self.root, store)
         if os.path.isdir(gen_path):
-            # a prior refresh crashed after writing this generation
-            # but before the sidecar swap — it is unreferenced garbage
             shutil.rmtree(gen_path, ignore_errors=True)
         PartitionedTable.create(
             self.spark, merged.select(*stored.columns, "__mv"),
