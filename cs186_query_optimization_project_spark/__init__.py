@@ -27,6 +27,11 @@ PySpark package:
 - ``transactions``: optimistic snapshot transactions over the copy-on-write
   table versions (the cluster-honest analog of the reference's 2PL,
   ``db/concurrency/LockManager.java``).
+- ``PartitionedTable`` / ``MaterializedView``: the delta-lite lakehouse
+  layer — partition-level copy-on-write MVCC with MERGE / OPTIMIZE /
+  VACUUM / RESTORE / shallow CLONE / CHECK constraints / DESCRIBE
+  HISTORY / change data feed / exactly-once streaming sinks, and
+  CDF-refreshed incremental aggregate views.
 
 Everything is declarative DataFrame/SQL so Catalyst + Tungsten handle
 physical execution (pushdown, pruning, codegen, AQE); nothing from the
@@ -37,11 +42,16 @@ from cs186_query_optimization_project_spark.concurrency import (
     PessimisticTransaction,
 )
 from cs186_query_optimization_project_spark.database import Database
+from cs186_query_optimization_project_spark.mview import MaterializedView
+from cs186_query_optimization_project_spark.partitioned import (
+    PartitionedTable,
+)
 from cs186_query_optimization_project_spark.predicates import PredicateOperator
 from cs186_query_optimization_project_spark.session import get_spark, stop_spark
 from cs186_query_optimization_project_spark.transactions import Transaction
 
-__all__ = ["Database", "PessimisticTransaction", "PredicateOperator",
+__all__ = ["Database", "MaterializedView", "PartitionedTable",
+           "PessimisticTransaction", "PredicateOperator",
            "Transaction", "get_spark", "stop_spark"]
 
 __version__ = "0.1.0"
