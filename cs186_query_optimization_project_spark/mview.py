@@ -128,12 +128,21 @@ class MaterializedView:
     def refreshed_version(self) -> int:
         return self._meta()["source_version"]
 
-    def read(self) -> DataFrame:
+    def read(self, with_avg: bool = False) -> DataFrame:
         """The stored aggregate as of the last refresh (stale reads are
         the contract — consistency is 'reflects source version N',
-        recorded and queryable)."""
-        return self._store().read().drop(
-            "__mv", *[f"mv_nn_{c}" for c in self.sum_cols])
+        recorded and queryable).  ``with_avg=True`` derives
+        ``mv_avg_<c>`` the way SQL AVG does — sum over the NON-NULL
+        contribution count (which the store maintains), not over the
+        row count — so an all-NULL group averages to NULL, never 0."""
+        out = self._store().read().drop("__mv")
+        if with_avg:
+            for c in self.sum_cols:
+                out = out.withColumn(
+                    f"mv_avg_{c}",
+                    F.when(F.col(f"mv_nn_{c}") > 0,
+                           F.col(f"mv_sum_{c}") / F.col(f"mv_nn_{c}")))
+        return out.drop(*[f"mv_nn_{c}" for c in self.sum_cols])
 
     # ------------------------------------------------------------------ #
     def refresh(self) -> int:

@@ -213,3 +213,22 @@ def test_predicate_view_refresh_matches_filtered_recompute(
     assert got["B"] == (1, 40.0)       # id=3 left; (4, 40) remains
     assert got["D"] == (1, 99.0)       # only the qualifying insert
     assert got["A"] == (1, 26.0)       # 20->26 entered the predicate
+
+
+def test_read_with_avg_uses_nonnull_count(src, spark, tmp_path):
+    """AVG derives as sum / NON-NULL count (SQL AVG), so a group with
+    NULL contributions averages over the values that exist and an
+    all-NULL group averages to NULL — matching a direct F.avg."""
+    src.insert(spark.createDataFrame(
+        [(8, "A", None), (9, "E", None)],
+        "id long, grp string, amt double"))
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"])
+    got = {r["grp"]: r["mv_avg_amt"]
+           for r in mv.read(with_avg=True).collect()}
+    want = {r["grp"]: r["a"] for r in
+            src.read().groupBy("grp")
+            .agg(F.avg("amt").alias("a")).collect()}
+    assert got == want
+    assert got["A"] == 15.0        # (10+20)/2, the NULL row excluded
+    assert got["E"] is None        # all-NULL group -> NULL, not 0
