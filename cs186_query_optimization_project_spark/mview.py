@@ -13,33 +13,44 @@ a from-scratch recompute exactly.
 
 Scale shape: the delta aggregation shuffles only the CHURNED rows'
 keys (CDF cost tracks churn, not table size); the merge joins the
-delta — grouped, so ≤ |churned keys| rows — against the stored
-aggregate, which is |groups|-sized, not table-sized.  A 100 TB fact
-table with a 1 GB/day churn refreshes in churn time.  AVG and other
-algebraic aggregates derive from (sum, count) at read time; MIN/MAX
-are NOT maintainable from deltas alone (a deleted max needs a rescan)
-and are deliberately out of scope, like most engines' incremental MV
-restrictions.
+delta — grouped, so ≤ |churned keys| rows — against only the stored
+BUCKETS the delta touches.  The store is itself a
+:class:`PartitionedTable` hash-partitioned on ``pmod(hash(keys),
+n_buckets)``, so a refresh rewrites O(churned buckets) directories and
+every untouched bucket's directory is SHARED across store versions via
+the manifest — at 10⁹ groups a 1-row churn rewrites 1/n_buckets of the
+store, not all of it.  A 100 TB fact table with a 1 GB/day churn
+refreshes in churn time.  AVG and other algebraic aggregates derive
+from (sum, count) at read time; MIN/MAX are NOT maintainable from
+deltas alone (a deleted max needs a rescan) and are deliberately out
+of scope, like most engines' incremental MV restrictions.
 
-Refresh is ATOMIC via a store-pointer swap: the merged aggregate
-materializes into a fresh generation directory, then one
-``os.replace`` of the sidecar flips (source_version, store) together —
-a reader re-opening the view sees either the old consistent pair or
-the new one, never a half-applied refresh.  Old generations persist
-until :meth:`MaterializedView.vacuum` (same reachability discipline as
-``PartitionedTable.vacuum``).
+Refresh is ATOMIC via a version-pointer swap: the merged buckets
+commit as a new STORE version (one ``overwrite_partitions`` commit —
+first-committer-wins, so concurrent refreshers surface as a named
+``ConflictException`` instead of a lost update), then one
+``os.replace`` of the sidecar flips (source_version, store_version)
+together — a reader re-opening the view sees either the old
+consistent pair or the new one, never a half-applied refresh.  A
+refresh that crashed between the store commit and the sidecar swap is
+self-healing: the retry reads the stored aggregate at the PINNED
+sidecar version and re-folds the full outstanding CDF range, whose
+touched-bucket set is a superset of the crashed attempt's, so every
+bucket the orphaned store version altered is overwritten from
+consistent inputs.  Old store versions persist until
+:meth:`MaterializedView.vacuum` (same reachability discipline as
+``PartitionedTable.vacuum``, never reclaiming the pinned version).
 
-Store format: generations persist (keys, mv_count, mv_sum_<c>,
-mv_nn_<c>) — the non-null counts are load-bearing for NULL-correct
-sums, so a store written by a pre-mv_nn build cannot refresh; rebuild
-the view (create) rather than migrating.
+Store format: buckets persist (keys, mv_count, mv_sum_<c>, mv_nn_<c>,
+__mv) — the non-null counts are load-bearing for NULL-correct sums,
+so a store written by a pre-mv_nn build cannot refresh; rebuild the
+view (create) rather than migrating.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +79,7 @@ class MaterializedView:
         self.keys: list[str] = meta["keys"]
         self.sum_cols: list[str] = meta["sum_cols"]
         self.filter_sql: str | None = meta.get("filter_sql")
+        self.n_buckets: int = meta["n_buckets"]
 
     def _meta(self) -> dict:
         with open(os.path.join(self.root, _META)) as f:
@@ -75,7 +87,14 @@ class MaterializedView:
 
     def _store(self) -> PartitionedTable:
         return PartitionedTable(
-            self.spark, os.path.join(self.root, self._meta()["store"]))
+            self.spark, os.path.join(self.root, "store"))
+
+    def _bucket(self) -> F.Column:
+        # Murmur3 is deterministic across sessions, and F.hash of an
+        # all-NULL key tuple is still a concrete int, so a NULL group
+        # key lands in a stable bucket like any other group
+        return F.pmod(F.hash(*[F.col(k) for k in self.keys]),
+                      F.lit(self.n_buckets)).cast("int")
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -96,46 +115,63 @@ class MaterializedView:
     def create(cls, spark: SparkSession, source: PartitionedTable,
                root: str, keys: list[str],
                sum_cols: list[str] | None = None,
-               filter_sql: str | None = None) -> "MaterializedView":
+               filter_sql: str | None = None,
+               n_buckets: int = 32) -> "MaterializedView":
         """Materialize the initial aggregate (ONE full-source scan —
-        the only one the view will ever do) and record the source
-        version it reflects.  ``filter_sql`` makes it a PREDICATE view
-        (``SELECT keys, agg FROM src WHERE <filter> GROUP BY keys``):
-        selection commutes with the signed-delta algebra, so refresh
-        simply applies the same predicate to the change feed before
-        folding — rows entering or leaving the predicate via UPDATE
-        surface in CDF as delete+insert pairs and fold correctly."""
+        the only one the view will ever do) into ``n_buckets``
+        key-hash buckets and record the source version it reflects.
+        ``filter_sql`` makes it a PREDICATE view (``SELECT keys, agg
+        FROM src WHERE <filter> GROUP BY keys``): selection commutes
+        with the signed-delta algebra, so refresh simply applies the
+        same predicate to the change feed before folding — rows
+        entering or leaving the predicate via UPDATE surface in CDF as
+        delete+insert pairs and fold correctly.  Size ``n_buckets`` so
+        one bucket's groups fit a write task comfortably (|groups| /
+        n_buckets rows each); it is fixed for the view's lifetime."""
         sum_cols = sum_cols or []
         root = root.rstrip("/")
+        if n_buckets < 1:
+            raise DatabaseException(
+                f"materialized view '{root}': n_buckets must be >= 1, "
+                f"got {n_buckets}")
         src_version = source.versions()[-1]
         base = source.read()
         if filter_sql:
             base = base.filter(F.expr(filter_sql))
+        bucket = F.pmod(F.hash(*[F.col(k) for k in keys]),
+                        F.lit(n_buckets)).cast("int")
         agg = cls._aggregate(base, keys, sum_cols) \
-            .withColumn("__mv", F.lit(0))
+            .withColumn("__mv", bucket)
         os.makedirs(root, exist_ok=False)
-        store = f"gen_{src_version}"
-        PartitionedTable.create(spark, agg, os.path.join(root, store),
-                                "__mv")
+        store = PartitionedTable.create(
+            spark, agg, os.path.join(root, "store"), "__mv")
         with open(os.path.join(root, _META), "x") as f:
             f.write(json.dumps({"keys": keys, "sum_cols": sum_cols,
                                 "filter_sql": filter_sql,
                                 "source_version": src_version,
-                                "store": store}))
+                                "n_buckets": n_buckets,
+                                "store_version":
+                                    store.versions()[-1]}))
         return cls(spark, source, root)
 
     # ------------------------------------------------------------------ #
     def refreshed_version(self) -> int:
         return self._meta()["source_version"]
 
+    def store_version(self) -> int:
+        return self._meta()["store_version"]
+
     def read(self, with_avg: bool = False) -> DataFrame:
         """The stored aggregate as of the last refresh (stale reads are
         the contract — consistency is 'reflects source version N',
-        recorded and queryable).  ``with_avg=True`` derives
-        ``mv_avg_<c>`` the way SQL AVG does — sum over the NON-NULL
-        contribution count (which the store maintains), not over the
-        row count — so an all-NULL group averages to NULL, never 0."""
-        out = self._store().read().drop("__mv")
+        recorded and queryable).  Reads the store at the PINNED
+        version, so an in-flight concurrent refresh is invisible.
+        ``with_avg=True`` derives ``mv_avg_<c>`` the way SQL AVG does —
+        sum over the NON-NULL contribution count (which the store
+        maintains), not over the row count — so an all-NULL group
+        averages to NULL, never 0."""
+        out = self._store().read(
+            version=self._meta()["store_version"]).drop("__mv")
         if with_avg:
             for c in self.sum_cols:
                 out = out.withColumn(
@@ -148,13 +184,14 @@ class MaterializedView:
     def refresh(self) -> int:
         """Fold the source's CDF since the last refreshed version into
         the stored aggregate; returns the number of CHANGE rows folded.
-        Never rescans the source.  Row-free source commits (OPTIMIZE,
-        constraint changes, a no-op restore) advance the recorded
-        version WITHOUT rewriting the store; the group-key merge join
-        is NULL-safe (a NULL group key is an ordinary group, as in SQL
-        GROUP BY); and an orphaned generation directory left by a
-        refresh that crashed before its sidecar swap is reclaimed on
-        the retry."""
+        Never rescans the source, and never rewrites a bucket the
+        churn didn't touch: the merge reads only the touched buckets
+        (manifest-pruned) and ``overwrite_partitions`` re-links every
+        other bucket's directory unchanged.  Row-free source commits
+        (OPTIMIZE, constraint changes, a no-op restore) advance the
+        recorded version WITHOUT a store commit; the group-key merge
+        join is NULL-safe (a NULL group key is an ordinary group, as
+        in SQL GROUP BY)."""
         meta = self._meta()
         last = meta["source_version"]
         cur = self.source.versions()[-1]
@@ -180,8 +217,17 @@ class MaterializedView:
                          .alias(f"d_sum_{c}"),
                          F.sum(F.col(c).isNotNull().cast("long")
                                * F.col("__sign"))
-                         .alias(f"d_nn_{c}"))]))
-        stored = self._store().read().drop("__mv")
+                         .alias(f"d_nn_{c}"))])
+                 .withColumn("__mv", self._bucket())
+                 .localCheckpoint())
+        # ≤ n_buckets values — the bounded collect that turns the
+        # merge into a touched-bucket-only read and write
+        touched = sorted(r[0] for r in
+                         delta.select("__mv").distinct().collect())
+        store = self._store()
+        stored = store.read(version=meta["store_version"],
+                            partition_values=touched).drop("__mv")
+        delta = delta.drop("__mv")
         cond = None
         for k in self.keys:
             eq = stored[k].eqNullSafe(delta[k])  # NULL key = a group
@@ -204,21 +250,16 @@ class MaterializedView:
                       .alias("mv_count"),
                       *[e for c in self.sum_cols for e in _sum(c)])
                   .filter(F.col("mv_count") > 0)
-                  .withColumn("__mv", F.lit(0)))
-        # pid-suffixed generation name: a CONCURRENT refresher writes
-        # its own directory (last sidecar swap wins atomically, nobody
-        # rmtrees a live peer's in-flight write), while a crashed
-        # refresh's orphan — reclaimed here only when it carries OUR
-        # pid, i.e. a recycled-pid leftover, never a live writer — or
-        # any non-current generation falls to vacuum()
-        store = f"gen_{cur}_{os.getpid()}"
-        gen_path = os.path.join(self.root, store)
-        if os.path.isdir(gen_path):
-            shutil.rmtree(gen_path, ignore_errors=True)
-        PartitionedTable.create(
-            self.spark, merged.select(*stored.columns, "__mv"),
-            gen_path, "__mv")
-        self._swap_meta(dict(meta, source_version=cur, store=store))
+                  .withColumn("__mv", self._bucket()))
+        # ONE first-committer-wins store commit replaces exactly the
+        # touched buckets; a concurrent refresher loses with a named
+        # ConflictException (no lost update), a crashed refresher's
+        # orphan store version is absorbed by the next retry (see
+        # module docstring)
+        store.overwrite_partitions(
+            merged.select(*stored.columns, "__mv"), touched)
+        self._swap_meta(dict(meta, source_version=cur,
+                             store_version=store.versions()[-1]))
         return n_changes
 
     def _swap_meta(self, meta: dict) -> None:
@@ -228,15 +269,12 @@ class MaterializedView:
         os.replace(tmp, os.path.join(self.root, _META))  # the swap
 
     def vacuum(self) -> list[str]:
-        """Delete every generation directory except the current one
-        (readers holding an old handle must re-open — same discipline
-        as ``PartitionedTable.vacuum``)."""
-        keep = self._meta()["store"]
-        removed = []
-        for name in sorted(os.listdir(self.root)):
-            p = os.path.join(self.root, name)
-            if name.startswith("gen_") and name != keep \
-                    and os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
-                removed.append(p)
-        return removed
+        """Reclaim store versions OLDER than the pinned one (readers
+        holding an old handle must re-open — same discipline as
+        ``PartitionedTable.vacuum``).  Directories shared with the
+        pinned version survive (manifest reachability), so vacuum cost
+        tracks refresh churn, not store size."""
+        store = self._store()
+        pinned = self._meta()["store_version"]
+        newer = len([v for v in store.versions() if v > pinned])
+        return store.vacuum(keep_last=newer + 1)

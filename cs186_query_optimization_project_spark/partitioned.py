@@ -515,6 +515,52 @@ class PartitionedTable:
                      man.get("tombstones", {}), op="INSERT")
         return self
 
+    def overwrite_partitions(self, rows: DataFrame,
+                             partition_values: list) \
+            -> "PartitionedTable":
+        """Delta ``replaceWhere`` on the partition column: ONE commit
+        that swaps the named partitions' entire directory lists for
+        ``rows``' content.  Untouched partitions re-link (no byte of
+        them is read or written); a named partition with no rows in
+        ``rows`` is REMOVED (its key drops from the manifest, and
+        ``changes()`` reports its old rows as deletes).  Rows falling
+        outside the named partitions are refused — the guard that makes
+        the operation safe to compose (an incremental-refresh caller
+        proves it only touches what it planned to touch).  Cost:
+        O(|rows| write + |partitions| manifest), never O(table)."""
+        man = self._manifest()
+        pcol = man["partition_col"]
+        expected = T._parse_datatype_string(man["schema"])
+        if [(f.name, f.dataType) for f in expected.fields] != \
+                [(f.name, f.dataType) for f in rows.schema.fields]:
+            raise DatabaseException(
+                f"overwrite_partitions into '{self.root}': schema "
+                f"mismatch; table has {expected.simpleString()}, rows "
+                f"have {rows.schema.simpleString()}")
+        if rows.filter(F.col(pcol).isNull()).take(1):
+            raise DatabaseException(
+                f"overwrite_partitions into '{self.root}': NULL "
+                f"partition value")
+        stray = rows.filter(
+            ~F.col(pcol).isin(list(partition_values))).take(1)
+        if stray:
+            raise DatabaseException(
+                f"overwrite_partitions into '{self.root}': rows fall "
+                f"outside the named partitions {partition_values} "
+                f"(e.g. {pcol}={stray[0][pcol]!r})")
+        self._enforce(rows, man.get("constraints", {}),
+                      "overwrite_partitions")
+        parts = {k: list(v) for k, v in man["parts"].items()}
+        for v in partition_values:
+            parts.pop(self._key(v), None)
+        for key, ds in self._write_partitions(rows, pcol).items():
+            parts[key] = ds
+        self._commit(man["version"] + 1, pcol,
+                     T._parse_datatype_string(man["schema"]), parts,
+                     man.get("txns", {}),
+                     man.get("tombstones", {}), op="OVERWRITE")
+        return self
+
     def delete(self, condition) -> "PartitionedTable":
         """SQL DELETE semantics (NULL condition keeps the row, like
         ``Database.delete_rows``), rewriting only partitions that own a
@@ -805,6 +851,7 @@ class PartitionedTable:
         out_parts: list[DataFrame] = []
         prev = self._manifest(from_version)
         for v in steps:
+            n_before = len(out_parts)
             cur = self._manifest(v)
             schema = T._parse_datatype_string(cur["schema"])
             old_tombs = prev.get("tombstones", {})
@@ -854,10 +901,12 @@ class PartitionedTable:
                         self._scan(old_ds, T._parse_datatype_string(
                             prev["schema"]), old_tombs)
                         .withColumn("_change_type", F.lit("delete")))
-            for i in range(len(out_parts)):
-                if "_commit_version" not in out_parts[i].columns:
-                    out_parts[i] = out_parts[i].withColumn(
-                        "_commit_version", F.lit(v).cast("bigint"))
+            # stamp only THIS step's parts (earlier steps are already
+            # stamped) — a full re-scan of the accumulated list per
+            # step would make long version-range reads O(steps²)
+            for i in range(n_before, len(out_parts)):
+                out_parts[i] = out_parts[i].withColumn(
+                    "_commit_version", F.lit(v).cast("bigint"))
             prev = cur
         final_schema = T._parse_datatype_string(
             self._manifest(to_version)["schema"])
@@ -1138,10 +1187,17 @@ class PartitionedTable:
         fresh directories under the CLONE's own root (the source is
         never written), and the clone's :meth:`vacuum` deletes only
         under its own ``parts/``, so it can never reclaim source data.
-        Caveat (identical to Delta shallow clones): vacuuming the
-        SOURCE can delete directories the clone still references —
-        deep-copy (``clone.read().write``) before vacuuming a
-        cloned-from table."""
+
+        The classic Delta shallow-clone hazard — vacuuming the SOURCE
+        deletes directories the clone still references — is GUARDED
+        here: every clone registers its root in the source's
+        ``_clones.json``, and the source's :meth:`vacuum` treats any
+        directory a registered clone's (transitively — a clone of a
+        clone still points at OUR data dirs) retained manifest
+        references as reachable, skipping it.  A clone deleted from
+        disk is pruned from the registry on the next vacuum;
+        :meth:`detach_clone` removes a registration explicitly (after
+        a deep copy)."""
         man = self._manifest(version)
         dest_root = dest_root.rstrip("/")
         os.makedirs(os.path.join(dest_root, "_manifests"),
@@ -1155,14 +1211,81 @@ class PartitionedTable:
                      man["parts"], tombstones=man.get("tombstones"),
                      constraints=man.get("constraints", {}),
                      op="CLONE")
+        self._register_clone(dest_root)
         return PartitionedTable(self.spark, dest_root)
+
+    # ------------------------------------------------------------------ #
+    # clone registry (vacuum-safety for shallow clones)
+    # ------------------------------------------------------------------ #
+    def _clones_path(self) -> str:
+        return os.path.join(self.root, "_clones.json")
+
+    def registered_clones(self) -> list[str]:
+        """Roots of shallow clones registered against this table (the
+        set this table's vacuum protects)."""
+        try:
+            with open(self._clones_path()) as f:
+                return list(json.load(f))
+        except FileNotFoundError:
+            return []
+
+    def _write_clones(self, clones: list[str]) -> None:
+        tmp = self._clones_path() + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(sorted(set(clones)), f)
+        os.replace(tmp, self._clones_path())
+
+    def _register_clone(self, dest_root: str) -> None:
+        self._write_clones(self.registered_clones()
+                           + [os.path.normpath(dest_root)])
+
+    def detach_clone(self, dest_root: str) -> None:
+        """Drop a clone registration (after deep-copying the clone's
+        data out, or after deleting the clone) so this table's vacuum
+        stops protecting the clone's directories."""
+        dest = os.path.normpath(dest_root)
+        self._write_clones([c for c in self.registered_clones()
+                            if os.path.normpath(c) != dest])
+
+    def _clone_referenced(self) -> set[str]:
+        """Directories any registered clone — transitively — still
+        references in a retained manifest.  Dead clones (root gone from
+        disk) are pruned from their parent's registry as a side
+        effect.  Driver cost: O(registered clones × their retained
+        manifests), metadata only; no data directory is opened."""
+        referenced: set[str] = set()
+        seen = {os.path.normpath(self.root)}
+        frontier: list["PartitionedTable"] = [self]
+        while frontier:
+            t = frontier.pop()
+            live = []
+            for c in t.registered_clones():
+                c = os.path.normpath(c)
+                if not os.path.isdir(os.path.join(c, "_manifests")):
+                    continue  # clone deleted — prune below
+                live.append(c)
+                if c in seen:
+                    continue
+                seen.add(c)
+                clone = PartitionedTable(self.spark, c)
+                for v in clone.versions():
+                    for ds in clone._manifest(v)["parts"].values():
+                        referenced.update(os.path.normpath(d)
+                                          for d in ds)
+                frontier.append(clone)
+            if live != t.registered_clones():
+                t._write_clones(live)
+        return referenced
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Reachability-based reclamation: drop manifests older than
         the newest ``keep_last`` retained ones, then delete every data
         directory no retained manifest references.  A directory shared
         with a retained version SURVIVES — vacuum cost tracks churn,
-        not table size.  Returns deleted directories."""
+        not table size.  Directories a registered shallow clone still
+        references are treated as reachable too (see :meth:`clone`),
+        closing the Delta vacuum-after-clone data-loss hazard.
+        Returns deleted directories."""
         import shutil
 
         if keep_last < 1:
@@ -1172,7 +1295,7 @@ class PartitionedTable:
         vs = self.versions()
         for v in vs[:-keep_last] if len(vs) > keep_last else []:
             os.remove(self._manifest_path(v))
-        referenced = set()
+        referenced = self._clone_referenced()
         for v in self.versions():
             for ds in self._manifest(v)["parts"].values():
                 referenced.update(os.path.normpath(d) for d in ds)

@@ -65,13 +65,40 @@ def test_refresh_swap_is_atomic_and_vacuumable(src, spark, tmp_path):
                                  keys=["grp"], sum_cols=["amt"])
     src.insert(spark.createDataFrame([(8, "A", 1.0)],
                                      "id long, grp string, amt double"))
-    old_store = mv._meta()["store"]
+    old_v = mv.store_version()
     mv.refresh()
-    assert mv._meta()["store"] != old_store       # new generation
-    assert os.path.isdir(os.path.join(mv.root, old_store))  # kept
+    assert mv.store_version() > old_v             # new store version
+    assert old_v in mv._store().versions()        # old one retained
     removed = mv.vacuum()
-    assert [os.path.basename(p) for p in removed] == [old_store]
-    assert _as_dict(mv) == _recompute(src)        # current gen intact
+    assert removed                                # reclaimed something
+    assert old_v not in mv._store().versions()
+    assert _as_dict(mv) == _recompute(src)        # pinned version intact
+
+
+def test_refresh_rewrites_only_touched_buckets(src, spark, tmp_path):
+    """The store is hash-bucketed on the group key: a refresh whose
+    churn touches one group must re-link every other bucket's
+    directory UNCHANGED in the new store manifest (the O(churned
+    buckets) contract, checked on the actual manifests)."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"],
+                                 n_buckets=16)
+    v0 = mv.store_version()
+    man0 = mv._store()._manifest(v0)
+    src.insert(spark.createDataFrame([(8, "A", 1.0)],
+                                     "id long, grp string, amt double"))
+    assert mv.refresh() > 0
+    man1 = mv._store()._manifest(mv.store_version())
+    touched = [r[0] for r in
+               spark.createDataFrame([("A",)], "grp string")
+               .select(F.pmod(F.hash("grp"), F.lit(16)).cast("int"))
+               .collect()]
+    tkeys = {str(b) for b in touched}
+    changed = {k for k in set(man0["parts"]) | set(man1["parts"])
+               if man0["parts"].get(k) != man1["parts"].get(k)}
+    assert changed == tkeys                       # only A's bucket
+    for k in set(man0["parts"]) - tkeys:          # shared directories
+        assert man0["parts"][k] == man1["parts"][k]
 
 
 def test_open_missing_view_raises(src, spark, tmp_path):
@@ -113,23 +140,33 @@ def test_refresh_rowfree_commit_is_metadata_only(src, spark, tmp_path):
     recorded version WITHOUT rewriting the store generation."""
     mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
                                  keys=["grp"], sum_cols=["amt"])
-    gen = mv._meta()["store"]
+    sv = mv.store_version()
     src.optimize()
     assert mv.refresh() == 0
-    assert mv._meta()["store"] == gen            # no new generation
+    assert mv.store_version() == sv              # no store commit
     assert mv.refreshed_version() == src.versions()[-1]
 
 
-def test_refresh_reclaims_orphaned_generation(src, spark, tmp_path):
-    """A generation directory left by a refresh that crashed before
-    its sidecar swap must not wedge the retry."""
+def test_refresh_retry_after_crashed_sidecar_swap(src, spark, tmp_path):
+    """A refresh that committed its store version but crashed BEFORE
+    the sidecar swap must be absorbed by the retry: the retry reads
+    the stored aggregate at the PINNED version, re-folds the full
+    outstanding CDF range, and overwrites a superset of the orphaned
+    commit's buckets — converging to the recompute."""
+    import json
+
     mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
                                  keys=["grp"], sum_cols=["amt"])
+    pre = mv._meta()                             # pre-refresh sidecar
     src.insert(spark.createDataFrame([(9, "A", 9.0)],
                                      "id long, grp string, amt double"))
-    orphan = os.path.join(mv.root, f"gen_{src.versions()[-1]}")
-    os.makedirs(orphan)                          # simulate the crash
-    assert mv.refresh() > 0                      # retry reclaims it
+    assert mv.refresh() > 0
+    # simulate the crash: roll the sidecar back (store commit stands)
+    with open(os.path.join(mv.root, "_mview.json"), "w") as f:
+        f.write(json.dumps(pre))
+    src.insert(spark.createDataFrame([(10, "B", 2.0)],
+                                     "id long, grp string, amt double"))
+    assert mv.refresh() > 0                      # the retry
     assert _as_dict(mv) == _recompute(src)
 
 

@@ -833,3 +833,83 @@ def test_history_describes_each_commit(pt, spark):
     assert h[1]["n_partitions"] == 4          # + D
     assert h[2]["n_partitions"] == 3          # B deleted (empty list)
     assert h[1]["n_dirs"] == 4                # append added one dir
+
+
+def test_overwrite_partitions_single_commit_replace(pt, spark):
+    """Delta replaceWhere parity: one commit swaps the named
+    partitions' content; untouched partitions re-link the SAME
+    directories; a named partition given no rows is removed; stray
+    rows outside the named partitions are refused."""
+    before = _dirs(pt)
+    rows = spark.createDataFrame(
+        [(10, "A", 1.0), (11, "A", 2.0)],      # B overwritten to empty
+        "id long, grp string, amt double")
+    pt.overwrite_partitions(rows, ["A", "B"])
+    assert pt.versions() == [0, 1]
+    after = _dirs(pt)
+    assert after["C"] == before["C"]           # shared, not rewritten
+    assert after["A"] != before["A"]
+    assert "B" not in after                    # emptied -> removed
+    got = sorted((r["id"], r["grp"]) for r in pt.read().collect())
+    assert got == [(5, "C"), (10, "A"), (11, "A")]
+    # CDF across the overwrite: B's old rows are deletes
+    ch = pt.changes(0, 1)
+    dels = {r["id"] for r in
+            ch.filter("_change_type = 'delete'").collect()}
+    assert {3, 4} <= dels                      # B's rows went away
+    with pytest.raises(DatabaseException, match="outside the named"):
+        pt.overwrite_partitions(rows, ["C"])   # A-rows stray from C
+    with pytest.raises(DatabaseException, match="schema mismatch"):
+        pt.overwrite_partitions(
+            spark.createDataFrame([(1, "A")], "id long, grp string"),
+            ["A"])
+
+
+def test_vacuum_protects_registered_clone_dirs(pt, spark, tmp_path):
+    """The Delta vacuum-after-shallow-clone data-loss hazard is
+    closed: the source's vacuum treats directories a registered clone
+    still references as reachable; detach_clone (after a deep copy)
+    lifts the protection; a clone deleted from disk is pruned."""
+    import shutil
+
+    clone = pt.clone(str(tmp_path / "cl"))
+    assert clone.root in [os.path.normpath(c)
+                          for c in pt.registered_clones()]
+    # source churns every partition, then vacuums to the newest only
+    pt.delete(F.col("amt") >= 0)               # rewrites A B C empty
+    removed = pt.vacuum(keep_last=1)
+    # clone still reads all 5 original rows — its dirs survived
+    assert clone.read().count() == 5
+    assert pt.read().count() == 0
+    # detach (simulating a deep copy elsewhere) and vacuum again:
+    # now the old directories actually go away
+    pt.detach_clone(clone.root)
+    removed2 = pt.vacuum(keep_last=1)
+    assert removed2                            # reclaimed this time
+    assert pt.registered_clones() == []
+    # a clone deleted from disk is pruned from the registry
+    clone2 = pt.clone(str(tmp_path / "cl2"))
+    shutil.rmtree(clone2.root)
+    pt.vacuum(keep_last=1)
+    assert pt.registered_clones() == []
+
+
+def test_vacuum_protects_transitive_clone_of_clone(pt, spark, tmp_path):
+    """A clone OF a clone still points at the ORIGINAL table's data
+    directories; the original's vacuum must walk the registry
+    transitively to see it."""
+    import shutil
+
+    mid = pt.clone(str(tmp_path / "mid"))
+    leaf = mid.clone(str(tmp_path / "leaf"))
+    # the middle clone drops its own reference to the original dirs
+    # (delete everything + vacuum), so ONLY the leaf still needs them
+    mid.delete(F.col("amt") >= 0)
+    mid.vacuum(keep_last=1)
+    pt.delete(F.col("amt") >= 0)
+    pt.vacuum(keep_last=1)
+    assert leaf.read().count() == 5            # transitively protected
+    # removing the leaf (and pruning) releases the directories
+    shutil.rmtree(leaf.root)
+    removed = pt.vacuum(keep_last=1)
+    assert removed
