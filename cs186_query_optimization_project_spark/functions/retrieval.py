@@ -339,6 +339,13 @@ def hybrid_rrf(docs: DataFrame, emb: DataFrame, query: str,
     corpus."""
     from pyspark.sql import Window
 
+    # the two un-partitioned rank windows below are single-partition
+    # sorts BY CONSTRUCTION: each input is already its side's
+    # top-k_each (≤ k_each rows), so the sort is driver-trivial.  A
+    # caller raising k_each to corpus scale would inherit a
+    # one-partition bottleneck — keep k_each in the hundreds; for bulk
+    # fusion over many queries, rank within a query-id partition
+    # instead.
     bm = bm25_scores(docs, query, text_col, id_col, top_k=k_each)
     rb = bm.select(
         F.col(id_col),
