@@ -251,3 +251,43 @@ def temperature_mixture(df: DataFrame, domain_col: str, id_col: str,
                     df[domain_col] == F.col("__d"))
             .filter(u < F.col("__rate"))
             .drop("__d", "__rate"))
+
+
+def token_budget_mix(df: DataFrame, domain_col: str, id_col: str,
+                     text_col: str = "text",
+                     budget_tokens: int = 10_000,
+                     salt: str = "") -> DataFrame:
+    """Budget-capped per-domain selection — the "take B tokens of each
+    domain" step of training-mixture assembly: within each domain,
+    rows order by the portable md5 coin (a uniform shuffle that
+    depends only on ids — reproducible across partitionings and
+    engines, unlike ``rand(seed)``'s per-partition streams) and a row
+    is kept while the RUNNING token total BEFORE it is under the
+    budget.  The first row of a domain is therefore always kept (every
+    budget admits at least one document, the standard greedy-knapsack
+    convention), and each domain overshoots by at most one document.
+
+    One cumulative-sum window per domain — a single shuffle on
+    ``domain_col``.  A skewed mega-domain serializes its own window
+    into one task; if that bites, pre-filter with
+    :func:`hash_stratified_sample` to a few× the budget first so the
+    window runs over a bounded candidate set (the budget itself bounds
+    how much can be kept, so pre-thinning loses nothing but tail
+    randomness).
+
+    Returns the kept rows with ``n_tokens`` (whitespace count, the
+    same definition the token-counting operator uses) and
+    ``cum_before`` — deterministic, SQL-replayable."""
+    from cs186_query_optimization_project_spark.functions.sketches import (
+        _H60,
+    )
+
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    u = F.expr(_H60.format(
+        x=f"concat('{salt}', cast({id_col} as string))"))
+    w = (Window.partitionBy(domain_col)
+         .orderBy(u.asc(), F.col(id_col).asc()))
+    cum_before = (F.sum(toks).over(w) - toks).cast("bigint")
+    return (df.withColumn("n_tokens", toks.cast("bigint"))
+            .withColumn("cum_before", cum_before)
+            .filter(F.col("cum_before") < F.lit(int(budget_tokens))))

@@ -66,6 +66,44 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def cosine_topk_batch(df: DataFrame,
+                      queries: list[tuple[int, list[float]]],
+                      k: int = 10, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k for a BATCH of queries in one corpus pass — the
+    bulk-retrieval shape (nearest-neighbor labeling, eval harnesses,
+    dedup-vs-reference): all query vectors ship as one literal
+    array-of-structs riding the scan, each corpus row fans out to
+    |queries| scored pairs MAP-SIDE (explode — no join, no shuffle of
+    the corpus), and one rank window PARTITIONED BY query id takes
+    each query's top-k in parallel.  The corpus is read once
+    regardless of |queries|; the only shuffle is the rank over
+    |queries| × |corpus| scored pairs, each a (long, long, double).
+    A per-query loop would scan the corpus |queries| times instead.
+    Keep the batch to what a task comfortably holds as literals
+    (hundreds of queries; beyond that, join against a queries table).
+
+    Deterministic like :func:`cosine_topk`: 6-decimal rounding with
+    id tie-breaks, SQL-replayable."""
+    from pyspark.sql import Window
+
+    qarr = F.array(*[
+        F.struct(F.lit(int(qid)).cast("bigint").alias("query_id"),
+                 _lit_vec(vec).alias("__qv"))
+        for qid, vec in queries])
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = (df.select(F.col(id_col), emb.alias("__e"))
+              .select(id_col, F.explode(qarr).alias("__q"), "__e")
+              .select(F.col("__q.query_id").alias("query_id"),
+                      F.col(id_col),
+                      F.round(cosine(F.col("__e"), F.col("__q.__qv")),
+                              6).alias("cosine_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 # --------------------------------------------------------------------- #
 # random-hyperplane LSH
 # --------------------------------------------------------------------- #
@@ -803,6 +841,40 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
                    {"centroids": cents, "codebooks": books}, fingerprint)
     _write_meta(idx)
     return idx
+
+
+def ivfpq_append(index: AnnIndex, new_df: DataFrame,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 files_per_bucket: int = 4) -> int:
+    """Incremental index maintenance — FAISS ``add()`` with a FROZEN
+    header: new vectors route to their nearest EXISTING coarse
+    centroid, encode against the EXISTING residual codebooks, and
+    APPEND as new parquet files under the same ``cell`` partitions.
+    No existing index byte is rewritten, no retrain, cost is
+    O(|new rows|) — the maintenance shape that lets a 100 TB corpus's
+    daily arrivals index in arrival time.  Because the header is
+    frozen, encoding is deterministic: an incremental append equals a
+    batch re-encode of the same rows bit-for-bit (pinned in tests).
+    Quantization error grows only if the data DISTRIBUTION drifts
+    from what the codebooks were trained on — rebuild to retrain (the
+    standard IVF-PQ maintenance contract; FAISS documents the same).
+    Returns the number of rows appended."""
+    cents = index.params["centroids"]
+    books = index.params["codebooks"]
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cmat = F.array(*[_lit_vec(c) for c in cents])
+    resid = F.zip_with(emb,
+                       F.element_at(cmat,
+                                    (F.col("cell") + 1).cast("int")),
+                       lambda x, c: x - c)
+    base = (new_df.withColumn("cell", ivf_cell(vec_col, cents))
+            .withColumn("__res", resid))
+    coded = pq_encode(base, books, "__res").select(id_col, "cell",
+                                                   "pq_codes")
+    n = coded.count()
+    (_bucket_partitioned(coded, "cell", id_col, files_per_bucket)
+        .write.mode("append").partitionBy("cell").parquet(index.path))
+    return n
 
 
 def ivfpq_probe(spark: SparkSession, index: AnnIndex,

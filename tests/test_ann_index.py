@@ -162,3 +162,62 @@ def test_ivfpq_index_stores_codes_not_vectors(spark, vectors, tmp_path):
     assert stored.count() == vectors.count()
     assert stored.filter(
         F.exists("pq_codes", lambda c: (c < 0) | (c > 3))).count() == 0
+
+
+def test_cosine_topk_batch_matches_per_query(spark, vectors):
+    """One corpus pass must reproduce, per query, exactly what the
+    single-query cosine_topk returns."""
+    queries = [(qid, _query_of(vectors, qid)) for qid in (0, 50, 111)]
+    got = similarity.cosine_topk_batch(vectors, queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["cosine_sim"], r["vec_id"]))
+    assert set(by_q) == {0, 50, 111}
+    for qid, qv in queries:
+        want = [(r["cosine_sim"], r["vec_id"]) for r in
+                similarity.cosine_topk(vectors, qv, k=5).collect()]
+        assert sorted(by_q[qid], key=lambda t: (-t[0], t[1])) == want, qid
+
+
+def test_ivfpq_append_equals_batch_reencode(spark, vectors, tmp_path):
+    """Incremental add with a frozen header must equal a batch
+    re-encode of the same rows bit-for-bit, never rewrite existing
+    files, and make the appended ids retrievable."""
+    base = vectors.filter(F.col("vec_id") < 150)
+    extra = vectors.filter(F.col("vec_id") >= 150)
+    idx = similarity.build_ivfpq_index(base, str(tmp_path / "inc"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    before_files = set()
+    for root, _, files in os.walk(idx.path):
+        before_files |= {os.path.join(root, f) for f in files
+                         if f.endswith(".parquet")}
+    n = similarity.ivfpq_append(idx, extra)
+    assert n == extra.count()
+    # no existing file rewritten
+    for f in before_files:
+        assert os.path.exists(f)
+    stored = spark.read.parquet(idx.path)
+    assert stored.count() == vectors.count()
+    # appended codes == what the build-time encoder would produce
+    cents = idx.params["centroids"]
+    books = idx.params["codebooks"]
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cmat = F.array(*[similarity._lit_vec(c) for c in cents])
+    resid = F.zip_with(
+        emb, F.element_at(cmat, (F.col("cell") + 1).cast("int")),
+        lambda x, c: x - c)
+    expect = similarity.pq_encode(
+        extra.withColumn("cell", similarity.ivf_cell("embedding", cents))
+        .withColumn("__res", resid), books, "__res") \
+        .select("vec_id", "cell", "pq_codes")
+    got = stored.join(extra.select("vec_id"), "vec_id") \
+        .select("vec_id", "cell", "pq_codes")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # an appended id is retrievable through the standard probe path
+    qid = 160
+    top = similarity.ivfpq_topk(spark, idx, vectors,
+                                _query_of(vectors, qid), k=3, n_probe=4)
+    assert [r["vec_id"] for r in top.collect()][0] == qid

@@ -913,3 +913,75 @@ def test_vacuum_protects_transitive_clone_of_clone(pt, spark, tmp_path):
     shutil.rmtree(leaf.root)
     removed = pt.vacuum(keep_last=1)
     assert removed
+
+
+def test_bloom_point_lookup_skips_and_matches(spark, tmp_path):
+    """Per-directory Bloom index: a point lookup scans only admitted
+    directories, equals the plain filter exactly, fails open for
+    un-indexed columns, and excludes everything for an all-NULL
+    directory's probe."""
+    df = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B", f"u{i}") for i in range(100)],
+        "id long, grp string, url string")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "b"), "grp",
+                                 bloom_cols=["id", "url"])
+    # appends create extra directories with disjoint id ranges
+    pt.insert(spark.createDataFrame(
+        [(1000 + i, "A", f"u{1000 + i}") for i in range(10)],
+        "id long, grp string, url string"))
+    man = pt._manifest()
+    total = sum(len(ds) for ds in man["parts"].values())
+    assert total == 3                       # A, B, A-append
+    kept = pt._point_dirs("id", 1005)
+    assert len(kept) == 1                   # only the append dir
+    got = [(r["id"], r["url"]) for r in
+           pt.read_point("id", 1005).collect()]
+    assert got == [(1005, "u1005")]
+    # string column works through the same path
+    assert len(pt._point_dirs("url", "u60")) == 1
+    assert pt.read_point("url", "u60").count() == 1
+    # absent value -> zero directories scanned, empty result
+    assert pt._point_dirs("id", 999999) == []
+    assert pt.read_point("id", 999999).count() == 0
+    # un-indexed column fails open: all dirs, still-correct result
+    assert len(pt._point_dirs("grp", "A")) == total
+    with pytest.raises(DatabaseException, match="NULL probe"):
+        pt.read_point("id", None)
+    # DML rewrite refreshes the rewritten directory's filter
+    pt.delete(F.col("id") == 1005)
+    assert pt._point_dirs("id", 1005) == [] or \
+        pt.read_point("id", 1005).count() == 0
+    assert pt.read_point("id", 1006).count() == 1
+
+
+def test_metadata_group_counts_zero_jobs(pt, spark):
+    """GROUP BY partition_col from metadata alone: equals the scan
+    answer, schedules zero Spark jobs, fails closed under live
+    tombstones, omits emptied partitions."""
+    pt.insert(spark.createDataFrame([(9, "A", 9.0)],
+                                    "id long, grp string, amt double"))
+    jobs_before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    got = pt.metadata_group_counts()
+    jobs_after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    assert jobs_after == jobs_before
+    want = {r["grp"]: r["count"] for r in
+            pt.read().groupBy("grp").count().collect()}
+    assert got == want
+    pt.delete(F.col("grp") == "C")
+    assert "C" not in pt.metadata_group_counts()   # no empty groups
+    pt.delete_soft("id = 1")
+    assert pt.metadata_group_counts() is None      # fail closed
+
+
+def test_read_pruned_by_dim_keys(pt, spark):
+    """DPP analog: the fact scan lists only partitions matching the
+    dim side's distinct keys; NULL dim keys are dropped."""
+    dim = spark.createDataFrame([("A", 1), ("C", 2), (None, 3)],
+                                "grp string, x int")
+    out = pt.read_pruned_by(dim, "grp")
+    assert {r["grp"] for r in out.collect()} == {"A", "C"}
+    dirs = {os.path.basename(os.path.dirname(f.removeprefix("file:")))
+            for f in out.inputFiles()}
+    want = {os.path.basename(d) for k in ("A", "C")
+            for d in pt._manifest()["parts"][k]}
+    assert dirs == want

@@ -170,3 +170,42 @@ def test_temperature_mixture_alpha_one_keeps_all(docs):
     # alpha=1 is identity temperature: every rate is (c_min/c_d)^0 = 1
     out = sampling.temperature_mixture(docs, "lang", "doc_id", alpha=1.0)
     assert out.count() == docs.count()
+
+
+def test_token_budget_mix_budget_and_determinism(spark):
+    """Greedy per-domain budget cap: every domain's kept set respects
+    cum_before < budget (first doc always kept), the selection order
+    is the md5 coin (partition-layout independent), and a rerun is
+    identical."""
+    from cs186_query_optimization_project_spark.functions.sampling import (
+        token_budget_mix,
+    )
+
+    rows_in = [(i, "web" if i % 2 else "code",
+                " ".join(f"t{j}" for j in range(1 + i % 7)))
+               for i in range(60)]
+    df = spark.createDataFrame(rows_in, "doc_id long, src string, "
+                                        "text string")
+    out = token_budget_mix(df, "src", "doc_id", "text",
+                           budget_tokens=20).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["src"], []).append(r)
+    assert set(by_dom) == {"web", "code"}
+    for dom, kept in by_dom.items():
+        kept.sort(key=lambda r: r["cum_before"])
+        assert kept[0]["cum_before"] == 0          # first doc free
+        assert all(r["cum_before"] < 20 for r in kept)
+        # cum_before is consistent: each equals the sum of the
+        # preceding kept docs' tokens (the window is a true prefix)
+        run = 0
+        for r in kept:
+            assert r["cum_before"] == run
+            run += r["n_tokens"]
+        # budget overshoots by at most the last document
+        assert run < 20 + max(r["n_tokens"] for r in kept) + 1
+    # determinism across partitionings
+    out2 = token_budget_mix(df.repartition(13), "src", "doc_id",
+                            "text", budget_tokens=20).collect()
+    assert sorted((r["doc_id"]) for r in out2) == \
+        sorted((r["doc_id"]) for r in out)
