@@ -4137,126 +4137,472 @@ def q_dedup_eval(spark, sf_dir):
     return dedup.pair_metrics(pred, truth)
 
 
+def q_partition_overwrite(spark, sf_dir):
+    """``overwrite_partitions`` — Delta ``replaceWhere`` at partition
+    granularity (``partitioned.py``): ONE commit swaps regions 0 and 1
+    of nation for a 2-row replacement that re-populates region 0 only,
+    so region 1 is REMOVED.  In-entry contract raises (must survive
+    ``python -O``): exactly one new version; every untouched region's
+    directory list re-links byte-identically; region 1's key is gone
+    from the manifest; the CDF across the commit reports region 1's
+    old rows as deletes.  The oracle replays the final state in SQL."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("povw", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("nation").select("n_nationkey", "n_name",
+                                      "n_regionkey"),
+            f"{base}/nation", "n_regionkey")
+        man0 = pt._manifest()
+        n_r1 = pt.read(partition_values=[1]).count()
+        pt.overwrite_partitions(
+            spark.createDataFrame([(400, "AAA", 0), (401, "BBB", 0)],
+                                  schema=pt.read().schema),
+            [0, 1])
+        if pt.versions() != [0, 1]:
+            raise RuntimeError("overwrite must be exactly one commit")
+        man1 = pt._manifest()
+        for k in man0["parts"]:
+            if k not in ("0", "1") and \
+                    man1["parts"].get(k) != man0["parts"][k]:
+                raise RuntimeError(
+                    f"untouched partition {k} was rewritten")
+        if "1" in man1["parts"]:
+            raise RuntimeError("emptied partition must drop out")
+        dels = (pt.changes(0, 1)
+                .filter("_change_type = 'delete' AND n_regionkey = 1")
+                .count())
+        if dels != n_r1:
+            raise RuntimeError(
+                f"CDF must report region 1's {n_r1} rows as deletes, "
+                f"got {dels}")
+        out = (pt.read().groupBy("n_regionkey")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("n_nationkey").cast("bigint").alias("key_sum"))
+               .localCheckpoint())
+    return out
+
+
+def q_clone_vacuum_guard(spark, sf_dir):
+    """The Delta vacuum-after-shallow-clone data-loss hazard, closed:
+    ``clone()`` registers the dest in the source's ``_clones.json``
+    and the source's ``vacuum`` treats clone-referenced directories as
+    reachable (``partitioned.py``).  In-entry contract raises (must
+    survive ``python -O``): after the source deletes EVERYTHING and
+    vacuums to one retained version, the clone still reads every
+    original row; ``detach_clone`` then releases the directories and
+    a second vacuum actually reclaims them.  The oracle states the
+    clone's surviving aggregate in SQL."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("clvg", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("nation").select("n_nationkey", "n_name",
+                                      "n_regionkey"),
+            f"{base}/nation", "n_regionkey")
+        n_src = pt.read().count()
+        clone = pt.clone(f"{base}/clone")
+        pt.delete(F.col("n_nationkey") >= 0)      # source drops all
+        pt.vacuum(keep_last=1)
+        surv = clone.read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clone_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum")) \
+            .collect()[0]
+        if surv["n_clone_rows"] != n_src:
+            raise RuntimeError(
+                f"clone lost data under source vacuum: "
+                f"{surv['n_clone_rows']} of {n_src} rows survive")
+        pt.detach_clone(clone.root)
+        if not pt.vacuum(keep_last=1):
+            raise RuntimeError(
+                "post-detach vacuum must reclaim the released dirs")
+        out = spark.createDataFrame(
+            [(surv["n_clone_rows"], surv["key_sum"], True)],
+            "n_clone_rows bigint, key_sum bigint, "
+            "reclaimed_after_detach boolean")
+    return out
+
+
+def q_metadata_groupby(spark, sf_dir):
+    """``GROUP BY partition_col`` answered from metadata alone
+    (``partitioned.py metadata_group_counts`` — manifest + parquet
+    footer row counts, the Delta numRecords analog per partition).
+    In-entry contract raises (must survive ``python -O``): the
+    answers must schedule ZERO Spark jobs and equal the scan's
+    groupBy exactly.  The oracle replays create + insert in SQL."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("mgby", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus"),
+            f"{base}/orders", "o_orderstatus")
+        pt.insert(spark.createDataFrame(
+            [(900000001, "X"), (900000002, "X")],
+            "o_orderkey bigint, o_orderstatus string"))
+        jobs_before = spark.sparkContext._jsc.sc().dagScheduler() \
+            .nextJobId()
+        counts = pt.metadata_group_counts()
+        jobs_after = spark.sparkContext._jsc.sc().dagScheduler() \
+            .nextJobId()
+        if jobs_after != jobs_before:
+            raise RuntimeError(
+                f"metadata groupBy scheduled "
+                f"{jobs_after - jobs_before} Spark jobs; contract is 0")
+        want = {r[0]: r[1] for r in
+                pt.read().groupBy("o_orderstatus").count().collect()}
+        if counts != want:
+            raise RuntimeError(f"metadata {counts} != scan {want}")
+        out = spark.createDataFrame(
+            sorted(counts.items()),
+            "o_orderstatus string, n_rows bigint")
+    return out
+
+
+def q_bloom_skipping(spark, sf_dir):
+    """Per-directory Bloom point-lookup skipping (``partitioned.py``
+    ``bloom_cols`` / ``read_point`` — the Delta bloom-filter-index /
+    parquet-bloom analog at directory granularity, for
+    high-cardinality columns where min/max ranges overlap everywhere).
+    orders lands with a Bloom index on o_orderkey, two appends add
+    directories with disjoint synthetic key ranges, then a point
+    lookup of the smallest real key runs.  In-entry contract raises
+    (must survive ``python -O``): the lookup must scan STRICTLY fewer
+    directories than exist, equal the plain filter exactly, and a
+    provably-absent key must scan ZERO directories.  The oracle
+    replays the lookup in SQL."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("blsk", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus",
+                                      "o_totalprice"),
+            f"{base}/orders", "o_orderstatus",
+            bloom_cols=["o_orderkey"])
+        schema = "o_orderkey bigint, o_orderstatus string, " \
+                 "o_totalprice double"
+        pt.insert(spark.createDataFrame(
+            [(900000001 + i, "X", 1.0) for i in range(20)], schema))
+        pt.insert(spark.createDataFrame(
+            [(910000001 + i, "X", 2.0) for i in range(20)], schema))
+        key = pt.read().agg(F.min("o_orderkey")).collect()[0][0]
+        total = sum(len(ds)
+                    for ds in pt._manifest()["parts"].values())
+        kept = pt._point_dirs("o_orderkey", key)
+        if not kept or len(kept) >= total:
+            raise RuntimeError(
+                f"bloom lookup scanned {len(kept)} of {total} dirs; "
+                f"must be in (0, total)")
+        got = pt.read_point("o_orderkey", key)
+        plain = pt.read().filter(F.col("o_orderkey") == key)
+        if got.exceptAll(plain).count() or \
+                plain.exceptAll(got).count():
+            raise RuntimeError("bloom lookup != plain filter")
+        if pt._point_dirs("o_orderkey", 9_999_999_999):
+            raise RuntimeError(
+                "absent key must prove out of every directory")
+        out = (got.select(
+            "o_orderkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            .alias("price_cents")).localCheckpoint())
+    return out
+
+
+def q_partition_pruned_join(spark, sf_dir):
+    """Dynamic-partition-pruning analog at the manifest
+    (``partitioned.py read_pruned_by``): the dimension side's distinct
+    keys prune the fact scan BEFORE the join — non-matching fact
+    partitions are never listed, stronger than file-source DPP (no
+    footers opened).  In-entry contract raises (must survive ``python
+    -O``): the fact scan's input files all lie under the two matching
+    partitions' directories, and the join is a broadcast (the dim was
+    small enough to collect, so it must not shuffle the fact).  The
+    oracle replays the filtered join in SQL."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("dppj", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderpriority",
+                                      "o_totalprice"),
+            f"{base}/orders", "o_orderpriority")
+        dim = spark.createDataFrame(
+            [("1-URGENT", 10), ("3-MEDIUM", 30)],
+            "prio string, boost int")
+        fact = pt.read_pruned_by(dim, "prio")
+        allowed = {d for k in ("1-URGENT", "3-MEDIUM")
+                   for d in pt._manifest()["parts"].get(k, [])}
+        import os as _os
+        scanned = {_os.path.dirname(f.removeprefix("file:"))
+                   for f in fact.inputFiles()}
+        if not scanned or not all(
+                any(_os.path.normpath(s) == _os.path.normpath(a)
+                    for a in allowed) for s in scanned):
+            raise RuntimeError(
+                f"pruned scan read outside the matching partitions: "
+                f"{scanned - allowed}")
+        joined = fact.join(F.broadcast(dim),
+                           fact["o_orderpriority"] == dim["prio"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" not in plan:
+            raise RuntimeError("dim join must broadcast")
+        out = (joined.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.round(F.sum("o_totalprice") * 100, 0)
+                    .cast("bigint").alias("price_cents"))
+               .localCheckpoint())
+    return out
+
+
+def q_mview_bucketed(spark, sf_dir):
+    """Bucketed incremental materialized view (``mview.py``): the
+    store is hash-partitioned on ``pmod(hash(keys), 16)``, so a
+    refresh whose churn touches ONE group key rewrites ONE bucket and
+    re-links the other 15 — O(churned buckets), not O(|groups|).
+    In-entry contract raises (must survive ``python -O``): exactly the
+    touched key's bucket differs between the store manifests (checked
+    on the actual manifests, the same evidence as q_partitioned_dml);
+    the refreshed view equals a from-scratch recompute.  Sums surface
+    as exact-integer cents.  The oracle replays the final aggregate in
+    SQL."""
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("mvbk", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("customer").select("c_custkey", "c_mktsegment",
+                                        "c_nationkey", "c_acctbal"),
+            f"{base}/customer", "c_mktsegment")
+        mv = MaterializedView.create(spark, pt, f"{base}/mv",
+                                     keys=["c_nationkey"],
+                                     sum_cols=["c_acctbal"],
+                                     n_buckets=16)
+        man0 = mv._store()._manifest(mv.store_version())
+        pt.update(F.col("c_nationkey") == 3,
+                  {"c_acctbal": F.col("c_acctbal") + 5.0})
+        if mv.refresh() == 0:
+            raise RuntimeError("refresh must fold the churn")
+        man1 = mv._store()._manifest(mv.store_version())
+        changed = {k for k in set(man0["parts"]) | set(man1["parts"])
+                   if man0["parts"].get(k) != man1["parts"].get(k)}
+        bucket = spark.createDataFrame([(3,)], "c_nationkey int") \
+            .select(F.pmod(F.hash("c_nationkey"), F.lit(16))
+                    .cast("int")).collect()[0][0]
+        if changed != {str(bucket)}:
+            raise RuntimeError(
+                f"refresh must rewrite only bucket {bucket}, "
+                f"changed {changed}")
+        got = {r["c_nationkey"]: (r["mv_count"],
+                                  round(r["mv_sum_c_acctbal"] * 100))
+               for r in mv.read().collect()}
+        want = {r[0]: (r[1], round(r[2] * 100)) for r in
+                pt.read().groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)), F.sum("c_acctbal")).collect()}
+        if got != want:
+            raise RuntimeError(
+                f"bucketed view diverged from recompute")
+        out = (mv.read()
+               .select(F.col("c_nationkey"),
+                       F.col("mv_count").cast("bigint").alias("n_rows"),
+                       F.round(F.col("mv_sum_c_acctbal") * 100, 0)
+                       .cast("bigint").alias("acct_cents"))
+               .localCheckpoint())
+    return out
+
+
+def q_ann_batch_queries(spark, sf_dir):
+    """Batch exact retrieval (``similarity.cosine_topk_batch``): three
+    query vectors ride ONE corpus scan as literals, fan out map-side,
+    and rank inside per-query window partitions — the corpus is read
+    once regardless of batch size, vs |queries| scans for a loop.
+    Deterministic (6-decimal rounds, id tie-breaks); the oracle
+    replays the batch with a DuckDB cross join + rank window."""
+    db = _db(spark, sf_dir)
+    emb = db.table("embeddings")
+    queries_batch = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()]
+    return (similarity.cosine_topk_batch(emb, queries_batch, k=5)
+            .select("query_id", "vec_id", "cosine_sim"))
+
+
+def q_ivfpq_append(spark, sf_dir):
+    """Incremental ANN index maintenance (``similarity.ivfpq_append``
+    — FAISS ``add()`` with a frozen header): the index builds on 4/5
+    of the corpus, the held-out 1/5 appends as new code files under
+    the same cell partitions (no retrain, no rewrite of any existing
+    byte — O(|new|)).  In-entry contract raises (must survive
+    ``python -O``): the appended codes equal a batch re-encode of the
+    same rows BIT-FOR-BIT (frozen header ⇒ deterministic encoding);
+    every pre-append file survives untouched; an appended vector is
+    retrievable as its own exact top-1 through the standard probe +
+    re-rank path.  The oracle states the SQL-derivable size invariants
+    plus the contract bits."""
+    import os as _os
+
+    db = _db(spark, sf_dir)
+    emb = db.table("embeddings")
+    with _scratch_base("ivfa", sf_dir) as base:
+        part = emb.filter(F.col("vec_id") % 5 != 0)
+        extra = emb.filter(F.col("vec_id") % 5 == 0)
+        idx = similarity.build_ivfpq_index(
+            part, f"{base}/ivfpq", n_cells=8, m=2, k=16,
+            fingerprint="r11-append")
+        before_files = set()
+        for root, _, files in _os.walk(idx.path):
+            before_files |= {_os.path.join(root, f) for f in files
+                             if f.endswith(".parquet")}
+        n_appended = similarity.ivfpq_append(idx, extra)
+        for f in before_files:
+            if not _os.path.exists(f):
+                raise RuntimeError("append rewrote an existing file")
+        cents = idx.params["centroids"]
+        books = idx.params["codebooks"]
+        e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        cmat = F.array(*[similarity._lit_vec(c) for c in cents])
+        resid = F.zip_with(
+            e, F.element_at(cmat, (F.col("cell") + 1).cast("int")),
+            lambda x, c: x - c)
+        expect = similarity.pq_encode(
+            extra.withColumn("cell",
+                             similarity.ivf_cell("embedding", cents))
+            .withColumn("__res", resid), books, "__res") \
+            .select("vec_id", "cell", "pq_codes")
+        stored = spark.read.parquet(idx.path)
+        got = (stored.join(extra.select("vec_id"), "vec_id")
+               .select("vec_id", "cell", "pq_codes"))
+        if got.exceptAll(expect).count() or \
+                expect.exceptAll(got).count():
+            raise RuntimeError(
+                "incremental append != batch re-encode")
+        n_total = stored.count()
+        top = similarity.ivfpq_topk(spark, idx, emb,
+                                    _query_vec(spark, sf_dir), k=3,
+                                    n_probe=8, n_candidates=200)
+        top1 = top.collect()[0]["vec_id"]
+        if top1 != 0:
+            raise RuntimeError(
+                f"appended vector must re-rank as its own top-1, "
+                f"got {top1}")
+        out = spark.createDataFrame(
+            [(n_total - n_appended, n_appended, n_total, True)],
+            "n_base bigint, n_appended bigint, n_total bigint, "
+            "top1_is_query boolean")
+    return out
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture assembly (``sampling.token_budget_mix``):
+    per source domain, documents shuffle by the portable md5 coin and
+    accrue greedily while the running token total before each is
+    under the budget — "take B tokens of each domain", the
+    corpus-assembly counterpart of the rate-based mixtures.  One
+    cumulative-sum window per domain, no collect; membership is
+    partition-layout independent.  The oracle replays hash order,
+    prefix sum, and cut in SQL."""
+    db = _db(spark, sf_dir)
+    out = sampling.token_budget_mix(
+        db.table("documents"), "source", "doc_id", "text",
+        budget_tokens=500)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("tok_sum")))
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-10 policy (the r9 verdict's #2
-    # item, carried from r8): rotate the window to the STALEST evidence
-    # first — the 20 entries new this round (never driver-checked: the
-    # delta-lite batch, then metadata_agg / embedding_quantize / pq_ann
-    # / ivfpq_probe / hybrid_search / restore_clone / check_constraints
-    # / mview_refresh / table_history / audio_chunks /
-    # stream_to_mview), then the entries whose last driver-green row is
-    # r4, filling the 50-entry window.  r5-era rows pushed below the
-    # line (streaming_stateful_totals, streaming_interval_join,
-    # bucketed_join, range_join, salted_join, zorder_scan,
-    # time_window_agg, pack_sequences, chunk_documents) lead the next
-    # rotation.  Every query — in or below the window — was verified
-    # this round by tools/check_contract.py at sf0.01 (the newest
-    # under --vanilla, the driver's plain session).
+    # entries in registry order.  Round-11 policy (the r10 verdict's #1
+    # item): finish the evidence rotation — the window is the 9 entries
+    # NEW this round (never driver-checked: the overwrite/clone-guard/
+    # metadata-groupBy/bloom/DPP lakehouse batch plus bucketed mview,
+    # batch ANN, incremental IVF-PQ, token-budget mix) followed by ALL
+    # 41 entries whose newest driver-green row is still r5 — after this
+    # round no entry's evidence is older than r7.  The 49 r7-era rows
+    # immediately below the line lead the round-12 rotation.  Every
+    # query — in or below the window — was verified this round by
+    # tools/check_contract.py at sf0.01.
     return {
-        # --- new this round (round 10): never driver-checked (20) ---
-        "metadata_agg": q_metadata_agg,
-        "embedding_quantize": q_embedding_quantize,
-        "pq_ann": q_pq_ann,
-        "ivfpq_probe": q_ivfpq_probe,
-        "hybrid_search": q_hybrid_search,
-        "restore_clone": q_restore_clone,
-        "check_constraints": q_check_constraints,
-        "mview_refresh": q_mview_refresh,
-        "table_history": q_table_history,
-        "audio_chunks": q_audio_chunks,
-        "stream_to_mview": q_stream_to_mview,
-        "mvcc_vacuum": q_mvcc_vacuum,
-        "optimizer_cardinality": q_optimizer_cardinality,
-        "partitioned_dml": q_partitioned_dml,
-        "partitioned_merge": q_partitioned_merge,
-        "cdf_feed": q_cdf_feed,
-        "partition_skipping": q_partition_skipping,
-        "soft_delete": q_soft_delete,
-        "schema_evolution": q_schema_evolution,
-        "cdf_stream": q_cdf_stream,
-        # --- stalest evidence: last driver-green in r4 (25) ---
-        "asof_join": q_asof_join,
-        "contains_key": q_contains_key,
-        "csv_source": q_csv_source,
-        "dedup_exact": q_dedup_exact,
-        "embedding_topk": q_embedding_topk,
-        "except": q_except,
-        "explode_array": q_explode_array,
-        "filter_range": q_filter_range,
-        "groupby_sum_avg": q_groupby_sum_avg,
-        "lang_id": q_lang_id,
-        "left_outer_join": q_left_outer_join,
-        "lookup_key": q_lookup_key,
-        "multimodal_features": q_multimodal_features,
-        "orderby_limit": q_orderby_limit,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "project": q_project,
-        "quantiles": q_quantiles,
-        "rollup": q_rollup,
-        "scalar_functions": q_scalar_functions,
-        "self_join_alias": q_self_join_alias,
-        "semi_join": q_semi_join,
-        "sessionize": q_sessionize,
-        "text_stats": q_text_stats,
-        "train_test_split": q_train_test_split,
-        "window_rank": q_window_rank,
-        # --- next-stalest: last driver-green in r5 (21) ---
-        "streaming_tumbling": q_streaming_tumbling,
-        "streaming_session": q_streaming_session,
-        "streaming_sliding": q_streaming_sliding,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        "streaming_interval_join": q_streaming_interval_join,
-        "txn_2pl_serial": q_txn_2pl_serial,
-        "txn_snapshot_isolation": q_txn_snapshot_isolation,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_similar_pairs": q_embedding_similar_pairs,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "bucketed_join": q_bucketed_join,
-        "range_join": q_range_join,
-        "salted_join": q_salted_join,
-        "zorder_scan": q_zorder_scan,
-        "time_window_agg": q_time_window_agg,
-        "pack_sequences": q_pack_sequences,
-        "chunk_documents": q_chunk_documents,
-        # --- flagship anchor (keep continuously verified) (1) ---
-        "join_three_flagship": q_join_three_flagship,
-        # ------------- below the driver's 50-row window ------------- #
-        # r5-green entries the window could not hold — first in line
-        # for the round-11 rotation
-        "quantiles_approx": q_quantiles_approx,
-        "dedup_clusters_star": q_dedup_clusters_star,
+        # --- new this round (round 11): never driver-checked (9) ---
+        "partition_overwrite": q_partition_overwrite,
+        "clone_vacuum_guard": q_clone_vacuum_guard,
+        "metadata_groupby": q_metadata_groupby,
+        "bloom_skipping": q_bloom_skipping,
+        "partition_pruned_join": q_partition_pruned_join,
+        "mview_bucketed": q_mview_bucketed,
+        "ann_batch_queries": q_ann_batch_queries,
+        "ivfpq_append": q_ivfpq_append,
+        "token_budget_mix": q_token_budget_mix,
+        # --- stalest evidence: last driver-green in r5 (41) ---
         "anti_join": q_anti_join,
+        "bucketed_join": q_bucketed_join,
         "case_expr": q_case_expr,
+        "chunk_documents": q_chunk_documents,
         "cube": q_cube,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "distinct": q_distinct,
         "doc_repetition": q_doc_repetition,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_similar_pairs": q_embedding_similar_pairs,
         "filter_neq": q_filter_neq,
         "having": q_having,
         "intersect": q_intersect,
         "json_extract": q_json_extract,
         "json_source": q_json_source,
+        "minhash_near_dups": q_minhash_near_dups,
         "orc_source": q_orc_source,
+        "pack_sequences": q_pack_sequences,
+        "quantiles_approx": q_quantiles_approx,
+        "range_join": q_range_join,
+        "salted_join": q_salted_join,
+        "simhash_near_dups": q_simhash_near_dups,
         "stratified_sample": q_stratified_sample,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
         "summary_stats": q_summary_stats,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
+        "time_window_agg": q_time_window_agg,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "txn_2pl_serial": q_txn_2pl_serial,
+        "txn_snapshot_isolation": q_txn_snapshot_isolation,
         "union": q_union,
         "unpivot": q_unpivot,
         "window_frame": q_window_frame,
         "window_running": q_window_running,
-        # r7-green entries (rotate after the r5 block)
+        "zorder_scan": q_zorder_scan,
+        # ------------- below the driver's 50-row window ------------- #
+        # r7-green entries — first in line for the round-12 rotation
         "bigram_lm": q_bigram_lm,
         "bloom_semi_join": q_bloom_semi_join,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4306,56 +4652,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "window_ntile": q_window_ntile,
         "zscore_outliers": q_zscore_outliers,
-        # r9-green entries: freshest driver evidence, 50/50 in r09
+        # r9/r10-green entries: freshest driver evidence
         "ann_recall": q_ann_recall,
+        "asof_join": q_asof_join,
         "asset_resize": q_asset_resize,
+        "audio_chunks": q_audio_chunks,
         "bm25_indexed": q_bm25_indexed,
         "bm25_search": q_bm25_search,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "broadcast_join": q_broadcast_join,
+        "cdf_feed": q_cdf_feed,
+        "cdf_stream": q_cdf_stream,
+        "check_constraints": q_check_constraints,
         "cms_reconcile": q_cms_reconcile,
+        "contains_key": q_contains_key,
         "correlation_matrix": q_correlation_matrix,
+        "csv_source": q_csv_source,
         "dedup_apply": q_dedup_apply,
         "dedup_clusters": q_dedup_clusters,
         "dedup_eval": q_dedup_eval,
+        "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "dml_lifecycle": q_dml_lifecycle,
         "dup_span_coverage": q_dup_span_coverage,
         "dup_spans": q_dup_spans,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_topk": q_embedding_topk,
         "epoch_shuffle": q_epoch_shuffle,
+        "except": q_except,
         "except_all": q_except_all,
+        "explode_array": q_explode_array,
         "filter_eq": q_filter_eq,
+        "filter_range": q_filter_range,
         "frame_sample": q_frame_sample,
         "grace_hash_join": q_grace_hash_join,
         "groupby_count": q_groupby_count,
+        "groupby_sum_avg": q_groupby_sum_avg,
         "hll_by_group": q_hll_by_group,
         "hll_reconcile": q_hll_reconcile,
+        "hybrid_search": q_hybrid_search,
         "index_range_scan": q_index_range_scan,
         "indexed_write_scan": q_indexed_write_scan,
         "intersect_all": q_intersect_all,
+        "ivfpq_probe": q_ivfpq_probe,
+        "join_three_flagship": q_join_three_flagship,
         "join_two": q_join_two,
         "key_skew": q_key_skew,
         "ks_drift": q_ks_drift,
+        "lang_id": q_lang_id,
+        "left_outer_join": q_left_outer_join,
+        "lookup_key": q_lookup_key,
+        "metadata_agg": q_metadata_agg,
         "mixture_sample": q_mixture_sample,
         "mixture_temperature": q_mixture_temperature,
+        "multimodal_features": q_multimodal_features,
+        "mvcc_vacuum": q_mvcc_vacuum,
+        "mview_refresh": q_mview_refresh,
         "ngram_jaccard": q_ngram_jaccard,
+        "optimizer_cardinality": q_optimizer_cardinality,
+        "orderby_limit": q_orderby_limit,
+        "partition_skipping": q_partition_skipping,
+        "partitioned_dml": q_partitioned_dml,
+        "partitioned_merge": q_partitioned_merge,
         "phrase_indexed": q_phrase_indexed,
         "phrase_search": q_phrase_search,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pq_ann": q_pq_ann,
+        "project": q_project,
         "psi_drift": q_psi_drift,
         "quality_filter": q_quality_filter,
+        "quantiles": q_quantiles,
+        "restore_clone": q_restore_clone,
+        "rollup": q_rollup,
         "sample_k_per_group": q_sample_k_per_group,
+        "scalar_functions": q_scalar_functions,
         "scan": q_scan,
+        "schema_evolution": q_schema_evolution,
+        "self_join_alias": q_self_join_alias,
         "semantic_dedup": q_semantic_dedup,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
         "similar_docs": q_similar_docs,
+        "soft_delete": q_soft_delete,
+        "stream_to_mview": q_stream_to_mview,
         "streaming_cms": q_streaming_cms,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
         "streaming_hll": q_streaming_hll,
+        "streaming_session": q_streaming_session,
+        "streaming_sliding": q_streaming_sliding,
+        "streaming_tumbling": q_streaming_tumbling,
+        "table_history": q_table_history,
+        "text_stats": q_text_stats,
         "time_travel": q_time_travel,
         "token_counts": q_token_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q22": q_tpch_q22,
         "tpch_q5": q_tpch_q5,
+        "train_test_split": q_train_test_split,
         "weighted_sample": q_weighted_sample,
+        "window_rank": q_window_rank,
     }
 
 
@@ -5196,6 +5593,78 @@ def oracle_sql() -> dict[str, str]:
             "CAST(GREATEST(MAX(o_orderkey), 900000001) AS BIGINT) "
             "  AS max_key "
             "FROM orders"),
+        # --- round 11 ---
+        "partition_overwrite": (
+            "WITH fin AS (SELECT n_nationkey, n_regionkey FROM nation "
+            "  WHERE n_regionkey NOT IN (0, 1) "
+            "  UNION ALL SELECT 400, 0 UNION ALL SELECT 401, 0) "
+            "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+            "FROM fin GROUP BY n_regionkey"),
+        "clone_vacuum_guard": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_clone_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum, "
+            "TRUE AS reclaimed_after_detach FROM nation"),
+        "metadata_groupby": (
+            "WITH allr AS (SELECT o_orderstatus FROM orders "
+            "  UNION ALL SELECT 'X' UNION ALL SELECT 'X') "
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM allr GROUP BY o_orderstatus"),
+        "bloom_skipping": (
+            "SELECT o_orderkey, o_orderstatus, "
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+            "  AS price_cents "
+            "FROM orders WHERE o_orderkey = "
+            "  (SELECT MIN(o_orderkey) FROM orders)"),
+        "partition_pruned_join": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(round(SUM(o_totalprice) * 100, 0) AS BIGINT) "
+            "  AS price_cents "
+            "FROM orders "
+            "WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM') "
+            "GROUP BY o_orderpriority"),
+        "mview_bucketed": (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(round(SUM(c_acctbal "
+            "  + CASE WHEN c_nationkey = 3 THEN 5.0 ELSE 0 END) "
+            "  * 100, 0) AS BIGINT) AS acct_cents "
+            "FROM customer GROUP BY c_nationkey"),
+        "ann_batch_queries": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+            "  WHERE vec_id < 3), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "  round(list_cosine_similarity("
+            "    CAST(e.embedding AS DOUBLE[]), q.qv), 6) "
+            "    AS cosine_sim "
+            "  FROM q CROSS JOIN embeddings e), "
+            "rk AS (SELECT *, row_number() OVER ("
+            "  PARTITION BY query_id "
+            "  ORDER BY cosine_sim DESC, vec_id) AS rn FROM scored) "
+            "SELECT query_id, vec_id, cosine_sim FROM rk "
+            "WHERE rn <= 5"),
+        "ivfpq_append": (
+            "SELECT CAST(COUNT(*) FILTER (WHERE vec_id % 5 <> 0) "
+            "  AS BIGINT) AS n_base, "
+            "CAST(COUNT(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT) "
+            "  AS n_appended, "
+            "CAST(COUNT(*) AS BIGINT) AS n_total, "
+            "TRUE AS top1_is_query FROM embeddings"),
+        "token_budget_mix": (
+            "WITH t AS (SELECT source, doc_id, "
+            "  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) "
+            "    AS n_tokens, "
+            "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT AS hv "
+            "  FROM documents), "
+            "w AS (SELECT source, n_tokens, "
+            "  CAST(COALESCE(SUM(n_tokens) OVER ("
+            "    PARTITION BY source ORDER BY hv, doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "    AS BIGINT) AS cum_before FROM t) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS tok_sum "
+            "FROM w WHERE cum_before < 500 GROUP BY source"),
         "mvcc_vacuum": (
             "WITH v1 AS (SELECT n_nationkey FROM nation "
             "       UNION ALL SELECT unnest([300, 301])), "

@@ -60,12 +60,19 @@ _KEYABLE = (T.StringType, T.IntegerType, T.LongType, T.ShortType,
             T.ByteType, T.BooleanType, T.DateType)
 
 #: Per-directory Bloom-index geometry (Delta bloom-filter-index /
-#: parquet bloom analog at directory granularity): 8192 bits / 4
-#: probes ≈ 2.4% false-positive rate at 1k distinct values per
-#: directory; beyond that the filter degrades toward keep-everything —
-#: fail-open, never a wrong skip.  1 KiB per (directory, column) in
-#: the stats sidecar.
-_BLOOM_BITS = 8192
+#: parquet bloom analog at directory granularity).  4 probe hashes;
+#: each directory's filter SIZES ITSELF from its own distinct-position
+#: count (~10 bits per distinct value, power-of-two in
+#: [_BLOOM_MIN_BITS, _BLOOM_MAX_BITS]) — a fixed size would saturate
+#: on big directories and prune nothing.  Positions are computed
+#: modulo _BLOOM_MAX_BITS JVM-side (so the executor-side distinct is
+#: bounded by it), then folded to the directory's m — m divides
+#: 2^23, so ``(h % 2^23) % m == h % m`` and lookups replay the fold
+#: driver-side.  Worst case 1 MiB per (directory, column); degrade is
+#: fail-open (a saturated filter keeps its directory, never a wrong
+#: skip).
+_BLOOM_MIN_BITS = 8192
+_BLOOM_MAX_BITS = 1 << 23
 _BLOOM_K = 4
 
 
@@ -311,38 +318,64 @@ class PartitionedTable:
 
     @staticmethod
     def _bloom_hashes(col: F.Column) -> list[F.Column]:
-        """The _BLOOM_K bit positions for one value — JVM-side xxhash64
-        with k salt literals.  Lookup-side hashing MUST cast the probe
+        """The _BLOOM_K max-domain bit positions for one value —
+        JVM-side xxhash64 with k salt literals, folded mod
+        _BLOOM_MAX_BITS.  Lookup-side hashing MUST cast the probe
         literal to the column's exact type (xxhash64 of int32 ≠ int64
         for the same number)."""
-        return [F.pmod(F.xxhash64(col, F.lit(s)), F.lit(_BLOOM_BITS))
+        return [F.pmod(F.xxhash64(col, F.lit(s)),
+                       F.lit(_BLOOM_MAX_BITS))
                 for s in range(_BLOOM_K)]
 
     def _compute_blooms(self, df: DataFrame, partition_col: str,
-                        col: str, keys: set[str]) -> dict[str, str]:
-        """Per-partition Bloom bitmap for ``col`` as hex, built from
-        ONE aggregation job on the batch being written: the distinct
-        (partition, bit) pairs collect to the driver — bounded by
-        |partitions| × _BLOOM_BITS rows, never data volume (map-side
-        partial dedup keeps the shuffle proportional to the same
-        bound).  A partition whose rows are all NULL in ``col`` gets
-        an all-zero filter, which correctly excludes every probe (SQL
-        ``= value`` never matches NULL).  Spark's cast-to-string group
-        key (bool → true/false, date → ISO) equals the hive path key
-        ``_key()`` produces, so ``keys`` (parsed from the staging
-        layout) addresses the same namespace."""
-        pairs = (df.filter(F.col(col).isNotNull())
-                 .select(F.col(partition_col).cast("string")
-                         .alias("__k"),
-                         F.explode(F.array(*self._bloom_hashes(
-                             F.col(col)))).alias("__pos"))
-                 .distinct().collect())
-        blooms = {k: bytearray(_BLOOM_BITS // 8) for k in keys}
-        for r in pairs:
-            b = blooms[r["__k"]]
-            p = int(r["__pos"])
-            b[p // 8] |= 1 << (p % 8)
-        return {k: bytes(v).hex() for k, v in blooms.items()}
+                        col: str, keys: set[str]) -> dict[str, dict]:
+        """Per-partition Bloom filters for ``col`` as ``{"bits": m,
+        "hex": bitmap}``, built EXECUTOR-SIDE in one job: the distinct
+        max-domain positions (≤ _BLOOM_MAX_BITS per partition, however
+        big the data) shuffle to their partition's group, and an
+        Arrow-batched ``applyInPandas`` sizes that partition's filter
+        from its own distinct count (~10 bits/value, power-of-two) and
+        sets the bits vectorized — the driver receives |partitions|
+        rows of at most 1 MiB, never data volume.  A partition whose
+        rows are all NULL in ``col`` gets an empty (all-zero) filter,
+        which correctly excludes every probe (SQL ``= value`` never
+        matches NULL).  Spark's cast-to-string group key (bool →
+        true/false, date → ISO) equals the hive path key ``_key()``
+        produces, so ``keys`` (parsed from the staging layout)
+        addresses the same namespace."""
+        import numpy as np
+        import pandas as pd
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            n = len(pdf)  # ≈ k × distinct values (post-distinct)
+            m = _BLOOM_MIN_BITS
+            while m < _BLOOM_MAX_BITS and m < 2.5 * n:
+                m <<= 1
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            # m divides _BLOOM_MAX_BITS, so this fold equals h % m
+            p = pdf["__pos"].to_numpy(dtype=np.int64) % m
+            np.bitwise_or.at(bits, p // 8,
+                             np.left_shift(1, (p % 8)).astype(np.uint8))
+            return pd.DataFrame({"__k": [pdf["__k"].iloc[0]],
+                                 "bits": [int(m)],
+                                 "hex": [bits.tobytes().hex()]})
+
+        rows = (df.filter(F.col(col).isNotNull())
+                .select(F.col(partition_col).cast("string")
+                        .alias("__k"),
+                        F.explode(F.array(*self._bloom_hashes(
+                            F.col(col)))).alias("__pos"))
+                .distinct()
+                .groupBy("__k")
+                .applyInPandas(build,
+                               "__k string, bits long, hex string")
+                .collect())
+        blooms = {k: {"bits": _BLOOM_MIN_BITS, "hex": ""}
+                  for k in keys}
+        for r in rows:
+            blooms[r["__k"]] = {"bits": int(r["bits"]),
+                                "hex": r["hex"]}
+        return blooms
 
     # ------------------------------------------------------------------ #
     # data-skipping stats (Delta file-stats analog, dir granularity)
@@ -524,10 +557,15 @@ class PartitionedTable:
                 bloom = (self._staging_stats(os.path.dirname(d))
                          .get(os.path.basename(d), {})
                          .get("__bloom", {}).get(column))
-                if isinstance(bloom, str):
-                    bits = bytes.fromhex(bloom)
-                    if not all(bits[p // 8] & (1 << (p % 8))
-                               for p in pos):
+                if isinstance(bloom, dict):
+                    m = bloom["bits"]
+                    bits = bytes.fromhex(bloom["hex"])
+                    # empty hex = all-NULL directory: excludes every
+                    # probe.  m divides _BLOOM_MAX_BITS, so p % m
+                    # replays the write-side fold exactly.
+                    if not bits or not all(
+                            bits[(p % m) // 8] & (1 << ((p % m) % 8))
+                            for p in pos):
                         continue  # proven absent
                 keep.append(d)
         return keep
