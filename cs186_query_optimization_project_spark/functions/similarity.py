@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import math
 import os
+from contextlib import contextmanager as _contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -875,6 +876,71 @@ def ivfpq_append(index: AnnIndex, new_df: DataFrame,
     (_bucket_partitioned(coded, "cell", id_col, files_per_bucket)
         .write.mode("append").partitionBy("cell").parquet(index.path))
     return n
+
+
+def ivfpq_remove(spark: SparkSession, index: AnnIndex,
+                 ids_df: DataFrame, id_col: str = "vec_id",
+                 files_per_bucket: int = 4) -> int:
+    """Targeted deletion from the materialized index — the other half
+    of the maintenance lifecycle (:func:`ivfpq_append` adds): the
+    cells OWNING the doomed ids are found with one broadcast semi-join
+    over the code table (m-byte rows, id+cell columns only), and ONLY
+    those cell partitions rewrite (anti-join survivors, dynamic
+    partition overwrite); every untouched cell's files are left
+    byte-identical.  Cost tracks |touched cells|' code rows — at 1000
+    cells a deletion hitting 3 cells rewrites 0.3% of an index that is
+    already ~m bytes/row.  Codes never re-encode (the header is
+    frozen), so survivors are bit-identical.  Returns the number of
+    code rows removed."""
+    ids = ids_df.select(F.col(id_col)).distinct()
+    stored = spark.read.parquet(index.path)
+    touched = [r[0] for r in
+               (stored.join(F.broadcast(ids), id_col)
+                .select("cell").distinct().collect())]
+    if not touched:
+        return 0
+    doomed = (stored.filter(F.col("cell").isin(touched))
+              .join(F.broadcast(ids), id_col).count())
+    # materialize BEFORE the overwrite: the survivor plan reads the
+    # very files the dynamic overwrite replaces, and a lazy read-while-
+    # overwrite of the same directories is a torn index
+    survivors = (stored.filter(F.col("cell").isin(touched))
+                 .join(F.broadcast(ids), id_col, "left_anti")
+                 .select(id_col, "cell", "pq_codes")
+                 .localCheckpoint())
+    with _partition_overwrite_dynamic(spark):
+        (_bucket_partitioned(survivors, "cell", id_col,
+                             files_per_bucket)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(index.path))
+    # dynamic overwrite only replaces partitions the write PRODUCES —
+    # a touched cell whose rows all died produces nothing and would
+    # keep its old files; drop those directories explicitly
+    import shutil as _shutil
+
+    alive = {r[0] for r in survivors.select("cell").distinct()
+             .collect()}
+    for cell in set(touched) - alive:
+        _shutil.rmtree(os.path.join(index.path, f"cell={cell}"),
+                       ignore_errors=True)
+    return doomed
+
+
+@_contextmanager
+def _partition_overwrite_dynamic(spark: SparkSession):
+    """Scope partitionOverwriteMode=dynamic (overwrite ONLY the
+    partitions the write produces) without leaking the setting into
+    the caller's session."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def ivfpq_probe(spark: SparkSession, index: AnnIndex,

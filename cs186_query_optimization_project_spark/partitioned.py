@@ -1373,6 +1373,27 @@ class PartitionedTable:
             rows, "version bigint, op string, ts timestamp, "
                   "n_partitions int, n_dirs int")
 
+    def version_at(self, ts: float) -> int:
+        """Delta ``TIMESTAMP AS OF``: the newest retained version whose
+        commit timestamp is ≤ ``ts`` (a POSIX timestamp) — pass the
+        result to ``read(version=...)`` / ``changes(...)``.  Versions
+        without a recorded timestamp (pre-audit manifests) are treated
+        as older than everything, like Delta treats missing commit
+        times.  Raises when ``ts`` predates the oldest retained
+        commit — reading "before the table existed" (or before vacuum's
+        horizon) must fail loudly, not silently return v0."""
+        best = None
+        for v in self.versions():
+            man_ts = self._manifest(v).get("ts")
+            if man_ts is None or man_ts <= ts:
+                best = v
+        if best is None:
+            raise DatabaseException(
+                f"partitioned table '{self.root}': no retained version "
+                f"at or before timestamp {ts}; oldest retained commit "
+                f"is newer (or vacuumed)")
+        return best
+
     def restore(self, version: int) -> "PartitionedTable":
         """Delta ``RESTORE``: publish a NEW version whose content is
         exactly the retained ``version``'s (parts, tombstones,

@@ -221,3 +221,56 @@ def test_ivfpq_append_equals_batch_reencode(spark, vectors, tmp_path):
     top = similarity.ivfpq_topk(spark, idx, vectors,
                                 _query_of(vectors, qid), k=3, n_probe=4)
     assert [r["vec_id"] for r in top.collect()][0] == qid
+
+
+def test_ivfpq_remove_rewrites_only_touched_cells(spark, vectors,
+                                                  tmp_path):
+    """Deletion rewrites only the cells owning the doomed ids;
+    untouched cells' files stay byte-identical; survivors never
+    re-encode; removing a whole cell's rows drops its directory."""
+    idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "rm"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    stored0 = spark.read.parquet(idx.path).collect()
+    by_cell = {}
+    for r in stored0:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    victim_cell = min(by_cell, key=lambda c: len(by_cell[c]))
+    doom = [by_cell[victim_cell][0]]
+    other_cells = [c for c in by_cell if c != victim_cell]
+    files_before = {}
+    for c in other_cells:
+        d = os.path.join(idx.path, f"cell={c}")
+        files_before[c] = {(f, os.path.getmtime(os.path.join(d, f)))
+                           for f in os.listdir(d)
+                           if f.endswith(".parquet")}
+    n = similarity.ivfpq_remove(
+        spark, idx, spark.createDataFrame([(i,) for i in doom],
+                                          "vec_id long"))
+    assert n == 1
+    for c in other_cells:                       # untouched: same files
+        d = os.path.join(idx.path, f"cell={c}")
+        now = {(f, os.path.getmtime(os.path.join(d, f)))
+               for f in os.listdir(d) if f.endswith(".parquet")}
+        assert now == files_before[c], c
+    after = spark.read.parquet(idx.path)
+    assert after.count() == len(stored0) - 1
+    assert after.filter(F.col("vec_id").isin(doom)).count() == 0
+    # survivors of the touched cell kept their exact codes
+    want = {r["vec_id"]: list(r["pq_codes"]) for r in stored0
+            if r["cell"] == victim_cell and r["vec_id"] not in doom}
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in
+           after.filter(F.col("cell") == victim_cell).collect()}
+    assert got == want
+    # removing EVERYTHING in a cell drops its directory
+    n2 = similarity.ivfpq_remove(
+        spark, idx,
+        spark.createDataFrame([(i,) for i in by_cell[victim_cell]],
+                              "vec_id long"))
+    assert n2 == len(by_cell[victim_cell]) - 1
+    assert not os.path.isdir(os.path.join(idx.path,
+                                          f"cell={victim_cell}"))
+    # ids absent from the index: a clean no-op
+    assert similarity.ivfpq_remove(
+        spark, idx,
+        spark.createDataFrame([(777777,)], "vec_id long")) == 0

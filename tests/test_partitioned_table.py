@@ -985,3 +985,23 @@ def test_read_pruned_by_dim_keys(pt, spark):
     want = {os.path.basename(d) for k in ("A", "C")
             for d in pt._manifest()["parts"][k]}
     assert dirs == want
+
+
+def test_version_at_timestamp_travel(pt, spark):
+    """TIMESTAMP AS OF: version_at resolves the newest commit at or
+    before the asked time; pre-table times raise; version numbers
+    feed read(version=...)."""
+    import time as _t
+
+    t0 = pt._manifest(0)["ts"]
+    _t.sleep(0.05)
+    pt.insert(spark.createDataFrame([(6, "D", 60.0)],
+                                    "id long, grp string, amt double"))
+    t1 = pt._manifest(1)["ts"]
+    assert pt.version_at(t0) == 0
+    assert pt.version_at((t0 + t1) / 2) == 0
+    assert pt.version_at(t1) == 1
+    assert pt.version_at(t1 + 100) == 1
+    assert pt.read(version=pt.version_at(t0)).count() == 5
+    with pytest.raises(DatabaseException, match="no retained version"):
+        pt.version_at(t0 - 100)
