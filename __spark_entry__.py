@@ -4279,8 +4279,12 @@ def q_bloom_skipping(spark, sf_dir):
     directories with disjoint synthetic key ranges, then a point
     lookup of the smallest real key runs.  In-entry contract raises
     (must survive ``python -O``): the lookup must scan STRICTLY fewer
-    directories than exist, equal the plain filter exactly, and a
-    provably-absent key must scan ZERO directories.  The oracle
+    directories than exist and equal the plain filter exactly, and an
+    absent key must prune at least one directory and return zero rows
+    (per-directory false-positive rates are ~1%, so "prunes ALL
+    directories" would be a probabilistic assert that flakes a few
+    percent of runs at some SF; "prunes ≥ 1 of 5" fails with
+    probability ~1e-10 and the row-count check is exact).  The oracle
     replays the lookup in SQL."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
@@ -4313,9 +4317,12 @@ def q_bloom_skipping(spark, sf_dir):
         if got.exceptAll(plain).count() or \
                 plain.exceptAll(got).count():
             raise RuntimeError("bloom lookup != plain filter")
-        if pt._point_dirs("o_orderkey", 9_999_999_999):
+        absent_kept = pt._point_dirs("o_orderkey", 9_999_999_999)
+        if len(absent_kept) >= total:
             raise RuntimeError(
-                "absent key must prove out of every directory")
+                "absent key must prune at least one directory")
+        if pt.read_point("o_orderkey", 9_999_999_999).count():
+            raise RuntimeError("absent key must return zero rows")
         out = (got.select(
             "o_orderkey", "o_orderstatus",
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint")

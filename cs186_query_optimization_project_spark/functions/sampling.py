@@ -278,13 +278,13 @@ def token_budget_mix(df: DataFrame, domain_col: str, id_col: str,
     Returns the kept rows with ``n_tokens`` (whitespace count, the
     same definition the token-counting operator uses) and
     ``cum_before`` — deterministic, SQL-replayable."""
-    from cs186_query_optimization_project_spark.functions.sketches import (
-        _H60,
-    )
-
     toks = F.size(F.split(F.col(text_col), r"\s+"))
-    u = F.expr(_H60.format(
-        x=f"concat('{salt}', cast({id_col} as string))"))
+    # the portable md5-top-60-bit uniform, built from COLUMN
+    # expressions (F.lit carries the salt) — interpolating the salt
+    # into an F.expr SQL string would break on quotes/backslashes
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("bigint")
     w = (Window.partitionBy(domain_col)
          .orderBy(u.asc(), F.col(id_col).asc()))
     cum_before = (F.sum(toks).over(w) - toks).cast("bigint")

@@ -26,12 +26,16 @@ deltas alone (a deleted max needs a rescan) and are deliberately out
 of scope, like most engines' incremental MV restrictions.
 
 Refresh is ATOMIC via a version-pointer swap: the merged buckets
-commit as a new STORE version (one ``overwrite_partitions`` commit —
-first-committer-wins, so concurrent refreshers surface as a named
-``ConflictException`` instead of a lost update), then one
-``os.replace`` of the sidecar flips (source_version, store_version)
-together — a reader re-opening the view sees either the old
-consistent pair or the new one, never a half-applied refresh.  A
+commit as a new STORE version (one ``overwrite_partitions`` commit),
+then one ``os.replace`` of the sidecar flips (source_version,
+store_version) together — a reader re-opening the view sees either
+the old consistent pair or the new one, never a half-applied refresh.
+Refresh is SINGLE-WRITER: an exclusive pid lockfile held for the
+whole fold makes a concurrent ``refresh()`` raise a named
+``ConflictException`` instead of risking a stale-merge lost update
+(store-version checks alone cannot catch a loser that read the
+sidecar before the winner's swap); dead-pid locks reclaim
+automatically.  A
 refresh that crashed between the store commit and the sidecar swap is
 self-healing: the retry reads the stored aggregate at the PINNED
 sidecar version and re-folds the full outstanding CDF range, whose
@@ -55,12 +59,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cs186_query_optimization_project_spark.errors import DatabaseException
+from cs186_query_optimization_project_spark.errors import (
+    ConflictException,
+    DatabaseException,
+)
 from cs186_query_optimization_project_spark.partitioned import (
     PartitionedTable,
 )
 
 _META = "_mview.json"
+_LOCK = "_refresh.lock"
+
+
+def _bucket_expr(keys: list[str], n_buckets: int) -> F.Column:
+    """THE store-partitioning invariant — same key tuple, same bucket,
+    at create time and on every refresh (a second definition drifting
+    from this one would split groups across buckets and corrupt the
+    merge).  Murmur3 is deterministic across sessions, and F.hash of
+    an all-NULL key tuple is still a concrete int, so a NULL group key
+    lands in a stable bucket like any other group."""
+    return F.pmod(F.hash(*[F.col(k) for k in keys]),
+                  F.lit(n_buckets)).cast("int")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive but foreign — never steal its lock
+    return True
 
 
 class MaterializedView:
@@ -76,6 +105,12 @@ class MaterializedView:
                 f"no materialized view at '{self.root}'; use "
                 f"MaterializedView.create")
         meta = self._meta()
+        if "n_buckets" not in meta or "store_version" not in meta:
+            raise DatabaseException(
+                f"materialized view at '{self.root}' was written by a "
+                f"pre-bucketed build (generation-directory store); it "
+                f"cannot be opened or refreshed — rebuild it with "
+                f"MaterializedView.create")
         self.keys: list[str] = meta["keys"]
         self.sum_cols: list[str] = meta["sum_cols"]
         self.filter_sql: str | None = meta.get("filter_sql")
@@ -90,11 +125,7 @@ class MaterializedView:
             self.spark, os.path.join(self.root, "store"))
 
     def _bucket(self) -> F.Column:
-        # Murmur3 is deterministic across sessions, and F.hash of an
-        # all-NULL key tuple is still a concrete int, so a NULL group
-        # key lands in a stable bucket like any other group
-        return F.pmod(F.hash(*[F.col(k) for k in self.keys]),
-                      F.lit(self.n_buckets)).cast("int")
+        return _bucket_expr(self.keys, self.n_buckets)
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -138,10 +169,8 @@ class MaterializedView:
         base = source.read()
         if filter_sql:
             base = base.filter(F.expr(filter_sql))
-        bucket = F.pmod(F.hash(*[F.col(k) for k in keys]),
-                        F.lit(n_buckets)).cast("int")
         agg = cls._aggregate(base, keys, sum_cols) \
-            .withColumn("__mv", bucket)
+            .withColumn("__mv", _bucket_expr(keys, n_buckets))
         os.makedirs(root, exist_ok=False)
         store = PartitionedTable.create(
             spark, agg, os.path.join(root, "store"), "__mv")
@@ -191,7 +220,47 @@ class MaterializedView:
         (OPTIMIZE, constraint changes, a no-op restore) advance the
         recorded version WITHOUT a store commit; the group-key merge
         join is NULL-safe (a NULL group key is an ordinary group, as
-        in SQL GROUP BY)."""
+        in SQL GROUP BY).
+
+        SINGLE-REFRESHER contract, enforced by an exclusive pid
+        lockfile held for the whole fold: a concurrent ``refresh()``
+        raises ``ConflictException`` immediately (the store-version
+        check alone cannot catch every interleaving — a loser that
+        read the sidecar before the winner's swap would otherwise
+        commit a merge based on a stale pinned version and double-fold
+        churn on the next refresh).  A lock whose pid is dead (crashed
+        refresher) is reclaimed automatically; the crashed attempt's
+        orphaned store commit is absorbed as documented in the module
+        docstring."""
+        lock = os.path.join(self.root, _LOCK)
+        try:
+            fd = open(lock, "x")
+        except FileExistsError:
+            try:
+                pid = int(open(lock).read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid and _pid_alive(pid):
+                raise ConflictException(
+                    f"materialized view '{self.root}': refresh already "
+                    f"in progress (pid {pid}); retry after it "
+                    f"completes")
+            try:  # stale lock from a crashed refresher — reclaim
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+            return self.refresh()
+        try:
+            fd.write(str(os.getpid()))
+            fd.close()
+            return self._refresh_locked()
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    def _refresh_locked(self) -> int:
         meta = self._meta()
         last = meta["source_version"]
         cur = self.source.versions()[-1]
@@ -251,11 +320,10 @@ class MaterializedView:
                       *[e for c in self.sum_cols for e in _sum(c)])
                   .filter(F.col("mv_count") > 0)
                   .withColumn("__mv", self._bucket()))
-        # ONE first-committer-wins store commit replaces exactly the
-        # touched buckets; a concurrent refresher loses with a named
-        # ConflictException (no lost update), a crashed refresher's
-        # orphan store version is absorbed by the next retry (see
-        # module docstring)
+        # ONE store commit replaces exactly the touched buckets
+        # (concurrency is excluded by refresh()'s lockfile; a crashed
+        # refresher's orphan store version is absorbed by the next
+        # retry — see module docstring)
         store.overwrite_partitions(
             merged.select(*stored.columns, "__mv"), touched)
         self._swap_meta(dict(meta, source_version=cur,

@@ -295,11 +295,11 @@ class PartitionedTable:
                 names[key] = name
                 stats[name] = self._dir_stats(
                     os.path.join(staging, name))
-        for c in self._active_bloom_cols():
-            if c not in df.columns:
-                continue  # fail-open: no filter, no skipping
-            for key, bloom in self._compute_blooms(
-                    df, partition_col, c, set(names)).items():
+        bloom_cols = [c for c in self._active_bloom_cols()
+                      if c in df.columns]  # fail-open when absent
+        if bloom_cols and names:
+            for (key, c), bloom in self._compute_blooms(
+                    staging, bloom_cols, set(names)).items():
                 stats[names[key]].setdefault("__bloom", {})[c] = bloom
         # sidecar, immutable with the staging: per-directory min/max
         # bounds (and bloom bitmaps) for read_where / read_point
@@ -327,22 +327,26 @@ class PartitionedTable:
                        F.lit(_BLOOM_MAX_BITS))
                 for s in range(_BLOOM_K)]
 
-    def _compute_blooms(self, df: DataFrame, partition_col: str,
-                        col: str, keys: set[str]) -> dict[str, dict]:
-        """Per-partition Bloom filters for ``col`` as ``{"bits": m,
-        "hex": bitmap}``, built EXECUTOR-SIDE in one job: the distinct
-        max-domain positions (≤ _BLOOM_MAX_BITS per partition, however
-        big the data) shuffle to their partition's group, and an
-        Arrow-batched ``applyInPandas`` sizes that partition's filter
-        from its own distinct count (~10 bits/value, power-of-two) and
-        sets the bits vectorized — the driver receives |partitions|
-        rows of at most 1 MiB, never data volume.  A partition whose
-        rows are all NULL in ``col`` gets an empty (all-zero) filter,
-        which correctly excludes every probe (SQL ``= value`` never
-        matches NULL).  Spark's cast-to-string group key (bool →
-        true/false, date → ISO) equals the hive path key ``_key()``
-        produces, so ``keys`` (parsed from the staging layout)
-        addresses the same namespace."""
+    def _compute_blooms(self, staging: str, cols: list[str],
+                        keys: set[str]) -> dict[tuple, dict]:
+        """Per-(partition, column) Bloom filters as ``{"bits": m,
+        "hex": bitmap}``, built EXECUTOR-SIDE in ONE job over the
+        STAGED parquet — never by re-executing the input plan, which
+        for a non-deterministic upstream (UDFs, timestamps, samples)
+        would hash different values than the files actually hold and
+        produce wrong skips; reading the staging also means an
+        expensive upstream plan is not paid again per bloom column.
+        The distinct max-domain positions (≤ _BLOOM_MAX_BITS per
+        partition per column, however big the data) shuffle to their
+        group, and an Arrow-batched ``applyInPandas`` sizes each
+        filter from its own distinct count (~10 bits/value,
+        power-of-two) and sets the bits vectorized — the driver
+        receives |partitions|·|cols| rows of at most 1 MiB, never data
+        volume.  A partition whose rows are all NULL in a column gets
+        an empty (all-zero) filter, which correctly excludes every
+        probe (SQL ``= value`` never matches NULL).  The hive
+        partition value parsed from the ``__p=`` path, cast to string,
+        equals the ``_key()`` namespace ``keys`` uses."""
         import numpy as np
         import pandas as pd
 
@@ -357,24 +361,35 @@ class PartitionedTable:
             np.bitwise_or.at(bits, p // 8,
                              np.left_shift(1, (p % 8)).astype(np.uint8))
             return pd.DataFrame({"__k": [pdf["__k"].iloc[0]],
+                                 "__c": [pdf["__c"].iloc[0]],
                                  "bits": [int(m)],
                                  "hex": [bits.tobytes().hex()]})
 
-        rows = (df.filter(F.col(col).isNotNull())
-                .select(F.col(partition_col).cast("string")
-                        .alias("__k"),
-                        F.explode(F.array(*self._bloom_hashes(
-                            F.col(col)))).alias("__pos"))
+        staged = self.spark.read.parquet(staging)
+        # one exploded (col, position) stream for ALL bloom columns;
+        # NULL values contribute nothing (filtered structs)
+        structs = F.array(*[
+            F.when(F.col(c).isNotNull(),
+                   F.struct(F.lit(c).alias("__c"), h.alias("__pos")))
+            for c in cols for h in self._bloom_hashes(F.col(c))])
+        rows = (staged
+                .select(F.col("__p").cast("string").alias("__k"),
+                        F.explode(F.filter(
+                            structs, lambda s: s.isNotNull()))
+                        .alias("__s"))
+                .select("__k", F.col("__s.__c").alias("__c"),
+                        F.col("__s.__pos").alias("__pos"))
                 .distinct()
-                .groupBy("__k")
-                .applyInPandas(build,
-                               "__k string, bits long, hex string")
+                .groupBy("__k", "__c")
+                .applyInPandas(
+                    build, "__k string, __c string, bits long, "
+                           "hex string")
                 .collect())
-        blooms = {k: {"bits": _BLOOM_MIN_BITS, "hex": ""}
-                  for k in keys}
+        blooms = {(k, c): {"bits": _BLOOM_MIN_BITS, "hex": ""}
+                  for k in keys for c in cols}
         for r in rows:
-            blooms[r["__k"]] = {"bits": int(r["bits"]),
-                                "hex": r["hex"]}
+            blooms[(r["__k"], r["__c"])] = {"bits": int(r["bits"]),
+                                            "hex": r["hex"]}
         return blooms
 
     # ------------------------------------------------------------------ #

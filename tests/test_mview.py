@@ -269,3 +269,29 @@ def test_read_with_avg_uses_nonnull_count(src, spark, tmp_path):
     assert got == want
     assert got["A"] == 15.0        # (10+20)/2, the NULL row excluded
     assert got["E"] is None        # all-NULL group -> NULL, not 0
+
+
+def test_refresh_lock_excludes_concurrent_and_reclaims_stale(
+        src, spark, tmp_path):
+    """Single-refresher contract: a live lock makes refresh raise the
+    named conflict; a dead-pid (crashed) lock is reclaimed and the
+    refresh proceeds."""
+    from cs186_query_optimization_project_spark.errors import (
+        ConflictException,
+    )
+
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"])
+    src.insert(spark.createDataFrame([(8, "A", 1.0)],
+                                     "id long, grp string, amt double"))
+    lock = os.path.join(mv.root, "_refresh.lock")
+    with open(lock, "x") as f:
+        f.write(str(os.getpid()))          # "live" concurrent holder
+    with pytest.raises(ConflictException, match="already in progress"):
+        mv.refresh()
+    os.remove(lock)
+    with open(lock, "x") as f:
+        f.write("999999999")               # dead pid -> stale
+    assert mv.refresh() > 0                # reclaimed and folded
+    assert not os.path.exists(lock)        # released after success
+    assert _as_dict(mv) == _recompute(src)

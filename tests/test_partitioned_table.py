@@ -1005,3 +1005,22 @@ def test_version_at_timestamp_travel(pt, spark):
     assert pt.read(version=pt.version_at(t0)).count() == 5
     with pytest.raises(DatabaseException, match="no retained version"):
         pt.version_at(t0 - 100)
+
+
+def test_bloom_built_from_staged_bytes_not_replan(spark, tmp_path):
+    """Regression: blooms must hash the bytes actually WRITTEN, not a
+    re-execution of the input plan — a non-deterministic upstream
+    (UDFs, samples, timestamps) would otherwise produce filters that
+    wrongly skip every stored value."""
+    import uuid as _uuid
+    from pyspark.sql.functions import udf
+
+    mint = udf(lambda: _uuid.uuid4().hex, "string").asNondeterministic()
+    df = (spark.range(50)
+          .select(F.col("id"), F.lit("A").alias("grp"),
+                  mint().alias("tok")))
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "nd"),
+                                 "grp", bloom_cols=["tok"])
+    stored = [r["tok"] for r in pt.read().limit(10).collect()]
+    for v in stored:
+        assert pt.read_point("tok", v).count() == 1, v
