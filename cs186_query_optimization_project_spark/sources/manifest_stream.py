@@ -125,6 +125,18 @@ class ManifestStreamReader(DataSourceStreamReader):
                                     f"represent deletes — set "
                                     f"ignoreDeletes, or consume "
                                     f"PartitionedTable.changes()")
+                elif not new_ds:
+                    # dir-list collapsed to empty = the whole
+                    # partition's rows died — a partition-boundary
+                    # DELETE, which Delta admits under ignoreDeletes
+                    # (ignoreChanges also covers it, being stronger)
+                    if not (self.ignore_deletes or self.ignore_changes):
+                        raise RuntimeError(
+                            f"manifest_stream: version {v} deleted "
+                            f"every row of partition {key}; an append "
+                            f"stream cannot represent deletes — set "
+                            f"ignoreDeletes, or consume "
+                            f"PartitionedTable.changes()")
                 elif self.ignore_changes:
                     continue
                 else:
@@ -134,6 +146,17 @@ class ManifestStreamReader(DataSourceStreamReader):
                         f"represent in-place changes — set "
                         f"ignoreChanges, or consume "
                         f"PartitionedTable.changes()")
+            for key, old_ds in prev["parts"].items():
+                # a key DROPPED from the manifest (overwrite_partitions
+                # removing an emptied partition) is the same
+                # partition-boundary delete as the empty-list case
+                if key not in cur["parts"] and old_ds:
+                    if not (self.ignore_deletes or self.ignore_changes):
+                        raise RuntimeError(
+                            f"manifest_stream: version {v} dropped "
+                            f"partition {key}; an append stream cannot "
+                            f"represent deletes — set ignoreDeletes, "
+                            f"or consume PartitionedTable.changes()")
             prev = cur
         return [_DirPartition(d, self.schema_cols) for d in added]
 

@@ -1024,3 +1024,46 @@ def test_bloom_built_from_staged_bytes_not_replan(spark, tmp_path):
     stored = [r["tok"] for r in pt.read().limit(10).collect()]
     for v in stored:
         assert pt.read_point("tok", v).count() == 1, v
+
+
+def test_manifest_stream_partition_drop_and_full_delete(spark, tmp_path):
+    """Partition-boundary deletes in the stream source: a dir-list
+    collapsed to empty (DELETE of every row) and a key dropped from
+    the manifest (overwrite_partitions removing an emptied partition)
+    both pass under ignoreDeletes and fail loudly without it."""
+    from cs186_query_optimization_project_spark.sources.manifest_stream \
+        import ManifestStreamDataSource
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "msd"),
+                                 "grp")
+    pt.delete(F.col("grp") == "B")               # empty dir-list
+    pt.overwrite_partitions(
+        spark.createDataFrame([], "id long, grp string, amt double"),
+        ["C"])                                   # key dropped
+
+    def drain(ckpt, **opts):
+        got = set()
+        reader = (spark.readStream.format("manifest_stream")
+                  .option("root", pt.root)
+                  .option("startingVersion", "earliest"))
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load()
+             .writeStream.option("checkpointLocation",
+                                 str(tmp_path / ckpt))
+             .foreachBatch(lambda bdf, _b, got=got:
+                           got.update(r["id"] for r in bdf.collect()))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return got
+
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        drain("c1")
+    assert drain("c2", ignoreDeletes="true") == {1, 2, 3}
