@@ -559,6 +559,10 @@ class PartitionedTable:
             raise DatabaseException(
                 f"read_point '{self.root}': NULL probe (SQL '= NULL' "
                 f"matches nothing; use an isNull filter on read())")
+        if column == man["partition_col"]:
+            # exact manifest pruning — no bloom needed for the
+            # partition column, and no false positives either
+            return list(man["parts"].get(self._key(value), []))
         if column not in man.get("bloom_cols", []):
             return [d for ds in man["parts"].values() for d in ds]
         dtype = T._parse_datatype_string(man["schema"])[column].dataType

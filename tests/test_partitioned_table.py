@@ -943,8 +943,10 @@ def test_bloom_point_lookup_skips_and_matches(spark, tmp_path):
     # absent value -> zero directories scanned, empty result
     assert pt._point_dirs("id", 999999) == []
     assert pt.read_point("id", 999999).count() == 0
-    # un-indexed column fails open: all dirs, still-correct result
-    assert len(pt._point_dirs("grp", "A")) == total
+    # the partition column prunes via the manifest (exact, no bloom)
+    assert set(pt._point_dirs("grp", "A")) == \
+        {d for d in pt._manifest()["parts"]["A"]}
+    assert pt.read_point("grp", "B").count() == 50
     with pytest.raises(DatabaseException, match="NULL probe"):
         pt.read_point("id", None)
     # DML rewrite refreshes the rewritten directory's filter
@@ -1067,3 +1069,17 @@ def test_manifest_stream_partition_drop_and_full_delete(spark, tmp_path):
     with pytest.raises(Exception, match="ignoreDeletes"):
         drain("c1")
     assert drain("c2", ignoreDeletes="true") == {1, 2, 3}
+
+
+def test_overwrite_keeps_tombstones_on_untouched_partitions(pt, spark):
+    """Soft deletes on a partition the overwrite does NOT touch stay
+    masked afterwards (tombstones carry forward, pruned only to
+    dropped dirs)."""
+    pt.delete_soft("id = 5")                     # C's row masked
+    assert pt.read().filter("id = 5").count() == 0
+    pt.overwrite_partitions(
+        spark.createDataFrame([(10, "A", 1.0)],
+                              "id long, grp string, amt double"),
+        ["A"])
+    assert pt.read().filter("id = 5").count() == 0   # still masked
+    assert pt.read().filter("grp = 'C'").count() == 0
