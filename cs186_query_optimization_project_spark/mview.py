@@ -113,6 +113,8 @@ class MaterializedView:
                 f"MaterializedView.create")
         self.keys: list[str] = meta["keys"]
         self.sum_cols: list[str] = meta["sum_cols"]
+        self.distinct_cols: list[str] = meta.get("distinct_cols", [])
+        self.hll_m: int = meta.get("hll_m", 64)
         self.filter_sql: str | None = meta.get("filter_sql")
         self.n_buckets: int = meta["n_buckets"]
 
@@ -142,12 +144,70 @@ class MaterializedView:
                         .alias(f"mv_sum_{c}"),
                         F.count(F.col(c)).alias(f"mv_nn_{c}"))]))
 
+    @staticmethod
+    def _hll_dense(df: DataFrame, keys: list[str], c: str,
+                   m: int) -> DataFrame:
+        """Per-group DENSE HLL register array for ``c`` — slot i holds
+        max rho over the group's values hashing to register i, 0 when
+        unoccupied.  Same register template as the standalone sketches
+        (``sketches.hll_register_sql``, the portable md5 hash), so an
+        incrementally-merged array is BIT-IDENTICAL to a from-scratch
+        one — max is the merge for both.  Map side collapses to ≤ m
+        rows per group before the shuffle; the dense array is m ints
+        per group in the store.  NULLs contribute nothing (SQL
+        COUNT(DISTINCT) semantics)."""
+        from cs186_query_optimization_project_spark.functions.sketches \
+            import hll_register_sql
+
+        # the register template hashes md5(string); cast here so any
+        # atomic column type works (string form is injective for
+        # atomics, and matches a caller passing cast(c as string) to
+        # the standalone sketches)
+        reg, rho = hll_register_sql(f"cast(`{c}` as string)", m)
+        per = (df.filter(F.col(c).isNotNull())
+               .select(*keys, F.expr(reg).alias("__r"),
+                       F.expr(rho).alias("__v"))
+               .groupBy(*keys, "__r").agg(F.max("__v").alias("__v")))
+        return (per.groupBy(*keys)
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("__r", "__v")))
+                    .alias("__regmap"))
+                .select(*keys,
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(m - 1)),
+                            lambda i: F.coalesce(
+                                F.element_at(F.col("__regmap"), i),
+                                F.lit(0)).cast("int"))
+                        .alias(f"mv_hll_{c}")))
+
+    @classmethod
+    def _attach_hll(cls, main: DataFrame, df: DataFrame,
+                    keys: list[str], distinct_cols: list[str],
+                    m: int) -> DataFrame:
+        """Left-join each distinct col's dense register arrays onto the
+        main aggregate (NULL-safe on the group keys); a group with no
+        non-NULL values gets the all-zero array (distinct count 0)."""
+        zero = F.array_repeat(F.lit(0).cast("int"), m)
+        for c in distinct_cols:
+            dense = cls._hll_dense(df, keys, c, m)
+            cond = None
+            for k in keys:
+                eq = main[k].eqNullSafe(dense[k])
+                cond = eq if cond is None else (cond & eq)
+            main = (main.join(dense, cond, "left")
+                    .select(*[main[x] for x in main.columns],
+                            F.coalesce(dense[f"mv_hll_{c}"], zero)
+                            .alias(f"mv_hll_{c}")))
+        return main
+
     @classmethod
     def create(cls, spark: SparkSession, source: PartitionedTable,
                root: str, keys: list[str],
                sum_cols: list[str] | None = None,
                filter_sql: str | None = None,
-               n_buckets: int = 32) -> "MaterializedView":
+               n_buckets: int = 32,
+               distinct_cols: list[str] | None = None,
+               hll_m: int = 64) -> "MaterializedView":
         """Materialize the initial aggregate (ONE full-source scan —
         the only one the view will ever do) into ``n_buckets``
         key-hash buckets and record the source version it reflects.
@@ -158,8 +218,21 @@ class MaterializedView:
         entering or leaving the predicate via UPDATE surface in CDF as
         delete+insert pairs and fold correctly.  Size ``n_buckets`` so
         one bucket's groups fit a write task comfortably (|groups| /
-        n_buckets rows each); it is fixed for the view's lifetime."""
+        n_buckets rows each); it is fixed for the view's lifetime.
+
+        ``distinct_cols`` adds approximate ``COUNT(DISTINCT c)`` per
+        group via per-group HLL register ARRAYS (``hll_m`` registers
+        each, the same portable-md5 template as the standalone
+        sketches, so incremental merges are bit-identical to batch
+        sketches).  HLL registers merge by max — monotone — so these
+        views are INSERT-ONLY: a refresh that meets a delete (or an
+        update, which CDF surfaces as delete+insert) raises the named
+        error instead of silently under-counting, the same restriction
+        every register-sketch system documents.  Exact incremental
+        COUNT DISTINCT under deletes would need per-value counts —
+        that is a groupBy view on (keys, c), not a sketch."""
         sum_cols = sum_cols or []
+        distinct_cols = distinct_cols or []
         root = root.rstrip("/")
         if n_buckets < 1:
             raise DatabaseException(
@@ -169,13 +242,16 @@ class MaterializedView:
         base = source.read()
         if filter_sql:
             base = base.filter(F.expr(filter_sql))
-        agg = cls._aggregate(base, keys, sum_cols) \
+        agg = cls._aggregate(base, keys, sum_cols)
+        agg = cls._attach_hll(agg, base, keys, distinct_cols, hll_m) \
             .withColumn("__mv", _bucket_expr(keys, n_buckets))
         os.makedirs(root, exist_ok=False)
         store = PartitionedTable.create(
             spark, agg, os.path.join(root, "store"), "__mv")
         with open(os.path.join(root, _META), "x") as f:
             f.write(json.dumps({"keys": keys, "sum_cols": sum_cols,
+                                "distinct_cols": distinct_cols,
+                                "hll_m": hll_m,
                                 "filter_sql": filter_sql,
                                 "source_version": src_version,
                                 "n_buckets": n_buckets,
@@ -190,7 +266,8 @@ class MaterializedView:
     def store_version(self) -> int:
         return self._meta()["store_version"]
 
-    def read(self, with_avg: bool = False) -> DataFrame:
+    def read(self, with_avg: bool = False,
+             with_distinct: bool = False) -> DataFrame:
         """The stored aggregate as of the last refresh (stale reads are
         the contract — consistency is 'reflects source version N',
         recorded and queryable).  Reads the store at the PINNED
@@ -198,7 +275,11 @@ class MaterializedView:
         ``with_avg=True`` derives ``mv_avg_<c>`` the way SQL AVG does —
         sum over the NON-NULL contribution count (which the store
         maintains), not over the row count — so an all-NULL group
-        averages to NULL, never 0."""
+        averages to NULL, never 0.  ``with_distinct=True`` derives
+        ``mv_distinct_<c>`` from the stored register arrays with the
+        same bias-corrected estimator as ``sketches.hll_estimate``
+        (linear counting below 2.5·m), so a view estimate equals the
+        standalone sketch's for identical data."""
         out = self._store().read(
             version=self._meta()["store_version"]).drop("__mv")
         if with_avg:
@@ -207,7 +288,26 @@ class MaterializedView:
                     f"mv_avg_{c}",
                     F.when(F.col(f"mv_nn_{c}") > 0,
                            F.col(f"mv_sum_{c}") / F.col(f"mv_nn_{c}")))
-        return out.drop(*[f"mv_nn_{c}" for c in self.sum_cols])
+        if with_distinct:
+            m = self.hll_m
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+            for c in self.distinct_cols:
+                arr = F.col(f"mv_hll_{c}")
+                filled = F.size(F.filter(arr, lambda x: x > 0))
+                present = F.aggregate(
+                    F.filter(arr, lambda x: x > 0), F.lit(0.0),
+                    lambda acc, x: acc + F.pow(F.lit(2.0), -x))
+                raw = (F.lit(alpha * m * m)
+                       / (present + (F.lit(m) - filled)))
+                zeros = F.lit(m) - filled
+                est = F.when(
+                    (raw <= 2.5 * m) & (zeros > 0),
+                    F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                ).otherwise(raw)
+                out = out.withColumn(f"mv_distinct_{c}",
+                                     F.round(est, 4))
+        return out.drop(*[f"mv_nn_{c}" for c in self.sum_cols],
+                        *[f"mv_hll_{c}" for c in self.distinct_cols])
 
     # ------------------------------------------------------------------ #
     def refresh(self) -> int:
@@ -276,6 +376,14 @@ class MaterializedView:
         if n_changes == 0:
             self._swap_meta(dict(meta, source_version=cur))
             return 0
+        if self.distinct_cols and feed.filter(
+                F.col("_change_type") != "insert").take(1):
+            raise DatabaseException(
+                f"materialized view '{self.root}' maintains HLL "
+                f"distinct counts ({self.distinct_cols}), which merge "
+                f"by max and cannot fold deletes (updates surface as "
+                f"delete+insert in CDF) — this view is INSERT-ONLY; "
+                f"rebuild it, or drop distinct_cols for DML sources")
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
         delta = (feed.withColumn("__sign", sign)
@@ -286,7 +394,9 @@ class MaterializedView:
                          .alias(f"d_sum_{c}"),
                          F.sum(F.col(c).isNotNull().cast("long")
                                * F.col("__sign"))
-                         .alias(f"d_nn_{c}"))])
+                         .alias(f"d_nn_{c}"))]))
+        delta = (self._attach_hll(delta, feed, self.keys,
+                                  self.distinct_cols, self.hll_m)
                  .withColumn("__mv", self._bucket())
                  .localCheckpoint())
         # ≤ n_buckets values — the bounded collect that turns the
@@ -310,6 +420,13 @@ class MaterializedView:
             return [F.when(nn > 0, s).alias(f"mv_sum_{c}"),
                     nn.alias(f"mv_nn_{c}")]
 
+        def _hll(c):
+            zero = F.array_repeat(F.lit(0).cast("int"), self.hll_m)
+            return F.zip_with(
+                F.coalesce(stored[f"mv_hll_{c}"], zero),
+                F.coalesce(delta[f"mv_hll_{c}"], zero),
+                lambda a, b: F.greatest(a, b)).alias(f"mv_hll_{c}")
+
         merged = (stored.join(delta, cond, "full_outer")
                   .select(
                       *[F.coalesce(stored[k], delta[k]).alias(k)
@@ -317,7 +434,8 @@ class MaterializedView:
                       (F.coalesce(stored["mv_count"], F.lit(0))
                        + F.coalesce(delta["d_count"], F.lit(0)))
                       .alias("mv_count"),
-                      *[e for c in self.sum_cols for e in _sum(c)])
+                      *[e for c in self.sum_cols for e in _sum(c)],
+                      *[_hll(c) for c in self.distinct_cols])
                   .filter(F.col("mv_count") > 0)
                   .withColumn("__mv", self._bucket()))
         # ONE store commit replaces exactly the touched buckets

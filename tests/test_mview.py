@@ -295,3 +295,59 @@ def test_refresh_lock_excludes_concurrent_and_reclaims_stale(
     assert mv.refresh() > 0                # reclaimed and folded
     assert not os.path.exists(lock)        # released after success
     assert _as_dict(mv) == _recompute(src)
+
+
+def test_hll_distinct_view_insert_only(spark, tmp_path):
+    """Approximate COUNT(DISTINCT) views: incremental register merges
+    are BIT-identical to a from-scratch sketch (same md5 template), the
+    derived estimate matches sketches.hll_distinct_by exactly, and a
+    delete (or update) in the feed raises the named insert-only
+    error."""
+    from cs186_query_optimization_project_spark.functions.sketches \
+        import hll_distinct_by
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", f"u{i % 37}") for i in range(200)],
+        "id long, grp string, visitor string")
+    src = PartitionedTable.create(spark, df, str(tmp_path / "s"), "grp")
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"],
+                                 distinct_cols=["visitor"], hll_m=64)
+    src.insert(spark.createDataFrame(
+        [(1000 + i, "A", f"u{i % 61}") for i in range(150)],
+        "id long, grp string, visitor string"))
+    assert mv.refresh() > 0
+    got = {r["grp"]: r["mv_distinct_visitor"]
+           for r in mv.read(with_distinct=True).collect()}
+    want = {r["grp"]: r["estimate"] for r in
+            hll_distinct_by(src.read(), "visitor", ["grp"],
+                            m=64).collect()}
+    assert got == want                    # estimator parity, exact
+    # registers themselves equal a from-scratch recreate
+    mv2 = MaterializedView.create(spark, src, str(tmp_path / "mv2"),
+                                  keys=["grp"],
+                                  distinct_cols=["visitor"], hll_m=64)
+    a = {r["grp"]: r["mv_hll_visitor"] for r in
+         mv._store().read(version=mv.store_version()).collect()}
+    b = {r["grp"]: r["mv_hll_visitor"] for r in
+         mv2._store().read(version=mv2.store_version()).collect()}
+    assert a == b                         # bit-identical merge
+    # a delete makes the next refresh refuse, loudly
+    src.delete(F.col("id") == 0)
+    with pytest.raises(DatabaseException, match="INSERT-ONLY"):
+        mv.refresh()
+
+
+def test_hll_distinct_view_all_null_group(spark, tmp_path):
+    """A group whose distinct column is entirely NULL estimates 0
+    (SQL COUNT DISTINCT of nothing), and NULLs never contribute."""
+    df = spark.createDataFrame(
+        [(1, "A", "x"), (2, "A", None), (3, "B", None)],
+        "id long, grp string, v string")
+    src = PartitionedTable.create(spark, df, str(tmp_path / "s"), "grp")
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], distinct_cols=["v"])
+    got = {r["grp"]: r["mv_distinct_v"]
+           for r in mv.read(with_distinct=True).collect()}
+    assert got["B"] == 0.0
+    assert abs(got["A"] - 1.0) < 0.2      # one distinct value
