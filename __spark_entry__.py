@@ -3061,6 +3061,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_containment_near_dups(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT dedup over the planted corpus —
+    the short-doc-inside-long-doc pattern Jaccard structurally misses
+    (a 100-shingle doc embedded in a 1000-shingle doc has Jaccard
+    ≤ 0.1 but containment 1.0).  Planted ``text || ' appendix'``
+    copies are strict supersets of their originals, so every planted
+    pair scores exactly 1.0 and ``small`` names the original — the
+    side a keep-longest policy drops.  Exact inverted-index join, no
+    hash approximation, fully oracle-checked."""
+    db = _db(spark, sf_dir)
+    corpus = _planted_docs(db)
+    return dedup.ngram_containment_pairs(corpus, threshold=0.9)
+
+
 def q_streaming_enrich(spark, sf_dir):
     """Stream-static dimension enrichment: the events stream left-joins a
     broadcast customer lookup per micro-batch (no streaming state),
@@ -4780,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mview_hll_distinct": q_mview_hll_distinct,
         "ivfpq_remove": q_ivfpq_remove,
         "time_travel_ts": q_time_travel_ts,
+        "containment_near_dups": q_containment_near_dups,
         # r7-green entries — first in line for the round-12 rotation
         "bigram_lm": q_bigram_lm,
         "bloom_semi_join": q_bloom_semi_join,
@@ -5236,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
     dec = "DECIMAL(18,4)"
     ngram_sh = _NGRAM_SH_SQL
     jacc = _JACC_SQL
+    cont = ("len(list_intersect(a.s, b.s))::DOUBLE / least(len(a.s), len(b.s))")
     # MinHash-LSH re-encoded in DuckDB SQL: the engine uses the portable
     # md5-top-60-bits base hash (dedup._PORTABLE_BASE_HASH) precisely so
     # the signatures — and therefore the LSH buckets and the final pair
@@ -6484,6 +6500,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT ca AS a, cb AS b, round({jacc}, 6) AS jaccard "
             f"FROM cand JOIN sh a ON a.doc_id = ca "
             f"JOIN sh b ON b.doc_id = cb WHERE {jacc} >= 0.6"),
+        "containment_near_dups": (
+            f"WITH {ngram_sh}, {ngram_block} "
+            f"SELECT ca AS a, cb AS b, round({cont}, 6) AS containment, "
+            f"CASE WHEN len(a.s) <= len(b.s) THEN ca ELSE cb END "
+            f"  AS small "
+            f"FROM cand JOIN sh a ON a.doc_id = ca "
+            f"JOIN sh b ON b.doc_id = cb WHERE {cont} >= 0.9"),
         "dedup_clusters": clusters_sql,
         "dedup_clusters_star": clusters_sql,
         "token_counts": (

@@ -304,6 +304,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            threshold: float = 0.9,
+                            max_doc_freq: int | None = None) -> DataFrame:
+    """Exact pairwise n-gram CONTAINMENT ≥ threshold — the asymmetric
+    companion to :func:`ngram_jaccard_pairs` for the web-corpus pattern
+    Jaccard structurally misses: a short document embedded in a much
+    longer one (boilerplate-wrapped article, quote-with-commentary,
+    page + appendix).  Jaccard of a 100-shingle doc inside a
+    1000-shingle doc is ≤ 0.1 however perfect the overlap; containment
+    ``|A∩B| / min(|A|,|B|)`` is 1.0.  Output: (a, b, containment,
+    small) with ``small`` naming the contained (smaller-shingle-set)
+    side — the one a keep-longest dedup policy would drop.
+
+    Same inverted-index shape and scale knobs as the Jaccard pipeline:
+    blocking on shared shingle hashes (containment > 0 ⇔ ≥ 1 shared
+    shingle, so the equi-join loses no qualifying pair), postings carry
+    set sizes, ``max_doc_freq`` bounds stopword-shingle posting lists
+    (making reported containment a lower bound when set)."""
+    df = ensure_parallelism(df, id_col)
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(text_col, k)).alias("__sh"))
+    inv = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
+                    F.explode(F.expr("transform(__sh, s -> xxhash64(s))"))
+                    .alias("__s"))
+    if max_doc_freq is not None:
+        freq = Window.partitionBy("__s")
+        inv = (inv.withColumn("__df", F.count(F.lit(1)).over(freq))
+               .filter(F.col("__df") <= max_doc_freq).drop("__df"))
+    return (inv.alias("l")
+            .join(inv.alias("r"),
+                  (F.col("l.__s") == F.col("r.__s"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("a"),
+                     F.col(f"r.{id_col}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("__common"),
+                 F.first("l.__n").alias("__na"),
+                 F.first("r.__n").alias("__nb"))
+            .withColumn("containment",
+                        F.col("__common")
+                        / F.least(F.col("__na"), F.col("__nb")))
+            .filter(F.col("containment") >= threshold)
+            .select("a", "b",
+                    F.round("containment", 6).alias("containment"),
+                    F.when(F.col("__na") <= F.col("__nb"),
+                           F.col("a")).otherwise(F.col("b"))
+                    .alias("small")))
+
+
 # --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #

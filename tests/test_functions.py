@@ -734,3 +734,26 @@ def test_chunk_audio_data_dependent_fanout(spark):
                    (1, 2): (50, 0.5), (2, 0): (0, 0.0)}
     assert all(len(r["chunk_feature"]) > 0 for r in out
                if r["chunk_n_samples"] > 0)
+
+
+def test_ngram_containment_pairs_asymmetric(spark):
+    """Containment catches a short doc embedded in a long one that
+    Jaccard misses; `small` names the contained side; threshold
+    filters; unrelated docs never pair."""
+    from cs186_query_optimization_project_spark.functions import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here "
+                                    "nothing shared at all ok")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"]): (r["containment"], r["small"])
+           for r in dedup.ngram_containment_pairs(
+               df, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)][0] == 1.0          # short fully contained
+    assert got[(1, 2)][1] == 1            # the contained side
+    # same pair is INVISIBLE to Jaccard at any useful threshold
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []
