@@ -255,32 +255,28 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------- #
 # exact n-gram Jaccard (inverted-index join, no hashing approximation)
 # --------------------------------------------------------------------- #
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
-    """Exact pairwise n-gram Jaccard ≥ threshold via an inverted index —
-    never an all-pairs comparison.
+def _ngram_pair_counts(df: DataFrame, text_col: str, id_col: str,
+                       k: int, max_doc_freq: int | None) -> DataFrame:
+    """Shared inverted-index pair pipeline for the exact n-gram
+    similarity family: distinct shingles per doc → (hash, id) postings
+    → self-join on the shingle hash (any pair sharing ≥1 shingle) →
+    ``(a, b, __common, __na, __nb)``.  Scorers (Jaccard, containment)
+    derive their measure from these counts — one pipeline to fix, not
+    per-measure copies.
 
-    Shape: distinct shingles per doc → explode into (shingle, id) postings →
-    self-join on the shingle (pairs sharing ≥1 shingle are exactly the pairs
-    with Jaccard > 0) → count common shingles per pair → |A∩B| / (|A|+|B|−
-    |A∩B|).  All JVM-side; shuffles on the shingle then the pair key.
-
-    ``max_doc_freq`` is the scale knob: dropping shingles that occur in more
-    than N documents bounds the quadratic per-posting-list term (a stopword
-    shingle appearing in 1M docs would otherwise emit 10^12 pairs).  Dropped
-    shingles make the reported Jaccard a *lower bound*, so this is off by
-    default and correctness tests run without it."""
+    Postings carry the doc's shingle-set size so |A| and |B| ride
+    along to the pair aggregation — no second shingling pass, no size
+    joins.  Shingles join as 64-bit hashes, not strings: ~10× smaller
+    shuffle and long-vs-long compares (a collision overcounts one
+    common shingle; at 2^64 the expected overcount reaches 1 pair only
+    past ~10^9 distinct shingles).  ``max_doc_freq`` is the scale
+    knob: dropping shingles occurring in more than N docs bounds the
+    quadratic per-posting-list term (a stopword shingle in 1M docs
+    would emit 10^12 pairs); dropped shingles make derived scores a
+    LOWER bound, so it is off by default."""
     df = ensure_parallelism(df, id_col)
     sh = df.select(F.col(id_col),
                    F.array_distinct(shingles(text_col, k)).alias("__sh"))
-    # postings carry the doc's shingle-set size so |A| and |B| ride along
-    # to the pair aggregation — no second shingling pass, no size joins.
-    # Shingles are joined as 64-bit hashes, not strings: ~10× smaller
-    # shuffle and long-vs-long join compares.  A hash collision would
-    # overcount one common shingle; at 2^64 that needs ~10^9 distinct
-    # shingles before the expected overcount reaches 1 pair.
     inv = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
                     F.explode(F.expr("transform(__sh, s -> xxhash64(s))"))
                     .alias("__s"))
@@ -296,10 +292,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      F.col(f"r.{id_col}").alias("b"))
             .agg(F.count(F.lit(1)).alias("__common"),
                  F.first("l.__n").alias("__na"),
-                 F.first("r.__n").alias("__nb"))
+                 F.first("r.__n").alias("__nb")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold — |A∩B| / |A∪B| over
+    the shared inverted-index pipeline (:func:`_ngram_pair_counts`;
+    shape and scale knobs documented there)."""
+    return (_ngram_pair_counts(df, text_col, id_col, k, max_doc_freq)
             .withColumn("jaccard",
                         F.col("__common")
-                        / (F.col("__na") + F.col("__nb") - F.col("__common")))
+                        / (F.col("__na") + F.col("__nb")
+                           - F.col("__common")))
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
@@ -316,32 +323,9 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     1000-shingle doc is ≤ 0.1 however perfect the overlap; containment
     ``|A∩B| / min(|A|,|B|)`` is 1.0.  Output: (a, b, containment,
     small) with ``small`` naming the contained (smaller-shingle-set)
-    side — the one a keep-longest dedup policy would drop.
-
-    Same inverted-index shape and scale knobs as the Jaccard pipeline:
-    blocking on shared shingle hashes (containment > 0 ⇔ ≥ 1 shared
-    shingle, so the equi-join loses no qualifying pair), postings carry
-    set sizes, ``max_doc_freq`` bounds stopword-shingle posting lists
-    (making reported containment a lower bound when set)."""
-    df = ensure_parallelism(df, id_col)
-    sh = df.select(F.col(id_col),
-                   F.array_distinct(shingles(text_col, k)).alias("__sh"))
-    inv = sh.select(F.col(id_col), F.size("__sh").alias("__n"),
-                    F.explode(F.expr("transform(__sh, s -> xxhash64(s))"))
-                    .alias("__s"))
-    if max_doc_freq is not None:
-        freq = Window.partitionBy("__s")
-        inv = (inv.withColumn("__df", F.count(F.lit(1)).over(freq))
-               .filter(F.col("__df") <= max_doc_freq).drop("__df"))
-    return (inv.alias("l")
-            .join(inv.alias("r"),
-                  (F.col("l.__s") == F.col("r.__s"))
-                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .groupBy(F.col(f"l.{id_col}").alias("a"),
-                     F.col(f"r.{id_col}").alias("b"))
-            .agg(F.count(F.lit(1)).alias("__common"),
-                 F.first("l.__n").alias("__na"),
-                 F.first("r.__n").alias("__nb"))
+    side — the one a keep-longest dedup policy would drop.  Same
+    pipeline and scale knobs as Jaccard (:func:`_ngram_pair_counts`)."""
+    return (_ngram_pair_counts(df, text_col, id_col, k, max_doc_freq)
             .withColumn("containment",
                         F.col("__common")
                         / F.least(F.col("__na"), F.col("__nb")))

@@ -76,6 +76,22 @@ def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
             .agg(F.max("__rho").alias("rho")))
 
 
+def hll_estimate_expr(filled, present_sum, m: int):
+    """THE estimator expression — bias-corrected harmonic mean with
+    linear counting below 2.5·m (the original HLL paper's regimes) —
+    over a filled-register count and a sum of 2^-rho across occupied
+    registers.  Shared by :func:`hll_estimate` and the materialized
+    view's HLL reader (``mview.read(with_distinct=True)``), whose
+    exact-parity contract would silently drift if either side carried
+    its own copy of the constants."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha * m * m) / (present_sum + (F.lit(m) - filled))
+    zeros = F.lit(m) - filled
+    return F.when((raw <= 2.5 * m) & (zeros > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                  ).otherwise(raw)
+
+
 def hll_estimate(registers: DataFrame, m: int = 256,
                  group_cols: list[str] | None = None) -> DataFrame:
     """Collapse a register table to the cardinality estimate — one row
@@ -87,16 +103,10 @@ def hll_estimate(registers: DataFrame, m: int = 256,
     2.5·m per the original paper).  Pure aggregate.
     """
     group_cols = group_cols or []
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("filled"),
         F.sum(F.expr("pow(2.0, -rho)")).alias("present_sum"))
-    raw = (F.lit(alpha * m * m)
-           / (F.col("present_sum") + (F.lit(m) - F.col("filled"))))
-    zeros = F.lit(m) - F.col("filled")
-    est = F.when((raw <= 2.5 * m) & (zeros > 0),
-                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-                 ).otherwise(raw)
+    est = hll_estimate_expr(F.col("filled"), F.col("present_sum"), m)
     return agg.select(
         *group_cols,
         F.lit(m).alias("m"),

@@ -242,6 +242,12 @@ class MaterializedView:
         base = source.read()
         if filter_sql:
             base = base.filter(F.expr(filter_sql))
+        if distinct_cols:
+            # the register aggregations re-read the source once per
+            # distinct col on top of the main aggregate's scan —
+            # materialize the (filtered) source once so "ONE
+            # full-source scan" stays true with sketch columns
+            base = base.localCheckpoint()
         agg = cls._aggregate(base, keys, sum_cols)
         agg = cls._attach_hll(agg, base, keys, distinct_cols, hll_m) \
             .withColumn("__mv", _bucket_expr(keys, n_buckets))
@@ -289,23 +295,19 @@ class MaterializedView:
                     F.when(F.col(f"mv_nn_{c}") > 0,
                            F.col(f"mv_sum_{c}") / F.col(f"mv_nn_{c}")))
         if with_distinct:
+            from cs186_query_optimization_project_spark.functions \
+                .sketches import hll_estimate_expr
+
             m = self.hll_m
-            alpha = 0.7213 / (1.0 + 1.079 / m)
             for c in self.distinct_cols:
                 arr = F.col(f"mv_hll_{c}")
                 filled = F.size(F.filter(arr, lambda x: x > 0))
                 present = F.aggregate(
                     F.filter(arr, lambda x: x > 0), F.lit(0.0),
                     lambda acc, x: acc + F.pow(F.lit(2.0), -x))
-                raw = (F.lit(alpha * m * m)
-                       / (present + (F.lit(m) - filled)))
-                zeros = F.lit(m) - filled
-                est = F.when(
-                    (raw <= 2.5 * m) & (zeros > 0),
-                    F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-                ).otherwise(raw)
-                out = out.withColumn(f"mv_distinct_{c}",
-                                     F.round(est, 4))
+                out = out.withColumn(
+                    f"mv_distinct_{c}",
+                    F.round(hll_estimate_expr(filled, present, m), 4))
         return out.drop(*[f"mv_nn_{c}" for c in self.sum_cols],
                         *[f"mv_hll_{c}" for c in self.distinct_cols])
 

@@ -561,8 +561,21 @@ class PartitionedTable:
                 f"matches nothing; use an isNull filter on read())")
         if column == man["partition_col"]:
             # exact manifest pruning — no bloom needed for the
-            # partition column, and no false positives either
-            return list(man["parts"].get(self._key(value), []))
+            # partition column, and no false positives either.  The
+            # probe is COERCED to the column's type first (one 1-row
+            # job, like the bloom probe hash) so read_point(k, 5.0) on
+            # a long column prunes to partition "5" the way
+            # read().filter(col == 5.0) matches it; an uncastable
+            # probe can match nothing.  A lossy coercion (5.7 → 5)
+            # may keep a partition the exact filter then empties —
+            # result equality is preserved, skipping stays I/O-only.
+            dtype = T._parse_datatype_string(
+                man["schema"])[column].dataType
+            coerced = self.spark.range(1).select(
+                F.lit(value).cast(dtype).alias("v")).collect()[0]["v"]
+            if coerced is None:
+                return []
+            return list(man["parts"].get(self._key(coerced), []))
         if column not in man.get("bloom_cols", []):
             return [d for ds in man["parts"].values() for d in ds]
         dtype = T._parse_datatype_string(man["schema"])[column].dataType

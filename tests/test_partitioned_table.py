@@ -1083,3 +1083,35 @@ def test_overwrite_keeps_tombstones_on_untouched_partitions(pt, spark):
         ["A"])
     assert pt.read().filter("id = 5").count() == 0   # still masked
     assert pt.read().filter("grp = 'C'").count() == 0
+
+
+def test_point_lookup_fail_open_and_coercion(pt, spark):
+    """read_point on an un-indexed non-partition column scans EVERY
+    directory (fail-open) and still equals the plain filter; a probe
+    needing type coercion on the partition column prunes the way the
+    equivalent filter matches (long col probed with a float)."""
+    total = sum(len(ds) for ds in pt._manifest()["parts"].values())
+    # 'id' has no bloom index on the pt fixture and isn't the
+    # partition column -> all dirs kept
+    assert len(pt._point_dirs("id", 3)) == total
+    assert [r["id"] for r in pt.read_point("id", 3).collect()] == [3]
+    # partition column probed as an int where values are strings:
+    # cast fails -> no partitions, empty result (filter also empty)
+    assert pt._point_dirs("grp", 123) == []
+    assert pt.read_point("grp", 123).count() == 0
+
+
+def test_point_lookup_partition_col_type_coercion(spark, tmp_path):
+    """Regression: a long partition column probed with 5.0 must prune
+    to partition 5 exactly as read().filter(col == 5.0) matches it —
+    the manifest key lookup coerces the probe to the column type."""
+    df = spark.createDataFrame([(1, 5, 1.0), (2, 7, 2.0)],
+                               "id long, k long, amt double")
+    pt2 = PartitionedTable.create(spark, df, str(tmp_path / "co"), "k")
+    got = [r["id"] for r in pt2.read_point("k", 5.0).collect()]
+    want = [r["id"] for r in
+            pt2.read().filter(F.col("k") == 5.0).collect()]
+    assert got == want == [1]
+    # lossy coercion keeps result equality (extra scan at most)
+    assert pt2.read_point("k", 5.7).count() == \
+        pt2.read().filter(F.col("k") == F.lit(5.7)).count() == 0
