@@ -3075,6 +3075,24 @@ def q_containment_near_dups(spark, sf_dir):
     return dedup.ngram_containment_pairs(corpus, threshold=0.9)
 
 
+def q_containment_apply(spark, sf_dir):
+    """Keep-LONGEST materialization over the containment pairs — the
+    asymmetric pipeline's OUTPUT: every doc named as a pair's
+    ``small`` (contained) side drops, the containing docs and
+    untouched singletons survive.  This is the dedup policy long-form
+    corpora actually want (keep the article, drop the embedded
+    quote/duplicate fragment) where keep-min-id would as happily drop
+    the superset.  One anti-join on the bounded loser set."""
+    db = _db(spark, sf_dir)
+    corpus = _planted_docs(db)
+    pairs = dedup.ngram_containment_pairs(corpus, threshold=0.9)
+    losers = pairs.select(F.col("small").alias("doc_id")).distinct()
+    return (corpus.join(losers, "doc_id", "left_anti")
+            .select("doc_id",
+                    text.token_count("text").alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
 def q_streaming_enrich(spark, sf_dir):
     """Stream-static dimension enrichment: the events stream left-joins a
     broadcast customer lookup per micro-batch (no streaming state),
@@ -4795,6 +4813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_remove": q_ivfpq_remove,
         "time_travel_ts": q_time_travel_ts,
         "containment_near_dups": q_containment_near_dups,
+        "containment_apply": q_containment_apply,
         # r7-green entries — first in line for the round-12 rotation
         "bigram_lm": q_bigram_lm,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6507,6 +6526,17 @@ def oracle_sql() -> dict[str, str]:
             f"  AS small "
             f"FROM cand JOIN sh a ON a.doc_id = ca "
             f"JOIN sh b ON b.doc_id = cb WHERE {cont} >= 0.9"),
+        "containment_apply": (
+            f"WITH {ngram_sh}, {ngram_block} "
+            f"SELECT doc_id, CAST(len(regexp_split_to_array(text, "
+            f"'\\s+')) AS INT) AS n_tokens "
+            f"FROM (SELECT doc_id, text FROM corpus) "
+            f"WHERE doc_id NOT IN ("
+            f"  SELECT CASE WHEN len(a.s) <= len(b.s) THEN ca "
+            f"         ELSE cb END "
+            f"  FROM cand JOIN sh a ON a.doc_id = ca "
+            f"  JOIN sh b ON b.doc_id = cb WHERE {cont} >= 0.9) "
+            f"ORDER BY doc_id"),
         "dedup_clusters": clusters_sql,
         "dedup_clusters_star": clusters_sql,
         "token_counts": (
