@@ -164,6 +164,17 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .execute_optimal())
 
 
+def _job_counter(spark: SparkSession) -> int:
+    """The scheduler's next-job-id counter AS AN INT, so zero-Spark-job
+    contracts compare values rather than py4j proxies.  PySpark 4.1's
+    py4j unwraps ``DAGScheduler.nextJobId`` to a plain int; on builds
+    where it surfaces as the AtomicInteger JavaObject itself, ``==``
+    would delegate to Java reference equality and the contract check
+    would be vacuous — unwrap via ``.get()`` there."""
+    v = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    return v if isinstance(v, int) else int(v.get())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _flagship(spark, "/root/testdata/sf0.001")
@@ -638,12 +649,10 @@ def q_metadata_agg(spark, sf_dir):
             raise RuntimeError(
                 "live tombstone must fail the metadata paths closed")
         pt.optimize()  # materialize the tombstone -> stats exact again
-        jobs_before = spark.sparkContext._jsc.sc().dagScheduler() \
-            .nextJobId()
+        jobs_before = _job_counter(spark)
         n = pt.metadata_count()
         lo_hi = pt.metadata_min_max("o_orderkey")
-        jobs_after = spark.sparkContext._jsc.sc().dagScheduler() \
-            .nextJobId()
+        jobs_after = _job_counter(spark)
         if jobs_after != jobs_before:
             raise RuntimeError(
                 f"metadata aggregates scheduled "
@@ -4283,11 +4292,9 @@ def q_metadata_groupby(spark, sf_dir):
         pt.insert(spark.createDataFrame(
             [(900000001, "X"), (900000002, "X")],
             "o_orderkey bigint, o_orderstatus string"))
-        jobs_before = spark.sparkContext._jsc.sc().dagScheduler() \
-            .nextJobId()
+        jobs_before = _job_counter(spark)
         counts = pt.metadata_group_counts()
-        jobs_after = spark.sparkContext._jsc.sc().dagScheduler() \
-            .nextJobId()
+        jobs_after = _job_counter(spark)
         if jobs_after != jobs_before:
             raise RuntimeError(
                 f"metadata groupBy scheduled "

@@ -334,27 +334,50 @@ class MaterializedView:
         refresher) is reclaimed automatically; the crashed attempt's
         orphaned store commit is absorbed as documented in the module
         docstring."""
+        # The lock is published ATOMICALLY WITH ITS CONTENT: the pid is
+        # written to a private tmp file and linked into place with
+        # os.link (EEXIST == lock held).  open(lock, "x") would create
+        # an empty file before the pid write, and a concurrent refresh
+        # reading that window would parse pid=0, mistake the live lock
+        # for a crashed one, reclaim it, and run concurrently — the
+        # exact lost-update the lock exists to prevent.  For the same
+        # reason an unreadable/empty lockfile is treated as HELD (fail
+        # safe, raise ConflictException), never as stale; only a lock
+        # whose pid parses AND is dead is reclaimed.
         lock = os.path.join(self.root, _LOCK)
+        tmp = f"{lock}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
         try:
-            fd = open(lock, "x")
-        except FileExistsError:
             try:
-                pid = int(open(lock).read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            if pid and _pid_alive(pid):
-                raise ConflictException(
-                    f"materialized view '{self.root}': refresh already "
-                    f"in progress (pid {pid}); retry after it "
-                    f"completes")
-            try:  # stale lock from a crashed refresher — reclaim
-                os.remove(lock)
+                os.link(tmp, lock)
+            except FileExistsError:
+                try:
+                    pid = int(open(lock).read().strip())
+                except FileNotFoundError:
+                    return self.refresh()  # holder released; retry
+                except (OSError, ValueError):
+                    raise ConflictException(
+                        f"materialized view '{self.root}': refresh lock "
+                        f"'{lock}' exists but is unreadable — another "
+                        f"refresh is in progress (or mid-publish); "
+                        f"retry after it completes") from None
+                if _pid_alive(pid):
+                    raise ConflictException(
+                        f"materialized view '{self.root}': refresh "
+                        f"already in progress (pid {pid}); retry after "
+                        f"it completes")
+                try:  # stale lock from a crashed refresher — reclaim
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                return self.refresh()
+        finally:
+            try:
+                os.remove(tmp)
             except FileNotFoundError:
                 pass
-            return self.refresh()
         try:
-            fd.write(str(os.getpid()))
-            fd.close()
             return self._refresh_locked()
         finally:
             try:

@@ -344,9 +344,14 @@ class PartitionedTable:
         receives |partitions|·|cols| rows of at most 1 MiB, never data
         volume.  A partition whose rows are all NULL in a column gets
         an empty (all-zero) filter, which correctly excludes every
-        probe (SQL ``= value`` never matches NULL).  The hive
-        partition value parsed from the ``__p=`` path, cast to string,
-        equals the ``_key()`` namespace ``keys`` uses."""
+        probe (SQL ``= value`` never matches NULL).  Partition-column
+        TYPE INFERENCE is disabled for the staged read: hive inference
+        would canonicalize numeric-looking STRING partition values
+        ('007' → 7 → '7', '1e3' → 1000.0), so the parsed ``__p`` would
+        no longer equal the directory-derived ``_key()`` namespace
+        ``keys`` uses and every write on such a table would KeyError;
+        with inference off ``__p`` is always the verbatim (unescaped)
+        directory value, which is exactly the namespace key."""
         import numpy as np
         import pandas as pd
 
@@ -365,7 +370,15 @@ class PartitionedTable:
                                  "bits": [int(m)],
                                  "hex": [bits.tobytes().hex()]})
 
-        staged = self.spark.read.parquet(staging)
+        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = self.spark.conf.get(conf, "true")
+        self.spark.conf.set(conf, "false")
+        try:
+            # partition discovery runs eagerly here, so scoping the
+            # conf around the read call is sufficient
+            staged = self.spark.read.parquet(staging)
+        finally:
+            self.spark.conf.set(conf, prev)
         # one exploded (col, position) stream for ALL bloom columns;
         # NULL values contribute nothing (filtered structs)
         structs = F.array(*[

@@ -289,6 +289,12 @@ def test_refresh_lock_excludes_concurrent_and_reclaims_stale(
         f.write(str(os.getpid()))          # "live" concurrent holder
     with pytest.raises(ConflictException, match="already in progress"):
         mv.refresh()
+    # an EMPTY lockfile is a holder mid-publish (or unreadable), never
+    # stale: reclaiming it would admit two concurrent refreshes
+    os.remove(lock)
+    open(lock, "x").close()
+    with pytest.raises(ConflictException, match="unreadable"):
+        mv.refresh()
     os.remove(lock)
     with open(lock, "x") as f:
         f.write("999999999")               # dead pid -> stale

@@ -962,9 +962,10 @@ def test_metadata_group_counts_zero_jobs(pt, spark):
     tombstones, omits emptied partitions."""
     pt.insert(spark.createDataFrame([(9, "A", 9.0)],
                                     "id long, grp string, amt double"))
-    jobs_before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    from __spark_entry__ import _job_counter
+    jobs_before = _job_counter(spark)
     got = pt.metadata_group_counts()
-    jobs_after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    jobs_after = _job_counter(spark)
     assert jobs_after == jobs_before
     want = {r["grp"]: r["count"] for r in
             pt.read().groupBy("grp").count().collect()}
@@ -1026,6 +1027,29 @@ def test_bloom_built_from_staged_bytes_not_replan(spark, tmp_path):
     stored = [r["tok"] for r in pt.read().limit(10).collect()]
     for v in stored:
         assert pt.read_point("tok", v).count() == 1, v
+
+
+def test_bloom_numeric_looking_string_partitions(spark, tmp_path):
+    """Regression: hive partition-type inference must not canonicalize
+    numeric-looking STRING partition values ('007' -> 7 -> '7') during
+    the staged bloom build — the stats key must equal the directory
+    name, or every insert/delete on a bloom-indexed table KeyErrors."""
+    df = spark.createDataFrame(
+        [(1, "007", "a"), (2, "007", "b"), (3, "1e3", "c"),
+         (4, "00", "d")],
+        "id long, code string, tok string")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "nums"),
+                                 "code", bloom_cols=["tok"])
+    assert set(pt._manifest()["parts"]) == {"007", "1e3", "00"}
+    # insert into an existing canonicalization-prone partition — the
+    # pre-fix KeyError fired here
+    pt.insert(spark.createDataFrame([(5, "007", "e")],
+                                    "id long, code string, tok string"))
+    assert pt.read_point("tok", "e").count() == 1
+    assert len(pt._point_dirs("tok", "e")) == 1
+    assert pt.read().count() == 5
+    pt.delete(F.col("id") == 3)
+    assert pt.read().count() == 4
 
 
 def test_manifest_stream_partition_drop_and_full_delete(spark, tmp_path):
