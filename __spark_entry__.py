@@ -3364,15 +3364,17 @@ def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_duplicates(corpus, max_hamming=3)
 
 
-_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+_QUERY_VEC_CACHE: dict[tuple, list[float]] = {}
 
 
-def _query_vec(spark, sf_dir) -> list[float]:
-    if sf_dir not in _QUERY_VEC_CACHE:
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    key = (sf_dir, vec_id)
+    if key not in _QUERY_VEC_CACHE:
         row = (_db(spark, sf_dir).table("embeddings")
-               .filter(F.col("vec_id") == 0).select("embedding").first())
-        _QUERY_VEC_CACHE[sf_dir] = [float(v) for v in row["embedding"]]
-    return _QUERY_VEC_CACHE[sf_dir]
+               .filter(F.col("vec_id") == vec_id).select("embedding")
+               .first())
+        _QUERY_VEC_CACHE[key] = [float(v) for v in row["embedding"]]
+    return _QUERY_VEC_CACHE[key]
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -3437,24 +3439,38 @@ def q_ivfpq_probe(spark, sf_dir):
     each row stores only m=8 residual PQ codes — ~32× less than fp32).
     The probe ADC-scores the 8 nearest cells from an m×k lookup table,
     then exact-reranks the best 320 ids via a broadcast semi-join back
-    to the fp32 corpus.  In-entry contract raises (must survive
-    ``python -O``): (a) the candidate scan's executed plan carries a
-    ``PartitionFilters`` entry on ``cell`` — directory pruning, not a
+    to the fp32 corpus.  The code table lives in a PartitionedTable
+    keyed on ``cell``, so unprobed cells prune at the MANIFEST — their
+    directories are never even listed.  In-entry contract raises (must
+    survive ``python -O``): (a) every input file of the candidate scan
+    lies in a directory the manifest maps to a PROBED cell, while the
+    manifest holds more cells than were probed — real pruning, not a
     post-scan filter; (b) recall@10 vs the exact brute-force top-10
     ≥ 0.4 (measured 0.9 at sf0.01 and sf0.1 with these parameters).
     The oracle checks the SQL-recomputable scalars plus the contract
     bits."""
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
     idx = _ann_index(spark, sf_dir, "ivfpq")
     qv = _query_vec(spark, sf_dir)
     emb = _db(spark, sf_dir).table("embeddings")
     cand = similarity.ivfpq_probe(spark, idx, qv, n_probe=8,
                                   n_candidates=320)
-    plan = cand._jdf.queryExecution().executedPlan().toString()
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    if not pf or "cell" not in pf[0].split("PartitionFilters", 1)[1][:120]:
+    man = PartitionedTable(spark, idx.path)._manifest()
+    probed = similarity._nearest_cells(idx.params["centroids"], qv, 8)
+    allowed = {_os.path.normpath(d) for c in probed
+               for d in man["parts"].get(str(c), [])}
+    got_dirs = {_os.path.normpath(_os.path.dirname(
+        f.removeprefix("file:"))) for f in cand.inputFiles()}
+    if not got_dirs or not got_dirs <= allowed or \
+            len(man["parts"]) <= len(probed):
         raise RuntimeError(
-            "IVF-PQ probe plan lacks a cell PartitionFilter — the scan "
-            "is not pruning unprobed cells")
+            "IVF-PQ probe scan lists files outside the probed cells' "
+            "manifest directories — manifest pruning is broken")
     top = similarity.ivfpq_topk(spark, idx, emb, qv, k=10, n_probe=8,
                                 n_candidates=320)
     exact = similarity.cosine_topk(emb, qv, k=10)
@@ -3463,7 +3479,7 @@ def q_ivfpq_probe(spark, sf_dir):
     if overlap < 4:
         raise RuntimeError(
             f"IVF-PQ recall@10 = {overlap / 10} below the 0.4 floor")
-    n_indexed = spark.read.parquet(idx.path).count()
+    n_indexed = similarity.ivfpq_codes(spark, idx).count()
     return spark.createDataFrame(
         [(10, int(n_indexed), True, True)],
         "k int, n_indexed bigint, pruned boolean, recall_ge_04 boolean")
@@ -3478,9 +3494,10 @@ _ANN_PARAMS = {"lsh": {"n_planes": 4}, "ivf": {"n_cells": 16},
 
 #: bump when the index CONTENT semantics change without a parameter
 #: change (e.g. v2: ivf_centroids switched from xxhash64 to the portable
-#: md5 pick) — keeps a stale on-disk index from silently serving the old
-#: layout to a probe whose oracle assumes the new one
-_ANN_INDEX_VERSION = 2
+#: md5 pick; v3: the ivfpq code table moved onto PartitionedTable) —
+#: keeps a stale on-disk index from silently serving the old layout to
+#: a probe whose oracle assumes the new one
+_ANN_INDEX_VERSION = 3
 
 
 def _build_or_load_index(sf_dir, src_file: str, family: str, kind: str,
@@ -4496,36 +4513,85 @@ def q_ann_batch_queries(spark, sf_dir):
             .select("query_id", "vec_id", "cosine_sim"))
 
 
+def _ivfpq_base_index(spark, sf_dir) -> similarity.AnnIndex:
+    """Build-or-load the SHARED IVF-PQ maintenance fixture: one index
+    over the 4/5 corpus (``vec_id % 5 != 0``), cached on disk keyed by
+    corpus fingerprint (the :func:`_build_or_load_index` scheme).  The
+    append/remove lifecycle entries each shallow-CLONE it (O(metadata),
+    zero rows copied) and mutate the clone — the ~9 s PQ training that
+    used to run inside BOTH entries now runs once per corpus, and the
+    clone isolation is itself part of the contract (mutating a clone
+    must never touch a source byte)."""
+    # files_per_bucket=1 at contract scale: every maintenance-entry
+    # job rescans the code table, and 8 files instead of 32 halves the
+    # fixed per-task overhead that dominates these tiny suites (at
+    # 100 TB the default >1 applies — see _bucket_partitioned)
+    params = {"n_cells": 8, "m": 2, "k": 16, "files_per_bucket": 1}
+
+    def build(path, fp):
+        emb = _db(spark, sf_dir).table("embeddings") \
+            .filter(F.col("vec_id") % 5 != 0)
+        return similarity.build_ivfpq_index(emb, path, fingerprint=fp,
+                                            **params)
+
+    return _build_or_load_index(sf_dir, "embeddings.parquet", "ann",
+                                "ivfpq_base", _ANN_INDEX_VERSION,
+                                params, similarity.load_ann_index,
+                                build)
+
+
+def _clone_ivfpq(spark, base_idx: similarity.AnnIndex,
+                 dest: str) -> similarity.AnnIndex:
+    """Shallow-clone the base index's code table to ``dest`` and wrap
+    it in an AnnIndex handle carrying the same frozen header."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    PartitionedTable(spark, base_idx.path).clone(dest)
+    return similarity.AnnIndex("ivfpq", dest, base_idx.dim,
+                               base_idx.params,
+                               base_idx.source_fingerprint)
+
+
 def q_ivfpq_append(spark, sf_dir):
     """Incremental ANN index maintenance (``similarity.ivfpq_append``
-    — FAISS ``add()`` with a frozen header): the index builds on 4/5
-    of the corpus, the held-out 1/5 appends as new code files under
-    the same cell partitions (no retrain, no rewrite of any existing
-    byte — O(|new|)).  In-entry contract raises (must survive
-    ``python -O``): the appended codes equal a batch re-encode of the
-    same rows BIT-FOR-BIT (frozen header ⇒ deterministic encoding);
-    every pre-append file survives untouched; an appended vector is
-    retrievable as its own exact top-1 through the standard probe +
-    re-rank path.  The oracle states the SQL-derivable size invariants
-    plus the contract bits."""
+    — FAISS ``add()`` with a frozen header): the shared 4/5-corpus
+    base index shallow-clones into scratch, and the held-out 1/5
+    appends to the CLONE as one versioned ``insert`` commit (new code
+    directories only; no retrain, no rewrite of any existing byte —
+    O(|new|)).  In-entry contract raises (must survive ``python
+    -O``): the appended codes equal a batch re-encode of the same
+    rows BIT-FOR-BIT (frozen header ⇒ deterministic encoding); every
+    SOURCE index file survives untouched (clone isolation + append
+    immutability); an appended vector is retrievable as its own exact
+    top-1 through the standard probe + re-rank path.  The oracle
+    states the SQL-derivable size invariants plus the contract
+    bits."""
     import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
 
     db = _db(spark, sf_dir)
     emb = db.table("embeddings")
+    base_idx = _ivfpq_base_index(spark, sf_dir)
     with _scratch_base("ivfa", sf_dir) as base:
-        part = emb.filter(F.col("vec_id") % 5 != 0)
         extra = emb.filter(F.col("vec_id") % 5 == 0)
-        idx = similarity.build_ivfpq_index(
-            part, f"{base}/ivfpq", n_cells=8, m=2, k=16,
-            fingerprint="r11-append")
-        before_files = set()
-        for root, _, files in _os.walk(idx.path):
-            before_files |= {_os.path.join(root, f) for f in files
-                             if f.endswith(".parquet")}
-        n_appended = similarity.ivfpq_append(idx, extra)
-        for f in before_files:
-            if not _os.path.exists(f):
-                raise RuntimeError("append rewrote an existing file")
+        idx = _clone_ivfpq(spark, base_idx, f"{base}/ivfpq")
+        before_files = {}
+        for root, _, files in _os.walk(base_idx.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(root, f)
+                    before_files[p] = _os.path.getmtime(p)
+        n_appended = similarity.ivfpq_append(idx, extra,
+                                             files_per_bucket=1)
+        for p, mt in before_files.items():
+            if not _os.path.exists(p) or _os.path.getmtime(p) != mt:
+                raise RuntimeError(
+                    "append through a clone touched a source file")
         cents = idx.params["centroids"]
         books = idx.params["codebooks"]
         e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -4538,11 +4604,12 @@ def q_ivfpq_append(spark, sf_dir):
                              similarity.ivf_cell("embedding", cents))
             .withColumn("__res", resid), books, "__res") \
             .select("vec_id", "cell", "pq_codes")
-        stored = spark.read.parquet(idx.path)
+        stored = similarity.ivfpq_codes(spark, idx)
         got = (stored.join(extra.select("vec_id"), "vec_id")
                .select("vec_id", "cell", "pq_codes"))
-        if got.exceptAll(expect).count() or \
-                expect.exceptAll(got).count():
+        # both exceptAll directions in ONE job
+        if got.exceptAll(expect).unionAll(
+                expect.exceptAll(got)).count():
             raise RuntimeError(
                 "incremental append != batch re-encode")
         n_total = stored.count()
@@ -4558,6 +4625,7 @@ def q_ivfpq_append(spark, sf_dir):
             [(n_total - n_appended, n_appended, n_total, True)],
             "n_base bigint, n_appended bigint, n_total bigint, "
             "top1_is_query boolean")
+        PartitionedTable(spark, base_idx.path).detach_clone(idx.path)
     return out
 
 
@@ -4642,41 +4710,68 @@ def q_mview_hll_distinct(spark, sf_dir):
 def q_ivfpq_remove(spark, sf_dir):
     """Targeted deletion from the IVF-PQ index
     (``similarity.ivfpq_remove`` — the other half of the maintenance
-    lifecycle next to ``ivfpq_append``): doomed ids locate their cells
-    via a broadcast semi-join over the code table, ONLY those cells
-    rewrite, survivors keep their exact codes (frozen header — no
-    re-encode).  In-entry contract raises (must survive ``python
-    -O``): removed count and survivor count exact; no removed id
-    remains; survivors' codes bit-identical to pre-removal; a removed
-    id never surfaces from the probe path while a kept vector still
-    re-ranks as its own top-1.  The oracle states the SQL-derivable
-    size invariants plus the contract bits."""
+    lifecycle next to ``ivfpq_append``): the shared 4/5-corpus base
+    index shallow-clones into scratch, doomed ids locate their cells
+    via a broadcast semi-join over the clone's code table, and ONLY
+    those cells rewrite through one versioned
+    ``overwrite_partitions`` commit — survivors keep their exact
+    codes (frozen header — no re-encode) and untouched cells re-link
+    their directories.  In-entry contract raises (must survive
+    ``python -O``): removed count and survivor count exact; no
+    removed id remains; survivors' codes bit-identical to
+    pre-removal; a removed id never surfaces from the probe path
+    while a kept vector still re-ranks as its own top-1; the SOURCE
+    index is byte-untouched (clone isolation).  The oracle states the
+    SQL-derivable size invariants plus the contract bits."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    import os as _os
+
     db = _db(spark, sf_dir)
     emb = db.table("embeddings")
+    base_idx = _ivfpq_base_index(spark, sf_dir)
+    base_members = emb.filter(F.col("vec_id") % 5 != 0)
+    # clone-isolation check is FILE-level (mtimes captured before the
+    # remove, re-checked after — zero Spark jobs, byte-stronger than a
+    # re-collect of the source codes)
+    src_files = {}
+    for root, _, files in _os.walk(base_idx.path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = _os.path.join(root, f)
+                src_files[p] = _os.path.getmtime(p)
     with _scratch_base("ivfr", sf_dir) as base:
-        idx = similarity.build_ivfpq_index(
-            emb, f"{base}/ivfpq", n_cells=8, m=2, k=16,
-            fingerprint="r11-remove")
+        idx = _clone_ivfpq(spark, base_idx, f"{base}/ivfpq")
         before = {r["vec_id"]: (r["cell"], list(r["pq_codes"]))
-                  for r in spark.read.parquet(idx.path).collect()}
-        doom = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
-        n_doom = doom.count()
-        removed = similarity.ivfpq_remove(spark, idx, doom)
-        if removed != n_doom:
+                  for r in similarity.ivfpq_codes(spark, idx)
+                  .collect()}
+        doomed_ids = {i for i in before if i % 7 == 3}
+        doom = spark.createDataFrame(
+            [(i,) for i in sorted(doomed_ids)], "vec_id long")
+        removed = similarity.ivfpq_remove(spark, idx, doom,
+                                          files_per_bucket=1)
+        if removed != len(doomed_ids):
             raise RuntimeError(
-                f"removed {removed}, expected {n_doom}")
+                f"removed {removed}, expected {len(doomed_ids)}")
         after = {r["vec_id"]: (r["cell"], list(r["pq_codes"]))
-                 for r in spark.read.parquet(idx.path).collect()}
-        doomed_ids = {r["vec_id"] for r in doom.collect()}
+                 for r in similarity.ivfpq_codes(spark, idx)
+                 .collect()}
         if set(after) != set(before) - doomed_ids:
             raise RuntimeError("survivor id set wrong after removal")
         if any(after[i] != before[i] for i in after):
             raise RuntimeError("survivor codes changed (re-encode?)")
-        qv = _query_vec(spark, sf_dir)  # vec 0; 0 % 7 != 3 -> kept
-        top = similarity.ivfpq_topk(spark, idx, emb, qv, k=5,
-                                    n_probe=8, n_candidates=200)
+        for p, mt in src_files.items():
+            if not _os.path.exists(p) or _os.path.getmtime(p) != mt:
+                raise RuntimeError(
+                    "remove through a clone touched a source file")
+        # vec 1 is in the base (1 % 5 != 0) and kept (1 % 7 != 3)
+        qv1 = _query_vec(spark, sf_dir, vec_id=1)
+        top = similarity.ivfpq_topk(spark, idx, base_members, qv1,
+                                    k=5, n_probe=8, n_candidates=200)
         ids = [r["vec_id"] for r in top.collect()]
-        if ids[0] != 0:
+        if ids[0] != 1:
             raise RuntimeError(
                 f"kept vector must re-rank as its own top-1, got "
                 f"{ids[0]}")
@@ -4686,6 +4781,7 @@ def q_ivfpq_remove(spark, sf_dir):
             [(len(before), removed, len(after), True)],
             "n_before bigint, n_removed bigint, n_after bigint, "
             "top1_is_query boolean")
+        PartitionedTable(spark, base_idx.path).detach_clone(idx.path)
     return out
 
 
@@ -5842,7 +5938,8 @@ def oracle_sql() -> dict[str, str]:
             "  AS n_removed, "
             "CAST(COUNT(*) FILTER (WHERE vec_id % 7 <> 3) AS BIGINT) "
             "  AS n_after, "
-            "TRUE AS top1_is_query FROM embeddings"),
+            "TRUE AS top1_is_query FROM embeddings "
+            "WHERE vec_id % 5 <> 0"),
         "time_travel_ts": (
             "SELECT 'as_of_create' AS state, "
             "CAST(COUNT(*) AS BIGINT) AS n_rows, "

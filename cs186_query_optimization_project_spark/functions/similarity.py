@@ -21,7 +21,6 @@ from __future__ import annotations
 import json
 import math
 import os
-from contextlib import contextmanager as _contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -806,6 +805,17 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
     final candidates' source rows are re-read for the exact re-rank.
     Centroids + codebooks live in the sidecar (index header).
 
+    The code table is hosted in a :class:`PartitionedTable` keyed on
+    ``cell``, so the maintenance lifecycle inherits the manifest
+    commit protocol: :func:`ivfpq_append` is a versioned ``insert``
+    (new directories only), :func:`ivfpq_remove` is a versioned
+    ``overwrite_partitions`` (survivors stage to FRESH directories and
+    a single atomic manifest swap publishes them), a reader pinned to
+    version N sees a consistent index while N+1 commits, a crash
+    mid-maintenance leaves the last published version intact, and
+    time travel / vacuum come for free — no bare-parquet mutation
+    anywhere in the lifecycle.
+
     Unlike the plain IVF index (whose md5-pick centroids stay
     SQL-replayable for its oracle), the coarse centroids here REFINE
     through ``refine_iters`` Lloyd iterations — residual quantization
@@ -836,8 +846,17 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
     books = pq_train(base, "__res", m, k, n_iter, seed)
     coded = pq_encode(base, books, "__res").select(id_col, "cell",
                                                    "pq_codes")
-    (_bucket_partitioned(coded, "cell", id_col, files_per_bucket)
-        .write.mode("overwrite").partitionBy("cell").parquet(path))
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+    if os.path.isdir(path):  # rebuild = fresh table (overwrite)
+        import shutil as _shutil
+
+        _shutil.rmtree(path)
+    PartitionedTable.create(
+        df.sparkSession,
+        _bucket_partitioned(coded, "cell", id_col, files_per_bucket),
+        path, "cell")
     idx = AnnIndex("ivfpq", path, len(cents[0]),
                    {"centroids": cents, "codebooks": books}, fingerprint)
     _write_meta(idx)
@@ -859,7 +878,14 @@ def ivfpq_append(index: AnnIndex, new_df: DataFrame,
     Quantization error grows only if the data DISTRIBUTION drifts
     from what the codebooks were trained on — rebuild to retrain (the
     standard IVF-PQ maintenance contract; FAISS documents the same).
+    The append is a versioned :meth:`PartitionedTable.insert` commit:
+    new code files land in NEW directories, the manifest swap is
+    atomic, and a concurrent prober keeps reading the prior version.
     Returns the number of rows appended."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
     cents = index.params["centroids"]
     books = index.params["codebooks"]
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -873,8 +899,10 @@ def ivfpq_append(index: AnnIndex, new_df: DataFrame,
     coded = pq_encode(base, books, "__res").select(id_col, "cell",
                                                    "pq_codes")
     n = coded.count()
-    (_bucket_partitioned(coded, "cell", id_col, files_per_bucket)
-        .write.mode("append").partitionBy("cell").parquet(index.path))
+    if n:
+        pt = PartitionedTable(new_df.sparkSession, index.path)
+        pt.insert(_bucket_partitioned(coded, "cell", id_col,
+                                      files_per_bucket))
     return n
 
 
@@ -885,62 +913,52 @@ def ivfpq_remove(spark: SparkSession, index: AnnIndex,
     of the maintenance lifecycle (:func:`ivfpq_append` adds): the
     cells OWNING the doomed ids are found with one broadcast semi-join
     over the code table (m-byte rows, id+cell columns only), and ONLY
-    those cell partitions rewrite (anti-join survivors, dynamic
-    partition overwrite); every untouched cell's files are left
-    byte-identical.  Cost tracks |touched cells|' code rows — at 1000
-    cells a deletion hitting 3 cells rewrites 0.3% of an index that is
-    already ~m bytes/row.  Codes never re-encode (the header is
-    frozen), so survivors are bit-identical.  Returns the number of
-    code rows removed."""
+    those cell partitions rewrite (anti-join survivors through one
+    :meth:`PartitionedTable.overwrite_partitions` commit); every
+    untouched cell's files are left byte-identical.  Cost tracks
+    |touched cells|' code rows — at 1000 cells a deletion hitting 3
+    cells rewrites 0.3% of an index that is already ~m bytes/row.
+    Codes never re-encode (the header is frozen), so survivors are
+    bit-identical.  The commit protocol closes the two hazards of the
+    former bare-parquet layout: survivors stage to FRESH directories
+    (no read-while-overwrite torn index — no localCheckpoint needed),
+    a cell emptied to zero rows simply drops from the new manifest (no
+    post-hoc rmtree to crash between), and a crash anywhere before the
+    atomic manifest swap leaves the prior version fully readable.
+    Returns the number of code rows removed."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(spark, index.path)
     ids = ids_df.select(F.col(id_col)).distinct()
-    stored = spark.read.parquet(index.path)
-    touched = [r[0] for r in
-               (stored.join(F.broadcast(ids), id_col)
-                .select("cell").distinct().collect())]
+    # ONE pass finds the owning cells AND the per-cell doomed counts
+    owned = (pt.read().join(F.broadcast(ids), id_col)
+             .groupBy("cell").count().collect())
+    touched = [r["cell"] for r in owned]
+    doomed = sum(r["count"] for r in owned)
     if not touched:
         return 0
-    doomed = (stored.filter(F.col("cell").isin(touched))
-              .join(F.broadcast(ids), id_col).count())
-    # materialize BEFORE the overwrite: the survivor plan reads the
-    # very files the dynamic overwrite replaces, and a lazy read-while-
-    # overwrite of the same directories is a torn index
-    survivors = (stored.filter(F.col("cell").isin(touched))
+    survivors = (pt.read(partition_values=touched)
                  .join(F.broadcast(ids), id_col, "left_anti")
-                 .select(id_col, "cell", "pq_codes")
-                 .localCheckpoint())
-    with _partition_overwrite_dynamic(spark):
-        (_bucket_partitioned(survivors, "cell", id_col,
-                             files_per_bucket)
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(index.path))
-    # dynamic overwrite only replaces partitions the write PRODUCES —
-    # a touched cell whose rows all died produces nothing and would
-    # keep its old files; drop those directories explicitly
-    import shutil as _shutil
-
-    alive = {r[0] for r in survivors.select("cell").distinct()
-             .collect()}
-    for cell in set(touched) - alive:
-        _shutil.rmtree(os.path.join(index.path, f"cell={cell}"),
-                       ignore_errors=True)
+                 .select(id_col, "cell", "pq_codes"))
+    pt.overwrite_partitions(
+        _bucket_partitioned(survivors, "cell", id_col,
+                            files_per_bucket),
+        touched)
     return doomed
 
 
-@_contextmanager
-def _partition_overwrite_dynamic(spark: SparkSession):
-    """Scope partitionOverwriteMode=dynamic (overwrite ONLY the
-    partitions the write produces) without leaking the setting into
-    the caller's session."""
-    key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+def ivfpq_codes(spark: SparkSession, index: AnnIndex,
+                version: int | None = None) -> DataFrame:
+    """The index's code table ``(id, cell, pq_codes)`` at a version
+    (default: newest) — the read surface callers use instead of
+    touching the storage layout directly."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    return PartitionedTable(spark, index.path).read(version=version)
 
 
 def ivfpq_probe(spark: SparkSession, index: AnnIndex,
@@ -949,9 +967,14 @@ def ivfpq_probe(spark: SparkSession, index: AnnIndex,
                 ) -> DataFrame:
     """ADC candidate generation over the pruned cells: approximate
     ⟨q,x⟩ = ⟨q,centroid(cell)⟩ + Σⱼ LUT[j][codeⱼ] — one per-cell scalar
-    plus m lookups per row, never a float vector.  The ``cell IN``
-    filter on the partition column prunes every unprobed directory.
-    Returns ``(id, adc_score)``; re-rank with :func:`ivfpq_topk`."""
+    plus m lookups per row, never a float vector.  Unprobed cells are
+    pruned at the MANIFEST (their directories are never even listed —
+    stronger than a partition filter over a file listing).  Returns
+    ``(id, adc_score)``; re-rank with :func:`ivfpq_topk`."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
     n_candidates = n_candidates or 8 * k
     cents = index.params["centroids"]
     books = index.params["codebooks"]
@@ -964,8 +987,8 @@ def ivfpq_probe(spark: SparkSession, index: AnnIndex,
                                      books[j][i]))
          for i in range(len(books[j]))]
         for j in range(len(books))]
-    rows = (spark.read.parquet(index.path)
-            .filter(F.col("cell").isin(probe)))
+    rows = PartitionedTable(spark, index.path).read(
+        partition_values=probe)
     score = F.element_at(_lit_vec(qdotc), F.col("cell").cast("int") + 1)
     for j, lut in enumerate(luts):
         score = score + F.element_at(_lit_vec(lut),

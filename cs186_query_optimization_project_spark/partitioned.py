@@ -139,7 +139,8 @@ class PartitionedTable:
                 f"partition column '{partition_col}' has type {ptype}; "
                 f"only string/integral/boolean/date columns partition "
                 f"(float keys are not stable manifest keys)")
-        if df.filter(F.col(partition_col).isNull()).take(1):
+        if df.agg(F.max(F.col(partition_col).isNull())) \
+                .collect()[0][0]:
             raise DatabaseException(
                 f"partition column '{partition_col}' contains NULLs; "
                 f"assign an explicit sentinel partition first")
@@ -766,7 +767,7 @@ class PartitionedTable:
                 f"insert into '{self.root}': schema mismatch; table "
                 f"has {expected.simpleString()}, rows have "
                 f"{got.simpleString()}")
-        if rows.filter(F.col(pcol).isNull()).take(1):
+        if rows.agg(F.max(F.col(pcol).isNull())).collect()[0][0]:
             raise DatabaseException(
                 f"insert into '{self.root}': NULL partition value")
         self._enforce(rows, man.get("constraints", {}), "insert")
@@ -800,17 +801,24 @@ class PartitionedTable:
                 f"overwrite_partitions into '{self.root}': schema "
                 f"mismatch; table has {expected.simpleString()}, rows "
                 f"have {rows.schema.simpleString()}")
-        if rows.filter(F.col(pcol).isNull()).take(1):
+        # both guards in ONE aggregation job: a take(1) probe that
+        # matches nothing (the healthy path) escalates through
+        # full-scan job retries, re-executing the input plan each time
+        guard = rows.agg(
+            F.max(F.col(pcol).isNull()).alias("has_null"),
+            F.first(F.when(
+                ~F.col(pcol).isin(list(partition_values)),
+                F.col(pcol)), ignorenulls=True).alias("stray")) \
+            .collect()[0]
+        if guard["has_null"]:
             raise DatabaseException(
                 f"overwrite_partitions into '{self.root}': NULL "
                 f"partition value")
-        stray = rows.filter(
-            ~F.col(pcol).isin(list(partition_values))).take(1)
-        if stray:
+        if guard["stray"] is not None:
             raise DatabaseException(
                 f"overwrite_partitions into '{self.root}': rows fall "
                 f"outside the named partitions {partition_values} "
-                f"(e.g. {pcol}={stray[0][pcol]!r})")
+                f"(e.g. {pcol}={guard['stray']!r})")
         self._enforce(rows, man.get("constraints", {}),
                       "overwrite_partitions")
         parts = {k: list(v) for k, v in man["parts"].items()}

@@ -135,14 +135,29 @@ def test_lsh_probe_recall_vs_brute_force(spark, vectors, tmp_path):
 
 
 def test_ivfpq_probe_recall_and_pruning(spark, vectors, tmp_path):
+    """Manifest-level pruning: the candidate scan's input files must
+    all live in directories the manifest maps to PROBED cells — the
+    unprobed cells' directories are never even listed (stronger than a
+    PartitionFilters entry over a full file listing)."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
     q = _query_of(vectors)
     idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "ivfpq"),
                                        n_cells=4, m=2, k=4,
                                        fingerprint="test-fp")
-    plan = _scan_plan(similarity.ivfpq_probe(spark, idx, q, n_probe=2))
-    assert "PartitionFilters" in plan
-    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
-    assert "cell" in pf.split("PartitionFilters", 1)[1][:120]
+    probe_cells = similarity._nearest_cells(
+        idx.params["centroids"], q, 2)
+    cand = similarity.ivfpq_probe(spark, idx, q, n_probe=2)
+    man = PartitionedTable(spark, idx.path)._manifest()
+    allowed = {os.path.normpath(d)
+               for c in probe_cells
+               for d in man["parts"][str(c)]}
+    assert len(man["parts"]) == 4          # index has unprobed cells
+    got_dirs = {os.path.normpath(os.path.dirname(
+        f.removeprefix("file:"))) for f in cand.inputFiles()}
+    assert got_dirs and got_dirs <= allowed
     top = similarity.ivfpq_topk(spark, idx, vectors, q, k=5, n_probe=4)
     got = [r["vec_id"] for r in top.collect()]
     exact = {r["vec_id"] for r in
@@ -157,7 +172,7 @@ def test_ivfpq_index_stores_codes_not_vectors(spark, vectors, tmp_path):
     idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "ivfpq2"),
                                        n_cells=4, m=2, k=4,
                                        fingerprint="test-fp")
-    stored = spark.read.parquet(idx.path)
+    stored = similarity.ivfpq_codes(spark, idx)
     assert set(stored.columns) == {"vec_id", "pq_codes", "cell"}
     assert stored.count() == vectors.count()
     assert stored.filter(
@@ -198,7 +213,7 @@ def test_ivfpq_append_equals_batch_reencode(spark, vectors, tmp_path):
     # no existing file rewritten
     for f in before_files:
         assert os.path.exists(f)
-    stored = spark.read.parquet(idx.path)
+    stored = similarity.ivfpq_codes(spark, idx)
     assert stored.count() == vectors.count()
     # appended codes == what the build-time encoder would produce
     cents = idx.params["centroids"]
@@ -226,34 +241,34 @@ def test_ivfpq_append_equals_batch_reencode(spark, vectors, tmp_path):
 def test_ivfpq_remove_rewrites_only_touched_cells(spark, vectors,
                                                   tmp_path):
     """Deletion rewrites only the cells owning the doomed ids;
-    untouched cells' files stay byte-identical; survivors never
-    re-encode; removing a whole cell's rows drops its directory."""
+    untouched cells re-link their exact directories across the commit;
+    survivors never re-encode; removing a whole cell's rows drops its
+    key from the manifest (the directory reclaims on vacuum)."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
     idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "rm"),
                                        n_cells=4, m=2, k=4,
                                        fingerprint="test-fp")
-    stored0 = spark.read.parquet(idx.path).collect()
+    pt = PartitionedTable(spark, idx.path)
+    stored0 = similarity.ivfpq_codes(spark, idx).collect()
     by_cell = {}
     for r in stored0:
         by_cell.setdefault(r["cell"], []).append(r["vec_id"])
     victim_cell = min(by_cell, key=lambda c: len(by_cell[c]))
     doom = [by_cell[victim_cell][0]]
     other_cells = [c for c in by_cell if c != victim_cell]
-    files_before = {}
-    for c in other_cells:
-        d = os.path.join(idx.path, f"cell={c}")
-        files_before[c] = {(f, os.path.getmtime(os.path.join(d, f)))
-                           for f in os.listdir(d)
-                           if f.endswith(".parquet")}
+    dirs_before = {c: list(pt._manifest()["parts"][str(c)])
+                   for c in other_cells}
     n = similarity.ivfpq_remove(
         spark, idx, spark.createDataFrame([(i,) for i in doom],
                                           "vec_id long"))
     assert n == 1
-    for c in other_cells:                       # untouched: same files
-        d = os.path.join(idx.path, f"cell={c}")
-        now = {(f, os.path.getmtime(os.path.join(d, f)))
-               for f in os.listdir(d) if f.endswith(".parquet")}
-        assert now == files_before[c], c
-    after = spark.read.parquet(idx.path)
+    man = pt._manifest()
+    for c in other_cells:       # untouched: the SAME directories
+        assert man["parts"][str(c)] == dirs_before[c], c
+    after = similarity.ivfpq_codes(spark, idx)
     assert after.count() == len(stored0) - 1
     assert after.filter(F.col("vec_id").isin(doom)).count() == 0
     # survivors of the touched cell kept their exact codes
@@ -262,15 +277,39 @@ def test_ivfpq_remove_rewrites_only_touched_cells(spark, vectors,
     got = {r["vec_id"]: list(r["pq_codes"]) for r in
            after.filter(F.col("cell") == victim_cell).collect()}
     assert got == want
-    # removing EVERYTHING in a cell drops its directory
+    # removing EVERYTHING in a cell drops its key from the manifest
     n2 = similarity.ivfpq_remove(
         spark, idx,
         spark.createDataFrame([(i,) for i in by_cell[victim_cell]],
                               "vec_id long"))
     assert n2 == len(by_cell[victim_cell]) - 1
-    assert not os.path.isdir(os.path.join(idx.path,
-                                          f"cell={victim_cell}"))
-    # ids absent from the index: a clean no-op
+    assert str(victim_cell) not in pt._manifest()["parts"]
+    # ids absent from the index: a clean no-op (no commit)
+    v = pt._manifest()["version"]
     assert similarity.ivfpq_remove(
         spark, idx,
         spark.createDataFrame([(777777,)], "vec_id long")) == 0
+    assert pt._manifest()["version"] == v
+
+
+def test_ivfpq_reader_pinned_version_survives_remove(spark, vectors,
+                                                     tmp_path):
+    """The commit protocol the code-table port buys: a reader pinned
+    to version N keeps seeing a CONSISTENT full index while version
+    N+1 removes rows — and time travel re-reads N after the fact.
+    (The former bare-parquet layout could serve such a reader a torn
+    index mid-overwrite.)"""
+    idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "pin"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    n_all = vectors.count()
+    pinned = similarity.ivfpq_codes(spark, idx, version=0)
+    doom = vectors.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    n_doom = doom.count()
+    assert similarity.ivfpq_remove(spark, idx, doom) == n_doom
+    # the pinned reader still sees the COMPLETE version-0 index
+    assert pinned.count() == n_all
+    # a fresh read sees the post-remove version; time travel sees v0
+    assert similarity.ivfpq_codes(spark, idx).count() == n_all - n_doom
+    assert similarity.ivfpq_codes(spark, idx,
+                                  version=0).count() == n_all
