@@ -625,11 +625,15 @@ def q_metadata_agg(spark, sf_dir):
     ``metadata_min_max``).  orders lands partitioned by
     ``o_orderstatus``, gains two appended rows, soft-deletes one, then
     OPTIMIZE materializes the tombstone.  In-entry contract raises
-    (must survive ``python -O``): while the tombstone is live both
-    metadata paths must fail CLOSED (``None`` — footer counts would
-    overcount masked rows); after OPTIMIZE the answers must come back
-    with ZERO Spark jobs scheduled and must equal the scan answers.
-    The oracle replays insert + soft delete in SQL."""
+    (must survive ``python -O``): while the tombstone is live,
+    ``metadata_count`` must still answer EXACTLY with zero Spark jobs
+    (the soft delete records each directory's masked-row cardinality
+    at commit time — the Delta deletion-vector cardinality move — so
+    COUNT subtracts instead of failing closed) while
+    ``metadata_min_max`` fails CLOSED (a masked row can own the
+    extremum); after OPTIMIZE both answers come back with ZERO Spark
+    jobs scheduled and equal the scan answers.  The oracle replays
+    insert + soft delete in SQL."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
@@ -644,10 +648,22 @@ def q_metadata_agg(spark, sf_dir):
             [(900000001, "X"), (900000002, "X")],
             "o_orderkey bigint, o_orderstatus string"))
         pt.delete_soft("o_orderkey = 900000002")
-        if pt.metadata_count() is not None or \
-                pt.metadata_min_max("o_orderkey") is not None:
+        jobs_before = _job_counter(spark)
+        n_soft = pt.metadata_count()
+        mm_soft = pt.metadata_min_max("o_orderkey")
+        if _job_counter(spark) != jobs_before:
             raise RuntimeError(
-                "live tombstone must fail the metadata paths closed")
+                "tombstoned metadata_count scheduled Spark jobs; the "
+                "contract is zero")
+        if mm_soft is not None:
+            raise RuntimeError(
+                "live tombstone must fail metadata_min_max closed "
+                "(a masked row can own the extremum)")
+        n_scan = pt.read().count()
+        if n_soft != n_scan:
+            raise RuntimeError(
+                f"tombstone-aware metadata_count {n_soft} != scan "
+                f"{n_scan}")
         pt.optimize()  # materialize the tombstone -> stats exact again
         jobs_before = _job_counter(spark)
         n = pt.metadata_count()
@@ -4295,7 +4311,10 @@ def q_metadata_groupby(spark, sf_dir):
     footer row counts, the Delta numRecords analog per partition).
     In-entry contract raises (must survive ``python -O``): the
     answers must schedule ZERO Spark jobs and equal the scan's
-    groupBy exactly.  The oracle replays create + insert in SQL."""
+    groupBy exactly — INCLUDING under a live soft-delete tombstone,
+    where the per-directory cardinalities recorded at soft-delete
+    commit time (Delta DV-cardinality analog) subtract exactly.  The
+    oracle replays create + insert + soft delete in SQL."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
@@ -4320,6 +4339,20 @@ def q_metadata_groupby(spark, sf_dir):
                 pt.read().groupBy("o_orderstatus").count().collect()}
         if counts != want:
             raise RuntimeError(f"metadata {counts} != scan {want}")
+        # a live tombstone no longer forfeits the metadata answer:
+        # the recorded cardinality subtracts, still with zero jobs
+        pt.delete_soft("o_orderkey = 900000002")
+        jobs_before = _job_counter(spark)
+        counts = pt.metadata_group_counts()
+        if _job_counter(spark) != jobs_before:
+            raise RuntimeError(
+                "tombstoned metadata groupBy scheduled Spark jobs; "
+                "contract is 0")
+        want = {r[0]: r[1] for r in
+                pt.read().groupBy("o_orderstatus").count().collect()}
+        if counts != want:
+            raise RuntimeError(
+                f"tombstoned metadata {counts} != scan {want}")
         out = spark.createDataFrame(
             sorted(counts.items()),
             "o_orderstatus string, n_rows bigint")
@@ -5962,7 +5995,7 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS reclaimed_after_detach FROM nation"),
         "metadata_groupby": (
             "WITH allr AS (SELECT o_orderstatus FROM orders "
-            "  UNION ALL SELECT 'X' UNION ALL SELECT 'X') "
+            "  UNION ALL SELECT 'X') "
             "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM allr GROUP BY o_orderstatus"),
         "bloom_skipping": (

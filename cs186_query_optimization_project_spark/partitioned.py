@@ -197,6 +197,7 @@ class PartitionedTable:
                 tombstones: dict[str, list[str]] | None = None,
                 constraints: dict[str, str] | None = None,
                 bloom_cols: list[str] | None = None,
+                tomb_counts: dict[str, int] | None = None,
                 op: str = "WRITE") -> None:
         """Publish: create v<version>.json atomically-exclusively.  All
         data dirs are already fully written, so the manifest's
@@ -222,7 +223,20 @@ class PartitionedTable:
                 bloom_cols = self._manifest().get("bloom_cols", [])
             except DatabaseException:
                 bloom_cols = []
+        if tomb_counts is None:
+            # per-directory masked-row cardinalities travel WITH their
+            # tombstones: carried forward by default (a dir's tombstone
+            # set only changes via delete_soft, which passes updated
+            # counts, or a rewrite, which drops the dir and prunes
+            # both); restore/clone pass the source manifest's counts
+            try:
+                tomb_counts = self._manifest().get("tomb_counts", {})
+            except DatabaseException:
+                tomb_counts = {}
         referenced = {d for ds in parts.values() for d in ds}
+        live_tombs = {d: list(ts) for d, ts in
+                      sorted((tombstones or {}).items())
+                      if ts and d in referenced}
         payload = json.dumps({
             "version": version, "partition_col": partition_col,
             "schema": schema.simpleString(),
@@ -232,9 +246,13 @@ class PartitionedTable:
             "txns": dict(sorted((txns or {}).items())),
             # tombstones pruned to referenced dirs: a rewrite that
             # dropped a directory materialized its soft deletes
-            "tombstones": {d: list(ts) for d, ts in
-                           sorted((tombstones or {}).items())
-                           if ts and d in referenced},
+            "tombstones": live_tombs,
+            # Delta DV-cardinality analog: exact masked-row count per
+            # tombstoned directory, so metadata-only COUNT subtracts
+            # instead of failing closed; pruned with its tombstones
+            "tomb_counts": {d: int(n) for d, n in
+                            sorted((tomb_counts or {}).items())
+                            if d in live_tombs},
             "constraints": dict(sorted(constraints.items())),
             "bloom_cols": sorted(bloom_cols),
             # audit fields (DESCRIBE HISTORY): never read by any
@@ -649,28 +667,39 @@ class PartitionedTable:
                 if r[0] is not None]
         return self.read(version, partition_values=keys)
 
+    def _masked_count(self, man: dict, d: str) -> int | None:
+        """Rows directory ``d``'s live tombstones hide: 0 when it has
+        none, the recorded DV cardinality when every one was counted
+        at soft-delete time, ``None`` (fail closed) for legacy
+        tombstones of unknown cardinality."""
+        if not man.get("tombstones", {}).get(d):
+            return 0
+        n = man.get("tomb_counts", {}).get(d)
+        return n if isinstance(n, int) else None
+
     def metadata_group_counts(self, version: int | None = None) \
             -> dict[str, int] | None:
         """Exact per-partition-value row counts — ``GROUP BY
         partition_col`` answered from manifest + footer stats with
         ZERO Spark jobs — or ``None`` when metadata alone cannot
-        answer (fail-closed): any live tombstone (masked rows would
-        overcount) or any directory without a recorded row count.
-        Keys are the manifest's hive-encoded partition values;
+        answer (fail-closed): any directory without a recorded row
+        count, or a live tombstone whose masked-row cardinality was
+        not recorded at soft-delete time (tombstones WITH recorded
+        cardinalities subtract exactly — the Delta DV-cardinality
+        move).  Keys are the manifest's hive-encoded partition values;
         partitions with zero remaining rows are omitted, matching SQL
         GROUP BY (no empty groups).  Driver cost O(|directories|)."""
         man = self._manifest(version)
-        if any(ts for ts in man.get("tombstones", {}).values()):
-            return None
         out: dict[str, int] = {}
         for key, ds in man["parts"].items():
             total = 0
             for d in ds:
                 st = (self._staging_stats(os.path.dirname(d))
                       .get(os.path.basename(d), {}).get("__num_rows"))
-                if not isinstance(st, int):
+                masked = self._masked_count(man, d)
+                if not isinstance(st, int) or masked is None:
                     return None
-                total += st
+                total += st - masked
             if total:
                 out[key] = total
         return out
@@ -683,20 +712,22 @@ class PartitionedTable:
     def metadata_count(self, version: int | None = None) -> int | None:
         """Exact COUNT(*) from manifest + footer stats, or ``None``
         when metadata alone cannot answer (fail-closed): any directory
-        written before stats carried row counts, or any live tombstone
-        (soft-deleted rows are masked at read time, so footer counts
-        overcount).  Callers fall back to ``read().count()``."""
+        written before stats carried row counts, or a live tombstone
+        whose masked-row cardinality was not recorded at soft-delete
+        time.  Tombstones WITH recorded cardinalities subtract exactly
+        (the Delta deletion-vector cardinality move), so soft deletes
+        no longer forfeit metadata-only COUNT.  Callers fall back to
+        ``read().count()``."""
         man = self._manifest(version)
-        if any(ts for ts in man.get("tombstones", {}).values()):
-            return None
         total = 0
         for ds in man["parts"].values():
             for d in ds:
                 st = (self._staging_stats(os.path.dirname(d))
                       .get(os.path.basename(d), {}).get("__num_rows"))
-                if not isinstance(st, int):
+                masked = self._masked_count(man, d)
+                if not isinstance(st, int) or masked is None:
                     return None
-                total += st
+                total += st - masked
         return total
 
     def metadata_min_max(self, column: str,
@@ -886,11 +917,46 @@ class PartitionedTable:
         parts = {k: list(v) for k, v in man["parts"].items()}
         tombs = {d: list(ts)
                  for d, ts in man.get("tombstones", {}).items()}
+        # Record each directory's masked-row cardinality alongside its
+        # tombstone — the Delta deletion-vector cardinality, which is
+        # what lets metadata-only COUNT stay answerable under soft
+        # deletes (subtract exactly instead of failing closed).  ONE
+        # map-only aggregate over the currently-visible rows (existing
+        # tombstones applied, so nothing double-counts); data movement
+        # stays O(1).  A directory whose PRE-EXISTING tombstones have
+        # no recorded count (legacy manifest) stays count-less — fail
+        # closed rather than undercount.
+        all_dirs = [d for ds in parts.values() for d in ds]
+        cur_counts = dict(man.get("tomb_counts", {}))
+        inc: dict[str, int] = {}
+        unmapped = False
+        hit = (self._scan(all_dirs, schema, man.get("tombstones", {}))
+               .filter(F.expr(condition_sql))
+               .groupBy(F.input_file_name().alias("__f")).count()
+               .collect())
+        known = set(all_dirs)
+        for r in hit:
+            from urllib.parse import unquote, urlparse
+            d = os.path.dirname(urlparse(r["__f"]).path)
+            if d not in known:
+                d = unquote(d)
+            if d not in known:
+                unmapped = True  # path-encoding mismatch: record no
+                break            # counts at all (fail closed, exact)
+            inc[d] = inc.get(d, 0) + r["count"]
+        new_counts: dict[str, int] = {}
+        if not unmapped:
+            for d in all_dirs:
+                if tombs.get(d) and \
+                        not isinstance(cur_counts.get(d), int):
+                    continue  # legacy masking of unknown cardinality
+                new_counts[d] = cur_counts.get(d, 0) + inc.get(d, 0)
         for ds in parts.values():
             for d in ds:
                 tombs.setdefault(d, []).append(condition_sql)
         self._commit(man["version"] + 1, pcol, schema, parts,
-                     man.get("txns", {}), tombs, op="DELETE (soft)")
+                     man.get("txns", {}), tombs,
+                     tomb_counts=new_counts, op="DELETE (soft)")
         return self
 
     def update(self, condition, assignments: dict) -> "PartitionedTable":
@@ -1468,6 +1534,7 @@ class PartitionedTable:
                      T._parse_datatype_string(old["schema"]),
                      old["parts"], txns=cur.get("txns"),
                      tombstones=old.get("tombstones"),
+                     tomb_counts=old.get("tomb_counts", {}),
                      op=f"RESTORE (to v{version})")
         return self
 
@@ -1503,6 +1570,7 @@ class PartitionedTable:
                      man["parts"], tombstones=man.get("tombstones"),
                      constraints=man.get("constraints", {}),
                      bloom_cols=man.get("bloom_cols", []),
+                     tomb_counts=man.get("tomb_counts", {}),
                      op="CLONE")
         self._register_clone(dest_root)
         return PartitionedTable(self.spark, dest_root)

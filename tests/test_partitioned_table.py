@@ -697,8 +697,13 @@ def test_insert_schema_and_null_validation(pt, spark):
 
 def test_metadata_count_answers_without_scanning(pt, spark):
     """COUNT(*) from manifest + footer stats: exact across create /
-    append / delete, and fail-closed (None) the moment a live
-    tombstone could mask rows."""
+    append / hard delete, exact under soft deletes via the recorded
+    per-directory tombstone cardinalities (Delta DV-cardinality
+    analog), and fail-closed (None) for legacy tombstones of unknown
+    cardinality."""
+    import json
+    import os
+
     assert pt.metadata_count() == 5
     pt.insert(spark.createDataFrame([(6, "A", 60.0), (7, "D", 70.0)],
                                     "id long, grp string, amt double"))
@@ -707,13 +712,28 @@ def test_metadata_count_answers_without_scanning(pt, spark):
     assert pt.metadata_count() == 5
     assert pt.metadata_count(version=0) == 5   # per-version
     assert pt.metadata_count(version=1) == 7
-    pt.delete_soft("amt >= 60.0")           # tombstone: fail closed
-    assert pt.metadata_count() is None
-    assert pt.read().count() == 3           # the fallback path
-    # a rewrite of every partition materializes the tombstones -> the
-    # metadata answer comes back
+    # soft delete: the recorded cardinality subtracts exactly
+    pt.delete_soft("amt >= 60.0")
+    assert pt.metadata_count() == 3 == pt.read().count()
+    # stacked soft deletes stay exact (second counts only still-visible
+    # matches, so nothing double-subtracts)
+    pt.delete_soft("amt >= 50.0")
+    assert pt.metadata_count() == 2 == pt.read().count()
+    # a rewrite materializes the tombstones; metadata stays exact
     pt.optimize()
-    assert pt.metadata_count() == 3
+    assert pt.metadata_count() == 2
+    # LEGACY tombstone (no recorded cardinality) -> fail closed
+    pt.delete_soft("id = 1")
+    v = pt._manifest()["version"]
+    path = pt._manifest_path(v)
+    man = json.load(open(path))
+    man.pop("tomb_counts", None)
+    os.remove(path)
+    with open(path, "w") as f:
+        json.dump(man, f)
+    assert pt.metadata_count() is None
+    assert pt.metadata_group_counts() is None
+    assert pt.read().count() == 1           # the fallback path
 
 
 def test_metadata_min_max(pt, spark):
@@ -972,8 +992,18 @@ def test_metadata_group_counts_zero_jobs(pt, spark):
     assert got == want
     pt.delete(F.col("grp") == "C")
     assert "C" not in pt.metadata_group_counts()   # no empty groups
+    # soft delete: recorded cardinality subtracts exactly, still with
+    # zero Spark jobs at query time
     pt.delete_soft("id = 1")
-    assert pt.metadata_group_counts() is None      # fail closed
+    jobs_before = _job_counter(spark)
+    got = pt.metadata_group_counts()
+    assert _job_counter(spark) == jobs_before
+    want = {r["grp"]: r["count"] for r in
+            pt.read().groupBy("grp").count().collect()}
+    assert got == want
+    # a group emptied by its tombstone is omitted like SQL GROUP BY
+    pt.delete_soft("grp = 'B'")
+    assert "B" not in pt.metadata_group_counts()
 
 
 def test_read_pruned_by_dim_keys(pt, spark):
