@@ -4872,6 +4872,93 @@ def q_time_travel_ts(spark, sf_dir):
     return out
 
 
+def q_mview_minmax_delete(spark, sf_dir):
+    """MIN/MAX materialized view surviving deletes via scoped bucket
+    recompute (``mview.py minmax_cols`` — the two-tier refresh: insert
+    -only buckets fold the extremum distributively like the sums;
+    buckets a delete touched recompute their groups from the source,
+    never a whole-view rebuild, never a wrong answer).  orders lands
+    as a PartitionedTable; the view keeps per-status COUNT/MIN/MAX of
+    o_totalprice.  In-entry contract raises (must survive ``python
+    -O``): (a) an insert planting a synthetic global max folds
+    incrementally and every un-churned store bucket re-links its
+    directory unchanged; (b) deleting that max row makes the next
+    refresh recompute the affected bucket — the extremum must SHRINK
+    back and the whole view must equal a from-scratch recompute after
+    each refresh.  The oracle replays insert + delete in SQL."""
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("mmvd", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus",
+                                      "o_totalprice"),
+            f"{base}/orders", "o_orderstatus")
+        mv = MaterializedView.create(
+            spark, pt, f"{base}/mv", keys=["o_orderstatus"],
+            sum_cols=["o_totalprice"], minmax_cols=["o_totalprice"],
+            n_buckets=8)
+
+        def _got():
+            return {r["o_orderstatus"]:
+                    (r["mv_count"], r["mv_min_o_totalprice"],
+                     r["mv_max_o_totalprice"])
+                    for r in mv.read().collect()}
+
+        def _want():
+            return {r[0]: (r[1], r[2], r[3]) for r in
+                    pt.read().groupBy("o_orderstatus")
+                    .agg(F.count(F.lit(1)), F.min("o_totalprice"),
+                         F.max("o_totalprice")).collect()}
+
+        if _got() != _want():
+            raise RuntimeError("create != recompute")
+        man0 = mv._store()._manifest(mv.store_version())
+        schema = "o_orderkey bigint, o_orderstatus string, " \
+                 "o_totalprice double"
+        pt.insert(spark.createDataFrame(
+            [(900000001, "O", 99999999.0), (900000002, "O", 0.005)],
+            schema))
+        if mv.refresh() == 0:
+            raise RuntimeError("fold refresh must see the inserts")
+        got = _got()
+        if got != _want() or got["O"][2] != 99999999.0:
+            raise RuntimeError(
+                f"insert-only fold wrong: {got.get('O')}")
+        man1 = mv._store()._manifest(mv.store_version())
+        churned = {r[0] for r in
+                   spark.createDataFrame([("O",)],
+                                         "o_orderstatus string")
+                   .select(F.pmod(F.hash("o_orderstatus"), F.lit(8))
+                           .cast("int")).collect()}
+        for k in set(man0["parts"]) - {str(b) for b in churned}:
+            if man0["parts"][k] != man1["parts"].get(k):
+                raise RuntimeError(
+                    f"un-churned bucket {k} was rewritten by the "
+                    f"insert-only fold")
+        pt.delete(F.col("o_orderkey") == 900000001)
+        if mv.refresh() == 0:
+            raise RuntimeError("delete refresh must fold the CDF")
+        got = _got()
+        if got != _want():
+            raise RuntimeError("post-delete view != recompute")
+        if got["O"][2] == 99999999.0:
+            raise RuntimeError(
+                "deleted max survived — the scoped recompute did not "
+                "run")
+        out = spark.createDataFrame(
+            sorted((k, v[0], v[1], v[2]) for k, v in got.items()),
+            "o_orderstatus string, n_rows bigint, min_price double, "
+            "max_price double").localCheckpoint()
+    return out
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -4942,6 +5029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "zscore_outliers": q_zscore_outliers,
         # ------------- below the driver's 50-row window ------------- #
+        # r12-late additions — verified by tools/check_contract.py at
+        # sf0.01 this round; they lead the round-13 rotation together
+        # with the 4 parked r7 rows below
+        "mview_minmax_delete": q_mview_minmax_delete,
         # the 4 r7-era rows that did not fit the 50-slot window — first
         # in line for the round-13 rotation
         "collect_sorted": q_collect_sorted,
@@ -5998,6 +6089,14 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 'X') "
             "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM allr GROUP BY o_orderstatus"),
+        "mview_minmax_delete": (
+            "WITH fin AS (SELECT o_orderstatus, o_totalprice "
+            "  FROM orders "
+            "  UNION ALL SELECT 'O', 0.005) "
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "MIN(o_totalprice) AS min_price, "
+            "MAX(o_totalprice) AS max_price "
+            "FROM fin GROUP BY o_orderstatus"),
         "bloom_skipping": (
             "SELECT o_orderkey, o_orderstatus, "
             "CAST(round(o_totalprice * 100, 0) AS BIGINT) "

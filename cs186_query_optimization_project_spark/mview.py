@@ -21,9 +21,16 @@ every untouched bucket's directory is SHARED across store versions via
 the manifest — at 10⁹ groups a 1-row churn rewrites 1/n_buckets of the
 store, not all of it.  A 100 TB fact table with a 1 GB/day churn
 refreshes in churn time.  AVG and other algebraic aggregates derive
-from (sum, count) at read time; MIN/MAX are NOT maintainable from
-deltas alone (a deleted max needs a rescan) and are deliberately out
-of scope, like most engines' incremental MV restrictions.
+from (sum, count) at read time.  MIN/MAX (``minmax_cols``) are NOT
+maintainable from deltas alone (a deleted max needs a rescan), so they
+maintain with a TWO-TIER refresh: buckets whose churn is insert-only
+fold distributively (min/least, max/greatest — O(churn) like the
+sums), and only buckets containing a delete/update change recompute
+their groups from the source (one scan filtered to the affected
+buckets' key-hash — the aggregation touches 1/n_buckets of the groups
+per affected bucket).  Insert-heavy loads keep the O(churned-buckets)
+shape; delete-heavy loads degrade gracefully to scoped recompute
+instead of raising or rescanning everything.
 
 Refresh is ATOMIC via a version-pointer swap: the merged buckets
 commit as a new STORE version (one ``overwrite_partitions`` commit),
@@ -113,6 +120,7 @@ class MaterializedView:
                 f"MaterializedView.create")
         self.keys: list[str] = meta["keys"]
         self.sum_cols: list[str] = meta["sum_cols"]
+        self.minmax_cols: list[str] = meta.get("minmax_cols", [])
         self.distinct_cols: list[str] = meta.get("distinct_cols", [])
         self.hll_m: int = meta.get("hll_m", 64)
         self.filter_sql: str | None = meta.get("filter_sql")
@@ -132,7 +140,8 @@ class MaterializedView:
     # ------------------------------------------------------------------ #
     @staticmethod
     def _aggregate(df: DataFrame, keys: list[str],
-                   sum_cols: list[str]) -> DataFrame:
+                   sum_cols: list[str],
+                   minmax_cols: list[str] = ()) -> DataFrame:
         # mv_nn_<c> (non-null contribution count) rides along so the
         # incremental merge can preserve SQL SUM's NULL semantics: a
         # group whose contributions are all NULL must stay SUM=NULL,
@@ -142,7 +151,10 @@ class MaterializedView:
                      *[e for c in sum_cols for e in
                        (F.sum(F.col(c).cast("double"))
                         .alias(f"mv_sum_{c}"),
-                        F.count(F.col(c)).alias(f"mv_nn_{c}"))]))
+                        F.count(F.col(c)).alias(f"mv_nn_{c}"))],
+                     *[e for c in minmax_cols for e in
+                       (F.min(c).alias(f"mv_min_{c}"),
+                        F.max(c).alias(f"mv_max_{c}"))]))
 
     @staticmethod
     def _hll_dense(df: DataFrame, keys: list[str], c: str,
@@ -207,7 +219,9 @@ class MaterializedView:
                filter_sql: str | None = None,
                n_buckets: int = 32,
                distinct_cols: list[str] | None = None,
-               hll_m: int = 64) -> "MaterializedView":
+               hll_m: int = 64,
+               minmax_cols: list[str] | None = None) \
+            -> "MaterializedView":
         """Materialize the initial aggregate (ONE full-source scan —
         the only one the view will ever do) into ``n_buckets``
         key-hash buckets and record the source version it reflects.
@@ -230,8 +244,16 @@ class MaterializedView:
         error instead of silently under-counting, the same restriction
         every register-sketch system documents.  Exact incremental
         COUNT DISTINCT under deletes would need per-value counts —
-        that is a groupBy view on (keys, c), not a sketch."""
+        that is a groupBy view on (keys, c), not a sketch.
+
+        ``minmax_cols`` adds exact per-group ``MIN(c)``/``MAX(c)``.
+        Unlike sums these cannot unfold a delete, so refresh is
+        two-tier: insert-only buckets fold distributively, buckets a
+        delete touched recompute their groups from the source (see the
+        module docstring) — never a silent wrong answer, never a
+        whole-view rebuild."""
         sum_cols = sum_cols or []
+        minmax_cols = minmax_cols or []
         distinct_cols = distinct_cols or []
         root = root.rstrip("/")
         if n_buckets < 1:
@@ -248,7 +270,7 @@ class MaterializedView:
             # materialize the (filtered) source once so "ONE
             # full-source scan" stays true with sketch columns
             base = base.localCheckpoint()
-        agg = cls._aggregate(base, keys, sum_cols)
+        agg = cls._aggregate(base, keys, sum_cols, minmax_cols)
         agg = cls._attach_hll(agg, base, keys, distinct_cols, hll_m) \
             .withColumn("__mv", _bucket_expr(keys, n_buckets))
         os.makedirs(root, exist_ok=False)
@@ -256,6 +278,7 @@ class MaterializedView:
             spark, agg, os.path.join(root, "store"), "__mv")
         with open(os.path.join(root, _META), "x") as f:
             f.write(json.dumps({"keys": keys, "sum_cols": sum_cols,
+                                "minmax_cols": minmax_cols,
                                 "distinct_cols": distinct_cols,
                                 "hll_m": hll_m,
                                 "filter_sql": filter_sql,
@@ -409,8 +432,22 @@ class MaterializedView:
                 f"by max and cannot fold deletes (updates surface as "
                 f"delete+insert in CDF) — this view is INSERT-ONLY; "
                 f"rebuild it, or drop distinct_cols for DML sources")
+        # MIN/MAX two-tier split: buckets where a delete/update change
+        # landed cannot unfold the extremum from deltas — they
+        # recompute from the source below; every other touched bucket
+        # folds incrementally.  ≤ n_buckets values, bounded collect.
+        del_buckets: set = set()
+        if self.minmax_cols:
+            del_buckets = {r[0] for r in
+                           (feed.filter(
+                               F.col("_change_type") != "insert")
+                            .select(self._bucket().alias("__mv"))
+                            .distinct().collect())}
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
+        # min/max deltas aggregate INSERT rows only — valid because a
+        # bucket with any non-insert change never takes the fold path
+        ins = F.col("_change_type") == "insert"
         delta = (feed.withColumn("__sign", sign)
                  .groupBy(*self.keys)
                  .agg(F.sum("__sign").alias("d_count"),
@@ -419,7 +456,12 @@ class MaterializedView:
                          .alias(f"d_sum_{c}"),
                          F.sum(F.col(c).isNotNull().cast("long")
                                * F.col("__sign"))
-                         .alias(f"d_nn_{c}"))]))
+                         .alias(f"d_nn_{c}"))],
+                      *[e for c in self.minmax_cols for e in
+                        (F.min(F.when(ins, F.col(c)))
+                         .alias(f"d_min_{c}"),
+                         F.max(F.when(ins, F.col(c)))
+                         .alias(f"d_max_{c}"))]))
         delta = (self._attach_hll(delta, feed, self.keys,
                                   self.distinct_cols, self.hll_m)
                  .withColumn("__mv", self._bucket())
@@ -428,10 +470,13 @@ class MaterializedView:
         # merge into a touched-bucket-only read and write
         touched = sorted(r[0] for r in
                          delta.select("__mv").distinct().collect())
+        fold = [b for b in touched if b not in del_buckets]
         store = self._store()
         stored = store.read(version=meta["store_version"],
-                            partition_values=touched).drop("__mv")
-        delta = delta.drop("__mv")
+                            partition_values=fold).drop("__mv")
+        delta = delta.filter(~F.col("__mv").isin(list(del_buckets))
+                             if del_buckets else F.lit(True)) \
+            .drop("__mv")
         cond = None
         for k in self.keys:
             eq = stored[k].eqNullSafe(delta[k])  # NULL key = a group
@@ -444,6 +489,15 @@ class MaterializedView:
                  + F.coalesce(delta[f"d_sum_{c}"], F.lit(0.0)))
             return [F.when(nn > 0, s).alias(f"mv_sum_{c}"),
                     nn.alias(f"mv_nn_{c}")]
+
+        def _minmax(c):
+            # least/greatest skip NULLs: a new group takes the delta's
+            # extremum, an untouched-column group keeps the stored one
+            return [F.least(stored[f"mv_min_{c}"], delta[f"d_min_{c}"])
+                    .alias(f"mv_min_{c}"),
+                    F.greatest(stored[f"mv_max_{c}"],
+                               delta[f"d_max_{c}"])
+                    .alias(f"mv_max_{c}")]
 
         def _hll(c):
             zero = F.array_repeat(F.lit(0).cast("int"), self.hll_m)
@@ -460,15 +514,36 @@ class MaterializedView:
                        + F.coalesce(delta["d_count"], F.lit(0)))
                       .alias("mv_count"),
                       *[e for c in self.sum_cols for e in _sum(c)],
+                      *[e for c in self.minmax_cols
+                        for e in _minmax(c)],
                       *[_hll(c) for c in self.distinct_cols])
                   .filter(F.col("mv_count") > 0)
                   .withColumn("__mv", self._bucket()))
+        merged = merged.select(*stored.columns, "__mv")
+        if del_buckets:
+            # scoped recompute: ONE source scan (at the refresh's
+            # target version, same filter) aggregating only the
+            # affected buckets' groups — the delete-tolerant path for
+            # extremum aggregates, O(|del_buckets|/n_buckets of the
+            # groups) output however large the churn
+            src = self.source.read(version=cur)
+            if self.filter_sql:
+                src = src.filter(F.expr(self.filter_sql))
+            src = src.withColumn("__mv", self._bucket()) \
+                .filter(F.col("__mv").isin(list(del_buckets)))
+            recomp = self._aggregate(src, self.keys, self.sum_cols,
+                                     self.minmax_cols)
+            recomp = self._attach_hll(recomp, src, self.keys,
+                                      self.distinct_cols, self.hll_m) \
+                .withColumn("__mv", self._bucket())
+            merged = merged.unionByName(
+                recomp.select(*stored.columns, "__mv"))
         # ONE store commit replaces exactly the touched buckets
         # (concurrency is excluded by refresh()'s lockfile; a crashed
         # refresher's orphan store version is absorbed by the next
         # retry — see module docstring)
         store.overwrite_partitions(
-            merged.select(*stored.columns, "__mv"), touched)
+            merged, sorted(set(touched) | del_buckets))
         self._swap_meta(dict(meta, source_version=cur,
                              store_version=store.versions()[-1]))
         return n_changes

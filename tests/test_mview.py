@@ -357,3 +357,104 @@ def test_hll_distinct_view_all_null_group(spark, tmp_path):
            for r in mv.read(with_distinct=True).collect()}
     assert got["B"] == 0.0
     assert abs(got["A"] - 1.0) < 0.2      # one distinct value
+
+
+def _minmax_dict(mv):
+    return {r["grp"]: (r["mv_count"], r["mv_min_amt"], r["mv_max_amt"])
+            for r in mv.read().collect()}
+
+
+def _minmax_recompute(src):
+    return {r["grp"]: (r["n"], r["lo"], r["hi"]) for r in
+            src.read().groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("amt").alias("lo"),
+                 F.max("amt").alias("hi")).collect()}
+
+
+def test_minmax_insert_only_folds_distributively(src, spark, tmp_path):
+    """Insert-only churn folds MIN/MAX like the sums — no recompute,
+    and untouched buckets re-link their directories across the store
+    commit (the O(churned buckets) contract holds for extremum
+    views)."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], minmax_cols=["amt"],
+                                 n_buckets=16)
+    assert _minmax_dict(mv) == _minmax_recompute(src)
+    v0 = mv.store_version()
+    man0 = mv._store()._manifest(v0)
+    src.insert(spark.createDataFrame(
+        [(8, "A", 99.0), (9, "A", -1.0), (10, "E", 7.0)],
+        "id long, grp string, amt double"))
+    assert mv.refresh() > 0
+    got = _minmax_dict(mv)
+    assert got == _minmax_recompute(src)
+    assert got["A"] == (4, -1.0, 99.0)       # both extrema moved
+    assert got["E"] == (1, 7.0, 7.0)         # new group
+    man1 = mv._store()._manifest(mv.store_version())
+    touched = {str(r[0]) for r in
+               spark.createDataFrame([("A",), ("E",)], "grp string")
+               .select(F.pmod(F.hash("grp"), F.lit(16)).cast("int"))
+               .collect()}
+    for k in set(man0["parts"]) - touched:   # shared directories
+        assert man0["parts"][k] == man1["parts"][k]
+
+
+def test_minmax_delete_recomputes_only_affected_buckets(
+        src, spark, tmp_path):
+    """A delete that removes a group's MAX triggers the scoped bucket
+    recompute: the refreshed view equals a from-scratch recompute, a
+    simultaneously-churned insert-only bucket still folds (its
+    directory changes but the un-churned buckets re-link), and a
+    delete emptying a group drops it."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"],
+                                 minmax_cols=["amt"], n_buckets=16)
+    src.delete(F.col("id") == 4)             # B's max (40.0) dies
+    src.insert(spark.createDataFrame(
+        [(11, "A", 0.5)],                    # insert-only churn in A
+        "id long, grp string, amt double"))
+    src.delete(F.col("grp") == "C")          # group emptied
+    assert mv.refresh() > 0
+    got = _minmax_dict(mv)
+    assert got == _minmax_recompute(src)
+    assert got["B"] == (1, 30.0, 30.0)       # max shrank correctly
+    assert got["A"][1] == 0.5                # fold path still exact
+    assert "C" not in got
+    # sums stay NULL-correct through the recompute path too
+    sums = {r["grp"]: r["mv_sum_amt"] for r in mv.read().collect()}
+    want = {r["grp"]: r["s"] for r in
+            src.read().groupBy("grp")
+            .agg(F.sum("amt").alias("s")).collect()}
+    assert sums == want
+
+
+def test_minmax_update_and_null_groups(spark, tmp_path):
+    """An UPDATE (CDF delete+insert) routes its bucket through the
+    recompute; all-NULL groups keep MIN/MAX NULL like SQL."""
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "N", None), (4, "N", None)],
+        "id long, grp string, amt double")
+    src = PartitionedTable.create(spark, df, str(tmp_path / "s"), "grp")
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], minmax_cols=["amt"])
+    got = _minmax_dict(mv)
+    assert got["N"] == (2, None, None)
+    src.update(F.col("id") == 2, {"amt": F.lit(5.0)})
+    assert mv.refresh() > 0
+    got = _minmax_dict(mv)
+    assert got == _minmax_recompute(src)
+    assert got["A"] == (2, 5.0, 10.0)        # old max 20 unfolded
+    assert got["N"] == (2, None, None)
+
+
+def test_minmax_with_distinct_still_insert_only(src, spark, tmp_path):
+    """distinct_cols' insert-only restriction survives the minmax
+    upgrade: HLL registers genuinely cannot unmerge, so a delete still
+    raises even though the minmax columns could recompute."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], minmax_cols=["amt"],
+                                 distinct_cols=["id"])
+    src.delete(F.col("id") == 1)
+    with pytest.raises(DatabaseException, match="INSERT-ONLY"):
+        mv.refresh()
