@@ -591,30 +591,48 @@ class PartitionedTable:
             raise DatabaseException(
                 f"read_point '{self.root}': NULL probe (SQL '= NULL' "
                 f"matches nothing; use an isNull filter on read())")
+        from cs186_query_optimization_project_spark import xxh64
+
         if column == man["partition_col"]:
             # exact manifest pruning — no bloom needed for the
-            # partition column, and no false positives either.  The
-            # probe is COERCED to the column's type first (one 1-row
-            # job, like the bloom probe hash) so read_point(k, 5.0) on
-            # a long column prunes to partition "5" the way
+            # partition column, and no false positives either.  A
+            # probe already OF the column's native type prunes with
+            # zero Spark jobs; a mismatched probe (read_point(k, 5.0)
+            # on a long column) is COERCED by the JVM's own cast (one
+            # 1-row job) so it prunes to partition "5" the way
             # read().filter(col == 5.0) matches it; an uncastable
             # probe can match nothing.  A lossy coercion (5.7 → 5)
             # may keep a partition the exact filter then empties —
             # result equality is preserved, skipping stays I/O-only.
             dtype = T._parse_datatype_string(
                 man["schema"])[column].dataType
-            coerced = self.spark.range(1).select(
-                F.lit(value).cast(dtype).alias("v")).collect()[0]["v"]
+            if xxh64.native_match(value, dtype):
+                coerced = value
+            else:
+                coerced = self.spark.range(1).select(
+                    F.lit(value).cast(dtype).alias("v")) \
+                    .collect()[0]["v"]
             if coerced is None:
                 return []
             return list(man["parts"].get(self._key(coerced), []))
         if column not in man.get("bloom_cols", []):
             return [d for ds in man["parts"].values() for d in ds]
+        # probe-side hashing replays the write side's
+        # pmod(xxhash64(col, lit(s)), MAX_BITS) DRIVER-SIDE for probes
+        # of the column's native type (xxh64.py, differentially tested
+        # against the JVM) — read_point issues zero Spark jobs before
+        # the pruned scan; anything else falls back to one 1-row JVM
+        # evaluation, which also applies Spark's cast
         dtype = T._parse_datatype_string(man["schema"])[column].dataType
-        pos = list(self.spark.range(1).select(
-            *[h.alias(f"p{i}") for i, h in enumerate(
-                self._bloom_hashes(F.lit(value).cast(dtype)))])
-            .collect()[0])
+        hashes = [xxh64.xxhash64_typed(value, dtype, s)
+                  for s in range(_BLOOM_K)]
+        if all(h is not None for h in hashes):
+            pos = [h % _BLOOM_MAX_BITS for h in hashes]
+        else:
+            pos = list(self.spark.range(1).select(
+                *[h.alias(f"p{i}") for i, h in enumerate(
+                    self._bloom_hashes(F.lit(value).cast(dtype)))])
+                .collect()[0])
         keep = []
         for ds in man["parts"].values():
             for d in ds:

@@ -952,11 +952,19 @@ def test_bloom_point_lookup_skips_and_matches(spark, tmp_path):
     man = pt._manifest()
     total = sum(len(ds) for ds in man["parts"].values())
     assert total == 3                       # A, B, A-append
+    # a native-typed probe plans with ZERO Spark jobs (driver-side
+    # xxh64 replay) before the pruned scan
+    from __spark_entry__ import _job_counter
+    jobs_before = _job_counter(spark)
     kept = pt._point_dirs("id", 1005)
+    probe_df = pt.read_point("id", 1005)
+    assert _job_counter(spark) == jobs_before
     assert len(kept) == 1                   # only the append dir
-    got = [(r["id"], r["url"]) for r in
-           pt.read_point("id", 1005).collect()]
+    got = [(r["id"], r["url"]) for r in probe_df.collect()]
     assert got == [(1005, "u1005")]
+    # a mismatched probe type falls back to the JVM cast + hash and
+    # still matches the filter semantics
+    assert pt.read_point("id", 1005.0).count() == 1
     # string column works through the same path
     assert len(pt._point_dirs("url", "u60")) == 1
     assert pt.read_point("url", "u60").count() == 1
