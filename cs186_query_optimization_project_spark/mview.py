@@ -34,7 +34,7 @@ instead of raising or rescanning everything.
 
 Refresh is ATOMIC via a version-pointer swap: the merged buckets
 commit as a new STORE version (one ``overwrite_partitions`` commit),
-then one ``os.replace`` of the sidecar flips (source_version,
+then one atomic sidecar replace flips (source_version,
 store_version) together — a reader re-opening the view sees either
 the old consistent pair or the new one, never a half-applied refresh.
 Refresh is SINGLE-WRITER: an exclusive pid lockfile held for the
@@ -66,6 +66,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cs186_query_optimization_project_spark import metaio
 from cs186_query_optimization_project_spark.errors import (
     ConflictException,
     DatabaseException,
@@ -107,7 +108,7 @@ class MaterializedView:
         self.spark = spark
         self.source = source
         self.root = root.rstrip("/")
-        if not os.path.exists(os.path.join(self.root, _META)):
+        if not metaio.IO.exists(os.path.join(self.root, _META)):
             raise DatabaseException(
                 f"no materialized view at '{self.root}'; use "
                 f"MaterializedView.create")
@@ -127,8 +128,8 @@ class MaterializedView:
         self.n_buckets: int = meta["n_buckets"]
 
     def _meta(self) -> dict:
-        with open(os.path.join(self.root, _META)) as f:
-            return json.load(f)
+        return json.loads(
+            metaio.IO.read_text(os.path.join(self.root, _META)))
 
     def _store(self) -> PartitionedTable:
         return PartitionedTable(
@@ -273,11 +274,12 @@ class MaterializedView:
         agg = cls._aggregate(base, keys, sum_cols, minmax_cols)
         agg = cls._attach_hll(agg, base, keys, distinct_cols, hll_m) \
             .withColumn("__mv", _bucket_expr(keys, n_buckets))
-        os.makedirs(root, exist_ok=False)
+        metaio.IO.make_dirs(root, exist_ok=False)
         store = PartitionedTable.create(
             spark, agg, os.path.join(root, "store"), "__mv")
-        with open(os.path.join(root, _META), "x") as f:
-            f.write(json.dumps({"keys": keys, "sum_cols": sum_cols,
+        metaio.IO.write_new(
+            os.path.join(root, _META),
+            json.dumps({"keys": keys, "sum_cols": sum_cols,
                                 "minmax_cols": minmax_cols,
                                 "distinct_cols": distinct_cols,
                                 "hll_m": hll_m,
@@ -368,43 +370,34 @@ class MaterializedView:
         # safe, raise ConflictException), never as stale; only a lock
         # whose pid parses AND is dead is reclaimed.
         lock = os.path.join(self.root, _LOCK)
-        tmp = f"{lock}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write(str(os.getpid()))
         try:
+            metaio.IO.publish_lock(lock, str(os.getpid()))
+        except FileExistsError:
             try:
-                os.link(tmp, lock)
-            except FileExistsError:
-                try:
-                    pid = int(open(lock).read().strip())
-                except FileNotFoundError:
-                    return self.refresh()  # holder released; retry
-                except (OSError, ValueError):
-                    raise ConflictException(
-                        f"materialized view '{self.root}': refresh lock "
-                        f"'{lock}' exists but is unreadable — another "
-                        f"refresh is in progress (or mid-publish); "
-                        f"retry after it completes") from None
-                if _pid_alive(pid):
-                    raise ConflictException(
-                        f"materialized view '{self.root}': refresh "
-                        f"already in progress (pid {pid}); retry after "
-                        f"it completes")
-                try:  # stale lock from a crashed refresher — reclaim
-                    os.remove(lock)
-                except FileNotFoundError:
-                    pass
-                return self.refresh()
-        finally:
-            try:
-                os.remove(tmp)
+                pid = int(metaio.IO.read_text(lock).strip())
+            except FileNotFoundError:
+                return self.refresh()  # holder released; retry
+            except (OSError, ValueError):
+                raise ConflictException(
+                    f"materialized view '{self.root}': refresh lock "
+                    f"'{lock}' exists but is unreadable — another "
+                    f"refresh is in progress (or mid-publish); "
+                    f"retry after it completes") from None
+            if _pid_alive(pid):
+                raise ConflictException(
+                    f"materialized view '{self.root}': refresh "
+                    f"already in progress (pid {pid}); retry after "
+                    f"it completes")
+            try:  # stale lock from a crashed refresher — reclaim
+                metaio.IO.remove(lock)
             except FileNotFoundError:
                 pass
+            return self.refresh()
         try:
             return self._refresh_locked()
         finally:
             try:
-                os.remove(lock)
+                metaio.IO.remove(lock)
             except FileNotFoundError:
                 pass
 
@@ -549,10 +542,8 @@ class MaterializedView:
         return n_changes
 
     def _swap_meta(self, meta: dict) -> None:
-        tmp = os.path.join(self.root, _META + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(json.dumps(meta))
-        os.replace(tmp, os.path.join(self.root, _META))  # the swap
+        metaio.IO.replace_text(os.path.join(self.root, _META),
+                               json.dumps(meta))  # the atomic swap
 
     def vacuum(self) -> list[str]:
         """Reclaim store versions OLDER than the pinned one (readers

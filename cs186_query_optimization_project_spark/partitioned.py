@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cs186_query_optimization_project_spark import metaio
 from cs186_query_optimization_project_spark.errors import (
     ConflictException,
     DatabaseException,
@@ -99,7 +100,7 @@ class PartitionedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        if not os.path.isdir(self._manifest_dir()):
+        if not metaio.IO.is_dir(self._manifest_dir()):
             raise DatabaseException(
                 f"no partitioned table at '{self.root}' "
                 f"(missing _manifests); use PartitionedTable.create")
@@ -144,8 +145,10 @@ class PartitionedTable:
             raise DatabaseException(
                 f"partition column '{partition_col}' contains NULLs; "
                 f"assign an explicit sentinel partition first")
-        os.makedirs(os.path.join(root, "_manifests"), exist_ok=False)
-        os.makedirs(os.path.join(root, "parts"), exist_ok=True)
+        metaio.IO.make_dirs(os.path.join(root, "_manifests"),
+                            exist_ok=False)
+        metaio.IO.make_dirs(os.path.join(root, "parts"),
+                            exist_ok=True)
         self_stub = object.__new__(cls)
         self_stub.spark = spark
         self_stub.root = root
@@ -170,7 +173,7 @@ class PartitionedTable:
         Numbers are stable across vacuum, like ``Database
         .table_versions``."""
         out = []
-        for name in os.listdir(self._manifest_dir()):
+        for name in metaio.IO.list_dir(self._manifest_dir()):
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:-len(".json")]))
         return sorted(out)
@@ -188,8 +191,8 @@ class PartitionedTable:
                 f"partitioned table '{self.root}' version {version} is "
                 f"not retained (vacuumed or never published); retained: "
                 f"{vs}")
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        return json.loads(
+            metaio.IO.read_text(self._manifest_path(version)))
 
     def _commit(self, version: int, partition_col: str,
                 schema: T.StructType, parts: dict[str, list[str]],
@@ -261,8 +264,7 @@ class PartitionedTable:
             "ts": _time.time(),
         })
         try:
-            with open(self._manifest_path(version), "x") as f:
-                f.write(payload)
+            metaio.IO.write_new(self._manifest_path(version), payload)
         except FileExistsError:
             raise ConflictException(
                 f"partitioned table '{self.root}': version {version} "
@@ -307,7 +309,7 @@ class PartitionedTable:
         out: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
         names: dict[str, str] = {}
-        for name in os.listdir(staging):
+        for name in metaio.IO.list_dir(staging):
             if name.startswith("__p="):
                 key = unquote(name[len("__p="):])
                 out[key] = [os.path.join(staging, name)]
@@ -323,8 +325,8 @@ class PartitionedTable:
         # sidecar, immutable with the staging: per-directory min/max
         # bounds (and bloom bitmaps) for read_where / read_point
         # skipping
-        with open(os.path.join(staging, "_stats.json"), "w") as f:
-            json.dump(stats, f)
+        metaio.IO.write_new(os.path.join(staging, "_stats.json"),
+                            json.dumps(stats))
         return out
 
     def _active_bloom_cols(self) -> list[str]:
@@ -441,7 +443,7 @@ class PartitionedTable:
         maxs: dict = {}
         dropped: set = set()
         rows = 0
-        for fname in sorted(os.listdir(d)):
+        for fname in sorted(metaio.IO.list_dir(d)):
             if not fname.endswith(".parquet"):
                 continue
             meta = pq.read_metadata(os.path.join(d, fname))
@@ -534,8 +536,8 @@ class PartitionedTable:
 
     def _staging_stats(self, staging: str) -> dict:
         try:
-            with open(os.path.join(staging, "_stats.json")) as f:
-                return json.load(f)
+            return json.loads(metaio.IO.read_text(
+                os.path.join(staging, "_stats.json")))
         except (OSError, ValueError):
             return {}  # fail-open: no stats, no skipping
 
@@ -1301,8 +1303,8 @@ class PartitionedTable:
         vs = self.versions()
         current = vs[-1]
         try:
-            with open(cursor_path) as f:
-                start = int(json.load(f)["version"])
+            start = int(json.loads(
+                metaio.IO.read_text(cursor_path))["version"])
         except OSError:
             if initial not in ("latest", "earliest"):
                 raise DatabaseException(
@@ -1317,10 +1319,8 @@ class PartitionedTable:
         feed = self.changes(start, current)
 
         def ack() -> int:
-            tmp = f"{cursor_path}.tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                f.write(json.dumps({"version": current}))
-            os.replace(tmp, cursor_path)
+            metaio.IO.replace_text(cursor_path,
+                                   json.dumps({"version": current}))
             return current
 
         return feed, ack
@@ -1428,7 +1428,7 @@ class PartitionedTable:
         def usage(ds):
             total = count = 0
             for d in ds:
-                for f in os.listdir(d):
+                for f in metaio.IO.list_dir(d):
                     if f.endswith(".parquet"):
                         total += os.path.getsize(os.path.join(d, f))
                         count += 1
@@ -1577,9 +1577,10 @@ class PartitionedTable:
         a deep copy)."""
         man = self._manifest(version)
         dest_root = dest_root.rstrip("/")
-        os.makedirs(os.path.join(dest_root, "_manifests"),
-                    exist_ok=False)
-        os.makedirs(os.path.join(dest_root, "parts"), exist_ok=True)
+        metaio.IO.make_dirs(os.path.join(dest_root, "_manifests"),
+                            exist_ok=False)
+        metaio.IO.make_dirs(os.path.join(dest_root, "parts"),
+                            exist_ok=True)
         stub = object.__new__(PartitionedTable)
         stub.spark = self.spark
         stub.root = dest_root
@@ -1603,16 +1604,14 @@ class PartitionedTable:
         """Roots of shallow clones registered against this table (the
         set this table's vacuum protects)."""
         try:
-            with open(self._clones_path()) as f:
-                return list(json.load(f))
+            return list(json.loads(
+                metaio.IO.read_text(self._clones_path())))
         except FileNotFoundError:
             return []
 
     def _write_clones(self, clones: list[str]) -> None:
-        tmp = self._clones_path() + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(sorted(set(clones)), f)
-        os.replace(tmp, self._clones_path())
+        metaio.IO.replace_text(self._clones_path(),
+                               json.dumps(sorted(set(clones))))
 
     def _register_clone(self, dest_root: str) -> None:
         self._write_clones(self.registered_clones()
@@ -1640,7 +1639,8 @@ class PartitionedTable:
             live = []
             for c in t.registered_clones():
                 c = os.path.normpath(c)
-                if not os.path.isdir(os.path.join(c, "_manifests")):
+                if not metaio.IO.is_dir(
+                        os.path.join(c, "_manifests")):
                     continue  # clone deleted — prune below
                 live.append(c)
                 if c in seen:
@@ -1665,15 +1665,13 @@ class PartitionedTable:
         references are treated as reachable too (see :meth:`clone`),
         closing the Delta vacuum-after-clone data-loss hazard.
         Returns deleted directories."""
-        import shutil
-
         if keep_last < 1:
             raise DatabaseException(
                 f"vacuum '{self.root}': keep_last must be >= 1, got "
                 f"{keep_last}")
         vs = self.versions()
         for v in vs[:-keep_last] if len(vs) > keep_last else []:
-            os.remove(self._manifest_path(v))
+            metaio.IO.remove(self._manifest_path(v))
         referenced = self._clone_referenced()
         for v in self.versions():
             for ds in self._manifest(v)["parts"].values():
@@ -1683,20 +1681,20 @@ class PartitionedTable:
         # top level = staging dirs; manifests reference their __p=<val>
         # children.  A staging with no referenced child goes entirely;
         # a partially-referenced one sheds its unreferenced children.
-        for name in sorted(os.listdir(parts_root)):
+        for name in sorted(metaio.IO.list_dir(parts_root)):
             top = os.path.normpath(os.path.join(parts_root, name))
-            if not os.path.isdir(top):
+            if not metaio.IO.is_dir(top):
                 continue
             prefix = top + os.sep
             if top not in referenced and not any(
                     r.startswith(prefix) for r in referenced):
-                shutil.rmtree(top, ignore_errors=True)
+                metaio.IO.remove_tree(top)
                 removed.append(top)
                 continue
-            for sub in sorted(os.listdir(top)):
+            for sub in sorted(metaio.IO.list_dir(top)):
                 d = os.path.normpath(os.path.join(top, sub))
-                if (sub.startswith("__p=") and os.path.isdir(d)
+                if (sub.startswith("__p=") and metaio.IO.is_dir(d)
                         and d not in referenced):
-                    shutil.rmtree(d, ignore_errors=True)
+                    metaio.IO.remove_tree(d)
                     removed.append(d)
         return removed

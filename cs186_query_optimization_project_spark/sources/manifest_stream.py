@@ -49,13 +49,17 @@ class _DirPartition(InputPartition):
 
 
 def _read_manifest(root: str, version: int) -> dict:
-    with open(os.path.join(root, "_manifests", f"v{version}.json")) as f:
-        return json.load(f)
+    from cs186_query_optimization_project_spark import metaio
+
+    return json.loads(metaio.IO.read_text(
+        os.path.join(root, "_manifests", f"v{version}.json")))
 
 
 def _versions(root: str) -> list[int]:
+    from cs186_query_optimization_project_spark import metaio
+
     out = []
-    for name in os.listdir(os.path.join(root, "_manifests")):
+    for name in metaio.IO.list_dir(os.path.join(root, "_manifests")):
         if name.startswith("v") and name.endswith(".json"):
             out.append(int(name[1:-len(".json")]))
     return sorted(out)

@@ -1,0 +1,176 @@
+"""The metadata-FS seam (metaio.py): the same semantics suite runs
+against the local implementation AND an in-memory fake — proving the
+interface is complete and the exception contract is implementation
+-independent (what a Hadoop-FS/object-store port must satisfy).  A
+recording wrapper then shows the lakehouse actually ROUTES through the
+seam: a PartitionedTable lifecycle driven with the wrapper installed
+performs its manifest reads, commit publishes, sidecar writes, and
+vacuum walk through seam calls only."""
+
+from __future__ import annotations
+
+import os
+import posixpath
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs186_query_optimization_project_spark import metaio
+from cs186_query_optimization_project_spark.metaio import LocalMetadataIO
+from cs186_query_optimization_project_spark.partitioned import (
+    PartitionedTable,
+)
+
+
+class MemoryMetadataIO:
+    """In-memory implementation of the seam — same exception contract
+    as LocalMetadataIO, no filesystem."""
+
+    def __init__(self):
+        self.files: dict[str, str] = {}
+        self.dirs: set[str] = set()
+
+    def _norm(self, p):
+        return posixpath.normpath(p)
+
+    def read_text(self, path):
+        p = self._norm(path)
+        if p not in self.files:
+            raise FileNotFoundError(p)
+        return self.files[p]
+
+    def list_dir(self, path):
+        p = self._norm(path)
+        if p not in self.dirs:
+            raise FileNotFoundError(p)
+        out = set()
+        for q in list(self.files) + list(self.dirs):
+            if q.startswith(p + "/"):
+                out.add(q[len(p) + 1:].split("/", 1)[0])
+        return sorted(out)
+
+    def exists(self, path):
+        p = self._norm(path)
+        return p in self.files or p in self.dirs
+
+    def is_dir(self, path):
+        return self._norm(path) in self.dirs
+
+    def write_new(self, path, text):
+        p = self._norm(path)
+        if p in self.files:
+            raise FileExistsError(p)
+        self.files[p] = text
+
+    def replace_text(self, path, text):
+        self.files[self._norm(path)] = text
+
+    def publish_lock(self, path, text):
+        self.write_new(path, text)
+
+    def make_dirs(self, path, exist_ok=False):
+        p = self._norm(path)
+        if p in self.dirs and not exist_ok:
+            raise FileExistsError(p)
+        while p and p != "/":
+            self.dirs.add(p)
+            p = posixpath.dirname(p)
+
+    def remove(self, path):
+        p = self._norm(path)
+        if p not in self.files:
+            raise FileNotFoundError(p)
+        del self.files[p]
+
+    def remove_tree(self, path):
+        p = self._norm(path)
+        for q in [q for q in self.files if q.startswith(p + "/")]:
+            del self.files[q]
+        self.dirs -= {q for q in self.dirs
+                      if q == p or q.startswith(p + "/")}
+
+
+@pytest.fixture(params=["local", "memory"])
+def io(request, tmp_path):
+    if request.param == "local":
+        yield LocalMetadataIO(), str(tmp_path)
+    else:
+        yield MemoryMetadataIO(), "/mem"
+
+
+def test_seam_semantics(io):
+    impl, base = io
+    root = f"{base}/t"
+    impl.make_dirs(f"{root}/_manifests")
+    with pytest.raises(FileExistsError):      # exclusive dirs
+        impl.make_dirs(f"{root}/_manifests")
+    impl.make_dirs(f"{root}/_manifests", exist_ok=True)
+    assert impl.is_dir(f"{root}/_manifests")
+    assert not impl.is_dir(f"{root}/nope")
+    # write_new is the commit point: second committer loses
+    impl.write_new(f"{root}/_manifests/v0.json", "{}")
+    with pytest.raises(FileExistsError):
+        impl.write_new(f"{root}/_manifests/v0.json", "{..}")
+    assert impl.read_text(f"{root}/_manifests/v0.json") == "{}"
+    assert impl.list_dir(f"{root}/_manifests") == ["v0.json"]
+    # replace publishes new content under the same name
+    impl.replace_text(f"{root}/_manifests/v0.json", "{\"a\":1}")
+    assert impl.read_text(f"{root}/_manifests/v0.json") == "{\"a\":1}"
+    # locks: held = FileExistsError, content published atomically
+    impl.publish_lock(f"{root}/lock", "123")
+    with pytest.raises(FileExistsError):
+        impl.publish_lock(f"{root}/lock", "456")
+    assert impl.read_text(f"{root}/lock") == "123"
+    impl.remove(f"{root}/lock")
+    with pytest.raises(FileNotFoundError):
+        impl.remove(f"{root}/lock")
+    with pytest.raises(FileNotFoundError):
+        impl.read_text(f"{root}/lock")
+    # remove_tree is recursive and idempotent
+    impl.remove_tree(root)
+    impl.remove_tree(root)
+    assert not impl.exists(f"{root}/_manifests/v0.json")
+
+
+class RecordingIO(LocalMetadataIO):
+    """Pass-through wrapper logging every seam call."""
+
+    def __init__(self):
+        self.calls: list[tuple[str, str]] = []
+
+
+def _record(name):
+    def wrapper(self, path, *a, **kw):
+        self.calls.append((name, path))
+        return getattr(LocalMetadataIO, name)(self, path, *a, **kw)
+    return wrapper
+
+
+for _m in ("read_text", "list_dir", "exists", "is_dir", "write_new",
+           "replace_text", "publish_lock", "make_dirs", "remove",
+           "remove_tree"):
+    setattr(RecordingIO, _m, _record(_m))
+
+
+def test_lakehouse_routes_through_seam(spark, tmp_path, monkeypatch):
+    rec = RecordingIO()
+    monkeypatch.setattr(metaio, "IO", rec)
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", 2.0)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "t"), "grp")
+    pt.insert(spark.createDataFrame([(3, "A", 3.0)],
+                                    "id long, grp string, amt double"))
+    assert pt.read().count() == 3
+    pt.delete(F.col("id") == 1)
+    pt.vacuum(keep_last=1)
+    names = {n for n, _ in rec.calls}
+    # every category of metadata I/O went through the seam
+    assert {"write_new", "read_text", "list_dir", "make_dirs",
+            "remove", "remove_tree", "is_dir"} <= names
+    manifests = [p for n, p in rec.calls
+                 if n == "write_new" and "_manifests" in p]
+    assert len(manifests) == 3                 # v0, v1, v2 commits
+    stats = [p for n, p in rec.calls
+             if n == "write_new" and p.endswith("_stats.json")]
+    assert len(stats) == 3                     # one per write job
