@@ -4959,6 +4959,68 @@ def q_mview_minmax_delete(spark, sf_dir):
     return out
 
 
+def q_ivfpq_batch(spark, sf_dir):
+    """Batch ANN over the MATERIALIZED IVF-PQ index
+    (``similarity.ivfpq_probe_batch``/``ivfpq_topk_batch`` — the
+    indexed counterpart of ``ann_batch_queries``): three query
+    vectors' probed-cell plans and ADC lookup tables ride as ONE
+    broadcast plan table, the code table is read once, manifest-pruned
+    to the UNION of probed cells, and per-query rank windows take the
+    candidates; the exact re-rank reads each finalist source row once
+    even when queries share it.  In-entry contract raises (must
+    survive ``python -O``): (a) per query, the batch top-5 equals the
+    single-query ``ivfpq_topk`` EXACTLY; (b) the candidate scan lists
+    only the probed-cell union's manifest directories while unprobed
+    cells exist.  The oracle states the SQL-derivable size invariants
+    plus the contract bits."""
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    emb = db.table("embeddings")
+    base_idx = _ivfpq_base_index(spark, sf_dir)
+    base_members = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = [(qid, _query_vec(spark, sf_dir, vec_id=qid))
+               for qid in (1, 2, 3)]
+    cand = similarity.ivfpq_probe_batch(spark, base_idx, queries,
+                                        k=5, n_probe=4)
+    union = {c for _, qv in queries
+             for c in similarity._nearest_cells(
+                 base_idx.params["centroids"], qv, 4)}
+    man = PartitionedTable(spark, base_idx.path)._manifest()
+    allowed = {_os.path.normpath(d) for c in union
+               for d in man["parts"].get(str(c), [])}
+    got_dirs = {_os.path.normpath(_os.path.dirname(
+        f.removeprefix("file:"))) for f in cand.inputFiles()}
+    if not got_dirs or not got_dirs <= allowed or \
+            len(man["parts"]) <= len(union):
+        raise RuntimeError(
+            "batch probe scan lists files outside the probed-cell "
+            "union — manifest pruning is broken")
+    top = similarity.ivfpq_topk_batch(spark, base_idx, base_members,
+                                      queries, k=5, n_probe=4)
+    got = {}
+    for r in top.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["cosine_sim"], r["vec_id"]))
+    for qid, qv in queries:
+        want = [(r["cosine_sim"], r["vec_id"]) for r in
+                similarity.ivfpq_topk(spark, base_idx, base_members,
+                                      qv, k=5, n_probe=4).collect()]
+        if sorted(got.get(qid, []),
+                  key=lambda t: (-t[0], t[1])) != want:
+            raise RuntimeError(
+                f"batch result for query {qid} != single-query probe")
+    n_indexed = similarity.ivfpq_codes(spark, base_idx).count()
+    return spark.createDataFrame(
+        [(len(queries), int(n_indexed), 5, True, True)],
+        "n_queries int, n_indexed bigint, k int, "
+        "matches_single boolean, pruned boolean")
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -5033,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01 this round; they lead the round-13 rotation together
         # with the 4 parked r7 rows below
         "mview_minmax_delete": q_mview_minmax_delete,
+        "ivfpq_batch": q_ivfpq_batch,
         # the 4 r7-era rows that did not fit the 50-slot window — first
         # in line for the round-13 rotation
         "collect_sorted": q_collect_sorted,
@@ -6056,6 +6119,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.g AS event_type, n_rows, "
             "estimate AS distinct_est "
             "FROM n JOIN est ON n.g = est.g ORDER BY event_type"),
+        "ivfpq_batch": (
+            "SELECT 3 AS n_queries, "
+            "CAST(COUNT(*) AS BIGINT) AS n_indexed, 5 AS k, "
+            "TRUE AS matches_single, TRUE AS pruned "
+            "FROM embeddings WHERE vec_id % 5 <> 0"),
         "ivfpq_remove": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_before, "
             "CAST(COUNT(*) FILTER (WHERE vec_id % 7 = 3) AS BIGINT) "

@@ -998,6 +998,97 @@ def ivfpq_probe(spark: SparkSession, index: AnnIndex,
             .limit(n_candidates))
 
 
+def ivfpq_probe_batch(spark: SparkSession, index: AnnIndex,
+                      queries: list[tuple[int, list[float]]],
+                      k: int = 10, n_probe: int = 4,
+                      n_candidates: int | None = None,
+                      id_col: str = "vec_id") -> DataFrame:
+    """ADC candidate generation for a BATCH of queries in ONE index
+    read — the indexed counterpart of :func:`cosine_topk_batch`.  Each
+    query's (probed cells, ⟨q,centroid⟩ scalars, m×k lookup table)
+    compute driver-side and ride as a broadcast plan table; the code
+    table is read ONCE, manifest-pruned to the UNION of all queries'
+    probed cells, and each code row broadcast-joins to exactly the
+    queries probing its cell.  One rank window per query id takes the
+    candidates.  A per-query loop would read the probed cells
+    |queries| times; at 100 TB the scan dominates, so batch probes
+    amortize it to one pass.  Per query, results are IDENTICAL to
+    :func:`ivfpq_probe` (pinned in tests/entry)."""
+    from pyspark.sql import Window
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    n_candidates = n_candidates or 8 * k
+    cents = index.params["centroids"]
+    books = index.params["codebooks"]
+    sub = len(books[0][0])
+    m = len(books)
+    plan = []
+    for qid, vec in queries:
+        luts = [
+            [sum(q * cw for q, cw in zip(vec[j * sub:(j + 1) * sub],
+                                         books[j][i]))
+             for i in range(len(books[j]))]
+            for j in range(m)]
+        for cell in _nearest_cells(cents, vec, n_probe):
+            qdotc = sum(q * c for q, c in zip(vec, cents[cell]))
+            plan.append((int(qid), int(cell), float(qdotc),
+                         [[float(x) for x in row] for row in luts]))
+    plan_df = spark.createDataFrame(
+        plan, "query_id bigint, cell bigint, __qdotc double, "
+              "__luts array<array<double>>")
+    cells = sorted({p[1] for p in plan})
+    codes = PartitionedTable(spark, index.path).read(
+        partition_values=cells)
+    score = F.col("__qdotc")
+    for j in range(m):
+        score = score + F.element_at(
+            F.element_at("__luts", j + 1),
+            (F.element_at("pq_codes", j + 1) + 1).cast("int"))
+    scored = (codes.join(F.broadcast(plan_df), "cell")
+              .select("query_id", F.col(id_col),
+                      F.round(score, 6).alias("adc_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_candidates).drop("__rn"))
+
+
+def ivfpq_topk_batch(spark: SparkSession, index: AnnIndex,
+                     source_df: DataFrame,
+                     queries: list[tuple[int, list[float]]],
+                     k: int = 10, n_probe: int = 4,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     n_candidates: int | None = None) -> DataFrame:
+    """Exact re-rank of the batch ADC candidates: the candidate
+    (query_id, id) pairs broadcast into one semi-join against the fp32
+    source — each finalist row is read once even when several queries
+    share it — then each pair scores against ITS query's vector
+    (a literal query table joined on query_id) and a rank window takes
+    the per-query top-k.  Per query, identical to :func:`ivfpq_topk`."""
+    from pyspark.sql import Window
+
+    cand = ivfpq_probe_batch(spark, index, queries, k, n_probe,
+                             n_candidates, id_col)
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
+        "query_id bigint, __qv array<double>")
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = (source_df.select(F.col(id_col), emb.alias("__e"))
+             .join(F.broadcast(cand.select("query_id", id_col)),
+                   id_col)
+             .join(F.broadcast(qdf), "query_id")
+             .select("query_id", F.col(id_col),
+                     F.round(cosine(F.col("__e"), F.col("__qv")), 6)
+                     .alias("cosine_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def ivfpq_topk(spark: SparkSession, index: AnnIndex, source_df: DataFrame,
                query_vec: list[float], k: int = 10, n_probe: int = 4,
                vec_col: str = "embedding", id_col: str = "vec_id",

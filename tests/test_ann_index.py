@@ -313,3 +313,53 @@ def test_ivfpq_reader_pinned_version_survives_remove(spark, vectors,
     assert similarity.ivfpq_codes(spark, idx).count() == n_all - n_doom
     assert similarity.ivfpq_codes(spark, idx,
                                   version=0).count() == n_all
+
+
+def test_ivfpq_batch_matches_per_query(spark, vectors, tmp_path):
+    """One code-table read for N queries must reproduce, per query,
+    exactly what the single-query ADC probe and exact re-rank return;
+    the probe scan must list only the UNION of probed cells'
+    manifest directories."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "bat"),
+                                       n_cells=8, m=2, k=4,
+                                       fingerprint="test-fp")
+    queries = [(qid, _query_of(vectors, qid)) for qid in (0, 50, 111)]
+    cand = similarity.ivfpq_probe_batch(spark, idx, queries, k=5,
+                                        n_probe=2)
+    by_q = {}
+    for r in cand.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adc_score"]))
+    assert set(by_q) == {0, 50, 111}
+    for qid, qv in queries:
+        want = [(r["vec_id"], r["adc_score"]) for r in
+                similarity.ivfpq_probe(spark, idx, qv, k=5, n_probe=2)
+                .collect()]
+        got = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        assert got == want, qid
+    # pruning: only the union of probed cells' directories are listed
+    union = {c for _, qv in queries
+             for c in similarity._nearest_cells(
+                 idx.params["centroids"], qv, 2)}
+    man = PartitionedTable(spark, idx.path)._manifest()
+    allowed = {os.path.normpath(d) for c in union
+               for d in man["parts"].get(str(c), [])}
+    got_dirs = {os.path.normpath(os.path.dirname(
+        f.removeprefix("file:"))) for f in cand.inputFiles()}
+    assert got_dirs and got_dirs <= allowed
+    # exact re-rank parity
+    top = similarity.ivfpq_topk_batch(spark, idx, vectors, queries,
+                                      k=5, n_probe=4)
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["cosine_sim"], r["vec_id"]))
+    for qid, qv in queries:
+        want = [(r["cosine_sim"], r["vec_id"]) for r in
+                similarity.ivfpq_topk(spark, idx, vectors, qv, k=5,
+                                      n_probe=4).collect()]
+        assert sorted(by_q[qid], key=lambda t: (-t[0], t[1])) == want
