@@ -5021,6 +5021,69 @@ def q_ivfpq_batch(spark, sf_dir):
         "matches_single boolean, pruned boolean")
 
 
+def q_multi_skip(spark, sf_dir):
+    """Conjunctive multi-column data skipping
+    (``PartitionedTable.read_skipping`` — Delta file-stats skipping
+    generalized to several predicates pruning together): partition
+    equality prunes at the manifest, a Bloom-indexed key equality
+    prunes by membership AND bounds, and a range conjunct prunes by
+    footer min/max — a directory dies to whichever conjunct disproves
+    it first.  orders lands partitioned by status with a Bloom index
+    on o_orderkey plus two appended batches with disjoint key/price
+    ranges.  In-entry contract raises (must survive ``python -O``):
+    the three-conjunct lookup scans EXACTLY ONE directory (of 5+) and
+    equals the plain filtered read; the probe issues zero Spark jobs
+    before the pruned scan.  The oracle replays inserts + WHERE in
+    SQL."""
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("mskp", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus",
+                                      "o_totalprice"),
+            f"{base}/orders", "o_orderstatus",
+            bloom_cols=["o_orderkey"])
+        schema = "o_orderkey bigint, o_orderstatus string, " \
+                 "o_totalprice double"
+        pt.insert(spark.createDataFrame(
+            [(900000001 + i, "X", 1.0) for i in range(20)], schema))
+        pt.insert(spark.createDataFrame(
+            [(910000001 + i, "X", 2.0) for i in range(20)], schema))
+        total = sum(len(ds) for ds in pt._manifest()["parts"].values())
+        jobs_before = _job_counter(spark)
+        out = pt.read_skipping(
+            eq={"o_orderstatus": "X", "o_orderkey": 910000005},
+            ranges={"o_totalprice": (1.5, None)})
+        if _job_counter(spark) != jobs_before:
+            raise RuntimeError(
+                "read_skipping scheduled Spark jobs before the "
+                "pruned scan; the probe contract is zero")
+        dirs = {_os.path.dirname(f.removeprefix("file:"))
+                for f in out.inputFiles()}
+        if len(dirs) != 1 or total < 5:
+            raise RuntimeError(
+                f"conjunctive skip scanned {len(dirs)} of {total} "
+                f"dirs; must be exactly 1")
+        want = (pt.read()
+                .filter((F.col("o_orderstatus") == "X")
+                        & (F.col("o_orderkey") == 910000005)
+                        & (F.col("o_totalprice") >= 1.5)))
+        got_rows = sorted(map(tuple, out.collect()))
+        if got_rows != sorted(map(tuple, want.collect())):
+            raise RuntimeError("read_skipping != plain filtered read")
+        out = spark.createDataFrame(
+            got_rows,
+            "o_orderkey bigint, o_orderstatus string, "
+            "o_totalprice double")
+    return out
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -5096,6 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the 4 parked r7 rows below
         "mview_minmax_delete": q_mview_minmax_delete,
         "ivfpq_batch": q_ivfpq_batch,
+        "multi_skip": q_multi_skip,
         # the 4 r7-era rows that did not fit the 50-slot window — first
         # in line for the round-13 rotation
         "collect_sorted": q_collect_sorted,
@@ -6119,6 +6183,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.g AS event_type, n_rows, "
             "estimate AS distinct_est "
             "FROM n JOIN est ON n.g = est.g ORDER BY event_type"),
+        "multi_skip": (
+            "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
+            "    o_totalprice FROM orders "
+            "  UNION ALL SELECT 900000001 + i, 'X', 1.0 "
+            "    FROM range(20) t(i) "
+            "  UNION ALL SELECT 910000001 + i, 'X', 2.0 "
+            "    FROM range(20) t(i)) "
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM fin "
+            "WHERE o_orderstatus = 'X' AND o_orderkey = 910000005 "
+            "AND o_totalprice >= 1.5"),
         "ivfpq_batch": (
             "SELECT 3 AS n_queries, "
             "CAST(COUNT(*) AS BIGINT) AS n_indexed, 5 AS k, "

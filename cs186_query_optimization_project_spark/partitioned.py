@@ -626,33 +626,121 @@ class PartitionedTable:
         # the pruned scan; anything else falls back to one 1-row JVM
         # evaluation, which also applies Spark's cast
         dtype = T._parse_datatype_string(man["schema"])[column].dataType
+        pos = self._probe_positions(column, value, dtype)
+        return [d for ds in man["parts"].values() for d in ds
+                if self._bloom_admits(
+                    self._staging_stats(os.path.dirname(d))
+                    .get(os.path.basename(d), {}), column, pos)]
+
+    def _probe_positions(self, column: str, value,
+                         dtype: T.DataType) -> list[int]:
+        """The _BLOOM_K probe bit positions for ``column = value`` —
+        driver-side xxh64 replay for native-typed probes (zero Spark
+        jobs), one 1-row JVM evaluation otherwise (which also applies
+        Spark's cast)."""
+        from cs186_query_optimization_project_spark import xxh64
+
         hashes = [xxh64.xxhash64_typed(value, dtype, s)
                   for s in range(_BLOOM_K)]
         if all(h is not None for h in hashes):
-            pos = [h % _BLOOM_MAX_BITS for h in hashes]
-        else:
-            pos = list(self.spark.range(1).select(
-                *[h.alias(f"p{i}") for i, h in enumerate(
-                    self._bloom_hashes(F.lit(value).cast(dtype)))])
-                .collect()[0])
+            return [h % _BLOOM_MAX_BITS for h in hashes]
+        return list(self.spark.range(1).select(
+            *[h.alias(f"p{i}") for i, h in enumerate(
+                self._bloom_hashes(F.lit(value).cast(dtype)))])
+            .collect()[0])
+
+    @staticmethod
+    def _bloom_admits(stats: dict, column: str,
+                      pos: list[int]) -> bool:
+        """False only when the directory's stored filter PROVES the
+        probe absent; True (fail-open) without a filter."""
+        bloom = stats.get("__bloom", {}).get(column)
+        if not isinstance(bloom, dict):
+            return True
+        m = bloom["bits"]
+        bits = bytes.fromhex(bloom["hex"])
+        # empty hex = all-NULL directory: excludes every probe.  m
+        # divides _BLOOM_MAX_BITS, so p % m replays the write fold.
+        return bool(bits) and all(
+            bits[(p % m) // 8] & (1 << ((p % m) % 8)) for p in pos)
+
+    def read_skipping(self, eq: dict | None = None,
+                      ranges: dict | None = None,
+                      version: int | None = None) -> DataFrame:
+        """CONJUNCTIVE multi-column data skipping — Delta's file-stats
+        skipping generalized to several predicates at once: a
+        directory is dropped when ANY conjunct disproves it.  ``eq``
+        maps columns to equality probes (partition column → exact
+        manifest pruning; Bloom-indexed columns → membership pruning;
+        every stats-recorded column → bounds containment); ``ranges``
+        maps columns to ``(lo, hi)`` bounds-intersection pruning
+        (either end may be None).  Survivors still get every exact
+        filter, so the result ALWAYS equals ``read()`` + the
+        conjunction — skipping is pure I/O.  Each conjunct prunes
+        multiplicatively where predicates are independent, which is
+        what makes multi-predicate point queries cheap on tables too
+        big for any single clustering order to serve every column."""
+        eq = dict(eq or {})
+        ranges = dict(ranges or {})
+        man = self._manifest(version)
+        pcol = man["partition_col"]
+        schema = T._parse_datatype_string(man["schema"])
+        for c in list(eq) + list(ranges):
+            if c not in schema.names:
+                raise DatabaseException(
+                    f"read_skipping '{self.root}': no column '{c}' in "
+                    f"{schema.names}")
+        for c, v in eq.items():
+            if v is None:
+                raise DatabaseException(
+                    f"read_skipping '{self.root}': NULL probe on "
+                    f"'{c}' (SQL '= NULL' matches nothing; use an "
+                    f"isNull filter on read())")
+        dirs = (self._point_dirs(pcol, eq[pcol], version)
+                if pcol in eq
+                else [d for ds in man["parts"].values() for d in ds])
+        probes = {c: self._probe_positions(c, v, schema[c].dataType)
+                  for c, v in eq.items()
+                  if c != pcol and c in man.get("bloom_cols", [])}
         keep = []
-        for ds in man["parts"].values():
-            for d in ds:
-                bloom = (self._staging_stats(os.path.dirname(d))
-                         .get(os.path.basename(d), {})
-                         .get("__bloom", {}).get(column))
-                if isinstance(bloom, dict):
-                    m = bloom["bits"]
-                    bits = bytes.fromhex(bloom["hex"])
-                    # empty hex = all-NULL directory: excludes every
-                    # probe.  m divides _BLOOM_MAX_BITS, so p % m
-                    # replays the write-side fold exactly.
-                    if not bits or not all(
-                            bits[(p % m) // 8] & (1 << ((p % m) % 8))
-                            for p in pos):
-                        continue  # proven absent
+        for d in dirs:
+            stats = (self._staging_stats(os.path.dirname(d))
+                     .get(os.path.basename(d), {}))
+            ok = True
+            for c, v in eq.items():
+                if c == pcol:
+                    continue
+                if c in probes and \
+                        not self._bloom_admits(stats, c, probes[c]):
+                    ok = False
+                    break
+                st = stats.get(c)
+                b = self._bound(v)
+                if isinstance(st, (list, tuple)) and \
+                        (b < st[0] or b > st[1]):
+                    ok = False  # bounds disprove the equality
+                    break
+            if ok:
+                for c, (lo, hi) in ranges.items():
+                    st = stats.get(c)
+                    if not isinstance(st, (list, tuple)):
+                        continue  # fail-open: no bounds, no skip
+                    lo_b, hi_b = self._bound(lo), self._bound(hi)
+                    if (lo_b is not None and st[1] < lo_b) or \
+                            (hi_b is not None and st[0] > hi_b):
+                        ok = False
+                        break
+            if ok:
                 keep.append(d)
-        return keep
+        out = self._scan(keep, schema, man.get("tombstones", {}))
+        for c, v in eq.items():
+            out = out.filter(F.col(c) == F.lit(v))
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                out = out.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(c) <= F.lit(hi))
+        return out
 
     def read_point(self, column: str, value,
                    version: int | None = None) -> DataFrame:

@@ -1177,3 +1177,52 @@ def test_point_lookup_partition_col_type_coercion(spark, tmp_path):
     # lossy coercion keeps result equality (extra scan at most)
     assert pt2.read_point("k", 5.7).count() == \
         pt2.read().filter(F.col("k") == F.lit(5.7)).count() == 0
+
+
+def test_read_skipping_conjunctive_multi_column(spark, tmp_path):
+    """Conjunctive data skipping: partition equality, Bloom
+    membership, bounds containment, and range intersection prune
+    TOGETHER; the result always equals the plain filtered read, and
+    the multi-predicate scan lists no more directories than the most
+    selective single predicate."""
+    df = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B", f"u{i}", float(i)) for i in
+         range(100)],
+        "id long, grp string, url string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "ms"),
+                                 "grp", bloom_cols=["url"])
+    # disjoint id ranges per append -> bounds prune; fresh urls ->
+    # bloom prunes
+    pt.insert(spark.createDataFrame(
+        [(1000 + i, "A", f"v{i}", 0.5) for i in range(10)],
+        "id long, grp string, url string, amt double"))
+    total = sum(len(ds) for ds in pt._manifest()["parts"].values())
+    assert total == 3
+    out = pt.read_skipping(eq={"grp": "A", "url": "v3"},
+                           ranges={"id": (1000, None)})
+    dirs = {os.path.dirname(f.removeprefix("file:"))
+            for f in out.inputFiles()}
+    assert len(dirs) == 1                   # only the append dir
+    want = (pt.read().filter((F.col("grp") == "A")
+                             & (F.col("url") == "v3")
+                             & (F.col("id") >= 1000)))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # bounds disprove an equality probe even without a bloom index
+    out2 = pt.read_skipping(eq={"id": 5})
+    dirs2 = {os.path.dirname(f.removeprefix("file:"))
+             for f in out2.inputFiles()}
+    assert len(dirs2) == 1                  # id=5 only in A's base dir
+    assert out2.count() == 1
+    # absent everywhere -> zero directories, empty result, still sound
+    assert pt.read_skipping(eq={"url": "nope", "grp": "A"}).count() == 0
+    # no predicates = plain read
+    assert pt.read_skipping().count() == pt.read().count()
+    import pytest as _pytest
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+    with _pytest.raises(DatabaseException, match="NULL probe"):
+        pt.read_skipping(eq={"url": None})
+    with _pytest.raises(DatabaseException, match="no column"):
+        pt.read_skipping(eq={"missing": 1})
