@@ -5084,6 +5084,34 @@ def q_multi_skip(spark, sf_dir):
     return out
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (``text.url_normalize`` /
+    ``url_dedup`` — the cheapest dedup tier a crawl pipeline runs
+    before any content hashing: the same page arrives under dozens of
+    surface forms).  The documents table has no URL column, so each
+    doc PLANTS a deterministic messy variant by ``doc_id % 3`` — bare,
+    ``WWW.`` + ``:443`` + fragment, trailing-slash + tracking params —
+    all of which must canonicalize to the SAME
+    ``https://example.com/p<doc_id % 50>`` key (pure JVM string
+    functions, no UDF).  The oracle replays group membership from the
+    planted construction, so a canonicalization bug that fails to
+    collapse any variant breaks the count/keeper comparison."""
+    db = _db(spark, sf_dir)
+    g = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 3
+    url = (F.when(v == 0, F.concat(F.lit("https://Example.com/p"), g))
+           .when(v == 1, F.concat(F.lit("https://WWW.example.com:443/p"),
+                                  g, F.lit("#sec")))
+           .otherwise(F.concat(
+               F.lit("https://example.com/p"), g,
+               F.lit("/?utm_source=feed&fbclid=abc"))))
+    docs = db.table("documents").select("doc_id", url.alias("url"))
+    out = text.url_dedup(docs)
+    return (out.select("canonical_url",
+                       F.col("keeper").cast("bigint").alias("keeper"),
+                       F.col("n_dups").cast("bigint").alias("n_dups")))
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -5160,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mview_minmax_delete": q_mview_minmax_delete,
         "ivfpq_batch": q_ivfpq_batch,
         "multi_skip": q_multi_skip,
+        "url_dedup": q_url_dedup,
         # the 4 r7-era rows that did not fit the 50-slot window — first
         # in line for the round-13 rotation
         "collect_sorted": q_collect_sorted,
@@ -6183,6 +6212,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.g AS event_type, n_rows, "
             "estimate AS distinct_est "
             "FROM n JOIN est ON n.g = est.g ORDER BY event_type"),
+        "url_dedup": (
+            "SELECT 'https://example.com/p' || "
+            "  CAST(doc_id % 50 AS VARCHAR) AS canonical_url, "
+            "CAST(MIN(doc_id) AS BIGINT) AS keeper, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups "
+            "FROM documents GROUP BY doc_id % 50"),
         "multi_skip": (
             "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
             "    o_totalprice FROM orders "

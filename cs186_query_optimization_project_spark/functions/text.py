@@ -542,3 +542,86 @@ def bigram_counts(df: DataFrame, text_col: str = "text",
                     F.col("first_count").cast("long").alias("first_count"),
                     F.round(F.col("pair_count") / F.col("first_count"), 6)
                     .alias("cond_prob")))
+
+
+# --------------------------------------------------------------------- #
+# URL canonicalization (crawl-pipeline dedup key)
+# --------------------------------------------------------------------- #
+#: query parameters that carry tracking state, not content identity —
+#: the standard strip set (Google Analytics utm_*, Facebook fbclid,
+#: Google Ads gclid, Microsoft msclkid)
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = ("utm_",)
+TRACKING_PARAMS: tuple[str, ...] = ("fbclid", "gclid", "msclkid")
+
+
+def url_normalize(url: Column | str, strip_www: bool = True) -> Column:
+    """Canonical form of an absolute http(s) URL, entirely JVM-side —
+    the dedup key a crawl pipeline groups on (the same page arrives
+    under dozens of surface forms; content-hash dedup misses them when
+    boilerplate differs, URL canonicalization catches them for free):
+
+    - scheme and host lowercase; ``www.`` stripped (``strip_www``)
+    - default ports dropped (``:80`` for http, ``:443`` for https)
+    - fragment removed (never sent to the server)
+    - tracking query params removed (``TRACKING_PARAM_PREFIXES`` /
+      ``TRACKING_PARAMS``), remaining params SORTED byte-wise so
+      ``?b=2&a=1`` equals ``?a=1&b=2``
+    - one trailing slash stripped from a non-root path
+
+    Input must carry an explicit scheme (crawl frontiers store
+    absolute URLs); anything else passes through ``trim`` unchanged
+    enough to stay a stable (if non-canonical) key.  Pure
+    ``pyspark.sql.functions`` composition — no UDF, and every rule is
+    ANSI-SQL-replayable for oracles."""
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    u = F.substring_index(u, "#", 1)                 # drop fragment
+    base = F.substring_index(u, "?", 1)
+    query = F.when(u.contains("?"),
+                   F.substr(u, F.instr(u, "?") + F.lit(1)))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    path = F.substr(rest, F.length(hostport) + F.lit(1))
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.when(hostport.contains(":"),
+                  F.substring_index(hostport, ":", -1))
+    keep_port = (port.isNotNull()
+                 & ~((scheme == "http") & (port == "80"))
+                 & ~((scheme == "https") & (port == "443")))
+    path = F.when(path == "", F.lit("")) \
+        .otherwise(F.regexp_replace(path, r"/$", ""))
+    drop = F.lit(list(TRACKING_PARAMS))
+    prefixes = list(TRACKING_PARAM_PREFIXES)
+
+    def _kept(p):
+        name = F.substring_index(p, "=", 1)
+        cond = ~F.array_contains(drop, name)
+        for pre in prefixes:
+            cond = cond & ~name.startswith(pre)
+        return cond & (p != "")
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _kept))
+    qstr = F.when(query.isNotNull() & (F.size(params) > 0),
+                  F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port))
+        .otherwise(F.lit("")),
+        path, qstr)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """One keeper per canonical URL (min id — deterministic), plus the
+    group size: ``groupBy(url_normalize(url))`` — a hash aggregate on
+    the canonical key, the cheapest dedup tier a crawl pipeline runs
+    BEFORE any content hashing.  Returns (canonical_url, keeper id,
+    n_dups)."""
+    return (df.select(url_normalize(url_col).alias("canonical_url"),
+                      F.col(id_col))
+            .groupBy("canonical_url")
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count(F.lit(1)).alias("n_dups")))

@@ -757,3 +757,49 @@ def test_ngram_containment_pairs_asymmetric(spark):
     # same pair is INVISIBLE to Jaccard at any useful threshold
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []
+
+
+def test_url_normalize_rules(spark):
+    """Each canonicalization rule in isolation plus their composition:
+    case, www, default ports, fragments, tracking params, param
+    sorting, trailing slash — and a non-default port survives."""
+    from cs186_query_optimization_project_spark.functions import text
+
+    cases = {
+        "https://Example.com/p1": "https://example.com/p1",
+        "https://WWW.Example.com:443/p1#frag": "https://example.com/p1",
+        "https://example.com/p1/?utm_source=x&fbclid=1":
+            "https://example.com/p1",
+        "http://EXAMPLE.com:80/a/b?b=2&a=1":
+            "http://example.com/a/b?a=1&b=2",
+        "http://example.com:8080/a/b?a=1&b=2":
+            "http://example.com:8080/a/b?a=1&b=2",
+        "https://example.com/": "https://example.com",
+        "https://example.com": "https://example.com",
+        "HTTPS://example.com/x?gclid=9&z=1&utm_campaign=c&a=2":
+            "https://example.com/x?a=2&z=1",
+        "  https://example.com/ws  ": "https://example.com/ws",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select(F.trim("url").alias("url"),
+                     text.url_normalize("url").alias("c")).collect()}
+    assert got == {u.strip(): c for u, c in cases.items()}
+    # strip_www=False keeps the host verbatim (lowercased)
+    one = spark.createDataFrame([("https://WWW.Ex.com/p",)],
+                                "url string")
+    assert one.select(text.url_normalize(
+        "url", strip_www=False).alias("c")).collect()[0]["c"] == \
+        "https://www.ex.com/p"
+
+
+def test_url_dedup_groups_surface_forms(spark):
+    from cs186_query_optimization_project_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "https://A.com/x"), (2, "https://www.a.com:443/x#f"),
+         (3, "https://a.com/x/?utm_source=s"), (4, "http://b.com/y")],
+        "doc_id long, url string")
+    got = {r["canonical_url"]: (r["keeper"], r["n_dups"])
+           for r in text.url_dedup(df).collect()}
+    assert got == {"https://a.com/x": (1, 3), "http://b.com/y": (4, 1)}
