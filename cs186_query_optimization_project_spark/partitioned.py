@@ -716,20 +716,27 @@ class PartitionedTable:
                     break
                 st = stats.get(c)
                 b = self._bound(v)
-                if isinstance(st, (list, tuple)) and \
-                        (b < st[0] or b > st[1]):
-                    ok = False  # bounds disprove the equality
-                    break
+                try:
+                    if isinstance(st, (list, tuple)) and \
+                            (b < st[0] or b > st[1]):
+                        ok = False  # bounds disprove the equality
+                        break
+                except TypeError:
+                    pass  # probe/stat type mismatch: fail open —
+                    # the exact filter still applies Spark's cast
             if ok:
                 for c, (lo, hi) in ranges.items():
                     st = stats.get(c)
                     if not isinstance(st, (list, tuple)):
                         continue  # fail-open: no bounds, no skip
                     lo_b, hi_b = self._bound(lo), self._bound(hi)
-                    if (lo_b is not None and st[1] < lo_b) or \
-                            (hi_b is not None and st[0] > hi_b):
-                        ok = False
-                        break
+                    try:
+                        if (lo_b is not None and st[1] < lo_b) or \
+                                (hi_b is not None and st[0] > hi_b):
+                            ok = False
+                            break
+                    except TypeError:
+                        continue  # type mismatch: fail open
             if ok:
                 keep.append(d)
         out = self._scan(keep, schema, man.get("tombstones", {}))

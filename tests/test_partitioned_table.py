@@ -1226,3 +1226,14 @@ def test_read_skipping_conjunctive_multi_column(spark, tmp_path):
         pt.read_skipping(eq={"url": None})
     with _pytest.raises(DatabaseException, match="no column"):
         pt.read_skipping(eq={"missing": 1})
+
+
+def test_read_skipping_type_mismatch_fails_open(spark, tmp_path):
+    """A probe whose Python type mismatches the stats' (e.g. a string
+    against int bounds) must fail OPEN on the skipping side and let
+    the exact filter decide — never a TypeError, never a wrong skip."""
+    df = spark.createDataFrame([(1, "A", 1.0), (2, "B", 2.0)],
+                               "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "tm"), "grp")
+    assert pt.read_skipping(eq={"id": "1"}).count() == 1
+    assert pt.read_skipping(ranges={"id": ("0", None)}).count() == 2
