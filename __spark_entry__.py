@@ -5112,6 +5112,69 @@ def q_url_dedup(spark, sf_dir):
                        F.col("n_dups").cast("bigint").alias("n_dups")))
 
 
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality expectations
+    (``profiling.expectations_report`` — the Delta Live Tables
+    ``EXPECT`` report shape): named SQL boolean rules evaluated in ONE
+    aggregate pass, each a conditional-sum riding the same map-side
+    scan; FALSE **or NULL** counts as a violation (an unknown cannot
+    certify quality — the DLT/CHECK convention).  In-entry contract
+    raises (must survive ``python -O``): the 4-rule report schedules
+    exactly as many Spark jobs as a 1-rule report (one scan however
+    many rules); ``expect_or_drop`` keeps exactly the rows every rule
+    passes; ``expect_or_fail`` raises the named error listing the
+    failing rules.  The oracle replays each rule's violation count in
+    SQL."""
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+    from cs186_query_optimization_project_spark.functions import (
+        profiling,
+    )
+
+    db = _db(spark, sf_dir)
+    orders = db.table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority").localCheckpoint()
+    rules = {
+        "price_positive": "o_totalprice > 0",
+        "status_known": "o_orderstatus in ('O','F','P')",
+        "priority_wellformed": "o_orderpriority like '_-%'",
+        "price_under_cap": "o_totalprice < 100000",
+    }
+    jobs_before = _job_counter(spark)
+    profiling.expectations_report(
+        orders, {"price_positive": "o_totalprice > 0"}).collect()
+    one_rule_jobs = _job_counter(spark) - jobs_before
+    jobs_before = _job_counter(spark)
+    rep = profiling.expectations_report(orders, rules)
+    got = {r["expectation"]: r for r in rep.collect()}
+    if _job_counter(spark) - jobs_before != one_rule_jobs:
+        raise RuntimeError(
+            "4-rule report scheduled more jobs than the 1-rule one — "
+            "the one-scan contract is broken")
+    n_kept = profiling.expect_or_drop(orders, rules).count()
+    n_expected = orders.filter(
+        " AND ".join(f"({s})" for s in rules.values())).count()
+    if n_kept != n_expected:
+        raise RuntimeError(
+            f"expect_or_drop kept {n_kept}, want {n_expected}")
+    failing = [k for k, r in got.items() if not r["passed"]]
+    try:
+        profiling.expect_or_fail(orders, rules)
+        if failing:
+            raise RuntimeError("expect_or_fail must raise when any "
+                               "rule has violations")
+    except DatabaseException as exc:
+        if not failing:
+            raise RuntimeError("expect_or_fail raised on a clean "
+                               "table") from exc
+        if failing[0] not in str(exc):
+            raise RuntimeError(
+                f"error message names no failing rule: {exc}")
+    return rep.orderBy("expectation")
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -5189,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_batch": q_ivfpq_batch,
         "multi_skip": q_multi_skip,
         "url_dedup": q_url_dedup,
+        "expectations": q_expectations,
         # the 4 r7-era rows that did not fit the 50-slot window — first
         # in line for the round-13 rotation
         "collect_sorted": q_collect_sorted,
@@ -6212,6 +6276,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.g AS event_type, n_rows, "
             "estimate AS distinct_est "
             "FROM n JOIN est ON n.g = est.g ORDER BY event_type"),
+        "expectations": (
+            "WITH r AS ("
+            "  SELECT 'price_positive' AS expectation, "
+            "    COUNT(*) FILTER (WHERE NOT COALESCE("
+            "      o_totalprice > 0, FALSE)) AS v, "
+            "    COUNT(*) AS n FROM orders "
+            "  UNION ALL SELECT 'status_known', "
+            "    COUNT(*) FILTER (WHERE NOT COALESCE("
+            "      o_orderstatus IN ('O','F','P'), FALSE)), "
+            "    COUNT(*) FROM orders "
+            "  UNION ALL SELECT 'priority_wellformed', "
+            "    COUNT(*) FILTER (WHERE NOT COALESCE("
+            "      o_orderpriority LIKE '_-%', FALSE)), "
+            "    COUNT(*) FROM orders "
+            "  UNION ALL SELECT 'price_under_cap', "
+            "    COUNT(*) FILTER (WHERE NOT COALESCE("
+            "      o_totalprice < 100000, FALSE)), "
+            "    COUNT(*) FROM orders) "
+            "SELECT expectation, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(v AS BIGINT) AS n_violations, "
+            "ROUND(v * 1.0 / n, 6) AS violation_rate, "
+            "v = 0 AS passed FROM r ORDER BY expectation"),
         "url_dedup": (
             "SELECT 'https://example.com/p' || "
             "  CAST(doc_id % 50 AS VARCHAR) AS canonical_url, "

@@ -243,3 +243,80 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame,
         .alias("n_b"),
         F.round(F.coalesce(F.max("gap"), F.lit(0.0)), 6)
         .alias("ks_stat"))
+
+
+# --------------------------------------------------------------------- #
+# declarative data-quality expectations (DLT-expectations analog)
+# --------------------------------------------------------------------- #
+def expectations_report(df: DataFrame,
+                        rules: dict[str, str]) -> DataFrame:
+    """Evaluate named SQL boolean expectations in ONE aggregate pass —
+    the Delta Live Tables ``EXPECT`` report shape: per rule, total
+    rows, violation count (a row violates when the predicate is FALSE
+    **or NULL** — an unknown cannot certify quality, the DLT/CHECK
+    convention), the violation rate, and a pass flag.  However many
+    rules, the scan happens once: each rule is a conditional-sum
+    aggregate riding the same map-side pass, so a 100-rule audit on
+    100 TB costs one read.  Rules must plan against the schema —
+    validated eagerly with a named error, not at job time."""
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+
+    if not rules:
+        raise DatabaseException("expectations_report: no rules given")
+    for name, sql in rules.items():
+        try:
+            df.limit(0).filter(F.expr(sql)).schema
+        except Exception as exc:
+            raise DatabaseException(
+                f"expectations_report: rule '{name}' ({sql!r}) does "
+                f"not plan against {df.columns}: {exc}") from None
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (name, sql) in enumerate(rules.items()):
+        cond = F.expr(sql)
+        aggs.append(F.sum(F.when(cond, 0).otherwise(1))
+                    .alias(f"__v{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    out = []
+    for i, (name, sql) in enumerate(rules.items()):
+        v = int(row[f"__v{i}"] or 0)
+        rate = round(v / n, 6) if n else 0.0
+        out.append((name, int(n), v, rate, v == 0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "expectation string, n_rows bigint, n_violations bigint, "
+             "violation_rate double, passed boolean")
+
+
+def expect_or_drop(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Quarantine semantics (DLT ``expect_or_drop``): keep only rows
+    satisfying EVERY expectation (FALSE or NULL drops).  A map-side
+    filter — composes with any downstream plan, no action here."""
+    out = df
+    for sql in rules.values():
+        # filter keeps only TRUE — FALSE and NULL rows both drop,
+        # exactly the violation definition the report uses
+        out = out.filter(F.expr(sql))
+    return out
+
+
+def expect_or_fail(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Gate semantics (DLT ``expect_or_fail``): raise a named error
+    listing every failed expectation (with counts) if ANY rule has a
+    violation; otherwise return ``df`` unchanged.  One aggregate pass
+    (the report), then the caller's plan proceeds untouched."""
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+
+    failed = [(r["expectation"], r["n_violations"], r["violation_rate"])
+              for r in expectations_report(df, rules).collect()
+              if not r["passed"]]
+    if failed:
+        detail = "; ".join(f"{n}: {v} rows ({rate:.2%})"
+                           for n, v, rate in failed)
+        raise DatabaseException(
+            f"expectations failed — {detail}")
+    return df

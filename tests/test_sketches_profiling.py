@@ -620,3 +620,49 @@ def test_ks_drift_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "MapInPandas" in plan
+
+
+def test_expectations_report_one_pass_and_semantics(spark):
+    """DLT-expectations analog: FALSE and NULL both violate, rates are
+    exact, the whole report is ONE aggregate job, and the drop/fail
+    variants share the violation definition."""
+    from __spark_entry__ import _job_counter
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+    from cs186_query_optimization_project_spark.functions import (
+        profiling,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (3, None, "a"), (4, 2.0, None)],
+        "id long, amt double, tag string").localCheckpoint()
+    rules = {"amt_positive": "amt > 0", "tag_known": "tag in ('a','b')",
+             "id_small": "id < 100"}
+    # ONE scan regardless of rule count: the job count for a 3-rule
+    # report equals the 1-rule report's (AQE may split the single
+    # aggregate into a constant few jobs; what must NOT happen is a
+    # pass per rule)
+    jobs_before = _job_counter(spark)
+    profiling.expectations_report(
+        df, {"id_small": "id < 100"}).collect()
+    one_rule_jobs = _job_counter(spark) - jobs_before
+    jobs_before = _job_counter(spark)
+    rep = {r["expectation"]: (r["n_violations"], r["passed"])
+           for r in profiling.expectations_report(df, rules).collect()}
+    assert _job_counter(spark) - jobs_before == one_rule_jobs
+    assert rep == {"amt_positive": (2, False),        # NULL violates
+                   "tag_known": (1, False),
+                   "id_small": (0, True)}
+    kept = profiling.expect_or_drop(df, rules)
+    assert [r["id"] for r in kept.collect()] == [1]
+    assert profiling.expect_or_drop(df, {"id_small": "id < 100"}) \
+        .count() == 4
+    with pytest.raises(DatabaseException, match="amt_positive: 2"):
+        profiling.expect_or_fail(df, rules)
+    same = profiling.expect_or_fail(df, {"id_small": "id < 100"})
+    assert same.count() == 4                          # df unchanged
+    with pytest.raises(DatabaseException, match="does not plan"):
+        profiling.expectations_report(df, {"bad": "nope > 1"})
+    with pytest.raises(DatabaseException, match="no rules"):
+        profiling.expectations_report(df, {})
