@@ -803,3 +803,37 @@ def test_url_dedup_groups_surface_forms(spark):
     got = {r["canonical_url"]: (r["keeper"], r["n_dups"])
            for r in text.url_dedup(df).collect()}
     assert got == {"https://a.com/x": (1, 3), "http://b.com/y": (4, 1)}
+
+
+def test_url_normalize_idempotent_property(spark):
+    """Canonical URLs are a FIXED POINT: normalizing a canonical form
+    changes nothing — the property that makes the canonical key safe
+    to store and re-derive.  One batched Spark pass over a
+    hypothesis-built corpus of messy surface forms."""
+    import random as _random
+
+    from cs186_query_optimization_project_spark.functions import text
+
+    rng = _random.Random(42)
+    urls = []
+    hosts = ["Example.com", "www.Example.com", "a.b.Example.ORG",
+             "WWW.x.io"]
+    params = ["a=1", "b=2", "z=9", "utm_source=s", "utm_medium=m",
+              "fbclid=f", "gclid=g", "name=v%20w"]
+    for _ in range(300):
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS"])
+        host = rng.choice(hosts)
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        depth = rng.randint(0, 3)
+        path = "".join(f"/s{rng.randint(0, 9)}" for _ in range(depth))
+        path += rng.choice(["", "/"])
+        q = rng.sample(params, rng.randint(0, 4))
+        qs = ("?" + "&".join(q)) if q else ""
+        frag = rng.choice(["", "#top", "#a/b"])
+        urls.append(f"{scheme}://{host}{port}{path}{qs}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(text.url_normalize("url").alias("c"))
+    twice = once.select(F.col("c").alias("orig"),
+                        text.url_normalize("c").alias("again"))
+    diverged = twice.filter(F.col("orig") != F.col("again"))
+    assert diverged.count() == 0, diverged.take(3)
