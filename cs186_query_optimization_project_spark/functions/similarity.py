@@ -964,13 +964,16 @@ def ivfpq_codes(spark: SparkSession, index: AnnIndex,
 def ivfpq_probe(spark: SparkSession, index: AnnIndex,
                 query_vec: list[float], k: int = 10, n_probe: int = 4,
                 n_candidates: int | None = None, id_col: str = "vec_id",
-                ) -> DataFrame:
+                version: int | None = None) -> DataFrame:
     """ADC candidate generation over the pruned cells: approximate
     ⟨q,x⟩ = ⟨q,centroid(cell)⟩ + Σⱼ LUT[j][codeⱼ] — one per-cell scalar
     plus m lookups per row, never a float vector.  Unprobed cells are
     pruned at the MANIFEST (their directories are never even listed —
-    stronger than a partition filter over a file listing).  Returns
-    ``(id, adc_score)``; re-rank with :func:`ivfpq_topk`."""
+    stronger than a partition filter over a file listing); ``version``
+    pins the code-table version (manifest time travel), so a
+    long-running caller keeps one consistent index across concurrent
+    append/remove commits.  Returns ``(id, adc_score)``; re-rank with
+    :func:`ivfpq_topk`."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
@@ -988,7 +991,7 @@ def ivfpq_probe(spark: SparkSession, index: AnnIndex,
          for i in range(len(books[j]))]
         for j in range(len(books))]
     rows = PartitionedTable(spark, index.path).read(
-        partition_values=probe)
+        version=version, partition_values=probe)
     score = F.element_at(_lit_vec(qdotc), F.col("cell").cast("int") + 1)
     for j, lut in enumerate(luts):
         score = score + F.element_at(_lit_vec(lut),

@@ -363,3 +363,27 @@ def test_ivfpq_batch_matches_per_query(spark, vectors, tmp_path):
                 similarity.ivfpq_topk(spark, idx, vectors, qv, k=5,
                                       n_probe=4).collect()]
         assert sorted(by_q[qid], key=lambda t: (-t[0], t[1])) == want
+
+
+def test_ivfpq_probe_version_pinning(spark, vectors, tmp_path):
+    """A probe pinned to version N answers from N's code table even
+    after a remove commits N+1 — the read-side half of the index's
+    commit protocol."""
+    idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "vp"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    q = _query_of(vectors)
+    before = {r["vec_id"] for r in
+              similarity.ivfpq_probe(spark, idx, q, n_probe=4,
+                                     n_candidates=1000).collect()}
+    doom = vectors.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    similarity.ivfpq_remove(spark, idx, doom)
+    pinned = {r["vec_id"] for r in
+              similarity.ivfpq_probe(spark, idx, q, n_probe=4,
+                                     n_candidates=1000,
+                                     version=0).collect()}
+    assert pinned == before
+    fresh = {r["vec_id"] for r in
+             similarity.ivfpq_probe(spark, idx, q, n_probe=4,
+                                    n_candidates=1000).collect()}
+    assert fresh == {v for v in before if v % 2 == 1}
