@@ -387,3 +387,43 @@ def test_ivfpq_probe_version_pinning(spark, vectors, tmp_path):
              similarity.ivfpq_probe(spark, idx, q, n_probe=4,
                                     n_candidates=1000).collect()}
     assert fresh == {v for v in before if v % 2 == 1}
+
+
+def test_ivfpq_index_compaction_via_optimize(spark, vectors, tmp_path):
+    """Hosting the code table on PartitionedTable buys OPTIMIZE for
+    free: repeated appends accumulate directories per cell; compaction
+    collapses each cell's dir-list without changing a single code —
+    probe results are identical before and after."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    base = vectors.filter(F.col("vec_id") < 120)
+    idx = similarity.build_ivfpq_index(base, str(tmp_path / "cmp"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    for lo in (120, 140, 160, 180):
+        similarity.ivfpq_append(
+            idx, vectors.filter((F.col("vec_id") >= lo)
+                                & (F.col("vec_id") < lo + 20)))
+    pt = PartitionedTable(spark, idx.path)
+    man = pt._manifest()
+    assert any(len(ds) > 1 for ds in man["parts"].values())
+    q = _query_of(vectors)
+    before = {(r["vec_id"], r["adc_score"]) for r in
+              similarity.ivfpq_probe(spark, idx, q, n_probe=4,
+                                     n_candidates=1000).collect()}
+    codes_before = {r["vec_id"]: (r["cell"], list(r["pq_codes"]))
+                    for r in similarity.ivfpq_codes(spark, idx)
+                    .collect()}
+    pt.optimize()
+    man2 = pt._manifest()
+    assert all(len(ds) == 1 for ds in man2["parts"].values())
+    after = {(r["vec_id"], r["adc_score"]) for r in
+             similarity.ivfpq_probe(spark, idx, q, n_probe=4,
+                                    n_candidates=1000).collect()}
+    assert after == before
+    codes_after = {r["vec_id"]: (r["cell"], list(r["pq_codes"]))
+                   for r in similarity.ivfpq_codes(spark, idx)
+                   .collect()}
+    assert codes_after == codes_before
