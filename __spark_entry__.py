@@ -5175,6 +5175,30 @@ def q_expectations(spark, sf_dir):
     return rep.orderBy("expectation")
 
 
+def q_semantic_contamination(spark, sf_dir):
+    """Semantic decontamination (``similarity.cross_similar_pairs`` —
+    embedding near-matches ACROSS datasets): which corpus rows are
+    near-duplicates of an eval/benchmark set?  Both sides hash with
+    the SAME seeded 6-plane LSH, candidates collide only within
+    buckets (corpus ⋈ reference on the signature — never a self-join,
+    never all-pairs; the small reference side broadcasts), exact
+    cosine ≥ 0.9 confirms.  The synthetic corpus has no natural
+    near-dups, so the eval set PLANTS perturbed copies of every 20th
+    corpus vector (first component +0.05, ids offset by 2e6).  Fully
+    oracle-checked: the perturbation is float-exact in SQL and the
+    bucket equality + rounded cosine reproduce the hit set
+    bit-for-bit."""
+    db = _db(spark, sf_dir)
+    emb = db.table("embeddings")
+    ref = (emb.filter(F.col("vec_id") % 20 == 0)
+           .select((F.col("vec_id") + 2000000).alias("vec_id"),
+                   F.expr("transform(embedding, (x, i) -> "
+                          "CASE WHEN i = 0 THEN x + CAST(0.05 AS FLOAT) "
+                          "ELSE x END)").alias("embedding")))
+    return similarity.cross_similar_pairs(emb, ref, threshold=0.9,
+                                          n_planes=6)
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -5253,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_skip": q_multi_skip,
         "url_dedup": q_url_dedup,
         "expectations": q_expectations,
+        "semantic_contamination": q_semantic_contamination,
         # the 4 r7-era rows that did not fit the 50-slot window — first
         # in line for the round-13 rotation
         "collect_sorted": q_collect_sorted,
@@ -5953,6 +5978,24 @@ def oracle_sql() -> dict[str, str]:
     pairs_sql = (
         f"WITH {emb_ctes} "
         f"SELECT a, b, cosine_sim FROM p WHERE cosine_sim >= 0.9")
+    # semantic_contamination: corpus ⋈ reference on the SAME 6-plane
+    # buckets (cross join variant — never a self-join), planted
+    # float-exact eval copies of every 20th vector
+    contam_sql = (
+        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings), "
+        f"ref AS (SELECT vec_id + 2000000 AS reference_id, CAST("
+        f"[CAST(embedding[1] + 0.05::FLOAT AS FLOAT)] || embedding[2:] "
+        f"AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 20 = 0), "
+        f"cs AS (SELECT vec_id AS corpus_id, v, "
+        f"{_lsh_sig_sql(p6, 'v')} AS sig FROM e), "
+        f"rs AS (SELECT reference_id, v, {_lsh_sig_sql(p6, 'v')} "
+        f"AS sig FROM ref), "
+        f"hits AS (SELECT cs.corpus_id, rs.reference_id, "
+        f"round(list_cosine_similarity(cs.v, rs.v), 6) AS cosine_sim "
+        f"FROM cs JOIN rs ON cs.sig = rs.sig) "
+        f"SELECT corpus_id, reference_id, cosine_sim FROM hits "
+        f"WHERE cosine_sim >= 0.9")
     # semantic_dedup: the pair CTEs + unrolled min-label CC (the
     # _ngram_cc_sql pattern; self-loops fold identity labels into the
     # MIN) + keep-one.  The planted graph is disjoint (orig, orig+1e6)
@@ -7332,6 +7375,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ex JOIN ann USING (vec_id)"),
         "embedding_ann_ivf": ivf_sql,
         "embedding_similar_pairs": pairs_sql,
+        "semantic_contamination": contam_sql,
         "semantic_dedup": sem_sql,
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents "

@@ -454,6 +454,39 @@ def similar_pairs(df: DataFrame, threshold: float = 0.95,
     return pairs
 
 
+def cross_similar_pairs(corpus: DataFrame, reference: DataFrame,
+                        threshold: float = 0.9,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        n_planes: int = 6, seed: int = 42) -> DataFrame:
+    """Embedding near-matches ACROSS two datasets — the semantic
+    decontamination / dedup-vs-reference shape: which corpus rows are
+    near-duplicates of a reference (eval/benchmark) set?  Same
+    LSH-bucketed candidate generation as :func:`similar_pairs`, but
+    the join is corpus ⋈ reference on the shared signature (never a
+    self-join, never all-pairs): each side hashes once with the SAME
+    seeded hyperplanes, candidates collide only within buckets, and
+    the exact cosine filters.  The reference side is typically small
+    (an eval suite) — Catalyst broadcasts it under the threshold, so
+    the corpus never shuffles.  Returns ``(corpus_id, reference_id,
+    cosine_sim)``; anti-join the distinct ``corpus_id`` set to
+    quarantine."""
+    dim = _dim_of(corpus, vec_col)
+    sig = lsh_signature(vec_col, dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("__cv"),
+                      sig.alias("__sig"))
+    r = reference.select(F.col(id_col).alias("reference_id"),
+                         F.col(vec_col).alias("__rv"),
+                         sig.alias("__sig"))
+    ce = F.transform(F.col("__cv"), lambda x: x.cast("double"))
+    re_ = F.transform(F.col("__rv"), lambda x: x.cast("double"))
+    return (c.join(r, "__sig")
+            .select("corpus_id", "reference_id",
+                    F.round(cosine(ce, re_), 6).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+
 def semantic_keep_one(df: DataFrame, threshold: float = 0.95,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -427,3 +427,22 @@ def test_ivfpq_index_compaction_via_optimize(spark, vectors, tmp_path):
                    for r in similarity.ivfpq_codes(spark, idx)
                    .collect()}
     assert codes_after == codes_before
+
+
+def test_cross_similar_pairs_finds_planted_reference(spark, vectors):
+    """Cross-dataset near-matching: planted perturbed copies of corpus
+    vectors are recovered as (corpus, reference) hits; unrelated
+    reference vectors produce none; the corpus never self-pairs."""
+    ref = (vectors.filter(F.col("vec_id") % 25 == 0)
+           .select((F.col("vec_id") + 5000).alias("vec_id"),
+                   F.expr("transform(embedding, (x, i) -> "
+                          "CASE WHEN i = 0 THEN x + CAST(0.01 AS FLOAT)"
+                          " ELSE x END)").alias("embedding")))
+    hits = similarity.cross_similar_pairs(vectors, ref,
+                                          threshold=0.98, n_planes=4)
+    got = {(r["corpus_id"], r["reference_id"])
+           for r in hits.collect()}
+    # every planted copy matches its own original
+    assert {(i, i + 5000) for i in range(0, 200, 25)} <= got
+    # every hit really is corpus x reference, no self pairs
+    assert all(b >= 5000 > a for a, b in got)
