@@ -5199,6 +5199,29 @@ def q_semantic_contamination(spark, sf_dir):
                                           n_planes=6)
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-guarded train/test split: hashing the GROUP key
+    (``source``) instead of the row id sends every document of a
+    source to the SAME side — the split that prevents near-duplicate
+    leakage across train/test when groups share content (the standard
+    GroupShuffleSplit discipline, here as the deterministic
+    ``sampling.hash_split`` over the group column: membership depends
+    only on the key, never on partitioning).  In-entry contract raises
+    (must survive ``python -O``): no source may appear on both sides.
+    The oracle replays the md5 bucket of the group key in SQL."""
+    db = _db(spark, sf_dir)
+    out = (sampling.hash_split(db.table("documents"), "source")
+           .select("doc_id", "source", "split"))
+    mixed = (out.groupBy("source")
+             .agg(F.countDistinct("split").alias("n"))
+             .filter(F.col("n") > 1).count())
+    if mixed:
+        raise RuntimeError(
+            f"{mixed} groups appear in BOTH splits — the leakage "
+            f"guard is broken")
+    return out
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -5278,6 +5301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "expectations": q_expectations,
         "semantic_contamination": q_semantic_contamination,
+        "group_split": q_group_split,
         # the 4 r7-era rows that did not fit the 50-slot window — first
         # in line for the round-13 rotation
         "collect_sorted": q_collect_sorted,
@@ -6887,6 +6911,11 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": (
             "SELECT doc_id, CASE WHEN "
             "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "% 100 < 80 THEN 'train' ELSE 'test' END AS split "
+            "FROM documents"),
+        "group_split": (
+            "SELECT doc_id, source, CASE WHEN "
+            "('0x' || substr(md5(source), 1, 8))::BIGINT "
             "% 100 < 80 THEN 'train' ELSE 'test' END AS split "
             "FROM documents"),
         "quantiles": (
