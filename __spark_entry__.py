@@ -5227,74 +5227,19 @@ def q_group_split(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-12 policy (the r11 verdict's #1
-    # item): the window is the 5 entries registered after the r11 window
-    # closed (never driver-checked — all 5 passed the local DuckDB oracle
-    # in both the builder's and the judge's r11 runs) followed by 45 of
-    # the 49 entries whose newest driver-green row is r7.  After this
-    # round no entry's driver evidence is older than r9 except the 4
-    # cheap r7 rows parked immediately below the line (collect_sorted,
-    # compact_scan, text_source, window_ntile) — they lead the round-13
-    # rotation together with any r12-late additions.  Every query — in
-    # or below the window — is verified each round by
-    # tools/check_contract.py at sf0.01.
+    # entries in registry order.  Round-13 policy (the r12 verdict's #1
+    # item): the window is the 7 entries registered after the r12 window
+    # closed (never driver-checked; all pass the local DuckDB oracle),
+    # the 4 r7-era rows parked in r12 (collect_sorted, compact_scan,
+    # text_source, window_ntile), then 39 of the 50 entries whose newest
+    # driver-green row is r9.  After this round no entry's driver
+    # evidence is older than r9, and only 11 cheap stable r9 rows (parked
+    # immediately below the line) plus this round's additions await the
+    # round-14 rotation.  Every query -- in or below the window -- is
+    # verified each round by tools/check_contract.py at sf0.01 and the
+    # full-registry result is committed as LOCALCHECK_r<N>.json.
     return {
-        # --- registered after the r11 window closed: never driver-checked (5) ---
-        "mview_hll_distinct": q_mview_hll_distinct,
-        "ivfpq_remove": q_ivfpq_remove,
-        "time_travel_ts": q_time_travel_ts,
-        "containment_near_dups": q_containment_near_dups,
-        "containment_apply": q_containment_apply,
-        # --- stalest evidence: last driver-green in r7 (45 of 49) ---
-        "tpch_q2": q_tpch_q2,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "merge_upsert": q_merge_upsert,
-        "scd2_dimension": q_scd2_dimension,
-        "pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "streaming_outer_join": q_streaming_outer_join,
-        "grouping_sets": q_grouping_sets,
-        "pivot": q_pivot,
-        "full_outer_join": q_full_outer_join,
-        "null_safe_join": q_null_safe_join,
-        "cross_join": q_cross_join,
-        "bigram_lm": q_bigram_lm,
-        "bloom_semi_join": q_bloom_semi_join,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "cohort_retention": q_cohort_retention,
-        "constraint_check": q_constraint_check,
-        "contamination_check": q_contamination_check,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_logprob": q_doc_logprob,
-        "encode_documents": q_encode_documents,
-        "frequent_pairs": q_frequent_pairs,
-        "funnel": q_funnel,
-        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
-        "hll_distinct": q_hll_distinct,
-        "incremental_agg": q_incremental_agg,
-        "kmeans_clusters": q_kmeans_clusters,
-        "pii_redact": q_pii_redact,
-        "resample_fill": q_resample_fill,
-        "table_histogram": q_table_histogram,
-        "tfidf_features": q_tfidf_features,
-        "udtf_sentences": q_udtf_sentences,
-        "vocab_top": q_vocab_top,
-        "zscore_outliers": q_zscore_outliers,
-        # ------------- below the driver's 50-row window ------------- #
-        # r12-late additions — verified by tools/check_contract.py at
-        # sf0.01 this round; they lead the round-13 rotation together
-        # with the 4 parked r7 rows below
+        # --- never driver-checked: registered after the r12 window closed (7) ---
         "mview_minmax_delete": q_mview_minmax_delete,
         "ivfpq_batch": q_ivfpq_batch,
         "multi_skip": q_multi_skip,
@@ -5302,26 +5247,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "semantic_contamination": q_semantic_contamination,
         "group_split": q_group_split,
-        # the 4 r7-era rows that did not fit the 50-slot window — first
-        # in line for the round-13 rotation
+        # --- stalest driver evidence: r7 (4) ---
         "collect_sorted": q_collect_sorted,
         "compact_scan": q_compact_scan,
         "text_source": q_text_source,
         "window_ntile": q_window_ntile,
-        # r11-window entries: driver-green in r11
-        "partition_overwrite": q_partition_overwrite,
-        "clone_vacuum_guard": q_clone_vacuum_guard,
-        "metadata_groupby": q_metadata_groupby,
-        "bloom_skipping": q_bloom_skipping,
-        "partition_pruned_join": q_partition_pruned_join,
-        "mview_bucketed": q_mview_bucketed,
+        # --- next stalest: last driver-green in r9 (39 of 50) ---
+        "ann_recall": q_ann_recall,
+        "asset_resize": q_asset_resize,
+        "bm25_indexed": q_bm25_indexed,
+        "bm25_search": q_bm25_search,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        "cms_reconcile": q_cms_reconcile,
+        "correlation_matrix": q_correlation_matrix,
+        "dedup_apply": q_dedup_apply,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_eval": q_dedup_eval,
+        "dedup_incremental": q_dedup_incremental,
+        "dml_lifecycle": q_dml_lifecycle,
+        "dup_span_coverage": q_dup_span_coverage,
+        "dup_spans": q_dup_spans,
+        "epoch_shuffle": q_epoch_shuffle,
+        "frame_sample": q_frame_sample,
+        "grace_hash_join": q_grace_hash_join,
+        "hll_by_group": q_hll_by_group,
+        "hll_reconcile": q_hll_reconcile,
+        "index_range_scan": q_index_range_scan,
+        "indexed_write_scan": q_indexed_write_scan,
+        "join_three_flagship": q_join_three_flagship,
+        "key_skew": q_key_skew,
+        "ks_drift": q_ks_drift,
+        "mixture_sample": q_mixture_sample,
+        "mixture_temperature": q_mixture_temperature,
+        "ngram_jaccard": q_ngram_jaccard,
+        "phrase_indexed": q_phrase_indexed,
+        "phrase_search": q_phrase_search,
+        "psi_drift": q_psi_drift,
+        "quality_filter": q_quality_filter,
+        "sample_k_per_group": q_sample_k_per_group,
+        "semantic_dedup": q_semantic_dedup,
+        "similar_docs": q_similar_docs,
+        "streaming_cms": q_streaming_cms,
+        "streaming_hll": q_streaming_hll,
+        "time_travel": q_time_travel,
+        "weighted_sample": q_weighted_sample,
+        # ------------- below the driver's 50-row window ------------- #
+        # Everything below is ordered stalest-first so the round-14
+        # rotation is mechanical; every entry is re-verified each round
+        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r13.json).
+        # 11 r9-era rows parked below the line — first for round 14:
+        "scan": q_scan,
+        "filter_eq": q_filter_eq,
+        "groupby_count": q_groupby_count,
+        "join_two": q_join_two,
+        "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
+        "broadcast_join": q_broadcast_join,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q22": q_tpch_q22,
+        "token_counts": q_token_counts,
+        # r10-green entries:
+        "asof_join": q_asof_join,
+        "audio_chunks": q_audio_chunks,
+        "cdf_feed": q_cdf_feed,
+        "cdf_stream": q_cdf_stream,
+        "check_constraints": q_check_constraints,
+        "contains_key": q_contains_key,
+        "csv_source": q_csv_source,
+        "dedup_exact": q_dedup_exact,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_topk": q_embedding_topk,
+        "except": q_except,
+        "explode_array": q_explode_array,
+        "filter_range": q_filter_range,
+        "groupby_sum_avg": q_groupby_sum_avg,
+        "hybrid_search": q_hybrid_search,
+        "ivfpq_probe": q_ivfpq_probe,
+        "lang_id": q_lang_id,
+        "left_outer_join": q_left_outer_join,
+        "lookup_key": q_lookup_key,
+        "metadata_agg": q_metadata_agg,
+        "multimodal_features": q_multimodal_features,
+        "mvcc_vacuum": q_mvcc_vacuum,
+        "mview_refresh": q_mview_refresh,
+        "optimizer_cardinality": q_optimizer_cardinality,
+        "orderby_limit": q_orderby_limit,
+        "partition_skipping": q_partition_skipping,
+        "partitioned_dml": q_partitioned_dml,
+        "partitioned_merge": q_partitioned_merge,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pq_ann": q_pq_ann,
+        "project": q_project,
+        "quantiles": q_quantiles,
+        "restore_clone": q_restore_clone,
+        "rollup": q_rollup,
+        "scalar_functions": q_scalar_functions,
+        "schema_evolution": q_schema_evolution,
+        "self_join_alias": q_self_join_alias,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "soft_delete": q_soft_delete,
+        "stream_to_mview": q_stream_to_mview,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_session": q_streaming_session,
+        "streaming_sliding": q_streaming_sliding,
+        "streaming_tumbling": q_streaming_tumbling,
+        "table_history": q_table_history,
+        "text_stats": q_text_stats,
+        "train_test_split": q_train_test_split,
+        "window_rank": q_window_rank,
+        # r11-green entries:
         "ann_batch_queries": q_ann_batch_queries,
-        "ivfpq_append": q_ivfpq_append,
-        "token_budget_mix": q_token_budget_mix,
         "anti_join": q_anti_join,
+        "bloom_skipping": q_bloom_skipping,
         "bucketed_join": q_bucketed_join,
         "case_expr": q_case_expr,
         "chunk_documents": q_chunk_documents,
+        "clone_vacuum_guard": q_clone_vacuum_guard,
         "cube": q_cube,
         "dedup_clusters_star": q_dedup_clusters_star,
         "distinct": q_distinct,
@@ -5332,11 +5377,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_neq": q_filter_neq,
         "having": q_having,
         "intersect": q_intersect,
+        "ivfpq_append": q_ivfpq_append,
         "json_extract": q_json_extract,
         "json_source": q_json_source,
+        "metadata_groupby": q_metadata_groupby,
         "minhash_near_dups": q_minhash_near_dups,
+        "mview_bucketed": q_mview_bucketed,
         "orc_source": q_orc_source,
         "pack_sequences": q_pack_sequences,
+        "partition_overwrite": q_partition_overwrite,
+        "partition_pruned_join": q_partition_pruned_join,
         "quantiles_approx": q_quantiles_approx,
         "range_join": q_range_join,
         "salted_join": q_salted_join,
@@ -5346,6 +5396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": q_streaming_stateful_totals,
         "summary_stats": q_summary_stats,
         "time_window_agg": q_time_window_agg,
+        "token_budget_mix": q_token_budget_mix,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -5359,107 +5410,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frame": q_window_frame,
         "window_running": q_window_running,
         "zorder_scan": q_zorder_scan,
-        # r9/r10-green entries: freshest driver evidence
-        "ann_recall": q_ann_recall,
-        "asof_join": q_asof_join,
-        "asset_resize": q_asset_resize,
-        "audio_chunks": q_audio_chunks,
-        "bm25_indexed": q_bm25_indexed,
-        "bm25_search": q_bm25_search,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment": q_bpe_segment,
-        "broadcast_join": q_broadcast_join,
-        "cdf_feed": q_cdf_feed,
-        "cdf_stream": q_cdf_stream,
-        "check_constraints": q_check_constraints,
-        "cms_reconcile": q_cms_reconcile,
-        "contains_key": q_contains_key,
-        "correlation_matrix": q_correlation_matrix,
-        "csv_source": q_csv_source,
-        "dedup_apply": q_dedup_apply,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_eval": q_dedup_eval,
-        "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
-        "dml_lifecycle": q_dml_lifecycle,
-        "dup_span_coverage": q_dup_span_coverage,
-        "dup_spans": q_dup_spans,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_topk": q_embedding_topk,
-        "epoch_shuffle": q_epoch_shuffle,
-        "except": q_except,
-        "except_all": q_except_all,
-        "explode_array": q_explode_array,
-        "filter_eq": q_filter_eq,
-        "filter_range": q_filter_range,
-        "frame_sample": q_frame_sample,
-        "grace_hash_join": q_grace_hash_join,
-        "groupby_count": q_groupby_count,
-        "groupby_sum_avg": q_groupby_sum_avg,
-        "hll_by_group": q_hll_by_group,
-        "hll_reconcile": q_hll_reconcile,
-        "hybrid_search": q_hybrid_search,
-        "index_range_scan": q_index_range_scan,
-        "indexed_write_scan": q_indexed_write_scan,
-        "intersect_all": q_intersect_all,
-        "ivfpq_probe": q_ivfpq_probe,
-        "join_three_flagship": q_join_three_flagship,
-        "join_two": q_join_two,
-        "key_skew": q_key_skew,
-        "ks_drift": q_ks_drift,
-        "lang_id": q_lang_id,
-        "left_outer_join": q_left_outer_join,
-        "lookup_key": q_lookup_key,
-        "metadata_agg": q_metadata_agg,
-        "mixture_sample": q_mixture_sample,
-        "mixture_temperature": q_mixture_temperature,
-        "multimodal_features": q_multimodal_features,
-        "mvcc_vacuum": q_mvcc_vacuum,
-        "mview_refresh": q_mview_refresh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "optimizer_cardinality": q_optimizer_cardinality,
-        "orderby_limit": q_orderby_limit,
-        "partition_skipping": q_partition_skipping,
-        "partitioned_dml": q_partitioned_dml,
-        "partitioned_merge": q_partitioned_merge,
-        "phrase_indexed": q_phrase_indexed,
-        "phrase_search": q_phrase_search,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "pq_ann": q_pq_ann,
-        "project": q_project,
-        "psi_drift": q_psi_drift,
-        "quality_filter": q_quality_filter,
-        "quantiles": q_quantiles,
-        "restore_clone": q_restore_clone,
-        "rollup": q_rollup,
-        "sample_k_per_group": q_sample_k_per_group,
-        "scalar_functions": q_scalar_functions,
-        "scan": q_scan,
-        "schema_evolution": q_schema_evolution,
-        "self_join_alias": q_self_join_alias,
-        "semantic_dedup": q_semantic_dedup,
-        "semi_join": q_semi_join,
-        "sessionize": q_sessionize,
-        "similar_docs": q_similar_docs,
-        "soft_delete": q_soft_delete,
-        "stream_to_mview": q_stream_to_mview,
-        "streaming_cms": q_streaming_cms,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        "streaming_hll": q_streaming_hll,
-        "streaming_session": q_streaming_session,
-        "streaming_sliding": q_streaming_sliding,
-        "streaming_tumbling": q_streaming_tumbling,
-        "table_history": q_table_history,
-        "text_stats": q_text_stats,
-        "time_travel": q_time_travel,
-        "token_counts": q_token_counts,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q5": q_tpch_q5,
-        "train_test_split": q_train_test_split,
-        "weighted_sample": q_weighted_sample,
-        "window_rank": q_window_rank,
+        # r12-green entries (freshest driver evidence):
+        "bigram_lm": q_bigram_lm,
+        "bloom_semi_join": q_bloom_semi_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cohort_retention": q_cohort_retention,
+        "constraint_check": q_constraint_check,
+        "containment_apply": q_containment_apply,
+        "containment_near_dups": q_containment_near_dups,
+        "contamination_check": q_contamination_check,
+        "cross_join": q_cross_join,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_logprob": q_doc_logprob,
+        "encode_documents": q_encode_documents,
+        "frequent_pairs": q_frequent_pairs,
+        "full_outer_join": q_full_outer_join,
+        "funnel": q_funnel,
+        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
+        "grouping_sets": q_grouping_sets,
+        "hll_distinct": q_hll_distinct,
+        "incremental_agg": q_incremental_agg,
+        "ivfpq_remove": q_ivfpq_remove,
+        "kmeans_clusters": q_kmeans_clusters,
+        "merge_upsert": q_merge_upsert,
+        "mview_hll_distinct": q_mview_hll_distinct,
+        "null_safe_join": q_null_safe_join,
+        "pagerank": q_pagerank,
+        "pii_redact": q_pii_redact,
+        "pivot": q_pivot,
+        "resample_fill": q_resample_fill,
+        "scd2_dimension": q_scd2_dimension,
+        "streaming_outer_join": q_streaming_outer_join,
+        "table_histogram": q_table_histogram,
+        "tfidf_features": q_tfidf_features,
+        "time_travel_ts": q_time_travel_ts,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "triangle_count": q_triangle_count,
+        "udtf_sentences": q_udtf_sentences,
+        "vocab_top": q_vocab_top,
+        "zscore_outliers": q_zscore_outliers,
     }
 
 
