@@ -847,7 +847,12 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
     version N sees a consistent index while N+1 commits, a crash
     mid-maintenance leaves the last published version intact, and
     time travel / vacuum come for free — no bare-parquet mutation
-    anywhere in the lifecycle.
+    anywhere in the lifecycle.  A REBUILD over an existing index is
+    likewise one versioned ``overwrite_partitions`` commit (no
+    delete-then-recreate window); only the retrained header sidecar
+    is swapped non-versioned, so probers racing a *rebuild* re-load
+    the index (append/remove freeze the header and keep the full
+    concurrent-prober contract).
 
     Unlike the plain IVF index (whose md5-pick centroids stay
     SQL-replayable for its oracle), the coarse centroids here REFINE
@@ -882,14 +887,42 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
-    if os.path.isdir(path):  # rebuild = fresh table (overwrite)
-        import shutil as _shutil
+    bucketed = _bucket_partitioned(coded, "cell", id_col,
+                                   files_per_bucket)
+    existing = None
+    if os.path.isdir(path):
+        try:  # rebuild of a live index: reuse the table's commit log
+            existing = PartitionedTable(df.sparkSession, path)
+            old_keys = list(existing._manifest()["parts"].keys())
+        except Exception:
+            existing = None  # present but not a table: clear + create
+    if existing is not None:
+        from pyspark.sql import types as _T
 
-        _shutil.rmtree(path)
-    PartitionedTable.create(
-        df.sparkSession,
-        _bucket_partitioned(coded, "cell", id_col, files_per_bucket),
-        path, "cell")
+        man_schema = existing._manifest()["schema"]
+        if _T._parse_datatype_string(man_schema).fieldNames() != \
+                coded.schema.fieldNames():
+            existing = None  # layout changed: recreate fresh below
+    if existing is not None:
+        # Rebuild = ONE versioned overwrite_partitions commit naming
+        # the union of old and new cells: the old version stays
+        # published (and time-travelable) until the atomic manifest
+        # swap, so a crash mid-rebuild loses nothing and a concurrent
+        # prober pinned to version N keeps reading intact data — no
+        # bare rmtree window.  The sidecar HEADER (centroids +
+        # codebooks) is still swapped non-versioned below: a rebuild
+        # retrains, so probers racing a REBUILD (unlike append/remove,
+        # whose header is frozen) are outside the concurrency
+        # contract and should re-load the index.
+        vals = sorted({int(k) for k in old_keys}
+                      | set(range(len(cents))))
+        existing.overwrite_partitions(bucketed, vals)
+    else:
+        if os.path.isdir(path):
+            import shutil as _shutil
+
+            _shutil.rmtree(path)
+        PartitionedTable.create(df.sparkSession, bucketed, path, "cell")
     idx = AnnIndex("ivfpq", path, len(cents[0]),
                    {"centroids": cents, "codebooks": books}, fingerprint)
     _write_meta(idx)
@@ -1038,7 +1071,8 @@ def ivfpq_probe_batch(spark: SparkSession, index: AnnIndex,
                       queries: list[tuple[int, list[float]]],
                       k: int = 10, n_probe: int = 4,
                       n_candidates: int | None = None,
-                      id_col: str = "vec_id") -> DataFrame:
+                      id_col: str = "vec_id",
+                      version: int | None = None) -> DataFrame:
     """ADC candidate generation for a BATCH of queries in ONE index
     read — the indexed counterpart of :func:`cosine_topk_batch`.  Each
     query's (probed cells, ⟨q,centroid⟩ scalars, m×k lookup table)
@@ -1048,8 +1082,11 @@ def ivfpq_probe_batch(spark: SparkSession, index: AnnIndex,
     queries probing its cell.  One rank window per query id takes the
     candidates.  A per-query loop would read the probed cells
     |queries| times; at 100 TB the scan dominates, so batch probes
-    amortize it to one pass.  Per query, results are IDENTICAL to
-    :func:`ivfpq_probe` (pinned in tests/entry)."""
+    amortize it to one pass.  ``version`` pins the code-table version
+    exactly as in :func:`ivfpq_probe`, so a batch racing a concurrent
+    append/remove commit scores against ONE consistent index (default:
+    latest).  Per query, results are IDENTICAL to :func:`ivfpq_probe`
+    (pinned in tests/entry)."""
     from pyspark.sql import Window
 
     from cs186_query_optimization_project_spark.partitioned import (
@@ -1077,7 +1114,7 @@ def ivfpq_probe_batch(spark: SparkSession, index: AnnIndex,
               "__luts array<array<double>>")
     cells = sorted({p[1] for p in plan})
     codes = PartitionedTable(spark, index.path).read(
-        partition_values=cells)
+        version=version, partition_values=cells)
     score = F.col("__qdotc")
     for j in range(m):
         score = score + F.element_at(
@@ -1097,17 +1134,20 @@ def ivfpq_topk_batch(spark: SparkSession, index: AnnIndex,
                      queries: list[tuple[int, list[float]]],
                      k: int = 10, n_probe: int = 4,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     n_candidates: int | None = None) -> DataFrame:
+                     n_candidates: int | None = None,
+                     version: int | None = None) -> DataFrame:
     """Exact re-rank of the batch ADC candidates: the candidate
     (query_id, id) pairs broadcast into one semi-join against the fp32
     source — each finalist row is read once even when several queries
     share it — then each pair scores against ITS query's vector
     (a literal query table joined on query_id) and a rank window takes
-    the per-query top-k.  Per query, identical to :func:`ivfpq_topk`."""
+    the per-query top-k.  ``version`` pins the code-table version for
+    the whole batch (see :func:`ivfpq_probe`).  Per query, identical
+    to :func:`ivfpq_topk`."""
     from pyspark.sql import Window
 
     cand = ivfpq_probe_batch(spark, index, queries, k, n_probe,
-                             n_candidates, id_col)
+                             n_candidates, id_col, version=version)
     qdf = spark.createDataFrame(
         [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
         "query_id bigint, __qv array<double>")
@@ -1128,13 +1168,15 @@ def ivfpq_topk_batch(spark: SparkSession, index: AnnIndex,
 def ivfpq_topk(spark: SparkSession, index: AnnIndex, source_df: DataFrame,
                query_vec: list[float], k: int = 10, n_probe: int = 4,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               n_candidates: int | None = None) -> DataFrame:
+               n_candidates: int | None = None,
+               version: int | None = None) -> DataFrame:
     """Exact re-rank of the ADC candidates: the candidate id set (≤ 8k
     rows) BROADCASTS into a semi-join against the fp32 source — a
     point-lookup read of just the finalists, the only moment full
-    vectors are touched."""
+    vectors are touched.  ``version`` pins the code-table version
+    (see :func:`ivfpq_probe`)."""
     cand = ivfpq_probe(spark, index, query_vec, k, n_probe,
-                       n_candidates, id_col)
+                       n_candidates, id_col, version=version)
     q = _lit_vec(query_vec)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (source_df.join(F.broadcast(cand.select(id_col)), id_col)

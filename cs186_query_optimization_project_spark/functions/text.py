@@ -570,11 +570,16 @@ def url_normalize(url: Column | str, strip_www: bool = True) -> Column:
 
     Input must carry an explicit scheme (crawl frontiers store
     absolute URLs); anything else passes through ``trim`` unchanged
-    enough to stay a stable (if non-canonical) key.  Pure
+    enough to stay a stable (if non-canonical) key.  URLs whose
+    authority carries userinfo (``user:pass@host``) or an IPv6 literal
+    (``[2001:db8::1]``) ALSO pass through trim-only: the host/port
+    split below would mis-parse them and collapse *distinct* URLs to
+    one canonical key — silent data loss in ``url_dedup``.  Trim-only
+    keeps them stable, never falsely colliding, keys.  Pure
     ``pyspark.sql.functions`` composition — no UDF, and every rule is
     ANSI-SQL-replayable for oracles."""
-    u = F.trim(url if isinstance(url, Column) else F.col(url))
-    u = F.substring_index(u, "#", 1)                 # drop fragment
+    raw = F.trim(url if isinstance(url, Column) else F.col(url))
+    u = F.substring_index(raw, "#", 1)               # drop fragment
     base = F.substring_index(u, "?", 1)
     query = F.when(u.contains("?"),
                    F.substr(u, F.instr(u, "?") + F.lit(1)))
@@ -606,11 +611,14 @@ def url_normalize(url: Column | str, strip_www: bool = True) -> Column:
     qstr = F.when(query.isNotNull() & (F.size(params) > 0),
                   F.concat(F.lit("?"), F.array_join(params, "&"))) \
         .otherwise(F.lit(""))
-    return F.concat(
+    # userinfo / IPv6 authorities: the ':'-split host/port parse above
+    # would collapse distinct URLs — pass through trim-only instead
+    opaque_authority = hostport.contains("@") | hostport.startswith("[")
+    return F.when(opaque_authority, raw).otherwise(F.concat(
         scheme, F.lit("://"), host,
         F.when(keep_port, F.concat(F.lit(":"), port))
         .otherwise(F.lit("")),
-        path, qstr)
+        path, qstr))
 
 
 def url_dedup(df: DataFrame, url_col: str = "url",

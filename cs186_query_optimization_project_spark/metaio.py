@@ -80,12 +80,33 @@ class LocalMetadataIO:
         """Create the lock ATOMICALLY WITH ITS CONTENT (hard-link a
         fully-written tmp into place); FileExistsError = held.  A
         plain create-then-write would expose an empty lock a reader
-        could mistake for stale."""
+        could mistake for stale.  Filesystems without hard-link
+        support (some NFS/FUSE/object-store mounts raise EPERM /
+        EOPNOTSUPP / ENOSYS / EXDEV) fall back to O_EXCL
+        create+write+fsync: the held/free signal — what every caller's
+        control flow rides on — is preserved; only content atomicity
+        narrows to a sub-millisecond write window, and lock readers
+        already treat unparseable content as held-not-stale."""
+        import errno
+
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(text)
         try:
             os.link(tmp, path)
+        except FileExistsError:
+            raise
+        except OSError as exc:
+            if exc.errno not in (errno.EPERM, errno.EOPNOTSUPP,
+                                 errno.ENOSYS, errno.EXDEV,
+                                 errno.EACCES):
+                raise
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, text.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
         finally:
             try:
                 os.remove(tmp)

@@ -288,6 +288,19 @@ class PartitionedTable:
                 "represent it distinctly); use a sentinel")
         return key
 
+    @staticmethod
+    def _file_dir(fname: str, known: set) -> str | None:
+        """Map an ``input_file_name()`` URI back to one of the
+        manifest's data directories, or None when no decoding matches
+        (relative table root, exotic URI encoding) — the caller fails
+        closed for just that file's partition."""
+        from urllib.parse import unquote, urlparse
+        d = os.path.dirname(urlparse(fname).path)
+        if d in known:
+            return d
+        d = unquote(d)
+        return d if d in known else None
+
     def _new_dir(self) -> str:
         return os.path.join(self.root, "parts", uuid.uuid4().hex)
 
@@ -1044,28 +1057,44 @@ class PartitionedTable:
         all_dirs = [d for ds in parts.values() for d in ds]
         cur_counts = dict(man.get("tomb_counts", {}))
         inc: dict[str, int] = {}
-        unmapped = False
+        # Grouping by (file, partition value) lets an unmappable
+        # input_file_name (relative table root, exotic URI encoding)
+        # poison ONLY its own partition's directories: those dirs lose
+        # their cardinality (fail closed, metadata-only COUNT declines
+        # for them), every other dir keeps exact counts — never the
+        # old wipe-the-whole-map behavior, which irreversibly lost all
+        # previously recorded cardinalities on one bad path.
+        poisoned_keys: set[str] = set()
         hit = (self._scan(all_dirs, schema, man.get("tombstones", {}))
                .filter(F.expr(condition_sql))
-               .groupBy(F.input_file_name().alias("__f")).count()
+               .groupBy(F.input_file_name().alias("__f"),
+                        F.col(pcol).alias("__p")).count()
                .collect())
         known = set(all_dirs)
         for r in hit:
-            from urllib.parse import unquote, urlparse
-            d = os.path.dirname(urlparse(r["__f"]).path)
-            if d not in known:
-                d = unquote(d)
-            if d not in known:
-                unmapped = True  # path-encoding mismatch: record no
-                break            # counts at all (fail closed, exact)
+            d = self._file_dir(r["__f"], known)
+            if d is None:
+                try:
+                    k = self._key(r["__p"])
+                except DatabaseException:
+                    k = "*"
+                poisoned_keys.add(k if k in parts else "*")
+                continue
             inc[d] = inc.get(d, 0) + r["count"]
+        if "*" in poisoned_keys:  # partition unresolvable too: the
+            poisoned_dirs = set(all_dirs)  # old global fail-closed
+        else:
+            poisoned_dirs = {d for k in poisoned_keys
+                             for d in parts.get(k, [])}
         new_counts: dict[str, int] = {}
-        if not unmapped:
-            for d in all_dirs:
-                if tombs.get(d) and \
-                        not isinstance(cur_counts.get(d), int):
-                    continue  # legacy masking of unknown cardinality
-                new_counts[d] = cur_counts.get(d, 0) + inc.get(d, 0)
+        for d in all_dirs:
+            if d in poisoned_dirs:
+                continue  # unattributable masked rows: drop THIS
+                # dir's count only (fail closed locally)
+            if tombs.get(d) and \
+                    not isinstance(cur_counts.get(d), int):
+                continue  # legacy masking of unknown cardinality
+            new_counts[d] = cur_counts.get(d, 0) + inc.get(d, 0)
         for ds in parts.values():
             for d in ds:
                 tombs.setdefault(d, []).append(condition_sql)

@@ -389,6 +389,67 @@ def test_ivfpq_probe_version_pinning(spark, vectors, tmp_path):
     assert fresh == {v for v in before if v % 2 == 1}
 
 
+def test_ivfpq_batch_version_pinning(spark, vectors, tmp_path):
+    """The batch probe honors the same ``version`` pin as the
+    single-query probe: a batch racing a concurrent remove commit
+    scores against ONE consistent index version, and per query the
+    pinned batch equals the pinned single probe."""
+    idx = similarity.build_ivfpq_index(vectors, str(tmp_path / "bvp"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    queries = [(qid, _query_of(vectors, qid)) for qid in (0, 50)]
+    doom = vectors.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    similarity.ivfpq_remove(spark, idx, doom)
+    pinned = similarity.ivfpq_probe_batch(spark, idx, queries,
+                                          n_probe=4,
+                                          n_candidates=1000, version=0)
+    by_q = {}
+    for r in pinned.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid, qv in queries:
+        want = {r["vec_id"] for r in
+                similarity.ivfpq_probe(spark, idx, qv, n_probe=4,
+                                       n_candidates=1000,
+                                       version=0).collect()}
+        assert by_q[qid] == want and any(v % 2 == 0 for v in want), qid
+    fresh = similarity.ivfpq_probe_batch(spark, idx, queries,
+                                         n_probe=4, n_candidates=1000)
+    assert all(r["vec_id"] % 2 == 1 for r in fresh.collect())
+    # the exact re-rank threads the pin through too
+    top = similarity.ivfpq_topk_batch(spark, idx, vectors, queries,
+                                      k=5, n_probe=4, version=0)
+    assert any(r["vec_id"] % 2 == 0 for r in top.collect())
+
+
+def test_ivfpq_rebuild_is_versioned_commit(spark, vectors, tmp_path):
+    """Rebuilding over a live index must be ONE overwrite commit on
+    the SAME table — never delete-then-recreate: the version history
+    survives (time travel to the pre-rebuild code table works), and
+    there is no window where the path holds no published table."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    path = str(tmp_path / "rb")
+    similarity.build_ivfpq_index(vectors, path, n_cells=4, m=2, k=4,
+                                 fingerprint="fp-v1")
+    v0_codes = PartitionedTable(spark, path).read(version=0)
+    n_all = vectors.count()
+    assert v0_codes.count() == n_all
+    # rebuild on a SUBSET with different cell geometry
+    subset = vectors.filter(F.col("vec_id") < 100)
+    idx2 = similarity.build_ivfpq_index(subset, path, n_cells=8, m=2,
+                                        k=4, fingerprint="fp-v2")
+    pt = PartitionedTable(spark, path)
+    assert pt.versions() == [0, 1]            # one commit, same table
+    assert pt.read().count() == 100           # rebuilt content
+    assert pt.read(version=0).count() == n_all  # history intact
+    # the rebuilt index answers correctly with its new header
+    q = _query_of(vectors, 7)
+    top = similarity.ivfpq_topk(spark, idx2, subset, q, k=3)
+    assert top.collect()[0]["vec_id"] == 7
+
+
 def test_ivfpq_index_compaction_via_optimize(spark, vectors, tmp_path):
     """Hosting the code table on PartitionedTable buys OPTIMIZE for
     free: repeated appends accumulate directories per cell; compaction

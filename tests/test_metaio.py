@@ -132,6 +132,38 @@ def test_seam_semantics(io):
     assert not impl.exists(f"{root}/_manifests/v0.json")
 
 
+def test_publish_lock_without_hardlink_support(tmp_path, monkeypatch):
+    """Filesystems that refuse os.link (some NFS/FUSE/object-store
+    mounts) must still deliver the held/free lock signal via the
+    O_EXCL fallback — a raw EPERM out of publish_lock would break
+    mview.refresh entirely instead of failing safe."""
+    import errno
+    import os as _os
+
+    real_link = _os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted", dst)
+
+    monkeypatch.setattr(_os, "link", no_link)
+    impl = LocalMetadataIO()
+    lock = str(tmp_path / "lk")
+    impl.publish_lock(lock, "123")
+    assert impl.read_text(lock) == "123"        # content intact
+    with pytest.raises(FileExistsError):        # held signal intact
+        impl.publish_lock(lock, "456")
+    assert impl.read_text(lock) == "123"
+    assert not [f for f in _os.listdir(tmp_path)  # no tmp litter
+                if ".tmp." in f]
+    # an errno OUTSIDE the no-hardlink set still propagates raw
+    monkeypatch.setattr(_os, "link", lambda s, d, **kw: (_ for _ in ())
+                        .throw(OSError(errno.EIO, "I/O error", d)))
+    with pytest.raises(OSError) as ei:
+        impl.publish_lock(str(tmp_path / "lk2"), "x")
+    assert ei.value.errno == errno.EIO
+    monkeypatch.setattr(_os, "link", real_link)
+
+
 class RecordingIO(LocalMetadataIO):
     """Pass-through wrapper logging every seam call."""
 

@@ -736,6 +736,42 @@ def test_metadata_count_answers_without_scanning(pt, spark):
     assert pt.read().count() == 1           # the fallback path
 
 
+def test_soft_delete_unmappable_file_poisons_only_its_partition(
+        pt, spark, monkeypatch):
+    """An ``input_file_name()`` that maps back to no manifest directory
+    (relative table root, exotic URI encoding) must fail closed for
+    ONLY that file's partition: its directories lose their tombstone
+    cardinality (per-partition metadata COUNT declines there), while
+    every other directory keeps exact counts.  The old behavior wiped
+    the whole tomb_counts map — irreversibly losing metadata-only
+    COUNT for the entire table on one bad path."""
+    real = PartitionedTable._file_dir
+    a_dir, = _dirs(pt)["A"]
+    b_dir, = _dirs(pt)["B"]
+    c_dir, = _dirs(pt)["C"]
+
+    def flaky(fname, known):
+        d = real(fname, known)
+        return None if d == a_dir else d
+
+    monkeypatch.setattr(PartitionedTable, "_file_dir",
+                        staticmethod(flaky))
+    # matches rows in A (unmappable) and B (mappable)
+    pt.delete_soft("id IN (1, 3)")
+    counts = pt._manifest()["tomb_counts"]
+    assert a_dir not in counts            # poisoned: fail closed
+    assert counts[b_dir] == 1             # exact, kept
+    assert counts[c_dir] == 0             # untouched, kept
+    assert pt.metadata_count() is None    # table total: A unknown
+    assert pt.read().count() == 3         # data path still exact
+    # a later mappable soft delete builds on the surviving counts
+    monkeypatch.setattr(PartitionedTable, "_file_dir",
+                        staticmethod(real))
+    pt.delete_soft("id = 4")
+    counts = pt._manifest()["tomb_counts"]
+    assert counts[b_dir] == 2 and a_dir not in counts
+
+
 def test_metadata_min_max(pt, spark):
     """Global MIN/MAX of an int column from the skipping stats; floats
     never record bounds (NaN ordering), so they answer None."""
