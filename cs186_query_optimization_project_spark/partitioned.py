@@ -100,6 +100,11 @@ class PartitionedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        #: per-staging `_stats.json` parse cache — sound because the
+        #: sidecar is published write-once with its staging (exclusive
+        #: create, never replaced); without it every skipping loop
+        #: re-reads the same sidecar once per DIRECTORY per query
+        self._stats_cache: dict[str, dict] = {}
         if not metaio.IO.is_dir(self._manifest_dir()):
             raise DatabaseException(
                 f"no partitioned table at '{self.root}' "
@@ -548,11 +553,20 @@ class PartitionedTable:
         return out
 
     def _staging_stats(self, staging: str) -> dict:
-        try:
-            return json.loads(metaio.IO.read_text(
-                os.path.join(staging, "_stats.json")))
-        except (OSError, ValueError):
-            return {}  # fail-open: no stats, no skipping
+        """Parsed `_stats.json` for one staging, memoized per instance
+        (the sidecar is immutable with its staging, so the cache can
+        never serve stale bounds).  A missing/corrupt sidecar caches
+        its fail-open {} too: retrying it per directory would just
+        repeat the miss."""
+        hit = self._stats_cache.get(staging)
+        if hit is None:
+            try:
+                hit = json.loads(metaio.IO.read_text(
+                    os.path.join(staging, "_stats.json")))
+            except (OSError, ValueError):
+                hit = {}  # fail-open: no stats, no skipping
+            self._stats_cache[staging] = hit
+        return hit
 
     @staticmethod
     def _bound(v):

@@ -132,6 +132,41 @@ def test_seam_semantics(io):
     assert not impl.exists(f"{root}/_manifests/v0.json")
 
 
+def test_staging_stats_parsed_once_per_staging(spark, tmp_path,
+                                               monkeypatch):
+    """The skipping loops call _staging_stats once per DIRECTORY; the
+    sidecar is immutable with its staging, so each staging's
+    _stats.json must be read+parsed at most ONCE per table handle —
+    at metadata scale (thousands of dirs per staging) the repeated
+    driver-side parse was O(dirs x queries)."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    rec = RecordingIO()
+    monkeypatch.setattr(metaio, "IO", rec)
+    df = spark.createDataFrame(
+        [(i, chr(65 + i % 4), float(i)) for i in range(20)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "t"), "grp")
+    rec.calls.clear()
+    pt.read_where("id", lo=3, hi=7).count()
+    pt.read_where("id", lo=3, hi=7).count()       # second query
+    pt.read_point("id", 5).count()
+    stats_reads = [p for (m, p) in rec.calls
+                   if m == "read_text" and p.endswith("_stats.json")]
+    assert len(stats_reads) == 1                  # one staging, one parse
+    # a fresh handle re-reads once (no cross-instance staleness risk:
+    # the sidecar is write-once), then serves from its own cache
+    pt2 = PartitionedTable(spark, str(tmp_path / "t"))
+    rec.calls.clear()
+    pt2.read_where("id", lo=3, hi=7).count()
+    pt2.read_where("id", lo=3, hi=7).count()
+    stats_reads = [p for (m, p) in rec.calls
+                   if m == "read_text" and p.endswith("_stats.json")]
+    assert len(stats_reads) == 1
+
+
 def test_publish_lock_without_hardlink_support(tmp_path, monkeypatch):
     """Filesystems that refuse os.link (some NFS/FUSE/object-store
     mounts) must still deliver the held/free lock signal via the
