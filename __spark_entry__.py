@@ -5112,6 +5112,78 @@ def q_url_dedup(spark, sf_dir):
                        F.col("n_dups").cast("bigint").alias("n_dups")))
 
 
+def q_multi_partition(spark, sf_dir):
+    """Hierarchical two-column hive partitioning
+    (``PartitionedTable.create(..., ["o_orderstatus",
+    "o_orderpriority"])`` — the standard 100 TB layout, e.g.
+    date/source): manifest keys are the hive path tuple and every
+    partition-aware read prunes EXACTLY — a full-tuple read lists one
+    leaf directory, a scalar prefix read lists one subtree, and a
+    SECOND-component point read prunes on its path component alone.
+    In-entry contracts raise (must survive ``python -O``): the
+    full-tuple lookup issues ZERO Spark jobs before the pruned scan
+    and lists exactly the manifest's one leaf of 15; the
+    second-component read lists exactly the 3 leaves carrying that
+    priority.  The oracle replays all three aggregates as plain
+    WHERE clauses over orders."""
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("mpart", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus",
+                                      "o_orderpriority",
+                                      "o_totalprice"),
+            f"{base}/orders", ["o_orderstatus", "o_orderpriority"])
+        man = pt._manifest()
+        n_leaves = sum(len(ds) for ds in man["parts"].values())
+        # --- full-tuple read: zero jobs, exactly one leaf listed ---
+        jobs_before = _job_counter(spark)
+        exact = pt.read(partition_values=[("F", "1-URGENT")])
+        if _job_counter(spark) != int(jobs_before):
+            raise RuntimeError(
+                "two-column exact read scheduled Spark jobs before "
+                "the pruned scan; the prune is manifest-only")
+        dirs = {_os.path.normpath(_os.path.dirname(
+            f.removeprefix("file:"))) for f in exact.inputFiles()}
+        want = {_os.path.normpath(d)
+                for d in man["parts"]["F/1-URGENT"]}
+        if dirs != want or n_leaves < 15:
+            raise RuntimeError(
+                f"exact tuple read listed {len(dirs)} dirs of "
+                f"{n_leaves}; must be exactly the manifest's leaf")
+        # --- second-component point read: exactly that component ---
+        comp = pt.read_point("o_orderpriority", "5-LOW")
+        cdirs = {_os.path.normpath(_os.path.dirname(
+            f.removeprefix("file:"))) for f in comp.inputFiles()}
+        cwant = {_os.path.normpath(d)
+                 for k, ds in man["parts"].items()
+                 if k.split("/")[1] == "5-LOW" for d in ds}
+        if cdirs != cwant:
+            raise RuntimeError(
+                f"component read listed {len(cdirs)} dirs, manifest "
+                f"has {len(cwant)} with that priority")
+        # --- scalar prefix read: one status subtree ---
+        prefix = pt.read(partition_values=["O"])
+        row = (exact.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_exact"))
+            .collect()[0])
+        n_prefix = prefix.count()
+        n_comp = comp.count()
+    return spark.createDataFrame(
+        [(int(row["n_exact"]), float(row["sum_exact"]),
+          int(n_prefix), int(n_comp), True, True)],
+        "n_exact bigint, sum_exact double, n_prefix bigint, "
+        "n_component bigint, exact_pruned boolean, "
+        "component_pruned boolean")
+
+
 def q_expectations(spark, sf_dir):
     """Declarative data-quality expectations
     (``profiling.expectations_report`` — the Delta Live Tables
@@ -5296,7 +5368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything below is ordered stalest-first so the round-14
         # rotation is mechanical; every entry is re-verified each round
         # by tools/check_contract.py at sf0.01 (LOCALCHECK_r13.json).
-        # 11 r9-era rows parked below the line — first for round 14:
+        # r13 additions (never driver-checked) — first for round 14:
+        "multi_partition": q_multi_partition,
+        # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
         "groupby_count": q_groupby_count,
@@ -6372,6 +6446,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(doc_id) AS BIGINT) AS keeper, "
             "CAST(COUNT(*) AS BIGINT) AS n_dups "
             "FROM documents GROUP BY doc_id % 50"),
+        "multi_partition": (
+            "SELECT "
+            "CAST((SELECT COUNT(*) FROM orders "
+            "  WHERE o_orderstatus = 'F' "
+            "  AND o_orderpriority = '1-URGENT') AS BIGINT) AS n_exact, "
+            "ROUND((SELECT SUM(o_totalprice) FROM orders "
+            "  WHERE o_orderstatus = 'F' "
+            "  AND o_orderpriority = '1-URGENT'), 2) AS sum_exact, "
+            "CAST((SELECT COUNT(*) FROM orders "
+            "  WHERE o_orderstatus = 'O') AS BIGINT) AS n_prefix, "
+            "CAST((SELECT COUNT(*) FROM orders "
+            "  WHERE o_orderpriority = '5-LOW') AS BIGINT) "
+            "  AS n_component, "
+            "TRUE AS exact_pruned, TRUE AS component_pruned"),
         "multi_skip": (
             "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
             "    o_totalprice FROM orders "

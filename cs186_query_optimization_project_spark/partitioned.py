@@ -86,15 +86,18 @@ class PartitionedTable:
         root/parts/<uuid>/__p=<val>/      data directories — each
                                           <uuid> staging is ONE write
                                           job's partitionBy output
+                                          (hierarchical layouts nest:
+                                          __p0=<v>/__p1=<v>/...)
 
     Every write (create / insert / a DML statement's rewrites) is one
-    ``partitionBy`` job on a DUPLICATED partition column (``__p``), so
-    data files keep the real column while hive routing happens on the
-    copy — one job regardless of how many partitions it lands in.  A
-    manifest is ``{"version": N, "partition_col": c, "schema": ddl,
+    ``partitionBy`` job on DUPLICATED partition columns (``__p``, or
+    ``__p0..n`` for multi-column hive layouts), so data files keep the
+    real columns while hive routing happens on the copies — one job
+    regardless of how many partitions it lands in.  A manifest is
+    ``{"version": N, "partition_cols": [c, ...], "schema": ddl,
     "parts": {key: [dir, ...]}}`` where ``key`` is the hive path
-    encoding of the value.  Directories are immutable once published;
-    versions share them.
+    encoding of the value tuple ('/'-joined components).  Directories
+    are immutable once published; versions share them.
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -115,7 +118,7 @@ class PartitionedTable:
     # ------------------------------------------------------------------ #
     @classmethod
     def create(cls, spark: SparkSession, df: DataFrame, root: str,
-               partition_col: str,
+               partition_col: str | list[str],
                bloom_cols: list[str] | None = None) \
             -> "PartitionedTable":
         """Materialize ``df`` as version 0, one directory per partition
@@ -129,27 +132,42 @@ class PartitionedTable:
         lookups via :meth:`read_point` skip directories whose filter
         proves the value absent — the high-cardinality-column analog
         of the footer min/max skipping, for columns where ranges
-        overlap everywhere but membership is sparse."""
+        overlap everywhere but membership is sparse.
+
+        ``partition_col`` may be a LIST for hierarchical hive layouts
+        (the standard 100 TB shape, e.g. ``["o_orderdate", "source"]``
+        → ``date=.../source=.../``): manifest keys become the hive
+        path tuple, and every partition-aware read prunes exactly on
+        any key prefix or component."""
         root = root.rstrip("/")
-        if partition_col not in df.columns:
+        pcols = [partition_col] if isinstance(partition_col, str) \
+            else list(partition_col)
+        if not pcols or len(set(pcols)) != len(pcols):
             raise DatabaseException(
-                f"partition column '{partition_col}' not in "
-                f"{df.columns}")
+                f"partition columns {pcols} must be non-empty and "
+                f"distinct")
+        for c in pcols:
+            if c not in df.columns:
+                raise DatabaseException(
+                    f"partition column '{c}' not in {df.columns}")
+            ptype = df.schema[c].dataType
+            if not isinstance(ptype, _KEYABLE):
+                raise DatabaseException(
+                    f"partition column '{c}' has type {ptype}; "
+                    f"only string/integral/boolean/date columns "
+                    f"partition (float keys are not stable manifest "
+                    f"keys)")
         for c in bloom_cols or []:
             if c not in df.columns:
                 raise DatabaseException(
                     f"bloom column '{c}' not in {df.columns}")
-        ptype = df.schema[partition_col].dataType
-        if not isinstance(ptype, _KEYABLE):
-            raise DatabaseException(
-                f"partition column '{partition_col}' has type {ptype}; "
-                f"only string/integral/boolean/date columns partition "
-                f"(float keys are not stable manifest keys)")
-        if df.agg(F.max(F.col(partition_col).isNull())) \
-                .collect()[0][0]:
-            raise DatabaseException(
-                f"partition column '{partition_col}' contains NULLs; "
-                f"assign an explicit sentinel partition first")
+        nulls = df.agg(*[F.max(F.col(c).isNull()).alias(c)
+                         for c in pcols]).collect()[0]
+        for c in pcols:
+            if nulls[c]:
+                raise DatabaseException(
+                    f"partition column '{c}' contains NULLs; "
+                    f"assign an explicit sentinel partition first")
         metaio.IO.make_dirs(os.path.join(root, "_manifests"),
                             exist_ok=False)
         metaio.IO.make_dirs(os.path.join(root, "parts"),
@@ -157,9 +175,10 @@ class PartitionedTable:
         self_stub = object.__new__(cls)
         self_stub.spark = spark
         self_stub.root = root
+        self_stub._stats_cache = {}
         self_stub._pending_bloom_cols = list(bloom_cols or [])
-        parts = self_stub._write_partitions(df, partition_col)
-        self_stub._commit(0, partition_col, df.schema, parts,
+        parts = self_stub._write_partitions(df, pcols)
+        self_stub._commit(0, pcols, df.schema, parts,
                           bloom_cols=list(bloom_cols or []),
                           op="CREATE")
         return cls(spark, root)
@@ -199,7 +218,7 @@ class PartitionedTable:
         return json.loads(
             metaio.IO.read_text(self._manifest_path(version)))
 
-    def _commit(self, version: int, partition_col: str,
+    def _commit(self, version: int, partition_cols,
                 schema: T.StructType, parts: dict[str, list[str]],
                 txns: dict[str, int] | None = None,
                 tombstones: dict[str, list[str]] | None = None,
@@ -241,12 +260,19 @@ class PartitionedTable:
                 tomb_counts = self._manifest().get("tomb_counts", {})
             except DatabaseException:
                 tomb_counts = {}
+        pcols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
         referenced = {d for ds in parts.values() for d in ds}
         live_tombs = {d: list(ts) for d, ts in
                       sorted((tombstones or {}).items())
                       if ts and d in referenced}
         payload = json.dumps({
-            "version": version, "partition_col": partition_col,
+            "version": version,
+            # single-column manifests keep the legacy scalar field
+            # (readable by pre-multi-column code and tests); the list
+            # is the source of truth either way (see _pcols_of)
+            **({"partition_col": pcols[0]} if len(pcols) == 1 else {}),
+            "partition_cols": pcols,
             "schema": schema.simpleString(),
             # keys sorted for stable manifests; dir lists keep APPEND
             # order (oldest first) so history reads naturally
@@ -275,8 +301,47 @@ class PartitionedTable:
                 f"partitioned table '{self.root}': version {version} "
                 f"was published concurrently; retry on a fresh read")
 
+    @staticmethod
+    def _pcols_of(man: dict) -> list[str]:
+        """The partitioning column list of a manifest — reads the
+        modern ``partition_cols`` field, falling back to the legacy
+        scalar ``partition_col`` (pre-multi-column manifests)."""
+        pc = man.get("partition_cols")
+        return list(pc) if pc else [man["partition_col"]]
+
+    def partition_cols(self) -> list[str]:
+        return self._pcols_of(self._manifest())
+
     def partition_col(self) -> str:
-        return self._manifest()["partition_col"]
+        cols = self.partition_cols()
+        if len(cols) != 1:
+            raise DatabaseException(
+                f"'{self.root}' is partitioned on {cols}; use "
+                f"partition_cols()")
+        return cols[0]
+
+    def _ckey(self, values, pcols: list[str]) -> str:
+        """The composite manifest key for one partition — per-level
+        ``_key`` components joined by '/', mirroring the hive path.
+        ``values`` is a scalar for single-column tables, a full tuple
+        for multi-column ones.  Multi-column string values may not
+        contain '/' (the join would be ambiguous); the write path
+        enforces the same."""
+        if not isinstance(values, (tuple, list)):
+            values = (values,)
+        if len(values) != len(pcols):
+            raise DatabaseException(
+                f"partition value {values!r} does not match partition "
+                f"columns {pcols} (give one value per column)")
+        ks = []
+        for v in values:
+            k = self._key(v)
+            if len(pcols) > 1 and "/" in k:
+                raise DatabaseException(
+                    f"multi-column partition value {v!r} contains '/' "
+                    f"(ambiguous composite key); use a sentinel")
+            ks.append(k)
+        return "/".join(ks)
 
     def _key(self, value) -> str:
         """The manifest key for a partition value — must equal Spark's
@@ -309,42 +374,82 @@ class PartitionedTable:
     def _new_dir(self) -> str:
         return os.path.join(self.root, "parts", uuid.uuid4().hex)
 
+    @staticmethod
+    def _hive_names(pcols: list[str]) -> list[str]:
+        """The duplicated hive-routing column names: ``__p`` for
+        single-column tables (the historical layout every existing
+        manifest references), ``__p0``, ``__p1``, ... for
+        hierarchical ones."""
+        return ["__p"] if len(pcols) == 1 else \
+            [f"__p{i}" for i in range(len(pcols))]
+
     def _write_partitions(self, df: DataFrame,
-                          partition_col: str) -> dict[str, list[str]]:
+                          partition_cols) -> dict[str, list[str]]:
         """Write every partition of ``df`` in ONE Spark job:
-        ``partitionBy`` on a duplicated column (``__p``), so the data
-        files keep the real partition column while hive routing happens
-        on the copy.  One job regardless of partition count — a
-        per-partition write loop would launch |partitions| jobs, which
-        at thousands of partitions is the difference between one pass
-        and a scheduler meltdown.  Returns ``{key: [dir]}`` parsed from
-        the staging layout."""
+        ``partitionBy`` on duplicated columns (``__p`` / ``__p0..n``),
+        so the data files keep the real partition columns while hive
+        routing happens on the copies.  One job regardless of
+        partition count — a per-partition write loop would launch
+        |partitions| jobs, which at thousands of partitions is the
+        difference between one pass and a scheduler meltdown.  Returns
+        ``{composite_key: [leaf_dir]}`` parsed from the staging
+        layout; each LEAF PARENT gets its own immutable `_stats.json`
+        sidecar (leaf basename → stats), so skipping readers resolve
+        stats with ``dirname(d)``/``basename(d)`` at any nesting
+        depth."""
         from urllib.parse import unquote
 
+        pcols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        names = self._hive_names(pcols)
         staging = self._new_dir()
-        (df.withColumn("__p", F.col(partition_col))
-         .write.mode("error").partitionBy("__p").parquet(staging))
+        tmp = df
+        for n, c in zip(names, pcols):
+            tmp = tmp.withColumn(n, F.col(c))
+        tmp.write.mode("error").partitionBy(*names).parquet(staging)
         out: dict[str, list[str]] = {}
-        stats: dict[str, dict] = {}
-        names: dict[str, str] = {}
-        for name in metaio.IO.list_dir(staging):
-            if name.startswith("__p="):
-                key = unquote(name[len("__p="):])
-                out[key] = [os.path.join(staging, name)]
-                names[key] = name
-                stats[name] = self._dir_stats(
-                    os.path.join(staging, name))
+        leaf_name: dict[str, str] = {}
+        leaf_parent: dict[str, str] = {}
+
+        def walk(cur: str, level: int, key_parts: list[str]) -> None:
+            prefix = f"{names[level]}="
+            for nm in sorted(metaio.IO.list_dir(cur)):
+                if not nm.startswith(prefix):
+                    continue
+                val = unquote(nm[len(prefix):])
+                if len(pcols) > 1 and "/" in val:
+                    raise DatabaseException(
+                        f"multi-column partition value {val!r} "
+                        f"contains '/' (ambiguous composite key); "
+                        f"use a sentinel")
+                child = os.path.join(cur, nm)
+                kp = key_parts + [val]
+                if level + 1 == len(pcols):
+                    key = "/".join(kp)
+                    out[key] = [child]
+                    leaf_name[key] = nm
+                    leaf_parent[key] = cur
+                else:
+                    walk(child, level + 1, kp)
+
+        walk(staging, 0, [])
+        by_parent: dict[str, dict] = {} if out else {staging: {}}
+        for key, ds in out.items():
+            by_parent.setdefault(leaf_parent[key], {})[
+                leaf_name[key]] = self._dir_stats(ds[0])
         bloom_cols = [c for c in self._active_bloom_cols()
                       if c in df.columns]  # fail-open when absent
-        if bloom_cols and names:
+        if bloom_cols and out:
             for (key, c), bloom in self._compute_blooms(
-                    staging, bloom_cols, set(names)).items():
-                stats[names[key]].setdefault("__bloom", {})[c] = bloom
-        # sidecar, immutable with the staging: per-directory min/max
-        # bounds (and bloom bitmaps) for read_where / read_point
-        # skipping
-        metaio.IO.write_new(os.path.join(staging, "_stats.json"),
-                            json.dumps(stats))
+                    staging, bloom_cols, set(out), names).items():
+                by_parent[leaf_parent[key]][leaf_name[key]] \
+                    .setdefault("__bloom", {})[c] = bloom
+        # sidecars, immutable with the staging: per-directory min/max
+        # bounds (and bloom bitmaps) for read_where / read_point /
+        # read_skipping
+        for parent, stats in by_parent.items():
+            metaio.IO.write_new(os.path.join(parent, "_stats.json"),
+                                json.dumps(stats))
         return out
 
     def _active_bloom_cols(self) -> list[str]:
@@ -367,7 +472,9 @@ class PartitionedTable:
                 for s in range(_BLOOM_K)]
 
     def _compute_blooms(self, staging: str, cols: list[str],
-                        keys: set[str]) -> dict[tuple, dict]:
+                        keys: set[str],
+                        names: list[str] | None = None) \
+            -> dict[tuple, dict]:
         """Per-(partition, column) Bloom filters as ``{"bits": m,
         "hex": bitmap}``, built EXECUTOR-SIDE in ONE job over the
         STAGED parquet — never by re-executing the input plan, which
@@ -424,8 +531,12 @@ class PartitionedTable:
             F.when(F.col(c).isNotNull(),
                    F.struct(F.lit(c).alias("__c"), h.alias("__pos")))
             for c in cols for h in self._bloom_hashes(F.col(c))])
+        key_expr = (F.col("__p").cast("string")
+                    if not names or names == ["__p"] else
+                    F.concat_ws("/", *[F.col(n).cast("string")
+                                       for n in names]))
         rows = (staged
-                .select(F.col("__p").cast("string").alias("__k"),
+                .select(key_expr.alias("__k"),
                         F.explode(F.filter(
                             structs, lambda s: s.isNotNull()))
                         .alias("__s"))
@@ -522,11 +633,36 @@ class PartitionedTable:
         man = self._manifest(version)
         parts = man["parts"]
         if partition_values is not None:
-            wanted = {self._key(v) for v in partition_values}
-            parts = {k: v for k, v in parts.items() if k in wanted}
+            keep = self._match_keys(parts, partition_values,
+                                    self._pcols_of(man))
+            parts = {k: v for k, v in parts.items() if k in keep}
         dirs = [d for ds in parts.values() for d in ds]
         return self._scan(dirs, T._parse_datatype_string(man["schema"]),
                           man.get("tombstones", {}))
+
+    def _match_keys(self, parts: dict, partition_values,
+                    pcols: list[str]) -> set[str]:
+        """The manifest keys ``partition_values`` selects.  Each value
+        is a scalar (single-column tables) or a tuple; on multi-column
+        tables a tuple SHORTER than the column list (or a scalar) is a
+        PREFIX — it selects every partition under that hive subtree,
+        the standard hierarchical-pruning shape."""
+        exact: set[str] = set()
+        prefixes: list[str] = []
+        for v in partition_values:
+            tup = v if isinstance(v, (tuple, list)) else (v,)
+            if len(tup) == len(pcols):
+                exact.add(self._ckey(tup, pcols))
+            elif len(tup) < len(pcols):
+                prefixes.append(
+                    self._ckey(tup, pcols[:len(tup)]) + "/")
+            else:
+                raise DatabaseException(
+                    f"partition value {v!r} has more components than "
+                    f"partition columns {pcols}")
+        return {k for k in parts
+                if k in exact
+                or any(k.startswith(p) for p in prefixes)}
 
     def _scan(self, dirs: list[str], schema: T.StructType,
               tombs: dict[str, list[str]]) -> DataFrame:
@@ -622,17 +758,21 @@ class PartitionedTable:
                 f"matches nothing; use an isNull filter on read())")
         from cs186_query_optimization_project_spark import xxh64
 
-        if column == man["partition_col"]:
-            # exact manifest pruning — no bloom needed for the
-            # partition column, and no false positives either.  A
-            # probe already OF the column's native type prunes with
-            # zero Spark jobs; a mismatched probe (read_point(k, 5.0)
-            # on a long column) is COERCED by the JVM's own cast (one
-            # 1-row job) so it prunes to partition "5" the way
-            # read().filter(col == 5.0) matches it; an uncastable
-            # probe can match nothing.  A lossy coercion (5.7 → 5)
-            # may keep a partition the exact filter then empties —
-            # result equality is preserved, skipping stays I/O-only.
+        pcols = self._pcols_of(man)
+        if column in pcols:
+            # exact manifest pruning — no bloom needed for a
+            # partition column, and no false positives either: the
+            # probe matches its hive path COMPONENT, so ANY level of
+            # a hierarchical layout prunes exactly, not just the
+            # first.  A probe already OF the column's native type
+            # prunes with zero Spark jobs; a mismatched probe
+            # (read_point(k, 5.0) on a long column) is COERCED by the
+            # JVM's own cast (one 1-row job) so it prunes to
+            # partition "5" the way read().filter(col == 5.0) matches
+            # it; an uncastable probe can match nothing.  A lossy
+            # coercion (5.7 → 5) may keep a partition the exact
+            # filter then empties — result equality is preserved,
+            # skipping stays I/O-only.
             dtype = T._parse_datatype_string(
                 man["schema"])[column].dataType
             if xxh64.native_match(value, dtype):
@@ -643,7 +783,12 @@ class PartitionedTable:
                     .collect()[0]["v"]
             if coerced is None:
                 return []
-            return list(man["parts"].get(self._key(coerced), []))
+            if len(pcols) == 1:
+                return list(man["parts"].get(self._key(coerced), []))
+            i = pcols.index(column)
+            want = self._key(coerced)
+            return [d for k, ds in man["parts"].items()
+                    if k.split("/")[i] == want for d in ds]
         if column not in man.get("bloom_cols", []):
             return [d for ds in man["parts"].values() for d in ds]
         # probe-side hashing replays the write side's
@@ -710,7 +855,7 @@ class PartitionedTable:
         eq = dict(eq or {})
         ranges = dict(ranges or {})
         man = self._manifest(version)
-        pcol = man["partition_col"]
+        pcols = self._pcols_of(man)
         schema = T._parse_datatype_string(man["schema"])
         for c in list(eq) + list(ranges):
             if c not in schema.names:
@@ -723,19 +868,21 @@ class PartitionedTable:
                     f"read_skipping '{self.root}': NULL probe on "
                     f"'{c}' (SQL '= NULL' matches nothing; use an "
                     f"isNull filter on read())")
-        dirs = (self._point_dirs(pcol, eq[pcol], version)
-                if pcol in eq
-                else [d for ds in man["parts"].values() for d in ds])
+        dirs = [d for ds in man["parts"].values() for d in ds]
+        for c in pcols:
+            if c in eq:  # each partition component prunes exactly
+                admitted = set(self._point_dirs(c, eq[c], version))
+                dirs = [d for d in dirs if d in admitted]
         probes = {c: self._probe_positions(c, v, schema[c].dataType)
                   for c, v in eq.items()
-                  if c != pcol and c in man.get("bloom_cols", [])}
+                  if c not in pcols and c in man.get("bloom_cols", [])}
         keep = []
         for d in dirs:
             stats = (self._staging_stats(os.path.dirname(d))
                      .get(os.path.basename(d), {}))
             ok = True
             for c, v in eq.items():
-                if c == pcol:
+                if c in pcols:
                     continue
                 if c in probes and \
                         not self._bloom_admits(stats, c, probes[c]):
@@ -903,11 +1050,16 @@ class PartitionedTable:
     # ------------------------------------------------------------------ #
     # DML — O(touched partitions)
     # ------------------------------------------------------------------ #
-    def _touched(self, df: DataFrame, condition, pcol: str) -> list:
+    def _touched(self, df: DataFrame, condition, pcols) -> list:
         """Partition values owning at least one row matching
-        ``condition`` — |partitions|-bounded collect."""
-        return [r[0] for r in (df.filter(condition)
-                               .select(pcol).distinct().collect())]
+        ``condition`` — |partitions|-bounded collect.  Scalars for
+        single-column tables, full tuples for hierarchical ones."""
+        if isinstance(pcols, str):
+            pcols = [pcols]
+        rows = (df.filter(condition)
+                .select(*pcols).distinct().collect())
+        return [r[0] for r in rows] if len(pcols) == 1 \
+            else [tuple(r) for r in rows]
 
     def insert(self, rows: DataFrame,
                merge_schema: bool = False) -> "PartitionedTable":
@@ -921,7 +1073,7 @@ class PartitionedTable:
         reconcile them with NULLs via a mergeSchema scan), but may
         never drop, retype, or reorder existing columns."""
         man = self._manifest()
-        pcol = man["partition_col"]
+        pcols = self._pcols_of(man)
         expected = T._parse_datatype_string(man["schema"])
         got = rows.schema
         if merge_schema:
@@ -940,14 +1092,17 @@ class PartitionedTable:
                 f"insert into '{self.root}': schema mismatch; table "
                 f"has {expected.simpleString()}, rows have "
                 f"{got.simpleString()}")
-        if rows.agg(F.max(F.col(pcol).isNull())).collect()[0][0]:
+        if rows.agg(F.max(F.greatest(*[F.col(c).isNull()
+                                       for c in pcols])
+                          if len(pcols) > 1 else
+                          F.col(pcols[0]).isNull())).collect()[0][0]:
             raise DatabaseException(
                 f"insert into '{self.root}': NULL partition value")
         self._enforce(rows, man.get("constraints", {}), "insert")
         parts = {k: list(v) for k, v in man["parts"].items()}
-        for key, ds in self._write_partitions(rows, pcol).items():
+        for key, ds in self._write_partitions(rows, pcols).items():
             parts.setdefault(key, []).extend(ds)
-        self._commit(man["version"] + 1, pcol, expected, parts,
+        self._commit(man["version"] + 1, pcols, expected, parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="INSERT")
         return self
@@ -966,7 +1121,7 @@ class PartitionedTable:
         proves it only touches what it planned to touch).  Cost:
         O(|rows| write + |partitions| manifest), never O(table)."""
         man = self._manifest()
-        pcol = man["partition_col"]
+        pcols = self._pcols_of(man)
         expected = T._parse_datatype_string(man["schema"])
         if [(f.name, f.dataType) for f in expected.fields] != \
                 [(f.name, f.dataType) for f in rows.schema.fields]:
@@ -977,12 +1132,24 @@ class PartitionedTable:
         # both guards in ONE aggregation job: a take(1) probe that
         # matches nothing (the healthy path) escalates through
         # full-scan job retries, re-executing the input plan each time
+        if len(pcols) == 1:
+            null_expr = F.col(pcols[0]).isNull()
+            # native isin keeps Spark's own coercion for mistyped
+            # scalars (5.0 naming a long partition)
+            member = F.col(pcols[0]).isin(list(partition_values))
+            stray_repr = F.col(pcols[0]).cast("string")
+        else:
+            null_expr = F.greatest(*[F.col(c).isNull()
+                                     for c in pcols])
+            key_expr = F.concat_ws(
+                "/", *[F.col(c).cast("string") for c in pcols])
+            wanted = [self._ckey(v, pcols) for v in partition_values]
+            member = key_expr.isin(wanted)
+            stray_repr = key_expr
         guard = rows.agg(
-            F.max(F.col(pcol).isNull()).alias("has_null"),
-            F.first(F.when(
-                ~F.col(pcol).isin(list(partition_values)),
-                F.col(pcol)), ignorenulls=True).alias("stray")) \
-            .collect()[0]
+            F.max(null_expr).alias("has_null"),
+            F.first(F.when(~member, stray_repr),
+                    ignorenulls=True).alias("stray")).collect()[0]
         if guard["has_null"]:
             raise DatabaseException(
                 f"overwrite_partitions into '{self.root}': NULL "
@@ -991,15 +1158,15 @@ class PartitionedTable:
             raise DatabaseException(
                 f"overwrite_partitions into '{self.root}': rows fall "
                 f"outside the named partitions {partition_values} "
-                f"(e.g. {pcol}={guard['stray']!r})")
+                f"(e.g. {pcols}={guard['stray']!r})")
         self._enforce(rows, man.get("constraints", {}),
                       "overwrite_partitions")
         parts = {k: list(v) for k, v in man["parts"].items()}
         for v in partition_values:
-            parts.pop(self._key(v), None)
-        for key, ds in self._write_partitions(rows, pcol).items():
+            parts.pop(self._ckey(v, pcols), None)
+        for key, ds in self._write_partitions(rows, pcols).items():
             parts[key] = ds
-        self._commit(man["version"] + 1, pcol,
+        self._commit(man["version"] + 1, pcols,
                      T._parse_datatype_string(man["schema"]), parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="OVERWRITE")
@@ -1011,19 +1178,20 @@ class PartitionedTable:
         matching row; each touched partition's dir-list collapses to
         one directory (incremental compaction for free)."""
         man = self._manifest()
-        pcol = man["partition_col"]
+        pcols = self._pcols_of(man)
         parts = {k: list(v) for k, v in man["parts"].items()}
-        touched = self._touched(self.read(), condition, pcol)
+        touched = self._touched(self.read(), condition, pcols)
         if touched:
             # ONE job rewrites every touched partition's survivors; a
             # partition whose rows all matched writes nothing and maps
             # to an empty dir-list
             survivors = (self.read(partition_values=touched)
                          .filter(~condition | condition.isNull()))
-            new_parts = self._write_partitions(survivors, pcol)
+            new_parts = self._write_partitions(survivors, pcols)
             for v in touched:
-                parts[self._key(v)] = new_parts.get(self._key(v), [])
-        self._commit(man["version"] + 1, pcol,
+                parts[self._ckey(v, pcols)] = new_parts.get(
+                    self._ckey(v, pcols), [])
+        self._commit(man["version"] + 1, pcols,
                      T._parse_datatype_string(man["schema"]), parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="DELETE")
@@ -1045,7 +1213,7 @@ class PartitionedTable:
         boolean over the table's columns — it is validated by planning
         it against the current schema before publish."""
         man = self._manifest()
-        pcol = man["partition_col"]
+        pcols = self._pcols_of(man)
         schema = T._parse_datatype_string(man["schema"])
         # fail-fast validation: the predicate must plan over the schema
         try:
@@ -1082,14 +1250,16 @@ class PartitionedTable:
         hit = (self._scan(all_dirs, schema, man.get("tombstones", {}))
                .filter(F.expr(condition_sql))
                .groupBy(F.input_file_name().alias("__f"),
-                        F.col(pcol).alias("__p")).count()
+                        *[F.col(c).alias(f"__p{i}")
+                          for i, c in enumerate(pcols)]).count()
                .collect())
         known = set(all_dirs)
         for r in hit:
             d = self._file_dir(r["__f"], known)
             if d is None:
                 try:
-                    k = self._key(r["__p"])
+                    k = self._ckey(tuple(r[f"__p{i}"] for i in
+                                         range(len(pcols))), pcols)
                 except DatabaseException:
                     k = "*"
                 poisoned_keys.add(k if k in parts else "*")
@@ -1112,7 +1282,7 @@ class PartitionedTable:
         for ds in parts.values():
             for d in ds:
                 tombs.setdefault(d, []).append(condition_sql)
-        self._commit(man["version"] + 1, pcol, schema, parts,
+        self._commit(man["version"] + 1, pcols, schema, parts,
                      man.get("txns", {}), tombs,
                      tomb_counts=new_counts, op="DELETE (soft)")
         return self
@@ -1128,12 +1298,13 @@ class PartitionedTable:
         )
 
         man = self._manifest()
-        pcol = man["partition_col"]
-        if pcol in assignments:
-            raise DatabaseException(
-                f"update '{self.root}': assigning the partition column "
-                f"'{pcol}' would move rows between partitions; express "
-                f"a move as delete + insert")
+        pcols = self._pcols_of(man)
+        for c in pcols:
+            if c in assignments:
+                raise DatabaseException(
+                    f"update '{self.root}': assigning the partition "
+                    f"column '{c}' would move rows between "
+                    f"partitions; express a move as delete + insert")
         schema = T._parse_datatype_string(man["schema"])
         for col_name in assignments:
             if col_name not in schema.fieldNames():
@@ -1141,16 +1312,17 @@ class PartitionedTable:
                     f"update '{self.root}': unknown column "
                     f"'{col_name}'")
         parts = {k: list(v) for k, v in man["parts"].items()}
-        touched = self._touched(self.read(), condition, pcol)
+        touched = self._touched(self.read(), condition, pcols)
         if touched:
             rewritten = make_update_applier(condition, assignments)(
                 self.read(partition_values=touched))
             self._enforce(rewritten, man.get("constraints", {}),
                           "update")
-            new_parts = self._write_partitions(rewritten, pcol)
+            new_parts = self._write_partitions(rewritten, pcols)
             for v in touched:
-                parts[self._key(v)] = new_parts.get(self._key(v), [])
-        self._commit(man["version"] + 1, pcol, schema, parts,
+                parts[self._ckey(v, pcols)] = new_parts.get(
+                    self._ckey(v, pcols), [])
+        self._commit(man["version"] + 1, pcols, schema, parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="UPDATE")
         return self
@@ -1169,7 +1341,7 @@ class PartitionedTable:
         execute it."""
         keys = [on] if isinstance(on, str) else list(on)
         man = self._manifest()
-        pcol = man["partition_col"]
+        pcols = self._pcols_of(man)
         schema = T._parse_datatype_string(man["schema"])
         expected = [(f.name, f.dataType) for f in schema.fields]
         got = [(f.name, f.dataType) for f in source.schema.fields]
@@ -1190,20 +1362,25 @@ class PartitionedTable:
         cur = self.read()
         # a matched row must not change partition value: refuse sources
         # that would move rows (same restriction as update())
-        if pcol not in keys:
+        loose = [c for c in pcols if c not in keys]
+        if loose:
+            cond = None
+            for c in loose:
+                ne = F.col(f"s.{c}") != F.col(f"t.{c}")
+                cond = ne if cond is None else (cond | ne)
             moved = (source.alias("s")
                      .join(cur.alias("t"), keys, "inner")
-                     .filter(F.col(f"s.{pcol}") != F.col(f"t.{pcol}"))
-                     .take(1))
+                     .filter(cond).take(1))
             if moved:
                 raise DatabaseException(
                     f"merge into '{self.root}': a matched source row "
-                    f"changes the partition column '{pcol}' — express "
+                    f"changes a partition column ({loose}) — express "
                     f"a move as delete + insert")
         matched_keys = source.select(*keys)
-        touched = [r[0] for r in (cur.join(matched_keys, keys,
-                                           "left_semi")
-                                  .select(pcol).distinct().collect())]
+        touched_rows = (cur.join(matched_keys, keys, "left_semi")
+                        .select(*pcols).distinct().collect())
+        touched = [r[0] for r in touched_rows] if len(pcols) == 1 \
+            else [tuple(r) for r in touched_rows]
         parts = {k: list(v) for k, v in man["parts"].items()}
         upd_cols = [c for c in schema.fieldNames() if c not in keys]
         if touched:
@@ -1225,14 +1402,15 @@ class PartitionedTable:
                              for c in schema.fieldNames()]))
             self._enforce(rewritten, man.get("constraints", {}),
                           "merge")
-            new_parts = self._write_partitions(rewritten, pcol)
+            new_parts = self._write_partitions(rewritten, pcols)
             for v in touched:
-                parts[self._key(v)] = new_parts.get(self._key(v), [])
+                parts[self._ckey(v, pcols)] = new_parts.get(
+                    self._ckey(v, pcols), [])
         inserts = source.join(cur.select(*keys), keys, "left_anti")
         self._enforce(inserts, man.get("constraints", {}), "merge")
-        for key, ds in self._write_partitions(inserts, pcol).items():
+        for key, ds in self._write_partitions(inserts, pcols).items():
             parts.setdefault(key, []).extend(ds)
-        self._commit(man["version"] + 1, pcol, schema, parts,
+        self._commit(man["version"] + 1, pcols, schema, parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="MERGE")
         return self
@@ -1267,7 +1445,7 @@ class PartitionedTable:
                 f"cannot add constraint '{name}' ({expr_sql}): {bad} "
                 f"existing rows violate it")
         cons[name] = expr_sql
-        self._commit(man["version"] + 1, man["partition_col"],
+        self._commit(man["version"] + 1, self._pcols_of(man),
                      T._parse_datatype_string(man["schema"]),
                      man["parts"], man.get("txns", {}),
                      man.get("tombstones", {}), constraints=cons,
@@ -1282,7 +1460,7 @@ class PartitionedTable:
                 f"no constraint '{name}' on '{self.root}'; defined: "
                 f"{sorted(cons)}")
         del cons[name]
-        self._commit(man["version"] + 1, man["partition_col"],
+        self._commit(man["version"] + 1, self._pcols_of(man),
                      T._parse_datatype_string(man["schema"]),
                      man["parts"], man.get("txns", {}),
                      man.get("tombstones", {}), constraints=cons,
@@ -1485,7 +1663,7 @@ class PartitionedTable:
             done = man.get("txns", {}).get(sink_id)
             if done is not None and batch_id <= done:
                 return False
-            pcol = man["partition_col"]
+            pcols = self._pcols_of(man)
             expected = T._parse_datatype_string(man["schema"])
             if [(f.name, f.dataType) for f in expected.fields] != \
                     [(f.name, f.dataType) for f in rows.schema.fields]:
@@ -1493,17 +1671,21 @@ class PartitionedTable:
                     f"append into '{self.root}': schema mismatch; "
                     f"table has {expected.simpleString()}, batch has "
                     f"{rows.schema.simpleString()}")
-            if rows.filter(F.col(pcol).isNull()).take(1):
+            null_cond = None
+            for c in pcols:
+                e = F.col(c).isNull()
+                null_cond = e if null_cond is None else (null_cond | e)
+            if rows.filter(null_cond).take(1):
                 raise DatabaseException(
                     f"append into '{self.root}': NULL partition value")
             self._enforce(rows, man.get("constraints", {}), "append")
             parts = {k: list(v) for k, v in man["parts"].items()}
-            for key, ds in self._write_partitions(rows, pcol).items():
+            for key, ds in self._write_partitions(rows, pcols).items():
                 parts.setdefault(key, []).extend(ds)
             txns = dict(man.get("txns", {}))
             txns[sink_id] = batch_id
             try:
-                self._commit(man["version"] + 1, pcol, expected, parts,
+                self._commit(man["version"] + 1, pcols, expected, parts,
                              txns, man.get("tombstones", {}),
                              op="STREAMING APPEND")
                 return True
@@ -1560,7 +1742,7 @@ class PartitionedTable:
                 "clustering order per rewrite")
 
         man = self._manifest()
-        pcol = man["partition_col"]
+        pcols = self._pcols_of(man)
         parts = {k: list(v) for k, v in man["parts"].items()}
 
         def usage(ds):
@@ -1587,7 +1769,11 @@ class PartitionedTable:
         if not touched:
             return []
         n_out = max(1, math.ceil(touched_bytes / target_file_bytes))
-        df = self.read(partition_values=touched)
+        # touched holds manifest KEY strings; on hierarchical tables
+        # re-split them into full tuples for exact (non-prefix) match
+        df = self.read(partition_values=(
+            touched if len(pcols) == 1
+            else [tuple(k.split("/")) for k in touched]))
         if zorder_by:
             from cs186_query_optimization_project_spark.sources.writers \
                 import _interleave_bits
@@ -1609,19 +1795,20 @@ class PartitionedTable:
                     ((F.col(c1) - F.lit(row["min1"])) * top
                      / F.lit(span1)).cast("long"), bits)
                 shaped = (df.withColumn("__z", z)
-                          .repartitionByRange(n_out, F.col(pcol),
-                                              F.col("__z"))
-                          .sortWithinPartitions(pcol, "__z")
+                          .repartitionByRange(
+                              n_out, *[F.col(c) for c in pcols],
+                              F.col("__z"))
+                          .sortWithinPartitions(*pcols, "__z")
                           .drop("__z"))
         else:
-            cols = [pcol, *sort_by]
+            cols = [*pcols, *sort_by]
             shaped = (df.repartitionByRange(n_out,
                                             *[F.col(c) for c in cols])
                       .sortWithinPartitions(*cols))
-        new_parts = self._write_partitions(shaped, pcol)
+        new_parts = self._write_partitions(shaped, pcols)
         for k in touched:
             parts[k] = new_parts.get(k, [])
-        self._commit(man["version"] + 1, pcol,
+        self._commit(man["version"] + 1, pcols,
                      T._parse_datatype_string(man["schema"]), parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="OPTIMIZE")
@@ -1686,7 +1873,7 @@ class PartitionedTable:
         the target version, validate explicitly before restoring."""
         cur = self._manifest()
         old = self._manifest(version)
-        self._commit(cur["version"] + 1, old["partition_col"],
+        self._commit(cur["version"] + 1, self._pcols_of(old),
                      T._parse_datatype_string(old["schema"]),
                      old["parts"], txns=cur.get("txns"),
                      tombstones=old.get("tombstones"),
@@ -1722,7 +1909,7 @@ class PartitionedTable:
         stub = object.__new__(PartitionedTable)
         stub.spark = self.spark
         stub.root = dest_root
-        stub._commit(0, man["partition_col"],
+        stub._commit(0, self._pcols_of(man),
                      T._parse_datatype_string(man["schema"]),
                      man["parts"], tombstones=man.get("tombstones"),
                      constraints=man.get("constraints", {}),
@@ -1816,23 +2003,26 @@ class PartitionedTable:
                 referenced.update(os.path.normpath(d) for d in ds)
         removed = []
         parts_root = os.path.join(self.root, "parts")
-        # top level = staging dirs; manifests reference their __p=<val>
-        # children.  A staging with no referenced child goes entirely;
-        # a partially-referenced one sheds its unreferenced children.
-        for name in sorted(metaio.IO.list_dir(parts_root)):
-            top = os.path.normpath(os.path.join(parts_root, name))
-            if not metaio.IO.is_dir(top):
-                continue
-            prefix = top + os.sep
-            if top not in referenced and not any(
+
+        # top level = staging dirs; manifests reference their
+        # __p=<val> (or nested __p0=<val>/__p1=<val>/...) leaf
+        # children.  A subtree with no referenced descendant goes
+        # entirely; a partially-referenced one sheds recursively.
+        def shed(path: str) -> None:
+            p = os.path.normpath(path)
+            prefix = p + os.sep
+            if p not in referenced and not any(
                     r.startswith(prefix) for r in referenced):
-                metaio.IO.remove_tree(top)
-                removed.append(top)
-                continue
-            for sub in sorted(metaio.IO.list_dir(top)):
-                d = os.path.normpath(os.path.join(top, sub))
-                if (sub.startswith("__p=") and metaio.IO.is_dir(d)
-                        and d not in referenced):
-                    metaio.IO.remove_tree(d)
-                    removed.append(d)
+                metaio.IO.remove_tree(p)
+                removed.append(p)
+                return
+            for sub in sorted(metaio.IO.list_dir(p)):
+                d = os.path.join(p, sub)
+                if sub.startswith("__p") and metaio.IO.is_dir(d):
+                    shed(d)
+
+        for name in sorted(metaio.IO.list_dir(parts_root)):
+            top = os.path.join(parts_root, name)
+            if metaio.IO.is_dir(top):
+                shed(top)
         return removed
