@@ -5112,6 +5112,61 @@ def q_url_dedup(spark, sf_dir):
                        F.col("n_dups").cast("bigint").alias("n_dups")))
 
 
+def q_inlist_skip(spark, sf_dir):
+    """IN-list data skipping (``read_skipping(isin=...)`` — the other
+    common metadata-prunable point shape, ``col IN (v1..vn)``): a
+    directory survives when ANY listed value admits it (union of
+    per-value Bloom + bounds probes), so a 3-value IN over keys
+    living in two append batches scans those two directories and
+    skips the base corpus entirely.  In-entry contract raises (must
+    survive ``python -O``): the IN scan lists EXACTLY 2 of 5+
+    directories, issues zero Spark jobs before the pruned scan, and
+    equals the plain ``isin`` filtered read.  The oracle replays
+    inserts + IN in SQL."""
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("inls", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus",
+                                      "o_totalprice"),
+            f"{base}/orders", "o_orderstatus",
+            bloom_cols=["o_orderkey"])
+        schema = "o_orderkey bigint, o_orderstatus string, " \
+                 "o_totalprice double"
+        pt.insert(spark.createDataFrame(
+            [(900000001 + i, "X", 1.0) for i in range(20)], schema))
+        pt.insert(spark.createDataFrame(
+            [(910000001 + i, "X", 2.0) for i in range(20)], schema))
+        total = sum(len(ds) for ds in pt._manifest()["parts"].values())
+        jobs_before = _job_counter(spark)
+        out = pt.read_skipping(
+            isin={"o_orderkey": [900000005, 910000007, -17]})
+        if _job_counter(spark) != int(jobs_before):
+            raise RuntimeError(
+                "IN-list skipping scheduled Spark jobs before the "
+                "pruned scan; the probe contract is zero")
+        dirs = {_os.path.dirname(f.removeprefix("file:"))
+                for f in out.inputFiles()}
+        if len(dirs) != 2 or total < 5:
+            raise RuntimeError(
+                f"IN-list skip scanned {len(dirs)} of {total} dirs; "
+                f"the two append dirs alone must survive (-17 is "
+                f"absent; every base dir bloom disproves it)")
+        want = pt.read().filter(F.col("o_orderkey")
+                                .isin([900000005, 910000007, -17]))
+        got_rows = sorted(map(tuple, out.collect()))
+        if got_rows != sorted(map(tuple, want.collect())):
+            raise RuntimeError("IN skipping != plain isin read")
+        out = spark.createDataFrame(got_rows, schema)
+    return out
+
+
 def q_multi_partition(spark, sf_dir):
     """Hierarchical two-column hive partitioning
     (``PartitionedTable.create(..., ["o_orderstatus",
@@ -5370,6 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check_contract.py at sf0.01 (LOCALCHECK_r13.json).
         # r13 additions (never driver-checked) — first for round 14:
         "multi_partition": q_multi_partition,
+        "inlist_skip": q_inlist_skip,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -6446,6 +6502,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(doc_id) AS BIGINT) AS keeper, "
             "CAST(COUNT(*) AS BIGINT) AS n_dups "
             "FROM documents GROUP BY doc_id % 50"),
+        "inlist_skip": (
+            "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
+            "    o_totalprice FROM orders "
+            "  UNION ALL SELECT 900000001 + i, 'X', 1.0 "
+            "    FROM range(20) t(i) "
+            "  UNION ALL SELECT 910000001 + i, 'X', 2.0 "
+            "    FROM range(20) t(i)) "
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM fin "
+            "WHERE o_orderkey IN (900000005, 910000007, -17)"),
         "multi_partition": (
             "SELECT "
             "CAST((SELECT COUNT(*) FROM orders "

@@ -838,6 +838,7 @@ class PartitionedTable:
 
     def read_skipping(self, eq: dict | None = None,
                       ranges: dict | None = None,
+                      isin: dict | None = None,
                       version: int | None = None) -> DataFrame:
         """CONJUNCTIVE multi-column data skipping — Delta's file-stats
         skipping generalized to several predicates at once: a
@@ -846,18 +847,25 @@ class PartitionedTable:
         manifest pruning; Bloom-indexed columns → membership pruning;
         every stats-recorded column → bounds containment); ``ranges``
         maps columns to ``(lo, hi)`` bounds-intersection pruning
-        (either end may be None).  Survivors still get every exact
-        filter, so the result ALWAYS equals ``read()`` + the
-        conjunction — skipping is pure I/O.  Each conjunct prunes
-        multiplicatively where predicates are independent, which is
-        what makes multi-predicate point queries cheap on tables too
-        big for any single clustering order to serve every column."""
+        (either end may be None); ``isin`` maps columns to value LISTS
+        (``col IN (v1..vn)`` — the other common metadata-prunable
+        point shape): a directory survives an IN conjunct when ANY of
+        its values admits it (union of per-value Bloom + bounds
+        probes; partition columns take the union of their component
+        matches), and the conjuncts still intersect across columns.
+        Survivors still get every exact filter, so the result ALWAYS
+        equals ``read()`` + the conjunction — skipping is pure I/O.
+        Each conjunct prunes multiplicatively where predicates are
+        independent, which is what makes multi-predicate point
+        queries cheap on tables too big for any single clustering
+        order to serve every column."""
         eq = dict(eq or {})
         ranges = dict(ranges or {})
+        isin = {c: list(vs) for c, vs in (isin or {}).items()}
         man = self._manifest(version)
         pcols = self._pcols_of(man)
         schema = T._parse_datatype_string(man["schema"])
-        for c in list(eq) + list(ranges):
+        for c in list(eq) + list(ranges) + list(isin):
             if c not in schema.names:
                 raise DatabaseException(
                     f"read_skipping '{self.root}': no column '{c}' in "
@@ -868,14 +876,31 @@ class PartitionedTable:
                     f"read_skipping '{self.root}': NULL probe on "
                     f"'{c}' (SQL '= NULL' matches nothing; use an "
                     f"isNull filter on read())")
+        for c, vs in isin.items():
+            if not vs or any(v is None for v in vs):
+                raise DatabaseException(
+                    f"read_skipping '{self.root}': IN list on '{c}' "
+                    f"must be non-empty and NULL-free (SQL IN never "
+                    f"matches NULL; use an isNull filter on read())")
         dirs = [d for ds in man["parts"].values() for d in ds]
         for c in pcols:
             if c in eq:  # each partition component prunes exactly
                 admitted = set(self._point_dirs(c, eq[c], version))
                 dirs = [d for d in dirs if d in admitted]
+            if c in isin:  # IN on a partition column: union of exact
+                admitted = set()  # component matches
+                for v in isin[c]:
+                    admitted.update(self._point_dirs(c, v, version))
+                dirs = [d for d in dirs if d in admitted]
         probes = {c: self._probe_positions(c, v, schema[c].dataType)
                   for c, v in eq.items()
                   if c not in pcols and c in man.get("bloom_cols", [])}
+        in_probes = {c: [self._probe_positions(c, v,
+                                               schema[c].dataType)
+                         for v in vs]
+                     for c, vs in isin.items()
+                     if c not in pcols
+                     and c in man.get("bloom_cols", [])}
         keep = []
         for d in dirs:
             stats = (self._staging_stats(os.path.dirname(d))
@@ -899,6 +924,28 @@ class PartitionedTable:
                     pass  # probe/stat type mismatch: fail open —
                     # the exact filter still applies Spark's cast
             if ok:
+                for c, vs in isin.items():
+                    if c in pcols:
+                        continue  # pruned at the manifest above
+                    admits_any = False
+                    for i, v in enumerate(vs):
+                        if c in in_probes and not self._bloom_admits(
+                                stats, c, in_probes[c][i]):
+                            continue  # this value provably absent
+                        st = stats.get(c)
+                        b = self._bound(v)
+                        try:
+                            if isinstance(st, (list, tuple)) and \
+                                    (b < st[0] or b > st[1]):
+                                continue  # bounds disprove this value
+                        except TypeError:
+                            pass  # type mismatch: fail open
+                        admits_any = True
+                        break
+                    if not admits_any:
+                        ok = False  # every IN value disproved
+                        break
+            if ok:
                 for c, (lo, hi) in ranges.items():
                     st = stats.get(c)
                     if not isinstance(st, (list, tuple)):
@@ -916,6 +963,8 @@ class PartitionedTable:
         out = self._scan(keep, schema, man.get("tombstones", {}))
         for c, v in eq.items():
             out = out.filter(F.col(c) == F.lit(v))
+        for c, vs in isin.items():
+            out = out.filter(F.col(c).isin(vs))
         for c, (lo, hi) in ranges.items():
             if lo is not None:
                 out = out.filter(F.col(c) >= F.lit(lo))

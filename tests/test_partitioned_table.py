@@ -1264,6 +1264,84 @@ def test_read_skipping_conjunctive_multi_column(spark, tmp_path):
         pt.read_skipping(eq={"missing": 1})
 
 
+def test_read_skipping_in_list(spark, tmp_path):
+    """IN-list skipping: a directory survives when ANY listed value
+    admits it (union of per-value Bloom + bounds probes; partition
+    columns take the union of exact component matches), conjuncts
+    still intersect across columns, and the result always equals the
+    plain ``isin`` filter."""
+    df = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B", f"u{i}", float(i))
+         for i in range(100)],
+        "id long, grp string, url string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "il"),
+                                 "grp", bloom_cols=["url"])
+    pt.insert(spark.createDataFrame(
+        [(1000 + i, "A", f"v{i}", 0.5) for i in range(10)],
+        "id long, grp string, url string, amt double"))
+    total = sum(len(ds) for ds in pt._manifest()["parts"].values())
+    assert total == 3
+    # bloom IN: both values live in the append dir only
+    out = pt.read_skipping(isin={"url": ["v3", "v7"]})
+    dirs = {os.path.dirname(f.removeprefix("file:"))
+            for f in out.inputFiles()}
+    assert len(dirs) == 1
+    assert sorted(r["id"] for r in out.collect()) == [1003, 1007]
+    # values straddling dirs: union admits both, result exact
+    out = pt.read_skipping(isin={"url": ["u7", "v3"]})
+    dirs = {os.path.dirname(f.removeprefix("file:"))
+            for f in out.inputFiles()}
+    assert len(dirs) == 2
+    assert sorted(r["id"] for r in out.collect()) == [7, 1003]
+    # bounds-only IN (no bloom on id): disjoint ranges prune
+    out = pt.read_skipping(isin={"id": [1001, 1005]})
+    dirs = {os.path.dirname(f.removeprefix("file:"))
+            for f in out.inputFiles()}
+    assert len(dirs) == 1 and out.count() == 2
+    # partition-column IN: manifest-exact union
+    out = pt.read_skipping(isin={"grp": ["B"]})
+    assert out.count() == 50
+    # IN composes conjunctively with eq/ranges
+    out = pt.read_skipping(isin={"url": ["v3", "u7"]},
+                           eq={"grp": "A"}, ranges={"id": (1000, None)})
+    assert [r["id"] for r in out.collect()] == [1003]
+    # absent everywhere -> zero dirs, sound empty result
+    assert pt.read_skipping(isin={"url": ["nope1", "nope2"]}) \
+        .count() == 0
+    import pytest as _pytest
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+    with _pytest.raises(DatabaseException, match="non-empty"):
+        pt.read_skipping(isin={"url": []})
+    with _pytest.raises(DatabaseException, match="NULL-free"):
+        pt.read_skipping(isin={"url": ["a", None]})
+    # type-mismatched IN values fail open to the exact filter
+    assert pt.read_skipping(isin={"id": ["5", "7"]}).count() == 2
+
+
+def test_read_skipping_in_list_multi_partition(spark, tmp_path):
+    """IN on a HIERARCHICAL table's components: each partition-column
+    IN conjunct prunes to the union of its exact component matches,
+    and two components' INs intersect."""
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"s{i % 2}", float(i)) for i in range(60)],
+        "id long, d string, src string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "ilm"),
+                                 ["d", "src"])
+    out = pt.read_skipping(isin={"d": ["d0", "d2"], "src": ["s1"]})
+    dirs = {os.path.dirname(f.removeprefix("file:"))
+            for f in out.inputFiles()}
+    man = pt._manifest()
+    want = {d for k, ds in man["parts"].items()
+            if k.split("/")[0] in ("d0", "d2")
+            and k.split("/")[1] == "s1" for d in ds}
+    assert {os.path.normpath(d) for d in dirs} == \
+        {os.path.normpath(d) for d in want}
+    assert out.count() == df.filter(
+        F.col("d").isin(["d0", "d2"]) & (F.col("src") == "s1")).count()
+
+
 def test_read_skipping_type_mismatch_fails_open(spark, tmp_path):
     """A probe whose Python type mismatches the stats' (e.g. a string
     against int bounds) must fail OPEN on the skipping side and let
