@@ -4943,8 +4943,29 @@ def q_mview_minmax_delete(spark, sf_dir):
                     f"un-churned bucket {k} was rewritten by the "
                     f"insert-only fold")
         pt.delete(F.col("o_orderkey") == 900000001)
-        if mv.refresh() == 0:
+        # contract (c): the view is keyed on the source's partition
+        # column, so the delete-bucket recompute scan must be PRUNED
+        # at the manifest to the delete's partition ('O') — input I/O
+        # tracks churn, not table size
+        pruned_calls = []
+        real_read = type(pt).read
+
+        def _spy(self, version=None, partition_values=None):
+            if self.root == pt.root and partition_values is not None:
+                pruned_calls.append(sorted(partition_values))
+            return real_read(self, version, partition_values)
+
+        type(pt).read = _spy
+        try:
+            refreshed = mv.refresh()
+        finally:
+            type(pt).read = real_read
+        if refreshed == 0:
             raise RuntimeError("delete refresh must fold the CDF")
+        if not pruned_calls or any(c != ["O"] for c in pruned_calls):
+            raise RuntimeError(
+                f"recompute scan not pruned to the delete's "
+                f"partition: {pruned_calls}")
         got = _got()
         if got != _want():
             raise RuntimeError("post-delete view != recompute")

@@ -429,13 +429,32 @@ class MaterializedView:
         # landed cannot unfold the extremum from deltas — they
         # recompute from the source below; every other touched bucket
         # folds incrementally.  ≤ n_buckets values, bounded collect.
+        #
+        # Partition-pruned recompute: when the view keys CONTAIN the
+        # source's leading partition column, a group lives entirely in
+        # one source partition, and a delete row's group provably sits
+        # in one of the CDF delete rows' partitions.  So del-bucket
+        # groups split exactly: groups in an AFFECTED partition
+        # recompute from a scan pruned to those partitions; groups in
+        # UNTOUCHED partitions can only have insert deltas (their
+        # partition saw no delete) and FOLD like any other bucket.
+        # Full-scan recompute remains the fallback when the partition
+        # column is not a view key.
         del_buckets: set = set()
+        affected_parts: list | None = None
+        prune_col: str | None = None
         if self.minmax_cols:
+            non_ins = feed.filter(F.col("_change_type") != "insert")
             del_buckets = {r[0] for r in
-                           (feed.filter(
-                               F.col("_change_type") != "insert")
+                           (non_ins
                             .select(self._bucket().alias("__mv"))
                             .distinct().collect())}
+            src_pcols = self.source.partition_cols()
+            if del_buckets and src_pcols[0] in self.keys:
+                prune_col = src_pcols[0]
+                affected_parts = [r[0] for r in
+                                  non_ins.select(prune_col)
+                                  .distinct().collect()]
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
         # min/max deltas aggregate INSERT rows only — valid because a
@@ -465,11 +484,26 @@ class MaterializedView:
                          delta.select("__mv").distinct().collect())
         fold = [b for b in touched if b not in del_buckets]
         store = self._store()
-        stored = store.read(version=meta["store_version"],
-                            partition_values=fold).drop("__mv")
-        delta = delta.filter(~F.col("__mv").isin(list(del_buckets))
-                             if del_buckets else F.lit(True)) \
-            .drop("__mv")
+        if affected_parts is not None:
+            # del-bucket groups in untouched partitions join the fold:
+            # read their stored rows too, keep (fold bucket) OR
+            # (untouched partition)
+            stored = store.read(
+                version=meta["store_version"],
+                partition_values=sorted(set(fold) | del_buckets))
+            stored = stored.filter(
+                (F.col("__mv").isin(fold) if fold else F.lit(False))
+                | ~F.col(prune_col).isin(affected_parts)) \
+                .drop("__mv")
+            keep = (~F.col("__mv").isin(list(del_buckets))
+                    | ~F.col(prune_col).isin(affected_parts))
+            delta = delta.filter(keep).drop("__mv")
+        else:
+            stored = store.read(version=meta["store_version"],
+                                partition_values=fold).drop("__mv")
+            delta = delta.filter(
+                ~F.col("__mv").isin(list(del_buckets))
+                if del_buckets else F.lit(True)).drop("__mv")
         cond = None
         for k in self.keys:
             eq = stored[k].eqNullSafe(delta[k])  # NULL key = a group
@@ -518,8 +552,16 @@ class MaterializedView:
             # target version, same filter) aggregating only the
             # affected buckets' groups — the delete-tolerant path for
             # extremum aggregates, O(|del_buckets|/n_buckets of the
-            # groups) output however large the churn
-            src = self.source.read(version=cur)
+            # groups) output however large the churn.  With a
+            # partition-keyed view the scan is additionally PRUNED at
+            # the manifest to the delete rows' partitions (their
+            # untouched-partition cohort folded above) — input I/O
+            # tracks churn, not table size.
+            src = self.source.read(
+                version=cur,
+                partition_values=(affected_parts
+                                  if affected_parts is not None
+                                  else None))
             if self.filter_sql:
                 src = src.filter(F.expr(self.filter_sql))
             src = src.withColumn("__mv", self._bucket()) \

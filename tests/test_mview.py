@@ -429,6 +429,43 @@ def test_minmax_delete_recomputes_only_affected_buckets(
     assert sums == want
 
 
+def test_minmax_delete_recompute_prunes_source_partitions(
+        src, spark, tmp_path, monkeypatch):
+    """Partition-pruned recompute: with the view keyed on the source's
+    partition column, the delete-bucket recompute scan reads ONLY the
+    delete rows' partitions — and with n_buckets=1 (every group shares
+    the one bucket, the worst hash-collision case) groups in UNTOUCHED
+    partitions still fold exactly: an insert-only group sharing the
+    delete's bucket takes its delta, an unchanged group carries
+    forward, and the view equals a from-scratch recompute."""
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], sum_cols=["amt"],
+                                 minmax_cols=["amt"], n_buckets=1)
+    src.delete(F.col("id") == 4)             # B's max dies
+    src.insert(spark.createDataFrame(
+        [(11, "A", 0.5)],                    # same (only) bucket as B
+        "id long, grp string, amt double"))
+    pruned_calls = []
+    real_read = type(src).read
+
+    def spy(self, version=None, partition_values=None):
+        if self.root == src.root and partition_values is not None:
+            pruned_calls.append(sorted(partition_values))
+        return real_read(self, version, partition_values)
+
+    monkeypatch.setattr(type(src), "read", spy)
+    assert mv.refresh() > 0
+    monkeypatch.setattr(type(src), "read", real_read)
+    # the recompute scan named exactly the delete's partition
+    assert ["B"] in pruned_calls
+    assert all("A" not in c and "C" not in c for c in pruned_calls)
+    got = _minmax_dict(mv)
+    assert got == _minmax_recompute(src)
+    assert got["B"] == (1, 30.0, 30.0)       # recomputed, pruned scan
+    assert got["A"][1] == 0.5                # collided group folded
+    assert got["C"] == (1, 50.0, 50.0)       # untouched, carried
+
+
 def test_minmax_update_and_null_groups(spark, tmp_path):
     """An UPDATE (CDF delete+insert) routes its bucket through the
     recompute; all-NULL groups keep MIN/MAX NULL like SQL."""
