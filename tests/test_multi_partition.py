@@ -217,6 +217,58 @@ def test_slash_values_are_refused_multi_only(spark, tmp_path):
     assert pt.read(partition_values=["a/b"]).count() == 1
 
 
+def test_idempotent_append_multi(mpt, spark):
+    """Exactly-once streaming appends work unchanged on hierarchical
+    tables: a replayed batch id is a dedup no-op, NULL in EITHER
+    partition column is refused."""
+    batch = spark.createDataFrame(
+        [(9, "2024-01-04", "ads", 90.0)],
+        "id long, d string, src string, amt double")
+    assert mpt.idempotent_append(batch, "sink1", 1) is True
+    assert mpt.idempotent_append(batch, "sink1", 1) is False  # replay
+    assert mpt.read().count() == 7
+    bad = spark.createDataFrame(
+        [(10, "2024-01-05", None, 1.0)],
+        "id long, d string, src string, amt double")
+    with pytest.raises(DatabaseException, match="NULL partition"):
+        mpt.idempotent_append(bad, "sink1", 2)
+
+
+def test_clone_and_restore_multi(mpt, spark, tmp_path):
+    """Shallow clone and metadata-only restore carry the partition
+    column LIST through their commits; DML on the clone never touches
+    source bytes."""
+    mpt.delete(F.col("id") == 1)                         # v1
+    cl = mpt.clone(str(tmp_path / "cl"))
+    assert cl.partition_cols() == ["d", "src"]
+    assert cl.read().count() == 5
+    cl.insert(spark.createDataFrame(
+        [(50, "2024-01-09", "web", 5.0)],
+        "id long, d string, src string, amt double"))
+    assert cl.read().count() == 6 and mpt.read().count() == 5
+    mpt.restore(0)
+    assert mpt.partition_cols() == ["d", "src"]
+    assert mpt.read().count() == 6                       # v0 content
+    # exact tuple read still prunes after the restore
+    assert mpt.read(partition_values=[("2024-01-01", "web")]) \
+        .count() == 1
+
+
+def test_optimize_zorder_multi(spark, tmp_path):
+    """OPTIMIZE ... ZORDER on a hierarchical table range-partitions on
+    every partition column plus the Morton key; rows are unchanged."""
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", f"s{i % 2}", i % 7, i % 5, float(i))
+         for i in range(200)],
+        "id long, d string, src string, x long, y long, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "z"),
+                                 ["d", "src"])
+    pt.insert(df.limit(10))                       # force accretion
+    before = sorted(r["id"] for r in pt.read().collect())
+    assert pt.optimize(zorder_by=("x", "y"))
+    assert sorted(r["id"] for r in pt.read().collect()) == before
+
+
 def test_changes_and_time_travel_multi(mpt, spark):
     mpt.insert(spark.createDataFrame(
         [(7, "2024-01-03", "app", 70.0)],
