@@ -5,7 +5,13 @@ Runs every ``queries()`` entry at sf0.01 and compares against
 order-insensitive values (floats both raw and rounded, to flag
 determinism risk before the real driver runs).
 
-Usage: python tools/check_contract.py [--vanilla] [sf_dir] [only_query ...]
+Usage: python tools/check_contract.py [--vanilla] [--json OUT] [sf_dir]
+                                       [only_query ...]
+
+``--json OUT`` additionally writes a machine-readable artifact: one
+row per checked query with status / rows / seconds / problems — the
+committed per-round evidence (LOCALCHECK_r<N>.json) for registry
+entries outside the driver's 50-row correctness window.
 
 ``--vanilla`` builds a plain ``SparkSession`` (no engine confs) — the
 same kind of session the driver hands to ``queries()`` — so any hidden
@@ -56,6 +62,11 @@ def main():
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
     # first positional is sf_dir only if it IS a directory — a bare
     # query name (`check_contract.py table_histogram`) otherwise gets
     # consumed as the data dir and dies with an opaque parquet error
@@ -83,6 +94,7 @@ def main():
         sys.exit(f"unknown query name(s): {sorted(unknown)}; "
                  f"valid: {sorted(queries)}")
     n_pass = n_fail = n_rowsonly = 0
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -94,11 +106,19 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} SPARK ERROR: {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {"status": "fail", "rows": None,
+                             "sec": round(time.time() - t0, 2),
+                             "problems": [f"SPARK ERROR: "
+                                          f"{type(e).__name__}: {e}"]}
             continue
         if name not in oracles:
             print(f"rows  {name:28s} rows-only: {len(spark_rows)} rows "
                   f"({time.time()-t0:.1f}s)")
             n_rowsonly += 1
+            results[name] = {"status": "rows-only",
+                             "rows": len(spark_rows),
+                             "sec": round(time.time() - t0, 2),
+                             "problems": []}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -107,6 +127,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} ORACLE ERROR: {e}")
             n_fail += 1
+            results[name] = {"status": "fail", "rows": len(spark_rows),
+                             "sec": round(time.time() - t0, 2),
+                             "problems": [f"ORACLE ERROR: {e}"]}
             continue
         problems = []
         if len(spark_rows) != len(duck_rows):
@@ -130,12 +153,28 @@ def main():
         if problems and not problems[0].startswith("WARN"):
             print(f"FAIL  {name:28s} {'; '.join(problems)}")
             n_fail += 1
+            results[name] = {"status": "fail", "rows": len(spark_rows),
+                             "sec": round(time.time() - t0, 2),
+                             "problems": problems}
         else:
             note = "  [fp-risk]" if problems else ""
             print(f"pass  {name:28s} {len(spark_rows)} rows "
                   f"({time.time()-t0:.1f}s){note}")
             n_pass += 1
+            results[name] = {"status": "pass", "rows": len(spark_rows),
+                             "sec": round(time.time() - t0, 2),
+                             "problems": problems}
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "vanilla": vanilla,
+                        "n_pass": n_pass, "n_fail": n_fail,
+                        "n_rows_only": n_rowsonly,
+                        "queries": results}, f, indent=1,
+                       default=str)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
