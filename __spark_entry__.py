@@ -5133,6 +5133,60 @@ def q_url_dedup(spark, sf_dir):
                        F.col("n_dups").cast("bigint").alias("n_dups")))
 
 
+def q_repartition_evolution(spark, sf_dir):
+    """Partition-layout EVOLUTION (``PartitionedTable
+    .repartition_table`` — single→hierarchical in one versioned
+    commit; Delta requires dropping and recreating the table, here
+    the history survives): orders lands partitioned by status, then
+    evolves to (status, priority).  In-entry contracts raise (must
+    survive ``python -O``): (a) after the commit the new layout
+    prunes — a two-column exact-tuple read lists only its manifest
+    leaf; (b) time travel reads version 0 under the OLD layout with
+    identical content; (c) ``changes()`` across the boundary is EMPTY
+    (dataChange=false — a layout rewrite is not row churn).  The
+    oracle replays the final per-(status, priority) aggregate."""
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("rept", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus",
+                                      "o_orderpriority",
+                                      "o_totalprice"),
+            f"{base}/orders", "o_orderstatus")
+        n0 = pt.read().count()
+        pt.repartition_table(["o_orderstatus", "o_orderpriority"])
+        if pt.partition_cols() != ["o_orderstatus", "o_orderpriority"]:
+            raise RuntimeError("layout did not evolve")
+        man = pt._manifest()
+        exact = pt.read(partition_values=[("F", "1-URGENT")])
+        dirs = {_os.path.normpath(_os.path.dirname(
+            f.removeprefix("file:"))) for f in exact.inputFiles()}
+        want = {_os.path.normpath(d)
+                for d in man["parts"]["F/1-URGENT"]}
+        if dirs != want:
+            raise RuntimeError(
+                "evolved layout did not prune the exact-tuple read")
+        if pt.read(version=0).count() != n0 or pt.read().count() != n0:
+            raise RuntimeError("content changed across the rewrite")
+        if pt.changes(0, 1).count() != 0:
+            raise RuntimeError(
+                "layout-only rewrite reported row churn; "
+                "dataChange=false was lost")
+        out = (pt.read()
+               .groupBy("o_orderstatus", "o_orderpriority")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.round(F.sum("o_totalprice"), 2)
+                    .alias("sum_price"))
+               .localCheckpoint())
+    return out
+
+
 def q_pipeline_corpus_full(spark, sf_dir):
     """End-to-end training-corpus pipeline over the round-12 surface —
     ONE declarative plan chaining url_dedup → exact dedup →
@@ -5587,6 +5641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_partition": q_multi_partition,
         "inlist_skip": q_inlist_skip,
         "pipeline_corpus_full": q_pipeline_corpus_full,
+        "repartition_evolution": q_repartition_evolution,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -6734,6 +6789,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(doc_id) AS BIGINT) AS keeper, "
             "CAST(COUNT(*) AS BIGINT) AS n_dups "
             "FROM documents GROUP BY doc_id % 50"),
+        "repartition_evolution": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "ROUND(SUM(o_totalprice), 2) AS sum_price "
+            "FROM orders GROUP BY o_orderstatus, o_orderpriority"),
         "inlist_skip": (
             "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
             "    o_totalprice FROM orders "

@@ -1575,6 +1575,13 @@ class PartitionedTable:
         for v in steps:
             n_before = len(out_parts)
             cur = self._manifest(v)
+            if str(cur.get("op", "")).startswith("REPARTITION"):
+                # layout-only rewrite: visible content is identical by
+                # construction (Delta dataChange=false) — emitting the
+                # key-set diff would report a spurious full
+                # delete+insert to every incremental consumer
+                prev = cur
+                continue
             schema = T._parse_datatype_string(cur["schema"])
             old_tombs = prev.get("tombstones", {})
             new_tombs = cur.get("tombstones", {})
@@ -1763,6 +1770,59 @@ class PartitionedTable:
     # ------------------------------------------------------------------ #
     # maintenance
     # ------------------------------------------------------------------ #
+    def repartition_table(self, partition_cols) -> "PartitionedTable":
+        """PARTITION-LAYOUT EVOLUTION in one versioned commit: rewrite
+        the current visible content under a NEW partition column list
+        (single↔multi, reorder, different columns) and publish a
+        manifest carrying the new ``partition_cols``.  Because every
+        manifest stores ITS OWN column list, time travel across the
+        boundary reads each version under its own layout, and every
+        partition-aware read after the commit prunes on the new one —
+        Delta requires dropping and recreating the table for this;
+        here the version history survives.
+
+        Cost is O(table) data movement by definition — that is what a
+        layout change is; the point is the COMMIT is still atomic and
+        the old layout stays readable.  Visible content is identical
+        by construction (the rewrite reads through tombstones, which
+        were already reported as deletes when they committed), so the
+        commit is tagged ``REPARTITION`` and :meth:`changes` treats it
+        as data-unchanged (Delta's ``dataChange=false``): downstream
+        incremental consumers and materialized views see zero churn
+        instead of a spurious full delete+insert."""
+        pcols = [partition_cols] if isinstance(partition_cols, str) \
+            else list(partition_cols)
+        man = self._manifest()
+        schema = T._parse_datatype_string(man["schema"])
+        if not pcols or len(set(pcols)) != len(pcols):
+            raise DatabaseException(
+                f"repartition_table '{self.root}': partition columns "
+                f"{pcols} must be non-empty and distinct")
+        for c in pcols:
+            if c not in schema.fieldNames():
+                raise DatabaseException(
+                    f"repartition_table '{self.root}': no column "
+                    f"'{c}' in {schema.fieldNames()}")
+            if not isinstance(schema[c].dataType, _KEYABLE):
+                raise DatabaseException(
+                    f"repartition_table '{self.root}': column '{c}' "
+                    f"has type {schema[c].dataType}; only string/"
+                    f"integral/boolean/date columns partition")
+        df = self.read()  # current version, tombstones applied
+        null_cond = None
+        for c in pcols:
+            e = F.col(c).isNull()
+            null_cond = e if null_cond is None else (null_cond | e)
+        if df.filter(null_cond).take(1):
+            raise DatabaseException(
+                f"repartition_table '{self.root}': a new partition "
+                f"column contains NULLs; assign a sentinel first")
+        parts = self._write_partitions(df, pcols)
+        self._commit(man["version"] + 1, pcols, schema, parts,
+                     man.get("txns", {}),
+                     op=f"REPARTITION ({', '.join(pcols)})")
+        return self
+
     def optimize(self, target_file_bytes: int = 128 << 20,
                  sort_by: tuple[str, ...] = (),
                  zorder_by: tuple[str, str] | None = None) -> list[str]:

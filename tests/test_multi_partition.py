@@ -269,6 +269,44 @@ def test_optimize_zorder_multi(spark, tmp_path):
     assert sorted(r["id"] for r in pt.read().collect()) == before
 
 
+def test_repartition_table_layout_evolution(mpt, spark):
+    """Partition-layout evolution: one versioned commit rewrites the
+    table under a new column list; reads prune on the new layout,
+    time travel reads the old one under ITS layout, and changes()
+    treats the commit as data-unchanged (dataChange=false) — zero
+    spurious churn for incremental consumers."""
+    before = sorted(map(tuple, mpt.read().collect()))
+    mpt.delete_soft("id = 5")                      # v1 (tombstone)
+    mpt.repartition_table("src")                   # v2: multi -> single
+    assert mpt.partition_cols() == ["src"]
+    assert sorted(mpt._manifest()["parts"]) == ["app", "web"]
+    got = sorted(map(tuple, mpt.read().collect()))
+    assert got == [t for t in before if t[0] != 5]  # content identical
+    # reads prune on the NEW layout
+    out = mpt.read(partition_values=["app"])
+    assert sorted(r["id"] for r in out.collect()) == [2, 4]
+    assert mpt.metadata_count() == 5               # tombstone gone:
+    # the rewrite materialized it, counts exact again
+    # time travel: v0 still reads under the OLD two-column layout
+    old = mpt.read(version=0, partition_values=[("2024-01-02", "app")])
+    assert sorted(r["id"] for r in old.collect()) == [4, 5]
+    # CDF: the soft delete reported its row; the repartition adds NONE
+    feed = {(r["_change_type"], r["id"], r["_commit_version"])
+            for r in mpt.changes(0).collect()}
+    assert feed == {("delete", 5, 1)}
+    # back to a two-column layout, other order
+    mpt.repartition_table(["src", "d"])
+    assert mpt.partition_cols() == ["src", "d"]
+    assert mpt.read_point("d", "2024-01-02").count() == 2
+    assert {(r["_change_type"], r["id"]) for r in
+            mpt.changes(2).collect()} == set()
+    # invalid targets are refused
+    with pytest.raises(DatabaseException, match="no column"):
+        mpt.repartition_table("nope")
+    with pytest.raises(DatabaseException, match="only string"):
+        mpt.repartition_table("amt")
+
+
 def test_changes_and_time_travel_multi(mpt, spark):
     mpt.insert(spark.createDataFrame(
         [(7, "2024-01-03", "app", 70.0)],
