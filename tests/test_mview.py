@@ -466,6 +466,40 @@ def test_minmax_delete_recompute_prunes_source_partitions(
     assert got["C"] == (1, 50.0, 50.0)       # untouched, carried
 
 
+def test_minmax_recompute_prefix_prunes_hierarchical_source(
+        spark, tmp_path, monkeypatch):
+    """On a HIERARCHICAL source whose leading partition column is a
+    view key, the delete-recompute's partition_values are first-
+    component scalars — a PREFIX prune selecting the whole subtree of
+    each affected value; correctness and pruning both hold."""
+    df = spark.createDataFrame(
+        [(1, "A", "x", 10.0), (2, "A", "y", 20.0), (3, "B", "x", 30.0),
+         (4, "B", "y", 40.0), (5, "C", "x", 50.0)],
+        "id long, grp string, sub string, amt double")
+    src = PartitionedTable.create(spark, df, str(tmp_path / "h"),
+                                  ["grp", "sub"])
+    mv = MaterializedView.create(spark, src, str(tmp_path / "mv"),
+                                 keys=["grp"], minmax_cols=["amt"],
+                                 n_buckets=4)
+    src.delete(F.col("id") == 4)              # B's max, subtree B/y
+    pruned_calls = []
+    real_read = type(src).read
+
+    def spy(self, version=None, partition_values=None):
+        if self.root == src.root and partition_values is not None:
+            pruned_calls.append(sorted(partition_values))
+        return real_read(self, version, partition_values)
+
+    monkeypatch.setattr(type(src), "read", spy)
+    assert mv.refresh() > 0
+    monkeypatch.setattr(type(src), "read", real_read)
+    assert ["B"] in pruned_calls               # prefix scalar
+    got = {r["grp"]: (r["mv_count"], r["mv_min_amt"], r["mv_max_amt"])
+           for r in mv.read().collect()}
+    assert got["B"] == (1, 30.0, 30.0)         # both subtrees seen
+    assert got["A"] == (2, 10.0, 20.0) and got["C"] == (1, 50.0, 50.0)
+
+
 def test_minmax_update_and_null_groups(spark, tmp_path):
     """An UPDATE (CDF delete+insert) routes its bucket through the
     recompute; all-NULL groups keep MIN/MAX NULL like SQL."""
