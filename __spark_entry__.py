@@ -5163,6 +5163,53 @@ def q_url_dedup(spark, sf_dir):
                        F.col("n_dups").cast("bigint").alias("n_dups")))
 
 
+def q_disjunct_skip(spark, sf_dir):
+    """DISJUNCTIVE data skipping (``read_skipping_any`` — OR of
+    conjunctive branches, the multi-tenant backfill shape
+    ``(status='X' AND key=k1) OR (status='F' AND key<=50)``): the scan
+    reads the UNION of the branches' admitted directories — a
+    directory is skipped only when EVERY branch disproves it — then
+    the exact OR filter applies.  Probes the shared read-only
+    ``_orders_bloom_table`` fixture.  In-entry contract raises (must
+    survive ``python -O``): the two-branch scan lists EXACTLY 2 of 5+
+    directories (branch 1 admits one append dir via Bloom
+    membership, branch 2 one base-status dir via manifest equality +
+    key bounds), issues zero Spark jobs before the pruned scan, and
+    equals the plain OR-filtered read.  The oracle replays inserts +
+    the OR in SQL."""
+    import os as _os
+
+    pt = _orders_bloom_table(spark, sf_dir)  # read-only probes
+    total = sum(len(ds) for ds in pt._manifest()["parts"].values())
+    jobs_before = _job_counter(spark)
+    out = pt.read_skipping_any([
+        {"eq": {"o_orderstatus": "X", "o_orderkey": 900000005}},
+        {"eq": {"o_orderstatus": "F"},
+         "ranges": {"o_orderkey": (1, 50)}},
+    ])
+    if _job_counter(spark) != int(jobs_before):
+        raise RuntimeError(
+            "disjunctive skipping scheduled Spark jobs before the "
+            "pruned scan; the probe contract is zero")
+    dirs = {_os.path.dirname(f.removeprefix("file:"))
+            for f in out.inputFiles()}
+    if len(dirs) != 2 or total < 5:
+        raise RuntimeError(
+            f"disjunctive skip scanned {len(dirs)} of {total} dirs; "
+            f"the union must be exactly the two branch-admitted dirs")
+    want = pt.read().filter(
+        ((F.col("o_orderstatus") == "X")
+         & (F.col("o_orderkey") == 900000005))
+        | ((F.col("o_orderstatus") == "F")
+           & F.col("o_orderkey").between(1, 50)))
+    got_rows = sorted(map(tuple, out.collect()))
+    if got_rows != sorted(map(tuple, want.collect())):
+        raise RuntimeError("disjunctive skipping != plain OR read")
+    return spark.createDataFrame(
+        got_rows,
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+
+
 def q_repartition_evolution(spark, sf_dir):
     """Partition-layout EVOLUTION (``PartitionedTable
     .repartition_table`` — single→hierarchical in one versioned
@@ -5657,6 +5704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlist_skip": q_inlist_skip,
         "pipeline_corpus_full": q_pipeline_corpus_full,
         "repartition_evolution": q_repartition_evolution,
+        "disjunct_skip": q_disjunct_skip,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -6809,6 +6857,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "ROUND(SUM(o_totalprice), 2) AS sum_price "
             "FROM orders GROUP BY o_orderstatus, o_orderpriority"),
+        "disjunct_skip": (
+            "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
+            "    o_totalprice FROM orders "
+            "  UNION ALL SELECT 900000001 + i, 'X', 1.0 "
+            "    FROM range(20) t(i) "
+            "  UNION ALL SELECT 910000001 + i, 'X', 2.0 "
+            "    FROM range(20) t(i)) "
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM fin "
+            "WHERE (o_orderstatus = 'X' AND o_orderkey = 900000005) "
+            "OR (o_orderstatus = 'F' "
+            "    AND o_orderkey BETWEEN 1 AND 50)"),
         "inlist_skip": (
             "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
             "    o_totalprice FROM orders "

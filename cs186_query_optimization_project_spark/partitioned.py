@@ -863,8 +863,64 @@ class PartitionedTable:
         ranges = dict(ranges or {})
         isin = {c: list(vs) for c, vs in (isin or {}).items()}
         man = self._manifest(version)
-        pcols = self._pcols_of(man)
         schema = T._parse_datatype_string(man["schema"])
+        self._validate_skip_args(schema, eq, ranges, isin)
+        keep = self._admitted_dirs(man, schema, eq, ranges, isin,
+                                   version)
+        out = self._scan(keep, schema, man.get("tombstones", {}))
+        return out.filter(self._conjunction(eq, ranges, isin))
+
+    def read_skipping_any(self, branches: list,
+                          version: int | None = None) -> DataFrame:
+        """DISJUNCTIVE data skipping — an OR of conjunctive branches,
+        each a ``{"eq": .., "ranges": .., "isin": ..}`` dict with
+        :meth:`read_skipping` semantics: the scan reads the UNION of
+        the branches' admitted directories (a directory is skipped
+        only when EVERY branch disproves it), then the exact OR-of-
+        conjunctions filter applies, so the result always equals
+        ``read().filter(b1 | b2 | ...)``.  The common 100 TB shape it
+        serves: multi-tenant backfills like ``(date='d1' AND src='a')
+        OR (date='d2' AND src='b')`` — per-branch manifest/Bloom/
+        bounds pruning where a single conjunctive prune cannot help.
+        Empty branches are refused (an always-true branch admits
+        everything — ask ``read()`` for that explicitly)."""
+        if not branches:
+            raise DatabaseException(
+                f"read_skipping_any '{self.root}': no branches")
+        man = self._manifest(version)
+        schema = T._parse_datatype_string(man["schema"])
+        norm = []
+        for b in branches:
+            extra = set(b) - {"eq", "ranges", "isin"}
+            if extra:
+                raise DatabaseException(
+                    f"read_skipping_any '{self.root}': unknown branch "
+                    f"keys {sorted(extra)} (expected eq/ranges/isin)")
+            eq = dict(b.get("eq") or {})
+            ranges = dict(b.get("ranges") or {})
+            isin = {c: list(vs)
+                    for c, vs in (b.get("isin") or {}).items()}
+            if not (eq or ranges or isin):
+                raise DatabaseException(
+                    f"read_skipping_any '{self.root}': empty branch "
+                    f"(always-true; use read() explicitly)")
+            self._validate_skip_args(schema, eq, ranges, isin)
+            norm.append((eq, ranges, isin))
+        admitted: set = set()
+        for eq, ranges, isin in norm:
+            admitted.update(self._admitted_dirs(man, schema, eq,
+                                                ranges, isin, version))
+        keep = [d for ds in man["parts"].values() for d in ds
+                if d in admitted]  # manifest order, deduped
+        out = self._scan(keep, schema, man.get("tombstones", {}))
+        cond = None
+        for eq, ranges, isin in norm:
+            c = self._conjunction(eq, ranges, isin)
+            cond = c if cond is None else (cond | c)
+        return out.filter(cond)
+
+    def _validate_skip_args(self, schema, eq: dict, ranges: dict,
+                            isin: dict) -> None:
         for c in list(eq) + list(ranges) + list(isin):
             if c not in schema.names:
                 raise DatabaseException(
@@ -882,6 +938,29 @@ class PartitionedTable:
                     f"read_skipping '{self.root}': IN list on '{c}' "
                     f"must be non-empty and NULL-free (SQL IN never "
                     f"matches NULL; use an isNull filter on read())")
+
+    @staticmethod
+    def _conjunction(eq: dict, ranges: dict, isin: dict):
+        """The exact predicate a skipping read re-applies — survivors
+        always get it, keeping skipping a pure I/O optimization."""
+        cond = F.lit(True)
+        for c, v in eq.items():
+            cond = cond & (F.col(c) == F.lit(v))
+        for c, vs in isin.items():
+            cond = cond & F.col(c).isin(vs)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        return cond
+
+    def _admitted_dirs(self, man: dict, schema, eq: dict, ranges: dict,
+                       isin: dict, version: int | None) -> list[str]:
+        """The directories one conjunction cannot disprove — the
+        shared admission core of :meth:`read_skipping` (AND) and
+        :meth:`read_skipping_any` (OR of ANDs)."""
+        pcols = self._pcols_of(man)
         dirs = [d for ds in man["parts"].values() for d in ds]
         for c in pcols:
             if c in eq:  # each partition component prunes exactly
@@ -960,17 +1039,7 @@ class PartitionedTable:
                         continue  # type mismatch: fail open
             if ok:
                 keep.append(d)
-        out = self._scan(keep, schema, man.get("tombstones", {}))
-        for c, v in eq.items():
-            out = out.filter(F.col(c) == F.lit(v))
-        for c, vs in isin.items():
-            out = out.filter(F.col(c).isin(vs))
-        for c, (lo, hi) in ranges.items():
-            if lo is not None:
-                out = out.filter(F.col(c) >= F.lit(lo))
-            if hi is not None:
-                out = out.filter(F.col(c) <= F.lit(hi))
-        return out
+        return keep
 
     def read_point(self, column: str, value,
                    version: int | None = None) -> DataFrame:

@@ -1342,6 +1342,79 @@ def test_read_skipping_in_list_multi_partition(spark, tmp_path):
         F.col("d").isin(["d0", "d2"]) & (F.col("src") == "s1")).count()
 
 
+def test_read_skipping_any_disjunctive(spark, tmp_path):
+    """OR-of-conjunctions skipping: the scan reads the UNION of the
+    branches' admitted directories (a dir is skipped only when every
+    branch disproves it), the result equals the plain OR filter, and
+    per-branch pruning composes manifest equality with bounds."""
+    df = spark.createDataFrame(
+        [(i, "A" if i < 50 else "B", f"u{i}", float(i))
+         for i in range(100)],
+        "id long, grp string, url string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "dj"),
+                                 "grp", bloom_cols=["url"])
+    pt.insert(spark.createDataFrame(
+        [(1000 + i, "A", f"v{i}", 0.5) for i in range(10)],
+        "id long, grp string, url string, amt double"))
+    total = sum(len(ds) for ds in pt._manifest()["parts"].values())
+    assert total == 3
+    # branch 1 admits only the append dir (bloom), branch 2 only B's
+    out = pt.read_skipping_any([
+        {"isin": {"url": ["v3", "v7"]}},
+        {"eq": {"grp": "B"}, "ranges": {"id": (98, None)}},
+    ])
+    dirs = {os.path.dirname(f.removeprefix("file:"))
+            for f in out.inputFiles()}
+    assert len(dirs) == 2                     # union, base-A skipped
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [98, 99, 1003, 1007]
+    plain = (pt.read().filter(
+        F.col("url").isin(["v3", "v7"])
+        | ((F.col("grp") == "B") & (F.col("id") >= 98))))
+    assert got == sorted(r["id"] for r in plain.collect())
+    # a dir admitted by ANY branch is read; disproved-by-all skipped
+    out2 = pt.read_skipping_any([
+        {"eq": {"url": "nope"}},
+        {"ranges": {"id": (2000, None)}},
+    ])
+    assert out2.count() == 0
+    # validation: empty branch / unknown keys / no branches
+    import pytest as _pytest
+    from cs186_query_optimization_project_spark.errors import (
+        DatabaseException,
+    )
+    with _pytest.raises(DatabaseException, match="empty branch"):
+        pt.read_skipping_any([{}])
+    with _pytest.raises(DatabaseException, match="unknown branch"):
+        pt.read_skipping_any([{"equals": {"grp": "A"}}])
+    with _pytest.raises(DatabaseException, match="no branches"):
+        pt.read_skipping_any([])
+
+
+def test_read_skipping_any_hierarchical(spark, tmp_path):
+    """The multi-tenant backfill shape on a hierarchical table:
+    (d=d0 AND src=s1) OR (d=d2 AND src=s0) — each branch prunes to
+    its exact leaf, the union lists exactly two leaves."""
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"s{i % 2}", float(i)) for i in range(60)],
+        "id long, d string, src string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "djm"),
+                                 ["d", "src"])
+    out = pt.read_skipping_any([
+        {"eq": {"d": "d0", "src": "s1"}},
+        {"eq": {"d": "d2", "src": "s0"}},
+    ])
+    man = pt._manifest()
+    want = {os.path.normpath(d) for k in ("d0/s1", "d2/s0")
+            for d in man["parts"][k]}
+    dirs = {os.path.normpath(os.path.dirname(f.removeprefix("file:")))
+            for f in out.inputFiles()}
+    assert dirs == want
+    assert out.count() == df.filter(
+        ((F.col("d") == "d0") & (F.col("src") == "s1"))
+        | ((F.col("d") == "d2") & (F.col("src") == "s0"))).count()
+
+
 def test_read_skipping_type_mismatch_fails_open(spark, tmp_path):
     """A probe whose Python type mismatches the stats' (e.g. a string
     against int bounds) must fail OPEN on the skipping side and let
