@@ -5163,6 +5163,39 @@ def q_url_dedup(spark, sf_dir):
                        F.col("n_dups").cast("bigint").alias("n_dups")))
 
 
+def q_metadata_group_minmax(spark, sf_dir):
+    """Per-partition-key MIN/MAX answered from MANIFEST + footer
+    stats with zero Spark jobs (``metadata_group_min_max`` — the
+    "newest record per partition" dashboard query, the GROUP BY
+    complement of ``metadata_agg``'s global MIN/MAX and
+    ``metadata_groupby``'s COUNTs).  Probes the shared read-only
+    ``_orders_bloom_table`` fixture.  In-entry contract raises (must
+    survive ``python -O``): the metadata answer schedules ZERO Spark
+    jobs and equals the scan-side ``GROUP BY`` exactly.  The oracle
+    replays inserts + GROUP BY MIN/MAX in SQL."""
+    pt = _orders_bloom_table(spark, sf_dir)  # read-only probes
+    jobs_before = _job_counter(spark)
+    got = pt.metadata_group_min_max("o_orderkey")
+    if _job_counter(spark) != int(jobs_before):
+        raise RuntimeError(
+            "metadata_group_min_max scheduled Spark jobs; the "
+            "contract is zero")
+    if got is None:
+        raise RuntimeError(
+            "metadata answer unavailable on a tombstone-free table")
+    want = {r["o_orderstatus"]: (r["lo"], r["hi"]) for r in
+            pt.read().groupBy("o_orderstatus")
+            .agg(F.min("o_orderkey").alias("lo"),
+                 F.max("o_orderkey").alias("hi")).collect()}
+    if got != want:
+        raise RuntimeError(
+            f"metadata group min/max != scan GROUP BY: "
+            f"{sorted(got)} vs {sorted(want)}")
+    return spark.createDataFrame(
+        sorted((k, int(v[0]), int(v[1])) for k, v in got.items()),
+        "o_orderstatus string, min_key bigint, max_key bigint")
+
+
 def q_disjunct_skip(spark, sf_dir):
     """DISJUNCTIVE data skipping (``read_skipping_any`` — OR of
     conjunctive branches, the multi-tenant backfill shape
@@ -5705,6 +5738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_full": q_pipeline_corpus_full,
         "repartition_evolution": q_repartition_evolution,
         "disjunct_skip": q_disjunct_skip,
+        "metadata_group_minmax": q_metadata_group_minmax,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -6857,6 +6891,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "ROUND(SUM(o_totalprice), 2) AS sum_price "
             "FROM orders GROUP BY o_orderstatus, o_orderpriority"),
+        "metadata_group_minmax": (
+            "WITH fin AS (SELECT o_orderkey, o_orderstatus FROM orders "
+            "  UNION ALL SELECT 900000001 + i, 'X' FROM range(20) t(i) "
+            "  UNION ALL SELECT 910000001 + i, 'X' FROM range(20) t(i))"
+            " SELECT o_orderstatus, "
+            "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "
+            "CAST(MAX(o_orderkey) AS BIGINT) AS max_key "
+            "FROM fin GROUP BY o_orderstatus"),
         "disjunct_skip": (
             "WITH fin AS (SELECT o_orderkey, o_orderstatus, "
             "    o_totalprice FROM orders "

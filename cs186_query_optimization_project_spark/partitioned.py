@@ -1165,6 +1165,41 @@ class PartitionedTable:
                 hi = st[1] if hi is None else max(hi, st[1])
         return (lo, hi) if seen else None
 
+    def metadata_group_min_max(self, column: str,
+                               version: int | None = None) \
+            -> dict[str, tuple] | None:
+        """Exact per-partition-key ``(min, max)`` of ``column`` from
+        the skipping stats — ``GROUP BY partition cols`` MIN/MAX with
+        ZERO Spark jobs — or ``None`` when metadata alone cannot
+        answer (fail-closed): live tombstones (a masked row can own a
+        group's extremum) or any non-empty directory without recorded
+        bounds.  Keys are the manifest's composite hive keys; groups
+        with zero remaining rows are omitted, matching SQL GROUP BY.
+        Driver cost O(|directories|) — the partition-level dashboard
+        query ("newest record per day/source") answered without
+        touching data."""
+        man = self._manifest(version)
+        if any(ts for ts in man.get("tombstones", {}).values()):
+            return None
+        out: dict[str, tuple] = {}
+        for key, ds in man["parts"].items():
+            lo = hi = None
+            seen = False
+            for d in ds:
+                stats = (self._staging_stats(os.path.dirname(d))
+                         .get(os.path.basename(d), {}))
+                if stats.get("__num_rows") == 0:
+                    continue  # empty rewrite artifact
+                st = stats.get(column)
+                if not isinstance(st, (list, tuple)):
+                    return None
+                seen = True
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+            if seen:
+                out[key] = (lo, hi)
+        return out
+
     # ------------------------------------------------------------------ #
     # DML — O(touched partitions)
     # ------------------------------------------------------------------ #

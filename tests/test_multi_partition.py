@@ -171,6 +171,13 @@ def test_metadata_count_and_groups(mpt):
     assert mpt.metadata_group_counts()["2024-01-02/app"] == 1
 
 
+def test_metadata_group_min_max_multi(mpt):
+    got = mpt.metadata_group_min_max("id")
+    assert got == {"2024-01-01/web": (1, 1), "2024-01-01/app": (2, 2),
+                   "2024-01-02/web": (3, 3), "2024-01-02/app": (4, 5),
+                   "2024-01-03/web": (6, 6)}
+
+
 def test_optimize_and_vacuum_nested(mpt, spark):
     for i in range(3):  # accrete directories in one leaf
         mpt.insert(spark.createDataFrame(

@@ -784,6 +784,24 @@ def test_metadata_min_max(pt, spark):
     assert pt.metadata_min_max("id") is None         # tombstone masks
 
 
+def test_metadata_group_min_max(pt, spark):
+    """Per-partition-key MIN/MAX from the skipping stats: exact across
+    create/insert, fail-closed under live tombstones and for columns
+    without bounds (floats), answerable again after OPTIMIZE
+    materializes the tombstones."""
+    assert pt.metadata_group_min_max("id") == {
+        "A": (1, 2), "B": (3, 4), "C": (5, 5)}
+    pt.insert(spark.createDataFrame([(6, "A", 60.0)],
+                                    "id long, grp string, amt double"))
+    assert pt.metadata_group_min_max("id")["A"] == (1, 6)
+    assert pt.metadata_group_min_max("amt") is None   # float: no bounds
+    pt.delete_soft("id = 3")
+    assert pt.metadata_group_min_max("id") is None    # tombstone masks
+    pt.optimize()                                     # materializes it
+    got = pt.metadata_group_min_max("id")
+    assert got["B"] == (4, 4) and got["A"] == (1, 6)
+
+
 def test_restore_rolls_forward_metadata_only(pt, spark):
     """RESTORE publishes a new version equal to the target's content
     with zero data movement: the dir set on disk is unchanged, bad
