@@ -717,29 +717,11 @@ class PartitionedTable:
         filter, so the result equals ``read().filter(...)`` — skipping
         is a pure I/O optimization.  Directories without recorded
         bounds for the column are kept (fail-open).  Pass bounds in the
-        column's native type (dates compare via ISO strings)."""
-        man = self._manifest(version)
-        lo_b, hi_b = self._bound(lo), self._bound(hi)
-        keep = []
-        for ds in man["parts"].values():
-            for d in ds:
-                st = (self._staging_stats(os.path.dirname(d))
-                      .get(os.path.basename(d), {}).get(column))
-                if isinstance(st, (list, tuple)):
-                    dmin, dmax = st
-                    if (lo_b is not None and dmax < lo_b) or \
-                            (hi_b is not None and dmin > hi_b):
-                        continue
-                    # a dir emptied to zero rows has no stats row —
-                    # covered by the fail-open branch
-                keep.append(d)
-        out = self._scan(keep, T._parse_datatype_string(man["schema"]),
-                         man.get("tombstones", {}))
-        if lo is not None:
-            out = out.filter(F.col(column) >= F.lit(lo))
-        if hi is not None:
-            out = out.filter(F.col(column) <= F.lit(hi))
-        return out
+        column's native type (dates compare via ISO strings).  A thin
+        alias of :meth:`read_skipping` with one range conjunct — kept
+        as the discoverable single-range entry point."""
+        return self.read_skipping(ranges={column: (lo, hi)},
+                                  version=version)
 
     def _point_dirs(self, column: str, value,
                     version: int | None = None) -> list[str]:
