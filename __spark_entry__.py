@@ -3569,6 +3569,10 @@ def _orders_bloom_table(spark, sf_dir):
     # contract differs (a PartitionedTable has no fingerprint field —
     # the fingerprint-keyed PATH is the staleness check)
     import hashlib
+    import time as _time
+
+    from cs186_query_optimization_project_spark import metaio
+    from cs186_query_optimization_project_spark.mview import _pid_alive
 
     fp = similarity.source_fingerprint(f"{sf_dir}/orders.parquet")
     parent = _ensure_private_dir(f"/tmp/spark_graft_lake_{os.getuid()}")
@@ -3577,7 +3581,42 @@ def _orders_bloom_table(spark, sf_dir):
     ).hexdigest()[:12]
     path = os.path.join(parent, f"orders_bloom_{_tag(sf_dir)}_{key}")
     pt = load(path)
-    return pt if pt is not None else build(path, fp)
+    if pt is not None:
+        return pt
+    # cross-process build lock (pid-content, dead-holder reclaim —
+    # the mview refresh-lock discipline): without it a second process
+    # that loads mid-build sees an incomplete version trail and
+    # rmtrees the directory out from under the first builder
+    lock = path + ".lock"
+    deadline = _time.time() + 600
+    while True:
+        try:
+            metaio.IO.publish_lock(lock, str(os.getpid()))
+            break
+        except FileExistsError:
+            try:
+                holder = int(metaio.IO.read_text(lock).strip())
+            except (OSError, ValueError):
+                holder = None  # mid-publish: treat as held
+            if holder is not None and not _pid_alive(holder):
+                try:
+                    metaio.IO.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            if _time.time() > deadline:
+                raise RuntimeError(
+                    f"fixture build lock '{lock}' stuck (held by "
+                    f"pid {holder})")
+            _time.sleep(0.5)
+    try:
+        pt = load(path)  # double-checked: the lock winner built it
+        return pt if pt is not None else build(path, fp)
+    finally:
+        try:
+            metaio.IO.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def _build_or_load_index(sf_dir, src_file: str, family: str, kind: str,
@@ -5338,6 +5377,12 @@ def q_pipeline_corpus_full(spark, sf_dir):
     docs = db.table("documents").select("doc_id", "source", "text")
     n = F.size(F.split("text", r"\s+"))
     did = F.col("doc_id")
+    # planted-id offset strictly above every REAL id at ANY scale —
+    # fixed 1e6-style constants would collide with real ids on a
+    # corpus of >= 1e6 documents, false-failing the leaked contract
+    # and breaking the keeper-is-the-original min-id assumption
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    off = 10 ** max(6, len(str(int(max_id) + 1)))
 
     def _q_url(prefix):  # unique, never-colliding URL per planted row
         return F.concat(F.lit(f"https://example.com/{prefix}"),
@@ -5345,23 +5390,23 @@ def q_pipeline_corpus_full(spark, sf_dir):
 
     base = docs.withColumn("url", _q_url("p"))
     urlv = (docs.filter(did % 13 == 0)
-            .select((did + 4000000).alias("doc_id"), "source",
+            .select((did + 4 * off).alias("doc_id"), "source",
                     F.concat(F.lit("urlvariant payload of page "),
                              did.cast("string")).alias("text"))
             .withColumn("url", F.concat(
                 F.lit("https://WWW.example.com:443/p"),
-                (did - 4000000).cast("string"),  # the original page
+                (did - 4 * off).cast("string"),  # the original page
                 F.lit("#frag"))))
     copies = (docs.filter(did % 11 == 0)
-              .select((did + 1000000).alias("doc_id"), "source",
+              .select((did + off).alias("doc_id"), "source",
                       "text")
               .withColumn("url", _q_url("q")))
     near = (docs.filter((did % 10 == 0) & (n >= 10))
-            .select((did + 2000000).alias("doc_id"), "source",
+            .select((did + 2 * off).alias("doc_id"), "source",
                     F.regexp_replace("text", " ", "  ").alias("text"))
             .withColumn("url", _q_url("r")))
     frag = (docs.filter((did % 17 == 0) & (n >= 30))
-            .select((did + 3000000).alias("doc_id"), "source",
+            .select((did + 3 * off).alias("doc_id"), "source",
                     F.array_join(
                         F.slice(F.split("text", r"\s+"), F.lit(1),
                                 F.floor(n * 0.3).cast("int")),
@@ -5394,7 +5439,7 @@ def q_pipeline_corpus_full(spark, sf_dir):
     # contract (b): containment must only catch planted fragments —
     # the oracle does not replay this tier, so a real containment-only
     # pair must fail LOUDLY here instead of silently mismatching
-    real_ct = ct_losers.filter(F.col("doc_id") < 1000000).count()
+    real_ct = ct_losers.filter(F.col("doc_id") < off).count()
     if real_ct:
         raise RuntimeError(
             f"containment dropped {real_ct} real docs — a real "
@@ -5415,7 +5460,7 @@ def q_pipeline_corpus_full(spark, sf_dir):
             .localCheckpoint())
     s5 = s4.join(hits, "doc_id", "left_anti")
     # contract: every planted artifact died at its stage
-    leaked = s5.filter(F.col("doc_id") >= 1000000).count()
+    leaked = s5.filter(F.col("doc_id") >= off).count()
     if leaked:
         raise RuntimeError(
             f"{leaked} planted artifacts survived the dedup/"

@@ -899,10 +899,13 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
     if existing is not None:
         from pyspark.sql import types as _T
 
-        man_schema = existing._manifest()["schema"]
-        if _T._parse_datatype_string(man_schema).fieldNames() != \
-                coded.schema.fieldNames():
-            existing = None  # layout changed: recreate fresh below
+        old_schema = _T._parse_datatype_string(
+            existing._manifest()["schema"])
+        if [(f.name, f.dataType) for f in old_schema.fields] != \
+                [(f.name, f.dataType) for f in coded.schema.fields]:
+            existing = None  # layout OR dtype changed: recreate
+            # fresh below (overwrite_partitions would hard-fail on a
+            # dtype mismatch where rebuild must succeed)
     if existing is not None:
         # Rebuild = ONE versioned overwrite_partitions commit naming
         # the union of old and new cells: the old version stays

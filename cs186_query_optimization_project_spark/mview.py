@@ -449,7 +449,11 @@ class MaterializedView:
                            (non_ins
                             .select(self._bucket().alias("__mv"))
                             .distinct().collect())}
-            src_pcols = self.source.partition_cols()
+            # the PINNED version's layout, not the latest: a
+            # repartition_table commit racing this refresh must not
+            # make us prune cur's manifest by the wrong column
+            src_pcols = self.source._pcols_of(
+                self.source._manifest(cur))
             if del_buckets and src_pcols[0] in self.keys:
                 prune_col = src_pcols[0]
                 affected_parts = [r[0] for r in

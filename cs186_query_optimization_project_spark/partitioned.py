@@ -654,6 +654,12 @@ class PartitionedTable:
             if len(tup) == len(pcols):
                 exact.add(self._ckey(tup, pcols))
             elif len(tup) < len(pcols):
+                for comp in tup:
+                    if "/" in self._key(comp):
+                        raise DatabaseException(
+                            f"multi-column partition prefix {comp!r} "
+                            f"contains '/' (ambiguous composite key); "
+                            f"use a sentinel")
                 prefixes.append(
                     self._ckey(tup, pcols[:len(tup)]) + "/")
             else:
@@ -724,7 +730,8 @@ class PartitionedTable:
                                   version=version)
 
     def _point_dirs(self, column: str, value,
-                    version: int | None = None) -> list[str]:
+                    version: int | None = None,
+                    man: dict | None = None) -> list[str]:
         """The directories a ``column = value`` lookup must scan after
         Bloom skipping: a directory whose stored filter has any of the
         probe's bit positions unset PROVABLY lacks the value and is
@@ -732,8 +739,12 @@ class PartitionedTable:
         pre-bloom writes, unreadable sidecar) are kept — fail-open,
         never a wrong skip.  The probe positions hash driver-side with
         the same JVM xxhash64 the write used (one 1-row job, so the
-        literal is hashed as the column's exact type)."""
-        man = self._manifest(version)
+        literal is hashed as the column's exact type).  ``man`` lets a
+        caller that already parsed the manifest (the skipping loops —
+        one per eq column, per IN value, per OR branch) avoid
+        re-reading it from disk each probe."""
+        if man is None:
+            man = self._manifest(version)
         if value is None:
             raise DatabaseException(
                 f"read_point '{self.root}': NULL probe (SQL '= NULL' "
@@ -946,12 +957,14 @@ class PartitionedTable:
         dirs = [d for ds in man["parts"].values() for d in ds]
         for c in pcols:
             if c in eq:  # each partition component prunes exactly
-                admitted = set(self._point_dirs(c, eq[c], version))
+                admitted = set(self._point_dirs(c, eq[c], version,
+                                                man=man))
                 dirs = [d for d in dirs if d in admitted]
             if c in isin:  # IN on a partition column: union of exact
                 admitted = set()  # component matches
                 for v in isin[c]:
-                    admitted.update(self._point_dirs(c, v, version))
+                    admitted.update(self._point_dirs(c, v, version,
+                                                     man=man))
                 dirs = [d for d in dirs if d in admitted]
         probes = {c: self._probe_positions(c, v, schema[c].dataType)
                   for c, v in eq.items()

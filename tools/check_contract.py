@@ -65,6 +65,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: --json OUT (missing output path)")
         json_out = argv[i + 1]
         del argv[i:i + 2]
     # first positional is sf_dir only if it IS a directory — a bare
