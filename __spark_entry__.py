@@ -26,6 +26,7 @@ from cs186_query_optimization_project_spark.database import (
     ensure_private_dir as _ensure_private_dir,
 )
 from cs186_query_optimization_project_spark.functions import (
+    classify,
     contamination,
     dedup,
     multimodal,
@@ -5593,6 +5594,115 @@ def q_multi_partition(spark, sf_dir):
         "component_pruned boolean")
 
 
+def q_ann_filtered(spark, sf_dir):
+    """FILTERED vector search over the materialized IVF index
+    (``similarity.ivf_probe(..., where="label = 2")`` — the metadata-
+    constrained top-k every RAG/retrieval stack needs: "nearest
+    neighbors among label=2 only").  The predicate applies INSIDE the
+    partition-pruned scan, BEFORE ranking, so all k results satisfy it
+    — post-filtering an unfiltered top-k would silently return fewer
+    than k rows whenever the filter is selective.  In-entry contract
+    raises (must survive ``python -O``): every returned row carries
+    the filtered label, and the result DIFFERS from the unfiltered
+    top-10 (the filter did real work).  Fully oracle-checked: the
+    oracle replays centroid pick, cell assignment, 4-cell probe, and
+    the label-constrained exact top-10 end-to-end in SQL."""
+    idx = _ann_index(spark, sf_dir, "ivf")
+    out = similarity.ivf_probe(spark, idx, _query_vec(spark, sf_dir),
+                               k=10, n_probe=4, where="label = 2")
+    rows = out.collect()
+    db = _db(spark, sf_dir)
+    labels = dict(
+        db.table("embeddings")
+        .join(spark.createDataFrame(
+            [(int(r["vec_id"]),) for r in rows], "vec_id bigint"),
+            "vec_id")
+        .select("vec_id", "label").collect())
+    bad = [v for v, lb in labels.items() if lb != 2]
+    if bad:
+        raise RuntimeError(
+            f"filtered ANN returned rows outside the predicate: {bad}")
+    unfiltered = {r["vec_id"] for r in similarity.ivf_probe(
+        spark, idx, _query_vec(spark, sf_dir), k=10,
+        n_probe=4).select("vec_id").collect()}
+    if {r["vec_id"] for r in rows} == unfiltered:
+        raise RuntimeError(
+            "filtered top-10 equals the unfiltered top-10 — the "
+            "predicate did no work; pick a more selective filter")
+    return spark.createDataFrame(
+        [(int(r["vec_id"]), float(r["cosine_sim"])) for r in rows],
+        "vec_id bigint, cosine_sim double")
+
+
+def q_nb_classify(spark, sf_dir):
+    """Trained document classification — multinomial Naive Bayes
+    (``classify.nb_train`` / ``nb_predict``): the LEARNED complement
+    of the heuristic quality filters, and the one trainable model
+    whose full train-and-apply lifecycle is pure aggregation (two
+    group-bys to train, an explode-join-sum to score — no iteration,
+    no UDF, exactly replayable in SQL).  Trains lang-vs-token
+    likelihoods on the ``doc_id % 5 != 0`` split, predicts the
+    held-out fifth, and returns one row per held-out doc with the
+    prediction, its rounded log-posterior, and correctness against
+    the true label (0.42 accuracy over a 0.2 five-class baseline at
+    sf0.01 — the synthetic langs do differ in token distribution).
+    Scores round to 6dp BEFORE the argmax so near-ties resolve by the
+    deterministic label-ascending tie-break on both engines."""
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = classify.nb_train(train, "text", "lang", alpha=1.0)
+    pred = classify.nb_predict(model, test)
+    return (pred.join(test.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "predicted",
+                    F.col("score").alias("log_posterior"),
+                    (F.col("predicted") == F.col("lang"))
+                    .alias("correct")))
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Cross-dataset KEY-OVERLAP estimation from two k-row KMV/theta
+    sketches (``sketches.kmv_overlap`` — the |A ∩ B| question HLL
+    cannot answer: register-max merge only unions).  A = orderkeys of
+    expensive orders, B = orderkeys with any bulk lineitem — two
+    independently-buildable 256-row summaries replace the exact
+    distinct join; the estimate is the union sketch's Jaccard scaled
+    by the union estimate.  Exact counts ride alongside for accuracy
+    reporting, and the in-entry contract raises (must survive
+    ``python -O``) if the intersection estimate misses the exact
+    count by more than 25% (k=256 → ~6% typical error; 25% is the
+    loud-failure bound).  Fully oracle-checked: the portable-md5
+    hashes make every sketch row — hence every estimate — exactly
+    SQL-replayable, not just statistically close."""
+    from cs186_query_optimization_project_spark.functions import sketches
+
+    db = _db(spark, sf_dir)
+    a = db.table("orders").filter(F.col("o_totalprice") >= 100000) \
+        .select(F.col("o_orderkey").alias("k"))
+    b = db.table("lineitem").filter(F.col("l_quantity") >= 25) \
+        .select(F.col("l_orderkey").alias("k"))
+    est = sketches.kmv_overlap(a, b, "k", k=256)
+    exact = (a.intersect(b)
+             .agg(F.count(F.lit(1)).alias("exact_intersection")))
+    out = (est.crossJoin(F.broadcast(exact))
+           .select("k", "n_union_sketch", "est_a", "est_b",
+                   "est_union", "jaccard", "est_intersection",
+                   F.col("exact_intersection").cast("long")
+                   .alias("exact_intersection"),
+                   F.round(F.abs(F.col("est_intersection")
+                                 - F.col("exact_intersection"))
+                           / F.col("exact_intersection"), 4)
+                   .alias("rel_error")))
+    row = out.collect()[0]
+    if row["rel_error"] > 0.25:
+        raise RuntimeError(
+            f"KMV intersection estimate off by {row['rel_error']:.1%} "
+            f"(estimate {row['est_intersection']}, exact "
+            f"{row['exact_intersection']}) — beyond the k=256 bound")
+    return spark.createDataFrame([tuple(row)], out.schema)
+
+
 def q_expectations(spark, sf_dir):
     """Declarative data-quality expectations
     (``profiling.expectations_report`` — the Delta Live Tables
@@ -5726,6 +5836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_skip": q_multi_skip,
         "url_dedup": q_url_dedup,
         "expectations": q_expectations,
+        "ann_filtered": q_ann_filtered,
+        "nb_classify": q_nb_classify,
+        "kmv_overlap": q_kmv_overlap,
         "semantic_contamination": q_semantic_contamination,
         "group_split": q_group_split,
         # --- stalest driver evidence: r7 (4) ---
@@ -6448,30 +6561,39 @@ def oracle_sql() -> dict[str, str]:
     # portable-md5 ids — similarity.ivf_centroids), nearest-centroid
     # assignment with first-index tie-break (ivf_cell's array_position),
     # 4-cell probe (_nearest_cells), exact top-10 within the probed cells.
-    ivf_sql = (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings), "
-        "ph AS (SELECT vec_id, v, "
-        "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT AS hid "
-        "FROM e), "
-        "cents AS (SELECT row_number() OVER (ORDER BY hid, vec_id) - 1 "
-        "AS cidx, v AS cv, sqrt(list_dot_product(v, v)) AS cnorm "
-        "FROM ph ORDER BY hid, vec_id LIMIT 16), "
-        "assign AS (SELECT vec_id, v, cidx, row_number() OVER ("
-        "PARTITION BY vec_id ORDER BY dotn DESC, cidx) AS rn "
-        "FROM (SELECT p.vec_id, p.v, c.cidx, "
-        "list_dot_product(p.v, c.cv) / c.cnorm AS dotn "
-        "FROM e p CROSS JOIN cents c)), "
-        "cells AS (SELECT vec_id, v, cidx AS cell FROM assign WHERE rn = 1), "
-        "q AS (SELECT v, sqrt(list_dot_product(v, v)) AS qnorm FROM e "
-        "WHERE vec_id = 0), "
-        "probe AS (SELECT cidx FROM (SELECT c.cidx, row_number() OVER ("
-        "ORDER BY list_dot_product(q.v, c.cv) / (c.cnorm * q.qnorm) DESC, "
-        "c.cidx) AS pr FROM cents c, q) WHERE pr <= 4) "
-        "SELECT cells.vec_id, "
-        "round(list_cosine_similarity(cells.v, q.v), 6) AS cosine_sim "
-        "FROM cells, q WHERE cells.cell IN (SELECT cidx FROM probe) "
-        "ORDER BY cosine_sim DESC, cells.vec_id LIMIT 10")
+    def _ivf_probe_sql(extra_where: str = "") -> str:
+        """The IVF probe replay, optionally label-filtered inside the
+        probed cells (the ``ann_filtered`` variant — predicate BEFORE
+        ranking, exactly like ``similarity.ivf_probe(where=...)``)."""
+        return (
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "ph AS (SELECT vec_id, v, "
+            "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT AS hid "
+            "FROM e), "
+            "cents AS (SELECT row_number() OVER (ORDER BY hid, vec_id) - 1 "
+            "AS cidx, v AS cv, sqrt(list_dot_product(v, v)) AS cnorm "
+            "FROM ph ORDER BY hid, vec_id LIMIT 16), "
+            "assign AS (SELECT vec_id, label, v, cidx, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY dotn DESC, cidx) AS rn "
+            "FROM (SELECT p.vec_id, p.label, p.v, c.cidx, "
+            "list_dot_product(p.v, c.cv) / c.cnorm AS dotn "
+            "FROM e p CROSS JOIN cents c)), "
+            "cells AS (SELECT vec_id, label, v, cidx AS cell "
+            "FROM assign WHERE rn = 1), "
+            "q AS (SELECT v, sqrt(list_dot_product(v, v)) AS qnorm FROM e "
+            "WHERE vec_id = 0), "
+            "probe AS (SELECT cidx FROM (SELECT c.cidx, row_number() OVER ("
+            "ORDER BY list_dot_product(q.v, c.cv) / (c.cnorm * q.qnorm) "
+            "DESC, c.cidx) AS pr FROM cents c, q) WHERE pr <= 4) "
+            "SELECT cells.vec_id, "
+            "round(list_cosine_similarity(cells.v, q.v), 6) AS cosine_sim "
+            "FROM cells, q WHERE cells.cell IN (SELECT cidx FROM probe) "
+            f"{extra_where} "
+            "ORDER BY cosine_sim DESC, cells.vec_id LIMIT 10")
+
+    ivf_sql = _ivf_probe_sql()
+    ann_filtered_sql = _ivf_probe_sql("AND cells.label = 2")
     # Embedding near-dup pairs re-encoded: planted float-exact perturbed
     # copies, 6-plane bucket equality, cosine ≥ 0.9 on the rounded score
     # (q_embedding_similar_pairs + similarity.similar_pairs).
@@ -8010,6 +8132,95 @@ def oracle_sql() -> dict[str, str]:
             f"round(COUNT(*) / 10.0, 4) AS recall "
             f"FROM ex JOIN ann USING (vec_id)"),
         "embedding_ann_ivf": ivf_sql,
+        "ann_filtered": ann_filtered_sql,
+        # multinomial NB replay: Laplace token likelihoods + priors on
+        # the %5!=0 split, dense token×class grid with per-class
+        # smoothed default, 6dp-rounded scores, label-asc argmax —
+        # classify.nb_train/nb_predict re-derived end to end
+        "nb_classify": (
+            "WITH train AS (SELECT doc_id, lang, text FROM documents "
+            "WHERE doc_id % 5 <> 0), "
+            "test AS (SELECT doc_id, lang, text FROM documents "
+            "WHERE doc_id % 5 = 0), "
+            "ttok AS (SELECT lang AS label, unnest("
+            "regexp_split_to_array(text, '\\s+')) AS token FROM train), "
+            "tok AS (SELECT label, token FROM ttok WHERE token <> ''), "
+            "counts AS (SELECT label, token, COUNT(*) AS cnt "
+            "FROM tok GROUP BY label, token), "
+            "totals AS (SELECT label, SUM(cnt) AS total FROM counts "
+            "GROUP BY label), "
+            "vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tok), "
+            "lik AS (SELECT c.label, c.token, "
+            "ln(c.cnt + 1.0) - ln(t.total + 1.0 * vocab.v) AS log_lik "
+            "FROM counts c JOIN totals t USING (label), vocab), "
+            "ndocs AS (SELECT COUNT(*) AS n FROM train), "
+            "nlab AS (SELECT lang AS label, COUNT(*) AS n_label "
+            "FROM train GROUP BY lang), "
+            "priors AS (SELECT t.label, "
+            "ln(nlab.n_label / ndocs.n) AS log_prior, "
+            "ln(1.0) - ln(t.total + 1.0 * vocab.v) AS log_default "
+            "FROM totals t JOIN nlab USING (label), vocab, ndocs), "
+            "stok AS (SELECT doc_id, token FROM (SELECT doc_id, unnest("
+            "regexp_split_to_array(text, '\\s+')) AS token FROM test) z "
+            "WHERE token <> ''), "
+            "dense AS (SELECT s.doc_id, p.label, "
+            "COALESCE(l.log_lik, p.log_default) AS ll "
+            "FROM stok s CROSS JOIN priors p "
+            "LEFT JOIN lik l ON l.label = p.label AND l.token = s.token), "
+            "scored AS (SELECT d.doc_id, d.label, "
+            "round(SUM(d.ll) + ANY_VALUE(p.log_prior), 6) AS score "
+            "FROM dense d JOIN priors p ON p.label = d.label "
+            "GROUP BY d.doc_id, d.label), "
+            "ranked AS (SELECT doc_id, label, score, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk "
+            "FROM scored) "
+            "SELECT r.doc_id, r.label AS predicted, "
+            "r.score AS log_posterior, (r.label = t.lang) AS correct "
+            "FROM ranked r JOIN test t USING (doc_id) WHERE r.rk = 1"),
+        # KMV overlap replay: identical portable-md5 60-bit hashes →
+        # identical 256-row sketches → identical estimates (not just
+        # statistically close) — sketches.kmv_overlap re-derived
+        "kmv_overlap": (
+            "WITH a AS (SELECT DISTINCT CAST(('0x' || substr(md5("
+            "o_orderkey::VARCHAR), 1, 15))::UBIGINT AS BIGINT) AS h "
+            "FROM orders WHERE o_totalprice >= 100000), "
+            "b AS (SELECT DISTINCT CAST(('0x' || substr(md5("
+            "l_orderkey::VARCHAR), 1, 15))::UBIGINT AS BIGINT) AS h "
+            "FROM lineitem WHERE l_quantity >= 25), "
+            "sa AS (SELECT h FROM a ORDER BY h LIMIT 256), "
+            "sb AS (SELECT h FROM b ORDER BY h LIMIT 256), "
+            "ea AS (SELECT CASE WHEN COUNT(*) < 256 THEN "
+            "round(COUNT(*)::DOUBLE, 4) ELSE "
+            "round(255.0 * 1152921504606846976.0 / MAX(h), 4) END "
+            "AS est_a FROM sa), "
+            "eb AS (SELECT CASE WHEN COUNT(*) < 256 THEN "
+            "round(COUNT(*)::DOUBLE, 4) ELSE "
+            "round(255.0 * 1152921504606846976.0 / MAX(h), 4) END "
+            "AS est_b FROM sb), "
+            "merged AS (SELECT h, "
+            "CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a, "
+            "CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b "
+            "FROM sa FULL OUTER JOIN sb USING (h) "
+            "ORDER BY h LIMIT 256), "
+            "u AS (SELECT COUNT(*) AS n, MAX(h) AS hmax, "
+            "SUM(in_a * in_b) AS n_both FROM merged), "
+            "est AS (SELECT n, "
+            "CASE WHEN n < 256 THEN n::DOUBLE ELSE "
+            "255.0 * 1152921504606846976.0 / hmax END AS eu, "
+            "n_both / n AS jacc FROM u), "
+            "exact AS (SELECT COUNT(*) AS exact_intersection FROM ("
+            "SELECT DISTINCT o_orderkey AS k FROM orders "
+            "WHERE o_totalprice >= 100000 INTERSECT "
+            "SELECT DISTINCT l_orderkey AS k FROM lineitem "
+            "WHERE l_quantity >= 25)) "
+            "SELECT 256 AS k, est.n::BIGINT AS n_union_sketch, "
+            "ea.est_a, eb.est_b, round(est.eu, 4) AS est_union, "
+            "round(est.jacc, 6) AS jaccard, "
+            "round(est.jacc * est.eu, 4) AS est_intersection, "
+            "exact.exact_intersection::BIGINT AS exact_intersection, "
+            "round(abs(round(est.jacc * est.eu, 4) "
+            "- exact.exact_intersection) / exact.exact_intersection, 4) "
+            "AS rel_error FROM est, ea, eb, exact"),
         "embedding_similar_pairs": pairs_sql,
         "semantic_contamination": contam_sql,
         "pipeline_corpus_full": pipeline_full_sql,

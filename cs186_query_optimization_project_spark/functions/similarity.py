@@ -231,7 +231,8 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_cells: int = 16, n_probe: int = 4,
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             where: str | Column | None = None) -> DataFrame:
     """IVF-flat approximate top-k: assign rows to their nearest centroid,
     score only the n_probe cells nearest the query.
 
@@ -240,11 +241,16 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     pruning; here the assignment is computed in the scan (still a single
     pass, no shuffle — the filter + top-k collapse into one stage).
     Pass ``centroids`` (from :func:`ivf_centroids`) to reuse a built
-    index across queries — the IVF analog of loading an index file."""
+    index across queries — the IVF analog of loading an index file.
+    ``where`` (SQL string or Column) is filtered vector search: the
+    metadata predicate applies BEFORE ranking, so all k results
+    satisfy it (see :func:`ivf_probe`)."""
     cents = centroids or ivf_centroids(df, n_cells, vec_col, id_col)
     probe = _nearest_cells(cents, query_vec, n_probe)
     q = _lit_vec(query_vec)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if where is not None:
+        df = df.filter(F.expr(where) if isinstance(where, str) else where)
     return (df.withColumn("cell", ivf_cell(vec_col, cents))
             .filter(F.col("cell").isin(probe))
             .select(F.col(id_col),
@@ -387,12 +393,26 @@ def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding",
 
 def ivf_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
               k: int = 10, n_probe: int = 4, vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id",
+              where: str | Column | None = None) -> DataFrame:
     """Probe the n_probe cells nearest the query; the ``cell IN (...)``
-    filter on the partition column prunes every other directory."""
+    filter on the partition column prunes every other directory.
+
+    ``where`` (SQL string or Column over the indexed table's columns)
+    is FILTERED vector search — the metadata predicate every RAG /
+    retrieval stack needs ("top-k among label=2 / lang='en' / date >
+    cutoff").  It applies INSIDE the pruned scan, BEFORE ranking, so
+    all k results satisfy it (post-filtering the top-k instead would
+    silently return < k rows whenever the filter is selective).  The
+    predicate composes with partition pruning in one scan: Catalyst
+    pushes both into the parquet reader, and n_probe/n_cells of the
+    corpus is still the I/O ceiling."""
     probe = _nearest_cells(index.params["centroids"], query_vec, n_probe)
     probed = (spark.read.parquet(index.path)
               .filter(F.col("cell").isin(probe)))
+    if where is not None:
+        probed = probed.filter(
+            F.expr(where) if isinstance(where, str) else where)
     return cosine_topk(probed, query_vec, k, vec_col, id_col)
 
 

@@ -239,3 +239,100 @@ def cms_heavy_hitters(df: DataFrame, col: str, k: int = 20, d: int = 3,
     return (top.join(est, col)
             .select(col, "exact_count", "cms_estimate")
             .orderBy(F.col("exact_count").desc(), F.col(col).asc()))
+
+
+# --------------------------------------------------------------------- #
+# KMV (k-minimum-values / theta) — distinct counts AND set overlap
+# --------------------------------------------------------------------- #
+# HLL answers |A| but cannot estimate |A ∩ B| (register-max merge only
+# unions).  The KMV sketch (Bar-Yossef et al. 2002; the theta sketch's
+# core) keeps the k SMALLEST distinct hash values of a set: union is
+# merge-and-trim, and the Jaccard of two sets is estimated by the
+# fraction of the union sketch's members present in both — giving
+# dataset-overlap measurement (train/eval contamination rates, shared
+# users across segments, cross-crawl coverage) from k-row summaries
+# instead of a distinct-join over the full key space.
+#
+# Same portable hash family as HLL/CMS above, so every sketch value —
+# and therefore every estimate — is reproducible in ANSI SQL by an
+# external oracle, not just "approximately equal".
+
+#: the hash domain: _H60 yields values uniform on [0, 2^60)
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The KMV sketch of ``col``'s distinct values: one column ``h``
+    with the k smallest distinct 60-bit portable hashes (fewer rows
+    when the set itself is smaller — then the sketch is the exact
+    hashed set).  NULLs are ignored, matching COUNT(DISTINCT).
+
+    Shape at scale: hash → distinct (the one shuffle, map-side
+    partial) → global top-k by ascending hash, which Spark executes as
+    per-partition limits + a k-row driver merge (TakeOrderedAndProject)
+    — state is O(k) per partition, never corpus-sized."""
+    h = F.expr(_H60.format(x=f"cast({col} as string)"))
+    return (df.select(h.alias("h")).where(F.col("h").isNotNull())
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union of two KMV sketches: merge, dedup, keep the k smallest —
+    EXACTLY the sketch of the unioned sets (trim-to-k commutes with
+    set union), so sketches built per day/partition/source compose."""
+    return (a.select("h").unionByName(b.select("h"))
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """One-row distinct-count estimate of a :func:`kmv_sketch`:
+    ``(k, n_sketch, estimate)``.  Under-full sketches (n < k) are the
+    exact distinct set, so the estimate is exact; full sketches use
+    the unbiased k-th-minimum estimator ``(k-1) · 2^60 / h_(k)``."""
+    agg = sketch.agg(F.count(F.lit(1)).alias("n"),
+                     F.max("h").alias("hmax"))
+    est = F.when(F.col("n") < k, F.col("n").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN)
+                   / F.col("hmax").cast("double"))
+    return agg.select(F.lit(k).alias("k"),
+                      F.col("n").cast("long").alias("n_sketch"),
+                      F.round(est, 4).alias("estimate"))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, col: str,
+                k: int = 256) -> DataFrame:
+    """Set-overlap estimate between ``col``'s distinct values in ``a``
+    and in ``b`` from two k-row KMV sketches: one row with per-set and
+    union cardinality estimates, the Jaccard estimate (fraction of the
+    union sketch's k members present in BOTH input sketches — each
+    sketch member's set-membership is EXACT, since a hash below a
+    sketch's max would be in that sketch), and the intersection
+    estimate ``jaccard · |A ∪ B|``.
+
+    At 100 TB this replaces the exact ``A JOIN B ON key`` overlap
+    audit — two independent k-row sketches that can be built on
+    different days/clusters and compared driver-side — at the cost of
+    ±O(1/√k) relative error."""
+    sa = kmv_sketch(a, col, k).withColumn("in_a", F.lit(1))
+    sb = kmv_sketch(b, col, k).withColumn("in_b", F.lit(1))
+    merged = (sa.join(sb, "h", "full")
+              .select("h", F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                      F.coalesce("in_b", F.lit(0)).alias("in_b"))
+              .orderBy("h").limit(k))
+    u = merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("h").alias("hmax"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"))
+    est_u = F.when(F.col("n") < k, F.col("n").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN)
+                   / F.col("hmax").cast("double"))
+    ea = kmv_estimate(sa, k).select(F.col("estimate").alias("est_a"))
+    eb = kmv_estimate(sb, k).select(F.col("estimate").alias("est_b"))
+    jacc = F.col("n_both") / F.col("n")
+    return (u.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb))
+            .select(F.lit(k).alias("k"),
+                    F.col("n").cast("long").alias("n_union_sketch"),
+                    "est_a", "est_b",
+                    F.round(est_u, 4).alias("est_union"),
+                    F.round(jacc, 6).alias("jaccard"),
+                    F.round(jacc * est_u, 4).alias("est_intersection")))

@@ -666,3 +666,70 @@ def test_expectations_report_one_pass_and_semantics(spark):
         profiling.expectations_report(df, {"bad": "nope > 1"})
     with pytest.raises(DatabaseException, match="no rules"):
         profiling.expectations_report(df, {})
+
+
+# ------------------------------------------------------------------ #
+# KMV / theta sketches
+# ------------------------------------------------------------------ #
+def test_kmv_exact_when_underfull(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    df = spark.range(100).selectExpr("id AS u")
+    est = sketches.kmv_estimate(
+        sketches.kmv_sketch(df, "u", k=256), 256).collect()[0]
+    assert est["n_sketch"] == 100 and est["estimate"] == 100.0
+
+
+def test_kmv_estimate_within_error_envelope(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    df = spark.range(5000).selectExpr("id AS u")
+    est = sketches.kmv_estimate(
+        sketches.kmv_sketch(df, "u", k=256), 256).collect()[0]
+    assert est["n_sketch"] == 256
+    # k=256 → ~1/sqrt(254) ≈ 6.3% std error; 25% is the loud bound
+    assert abs(est["estimate"] - 5000) / 5000 < 0.25
+
+
+def test_kmv_insensitive_to_duplication_and_nulls(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    a = spark.range(3000).selectExpr("id AS u")
+    dup = a.unionAll(a).unionAll(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS u"))
+    sk_a = sorted(r["h"] for r in
+                  sketches.kmv_sketch(a, "u", 128).collect())
+    sk_d = sorted(r["h"] for r in
+                  sketches.kmv_sketch(dup, "u", 128).collect())
+    assert sk_a == sk_d
+
+
+def test_kmv_union_commutes_with_set_union(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    a = spark.range(0, 2000).selectExpr("id AS u")
+    b = spark.range(1000, 3500).selectExpr("id AS u")
+    merged = sketches.kmv_union(sketches.kmv_sketch(a, "u", 128),
+                                sketches.kmv_sketch(b, "u", 128), 128)
+    direct = sketches.kmv_sketch(a.unionAll(b), "u", 128)
+    assert sorted(r["h"] for r in merged.collect()) == \
+        sorted(r["h"] for r in direct.collect())
+
+
+def test_kmv_overlap_estimates_jaccard_and_intersection(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    a = spark.range(0, 3000).selectExpr("id AS u")
+    b = spark.range(1500, 5000).selectExpr("id AS u")
+    row = sketches.kmv_overlap(a, b, "u", k=256).collect()[0]
+    # truth: |A|=3000 |B|=3500 |A∪B|=5000 |A∩B|=1500 J=0.3
+    assert abs(row["est_union"] - 5000) / 5000 < 0.25
+    assert abs(row["jaccard"] - 0.3) < 0.12
+    assert abs(row["est_intersection"] - 1500) / 1500 < 0.45
+    assert row["n_union_sketch"] == 256
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    a = spark.range(0, 2000).selectExpr("id AS u")
+    b = spark.range(5000, 7000).selectExpr("id AS u")
+    row = sketches.kmv_overlap(a, b, "u", k=128).collect()[0]
+    assert row["jaccard"] == 0.0 and row["est_intersection"] == 0.0
+    same = sketches.kmv_overlap(a, a, "u", k=128).collect()[0]
+    assert same["jaccard"] == 1.0
+    assert same["est_a"] == same["est_b"] == same["est_union"]
