@@ -5594,6 +5594,68 @@ def q_multi_partition(spark, sf_dir):
         "component_pruned boolean")
 
 
+def q_file_skip(spark, sf_dir):
+    """FILE-granularity data skipping (``PartitionedTable`` per-file
+    ``__files`` stats + ``_file_prune`` — Delta's per-file stats step
+    below our directory manifests): orders lands partitioned by
+    status with a range-partitioned upstream, so every leaf directory
+    holds 4 files covering disjoint o_orderkey quartiles — DIRECTORY
+    bounds straddle any mid-range probe (directory skipping alone
+    prunes nothing), but per-file bounds cut the scan to ~1 file per
+    directory.  In-entry contracts raise (must survive ``python
+    -O``): (a) the range probe issues ZERO Spark jobs before the
+    pruned scan; (b) the scan lists FEWER files than the table holds
+    while touching the SAME directory set (file pruning did the work,
+    not directory pruning); (c) the result equals the plain filtered
+    read.  The range bounds derive from the table's own metadata
+    MIN/MAX (driver-side, no jobs), and the oracle re-derives them
+    from SQL MIN/MAX, so the WHERE replays exactly at any SF."""
+    import os as _os
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("fskip", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartitionByRange(4, F.col("o_orderkey")),
+            f"{base}/orders", "o_orderstatus")
+        mn, mx = pt.metadata_min_max("o_orderkey")
+        lo = mn + (mx - mn) * 30 // 100
+        hi = mn + (mx - mn) * 35 // 100
+        all_files = set(pt.read().inputFiles())
+        jobs_before = _job_counter(spark)
+        out = pt.read_skipping(ranges={"o_orderkey": (lo, hi)})
+        if _job_counter(spark) != int(jobs_before):
+            raise RuntimeError(
+                "file-granularity skipping scheduled Spark jobs "
+                "before the pruned scan; the probe contract is zero")
+        scanned = set(out.inputFiles())
+        if len(scanned) >= len(all_files):
+            raise RuntimeError(
+                f"per-file skipping scanned all {len(all_files)} "
+                f"files; file bounds pruned nothing")
+        if {_os.path.dirname(f) for f in scanned} != \
+                {_os.path.dirname(f) for f in all_files}:
+            raise RuntimeError(
+                "directory set changed — the probe was supposed to "
+                "straddle every directory and prune FILES only")
+        want = pt.read().filter(F.col("o_orderkey").between(lo, hi))
+        got_rows = sorted(map(tuple, out.collect()))
+        if got_rows != sorted(map(tuple, want.collect())):
+            raise RuntimeError("file skipping != plain filtered read")
+        agg = (out.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key")).localCheckpoint())
+    return agg
+
+
 def q_ann_filtered(spark, sf_dir):
     """FILTERED vector search over the materialized IVF index
     (``similarity.ivf_probe(..., where="label = 2")`` — the metadata-
@@ -5836,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_skip": q_multi_skip,
         "url_dedup": q_url_dedup,
         "expectations": q_expectations,
+        "file_skip": q_file_skip,
         "ann_filtered": q_ann_filtered,
         "nb_classify": q_nb_classify,
         "kmv_overlap": q_kmv_overlap,
@@ -8132,6 +8195,19 @@ def oracle_sql() -> dict[str, str]:
             f"round(COUNT(*) / 10.0, 4) AS recall "
             f"FROM ex JOIN ann USING (vec_id)"),
         "embedding_ann_ivf": ivf_sql,
+        # file-granularity skipping: the probe bounds re-derive from
+        # SQL MIN/MAX exactly as the entry derives them from table
+        # metadata; the WHERE then replays the pruned aggregate
+        "file_skip": (
+            "WITH b AS (SELECT MIN(o_orderkey) AS mn, "
+            "MAX(o_orderkey) AS mx FROM orders), "
+            "r AS (SELECT mn + CAST(floor((mx - mn) * 30 / 100) "
+            "AS BIGINT) AS lo, mn + CAST(floor((mx - mn) * 35 / 100) "
+            "AS BIGINT) AS hi FROM b) "
+            "SELECT COUNT(*)::BIGINT AS n_rows, "
+            "round(SUM(o_totalprice), 2) AS sum_price, "
+            "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+            "FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi"),
         "ann_filtered": ann_filtered_sql,
         # multinomial NB replay: Laplace token likelihoods + priors on
         # the %5!=0 split, dense token×class grid with per-class

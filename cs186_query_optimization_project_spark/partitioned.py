@@ -565,17 +565,27 @@ class PartitionedTable:
         by the new directory's file count; at cluster scale this is the
         stats-collection task Delta runs inside the write job itself.
         Columns with any stats-less row group are omitted (fail-open:
-        no stats → no skipping, never a wrong skip)."""
+        no stats → no skipping, never a wrong skip) — a column unsafe
+        in ANY file of the directory is omitted from EVERY file's map
+        too, keeping the per-file and per-directory guards identical.
+
+        Besides the directory-level bounds this records a ``__files``
+        map (file name → that file's bounds + ``__num_rows``): Delta
+        skips at FILE granularity, and a directory holding several
+        files (``files_per_bucket`` > 1 writes, OPTIMIZE outputs,
+        range-partitioned upstreams) prunes per file in
+        ``read_skipping`` / ``read_point`` where directory bounds
+        straddle the probe but individual files' don't."""
         import pyarrow.parquet as pq
 
-        mins: dict = {}
-        maxs: dict = {}
         dropped: set = set()
-        rows = 0
+        per_file: dict[str, tuple] = {}
         for fname in sorted(metaio.IO.list_dir(d)):
             if not fname.endswith(".parquet"):
                 continue
             meta = pq.read_metadata(os.path.join(d, fname))
+            fmins: dict = {}
+            fmaxs: dict = {}
             for rg in range(meta.num_row_groups):
                 group = meta.row_group(rg)
                 for ci in range(group.num_columns):
@@ -604,16 +614,30 @@ class PartitionedTable:
                             not isinstance(lo, (bool, int, str)):
                         dropped.add(name)
                         continue
-                    mins[name] = lo if name not in mins else \
-                        min(mins[name], lo)
-                    maxs[name] = hi if name not in maxs else \
-                        max(maxs[name], hi)
-            rows += meta.num_rows
+                    fmins[name] = lo if name not in fmins else \
+                        min(fmins[name], lo)
+                    fmaxs[name] = hi if name not in fmaxs else \
+                        max(fmaxs[name], hi)
+            per_file[fname] = (fmins, fmaxs, meta.num_rows)
+        mins: dict = {}
+        maxs: dict = {}
+        rows = 0
+        for fmins, fmaxs, n in per_file.values():
+            rows += n
+            for c, lo in fmins.items():
+                mins[c] = lo if c not in mins else min(mins[c], lo)
+                maxs[c] = fmaxs[c] if c not in maxs else \
+                    max(maxs[c], fmaxs[c])
         out = {c: [mins[c], maxs[c]] for c in mins if c not in dropped}
-        # reserved key (never a column bound — read_where type-guards):
-        # exact row count from the footers, the Delta numRecords analog
-        # that lets COUNT(*) answer from metadata alone
+        # reserved keys (never column bounds — readers type-guard):
+        # exact row count from the footers (the Delta numRecords analog
+        # that lets COUNT(*) answer from metadata alone) and the
+        # per-file stats map
         out["__num_rows"] = rows
+        out["__files"] = {
+            f: {**{c: [fm[c], fx[c]] for c in fm if c not in dropped},
+                "__num_rows": n}
+            for f, (fm, fx, n) in per_file.items()}
         return out
 
     # ------------------------------------------------------------------ #
@@ -671,18 +695,28 @@ class PartitionedTable:
                 or any(k.startswith(p) for p in prefixes)}
 
     def _scan(self, dirs: list[str], schema: T.StructType,
-              tombs: dict[str, list[str]]) -> DataFrame:
+              tombs: dict[str, list[str]],
+              files: dict[str, list[str] | None] | None = None) \
+            -> DataFrame:
         """One DataFrame over ``dirs`` with each directory's tombstone
         predicates applied (SQL DELETE null semantics: NULL keeps the
         row).  Directories sharing a tombstone set scan together; the
         union arity is the number of DISTINCT tombstone combinations
-        (usually 0 or 1), never the directory count."""
+        (usually 0 or 1), never the directory count.  ``files`` (from
+        :meth:`_file_prune`) narrows a directory to an explicit
+        admitted-file list — ``None`` per directory means all of it;
+        tombstones stay directory-scoped either way (a file inherits
+        its directory's delete predicates)."""
         groups: dict[tuple, list[str]] = {}
         for d in dirs:
             groups.setdefault(tuple(tombs.get(d, ())), []).append(d)
         outs = []
         for conds, ds in sorted(groups.items()):
-            df = self.spark.read.schema(schema).parquet(*ds)
+            paths: list[str] = []
+            for d in ds:
+                fl = files.get(d) if files else None
+                paths.extend(fl if fl is not None else [d])
+            df = self.spark.read.schema(schema).parquet(*paths)
             for cond in conds:
                 c = F.expr(cond)
                 df = df.filter(~c | c.isNull())
@@ -860,7 +894,9 @@ class PartitionedTable:
         self._validate_skip_args(schema, eq, ranges, isin)
         keep = self._admitted_dirs(man, schema, eq, ranges, isin,
                                    version)
-        out = self._scan(keep, schema, man.get("tombstones", {}))
+        files = self._file_prune(keep, eq, ranges, isin)
+        out = self._scan(list(files), schema,
+                         man.get("tombstones", {}), files=files)
         return out.filter(self._conjunction(eq, ranges, isin))
 
     def read_skipping_any(self, branches: list,
@@ -899,13 +935,26 @@ class PartitionedTable:
                     f"(always-true; use read() explicitly)")
             self._validate_skip_args(schema, eq, ranges, isin)
             norm.append((eq, ranges, isin))
-        admitted: set = set()
+        # per-branch directory AND file admission; a directory (or a
+        # file) is skipped only when EVERY branch disproves it
+        merged: dict[str, list[str] | None] = {}
         for eq, ranges, isin in norm:
-            admitted.update(self._admitted_dirs(man, schema, eq,
-                                                ranges, isin, version))
+            adm = self._admitted_dirs(man, schema, eq, ranges, isin,
+                                      version)
+            for d, fl in self._file_prune(adm, eq, ranges,
+                                          isin).items():
+                if d not in merged:
+                    merged[d] = None if fl is None else list(fl)
+                elif merged[d] is not None:
+                    if fl is None:
+                        merged[d] = None
+                    else:
+                        merged[d].extend(
+                            f for f in fl if f not in merged[d])
         keep = [d for ds in man["parts"].values() for d in ds
-                if d in admitted]  # manifest order, deduped
-        out = self._scan(keep, schema, man.get("tombstones", {}))
+                if d in merged]  # manifest order, deduped
+        out = self._scan(keep, schema, man.get("tombstones", {}),
+                         files=merged)
         cond = None
         for eq, ranges, isin in norm:
             c = self._conjunction(eq, ranges, isin)
@@ -947,6 +996,81 @@ class PartitionedTable:
             if hi is not None:
                 cond = cond & (F.col(c) <= F.lit(hi))
         return cond
+
+    def _stats_disprove(self, stats: dict, eq: dict, ranges: dict,
+                        isin: dict) -> bool:
+        """True when recorded ``[min, max]`` bounds in ``stats`` (a
+        directory's OR one file's map) disprove the conjunction.
+        Missing bounds and probe/stat type mismatches fail OPEN (the
+        exact filter still applies Spark's own cast downstream), so a
+        True here is always a PROOF of emptiness."""
+        for c, v in eq.items():
+            st = stats.get(c)
+            b = self._bound(v)
+            try:
+                if isinstance(st, (list, tuple)) and \
+                        (b < st[0] or b > st[1]):
+                    return True
+            except TypeError:
+                pass
+        for c, vs in isin.items():
+            st = stats.get(c)
+            if not isinstance(st, (list, tuple)):
+                continue
+            admits_any = False
+            for v in vs:
+                b = self._bound(v)
+                try:
+                    if b < st[0] or b > st[1]:
+                        continue  # bounds disprove this value
+                except TypeError:
+                    pass  # type mismatch: this value fails open
+                admits_any = True
+                break
+            if not admits_any:
+                return True
+        for c, (lo, hi) in ranges.items():
+            st = stats.get(c)
+            if not isinstance(st, (list, tuple)):
+                continue
+            lo_b, hi_b = self._bound(lo), self._bound(hi)
+            try:
+                if (lo_b is not None and st[1] < lo_b) or \
+                        (hi_b is not None and st[0] > hi_b):
+                    return True
+            except TypeError:
+                continue
+        return False
+
+    def _file_prune(self, dirs: list[str], eq: dict, ranges: dict,
+                    isin: dict) -> dict[str, list[str] | None]:
+        """FILE-granularity skipping within already-admitted
+        directories (the Delta per-file stats step below our
+        directory manifests): each admitted directory's ``__files``
+        map is checked against the same bounds conjunction, and the
+        scan narrows to the files it cannot disprove.  Returns
+        ``{dir: admitted file paths}`` in input order — ``None``
+        meaning the whole directory (legacy sidecars without a
+        ``__files`` map fail open; a fully-admitted directory scans
+        as itself, the cheaper listing) — with fully-disproved
+        directories OMITTED.  Partition-column conjuncts are safe
+        here too: every row of a file shares the value, so its
+        recorded bounds disprove exactly."""
+        out: dict[str, list[str] | None] = {}
+        for d in dirs:
+            fstats = (self._staging_stats(os.path.dirname(d))
+                      .get(os.path.basename(d), {}).get("__files"))
+            if not isinstance(fstats, dict) or not fstats:
+                out[d] = None  # fail open: no per-file map
+                continue
+            keep = [f for f, fs in sorted(fstats.items())
+                    if isinstance(fs, dict)
+                    and not self._stats_disprove(fs, eq, ranges, isin)]
+            if not keep:
+                continue  # every file disproved: drop the directory
+            out[d] = None if len(keep) == len(fstats) else \
+                [os.path.join(d, f) for f in keep]
+        return out
 
     def _admitted_dirs(self, man: dict, schema, eq: dict, ranges: dict,
                        isin: dict, version: int | None) -> list[str]:
@@ -1046,11 +1170,17 @@ class PartitionedTable:
         optimization.  The win case is a high-cardinality column
         (ids, hashes, URLs) spread over many append directories where
         min/max ranges overlap everywhere: membership, not range, is
-        what prunes."""
+        what prunes.  Admitted directories additionally narrow to the
+        FILES whose recorded bounds admit the value
+        (:meth:`_file_prune`) — still zero Spark jobs before the
+        pruned scan."""
         man = self._manifest(version)
-        out = self._scan(self._point_dirs(column, value, version),
+        files = self._file_prune(
+            self._point_dirs(column, value, version),
+            {column: value}, {}, {})
+        out = self._scan(list(files),
                          T._parse_datatype_string(man["schema"]),
-                         man.get("tombstones", {}))
+                         man.get("tombstones", {}), files=files)
         return out.filter(F.col(column) == F.lit(value))
 
     def read_pruned_by(self, dim: DataFrame, dim_col: str,

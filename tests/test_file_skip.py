@@ -1,0 +1,136 @@
+"""File-granularity data skipping (partitioned.py `__files` stats +
+`_file_prune`): a directory holding several files prunes per FILE in
+read_skipping / read_skipping_any / read_point when directory bounds
+straddle the probe but individual files' don't — Delta's per-file
+stats step below our directory manifests."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from cs186_query_optimization_project_spark.partitioned import (
+    PartitionedTable,
+)
+
+
+def _files_of(df) -> set[str]:
+    return {f.removeprefix("file:") for f in df.inputFiles()}
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def multi_file_pt(spark, tmp_path_factory):
+    """3 status partitions × 4 range-disjoint files per leaf: the
+    upstream repartitionByRange(4, k) means every leaf directory holds
+    four files covering k-quartiles — directory bounds span [0, 599]
+    everywhere, file bounds don't."""
+    root = str(tmp_path_factory.mktemp("fskip") / "t")
+    df = (spark.range(600)
+          .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS grp",
+                      "id * 2 AS v")
+          .repartitionByRange(4, F.col("k")))
+    return PartitionedTable.create(spark, df, root, "grp")
+
+
+def test_sidecar_records_per_file_stats(multi_file_pt):
+    pt = multi_file_pt
+    man = pt._manifest()
+    for ds in man["parts"].values():
+        for d in ds:
+            stats = (pt._staging_stats(os.path.dirname(d))
+                     .get(os.path.basename(d)))
+            fmap = stats["__files"]
+            assert len(fmap) == 4
+            assert sum(fs["__num_rows"] for fs in fmap.values()) \
+                == stats["__num_rows"]
+            # file bounds nest inside directory bounds
+            for fs in fmap.values():
+                assert fs["k"][0] >= stats["k"][0]
+                assert fs["k"][1] <= stats["k"][1]
+
+
+def test_range_skipping_prunes_files_not_just_dirs(multi_file_pt):
+    pt = multi_file_pt
+    total = _files_of(pt.read())
+    got = pt.read_skipping(ranges={"k": (200, 220)})
+    scanned = _files_of(got)
+    # every directory straddles [200, 220]'s quartile, so dirs alone
+    # cannot prune — files must
+    assert {os.path.dirname(f) for f in scanned} == \
+        {os.path.dirname(f) for f in total}
+    assert len(scanned) < len(total)
+    assert _rows(got) == _rows(
+        pt.read().filter(F.col("k").between(200, 220)))
+
+
+def test_eq_skipping_narrows_to_one_file_per_dir(multi_file_pt):
+    pt = multi_file_pt
+    got = pt.read_skipping(eq={"k": 300})
+    scanned = _files_of(got)
+    assert len(scanned) == 1  # one value lives in one file of one dir
+    assert _rows(got) == [(300, "0", 600)]
+
+
+def test_read_point_prunes_files(multi_file_pt):
+    pt = multi_file_pt
+    got = pt.read_point("k", 450)
+    assert len(_files_of(got)) == 1
+    assert _rows(got) == [(450, "0", 900)]
+
+
+def test_disjunctive_union_of_files(multi_file_pt):
+    pt = multi_file_pt
+    got = pt.read_skipping_any([
+        {"ranges": {"k": (10, 20)}},
+        {"ranges": {"k": (550, 560)}},
+    ])
+    scanned = _files_of(got)
+    # first and last quartile files only, across the 3 dirs
+    assert 2 <= len(scanned) <= 6
+    assert len(scanned) < len(_files_of(pt.read()))
+    assert _rows(got) == _rows(pt.read().filter(
+        F.col("k").between(10, 20) | F.col("k").between(550, 560)))
+
+
+def test_fully_disproved_conjunction_scans_nothing(multi_file_pt):
+    pt = multi_file_pt
+    got = pt.read_skipping(ranges={"k": (10000, 20000)})
+    assert got.count() == 0
+    assert _files_of(got) == set()
+
+
+def test_legacy_sidecar_without_files_map_fails_open(
+        spark, multi_file_pt):
+    pt = PartitionedTable(spark, multi_file_pt.root)
+    # prime the handle's stats cache with the __files maps stripped —
+    # exactly what a pre-file-stats staging looks like
+    for ds in pt._manifest()["parts"].values():
+        for d in ds:
+            staging = os.path.dirname(d)
+            stats = {k: {kk: vv for kk, vv in v.items()
+                         if kk != "__files"}
+                     for k, v in pt._staging_stats(staging).items()}
+            pt._stats_cache[staging] = stats
+    got = pt.read_skipping(ranges={"k": (200, 220)})
+    # no per-file map → whole admitted directories scan (fail open)
+    assert _files_of(got) == _files_of(pt.read())
+    assert _rows(got) == _rows(
+        pt.read().filter(F.col("k").between(200, 220)))
+
+
+def test_file_pruning_composes_with_tombstones(multi_file_pt, spark,
+                                               tmp_path):
+    # soft-delete on a shallow clone: the shared fixture stays pristine
+    pt = multi_file_pt.clone(str(tmp_path / "c"))
+    pt.delete_soft("k % 2 = 1")
+    got = pt.read_skipping(ranges={"k": (200, 220)})
+    assert len(_files_of(got)) < len(_files_of(pt.read(version=0)))
+    assert _rows(got) == _rows(
+        pt.read().filter(F.col("k").between(200, 220)))
+    assert all(r[0] % 2 == 0 for r in got.collect())
