@@ -67,8 +67,10 @@ def nb_train(df: DataFrame, text_col: str = "text",
     ``ln((count(label, token) + alpha) / (tokens(label) + alpha·V))``
     (V = train-corpus distinct-token count) and class log-priors
     ``ln(docs(label) / docs)``.  Two aggregation passes, no
-    iteration; NULL labels are refused upstream by the join shape
-    (they would train a ghost class)."""
+    iteration.  NULL-labeled rows are UNLABELED examples and are
+    excluded from training (they would otherwise train a ghost class
+    that NULL-safe joins could never score against)."""
+    df = df.filter(F.col(label_col).isNotNull())
     tok = _doc_tokens(df, [label_col], text_col) \
         .withColumnRenamed(label_col, "label")
     counts = tok.groupBy("label", "token").agg(

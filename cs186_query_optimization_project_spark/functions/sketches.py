@@ -328,7 +328,10 @@ def kmv_overlap(a: DataFrame, b: DataFrame, col: str,
                    / F.col("hmax").cast("double"))
     ea = kmv_estimate(sa, k).select(F.col("estimate").alias("est_a"))
     eb = kmv_estimate(sb, k).select(F.col("estimate").alias("est_b"))
-    jacc = F.col("n_both") / F.col("n")
+    # two empty inputs: 0/0 Jaccard is pinned to 0.0 (empty sets
+    # overlap nothing), never a NULL that poisons downstream math
+    jacc = F.when(F.col("n") > 0,
+                  F.col("n_both") / F.col("n")).otherwise(F.lit(0.0))
     return (u.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb))
             .select(F.lit(k).alias("k"),
                     F.col("n").cast("long").alias("n_union_sketch"),

@@ -97,3 +97,15 @@ def test_ivf_topk_where_filters_before_ranking(spark):
     assert len(rows) == 5
     ids = {r["vec_id"] for r in rows}
     assert all(i % 3 == 2 for i in ids)
+
+
+def test_nb_train_drops_null_labels(spark, toy):
+    import pyspark.sql.functions as _F
+    noisy = toy.unionByName(spark.createDataFrame(
+        [(99, None, "cheap pills")],
+        "doc_id long, label string, text string"))
+    m = classify.nb_train(noisy, "text", "label")
+    assert {r["label"] for r in m.priors.collect()} == {"spam", "ham"}
+    # priors renormalize over the LABELED docs only
+    pri = {r["label"]: r["log_prior"] for r in m.priors.collect()}
+    assert math.isclose(pri["spam"], math.log(2 / 5))

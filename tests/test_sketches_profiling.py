@@ -733,3 +733,11 @@ def test_kmv_overlap_disjoint_and_identical(spark):
     same = sketches.kmv_overlap(a, a, "u", k=128).collect()[0]
     assert same["jaccard"] == 1.0
     assert same["est_a"] == same["est_b"] == same["est_union"]
+
+
+def test_kmv_overlap_empty_inputs_pin_zero_jaccard(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    empty = spark.range(0).selectExpr("id AS u")
+    row = sketches.kmv_overlap(empty, empty, "u", k=64).collect()[0]
+    assert row["jaccard"] == 0.0 and row["est_union"] == 0.0
+    assert row["est_intersection"] == 0.0
