@@ -5898,10 +5898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_skip": q_multi_skip,
         "url_dedup": q_url_dedup,
         "expectations": q_expectations,
-        "file_skip": q_file_skip,
-        "ann_filtered": q_ann_filtered,
-        "nb_classify": q_nb_classify,
-        "kmv_overlap": q_kmv_overlap,
         "semantic_contamination": q_semantic_contamination,
         "group_split": q_group_split,
         # --- stalest driver evidence: r7 (4) ---
@@ -5960,6 +5956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repartition_evolution": q_repartition_evolution,
         "disjunct_skip": q_disjunct_skip,
         "metadata_group_minmax": q_metadata_group_minmax,
+        "file_skip": q_file_skip,
+        "ann_filtered": q_ann_filtered,
+        "nb_classify": q_nb_classify,
+        "kmv_overlap": q_kmv_overlap,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
