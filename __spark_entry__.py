@@ -5656,6 +5656,35 @@ def q_file_skip(spark, sf_dir):
     return agg
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """C4/RefinedWeb-style LINE-level boilerplate removal
+    (``text.strip_boilerplate``) — the cleaning step document-level
+    dedup cannot express: a line appearing in ≥50% of a domain's
+    documents (nav bars, cookie banners, footers) is stripped from
+    every document of that domain, survivors reassembling in original
+    line order.  The flat synthetic corpus has no newlines, so each
+    doc is re-lined deterministically (8-token chunks) and every doc
+    gains its domain's footer line — which the ratio rule must then
+    strip from 100% of the domain while content lines survive (the
+    oracle replays the RULE, not the plantation, so even natural
+    line collisions match).  Output pins doc-level line counts and
+    the md5 of the rebuilt text, making any reassembly-order or
+    strip-set bug a hash mismatch on every affected doc."""
+    db = _db(spark, sf_dir)
+    docs = db.table("documents").selectExpr(
+        "doc_id", "source",
+        "concat(array_join(transform("
+        "  sequence(0, cast(ceil(size(split(text, '\\\\s+')) / 8.0) "
+        "           as int) - 1),"
+        "  i -> array_join(slice(split(text, '\\\\s+'), i * 8 + 1, 8),"
+        "                  ' ')), '\\n'),"
+        " '\\n', 'footer for ', source) AS text")
+    out = text.strip_boilerplate(docs, min_doc_ratio=0.5)
+    return out.select(
+        "doc_id", "source", "n_lines", "n_kept",
+        F.md5(F.col("text")).alias("text_hash"))
+
+
 def q_ann_filtered(spark, sf_dir):
     """FILTERED vector search over the materialized IVF index
     (``similarity.ivf_probe(..., where="label = 2")`` — the metadata-
@@ -5960,6 +5989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered": q_ann_filtered,
         "nb_classify": q_nb_classify,
         "kmv_overlap": q_kmv_overlap,
+        "boilerplate_strip": q_boilerplate_strip,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -8209,6 +8239,43 @@ def oracle_sql() -> dict[str, str]:
             "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
             "FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi"),
         "ann_filtered": ann_filtered_sql,
+        # line-level boilerplate strip: re-line into 8-token chunks +
+        # a per-domain footer, count distinct docs per (domain, line),
+        # strip >= max(2, 50% of domain), reassemble by position —
+        # text.strip_boilerplate replayed end to end
+        "boilerplate_strip": (
+            "WITH docs AS (SELECT doc_id, source, "
+            "array_to_string(list_transform(range(0, CAST(ceil("
+            "len(regexp_split_to_array(text, '\\s+')) / 8.0) AS INT)), "
+            "i -> array_to_string(regexp_split_to_array(text, '\\s+')"
+            "[i * 8 + 1 : i * 8 + 8], ' ')), chr(10)) "
+            "|| chr(10) || 'footer for ' || source AS text "
+            "FROM documents), "
+            "ls AS (SELECT doc_id, source, "
+            "string_split(text, chr(10)) AS arr FROM docs), "
+            "lines AS (SELECT doc_id, source, u.pos AS pos, "
+            "u.line AS line FROM (SELECT doc_id, source, "
+            "unnest(list_transform(range(1, len(arr) + 1), "
+            "i -> {'pos': i, 'line': arr[i]})) AS u FROM ls) z), "
+            "nd AS (SELECT source, COUNT(*) AS n_docs FROM docs "
+            "GROUP BY source), "
+            "boiler AS (SELECT c.source, c.line FROM ("
+            "SELECT source, line, COUNT(DISTINCT doc_id) AS n_in "
+            "FROM lines GROUP BY source, line) c "
+            "JOIN nd USING (source) "
+            "WHERE n_in >= 2 AND n_in >= n_docs * 0.5), "
+            "kept AS (SELECT l.doc_id, l.source, l.pos, l.line "
+            "FROM lines l ANTI JOIN boiler b "
+            "ON l.source = b.source AND l.line = b.line), "
+            "tot AS (SELECT doc_id, source, COUNT(*) AS n_lines "
+            "FROM lines GROUP BY doc_id, source), "
+            "reb AS (SELECT doc_id, source, COUNT(*) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY pos) AS text "
+            "FROM kept GROUP BY doc_id, source) "
+            "SELECT t.doc_id, t.source, t.n_lines::BIGINT AS n_lines, "
+            "COALESCE(r.n_kept, 0)::BIGINT AS n_kept, "
+            "md5(COALESCE(r.text, '')) AS text_hash "
+            "FROM tot t LEFT JOIN reb r USING (doc_id, source)"),
         # multinomial NB replay: Laplace token likelihoods + priors on
         # the %5!=0 split, dense token×class grid with per-class
         # smoothed default, 6dp-rounded scores, label-asc argmax —

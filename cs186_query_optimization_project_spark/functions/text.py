@@ -633,3 +633,64 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             .groupBy("canonical_url")
             .agg(F.min(id_col).alias("keeper"),
                  F.count(F.lit(1)).alias("n_dups")))
+
+
+# --------------------------------------------------------------------- #
+# Boilerplate line stripping (C4 / RefinedWeb-style line-level dedup)
+# --------------------------------------------------------------------- #
+def strip_boilerplate(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      group_col: str = "source",
+                      min_doc_ratio: float = 0.5,
+                      min_docs: int = 2,
+                      sep: str = "\n") -> DataFrame:
+    """LINE-level boilerplate removal within a domain — the C4 /
+    RefinedWeb cleaning step document-level dedup cannot express: a
+    line (nav bar, cookie banner, footer) appearing in ≥
+    ``min_doc_ratio`` of a ``group_col`` domain's documents (and in at
+    least ``min_docs`` of them — the ratio alone would strip every
+    line of a one-document domain) is removed from EVERY document of
+    that domain; the survivors reassemble in original line order.
+
+    Returns ``(id_col, group_col, n_lines, n_kept, text)`` with
+    ``text`` rebuilt from the kept lines.  A document whose every line
+    was boilerplate keeps a row with ``n_kept = 0`` and empty text —
+    dropping it is the caller's policy decision, not the cleaner's.
+
+    Scale shape: one ``posexplode`` (linear), one per-(domain, line)
+    distinct-doc count whose shuffle carries distinct lines — bounded
+    by content, with map-side partial aggregation — a broadcast-able
+    boilerplate list per domain in the common case, and one
+    ``collect_list`` reassembly per document (the same width as the
+    input row).  No UDFs, no driver materialization; every step is
+    ANSI-SQL-replayable (``string_agg(line, sep ORDER BY pos)``)."""
+    lines = (df.select(
+        F.col(id_col), F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("__pos", "__line")))
+    domain_docs = (df.groupBy(group_col)
+                   .agg(F.count(F.lit(1)).alias("__n_docs")))
+    boiler = (lines.groupBy(group_col, "__line")
+              .agg(F.count_distinct(F.col(id_col)).alias("__n_in"))
+              .join(F.broadcast(domain_docs), group_col)
+              .filter((F.col("__n_in") >= F.lit(min_docs))
+                      & (F.col("__n_in")
+                         >= F.col("__n_docs") * F.lit(min_doc_ratio)))
+              .select(group_col, "__line"))
+    kept = lines.join(boiler, [group_col, "__line"], "left_anti")
+    totals = (lines.groupBy(id_col, group_col)
+              .agg(F.count(F.lit(1)).alias("n_lines")))
+    rebuilt = (kept.groupBy(id_col, group_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__line"))),
+                            lambda s: s["__line"]),
+                        sep).alias("text")))
+    return (totals.join(rebuilt, [id_col, group_col], "left")
+            .select(id_col, group_col,
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("text", F.lit("")).alias("text")))

@@ -858,3 +858,62 @@ def test_url_normalize_idempotent_property(spark):
                         text.url_normalize("c").alias("again"))
     diverged = twice.filter(F.col("orig") != F.col("again"))
     assert diverged.count() == 0, diverged.take(3)
+
+
+def test_strip_boilerplate_removes_domain_common_lines(spark):
+    from cs186_query_optimization_project_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(0, "a", "alpha one\nCOOKIE BANNER\nbeta two"),
+         (1, "a", "gamma three\nCOOKIE BANNER"),
+         (2, "a", "delta four\nCOOKIE BANNER\nepsilon five"),
+         (3, "b", "COOKIE BANNER\nzeta six")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in
+           T.strip_boilerplate(df, min_doc_ratio=0.5).collect()}
+    # domain a: banner in 3/3 docs -> stripped everywhere
+    assert out[0]["text"] == "alpha one\nbeta two"
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 2
+    assert out[1]["text"] == "gamma three"
+    # domain b: banner in its only doc, but min_docs=2 guards the
+    # one-document domain from being stripped bare
+    assert out[3]["text"] == "COOKIE BANNER\nzeta six"
+
+
+def test_strip_boilerplate_keeps_order_and_intra_doc_dups(spark):
+    from cs186_query_optimization_project_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(0, "a", "x\nBOIL\nx\ny"),
+         (1, "a", "BOIL\nz")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in T.strip_boilerplate(df).collect()}
+    # duplicate content line 'x' within doc 0 survives twice, in order
+    assert out[0] == "x\nx\ny"
+    assert out[1] == "z"
+
+
+def test_strip_boilerplate_fully_boiler_doc_keeps_empty_row(spark):
+    from cs186_query_optimization_project_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(0, "a", "BOIL"), (1, "a", "BOIL"), (2, "a", "BOIL\nreal")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in T.strip_boilerplate(df).collect()}
+    assert out[0]["n_kept"] == 0 and out[0]["text"] == ""
+    assert out[2]["text"] == "real"
+    assert len(out) == 3  # no document silently vanishes
+
+
+def test_strip_boilerplate_ratio_threshold(spark):
+    from cs186_query_optimization_project_spark.functions import text as T
+    rows = [(i, "a", f"unique {i}\nCOMMON") for i in range(4)]
+    rows += [(9, "a", "only here")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    # COMMON in 4/5 docs = 0.8: stripped at ratio 0.5, kept at 0.9
+    half = {r["doc_id"]: r["text"]
+            for r in T.strip_boilerplate(df, min_doc_ratio=0.5).collect()}
+    assert half[0] == "unique 0"
+    strict = {r["doc_id"]: r["text"]
+              for r in T.strip_boilerplate(df,
+                                           min_doc_ratio=0.9).collect()}
+    assert strict[0] == "unique 0\nCOMMON"
