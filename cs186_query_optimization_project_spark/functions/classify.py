@@ -110,9 +110,13 @@ def nb_score(model: NBModel, df: DataFrame, id_col: str = "doc_id",
     NB definition."""
     tok = _doc_tokens(df, [id_col], text_col)
     labels = model.priors.select("label", "log_default")
+    # the likelihood table is |vocab| × |classes| — broadcast is
+    # Spark's call (autoBroadcastJoinThreshold / AQE), NOT forced: a
+    # web-scale vocabulary's model belongs in a shuffle-hash join.
+    # The class list and priors ARE forced broadcasts (|classes| rows
+    # by construction).
     dense = (tok.crossJoin(F.broadcast(labels))
-             .join(F.broadcast(model.likelihood), ["label", "token"],
-                   "left")
+             .join(model.likelihood, ["label", "token"], "left")
              .select(id_col, "label",
                      F.coalesce("log_lik", "log_default").alias("ll")))
     return (dense.groupBy(id_col, "label")

@@ -680,7 +680,11 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text",
     kept = lines.join(boiler, [group_col, "__line"], "left_anti")
     totals = (lines.groupBy(id_col, group_col)
               .agg(F.count(F.lit(1)).alias("n_lines")))
-    rebuilt = (kept.groupBy(id_col, group_col)
+    # reassembly keys on id_col ALONE (a document id names one doc —
+    # its group is already carried by `totals`): joining on group_col
+    # too would silently blank every NULL-domain document's text, a
+    # plain equi-join never matching NULL = NULL
+    rebuilt = (kept.groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_kept"),
                     F.array_join(
                         F.transform(
@@ -688,7 +692,7 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text",
                                 F.struct("__pos", "__line"))),
                             lambda s: s["__line"]),
                         sep).alias("text")))
-    return (totals.join(rebuilt, [id_col, group_col], "left")
+    return (totals.join(rebuilt, [id_col], "left")
             .select(id_col, group_col,
                     F.col("n_lines").cast("long").alias("n_lines"),
                     F.coalesce("n_kept", F.lit(0)).cast("long")

@@ -917,3 +917,18 @@ def test_strip_boilerplate_ratio_threshold(spark):
               for r in T.strip_boilerplate(df,
                                            min_doc_ratio=0.9).collect()}
     assert strict[0] == "unique 0\nCOMMON"
+
+
+def test_strip_boilerplate_null_domain_docs_keep_their_text(spark):
+    from cs186_query_optimization_project_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(0, None, "keep me\nand me"), (1, None, "solo"),
+         (2, "a", "BOIL\nx"), (3, "a", "BOIL\ny")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in T.strip_boilerplate(df).collect()}
+    # NULL-domain lines can never equi-join the boilerplate set (and
+    # two NULL domains are not the same domain) — text passes through
+    assert out[0]["text"] == "keep me\nand me"
+    assert out[0]["n_kept"] == 2
+    assert out[1]["text"] == "solo"
+    assert out[2]["text"] == "x" and out[3]["text"] == "y"
