@@ -3502,6 +3502,57 @@ def q_ivfpq_probe(spark, sf_dir):
         "k int, n_indexed bigint, pruned boolean, recall_ge_04 boolean")
 
 
+def q_ivfpq_filtered(spark, sf_dir):
+    """Filtered vector search on the QUANTIZED scale path
+    (``ivfpq_topk(where="label = 2")``): the predicate evaluates on a
+    narrow id+label projection of the source — float vectors stay
+    untouched — and the eligible ids semi-join the probed cells
+    BEFORE the ADC rank-limit, so every one of the k results
+    satisfies the filter (post-filtering the unfiltered candidate
+    list would under-return whenever the filter is selective; the
+    unit suite pins that failure mode).  In-entry contracts raise
+    (must survive ``python -O``): (a) exactly k rows return and all
+    carry the filtered label; (b) recall@10 against the
+    label-filtered brute-force top-10 ≥ 0.4 (measured 0.9-class like
+    the unfiltered probe); (c) the filtered result differs from the
+    unfiltered top-10 (the filter did real work).  The oracle checks
+    the SQL-recomputable scalars plus the contract bits."""
+    idx = _ann_index(spark, sf_dir, "ivfpq")
+    qv = _query_vec(spark, sf_dir)
+    emb = _db(spark, sf_dir).table("embeddings")
+    top = similarity.ivfpq_topk(spark, idx, emb, qv, k=10, n_probe=8,
+                                n_candidates=320, where="label = 2")
+    rows = top.collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    labels = dict(emb.join(
+        spark.createDataFrame([(i,) for i in ids], "vec_id bigint"),
+        "vec_id").select("vec_id", "label").collect())
+    if len(rows) != 10 or any(labels[i] != 2 for i in ids):
+        raise RuntimeError(
+            f"filtered IVF-PQ returned {len(rows)} rows with labels "
+            f"{sorted(set(labels.values()))}; want 10 rows, all 2")
+    exact = similarity.cosine_topk(emb.filter(F.col("label") == 2),
+                                   qv, k=10)
+    overlap = exact.select("vec_id").join(
+        top.select("vec_id"), "vec_id").count()
+    if overlap < 4:
+        raise RuntimeError(
+            f"filtered IVF-PQ recall@10 = {overlap / 10} below the "
+            f"0.4 floor")
+    unfiltered = {r["vec_id"] for r in similarity.ivfpq_topk(
+        spark, idx, emb, qv, k=10, n_probe=8,
+        n_candidates=320).select("vec_id").collect()}
+    if set(ids) == unfiltered:
+        raise RuntimeError(
+            "filtered top-10 equals the unfiltered top-10 — the "
+            "predicate did no work")
+    n_eligible = emb.filter(F.col("label") == 2).count()
+    return spark.createDataFrame(
+        [(10, int(n_eligible), True, True)],
+        "k int, n_eligible bigint, all_match_filter boolean, "
+        "recall_ge_04 boolean")
+
+
 #: build parameters for the contract ANN indexes; PART OF THE INDEX DIR
 #: KEY below, so changing them can never silently reuse an index built
 #: with the old layout
@@ -5990,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "kmv_overlap": q_kmv_overlap,
         "boilerplate_strip": q_boilerplate_strip,
+        "ivfpq_filtered": q_ivfpq_filtered,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -8239,6 +8291,13 @@ def oracle_sql() -> dict[str, str]:
             "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
             "FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi"),
         "ann_filtered": ann_filtered_sql,
+        # filtered IVF-PQ: scalars + contract bits (the PQ pipeline
+        # itself is pinned by the in-entry recall/label contracts and
+        # the unit suite, like ivfpq_probe/pq_ann)
+        "ivfpq_filtered": (
+            "SELECT 10 AS k, COUNT(*)::BIGINT AS n_eligible, "
+            "true AS all_match_filter, true AS recall_ge_04 "
+            "FROM embeddings WHERE label = 2"),
         # line-level boilerplate strip: re-line into 8-token chunks +
         # a per-domain footer, count distinct docs per (domain, line),
         # strip >= max(2, 50% of domain), reassemble by position —

@@ -1053,7 +1053,8 @@ def ivfpq_codes(spark: SparkSession, index: AnnIndex,
 def ivfpq_probe(spark: SparkSession, index: AnnIndex,
                 query_vec: list[float], k: int = 10, n_probe: int = 4,
                 n_candidates: int | None = None, id_col: str = "vec_id",
-                version: int | None = None) -> DataFrame:
+                version: int | None = None,
+                eligible: DataFrame | None = None) -> DataFrame:
     """ADC candidate generation over the pruned cells: approximate
     ⟨q,x⟩ = ⟨q,centroid(cell)⟩ + Σⱼ LUT[j][codeⱼ] — one per-cell scalar
     plus m lookups per row, never a float vector.  Unprobed cells are
@@ -1061,8 +1062,13 @@ def ivfpq_probe(spark: SparkSession, index: AnnIndex,
     stronger than a partition filter over a file listing); ``version``
     pins the code-table version (manifest time travel), so a
     long-running caller keeps one consistent index across concurrent
-    append/remove commits.  Returns ``(id, adc_score)``; re-rank with
-    :func:`ivfpq_topk`."""
+    append/remove commits.  ``eligible`` (an ``id_col``-column
+    DataFrame) restricts candidates to those ids BEFORE the rank-limit
+    — the filtered-search hook: PQ codes carry no attributes, so a
+    metadata predicate semi-joins the probed cells against the
+    source's id projection; applying it after the limit instead would
+    under-return whenever the filter is selective.  Returns
+    ``(id, adc_score)``; re-rank with :func:`ivfpq_topk`."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
@@ -1081,6 +1087,8 @@ def ivfpq_probe(spark: SparkSession, index: AnnIndex,
         for j in range(len(books))]
     rows = PartitionedTable(spark, index.path).read(
         version=version, partition_values=probe)
+    if eligible is not None:
+        rows = rows.join(eligible.select(id_col), id_col, "left_semi")
     score = F.element_at(_lit_vec(qdotc), F.col("cell").cast("int") + 1)
     for j, lut in enumerate(luts):
         score = score + F.element_at(_lit_vec(lut),
@@ -1192,14 +1200,29 @@ def ivfpq_topk(spark: SparkSession, index: AnnIndex, source_df: DataFrame,
                query_vec: list[float], k: int = 10, n_probe: int = 4,
                vec_col: str = "embedding", id_col: str = "vec_id",
                n_candidates: int | None = None,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               where: str | Column | None = None) -> DataFrame:
     """Exact re-rank of the ADC candidates: the candidate id set (≤ 8k
     rows) BROADCASTS into a semi-join against the fp32 source — a
     point-lookup read of just the finalists, the only moment full
     vectors are touched.  ``version`` pins the code-table version
-    (see :func:`ivfpq_probe`)."""
+    (see :func:`ivfpq_probe`).
+
+    ``where`` (SQL string or Column over ``source_df``'s columns) is
+    filtered vector search on the QUANTIZED path: the predicate
+    evaluates on a narrow (id + predicate columns) projection of the
+    source — vectors stay untouched — and the eligible ids semi-join
+    the probed cells BEFORE the ADC rank-limit, so all k results
+    satisfy the filter (``ivf_probe``'s `where` contract carried to
+    the PQ index)."""
+    eligible = None
+    if where is not None:
+        eligible = source_df.filter(
+            F.expr(where) if isinstance(where, str) else where) \
+            .select(id_col)
     cand = ivfpq_probe(spark, index, query_vec, k, n_probe,
-                       n_candidates, id_col, version=version)
+                       n_candidates, id_col, version=version,
+                       eligible=eligible)
     q = _lit_vec(query_vec)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (source_df.join(F.broadcast(cand.select(id_col)), id_col)

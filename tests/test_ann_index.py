@@ -507,3 +507,28 @@ def test_cross_similar_pairs_finds_planted_reference(spark, vectors):
     assert {(i, i + 5000) for i in range(0, 200, 25)} <= got
     # every hit really is corpus x reference, no self pairs
     assert all(b >= 5000 > a for a, b in got)
+
+
+def test_ivfpq_topk_where_filters_before_rank_limit(spark, vectors,
+                                                    tmp_path):
+    """Filtered quantized search: the predicate's eligible ids
+    semi-join the probed cells BEFORE the ADC rank-limit, so all k
+    results satisfy the filter even when the unfiltered candidates
+    would crowd them out (n_candidates=3 << eligible population)."""
+    labeled = vectors.withColumn("label",
+                                 (F.col("vec_id") % 4).cast("int"))
+    idx = similarity.build_ivfpq_index(labeled, str(tmp_path / "fw"),
+                                       n_cells=4, m=2, k=4,
+                                       fingerprint="test-fp")
+    q = _query_of(vectors)
+    top = similarity.ivfpq_topk(spark, idx, labeled, q, k=3,
+                                n_probe=4, n_candidates=3,
+                                where="label = 1")
+    rows = top.collect()
+    assert len(rows) == 3
+    assert all(r["vec_id"] % 4 == 1 for r in rows)
+    # post-filtering the unfiltered candidates would under-return:
+    unf = similarity.ivfpq_probe(spark, idx, q, k=3, n_probe=4,
+                                 n_candidates=3)
+    post = [r["vec_id"] for r in unf.collect() if r["vec_id"] % 4 == 1]
+    assert len(post) < 3
