@@ -339,3 +339,76 @@ def kmv_overlap(a: DataFrame, b: DataFrame, col: str,
                     F.round(est_u, 4).alias("est_union"),
                     F.round(jacc, 6).alias("jaccard"),
                     F.round(jacc * est_u, 4).alias("est_intersection")))
+
+
+def kmv_sketch_by(df: DataFrame, col: str, group_cols: list[str],
+                  k: int = 256) -> DataFrame:
+    """Per-group KMV sketches: ``(group cols, h)`` with ≤ k rows per
+    group — the k smallest distinct hashes of ``col`` within each
+    group.  One shuffle keyed on the group (map-side distinct
+    partials), then a rank window bounds every group's state to k;
+    at 100 TB this is the grouped-distinct-overlap state bound the
+    exact per-group distinct join cannot offer."""
+    from pyspark.sql import Window
+
+    h = F.expr(_H60.format(x=f"cast({col} as string)"))
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (df.select(*group_cols, h.alias("h"))
+            .where(F.col("h").isNotNull())
+            .distinct()
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def kmv_overlap_by(a: DataFrame, b: DataFrame, col: str,
+                   group_cols: list[str], k: int = 256) -> DataFrame:
+    """Per-group set-overlap estimates — :func:`kmv_overlap` grouped
+    (per-domain train/eval leakage rates, shared users per segment):
+    one row per group present in EITHER input, with the same
+    estimate columns.  Groups seen on one side only estimate zero
+    overlap; every per-group estimate is exactly SQL-replayable."""
+    from pyspark.sql import Window
+
+    sa = kmv_sketch_by(a, col, group_cols, k).withColumn(
+        "in_a", F.lit(1))
+    sb = kmv_sketch_by(b, col, group_cols, k).withColumn(
+        "in_b", F.lit(1))
+    joined = (sa.join(sb, [*group_cols, "h"], "full")
+              .select(*group_cols, "h",
+                      F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                      F.coalesce("in_b", F.lit(0)).alias("in_b")))
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    merged = (joined.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") <= k).drop("__rk"))
+
+    def _est(n_col, hmax_col):
+        return F.when(n_col < k, n_col.cast("double")) \
+            .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN)
+                       / hmax_col.cast("double"))
+
+    ea = (sa.groupBy(*group_cols)
+          .agg(F.count(F.lit(1)).alias("na"), F.max("h").alias("ha"))
+          .select(*group_cols,
+                  F.round(_est(F.col("na"), F.col("ha")), 4)
+                  .alias("est_a")))
+    eb = (sb.groupBy(*group_cols)
+          .agg(F.count(F.lit(1)).alias("nb"), F.max("h").alias("hb"))
+          .select(*group_cols,
+                  F.round(_est(F.col("nb"), F.col("hb")), 4)
+                  .alias("est_b")))
+    u = merged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("h").alias("hmax"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"))
+    est_u = _est(F.col("n"), F.col("hmax"))
+    jacc = F.when(F.col("n") > 0,
+                  F.col("n_both") / F.col("n")).otherwise(F.lit(0.0))
+    return (u.join(ea, group_cols, "left").join(eb, group_cols, "left")
+            .select(*group_cols,
+                    F.lit(k).alias("k"),
+                    F.col("n").cast("long").alias("n_union_sketch"),
+                    F.coalesce("est_a", F.lit(0.0)).alias("est_a"),
+                    F.coalesce("est_b", F.lit(0.0)).alias("est_b"),
+                    F.round(est_u, 4).alias("est_union"),
+                    F.round(jacc, 6).alias("jaccard"),
+                    F.round(jacc * est_u, 4).alias("est_intersection")))

@@ -741,3 +741,34 @@ def test_kmv_overlap_empty_inputs_pin_zero_jaccard(spark):
     row = sketches.kmv_overlap(empty, empty, "u", k=64).collect()[0]
     assert row["jaccard"] == 0.0 and row["est_union"] == 0.0
     assert row["est_intersection"] == 0.0
+
+
+def test_kmv_overlap_by_per_group_estimates(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    import pyspark.sql.functions as _F
+    a = (spark.range(6000)
+         .selectExpr("CAST(id % 2 AS STRING) AS g", "id AS u"))
+    # group 0: B = same evens (full overlap); group 1: B disjoint ids
+    b0 = a.filter("g = '0'")
+    b1 = spark.range(10000, 13000).selectExpr("'1' AS g", "id AS u")
+    b = b0.unionByName(b1)
+    rows = {r["g"]: r for r in
+            sketches.kmv_overlap_by(a, b, "u", ["g"], k=256).collect()}
+    assert rows["0"]["jaccard"] == 1.0
+    assert rows["1"]["jaccard"] < 0.05
+    # per-group union estimates track |A_g ∪ B_g| = 3000 / 6000
+    assert abs(rows["0"]["est_union"] - 3000) / 3000 < 0.25
+    assert abs(rows["1"]["est_union"] - 6000) / 6000 < 0.25
+
+
+def test_kmv_overlap_by_group_on_one_side_only(spark):
+    from cs186_query_optimization_project_spark.functions import sketches
+    a = spark.range(100).selectExpr("'only_a' AS g", "id AS u")
+    b = spark.range(100).selectExpr("'only_b' AS g", "id AS u")
+    rows = {r["g"]: r for r in
+            sketches.kmv_overlap_by(a, b, "u", ["g"], k=128).collect()}
+    assert set(rows) == {"only_a", "only_b"}
+    assert rows["only_a"]["jaccard"] == 0.0
+    assert rows["only_a"]["est_b"] == 0.0
+    assert rows["only_b"]["est_a"] == 0.0
+    assert rows["only_b"]["est_union"] == 100.0  # underfull → exact
