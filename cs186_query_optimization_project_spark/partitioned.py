@@ -1160,6 +1160,55 @@ class PartitionedTable:
                 keep.append(d)
         return keep
 
+    def skipping_report(self, eq: dict | None = None,
+                        ranges: dict | None = None,
+                        isin: dict | None = None,
+                        version: int | None = None) -> list[dict]:
+        """EXPLAIN for data skipping — what :meth:`read_skipping`
+        with the same arguments would scan, per directory, WITHOUT
+        scanning anything: ``[{"key", "dir", "status", "files_total",
+        "files_admitted"}, ...]`` where status is ``scanned`` /
+        ``pruned_dir`` (manifest, Bloom, or bounds disproved the
+        whole directory) / ``pruned_files`` (every individual file
+        disproved).  ``files_total`` is None for legacy sidecars
+        without a per-file map (those scan whole, fail-open).
+
+        Built ON the same `_admitted_dirs` + `_file_prune` calls the
+        read itself makes — the report can never diverge from what a
+        real scan would list.  Pure driver metadata, zero Spark jobs:
+        the skipping-efficiency dashboard ("this predicate touches 3
+        of 4,100 directories / 5 of 19k files") without paying for a
+        query."""
+        eq = dict(eq or {})
+        ranges = dict(ranges or {})
+        isin = {c: list(vs) for c, vs in (isin or {}).items()}
+        man = self._manifest(version)
+        schema = T._parse_datatype_string(man["schema"])
+        self._validate_skip_args(schema, eq, ranges, isin)
+        admitted = set(self._admitted_dirs(man, schema, eq, ranges,
+                                           isin, version))
+        files = self._file_prune(sorted(admitted), eq, ranges, isin)
+        out = []
+        for key, ds in man["parts"].items():
+            for d in ds:
+                fstats = (self._staging_stats(os.path.dirname(d))
+                          .get(os.path.basename(d), {})
+                          .get("__files"))
+                total = len(fstats) if isinstance(fstats, dict) \
+                    and fstats else None
+                if d not in admitted:
+                    status, n_adm = "pruned_dir", 0
+                elif d not in files:
+                    status, n_adm = "pruned_files", 0
+                else:
+                    fl = files[d]
+                    n_adm = total if fl is None else len(fl)
+                    status = "scanned"
+                out.append({"key": key, "dir": d, "status": status,
+                            "files_total": total,
+                            "files_admitted": n_adm})
+        return out
+
     def read_point(self, column: str, value,
                    version: int | None = None) -> DataFrame:
         """Bloom-index point lookup (Delta bloom-filter-index analog

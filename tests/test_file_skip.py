@@ -134,3 +134,39 @@ def test_file_pruning_composes_with_tombstones(multi_file_pt, spark,
     assert _rows(got) == _rows(
         pt.read().filter(F.col("k").between(200, 220)))
     assert all(r[0] % 2 == 0 for r in got.collect())
+
+
+def test_skipping_report_matches_actual_scan(multi_file_pt):
+    pt = multi_file_pt
+    args = {"ranges": {"k": (200, 220)}}
+    rep = pt.skipping_report(**args)
+    scanned_files = _files_of(pt.read_skipping(**args))
+    assert sum(r["files_admitted"] for r in rep
+               if r["status"] == "scanned") == len(scanned_files)
+    scanned_dirs = {os.path.dirname(f) for f in scanned_files}
+    assert {os.path.normpath(r["dir"]) for r in rep
+            if r["status"] == "scanned"} == \
+        {os.path.normpath(d) for d in scanned_dirs}
+    # every directory accounted for, with per-file totals recorded
+    man = pt._manifest()
+    assert len(rep) == sum(len(ds) for ds in man["parts"].values())
+    assert all(r["files_total"] == 4 for r in rep)
+
+
+def test_skipping_report_statuses(multi_file_pt):
+    pt = multi_file_pt
+    # partition eq prunes two of three dirs at the manifest; k=149 is
+    # grp 2's (149 % 3), so it falls in the GAP between grp 1's file
+    # bounds ([..148] / [151..]) — the dir admits, every file disproves
+    rep = pt.skipping_report(eq={"grp": "1", "k": 149})
+    by = {}
+    for r in rep:
+        by.setdefault(r["status"], 0)
+        by[r["status"]] += 1
+    assert by.get("pruned_dir") == 2
+    assert by.get("pruned_files") == 1
+    assert "scanned" not in by
+    assert pt.read_skipping(eq={"grp": "1", "k": 149}).count() == 0
+    # an out-of-bounds range dies at the DIRECTORY level instead
+    rep2 = pt.skipping_report(ranges={"k": (10000, 20000)})
+    assert all(r["status"] == "pruned_dir" for r in rep2)
