@@ -5009,6 +5009,76 @@ def q_time_travel_ts(spark, sf_dir):
     return out
 
 
+def q_mview_variance(spark, sf_dir):
+    """Incrementally-maintained VARIANCE/STDDEV materialized view
+    (``MaterializedView var_cols`` — second moments stored as signed-
+    foldable ``SUM(c²)`` next to the sum/count pair, so inserts AND
+    deletes fold without recompute; Welford's stable recurrence
+    cannot unfold a delete, which is why every signed-delta system
+    stores naive moments).  Lifecycle: create the view over orders by
+    status, DELETE a fifth of the source, INSERT a synthetic batch,
+    refresh through both changes, and read per-group avg + population
+    stddev derived from the stored moments.  In-entry contract raises
+    (must survive ``python -O``): the refreshed view's moments equal a
+    direct full recompute on the current source to 1e-6 relative.
+    The oracle replays the delete + insert + naive-moment stddev in
+    SQL (stddev rounds at 4dp — the moments' float error is ~1e-7 of
+    the value, three orders under the rounding boundary)."""
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    with _scratch_base("mvvar", sf_dir) as base:
+        pt = PartitionedTable.create(
+            spark,
+            db.table("orders").select("o_orderkey", "o_orderstatus",
+                                      "o_totalprice"),
+            f"{base}/orders", "o_orderstatus")
+        mv = MaterializedView.create(
+            spark, pt, f"{base}/mv", keys=["o_orderstatus"],
+            sum_cols=["o_totalprice"], var_cols=["o_totalprice"],
+            n_buckets=4)
+        pt.delete(F.col("o_orderkey") % 5 == 0)
+        mv.refresh()
+        inserted = (db.table("orders")
+                    .filter(F.col("o_orderkey") % 7 == 0)
+                    .select((F.col("o_orderkey")
+                             + 1000000000).alias("o_orderkey"),
+                            "o_orderstatus",
+                            ((F.col("o_orderkey") % 997)
+                             .cast("double") + 0.25)
+                            .alias("o_totalprice")))
+        pt.insert(inserted)
+        mv.refresh()
+        view = mv.read(with_avg=True, with_stddev=True)
+        direct = (pt.read().groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.avg("o_totalprice").alias("avg"),
+                       F.var_pop("o_totalprice").alias("var")))
+        chk = {r["o_orderstatus"]: r for r in direct.collect()}
+        for r in view.collect():
+            w = chk[r["o_orderstatus"]]
+            if r["mv_count"] != w["n"] or \
+                    abs(r["mv_avg_o_totalprice"] - w["avg"]) \
+                    > 1e-6 * abs(w["avg"]) or \
+                    abs(r["mv_var_o_totalprice"] - w["var"]) \
+                    > 1e-6 * abs(w["var"]):
+                raise RuntimeError(
+                    f"incremental moments diverge from the direct "
+                    f"recompute for {r['o_orderstatus']}")
+        out = (view.select(
+            "o_orderstatus",
+            F.col("mv_count").cast("bigint").alias("n_rows"),
+            F.round("mv_avg_o_totalprice", 4).alias("avg_price"),
+            F.round("mv_stddev_o_totalprice", 4)
+            .alias("stddev_price")).localCheckpoint())
+    return out
+
+
 def q_mview_minmax_delete(spark, sf_dir):
     """MIN/MAX materialized view surviving deletes via scoped bucket
     recompute (``mview.py minmax_cols`` — the two-tier refresh: insert
@@ -6092,6 +6162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "ivfpq_filtered": q_ivfpq_filtered,
         "kmv_overlap_group": q_kmv_overlap_group,
+        "mview_variance": q_mview_variance,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -8473,6 +8544,21 @@ def oracle_sql() -> dict[str, str]:
             "round(abs(round(est.jacc * est.eu, 4) "
             "- exact.exact_intersection) / exact.exact_intersection, 4) "
             "AS rel_error FROM est, ea, eb, exact"),
+        # incremental variance view: replay the delete + insert, then
+        # the naive-moment population stddev (same expression tree the
+        # view derives from its stored moments)
+        "mview_variance": (
+            "WITH cur AS ("
+            "SELECT o_orderstatus AS s, o_totalprice AS v FROM orders "
+            "WHERE o_orderkey % 5 <> 0 "
+            "UNION ALL "
+            "SELECT o_orderstatus, (o_orderkey % 997) + 0.25 "
+            "FROM orders WHERE o_orderkey % 7 = 0) "
+            "SELECT s AS o_orderstatus, COUNT(*)::BIGINT AS n_rows, "
+            "round(SUM(v) / COUNT(v), 4) AS avg_price, "
+            "round(sqrt(greatest(0.0, (SUM(v * v) "
+            "- SUM(v) * SUM(v) / COUNT(v)) / COUNT(v))), 4) "
+            "AS stddev_price FROM cur GROUP BY s"),
         # per-group KMV replay: per-priority rank-windowed sketches,
         # same hashes → identical per-group estimates
         "kmv_overlap_group": (

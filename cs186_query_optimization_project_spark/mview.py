@@ -121,6 +121,7 @@ class MaterializedView:
                 f"MaterializedView.create")
         self.keys: list[str] = meta["keys"]
         self.sum_cols: list[str] = meta["sum_cols"]
+        self.var_cols: list[str] = meta.get("var_cols", [])
         self.minmax_cols: list[str] = meta.get("minmax_cols", [])
         self.distinct_cols: list[str] = meta.get("distinct_cols", [])
         self.hll_m: int = meta.get("hll_m", 64)
@@ -130,6 +131,12 @@ class MaterializedView:
     def _meta(self) -> dict:
         return json.loads(
             metaio.IO.read_text(os.path.join(self.root, _META)))
+
+    def _sum_like(self) -> list[str]:
+        """Columns that carry (mv_sum_, mv_nn_) state: the sum columns
+        plus the variance columns (variance needs the first moment
+        too), deduplicated in declaration order."""
+        return list(dict.fromkeys([*self.sum_cols, *self.var_cols]))
 
     def _store(self) -> PartitionedTable:
         return PartitionedTable(
@@ -142,17 +149,24 @@ class MaterializedView:
     @staticmethod
     def _aggregate(df: DataFrame, keys: list[str],
                    sum_cols: list[str],
-                   minmax_cols: list[str] = ()) -> DataFrame:
+                   minmax_cols: list[str] = (),
+                   var_cols: list[str] = ()) -> DataFrame:
         # mv_nn_<c> (non-null contribution count) rides along so the
         # incremental merge can preserve SQL SUM's NULL semantics: a
         # group whose contributions are all NULL must stay SUM=NULL,
-        # which coalesce-to-0 arithmetic alone cannot represent
+        # which coalesce-to-0 arithmetic alone cannot represent.
+        # var_cols carry the second moment (mv_sumsq_) on top of the
+        # sum/nn pair — signed-foldable exactly like the sums.
+        sum_like = list(dict.fromkeys([*sum_cols, *var_cols]))
         return (df.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("mv_count"),
-                     *[e for c in sum_cols for e in
+                     *[e for c in sum_like for e in
                        (F.sum(F.col(c).cast("double"))
                         .alias(f"mv_sum_{c}"),
                         F.count(F.col(c)).alias(f"mv_nn_{c}"))],
+                     *[F.sum(F.col(c).cast("double")
+                             * F.col(c).cast("double"))
+                       .alias(f"mv_sumsq_{c}") for c in var_cols],
                      *[e for c in minmax_cols for e in
                        (F.min(c).alias(f"mv_min_{c}"),
                         F.max(c).alias(f"mv_max_{c}"))]))
@@ -221,7 +235,8 @@ class MaterializedView:
                n_buckets: int = 32,
                distinct_cols: list[str] | None = None,
                hll_m: int = 64,
-               minmax_cols: list[str] | None = None) \
+               minmax_cols: list[str] | None = None,
+               var_cols: list[str] | None = None) \
             -> "MaterializedView":
         """Materialize the initial aggregate (ONE full-source scan —
         the only one the view will ever do) into ``n_buckets``
@@ -252,10 +267,22 @@ class MaterializedView:
         two-tier: insert-only buckets fold distributively, buckets a
         delete touched recompute their groups from the source (see the
         module docstring) — never a silent wrong answer, never a
-        whole-view rebuild."""
+        whole-view rebuild.
+
+        ``var_cols`` adds incremental SECOND MOMENTS: the view stores
+        ``SUM(c²)`` next to the (sum, non-null count) pair, all three
+        signed-foldable under inserts AND deletes, and
+        ``read(with_stddev=True)`` derives population variance/stddev
+        as ``(sumsq − sum²/n)/n``.  The naive-moments form is the
+        price of delete-foldability (Welford's stable recurrence
+        cannot unfold a delete); heavy insert/delete churn on
+        near-constant columns can accumulate cancellation error, the
+        documented trade every signed-delta system makes — variance is
+        clamped at 0 so cancellation can never surface as NaN."""
         sum_cols = sum_cols or []
         minmax_cols = minmax_cols or []
         distinct_cols = distinct_cols or []
+        var_cols = var_cols or []
         root = root.rstrip("/")
         if n_buckets < 1:
             raise DatabaseException(
@@ -271,7 +298,8 @@ class MaterializedView:
             # materialize the (filtered) source once so "ONE
             # full-source scan" stays true with sketch columns
             base = base.localCheckpoint()
-        agg = cls._aggregate(base, keys, sum_cols, minmax_cols)
+        agg = cls._aggregate(base, keys, sum_cols, minmax_cols,
+                             var_cols)
         agg = cls._attach_hll(agg, base, keys, distinct_cols, hll_m) \
             .withColumn("__mv", _bucket_expr(keys, n_buckets))
         metaio.IO.make_dirs(root, exist_ok=False)
@@ -280,6 +308,7 @@ class MaterializedView:
         metaio.IO.write_new(
             os.path.join(root, _META),
             json.dumps({"keys": keys, "sum_cols": sum_cols,
+                                "var_cols": var_cols,
                                 "minmax_cols": minmax_cols,
                                 "distinct_cols": distinct_cols,
                                 "hll_m": hll_m,
@@ -298,7 +327,8 @@ class MaterializedView:
         return self._meta()["store_version"]
 
     def read(self, with_avg: bool = False,
-             with_distinct: bool = False) -> DataFrame:
+             with_distinct: bool = False,
+             with_stddev: bool = False) -> DataFrame:
         """The stored aggregate as of the last refresh (stale reads are
         the contract — consistency is 'reflects source version N',
         recorded and queryable).  Reads the store at the PINNED
@@ -310,7 +340,12 @@ class MaterializedView:
         ``mv_distinct_<c>`` from the stored register arrays with the
         same bias-corrected estimator as ``sketches.hll_estimate``
         (linear counting below 2.5·m), so a view estimate equals the
-        standalone sketch's for identical data."""
+        standalone sketch's for identical data.  ``with_stddev=True``
+        derives ``mv_var_<c>`` / ``mv_stddev_<c>`` (population) from
+        the stored moments as ``greatest(0, (sumsq − sum²/n)/n)`` —
+        the clamp keeps float cancellation from ever surfacing as a
+        negative variance or a NaN stddev; an all-NULL group reads
+        NULL like AVG does."""
         out = self._store().read(
             version=self._meta()["store_version"]).drop("__mv")
         if with_avg:
@@ -333,7 +368,25 @@ class MaterializedView:
                 out = out.withColumn(
                     f"mv_distinct_{c}",
                     F.round(hll_estimate_expr(filled, present, m), 4))
-        return out.drop(*[f"mv_nn_{c}" for c in self.sum_cols],
+        if with_stddev:
+            for c in self.var_cols:
+                nn = F.col(f"mv_nn_{c}")
+                var = F.greatest(
+                    F.lit(0.0),
+                    (F.col(f"mv_sumsq_{c}")
+                     - F.col(f"mv_sum_{c}") * F.col(f"mv_sum_{c}") / nn)
+                    / nn)
+                out = out.withColumn(
+                    f"mv_var_{c}", F.when(nn > 0, var))
+                out = out.withColumn(
+                    f"mv_stddev_{c}",
+                    F.when(nn > 0, F.sqrt(var)))
+        return out.drop(*[f"mv_nn_{c}" for c in self._sum_like()],
+                        *[f"mv_sumsq_{c}" for c in self.var_cols],
+                        # a variance-only column's first moment is
+                        # internal state, not a requested aggregate
+                        *[f"mv_sum_{c}" for c in self.var_cols
+                          if c not in self.sum_cols],
                         *[f"mv_hll_{c}" for c in self.distinct_cols])
 
     # ------------------------------------------------------------------ #
@@ -467,7 +520,11 @@ class MaterializedView:
         delta = (feed.withColumn("__sign", sign)
                  .groupBy(*self.keys)
                  .agg(F.sum("__sign").alias("d_count"),
-                      *[e for c in self.sum_cols for e in
+                      *[F.sum(F.col(c).cast("double")
+                              * F.col(c).cast("double")
+                              * F.col("__sign"))
+                        .alias(f"d_sumsq_{c}") for c in self.var_cols],
+                      *[e for c in self._sum_like() for e in
                         (F.sum(F.col(c).cast("double") * F.col("__sign"))
                          .alias(f"d_sum_{c}"),
                          F.sum(F.col(c).isNotNull().cast("long")
@@ -521,6 +578,13 @@ class MaterializedView:
             return [F.when(nn > 0, s).alias(f"mv_sum_{c}"),
                     nn.alias(f"mv_nn_{c}")]
 
+        def _sumsq(c):
+            nn = (F.coalesce(stored[f"mv_nn_{c}"], F.lit(0))
+                  + F.coalesce(delta[f"d_nn_{c}"], F.lit(0)))
+            sq = (F.coalesce(stored[f"mv_sumsq_{c}"], F.lit(0.0))
+                  + F.coalesce(delta[f"d_sumsq_{c}"], F.lit(0.0)))
+            return F.when(nn > 0, sq).alias(f"mv_sumsq_{c}")
+
         def _minmax(c):
             # least/greatest skip NULLs: a new group takes the delta's
             # extremum, an untouched-column group keeps the stored one
@@ -544,7 +608,8 @@ class MaterializedView:
                       (F.coalesce(stored["mv_count"], F.lit(0))
                        + F.coalesce(delta["d_count"], F.lit(0)))
                       .alias("mv_count"),
-                      *[e for c in self.sum_cols for e in _sum(c)],
+                      *[e for c in self._sum_like() for e in _sum(c)],
+                      *[_sumsq(c) for c in self.var_cols],
                       *[e for c in self.minmax_cols
                         for e in _minmax(c)],
                       *[_hll(c) for c in self.distinct_cols])
@@ -571,7 +636,7 @@ class MaterializedView:
             src = src.withColumn("__mv", self._bucket()) \
                 .filter(F.col("__mv").isin(list(del_buckets)))
             recomp = self._aggregate(src, self.keys, self.sum_cols,
-                                     self.minmax_cols)
+                                     self.minmax_cols, self.var_cols)
             recomp = self._attach_hll(recomp, src, self.keys,
                                       self.distinct_cols, self.hll_m) \
                 .withColumn("__mv", self._bucket())

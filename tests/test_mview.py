@@ -529,3 +529,112 @@ def test_minmax_with_distinct_still_insert_only(src, spark, tmp_path):
     src.delete(F.col("id") == 1)
     with pytest.raises(DatabaseException, match="INSERT-ONLY"):
         mv.refresh()
+
+
+# ------------------------------------------------------------------ #
+# incremental variance (var_cols)
+# ------------------------------------------------------------------ #
+def _var_fixture(spark, tmp_path, name):
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+    import pyspark.sql.functions as _F
+    src = (spark.range(300)
+           .selectExpr("id", "CAST(id % 3 AS STRING) AS grp",
+                       "CAST(id % 7 AS DOUBLE) AS v"))
+    pt = PartitionedTable.create(spark, src,
+                                 str(tmp_path / f"{name}_src"), "grp")
+    mv = MaterializedView.create(spark, pt, str(tmp_path / name),
+                                 keys=["grp"], var_cols=["v"],
+                                 n_buckets=4)
+    return pt, mv
+
+
+def _expected_var(pt):
+    import pyspark.sql.functions as _F
+    return {r["grp"]: r["var"] for r in
+            pt.read().groupBy("grp")
+            .agg(_F.var_pop("v").alias("var")).collect()}
+
+
+def test_mview_variance_initial_and_insert_fold(spark, tmp_path):
+    pt, mv = _var_fixture(spark, tmp_path, "var1")
+    got = {r["grp"]: r["mv_var_v"] for r in
+           mv.read(with_stddev=True).collect()}
+    want = _expected_var(pt)
+    assert got.keys() == want.keys()
+    for g in want:
+        assert abs(got[g] - want[g]) < 1e-9
+    # insert fold: new rows shift each group's variance
+    pt.insert(spark.createDataFrame(
+        [(1000 + i, str(i % 3), float(i % 11)) for i in range(60)],
+        "id long, grp string, v double"))
+    mv.refresh()
+    got = {r["grp"]: r["mv_var_v"] for r in
+           mv.read(with_stddev=True).collect()}
+    want = _expected_var(pt)
+    for g in want:
+        assert abs(got[g] - want[g]) < 1e-9
+
+
+def test_mview_variance_delete_unfolds(spark, tmp_path):
+    import pyspark.sql.functions as _F
+    pt, mv = _var_fixture(spark, tmp_path, "var2")
+    pt.delete(_F.col("id") % 5 == 0)
+    mv.refresh()
+    got = {r["grp"]: (r["mv_var_v"], r["mv_stddev_v"]) for r in
+           mv.read(with_stddev=True).collect()}
+    want = _expected_var(pt)
+    for g in want:
+        assert abs(got[g][0] - want[g]) < 1e-9
+        assert abs(got[g][1] - want[g] ** 0.5) < 1e-9
+
+
+def test_mview_variance_constant_column_clamps_at_zero(spark,
+                                                       tmp_path):
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+    import pyspark.sql.functions as _F
+    src = spark.range(100).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS grp", "CAST(1e9 AS DOUBLE) AS v")
+    pt = PartitionedTable.create(spark, src, str(tmp_path / "cs"),
+                                 "grp")
+    mv = MaterializedView.create(spark, pt, str(tmp_path / "cmv"),
+                                 keys=["grp"], var_cols=["v"],
+                                 n_buckets=2)
+    pt.delete(_F.col("id") % 3 == 0)
+    mv.refresh()
+    rows = mv.read(with_stddev=True).collect()
+    # naive moments on a constant 1e9 column are exactly where
+    # cancellation bites — the clamp guarantees >= 0, never NaN
+    for r in rows:
+        assert r["mv_var_v"] >= 0.0
+        assert r["mv_stddev_v"] == r["mv_var_v"] ** 0.5
+
+
+def test_mview_variance_col_also_summed_keeps_both(spark, tmp_path):
+    from cs186_query_optimization_project_spark.mview import (
+        MaterializedView,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+    src = spark.range(50).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS grp",
+        "CAST(id AS DOUBLE) AS v")
+    pt = PartitionedTable.create(spark, src, str(tmp_path / "bs"),
+                                 "grp")
+    mv = MaterializedView.create(spark, pt, str(tmp_path / "bmv"),
+                                 keys=["grp"], sum_cols=["v"],
+                                 var_cols=["v"], n_buckets=2)
+    out = mv.read(with_avg=True, with_stddev=True)
+    assert {"mv_sum_v", "mv_avg_v", "mv_var_v",
+            "mv_stddev_v"} <= set(out.columns)
+    assert "mv_sumsq_v" not in out.columns
