@@ -638,3 +638,24 @@ def test_mview_variance_col_also_summed_keeps_both(spark, tmp_path):
     assert {"mv_sum_v", "mv_avg_v", "mv_var_v",
             "mv_stddev_v"} <= set(out.columns)
     assert "mv_sumsq_v" not in out.columns
+
+
+def test_mview_variance_folds_streaming_appends(spark, tmp_path):
+    """The exactly-once streaming sink commits through
+    idempotent_append (op=STREAMING APPEND → CDF inserts); variance
+    state must fold those exactly like batch inserts, and a replayed
+    batch id must leave nothing to fold."""
+    pt, mv = _var_fixture(spark, tmp_path, "var3")
+    batch = spark.createDataFrame(
+        [(5000 + i, str(i % 3), float(i % 13)) for i in range(45)],
+        "id long, grp string, v double")
+    assert pt.idempotent_append(batch, "sinkA", 0) is True
+    assert mv.refresh() > 0
+    got = {r["grp"]: r["mv_var_v"] for r in
+           mv.read(with_stddev=True).collect()}
+    want = _expected_var(pt)
+    for g in want:
+        assert abs(got[g] - want[g]) < 1e-9
+    # exactly-once: replaying batch 0 is a no-op, nothing to fold
+    assert pt.idempotent_append(batch, "sinkA", 0) is False
+    assert mv.refresh() == 0
