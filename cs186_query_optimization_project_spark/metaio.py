@@ -58,6 +58,11 @@ class LocalMetadataIO:
     def is_dir(self, path: str) -> bool:
         return os.path.isdir(path)
 
+    def file_size(self, path: str) -> int:
+        """Size in bytes; FileNotFoundError when absent (the
+        ``read_text`` convention).  Object-store port: HEAD."""
+        return os.path.getsize(path)
+
     # -- writes -------------------------------------------------------
     def write_new(self, path: str, text: str) -> None:
         """Create-exclusive publish — the COMMIT POINT of every

@@ -2222,6 +2222,51 @@ class PartitionedTable:
             rows, "version bigint, op string, ts timestamp, "
                   "n_partitions int, n_dirs int")
 
+    def describe_detail(self, version: int | None = None) -> dict:
+        """Delta ``DESCRIBE DETAIL``: one dict describing a version's
+        physical shape — partition columns, partition/directory/file
+        counts, total data bytes, row count when metadata alone knows
+        it (``metadata_count``'s fail-closed contract: None under
+        uncounted tombstones), declared Bloom columns and constraints,
+        and the live-tombstone count.  File/byte figures come from the
+        per-file stats sidecars where present and fall back to a
+        listing of the directory (legacy stagings) — driver-side
+        metadata either way, zero Spark jobs."""
+        man = self._manifest(version)
+        n_files = 0
+        total_bytes = 0
+        for ds in man["parts"].values():
+            for d in ds:
+                fstats = (self._staging_stats(os.path.dirname(d))
+                          .get(os.path.basename(d), {})
+                          .get("__files"))
+                names = (sorted(fstats) if isinstance(fstats, dict)
+                         and fstats else
+                         [f for f in metaio.IO.list_dir(d)
+                          if f.endswith(".parquet")])
+                n_files += len(names)
+                for f in names:
+                    try:
+                        total_bytes += metaio.IO.file_size(
+                            os.path.join(d, f))
+                    except (OSError, AttributeError):
+                        pass  # size is advisory; absence ≠ failure
+        return {
+            "version": man["version"],
+            "partition_cols": self._pcols_of(man),
+            "n_partitions": len([k for k, ds in man["parts"].items()
+                                 if ds]),
+            "n_dirs": sum(len(ds) for ds in man["parts"].values()),
+            "n_files": n_files,
+            "total_bytes": total_bytes,
+            "n_rows": self.metadata_count(version),
+            "bloom_cols": list(man.get("bloom_cols", [])),
+            "constraints": dict(man.get("constraints", {})),
+            "n_tombstoned_dirs": len([d for d, ts in
+                                      man.get("tombstones", {})
+                                      .items() if ts]),
+        }
+
     def version_at(self, ts: float) -> int:
         """Delta ``TIMESTAMP AS OF``: the newest retained version whose
         commit timestamp is ≤ ``ts`` (a POSIX timestamp) — pass the

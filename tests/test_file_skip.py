@@ -170,3 +170,19 @@ def test_skipping_report_statuses(multi_file_pt):
     # an out-of-bounds range dies at the DIRECTORY level instead
     rep2 = pt.skipping_report(ranges={"k": (10000, 20000)})
     assert all(r["status"] == "pruned_dir" for r in rep2)
+
+
+def test_describe_detail(multi_file_pt, spark, tmp_path):
+    pt = multi_file_pt.clone(str(tmp_path / "dd"))
+    d = pt.describe_detail()
+    assert d["partition_cols"] == ["grp"]
+    assert d["n_partitions"] == 3 and d["n_dirs"] == 3
+    assert d["n_files"] == 12          # 4 range files per leaf
+    assert d["n_rows"] == 600
+    assert d["total_bytes"] > 0
+    assert d["n_tombstoned_dirs"] == 0
+    pt.delete_soft("k < 100")
+    d2 = pt.describe_detail()
+    assert d2["n_tombstoned_dirs"] == 3
+    assert d2["n_rows"] == 600 - 100   # DV cardinalities subtract
+    assert pt.describe_detail(version=0)["n_rows"] == 600

@@ -56,6 +56,12 @@ class MemoryMetadataIO:
     def is_dir(self, path):
         return self._norm(path) in self.dirs
 
+    def file_size(self, path):
+        p = self._norm(path)
+        if p not in self.files:
+            raise FileNotFoundError(p)
+        return len(self.files[p].encode())
+
     def write_new(self, path, text):
         p = self._norm(path)
         if p in self.files:
@@ -112,6 +118,9 @@ def test_seam_semantics(io):
     with pytest.raises(FileExistsError):
         impl.write_new(f"{root}/_manifests/v0.json", "{..}")
     assert impl.read_text(f"{root}/_manifests/v0.json") == "{}"
+    assert impl.file_size(f"{root}/_manifests/v0.json") == 2
+    with pytest.raises(FileNotFoundError):
+        impl.file_size(f"{root}/_manifests/v9.json")
     assert impl.list_dir(f"{root}/_manifests") == ["v0.json"]
     # replace publishes new content under the same name
     impl.replace_text(f"{root}/_manifests/v0.json", "{\"a\":1}")
