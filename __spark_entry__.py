@@ -4170,6 +4170,40 @@ def q_bm25_indexed(spark, sf_dir):
                                   top_k=10)
 
 
+def q_bm25_incremental(spark, sf_dir):
+    """INCREMENTAL postings-index maintenance
+    (``retrieval.postings_append`` — new docs land as additional
+    files inside the existing token-bucket hive directories, doc
+    lengths append to the sidecar, and N/avgdl update incrementally:
+    O(new docs) growth, no rebuild, no corpus re-aggregate).  Builds
+    on the ``doc_id % 5 != 0`` four-fifths, appends the held-out
+    fifth, then runs the standard BM25 query against the APPENDED
+    index.  In-entry contract raises (must survive ``python -O``):
+    the appended index's ranking equals ``bm25_scores`` over the full
+    corpus exactly (scores AND order).  Shares the bm25_search
+    oracle — identical ranking is the whole claim."""
+    from cs186_query_optimization_project_spark.functions import retrieval
+
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    with _scratch_base("bm25inc", sf_dir) as base:
+        idx = retrieval.build_postings_index(
+            docs.filter(F.col("doc_id") % 5 != 0), f"{base}/idx",
+            n_buckets=16)
+        idx = retrieval.postings_append(
+            spark, idx, docs.filter(F.col("doc_id") % 5 == 0))
+        got = retrieval.bm25_indexed(spark, idx, "hash batch window",
+                                     top_k=10).localCheckpoint()
+        want = retrieval.bm25_scores(docs, "hash batch window",
+                                     top_k=10)
+        if [tuple(r) for r in got.collect()] != \
+                [tuple(r) for r in want.collect()]:
+            raise RuntimeError(
+                "appended index ranks differently from full-corpus "
+                "BM25 — incremental maintenance diverged")
+    return got
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-10 for the keyword query 'hash batch window' — the
     keyword-retrieval half of a RAG stack (Lucene non-negative IDF,
@@ -6163,6 +6197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_filtered": q_ivfpq_filtered,
         "kmv_overlap_group": q_kmv_overlap_group,
         "mview_variance": q_mview_variance,
+        "bm25_incremental": q_bm25_incremental,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -9078,6 +9113,9 @@ def oracle_sql() -> dict[str, str]:
     # they share the oracles verbatim
     out["phrase_indexed"] = out["phrase_search"]
     out["bm25_indexed"] = out["bm25_search"]
+    # incremental append's whole claim is ranking-identity with the
+    # full corpus — same oracle as the scan and indexed paths
+    out["bm25_incremental"] = out["bm25_search"]
     # hll_reconcile: merged batch+stream sketch == the single-pass
     # sketch (register-max merge is associative over a disjoint time
     # split), so the oracle replays the SINGLE-PASS sketch over all

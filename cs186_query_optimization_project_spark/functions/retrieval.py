@@ -263,6 +263,62 @@ def build_postings_index(df: DataFrame, path: str, text_col: str = "text",
     return idx
 
 
+def postings_append(spark: SparkSession, index: PostingsIndex,
+                    new_df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    files_per_bucket: int = 1) -> PostingsIndex:
+    """INCREMENTAL index maintenance — append new documents to a
+    materialized postings index without rebuilding it: the new docs
+    tokenize in one pass and land as ADDITIONAL files inside the
+    existing ``tb=<bucket>`` hive directories (hive-partitioned
+    append — no existing file is touched, so index growth costs
+    O(new docs), not O(corpus)); their lengths append to the doclen
+    sidecar; and the BM25 corpus constants update INCREMENTALLY
+    (``n' = n + n_new``, ``avgdl' = (n·avgdl + Σ new_dl)/n'`` — no
+    corpus-wide re-aggregate).  After the append, every reader —
+    ``term_postings`` / ``phrase_search_indexed`` / ``bm25_indexed``
+    — ranks EXACTLY as a from-scratch build over the full corpus
+    (pinned in tests and in the ``bm25_incremental`` entry).
+
+    APPEND, not upsert: ``new_df`` ids must be disjoint from the
+    indexed corpus (duplicate ids would double-count term
+    frequencies); the caller owns that contract, same as every
+    log-append ingest.  Crash-safety matches the base build (bare
+    hive parquet + an atomically-replaced meta file): a reader racing
+    the append may briefly see new postings with the old constants —
+    the PartitionedTable-backed IVF-PQ index is the crash-safe
+    manifest pattern, and porting postings onto it is the same
+    mechanical move if that guarantee is ever needed."""
+    from cs186_query_optimization_project_spark import metaio
+    from cs186_query_optimization_project_spark.functions.similarity import (
+        _bucket_partitioned,
+    )
+
+    post = (build_postings(new_df, text_col, id_col)
+            .withColumn("tb", _token_bucket_col(index.n_buckets))
+            .localCheckpoint())  # one tokenization feeds both writes
+    (_bucket_partitioned(post, "tb", id_col, files_per_bucket)
+        .write.mode("append").partitionBy("tb")
+        .parquet(index.postings_path))
+    new_lens = (post.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__dl")))
+    new_lens.write.mode("append").parquet(index.doclen_path)
+    inc = new_lens.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("__dl").alias("s")).first()
+    n_new, dl_new = int(inc["n"]), float(inc["s"] or 0.0)
+    n_docs = index.n_docs + n_new
+    avgdl = ((index.n_docs * index.avgdl + dl_new) / n_docs
+             if n_docs else 0.0)
+    out = PostingsIndex(index.path, index.n_buckets, n_docs, avgdl,
+                        index.source_fingerprint)
+    metaio.IO.replace_text(
+        os.path.join(index.path, _POSTINGS_META),
+        json.dumps({"n_buckets": out.n_buckets, "n_docs": out.n_docs,
+                    "avgdl": out.avgdl,
+                    "source_fingerprint": out.source_fingerprint}))
+    return out
+
+
 def load_postings_index(path: str) -> PostingsIndex | None:
     """Load a previously built postings index; None if absent/unreadable
     (caller rebuilds — the index is a cache of the corpus)."""

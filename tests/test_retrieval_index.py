@@ -110,3 +110,50 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
     assert abs(by_id[2] - 1 / 62) < 1e-6
     # doc 3: on neither top-3 list in a way that beats doc 0
     assert got[0][1] == max(v for _, v in got)
+
+
+def test_postings_append_equals_full_rebuild(spark, docs,
+                                             tmp_path_factory):
+    """Incremental maintenance: build on 4/5 of the corpus, append the
+    last fifth — every reader must rank exactly as a from-scratch
+    build over the full corpus, and the corpus constants must update
+    incrementally (no full re-aggregate)."""
+    path = str(tmp_path_factory.mktemp("inc") / "idx")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    tail = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = retrieval.build_postings_index(base, path, n_buckets=16)
+    idx2 = retrieval.postings_append(spark, idx, tail)
+    full_path = str(tmp_path_factory.mktemp("inc") / "full")
+    full = retrieval.build_postings_index(docs, full_path,
+                                          n_buckets=16)
+    assert idx2.n_docs == full.n_docs
+    assert abs(idx2.avgdl - full.avgdl) < 1e-9
+    got = retrieval.bm25_indexed(spark, idx2, "hash batch window",
+                                 top_k=10)
+    want = retrieval.bm25_indexed(spark, full, "hash batch window",
+                                  top_k=10)
+    assert rows(got) == rows(want)
+    ph_got = retrieval.phrase_search_indexed(spark, idx2, "the value")
+    ph_want = retrieval.phrase_search_indexed(spark, full, "the value")
+    assert rows(ph_got) == rows(ph_want)
+    # the appended index reloads with the updated constants
+    reloaded = retrieval.load_postings_index(path)
+    assert reloaded.n_docs == full.n_docs
+    assert abs(reloaded.avgdl - full.avgdl) < 1e-9
+
+
+def test_postings_append_grows_buckets_in_place(spark, docs,
+                                                tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("inc2") / "idx")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = retrieval.build_postings_index(base, path, n_buckets=16)
+    before = {os.path.join(dp, f)
+              for dp, _, fs in os.walk(idx.postings_path)
+              for f in fs if f.endswith(".parquet")}
+    retrieval.postings_append(
+        spark, idx, docs.filter(F.col("doc_id") % 5 == 0))
+    after = {os.path.join(dp, f)
+             for dp, _, fs in os.walk(idx.postings_path)
+             for f in fs if f.endswith(".parquet")}
+    # append-only: every pre-existing file survives untouched
+    assert before <= after and len(after) > len(before)
