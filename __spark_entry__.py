@@ -3912,6 +3912,25 @@ def q_key_skew(spark, sf_dir):
                               hot_factor=2.0)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust outliers by MEDIAN/MAD (``profiling.mad_outliers`` —
+    Iglewicz–Hoaglin modified z-score, 50% breakdown point): the
+    heavy-tail-safe complement of ``zscore_outliers``, immune to the
+    masking where extreme values inflate the very stddev meant to
+    flag them.  Same two-pass broadcast shape (per-group median, then
+    per-group MAD of absolute deviations, each a tiny exact-percentile
+    aggregate broadcast back — no window sort).  The oracle replays
+    both medians with quantile_cont, which interpolates identically
+    to Spark's exact percentile."""
+    from cs186_query_optimization_project_spark.functions import profiling
+
+    db = _db(spark, sf_dir)
+    ev = db.table("events").select("event_id", "event_type", "value")
+    return (profiling.mad_outliers(ev, "value", "event_type",
+                                   threshold=3.5)
+            .orderBy("event_id"))
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Rows >3 population-sigma from their group mean (events.value by
     event_type): broadcast per-group stats + re-scan, no window sort."""
@@ -6198,6 +6217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_group": q_kmv_overlap_group,
         "mview_variance": q_mview_variance,
         "bm25_incremental": q_bm25_incremental,
+        "mad_outliers": q_mad_outliers,
         # 11 r9-era rows parked below the line — next for round 14:
         "scan": q_scan,
         "filter_eq": q_filter_eq,
@@ -8864,6 +8884,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN s USING (event_type) "
             "WHERE sd > 0 AND abs(value - mu) > 3.0 * sd "
             "ORDER BY event_id"),
+        # robust variant: median/MAD via quantile_cont (interpolates
+        # exactly like Spark's percentile), Iglewicz-Hoaglin 1.4826
+        "mad_outliers": (
+            "WITH m AS (SELECT event_type, "
+            "quantile_cont(value, 0.5) AS med FROM events "
+            "GROUP BY event_type), "
+            "d AS (SELECT e.event_id, e.event_type, e.value, m.med, "
+            "abs(e.value - m.med) AS ad FROM events e "
+            "JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad "
+            "FROM d GROUP BY event_type) "
+            "SELECT d.event_id, d.event_type, d.value, "
+            "round((d.value - d.med) / (1.4826 * md.mad), 4) "
+            "AS robust_z FROM d JOIN md USING (event_type) "
+            "WHERE md.mad > 0 AND d.ad > 3.5 * 1.4826 * md.mad "
+            "ORDER BY d.event_id"),
         "weighted_sample": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), "

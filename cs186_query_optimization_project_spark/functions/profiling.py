@@ -320,3 +320,41 @@ def expect_or_fail(df: DataFrame, rules: dict[str, str]) -> DataFrame:
         raise DatabaseException(
             f"expectations failed — {detail}")
     return df
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_col: str,
+                 threshold: float = 3.5) -> DataFrame:
+    """Rows whose ``value_col`` deviates from their group's MEDIAN by
+    more than ``threshold`` robust sigmas — the heavy-tail-safe
+    complement of :func:`zscore_outliers`: mean/stddev are themselves
+    dragged by the outliers they're meant to find (masking), while
+    median/MAD have a 50% breakdown point (Iglewicz & Hoaglin's
+    modified z-score; 1.4826·MAD estimates sigma under normality, so
+    the default 3.5 corresponds to the classic cutoff).
+
+    Same two-pass broadcast shape as the z-score version — per-group
+    (median, MAD) are two exact-percentile aggregates (Spark computes
+    them without a per-group sort window), broadcast back for a
+    filter re-scan.  Exact ``percentile`` keeps the oracle exact
+    (DuckDB's quantile_cont interpolates identically);
+    ``approx_percentile`` is the knob at extreme group cardinality.
+
+    Output: the input row plus ``robust_z`` (rounded).  Groups whose
+    MAD is 0 (over half the values identical) emit nothing — the
+    robust score is undefined there, and the zscore variant is the
+    right tool.
+    """
+    med = F.expr(f"percentile({value_col}, 0.5)")
+    stats1 = (df.groupBy(group_col).agg(med.alias("__med")))
+    dev = (df.join(F.broadcast(stats1), group_col)
+           .withColumn("__ad", F.abs(F.col(value_col) - F.col("__med"))))
+    stats2 = (dev.groupBy(group_col)
+              .agg(F.expr("percentile(__ad, 0.5)").alias("__mad")))
+    cols = [F.col(c) for c in df.columns]
+    sigma = F.lit(1.4826) * F.col("__mad")
+    return (dev.join(F.broadcast(stats2), group_col)
+            .filter((F.col("__mad") > 0)
+                    & (F.col("__ad") > F.lit(threshold) * sigma))
+            .select(*cols,
+                    F.round((F.col(value_col) - F.col("__med"))
+                            / sigma, 4).alias("robust_z")))

@@ -772,3 +772,35 @@ def test_kmv_overlap_by_group_on_one_side_only(spark):
     assert rows["only_a"]["est_b"] == 0.0
     assert rows["only_b"]["est_a"] == 0.0
     assert rows["only_b"]["est_union"] == 100.0  # underfull → exact
+
+
+def test_mad_outliers_resists_masking(spark):
+    """The defining property: one extreme value inflates stddev enough
+    to hide a moderate outlier from the z-score check, while
+    median/MAD still flags both."""
+    from cs186_query_optimization_project_spark.functions import (
+        profiling,
+    )
+    vals = [9.6 + 0.1 * (i % 10) for i in range(20)] + [14.0, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "id long, grp string, v double")
+    robust = {r["id"] for r in
+              profiling.mad_outliers(df, "v", "grp",
+                                     threshold=3.5).collect()}
+    classic = {r["id"] for r in
+               profiling.zscore_outliers(df, "v", "grp",
+                                         threshold=3.0).collect()}
+    assert 21 in robust and 20 in robust   # both flagged robustly
+    assert 20 not in classic               # masked by the 1000.0
+
+
+def test_mad_outliers_zero_mad_group_emits_nothing(spark):
+    from cs186_query_optimization_project_spark.functions import (
+        profiling,
+    )
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(10)] + [(99, "g", 500.0)],
+        "id long, grp string, v double")
+    # >50% identical values → MAD 0 → robust score undefined → empty
+    assert profiling.mad_outliers(df, "v", "grp").count() == 0
