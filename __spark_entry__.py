@@ -6006,7 +6006,8 @@ def q_kmv_overlap(spark, sf_dir):
                    .alias("exact_intersection"),
                    F.round(F.abs(F.col("est_intersection")
                                  - F.col("exact_intersection"))
-                           / F.col("exact_intersection"), 4)
+                           / F.greatest(F.col("exact_intersection"),
+                                        F.lit(1)), 4)
                    .alias("rel_error")))
     row = out.collect()[0]
     if row["rel_error"] > 0.25:
@@ -6132,76 +6133,16 @@ def q_group_split(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-13 policy (the r12 verdict's #1
-    # item): the window is the 7 entries registered after the r12 window
-    # closed (never driver-checked; all pass the local DuckDB oracle),
-    # the 4 r7-era rows parked in r12 (collect_sorted, compact_scan,
-    # text_source, window_ntile), then 39 of the 50 entries whose newest
-    # driver-green row is r9.  After this round no entry's driver
-    # evidence is older than r9, and only 11 cheap stable r9 rows (parked
-    # immediately below the line) plus this round's additions await the
-    # round-14 rotation.  Every query -- in or below the window -- is
+    # entries in registry order.  Round-14 policy (the r13 verdict's #1
+    # item): the window is the 16 r13 additions (registered after the r13
+    # window closed; never driver-checked, all pass the local DuckDB
+    # oracle), the 11 r9-era rows parked in r13, and the 23 stalest
+    # r10-green rows.  After this round no entry's driver evidence is
+    # older than r10.  Every query -- in or below the window -- is
     # verified each round by tools/check_contract.py at sf0.01 and the
     # full-registry result is committed as LOCALCHECK_r<N>.json.
     return {
-        # --- never driver-checked: registered after the r12 window closed (7) ---
-        "mview_minmax_delete": q_mview_minmax_delete,
-        "ivfpq_batch": q_ivfpq_batch,
-        "multi_skip": q_multi_skip,
-        "url_dedup": q_url_dedup,
-        "expectations": q_expectations,
-        "semantic_contamination": q_semantic_contamination,
-        "group_split": q_group_split,
-        # --- stalest driver evidence: r7 (4) ---
-        "collect_sorted": q_collect_sorted,
-        "compact_scan": q_compact_scan,
-        "text_source": q_text_source,
-        "window_ntile": q_window_ntile,
-        # --- next stalest: last driver-green in r9 (39 of 50) ---
-        "ann_recall": q_ann_recall,
-        "asset_resize": q_asset_resize,
-        "bm25_indexed": q_bm25_indexed,
-        "bm25_search": q_bm25_search,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment": q_bpe_segment,
-        "cms_reconcile": q_cms_reconcile,
-        "correlation_matrix": q_correlation_matrix,
-        "dedup_apply": q_dedup_apply,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_eval": q_dedup_eval,
-        "dedup_incremental": q_dedup_incremental,
-        "dml_lifecycle": q_dml_lifecycle,
-        "dup_span_coverage": q_dup_span_coverage,
-        "dup_spans": q_dup_spans,
-        "epoch_shuffle": q_epoch_shuffle,
-        "frame_sample": q_frame_sample,
-        "grace_hash_join": q_grace_hash_join,
-        "hll_by_group": q_hll_by_group,
-        "hll_reconcile": q_hll_reconcile,
-        "index_range_scan": q_index_range_scan,
-        "indexed_write_scan": q_indexed_write_scan,
-        "join_three_flagship": q_join_three_flagship,
-        "key_skew": q_key_skew,
-        "ks_drift": q_ks_drift,
-        "mixture_sample": q_mixture_sample,
-        "mixture_temperature": q_mixture_temperature,
-        "ngram_jaccard": q_ngram_jaccard,
-        "phrase_indexed": q_phrase_indexed,
-        "phrase_search": q_phrase_search,
-        "psi_drift": q_psi_drift,
-        "quality_filter": q_quality_filter,
-        "sample_k_per_group": q_sample_k_per_group,
-        "semantic_dedup": q_semantic_dedup,
-        "similar_docs": q_similar_docs,
-        "streaming_cms": q_streaming_cms,
-        "streaming_hll": q_streaming_hll,
-        "time_travel": q_time_travel,
-        "weighted_sample": q_weighted_sample,
-        # ------------- below the driver's 50-row window ------------- #
-        # Everything below is ordered stalest-first so the round-14
-        # rotation is mechanical; every entry is re-verified each round
-        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r13.json).
-        # r13 additions (never driver-checked) — first for round 14:
+        # --- r13 additions, never driver-checked (16) ---
         "multi_partition": q_multi_partition,
         "inlist_skip": q_inlist_skip,
         "pipeline_corpus_full": q_pipeline_corpus_full,
@@ -6218,7 +6159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mview_variance": q_mview_variance,
         "bm25_incremental": q_bm25_incremental,
         "mad_outliers": q_mad_outliers,
-        # 11 r9-era rows parked below the line — next for round 14:
+        # --- parked r9-era rows (11) ---
         "scan": q_scan,
         "filter_eq": q_filter_eq,
         "groupby_count": q_groupby_count,
@@ -6230,7 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q22": q_tpch_q22,
         "token_counts": q_token_counts,
-        # r10-green entries:
+        # --- stalest r10-era rows (23) ---
         "asof_join": q_asof_join,
         "audio_chunks": q_audio_chunks,
         "cdf_feed": q_cdf_feed,
@@ -6254,6 +6195,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "mvcc_vacuum": q_mvcc_vacuum,
         "mview_refresh": q_mview_refresh,
+        # ------------- below the driver's 50-row window ------------- #
+        # Everything below is ordered stalest-first so the round-15
+        # rotation is mechanical; every entry is re-verified each round
+        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r14.json).
+        # r14 additions (never driver-checked) — first for round 15:
+        # (none yet)
+        # remaining r10-green rows (27):
         "optimizer_cardinality": q_optimizer_cardinality,
         "orderby_limit": q_orderby_limit,
         "partition_skipping": q_partition_skipping,
@@ -6281,7 +6229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "train_test_split": q_train_test_split,
         "window_rank": q_window_rank,
-        # r11-green entries:
+        # r11/r12-green rows:
         "ann_batch_queries": q_ann_batch_queries,
         "anti_join": q_anti_join,
         "bloom_skipping": q_bloom_skipping,
@@ -6332,7 +6280,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frame": q_window_frame,
         "window_running": q_window_running,
         "zorder_scan": q_zorder_scan,
-        # r12-green entries (freshest driver evidence):
         "bigram_lm": q_bigram_lm,
         "bloom_semi_join": q_bloom_semi_join,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -6383,6 +6330,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "vocab_top": q_vocab_top,
         "zscore_outliers": q_zscore_outliers,
+        # r13-green rows (freshest driver evidence — the r13 window):
+        "mview_minmax_delete": q_mview_minmax_delete,
+        "ivfpq_batch": q_ivfpq_batch,
+        "multi_skip": q_multi_skip,
+        "url_dedup": q_url_dedup,
+        "expectations": q_expectations,
+        "semantic_contamination": q_semantic_contamination,
+        "group_split": q_group_split,
+        "collect_sorted": q_collect_sorted,
+        "compact_scan": q_compact_scan,
+        "text_source": q_text_source,
+        "window_ntile": q_window_ntile,
+        "ann_recall": q_ann_recall,
+        "asset_resize": q_asset_resize,
+        "bm25_indexed": q_bm25_indexed,
+        "bm25_search": q_bm25_search,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        "cms_reconcile": q_cms_reconcile,
+        "correlation_matrix": q_correlation_matrix,
+        "dedup_apply": q_dedup_apply,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_eval": q_dedup_eval,
+        "dedup_incremental": q_dedup_incremental,
+        "dml_lifecycle": q_dml_lifecycle,
+        "dup_span_coverage": q_dup_span_coverage,
+        "dup_spans": q_dup_spans,
+        "epoch_shuffle": q_epoch_shuffle,
+        "frame_sample": q_frame_sample,
+        "grace_hash_join": q_grace_hash_join,
+        "hll_by_group": q_hll_by_group,
+        "hll_reconcile": q_hll_reconcile,
+        "index_range_scan": q_index_range_scan,
+        "indexed_write_scan": q_indexed_write_scan,
+        "join_three_flagship": q_join_three_flagship,
+        "key_skew": q_key_skew,
+        "ks_drift": q_ks_drift,
+        "mixture_sample": q_mixture_sample,
+        "mixture_temperature": q_mixture_temperature,
+        "ngram_jaccard": q_ngram_jaccard,
+        "phrase_indexed": q_phrase_indexed,
+        "phrase_search": q_phrase_search,
+        "psi_drift": q_psi_drift,
+        "quality_filter": q_quality_filter,
+        "sample_k_per_group": q_sample_k_per_group,
+        "semantic_dedup": q_semantic_dedup,
+        "similar_docs": q_similar_docs,
+        "streaming_cms": q_streaming_cms,
+        "streaming_hll": q_streaming_hll,
+        "time_travel": q_time_travel,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -8597,7 +8595,8 @@ def oracle_sql() -> dict[str, str]:
             "round(est.jacc * est.eu, 4) AS est_intersection, "
             "exact.exact_intersection::BIGINT AS exact_intersection, "
             "round(abs(round(est.jacc * est.eu, 4) "
-            "- exact.exact_intersection) / exact.exact_intersection, 4) "
+            "- exact.exact_intersection) "
+            "/ greatest(exact.exact_intersection, 1), 4) "
             "AS rel_error FROM est, ea, eb, exact"),
         # incremental variance view: replay the delete + insert, then
         # the naive-moment population stddev (same expression tree the

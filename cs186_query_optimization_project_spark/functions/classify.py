@@ -107,7 +107,10 @@ def nb_score(model: NBModel, df: DataFrame, id_col: str = "doc_id",
     token).  The token stream is densified against the class list
     (tokens × |classes| rows — classes are few) so unseen tokens
     contribute the class's smoothed default, exactly the multinomial
-    NB definition."""
+    NB definition.  A document whose text yields NO non-empty tokens
+    (empty string, all whitespace) still gets one row per class with
+    score = log_prior — the zero-length-product case of multinomial
+    NB — rather than silently vanishing from the output."""
     tok = _doc_tokens(df, [id_col], text_col)
     labels = model.priors.select("label", "log_default")
     # the likelihood table is |vocab| × |classes| — broadcast is
@@ -119,14 +122,18 @@ def nb_score(model: NBModel, df: DataFrame, id_col: str = "doc_id",
              .join(model.likelihood, ["label", "token"], "left")
              .select(id_col, "label",
                      F.coalesce("log_lik", "log_default").alias("ll")))
-    return (dense.groupBy(id_col, "label")
-            .agg(F.sum("ll").alias("sum_ll"))
-            .join(F.broadcast(model.priors.select("label",
-                                                  "log_prior")),
-                  "label")
+    summed = dense.groupBy(id_col, "label").agg(
+        F.sum("ll").alias("sum_ll"))
+    # densify against EVERY input document so token-less docs score by
+    # priors alone (sum_ll coalesces to 0 — an empty product of
+    # likelihoods) instead of being dropped by the explode
+    all_pairs = (df.select(id_col).distinct()
+                 .crossJoin(F.broadcast(
+                     model.priors.select("label", "log_prior"))))
+    return (all_pairs.join(summed, [id_col, "label"], "left")
             .select(id_col, "label",
-                    (F.col("sum_ll") + F.col("log_prior"))
-                    .alias("score")))
+                    (F.coalesce("sum_ll", F.lit(0.0))
+                     + F.col("log_prior")).alias("score")))
 
 
 def nb_predict(model: NBModel, df: DataFrame, id_col: str = "doc_id",

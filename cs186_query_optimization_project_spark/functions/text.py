@@ -10,6 +10,8 @@ executors.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -664,9 +666,13 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text",
     ``collect_list`` reassembly per document (the same width as the
     input row).  No UDFs, no driver materialization; every step is
     ANSI-SQL-replayable (``string_agg(line, sep ORDER BY pos)``)."""
+    # `sep` is a LITERAL separator: F.split takes a Java regex, so a
+    # metacharacter sep ('|', '.') would silently split per-character
+    # while array_join rebuilt with the literal — escape before split.
+    sep_rx = re.escape(sep)
     lines = (df.select(
         F.col(id_col), F.col(group_col),
-        F.posexplode(F.split(F.col(text_col), sep))
+        F.posexplode(F.split(F.col(text_col), sep_rx))
         .alias("__pos", "__line")))
     domain_docs = (df.groupBy(group_col)
                    .agg(F.count(F.lit(1)).alias("__n_docs")))

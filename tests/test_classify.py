@@ -75,12 +75,21 @@ def test_nb_predict_tie_breaks_by_label_asc(spark):
 
 def test_nb_empty_and_whitespace_docs_score_prior_only(spark, toy):
     m = classify.nb_train(toy, "text", "label")
-    test = spark.createDataFrame([(10, "   ")],
+    test = spark.createDataFrame([(10, "   "), (11, "")],
                                  "doc_id long, text string")
-    # no tokens → no dense rows → doc absent from output (same as a
-    # doc of only empty boundary tokens); callers route empties past
-    # the classifier explicitly
-    assert classify.nb_predict(m, test).count() == 0
+    # no tokens → empty likelihood product → score = log_prior alone;
+    # the doc must NOT vanish from the output
+    scores = {(r["doc_id"], r["label"]): r["score"]
+              for r in classify.nb_score(m, test).collect()}
+    priors = {r["label"]: r["log_prior"] for r in m.priors.collect()}
+    assert set(d for d, _ in scores) == {10, 11}
+    for (_, lbl), s in scores.items():
+        assert abs(s - priors[lbl]) < 1e-9
+    # argmax over priors alone → the majority class, deterministically
+    preds = classify.nb_predict(m, test).collect()
+    assert len(preds) == 2
+    best = max(sorted(priors), key=lambda l: priors[l])
+    assert all(r["predicted"] == best for r in preds)
 
 
 def test_ivf_topk_where_filters_before_ranking(spark):

@@ -932,3 +932,17 @@ def test_strip_boilerplate_null_domain_docs_keep_their_text(spark):
     assert out[0]["n_kept"] == 2
     assert out[1]["text"] == "solo"
     assert out[2]["text"] == "x" and out[3]["text"] == "y"
+
+
+def test_strip_boilerplate_regex_metachar_separator(spark):
+    from cs186_query_optimization_project_spark.functions import text as T
+    # '|' is a regex metacharacter — split must treat it literally,
+    # not as alternation (which would split per character)
+    df = spark.createDataFrame(
+        [(0, "a", "BOIL|keep0"), (1, "a", "BOIL|keep1")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r
+           for r in T.strip_boilerplate(df, sep="|").collect()}
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 1
+    assert out[0]["text"] == "keep0"
+    assert out[1]["text"] == "keep1"
