@@ -4145,7 +4145,7 @@ def q_phrase_search(spark, sf_dir):
                                    "slow hash batch")
 
 
-_POSTINGS_INDEX_VERSION = 1
+_POSTINGS_INDEX_VERSION = 2   # v2: manifest-versioned PartitionedTables
 
 
 def _postings_index(spark, sf_dir):

@@ -193,14 +193,30 @@ _POSTINGS_META = "_postings_index_meta.json"
 
 @dataclass(frozen=True)
 class PostingsIndex:
-    """Handle to a materialized postings index: the partitioned postings
-    table, the doc-length sidecar, and the BM25 corpus constants."""
+    """Handle to a materialized postings index: two manifest-versioned
+    :class:`~cs186_query_optimization_project_spark.partitioned
+    .PartitionedTable`\\ s (postings keyed on token bucket, doc
+    lengths keyed on an id-hash bucket) plus the BM25 corpus
+    constants, bound together by a meta file that PINS the table
+    versions this handle reads.
+
+    The pinned versions are the torn-read protection: a reader
+    resolves the meta once and then scans both tables at the recorded
+    versions, so an in-flight append (which commits new table versions
+    FIRST and publishes the meta LAST) is invisible until its meta
+    swap — new postings can never be scored against stale
+    n_docs/avgdl.  ``append_epoch`` drives the exactly-once append
+    watermark (:meth:`PartitionedTable.idempotent_append`), making a
+    crashed append safely retryable with no duplicate postings."""
 
     path: str                      # root; postings/ + doclen/ under it
     n_buckets: int
     n_docs: int                    # docs with >= 1 token (as bm25_scores)
     avgdl: float
     source_fingerprint: str = ""
+    postings_version: int = 0      # pinned commit of postings/
+    doclen_version: int = 0        # pinned commit of doclen/
+    append_epoch: int = 0          # idempotent-append watermark
 
     @property
     def postings_path(self) -> str:
@@ -228,38 +244,75 @@ def _token_bucket_col(n_buckets: int):
     return F.expr(f"pmod({_H60.format(x='token')}, {n_buckets})")
 
 
+_DOCLEN_BUCKETS = 8
+
+
+def _doclen_bucket_col(id_col: str):
+    """Layout-only bucketing for the doc-length table (Murmur3 — the
+    values never cross an oracle boundary; readers drop the column)."""
+    return F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(_DOCLEN_BUCKETS))
+
+
+def _write_postings_meta(idx: PostingsIndex) -> None:
+    """Atomic meta publish — the ONE commit point binding both table
+    versions and the corpus constants (readers load it exactly once)."""
+    from cs186_query_optimization_project_spark import metaio
+
+    metaio.IO.replace_text(
+        os.path.join(idx.path, _POSTINGS_META),
+        json.dumps({"format": 2, "n_buckets": idx.n_buckets,
+                    "n_docs": idx.n_docs, "avgdl": idx.avgdl,
+                    "source_fingerprint": idx.source_fingerprint,
+                    "postings_version": idx.postings_version,
+                    "doclen_version": idx.doclen_version,
+                    "append_epoch": idx.append_epoch}))
+
+
 def build_postings_index(df: DataFrame, path: str, text_col: str = "text",
                          id_col: str = "doc_id", n_buckets: int = 64,
                          files_per_bucket: int = 1,
                          fingerprint: str = "") -> PostingsIndex:
-    """Materialize the postings index: one corpus pass tokenizes and
-    writes postings partitioned by token bucket (``_bucket_partitioned``
-    bounds files per directory, same as the ANN builds); doc lengths and
-    the corpus stats are then aggregated off the written postings'
-    (tb, doc_id) columns — a column-pruned second read, not a second
-    tokenization pass."""
+    """Materialize the postings index as two manifest-versioned
+    :class:`PartitionedTable`\\ s: one corpus pass tokenizes and
+    commits postings partitioned by token bucket (``_bucket_
+    partitioned`` bounds files per directory, same as the ANN builds);
+    doc lengths and the corpus stats are then aggregated off the
+    committed postings' (tb, doc_id) columns — a column-pruned second
+    read, not a second tokenization pass.  The meta publish pinning
+    both version-0 commits is the build's single commit point."""
+    from cs186_query_optimization_project_spark import metaio
     from cs186_query_optimization_project_spark.functions.similarity import (
         _bucket_partitioned,
     )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
 
-    post = (build_postings(df, text_col, id_col)
-            .withColumn("tb", _token_bucket_col(n_buckets)))
-    (_bucket_partitioned(post, "tb", id_col, files_per_bucket)
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(os.path.join(path, "postings")))
     spark = df.sparkSession
-    doc_len = (spark.read.parquet(os.path.join(path, "postings"))
-               .groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl")))
-    doc_len.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
-    stats = (spark.read.parquet(os.path.join(path, "doclen"))
+    for sub in ("postings", "doclen"):
+        metaio.IO.remove_tree(os.path.join(path, sub))
+    post = (build_postings(df, text_col, id_col)
+            .withColumn("tb", _token_bucket_col(n_buckets))
+            .select(id_col, "pos", "token", "tb"))
+    pt_post = PartitionedTable.create(
+        spark, _bucket_partitioned(post, "tb", id_col, files_per_bucket),
+        os.path.join(path, "postings"), "tb")
+    doc_len = (pt_post.read()
+               .groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+               .withColumn("db", _doclen_bucket_col(id_col))
+               .select(id_col, "__dl", "db"))
+    pt_len = PartitionedTable.create(
+        spark, doc_len.repartition("db"),
+        os.path.join(path, "doclen"), "db")
+    stats = (pt_len.read()
              .agg(F.count(F.lit(1)).alias("n"),
                   F.avg("__dl").alias("avgdl")).first())
     idx = PostingsIndex(path, n_buckets, int(stats["n"]),
-                        float(stats["avgdl"]), fingerprint)
-    with open(os.path.join(path, _POSTINGS_META), "w") as f:
-        json.dump({"n_buckets": idx.n_buckets, "n_docs": idx.n_docs,
-                   "avgdl": idx.avgdl,
-                   "source_fingerprint": idx.source_fingerprint}, f)
+                        float(stats["avgdl"]), fingerprint,
+                        postings_version=max(pt_post.versions()),
+                        doclen_version=max(pt_len.versions()),
+                        append_epoch=0)
+    _write_postings_meta(idx)
     return idx
 
 
@@ -283,26 +336,43 @@ def postings_append(spark: SparkSession, index: PostingsIndex,
     APPEND, not upsert: ``new_df`` ids must be disjoint from the
     indexed corpus (duplicate ids would double-count term
     frequencies); the caller owns that contract, same as every
-    log-append ingest.  Crash-safety matches the base build (bare
-    hive parquet + an atomically-replaced meta file): a reader racing
-    the append may briefly see new postings with the old constants —
-    the PartitionedTable-backed IVF-PQ index is the crash-safe
-    manifest pattern, and porting postings onto it is the same
-    mechanical move if that guarantee is ever needed."""
-    from cs186_query_optimization_project_spark import metaio
+    log-append ingest.
+
+    Commit protocol (the torn-append protection the bare-hive layout
+    lacked): both table appends are :meth:`PartitionedTable
+    .idempotent_append` commits watermarked by ``append_epoch + 1``,
+    and the meta — pinning the NEW versions and constants together —
+    publishes LAST via one atomic replace.  A reader holding the old
+    meta keeps scanning the old pinned versions throughout (never new
+    postings with stale n_docs/avgdl); a crash anywhere before the
+    meta swap leaves the published index bit-identical to before the
+    append, and RETRYING the same append is safe: the epoch watermark
+    turns the already-committed table inserts into dedup no-ops, the
+    constants recompute from the same batch, and the meta publish
+    completes the interrupted commit."""
     from cs186_query_optimization_project_spark.functions.similarity import (
         _bucket_partitioned,
     )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
 
+    epoch = index.append_epoch + 1
     post = (build_postings(new_df, text_col, id_col)
             .withColumn("tb", _token_bucket_col(index.n_buckets))
+            .select(id_col, "pos", "token", "tb")
             .localCheckpoint())  # one tokenization feeds both writes
-    (_bucket_partitioned(post, "tb", id_col, files_per_bucket)
-        .write.mode("append").partitionBy("tb")
-        .parquet(index.postings_path))
+    pt_post = PartitionedTable(spark, index.postings_path)
+    pt_post.idempotent_append(
+        _bucket_partitioned(post, "tb", id_col, files_per_bucket),
+        "postings_append", epoch)
     new_lens = (post.groupBy(id_col)
-                .agg(F.count(F.lit(1)).alias("__dl")))
-    new_lens.write.mode("append").parquet(index.doclen_path)
+                .agg(F.count(F.lit(1)).alias("__dl"))
+                .withColumn("db", _doclen_bucket_col(id_col))
+                .select(id_col, "__dl", "db"))
+    pt_len = PartitionedTable(spark, index.doclen_path)
+    pt_len.idempotent_append(new_lens.repartition("db"),
+                             "postings_append", epoch)
     inc = new_lens.agg(F.count(F.lit(1)).alias("n"),
                        F.sum("__dl").alias("s")).first()
     n_new, dl_new = int(inc["n"]), float(inc["s"] or 0.0)
@@ -310,38 +380,65 @@ def postings_append(spark: SparkSession, index: PostingsIndex,
     avgdl = ((index.n_docs * index.avgdl + dl_new) / n_docs
              if n_docs else 0.0)
     out = PostingsIndex(index.path, index.n_buckets, n_docs, avgdl,
-                        index.source_fingerprint)
-    metaio.IO.replace_text(
-        os.path.join(index.path, _POSTINGS_META),
-        json.dumps({"n_buckets": out.n_buckets, "n_docs": out.n_docs,
-                    "avgdl": out.avgdl,
-                    "source_fingerprint": out.source_fingerprint}))
+                        index.source_fingerprint,
+                        postings_version=max(pt_post.versions()),
+                        doclen_version=max(pt_len.versions()),
+                        append_epoch=epoch)
+    _write_postings_meta(out)
     return out
 
 
 def load_postings_index(path: str) -> PostingsIndex | None:
     """Load a previously built postings index; None if absent/unreadable
-    (caller rebuilds — the index is a cache of the corpus)."""
+    or in the pre-manifest format (caller rebuilds — the index is a
+    cache of the corpus)."""
+    from cs186_query_optimization_project_spark import metaio
+
     try:
-        with open(os.path.join(path, _POSTINGS_META)) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            metaio.IO.read_text(os.path.join(path, _POSTINGS_META)))
+        if meta.get("format") != 2:
+            return None          # pre-manifest layout: force rebuild
         return PostingsIndex(path, meta["n_buckets"], meta["n_docs"],
                              meta["avgdl"],
-                             meta.get("source_fingerprint", ""))
+                             meta.get("source_fingerprint", ""),
+                             postings_version=meta["postings_version"],
+                             doclen_version=meta["doclen_version"],
+                             append_epoch=meta.get("append_epoch", 0))
     except (OSError, ValueError, KeyError):
         return None
 
 
 def term_postings(spark: SparkSession, index: PostingsIndex,
                   terms: list[str], id_col: str = "doc_id") -> DataFrame:
-    """The pruned postings scan for ``terms``: the bucket filter is a
-    PartitionFilter (directory pruning), the token filter rides the scan
-    as a pushed parquet predicate."""
+    """The pruned postings scan for ``terms``: the bucket IN-list
+    prunes at the MANIFEST (non-matching bucket directories are never
+    listed or opened — stronger than a PartitionFilter, which still
+    pays the listing), the version pin freezes the snapshot, and the
+    token filter rides the scan as a pushed parquet predicate."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
     buckets = sorted({token_bucket(t, index.n_buckets) for t in terms})
-    return (spark.read.parquet(index.postings_path)
-            .filter(F.col("tb").isin(buckets))
+    return (PartitionedTable(spark, index.postings_path)
+            .read(version=index.postings_version,
+                  partition_values=buckets)
             .filter(F.col("token").isin(list(terms)))
             .select(F.col(id_col), F.col("pos"), F.col("token")))
+
+
+def doclen_table(spark: SparkSession, index: PostingsIndex,
+                 id_col: str = "doc_id") -> DataFrame:
+    """The doc-length sidecar at the handle's pinned version (layout
+    bucket column dropped)."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    return (PartitionedTable(spark, index.doclen_path)
+            .read(version=index.doclen_version)
+            .select(F.col(id_col), F.col("__dl")))
 
 
 def phrase_search_indexed(spark: SparkSession, index: PostingsIndex,
@@ -370,7 +467,7 @@ def bm25_indexed(spark: SparkSession, index: PostingsIndex, query: str,
     tf = (term_postings(spark, index, terms, id_col)
           .groupBy(id_col, "token")
           .agg(F.count(F.lit(1)).alias("__tf")))
-    doc_len = spark.read.parquet(index.doclen_path)
+    doc_len = doclen_table(spark, index, id_col)
     corpus = spark.range(1).select(
         F.lit(index.n_docs).alias("__n"),
         F.lit(index.avgdl).alias("__avgdl"))

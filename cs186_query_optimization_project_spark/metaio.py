@@ -129,7 +129,215 @@ class LocalMetadataIO:
         shutil.rmtree(path, ignore_errors=True)
 
 
+class HadoopMetadataIO:
+    """Hadoop-FileSystem implementation of the seam — the cluster /
+    object-store port SCALE.md names as the one deployment delta.
+
+    Routes every call through the JVM ``org.apache.hadoop.fs
+    .FileSystem`` Spark already ships, so the same instance serves
+    ``file://``, ``hdfs://``, and (with the usual connector jars)
+    ``s3a://`` / ``gs://`` / ``abfss://`` paths — the filesystem is
+    resolved PER PATH from the session's Hadoop configuration, exactly
+    how Spark's own data plane resolves it.
+
+    Atomicity story by operation (the commit protocol's load-bearing
+    semantics, mirroring Delta's per-store ``LogStore`` matrix):
+
+    - ``write_new`` (the commit point): HDFS ``create(overwrite =
+      false)`` is an atomic namenode operation — first-committer-wins
+      holds.  ``file://`` goes through ``RawLocalFileSystem``'s
+      exists-then-create, a TOCTOU window this sandbox tolerates (the
+      POSIX ``LocalMetadataIO`` with ``O_EXCL`` is the local default;
+      this backend exists for cluster URIs).  S3A before conditional
+      -PUT support (and any store without create-exclusive) needs an
+      external coordination layer — Delta's ``S3SingleDriverLogStore``
+      / DynamoDB LogStore is the published answer; plugging one in
+      replaces only THIS method.
+    - ``replace_text``: write tmp + ``FileContext.rename(OVERWRITE)``
+      — atomic on HDFS.  On S3A rename is copy+delete (non-atomic,
+      readers may glimpse the old object then the new — never a torn
+      one, since the copy is of a fully-written tmp).
+    - ``publish_lock``: create-exclusive then write+close.  The
+      held/free signal rides on create-exclusive atomicity (HDFS:
+      atomic); content visibility has the same sub-millisecond
+      open-to-close window as the POSIX ``O_EXCL`` fallback above, and
+      lock readers already treat unparseable/empty content as
+      held-not-stale, so the window is benign by protocol.
+
+    Exception contract: Java ``FileNotFoundException`` /
+    ``FileAlreadyExistsException`` (and the raw-local ``IOException:
+    ... already exists`` variant) are translated to the Python
+    ``FileNotFoundError`` / ``FileExistsError`` the callers' control
+    flow rides on — proven by running the same semantics suite as the
+    local backend (tests/test_metaio.py)."""
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    # -- plumbing -----------------------------------------------------
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self._conf)
+
+    @staticmethod
+    def _translate(exc, path: str):
+        """Map a Py4J-wrapped Java IO exception onto the seam's
+        Python exception contract; return None when unrecognized."""
+        j = getattr(exc, "java_exception", None)
+        if j is None:
+            return None
+        name = j.getClass().getName()
+        msg = str(j.getMessage() or "")
+        if "FileNotFoundException" in name or "PathNotFoundException" in name:
+            return FileNotFoundError(path)
+        if ("FileAlreadyExistsException" in name
+                or "already exists" in msg.lower()):
+            return FileExistsError(path)
+        return None
+
+    def _write_stream(self, out, text: str) -> None:
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    # -- reads --------------------------------------------------------
+    def read_text(self, path: str) -> str:
+        from py4j.protocol import Py4JJavaError
+
+        p = self._path(path)
+        try:
+            stream = self._fs(p).open(p)
+        except Py4JJavaError as exc:
+            py = self._translate(exc, path)
+            if py is not None:
+                raise py from None
+            raise
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils \
+                .toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data).decode("utf-8")
+
+    def list_dir(self, path: str) -> list[str]:
+        from py4j.protocol import Py4JJavaError
+
+        p = self._path(path)
+        try:
+            statuses = self._fs(p).listStatus(p)
+        except Py4JJavaError as exc:
+            py = self._translate(exc, path)
+            if py is not None:
+                raise py from None
+            raise
+        return [s.getPath().getName() for s in statuses]
+
+    def exists(self, path: str) -> bool:
+        p = self._path(path)
+        return bool(self._fs(p).exists(p))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._path(path)
+        fs = self._fs(p)
+        return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+    def file_size(self, path: str) -> int:
+        from py4j.protocol import Py4JJavaError
+
+        p = self._path(path)
+        try:
+            return int(self._fs(p).getFileStatus(p).getLen())
+        except Py4JJavaError as exc:
+            py = self._translate(exc, path)
+            if py is not None:
+                raise py from None
+            raise
+
+    # -- writes -------------------------------------------------------
+    def write_new(self, path: str, text: str) -> None:
+        from py4j.protocol import Py4JJavaError
+
+        p = self._path(path)
+        try:
+            out = self._fs(p).create(p, False)
+        except Py4JJavaError as exc:
+            py = self._translate(exc, path)
+            if py is not None:
+                raise py from None
+            raise
+        self._write_stream(out, text)
+
+    def replace_text(self, path: str, text: str) -> None:
+        jvm = self._jvm
+        p = self._path(path)
+        fs = self._fs(p)
+        tmp = self._path(f"{path}.tmp.{os.getpid()}")
+        self._write_stream(fs.create(tmp, True), text)
+        # FileContext.rename(OVERWRITE) — the public atomic-overwrite
+        # rename (FileSystem's Rename-options overload is protected);
+        # py4j varargs need an explicit Java array
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        rename_opts = self._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        rename_opts[0] = overwrite
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), self._conf)
+        ctx.rename(tmp, p, rename_opts)
+        # FileContext rides the raw (checksum-less) AbstractFileSystem,
+        # so on a ChecksumFileSystem (file:// LocalFileSystem) the
+        # destination's .crc sidecar now describes the OLD content and
+        # the tmp's .crc is orphaned — a stale crc makes the next read
+        # throw ChecksumException.  Drop both; an absent sidecar means
+        # "no verification", the right trade for driver-side metadata.
+        try:
+            for q in (tmp, p):
+                crc = fs.getChecksumFile(q)
+                if fs.exists(crc):
+                    fs.delete(crc, False)
+        except Exception:       # not a ChecksumFileSystem (e.g. HDFS)
+            pass
+
+    def publish_lock(self, path: str, text: str) -> None:
+        # create-exclusive IS the held/free signal; content follows in
+        # the same open-write-close breath (see class docstring for
+        # the visibility-window argument)
+        self.write_new(path, text)
+
+    def make_dirs(self, path: str, exist_ok: bool = False) -> None:
+        p = self._path(path)
+        fs = self._fs(p)
+        if not exist_ok and fs.exists(p):
+            raise FileExistsError(path)
+        fs.mkdirs(p)
+
+    def remove(self, path: str) -> None:
+        p = self._path(path)
+        fs = self._fs(p)
+        if not fs.delete(p, False) and not fs.exists(p):
+            raise FileNotFoundError(path)
+
+    def remove_tree(self, path: str) -> None:
+        """Recursive delete, idempotent (missing = no-op)."""
+        p = self._path(path)
+        self._fs(p).delete(p, True)
+
+
 #: The instance the lakehouse modules route through.  Swap it (or
 #: monkeypatch it) to retarget ALL metadata I/O — the data plane is
 #: untouched by design.
 IO = LocalMetadataIO()
+
+
+def use_hadoop_io(spark) -> HadoopMetadataIO:
+    """Swap the module-global seam to the Hadoop-FS backend (cluster
+    deployments: call once after building the session).  Returns the
+    installed instance; reassign ``metaio.IO = LocalMetadataIO()`` to
+    revert."""
+    global IO
+    IO = HadoopMetadataIO(spark)
+    return IO

@@ -21,6 +21,15 @@ def pytest_configure(config):
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="cs186-tests")
+    # SPARK_GRAFT_METAIO=hadoop reruns the whole suite with ALL
+    # lakehouse metadata I/O routed through the Hadoop-FS backend (the
+    # cluster deployment configuration) — proving the two backends are
+    # semantically interchangeable, not just contract-compatible:
+    #   SPARK_GRAFT_METAIO=hadoop python -m pytest tests/ -q
+    import os
+    if os.environ.get("SPARK_GRAFT_METAIO") == "hadoop":
+        from cs186_query_optimization_project_spark import metaio
+        metaio.use_hadoop_io(spark)
     yield spark
 
 

@@ -96,10 +96,12 @@ class MemoryMetadataIO:
                       if q == p or q.startswith(p + "/")}
 
 
-@pytest.fixture(params=["local", "memory"])
-def io(request, tmp_path):
+@pytest.fixture(params=["local", "memory", "hadoop"])
+def io(request, tmp_path, spark):
     if request.param == "local":
         yield LocalMetadataIO(), str(tmp_path)
+    elif request.param == "hadoop":
+        yield metaio.HadoopMetadataIO(spark), str(tmp_path)
     else:
         yield MemoryMetadataIO(), "/mem"
 
@@ -226,6 +228,32 @@ for _m in ("read_text", "list_dir", "exists", "is_dir", "write_new",
            "replace_text", "publish_lock", "make_dirs", "remove",
            "remove_tree"):
     setattr(RecordingIO, _m, _record(_m))
+
+
+def test_lakehouse_lifecycle_on_hadoop_backend(spark, tmp_path,
+                                               monkeypatch):
+    """The SAME create→insert→read→point-lookup→delete→time-travel→
+    vacuum lifecycle the seam-routing test drives, but with ALL
+    metadata I/O going through the Hadoop-FS backend — the cluster
+    deployment configuration (metaio.use_hadoop_io).  Data-plane
+    parquet I/O is untouched; only manifests/sidecars/locks reroute."""
+    monkeypatch.setattr(metaio, "IO", metaio.HadoopMetadataIO(spark))
+    df = spark.createDataFrame(
+        [(i, chr(65 + i % 3), float(i)) for i in range(12)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "t"), "grp")
+    pt.insert(spark.createDataFrame([(99, "A", 99.0)],
+                                    "id long, grp string, amt double"))
+    assert pt.read().count() == 13
+    assert pt.read_point("id", 99).count() == 1
+    pt.delete(F.col("id") == 0)
+    assert pt.read().count() == 12
+    assert pt.read(version=0).count() == 12      # time travel intact
+    pt.vacuum(keep_last=1)
+    assert pt.read().count() == 12
+    # a second handle over the same root sees the committed state
+    assert PartitionedTable(spark, str(tmp_path / "t")).read().count() \
+        == 12
 
 
 def test_lakehouse_routes_through_seam(spark, tmp_path, monkeypatch):

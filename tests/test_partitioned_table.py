@@ -726,11 +726,12 @@ def test_metadata_count_answers_without_scanning(pt, spark):
     pt.delete_soft("id = 1")
     v = pt._manifest()["version"]
     path = pt._manifest_path(v)
-    man = json.load(open(path))
+    # simulate a legacy manifest THROUGH the seam (a raw open() here
+    # would leave a stale checksum sidecar under the Hadoop backend)
+    from cs186_query_optimization_project_spark import metaio
+    man = json.loads(metaio.IO.read_text(path))
     man.pop("tomb_counts", None)
-    os.remove(path)
-    with open(path, "w") as f:
-        json.dump(man, f)
+    metaio.IO.replace_text(path, json.dumps(man))
     assert pt.metadata_count() is None
     assert pt.metadata_group_counts() is None
     assert pt.read().count() == 1           # the fallback path

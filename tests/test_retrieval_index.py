@@ -50,18 +50,33 @@ def test_bm25_indexed_matches_in_scan_path(spark, docs, pindex):
 
 
 def test_term_postings_plan_prunes_partitions(spark, pindex):
-    plan = _plan(retrieval.term_postings(spark, pindex, ["hash", "batch"]))
-    # the bucket filter must be a PartitionFilter (directory pruning),
-    # not a post-scan Filter over every bucket; the token filter rides
-    # the scan as a pushed parquet predicate
-    assert "PartitionFilters" in plan
-    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
-    assert "tb" in pf.split("PartitionFilters", 1)[1][:120]
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    got = retrieval.term_postings(spark, pindex, ["hash", "batch"])
+    # bucket pruning happens at the MANIFEST (before the plan exists):
+    # the scan's file set must be exactly the query terms' bucket
+    # directories, never the whole index
+    want = {retrieval.token_bucket(t, pindex.n_buckets)
+            for t in ("hash", "batch")}
+    man = PartitionedTable(spark, pindex.postings_path) \
+        ._manifest(pindex.postings_version)
+    admitted = [d for k, ds in man["parts"].items()
+                if int(k) in want for d in ds]
+    from urllib.parse import urlparse
+
+    files = [urlparse(f).path for f in got.inputFiles()]
+    assert files and all(any(f.startswith(d) for d in admitted)
+                         for f in files)
+    full = PartitionedTable(spark, pindex.postings_path) \
+        .read(version=pindex.postings_version).inputFiles()
+    assert len(files) < len(full)
+    # the token filter rides the scan as a pushed parquet predicate
+    plan = _plan(got)
     assert "PushedFilters" in plan and "token" in plan
-    # and the layout really is one directory per token bucket
-    tb_dirs = [d for d in os.listdir(pindex.postings_path)
-               if d.startswith("tb=")]
-    assert len(tb_dirs) > 1
+    # and the manifest really keys one partition per OCCUPIED bucket
+    assert 1 < len(man["parts"]) <= pindex.n_buckets
 
 
 def test_driver_side_bucket_routing_matches_sql(spark, pindex):
@@ -140,6 +155,77 @@ def test_postings_append_equals_full_rebuild(spark, docs,
     reloaded = retrieval.load_postings_index(path)
     assert reloaded.n_docs == full.n_docs
     assert abs(reloaded.avgdl - full.avgdl) < 1e-9
+
+
+def test_postings_reader_pinned_across_append(spark, docs,
+                                              tmp_path_factory):
+    """Concurrent-reader contract: a handle loaded BEFORE an append
+    keeps scoring against its pinned table versions and constants —
+    the torn-read (new postings, stale n_docs/avgdl) the bare-hive
+    layout allowed is structurally impossible."""
+    path = str(tmp_path_factory.mktemp("pin") / "idx")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    tail = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_base = retrieval.build_postings_index(base, path, n_buckets=16)
+    reader = retrieval.load_postings_index(path)      # pinned pre-append
+    before = rows(retrieval.bm25_indexed(spark, reader,
+                                         "hash batch window", top_k=10))
+    retrieval.postings_append(spark, idx_base, tail)
+    # the old handle still sees EXACTLY the pre-append index
+    assert rows(retrieval.bm25_indexed(spark, reader, "hash batch window",
+                                       top_k=10)) == before
+    assert reader.n_docs == idx_base.n_docs
+    # a fresh load sees the appended corpus
+    fresh = retrieval.load_postings_index(path)
+    assert fresh.n_docs > idx_base.n_docs
+    assert fresh.postings_version > reader.postings_version
+    assert rows(retrieval.bm25_indexed(spark, fresh, "hash batch window",
+                                       top_k=10)) \
+        == rows(retrieval.bm25_scores(docs, "hash batch window",
+                                      top_k=10))
+
+
+def test_postings_append_crash_retry_is_exactly_once(spark, docs,
+                                                     tmp_path_factory,
+                                                     monkeypatch):
+    """A crash AFTER the table commits but BEFORE the meta publish
+    leaves the published index untouched; retrying the same append
+    completes it with no duplicate postings (the append-epoch
+    watermark turns the replayed inserts into dedup no-ops)."""
+    path = str(tmp_path_factory.mktemp("crash") / "idx")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    tail = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = retrieval.build_postings_index(base, path, n_buckets=16)
+
+    real_meta = retrieval._write_postings_meta
+
+    def crash_once(i):
+        monkeypatch.setattr(retrieval, "_write_postings_meta", real_meta)
+        raise RuntimeError("simulated crash before meta publish")
+
+    monkeypatch.setattr(retrieval, "_write_postings_meta", crash_once)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        retrieval.postings_append(spark, idx, tail)
+    # published index is bit-identical to before the torn append
+    torn = retrieval.load_postings_index(path)
+    assert torn.n_docs == idx.n_docs and torn.append_epoch == 0
+    assert rows(retrieval.bm25_indexed(spark, torn, "hash batch window",
+                                       top_k=10)) \
+        == rows(retrieval.bm25_scores(base, "hash batch window",
+                                      top_k=10))
+    # retry from the reloaded (pre-crash) handle: completes exactly-once
+    idx2 = retrieval.postings_append(spark, torn, tail)
+    assert rows(retrieval.bm25_indexed(spark, idx2, "hash batch window",
+                                       top_k=10)) \
+        == rows(retrieval.bm25_scores(docs, "hash batch window",
+                                      top_k=10))
+    # no duplicate postings: total count equals a from-scratch build
+    n_inc = retrieval.term_postings(
+        spark, idx2, ["hash"]).count()
+    full = retrieval.build_postings_index(
+        docs, str(tmp_path_factory.mktemp("crash") / "full"),
+        n_buckets=16)
+    assert n_inc == retrieval.term_postings(spark, full, ["hash"]).count()
 
 
 def test_postings_append_grows_buckets_in_place(spark, docs,
