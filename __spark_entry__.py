@@ -5918,9 +5918,14 @@ def q_ann_filtered(spark, sf_dir):
     than k rows whenever the filter is selective.  In-entry contract
     raises (must survive ``python -O``): every returned row carries
     the filtered label, and the result DIFFERS from the unfiltered
-    top-10 (the filter did real work).  Fully oracle-checked: the
-    oracle replays centroid pick, cell assignment, 4-cell probe, and
-    the label-constrained exact top-10 end-to-end in SQL."""
+    top-10 (the filter did real work).  Round 14 extended the
+    contract to the two remaining index paths: ``sq8_topk(where=)``
+    must return k all-predicate rows while post-filtering the
+    unfiltered top-k demonstrably under-returns, and
+    ``lsh_probe(where=)`` must return only predicate rows from its
+    bucket.  Fully oracle-checked: the oracle replays centroid pick,
+    cell assignment, 4-cell probe, and the label-constrained exact
+    top-10 end-to-end in SQL."""
     idx = _ann_index(spark, sf_dir, "ivf")
     out = similarity.ivf_probe(spark, idx, _query_vec(spark, sf_dir),
                                k=10, n_probe=4, where="label = 2")
@@ -5943,6 +5948,40 @@ def q_ann_filtered(spark, sf_dir):
         raise RuntimeError(
             "filtered top-10 equals the unfiltered top-10 — the "
             "predicate did no work; pick a more selective filter")
+    # the SAME where= contract on the two remaining index paths
+    # (round-14: lsh_probe / sq8_topk gained the ivf_probe semantics).
+    # sq8: every returned row satisfies the predicate, AND
+    # post-filtering the UNFILTERED top-10 under-returns on this data
+    # — the silent-truncation failure mode the in-scan predicate
+    # exists to prevent.
+    emb = db.table("embeddings")
+    qv = _query_vec(spark, sf_dir)
+    sq_f = similarity.sq8_topk(emb, qv, k=10, where="label = 2") \
+        .collect()
+    sq_ids = [int(r["vec_id"]) for r in sq_f]
+    sq_lab = dict(emb.filter(F.col("vec_id").isin(sq_ids))
+                  .select("vec_id", "label").collect())
+    if len(sq_f) != 10 or any(sq_lab[v] != 2 for v in sq_ids):
+        raise RuntimeError("sq8_topk(where=) returned rows outside "
+                           "the predicate or under-returned")
+    sq_unf = [int(r["vec_id"]) for r in
+              similarity.sq8_topk(emb, qv, k=10).collect()]
+    unf_lab = dict(emb.filter(F.col("vec_id").isin(sq_unf))
+                   .select("vec_id", "label").collect())
+    if sum(1 for v in sq_unf if unf_lab[v] == 2) >= 10:
+        raise RuntimeError(
+            "unfiltered sq8 top-10 is all label=2 — the under-return "
+            "contrast is vacuous on this data")
+    # lsh: the filtered bucket probe returns only predicate rows
+    lidx = _ann_index(spark, sf_dir, "lsh")
+    lsh_f = similarity.lsh_probe(spark, lidx, qv, k=10,
+                                 where="label = 2").collect()
+    lsh_ids = [int(r["vec_id"]) for r in lsh_f]
+    lsh_lab = dict(emb.filter(F.col("vec_id").isin(lsh_ids))
+                   .select("vec_id", "label").collect())
+    if not lsh_f or any(lsh_lab[v] != 2 for v in lsh_ids):
+        raise RuntimeError("lsh_probe(where=) returned rows outside "
+                           "the predicate (or nothing)")
     return spark.createDataFrame(
         [(int(r["vec_id"]), float(r["cosine_sim"])) for r in rows],
         "vec_id bigint, cosine_sim double")

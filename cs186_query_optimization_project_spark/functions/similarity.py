@@ -356,15 +356,25 @@ def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
 
 def lsh_probe(spark: SparkSession, index: AnnIndex, query_vec: list[float],
               k: int = 10, vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id",
+              where: str | Column | None = None) -> DataFrame:
     """Probe the materialized LSH index: the query's signature is computed
     driver-side (n_planes dot products over one vector), and the filter on
-    the partition column prunes the scan to that one directory."""
+    the partition column prunes the scan to that one directory.
+
+    ``where`` is FILTERED vector search, same contract as
+    :func:`ivf_probe`: the metadata predicate applies INSIDE the pruned
+    bucket scan, BEFORE the rank-limit, so all k results satisfy it —
+    post-filtering the unfiltered top-k would silently under-return
+    whenever the predicate is selective."""
     qsig = _query_signature(
         _hyperplanes(index.dim, index.params["n_planes"],
                      index.params["seed"]), query_vec)
     probed = (spark.read.parquet(index.path)
               .filter(F.col("sig") == F.lit(qsig)))
+    if where is not None:
+        probed = probed.filter(
+            F.expr(where) if isinstance(where, str) else where)
     return cosine_topk(probed, query_vec, k, vec_col, id_col)
 
 
@@ -689,7 +699,7 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             ) -> DataFrame:
+             where: str | Column | None = None) -> DataFrame:
     """Top-k by cosine over the DEQUANTIZED int8 vectors — the accuracy
     side of the 4× compression trade, same deterministic contract as
     :func:`cosine_topk` (rounded to 6 decimals, id tie-break).
@@ -699,7 +709,15 @@ def sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     reproducible so an external engine verifies them).  The
     stored-codes deployment — where scans actually read ¼ the bytes
     and fp32 stays cold — is the materialized-index path:
-    :func:`build_ivfpq_index` persists codes and never ships fp32."""
+    :func:`build_ivfpq_index` persists codes and never ships fp32.
+
+    ``where`` is FILTERED vector search, same contract as
+    :func:`ivf_probe`: the predicate applies BEFORE quantization and
+    ranking (it prunes the scan — Catalyst pushes it into the source
+    read), so all k results satisfy it."""
+    if where is not None:
+        df = df.filter(F.expr(where) if isinstance(where, str)
+                       else where)
     q = _lit_vec(query_vec)
     quant = sq8_quantize(df, vec_col)
     deq = F.transform(F.col("codes"),

@@ -92,6 +92,40 @@ def test_nb_empty_and_whitespace_docs_score_prior_only(spark, toy):
     assert all(r["predicted"] == best for r in preds)
 
 
+def test_sq8_topk_where_filters_before_ranking(spark):
+    from cs186_query_optimization_project_spark.functions import (
+        similarity,
+    )
+    emb = (spark.range(200)
+           .selectExpr("id AS vec_id", "CAST(id % 3 AS INT) AS label",
+                       "array(CAST(id AS FLOAT), CAST(1.0 AS FLOAT))"
+                       " AS embedding"))
+    got = similarity.sq8_topk(emb, [150.0, 1.0], k=5,
+                              where="label = 2").collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] % 3 == 2 for r in got)
+    # post-filtering the unfiltered top-5 would under-return
+    unf = similarity.sq8_topk(emb, [150.0, 1.0], k=5).collect()
+    assert sum(1 for r in unf if r["vec_id"] % 3 == 2) < 5
+
+
+def test_lsh_probe_where_filters_before_ranking(spark, tmp_path):
+    from cs186_query_optimization_project_spark.functions import (
+        similarity,
+    )
+    emb = (spark.range(200)
+           .selectExpr("id AS vec_id", "CAST(id % 3 AS INT) AS label",
+                       "array(CAST(id AS FLOAT), CAST(1.0 AS FLOAT))"
+                       " AS embedding"))
+    idx = similarity.build_lsh_index(emb, str(tmp_path / "lsh"),
+                                     n_planes=2)
+    got = similarity.lsh_probe(spark, idx, [150.0, 1.0], k=5,
+                               where="label = 2").collect()
+    assert got and all(r["vec_id"] % 3 == 2 for r in got)
+    unf = similarity.lsh_probe(spark, idx, [150.0, 1.0], k=5).collect()
+    assert {r["vec_id"] for r in got} != {r["vec_id"] for r in unf}
+
+
 def test_ivf_topk_where_filters_before_ranking(spark):
     from cs186_query_optimization_project_spark.functions import (
         similarity,
