@@ -5422,8 +5422,10 @@ def q_disjunct_skip(spark, sf_dir):
     directories (branch 1 admits one append dir via Bloom
     membership, branch 2 one base-status dir via manifest equality +
     key bounds), issues zero Spark jobs before the pruned scan, and
-    equals the plain OR-filtered read.  The oracle replays inserts +
-    the OR in SQL."""
+    equals the plain OR-filtered read; additionally (round 14) the
+    ``skipping_report_any`` EXPLAIN surface must name exactly the
+    scanned union dirs with per-branch verdicts, at zero Spark jobs.
+    The oracle replays inserts + the OR in SQL."""
     import os as _os
 
     pt = _orders_bloom_table(spark, sf_dir)  # read-only probes
@@ -5444,6 +5446,24 @@ def q_disjunct_skip(spark, sf_dir):
         raise RuntimeError(
             f"disjunctive skip scanned {len(dirs)} of {total} dirs; "
             f"the union must be exactly the two branch-admitted dirs")
+    # EXPLAIN surface (round 14): skipping_report_any must agree with
+    # the real scan — union rows name exactly the 2 scanned dirs, with
+    # per-branch verdicts present — at zero Spark jobs
+    jobs_before = _job_counter(spark)
+    rep = pt.skipping_report_any([
+        {"eq": {"o_orderstatus": "X", "o_orderkey": 900000005}},
+        {"eq": {"o_orderstatus": "F"},
+         "ranges": {"o_orderkey": (1, 50)}},
+    ])
+    if _job_counter(spark) != int(jobs_before):
+        raise RuntimeError("skipping_report_any scheduled Spark jobs; "
+                           "the EXPLAIN surface is metadata-only")
+    rep_dirs = {_os.path.normpath(r["dir"]) for r in rep
+                if r["branch"] == "union" and r["status"] == "scanned"}
+    if rep_dirs != {_os.path.normpath(d) for d in dirs} or \
+            not any(r["branch"] == 1 for r in rep):
+        raise RuntimeError(
+            "skipping_report_any union rows diverge from the scan")
     want = pt.read().filter(
         ((F.col("o_orderstatus") == "X")
          & (F.col("o_orderkey") == 900000005))

@@ -913,17 +913,34 @@ class PartitionedTable:
         bounds pruning where a single conjunctive prune cannot help.
         Empty branches are refused (an always-true branch admits
         everything — ask ``read()`` for that explicitly)."""
-        if not branches:
-            raise DatabaseException(
-                f"read_skipping_any '{self.root}': no branches")
         man = self._manifest(version)
         schema = T._parse_datatype_string(man["schema"])
+        norm = self._normalize_branches(schema, branches,
+                                        "read_skipping_any")
+        merged = self._merged_admission(man, schema, norm, version)
+        keep = [d for ds in man["parts"].values() for d in ds
+                if d in merged]  # manifest order, deduped
+        out = self._scan(keep, schema, man.get("tombstones", {}),
+                         files=merged)
+        cond = None
+        for eq, ranges, isin in norm:
+            c = self._conjunction(eq, ranges, isin)
+            cond = c if cond is None else (cond | c)
+        return out.filter(cond)
+
+    def _normalize_branches(self, schema, branches: list,
+                            caller: str) -> list[tuple]:
+        """Validate + normalize disjunctive branches (shared by
+        :meth:`read_skipping_any` and :meth:`skipping_report_any`)."""
+        if not branches:
+            raise DatabaseException(
+                f"{caller} '{self.root}': no branches")
         norm = []
         for b in branches:
             extra = set(b) - {"eq", "ranges", "isin"}
             if extra:
                 raise DatabaseException(
-                    f"read_skipping_any '{self.root}': unknown branch "
+                    f"{caller} '{self.root}': unknown branch "
                     f"keys {sorted(extra)} (expected eq/ranges/isin)")
             eq = dict(b.get("eq") or {})
             ranges = dict(b.get("ranges") or {})
@@ -931,12 +948,18 @@ class PartitionedTable:
                     for c, vs in (b.get("isin") or {}).items()}
             if not (eq or ranges or isin):
                 raise DatabaseException(
-                    f"read_skipping_any '{self.root}': empty branch "
+                    f"{caller} '{self.root}': empty branch "
                     f"(always-true; use read() explicitly)")
             self._validate_skip_args(schema, eq, ranges, isin)
             norm.append((eq, ranges, isin))
-        # per-branch directory AND file admission; a directory (or a
-        # file) is skipped only when EVERY branch disproves it
+        return norm
+
+    def _merged_admission(self, man: dict, schema, norm: list[tuple],
+                          version: int | None) \
+            -> dict[str, list[str] | None]:
+        """Per-branch directory AND file admission, unioned: a
+        directory (or a file) is skipped only when EVERY branch
+        disproves it."""
         merged: dict[str, list[str] | None] = {}
         for eq, ranges, isin in norm:
             adm = self._admitted_dirs(man, schema, eq, ranges, isin,
@@ -951,15 +974,7 @@ class PartitionedTable:
                     else:
                         merged[d].extend(
                             f for f in fl if f not in merged[d])
-        keep = [d for ds in man["parts"].values() for d in ds
-                if d in merged]  # manifest order, deduped
-        out = self._scan(keep, schema, man.get("tombstones", {}),
-                         files=merged)
-        cond = None
-        for eq, ranges, isin in norm:
-            c = self._conjunction(eq, ranges, isin)
-            cond = c if cond is None else (cond | c)
-        return out.filter(cond)
+        return merged
 
     def _validate_skip_args(self, schema, eq: dict, ranges: dict,
                             isin: dict) -> None:
@@ -1188,6 +1203,14 @@ class PartitionedTable:
         admitted = set(self._admitted_dirs(man, schema, eq, ranges,
                                            isin, version))
         files = self._file_prune(sorted(admitted), eq, ranges, isin)
+        return self._report_rows(man, admitted, files)
+
+    def _report_rows(self, man: dict, admitted: set,
+                     files: dict[str, list[str] | None],
+                     extra: dict | None = None) -> list[dict]:
+        """One report row per manifest directory from an admission
+        result — the shared rendering of :meth:`skipping_report` and
+        :meth:`skipping_report_any`."""
         out = []
         for key, ds in man["parts"].items():
             for d in ds:
@@ -1204,9 +1227,51 @@ class PartitionedTable:
                     fl = files[d]
                     n_adm = total if fl is None else len(fl)
                     status = "scanned"
-                out.append({"key": key, "dir": d, "status": status,
+                out.append({**(extra or {}),
+                            "key": key, "dir": d, "status": status,
                             "files_total": total,
                             "files_admitted": n_adm})
+        return out
+
+    def skipping_report_any(self, branches: list,
+                            version: int | None = None) -> list[dict]:
+        """EXPLAIN for DISJUNCTIVE data skipping — what
+        :meth:`read_skipping_any` with the same branches would scan,
+        without scanning anything.  Returns per-BRANCH rows (``branch``
+        = 0..n-1: that branch's own admission verdict per directory,
+        the same shape as :meth:`skipping_report`) followed by the
+        ``branch = "union"`` rows describing what the actual scan
+        touches (a directory is scanned iff ANY branch admits it; its
+        admitted file count is the union of the branches' admitted
+        files).  Built on the same `_normalize_branches` +
+        `_merged_admission` calls the read itself makes, so the union
+        rows can never diverge from a real scan; pure driver metadata,
+        zero Spark jobs."""
+        man = self._manifest(version)
+        schema = T._parse_datatype_string(man["schema"])
+        norm = self._normalize_branches(schema, branches,
+                                        "skipping_report_any")
+        out = []
+        adm_union: set = set()
+        merged: dict[str, list[str] | None] = {}
+        for i, (eq, ranges, isin) in enumerate(norm):
+            adm = set(self._admitted_dirs(man, schema, eq, ranges,
+                                          isin, version))
+            files = self._file_prune(sorted(adm), eq, ranges, isin)
+            out.extend(self._report_rows(man, adm, files,
+                                         extra={"branch": i}))
+            adm_union |= adm
+            for d, fl in files.items():   # same union rule as the read
+                if d not in merged:
+                    merged[d] = None if fl is None else list(fl)
+                elif merged[d] is not None:
+                    if fl is None:
+                        merged[d] = None
+                    else:
+                        merged[d].extend(
+                            f for f in fl if f not in merged[d])
+        out.extend(self._report_rows(man, adm_union, merged,
+                                     extra={"branch": "union"}))
         return out
 
     def read_point(self, column: str, value,

@@ -172,6 +172,89 @@ def test_skipping_report_statuses(multi_file_pt):
     assert all(r["status"] == "pruned_dir" for r in rep2)
 
 
+def test_skipping_report_any_matches_actual_scan(multi_file_pt):
+    pt = multi_file_pt
+    branches = [{"eq": {"grp": "1"}, "ranges": {"k": (100, 160)}},
+                {"eq": {"grp": "2"}, "ranges": {"k": (300, 320)}}]
+    rep = pt.skipping_report_any(branches)
+    # per-branch rows + union rows, every manifest dir in each group
+    man = pt._manifest()
+    n_dirs = sum(len(ds) for ds in man["parts"].values())
+    for tag in (0, 1, "union"):
+        assert sum(1 for r in rep if r["branch"] == tag) == n_dirs
+    # the union rows describe EXACTLY what the real scan touches
+    scanned_files = _files_of(pt.read_skipping_any(branches))
+    union = [r for r in rep if r["branch"] == "union"]
+    assert sum(r["files_admitted"] for r in union
+               if r["status"] == "scanned") == len(scanned_files)
+    assert {os.path.normpath(r["dir"]) for r in union
+            if r["status"] == "scanned"} == \
+        {os.path.normpath(os.path.dirname(f)) for f in scanned_files}
+    # branch rows carry each branch's own (narrower) admission
+    b0 = {r["dir"]: r["status"] for r in rep if r["branch"] == 0}
+    assert sum(1 for s in b0.values() if s == "pruned_dir") == 2
+
+
+def test_skipping_report_any_statuses_and_isin(multi_file_pt, spark):
+    pt = multi_file_pt
+    # two gap probes (see test_skipping_report_statuses): each branch
+    # admits its grp's dir then disproves every FILE in it — the union
+    # must keep the per-file verdict, not relabel it pruned_dir
+    rep = pt.skipping_report_any([{"eq": {"grp": "1", "k": 149}},
+                                  {"eq": {"grp": "2", "k": 150}}])
+    union = {r["dir"]: r["status"] for r in rep
+             if r["branch"] == "union"}
+    counts = {}
+    for s in union.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"pruned_dir": 1, "pruned_files": 2}
+    assert pt.read_skipping_any([{"eq": {"grp": "1", "k": 149}},
+                                 {"eq": {"grp": "2", "k": 150}}]) \
+        .count() == 0
+    # IN-list admission in the report: matches the isin read's scan
+    args = {"eq": {"grp": "1"}, "isin": {"k": [100, 103, 550]}}
+    rep2 = pt.skipping_report(**args)
+    scanned = _files_of(pt.read_skipping(**args))
+    assert sum(r["files_admitted"] for r in rep2
+               if r["status"] == "scanned") == len(scanned)
+    assert {os.path.normpath(r["dir"]) for r in rep2
+            if r["status"] == "scanned"} == \
+        {os.path.normpath(os.path.dirname(f)) for f in scanned}
+    # a gap-only IN list keeps the dir but disproves every file
+    rep3 = pt.skipping_report(eq={"grp": "1"}, isin={"k": [149]})
+    sts = {r["status"] for r in rep3
+           if os.path.normpath(r["dir"]) in
+           {os.path.normpath(d) for d in
+            pt._manifest()["parts"]["1"]}}
+    assert sts == {"pruned_files"}
+
+
+def test_skipping_report_any_is_metadata_only(multi_file_pt, spark,
+                                              monkeypatch):
+    """The disjunctive EXPLAIN surface runs zero Spark jobs and parses
+    each staging's stats sidecar at most once per handle (the memoized
+    `_staging_stats`), pinned through the recording seam."""
+    from cs186_query_optimization_project_spark import metaio
+    from tests.test_metaio import RecordingIO
+
+    pt = PartitionedTable(multi_file_pt.spark, multi_file_pt.root)
+    rec = RecordingIO()
+    monkeypatch.setattr(metaio, "IO", rec)
+
+    def jobs():
+        v = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        return v if isinstance(v, int) else int(v.get())
+
+    before = jobs()
+    pt.skipping_report_any([{"eq": {"grp": "1", "k": 149}},
+                            {"eq": {"grp": "2"},
+                             "isin": {"k": [150, 300]}}])
+    assert jobs() == before                    # zero Spark jobs
+    stats_reads = [p for (m, p) in rec.calls
+                   if m == "read_text" and p.endswith("_stats.json")]
+    assert len(stats_reads) == len(set(stats_reads))  # memoized
+
+
 def test_describe_detail(multi_file_pt, spark, tmp_path):
     pt = multi_file_pt.clone(str(tmp_path / "dd"))
     d = pt.describe_detail()
