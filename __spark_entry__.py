@@ -5556,16 +5556,17 @@ def q_pipeline_corpus_full(spark, sf_dir):
     The semantic stage quarantines corpus rows whose embeddings match
     the planted eval set (same construction as
     ``semantic_contamination``).  The REAL corpus's own duplicates
-    are handled too: the oracle replays md5 exact-dup keep-min and
-    the exact-Jaccard(≥0.5) connected-components keep-min in SQL
-    (banding provably loses no qualifying pair at the test SFs —
-    pair-set equality verified engine-side at sf0.01 and sf0.1), plus
-    the quarantine/split/mix/pack stages.  In-entry contracts raise
-    (must survive ``python -O``): (a) no planted id survives the
-    dedup+quarantine stages; (b) the containment tier — the one stage
-    the oracle does not replay — drops ONLY planted fragments, never
-    a real doc (true at both test SFs: every real containment pair is
-    also a ≥0.5-Jaccard pair the MinHash tier already resolved)."""
+    are handled too: the oracle replays EVERY tier in SQL — md5
+    exact-dup keep-min, the exact-Jaccard(≥0.5) connected-components
+    keep-min (banding provably loses no qualifying pair at the test
+    SFs — pair-set equality verified engine-side at sf0.01 and
+    sf0.1), the asymmetric containment keep-longest over exactly the
+    md5+minhash survivors (round 14 — no contract-only tier remains),
+    plus the quarantine/split/mix/pack stages.  In-entry contracts
+    raise (must survive ``python -O``): (a) no planted id survives
+    the dedup+quarantine stages; (b) no PLANTED fragment
+    out-contains a real doc (the one containment case the oracle's
+    real-corpus replay cannot see; plantings must stay disjoint)."""
     from cs186_query_optimization_project_spark.functions import packing
 
     db = _db(spark, sf_dir)
@@ -5627,19 +5628,24 @@ def q_pipeline_corpus_full(spark, sf_dir):
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id"))
     s3 = s2.join(mh_losers, "doc_id", "left_anti").localCheckpoint()
-    # stage 4: containment dedup (drop the contained side)
-    ct_losers = (dedup.ngram_containment_pairs(s3, threshold=0.9)
-                 .select(F.col("small").alias("doc_id")).distinct()
-                 .localCheckpoint())
-    # contract (b): containment must only catch planted fragments —
-    # the oracle does not replay this tier, so a real containment-only
-    # pair must fail LOUDLY here instead of silently mismatching
-    real_ct = ct_losers.filter(F.col("doc_id") < off).count()
-    if real_ct:
+    # stage 4: containment dedup (drop the contained side).  The
+    # REAL-real containment fate is oracle-replayed (round 14: the
+    # ctc/ctlose CTEs restrict the shared shingle blocking to
+    # md5+minhash survivors, exactly this stage's input set); the one
+    # case SQL cannot see — a PLANTED fragment out-containing a real
+    # doc — still fails loudly via contract (b) below.
+    ct_pairs = (dedup.ngram_containment_pairs(s3, threshold=0.9)
+                .localCheckpoint())
+    ct_losers = ct_pairs.select(F.col("small").alias("doc_id")) \
+        .distinct()
+    planted_kill = ct_pairs.filter(
+        (F.col("small") < off)
+        & ((F.col("a") >= off) | (F.col("b") >= off))).count()
+    if planted_kill:
         raise RuntimeError(
-            f"containment dropped {real_ct} real docs — a real "
-            f"containment-only pair appeared; extend the oracle's "
-            f"dedup replay to the containment tier")
+            f"containment dropped {planted_kill} real docs from pairs "
+            f"with PLANTED fragments — invisible to the oracle's "
+            f"real-corpus replay; the planting must stay disjoint")
     s4 = s3.join(ct_losers, "doc_id", "left_anti")
     # stage 5: cross-dataset semantic quarantine (planted eval set —
     # the q_semantic_contamination construction)
@@ -7050,10 +7056,28 @@ def oracle_sql() -> dict[str, str]:
         f"md5lose AS (SELECT doc_id FROM (SELECT doc_id, "
         f"MIN(doc_id) OVER (PARTITION BY md5(text)) AS m "
         f"FROM documents) WHERE doc_id <> m), "
+        # containment tier replay (round 14): the asymmetric
+        # |A∩B|/min(|A|,|B|) >= 0.9 keep-longest over exactly the
+        # md5+minhash SURVIVORS (the entry runs this stage on s3, so
+        # a pair whose side already died upstream must not form),
+        # reusing the same shared-gram blocking (pcand) and shingle
+        # sets (shd) as the Jaccard tier
+        f"ctc AS (SELECT ca, cb, len(a.s) AS na, len(b.s) AS nb, "
+        f"len(list_intersect(a.s, b.s))::DOUBLE "
+        f"/ least(len(a.s), len(b.s)) AS cont "
+        f"FROM pcand JOIN shd a ON a.doc_id = ca "
+        f"JOIN shd b ON b.doc_id = cb "
+        f"WHERE ca NOT IN (SELECT id FROM mhlose) "
+        f"AND cb NOT IN (SELECT id FROM mhlose) "
+        f"AND ca NOT IN (SELECT doc_id FROM md5lose) "
+        f"AND cb NOT IN (SELECT doc_id FROM md5lose)), "
+        f"ctlose AS (SELECT DISTINCT CASE WHEN na <= nb THEN ca "
+        f"ELSE cb END AS doc_id FROM ctc WHERE cont >= 0.9), "
         f"surv AS (SELECT doc_id, source, text FROM documents "
         f"WHERE doc_id NOT IN (SELECT corpus_id FROM qr) "
         f"AND doc_id NOT IN (SELECT id FROM mhlose) "
-        f"AND doc_id NOT IN (SELECT doc_id FROM md5lose)), "
+        f"AND doc_id NOT IN (SELECT doc_id FROM md5lose) "
+        f"AND doc_id NOT IN (SELECT doc_id FROM ctlose)), "
         f"tr AS (SELECT * FROM surv WHERE "
         f"('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 80), "
         f"t AS (SELECT source, doc_id, "
