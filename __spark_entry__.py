@@ -4191,16 +4191,21 @@ def q_bm25_indexed(spark, sf_dir):
 
 def q_bm25_incremental(spark, sf_dir):
     """INCREMENTAL postings-index maintenance
-    (``retrieval.postings_append`` — new docs land as additional
-    files inside the existing token-bucket hive directories, doc
-    lengths append to the sidecar, and N/avgdl update incrementally:
-    O(new docs) growth, no rebuild, no corpus re-aggregate).  Builds
-    on the ``doc_id % 5 != 0`` four-fifths, appends the held-out
-    fifth, then runs the standard BM25 query against the APPENDED
-    index.  In-entry contract raises (must survive ``python -O``):
-    the appended index's ranking equals ``bm25_scores`` over the full
-    corpus exactly (scores AND order).  Shares the bm25_search
-    oracle — identical ranking is the whole claim."""
+    (``retrieval.postings_append`` — new docs commit as additional
+    manifest-versioned files inside the existing token buckets, doc
+    lengths append alongside, and N/avgdl update incrementally:
+    O(new docs) growth, no rebuild, no corpus re-aggregate; round 14
+    put both tables on PartitionedTable manifests with the meta
+    publish pinning versions LAST, so appends are crash-safe and
+    exactly-once-retryable).  Builds on the ``doc_id % 5 != 0``
+    four-fifths, appends the held-out fifth, then runs the standard
+    BM25 query against the APPENDED index.  In-entry contracts raise
+    (must survive ``python -O``): (a) a reader handle loaded BEFORE
+    the append keeps scoring the pre-append snapshot while the
+    append commits (manifest snapshot isolation); (b) the appended
+    index's ranking equals ``bm25_scores`` over the full corpus
+    exactly (scores AND order).  Shares the bm25_search oracle —
+    identical ranking is the whole claim."""
     from cs186_query_optimization_project_spark.functions import retrieval
 
     db = _db(spark, sf_dir)
@@ -4209,8 +4214,22 @@ def q_bm25_incremental(spark, sf_dir):
         idx = retrieval.build_postings_index(
             docs.filter(F.col("doc_id") % 5 != 0), f"{base}/idx",
             n_buckets=16)
+        # concurrent-reader contract (round 14): a handle loaded
+        # BEFORE the append stays pinned to its table versions and
+        # constants — scoring against the pre-append snapshot even
+        # while the append commits (manifest snapshot isolation)
+        reader = retrieval.load_postings_index(f"{base}/idx")
+        pre = [tuple(r) for r in retrieval.bm25_indexed(
+            spark, reader, "hash batch window", top_k=10).collect()]
         idx = retrieval.postings_append(
             spark, idx, docs.filter(F.col("doc_id") % 5 == 0))
+        pinned = [tuple(r) for r in retrieval.bm25_indexed(
+            spark, reader, "hash batch window", top_k=10).collect()]
+        if pinned != pre or reader.postings_version \
+                >= idx.postings_version:
+            raise RuntimeError(
+                "pre-append reader saw the append — version pinning "
+                "lost snapshot isolation")
         got = retrieval.bm25_indexed(spark, idx, "hash batch window",
                                      top_k=10).localCheckpoint()
         want = retrieval.bm25_scores(docs, "hash batch window",

@@ -289,6 +289,13 @@ def build_postings_index(df: DataFrame, path: str, text_col: str = "text",
     )
 
     spark = df.sparkSession
+    # rebuild of an existing index: retract the meta FIRST, so a crash
+    # mid-rebuild leaves load_postings_index() = None (caller rebuilds)
+    # instead of a handle pointing at deleted tables
+    try:
+        metaio.IO.remove(os.path.join(path, _POSTINGS_META))
+    except FileNotFoundError:
+        pass
     for sub in ("postings", "doclen"):
         metaio.IO.remove_tree(os.path.join(path, sub))
     post = (build_postings(df, text_col, id_col)
@@ -336,7 +343,13 @@ def postings_append(spark: SparkSession, index: PostingsIndex,
     APPEND, not upsert: ``new_df`` ids must be disjoint from the
     indexed corpus (duplicate ids would double-count term
     frequencies); the caller owns that contract, same as every
-    log-append ingest.
+    log-append ingest.  Chain appends from the RETURNED handle (or a
+    fresh ``load_postings_index``): appending two DIFFERENT batches
+    from the same stale handle reuses its epoch, and the second
+    batch's inserts would dedup away as a presumed replay — the
+    single-writer discipline every epoch-watermarked log requires.
+    Retrying the SAME batch after a crash is exactly what the reuse
+    is for (see below).
 
     Commit protocol (the torn-append protection the bare-hive layout
     lacked): both table appends are :meth:`PartitionedTable

@@ -185,6 +185,34 @@ def test_postings_reader_pinned_across_append(spark, docs,
                                       top_k=10))
 
 
+def test_postings_rebuild_crash_forces_clean_rebuild(spark, docs,
+                                                     tmp_path_factory,
+                                                     monkeypatch):
+    """A crash mid-REBUILD must not leave a loadable meta pointing at
+    deleted tables: the meta retracts first, so load returns None and
+    the caller rebuilds from scratch."""
+    from cs186_query_optimization_project_spark import partitioned
+
+    path = str(tmp_path_factory.mktemp("rb") / "idx")
+    retrieval.build_postings_index(docs, path, n_buckets=16)
+    assert retrieval.load_postings_index(path) is not None
+
+    real_create = partitioned.PartitionedTable.create
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash during rebuild")
+
+    monkeypatch.setattr(partitioned.PartitionedTable, "create", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        retrieval.build_postings_index(docs, path, n_buckets=16)
+    assert retrieval.load_postings_index(path) is None  # forces rebuild
+    monkeypatch.setattr(partitioned.PartitionedTable, "create",
+                        real_create)
+    idx = retrieval.build_postings_index(docs, path, n_buckets=16)
+    assert retrieval.bm25_indexed(spark, idx, "hash batch window",
+                                  top_k=10).count() == 10
+
+
 def test_postings_append_crash_retry_is_exactly_once(spark, docs,
                                                      tmp_path_factory,
                                                      monkeypatch):
