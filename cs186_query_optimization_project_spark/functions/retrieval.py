@@ -401,6 +401,36 @@ def postings_append(spark: SparkSession, index: PostingsIndex,
     return out
 
 
+def postings_optimize(spark: SparkSession, index: PostingsIndex,
+                      target_file_bytes: int = 128 << 20,
+                      ) -> PostingsIndex:
+    """Compact the index after append accretion: each ``postings_
+    append`` adds one directory per touched bucket, so a bucket probed
+    after N appends reads N+1 directories.  Runs
+    :meth:`PartitionedTable.optimize` on both tables (each a versioned
+    commit — concurrent readers pinned to prior versions keep reading
+    intact data) and republishes the meta pinning the POST-compaction
+    versions with the corpus constants unchanged — rankings are
+    byte-identical before and after (pinned in tests), only the file
+    layout changes.  Old versions remain time-travelable until
+    ``PartitionedTable.vacuum``."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    pt_post = PartitionedTable(spark, index.postings_path)
+    pt_len = PartitionedTable(spark, index.doclen_path)
+    pt_post.optimize(target_file_bytes)
+    pt_len.optimize(target_file_bytes)
+    out = PostingsIndex(index.path, index.n_buckets, index.n_docs,
+                        index.avgdl, index.source_fingerprint,
+                        postings_version=max(pt_post.versions()),
+                        doclen_version=max(pt_len.versions()),
+                        append_epoch=index.append_epoch)
+    _write_postings_meta(out)
+    return out
+
+
 def load_postings_index(path: str) -> PostingsIndex | None:
     """Load a previously built postings index; None if absent/unreadable
     or in the pre-manifest format (caller rebuilds — the index is a

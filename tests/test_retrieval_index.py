@@ -256,6 +256,39 @@ def test_postings_append_crash_retry_is_exactly_once(spark, docs,
     assert n_inc == retrieval.term_postings(spark, full, ["hash"]).count()
 
 
+def test_postings_optimize_compacts_without_changing_ranks(
+        spark, docs, tmp_path_factory):
+    """After two appends a probed bucket reads 3 directories;
+    postings_optimize compacts each bucket to one and republishes the
+    meta at the post-compaction versions — rankings byte-identical,
+    pre-optimize readers still pinned to intact old versions."""
+    path = str(tmp_path_factory.mktemp("opt") / "idx")
+    idx = retrieval.build_postings_index(
+        docs.filter(F.col("doc_id") % 3 == 0), path, n_buckets=16)
+    idx = retrieval.postings_append(
+        spark, idx, docs.filter(F.col("doc_id") % 3 == 1))
+    idx = retrieval.postings_append(
+        spark, idx, docs.filter(F.col("doc_id") % 3 == 2))
+    before = rows(retrieval.bm25_indexed(spark, idx,
+                                         "hash batch window", top_k=10))
+    n_files_before = len(retrieval.term_postings(
+        spark, idx, ["hash"]).inputFiles())
+    old_reader = retrieval.load_postings_index(path)
+    opt = retrieval.postings_optimize(spark, idx)
+    assert rows(retrieval.bm25_indexed(spark, opt, "hash batch window",
+                                       top_k=10)) == before
+    assert len(retrieval.term_postings(
+        spark, opt, ["hash"]).inputFiles()) < n_files_before
+    assert opt.n_docs == idx.n_docs and opt.avgdl == idx.avgdl
+    # a reader pinned pre-optimize keeps reading its intact version
+    assert rows(retrieval.bm25_indexed(spark, old_reader,
+                                       "hash batch window",
+                                       top_k=10)) == before
+    # a fresh load serves the compacted layout
+    assert retrieval.load_postings_index(path).postings_version \
+        == opt.postings_version
+
+
 def test_postings_append_grows_buckets_in_place(spark, docs,
                                                 tmp_path_factory):
     path = str(tmp_path_factory.mktemp("inc2") / "idx")
