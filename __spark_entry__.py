@@ -7044,9 +7044,6 @@ def oracle_sql() -> dict[str, str]:
     # semantic quarantine (contam_sql verbatim), then split, budget
     # mix, and packing layout — any stage misfiring changes the final
     # per-shard packing and mismatches.
-    pipe_jacc = ("len(list_intersect(a.s, b.s))::DOUBLE "
-                 "/ (len(a.s) + len(b.s) "
-                 "- len(list_intersect(a.s, b.s)))")
     pipe_cc = ", ".join(
         f"pl{i} AS (SELECT ped.u AS id, MIN(pl{i-1}.lbl) AS lbl "
         f"FROM ped JOIN pl{i-1} ON ped.v = pl{i-1}.id "
@@ -7064,9 +7061,16 @@ def oracle_sql() -> dict[str, str]:
         f"pcand AS (SELECT DISTINCT l.doc_id AS ca, r.doc_id AS cb "
         f"FROM pex l JOIN pex r ON l.g = r.g "
         f"AND l.doc_id < r.doc_id), "
-        f"ppair AS (SELECT ca AS a, cb AS b FROM pcand "
-        f"JOIN shd a ON a.doc_id = ca JOIN shd b ON b.doc_id = cb "
-        f"WHERE {pipe_jacc} >= 0.5), "
+        # ONE materialized pair computation feeds BOTH similarity
+        # tiers: jaccard = co/(na+nb-co) for the MinHash replay,
+        # containment = co/min(na,nb) for the asymmetric tier —
+        # the expensive shd x shd intersection runs once
+        f"pj AS MATERIALIZED (SELECT ca, cb, len(a.s) AS na, "
+        f"len(b.s) AS nb, len(list_intersect(a.s, b.s)) AS co "
+        f"FROM pcand JOIN shd a ON a.doc_id = ca "
+        f"JOIN shd b ON b.doc_id = cb), "
+        f"ppair AS (SELECT ca AS a, cb AS b FROM pj "
+        f"WHERE co::DOUBLE / (na + nb - co) >= 0.5), "
         f"ped AS (SELECT unnest([a, b, a, b]) AS u, "
         f"unnest([b, a, a, b]) AS v FROM ppair), "
         f"pl1 AS (SELECT u AS id, MIN(v) AS lbl FROM ped GROUP BY u), "
@@ -7078,20 +7082,14 @@ def oracle_sql() -> dict[str, str]:
         # containment tier replay (round 14): the asymmetric
         # |A∩B|/min(|A|,|B|) >= 0.9 keep-longest over exactly the
         # md5+minhash SURVIVORS (the entry runs this stage on s3, so
-        # a pair whose side already died upstream must not form),
-        # reusing the same shared-gram blocking (pcand) and shingle
-        # sets (shd) as the Jaccard tier
-        f"ctc AS (SELECT ca, cb, len(a.s) AS na, len(b.s) AS nb, "
-        f"len(list_intersect(a.s, b.s))::DOUBLE "
-        f"/ least(len(a.s), len(b.s)) AS cont "
-        f"FROM pcand JOIN shd a ON a.doc_id = ca "
-        f"JOIN shd b ON b.doc_id = cb "
-        f"WHERE ca NOT IN (SELECT id FROM mhlose) "
+        # a pair whose side already died upstream must not form)
+        f"ctlose AS (SELECT DISTINCT CASE WHEN na <= nb THEN ca "
+        f"ELSE cb END AS doc_id FROM pj "
+        f"WHERE co::DOUBLE / least(na, nb) >= 0.9 "
+        f"AND ca NOT IN (SELECT id FROM mhlose) "
         f"AND cb NOT IN (SELECT id FROM mhlose) "
         f"AND ca NOT IN (SELECT doc_id FROM md5lose) "
         f"AND cb NOT IN (SELECT doc_id FROM md5lose)), "
-        f"ctlose AS (SELECT DISTINCT CASE WHEN na <= nb THEN ca "
-        f"ELSE cb END AS doc_id FROM ctc WHERE cont >= 0.9), "
         f"surv AS (SELECT doc_id, source, text FROM documents "
         f"WHERE doc_id NOT IN (SELECT corpus_id FROM qr) "
         f"AND doc_id NOT IN (SELECT id FROM mhlose) "
