@@ -401,6 +401,85 @@ def postings_append(spark: SparkSession, index: PostingsIndex,
     return out
 
 
+def postings_remove(spark: SparkSession, index: PostingsIndex,
+                    ids_df: DataFrame, id_col: str = "doc_id",
+                    files_per_bucket: int = 1) -> PostingsIndex:
+    """Targeted deletion from the postings index — the
+    right-to-be-forgotten half of the maintenance lifecycle
+    (:func:`postings_append` adds; mirrors ``similarity
+    .ivfpq_remove``): the token buckets OWNING the doomed documents'
+    postings are found with one broadcast semi-join, and ONLY those
+    bucket partitions rewrite (anti-join survivors through one
+    versioned :meth:`PartitionedTable.overwrite_partitions` commit);
+    every untouched bucket's files stay byte-identical.  Honest cost
+    note: a document's tokens hash across ALL buckets, so unlike the
+    IVF-PQ case (one cell per vector) a postings deletion typically
+    rewrites the whole postings table — O(index), the same cost
+    class as Lucene's forced merge after deletes.  BATCH deletion
+    requests and run them as one call; for high-churn corpora the
+    tombstone path (:meth:`PartitionedTable.delete_soft` + periodic
+    :func:`postings_optimize`) trades read-time filtering for
+    zero-rewrite deletes.  The doc-length table DOES prune (one
+    id-hash bucket per doomed doc), and the
+    corpus constants update INCREMENTALLY from the doomed documents'
+    recorded lengths (``n' = n - n_rm``, ``avgdl' = (n·avgdl -
+    Σ removed_dl) / n'``) — no corpus re-aggregate.  After the meta
+    swap every reader ranks exactly as a from-scratch build over the
+    surviving corpus (pinned in tests).
+
+    Same commit discipline as append: tables commit first, the meta —
+    pinning the post-delete versions with the updated constants —
+    publishes LAST, so a crash anywhere leaves the published index
+    bit-identical and a RETRY from the pre-crash handle recomputes
+    the same constants (the doomed lengths are read at the handle's
+    PINNED doclen version, which still contains them) and converges.
+    Returns the new handle."""
+    from cs186_query_optimization_project_spark.functions.similarity import (
+        _bucket_partitioned,
+    )
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    ids = ids_df.select(F.col(id_col)).distinct()
+    # doomed lengths at the PINNED doclen version — crash-retry reads
+    # the same values even after the delete commits
+    rm = (doclen_table(spark, index, id_col)
+          .join(F.broadcast(ids), id_col)
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("__dl").alias("s")).first())
+    n_rm, dl_rm = int(rm["n"]), float(rm["s"] or 0.0)
+    pt_post = PartitionedTable(spark, index.postings_path)
+    pt_len = PartitionedTable(spark, index.doclen_path)
+    if n_rm:
+        for pt, bucket_col, cols, fpb in (
+                (pt_post, "tb", [id_col, "pos", "token", "tb"],
+                 files_per_bucket),
+                (pt_len, "db", [id_col, "__dl", "db"], 1)):
+            touched = [r[bucket_col] for r in
+                       (pt.read().join(F.broadcast(ids), id_col)
+                        .select(bucket_col).distinct().collect())]
+            if touched:
+                survivors = (pt.read(partition_values=touched)
+                             .join(F.broadcast(ids), id_col,
+                                   "left_anti")
+                             .select(*cols))
+                pt.overwrite_partitions(
+                    _bucket_partitioned(survivors, bucket_col, id_col,
+                                        fpb),
+                    touched)
+    n_docs = index.n_docs - n_rm
+    avgdl = ((index.n_docs * index.avgdl - dl_rm) / n_docs
+             if n_docs else 0.0)
+    out = PostingsIndex(index.path, index.n_buckets, n_docs, avgdl,
+                        index.source_fingerprint,
+                        postings_version=max(pt_post.versions()),
+                        doclen_version=max(pt_len.versions()),
+                        append_epoch=index.append_epoch)
+    _write_postings_meta(out)
+    return out
+
+
 def postings_optimize(spark: SparkSession, index: PostingsIndex,
                       target_file_bytes: int = 128 << 20,
                       ) -> PostingsIndex:

@@ -256,6 +256,42 @@ def test_postings_append_crash_retry_is_exactly_once(spark, docs,
     assert n_inc == retrieval.term_postings(spark, full, ["hash"]).count()
 
 
+def test_postings_remove_equals_rebuild_on_survivors(spark, docs,
+                                                     tmp_path_factory):
+    """Right-to-be-forgotten deletion: removing a slice of documents
+    must leave every reader ranking exactly as a from-scratch build
+    over the survivors, with constants updated incrementally and only
+    the owning buckets rewritten."""
+    path = str(tmp_path_factory.mktemp("rm") / "idx")
+    idx = retrieval.build_postings_index(docs, path, n_buckets=16)
+    doomed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    pre_reader = retrieval.load_postings_index(path)
+    out = retrieval.postings_remove(spark, idx, doomed)
+    survivors = docs.filter(F.col("doc_id") % 7 != 0)
+    full = retrieval.build_postings_index(
+        survivors, str(tmp_path_factory.mktemp("rm") / "full"),
+        n_buckets=16)
+    assert out.n_docs == full.n_docs
+    assert abs(out.avgdl - full.avgdl) < 1e-9
+    assert rows(retrieval.bm25_indexed(spark, out, "hash batch window",
+                                       top_k=10)) \
+        == rows(retrieval.bm25_indexed(spark, full, "hash batch window",
+                                       top_k=10))
+    # no doomed id ever surfaces from the probe paths
+    got_ids = {r["doc_id"] for r in retrieval.term_postings(
+        spark, out, ["hash"]).collect()}
+    assert not any(i % 7 == 0 for i in got_ids)
+    # a pre-delete reader stays pinned to the intact old version
+    assert retrieval.doclen_table(spark, pre_reader).count() \
+        == idx.n_docs
+    # a fresh load serves the post-delete state
+    assert retrieval.load_postings_index(path).n_docs == out.n_docs
+    # removing ids that are not in the index is a no-op on constants
+    ghost = spark.createDataFrame([(10**12,)], "doc_id long")
+    out2 = retrieval.postings_remove(spark, out, ghost)
+    assert out2.n_docs == out.n_docs and out2.avgdl == out.avgdl
+
+
 def test_postings_optimize_compacts_without_changing_ranks(
         spark, docs, tmp_path_factory):
     """After two appends a probed bucket reads 3 directories;
