@@ -4242,6 +4242,46 @@ def q_bm25_incremental(spark, sf_dir):
     return got
 
 
+def q_bm25_remove(spark, sf_dir):
+    """Right-to-be-forgotten deletion from the postings index
+    (``retrieval.postings_remove`` — survivors rewrite through one
+    versioned ``overwrite_partitions`` commit per table, corpus
+    constants update incrementally from the doomed docs' recorded
+    lengths, meta publishes last): builds on the full corpus, removes
+    the ``doc_id % 7 == 0`` seventh, then runs the standard BM25
+    query against the POST-DELETE index.  In-entry contracts raise
+    (must survive ``python -O``): (a) the updated constants equal the
+    survivor corpus's exactly; (b) a reader handle loaded BEFORE the
+    delete still reads the intact pre-delete doc-length table
+    (version pinning).  The oracle replays BM25 over the surviving
+    documents from scratch — identical ranking is the whole claim."""
+    from cs186_query_optimization_project_spark.functions import retrieval
+
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    with _scratch_base("bm25rm", sf_dir) as base:
+        idx = retrieval.build_postings_index(docs, f"{base}/idx",
+                                             n_buckets=16)
+        pre_reader = retrieval.load_postings_index(f"{base}/idx")
+        out = retrieval.postings_remove(
+            spark, idx, docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id"))
+        surv = docs.filter(F.col("doc_id") % 7 != 0)
+        n_surv = surv.filter(F.length(F.trim("text")) > 0).count()
+        if out.n_docs != n_surv:
+            raise RuntimeError(
+                f"post-delete n_docs {out.n_docs} != survivor count "
+                f"{n_surv} — incremental constant update diverged")
+        if retrieval.doclen_table(spark, pre_reader).count() \
+                != idx.n_docs:
+            raise RuntimeError(
+                "pre-delete reader saw the delete — version pinning "
+                "lost snapshot isolation")
+        got = retrieval.bm25_indexed(spark, out, "hash batch window",
+                                     top_k=10).localCheckpoint()
+    return got
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-10 for the keyword query 'hash batch window' — the
     keyword-retrieval half of a RAG stack (Lucene non-negative IDF,
@@ -6284,7 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation is mechanical; every entry is re-verified each round
         # by tools/check_contract.py at sf0.01 (LOCALCHECK_r14.json).
         # r14 additions (never driver-checked) — first for round 15:
-        # (none yet)
+        "bm25_remove": q_bm25_remove,
         # remaining r10-green rows (27):
         "optimizer_cardinality": q_optimizer_cardinality,
         "orderby_limit": q_orderby_limit,
@@ -9111,6 +9151,29 @@ def oracle_sql() -> dict[str, str]:
         # constants spelled as the engine's Python computes them
         # ((1.2 + 1), 1.2 * (0.25 + ...)) so both sides evaluate the
         # same double ops in the same order
+        # BM25 over the post-delete survivor corpus from scratch —
+        # the incremental postings_remove must rank identically
+        "bm25_remove": (
+            "WITH sdocs AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 7 <> 0), "
+            "post AS (SELECT doc_id, token FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM sdocs) WHERE token <> ''), "
+            "dl AS (SELECT doc_id, COUNT(*) AS dl FROM post "
+            "GROUP BY doc_id), "
+            "c AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM post "
+            "WHERE token IN ('batch', 'hash', 'window') "
+            "GROUP BY doc_id, token), "
+            "dfq AS (SELECT token, COUNT(*) AS df FROM tf "
+            "GROUP BY token), "
+            "s AS (SELECT tf.doc_id, "
+            "ln(1.0 + (n - df + 0.5) / (df + 0.5)) "
+            "* (tf * (1.2 + 1)) "
+            "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s "
+            "FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), c) "
+            "SELECT doc_id, round(SUM(s), 6) AS bm25 FROM s "
+            "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"),
         "bm25_search": (
             "WITH post AS (SELECT doc_id, token FROM ("
             "SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
