@@ -4282,6 +4282,59 @@ def q_bm25_remove(spark, sf_dir):
     return got
 
 
+def q_hadoop_lifecycle(spark, sf_dir):
+    """The FULL lakehouse DML lifecycle with every metadata operation
+    routed through the Hadoop-FS backend (``metaio.use_hadoop_io`` —
+    the cluster deployment configuration, round 14): create a
+    partitioned table, versioned insert + delete commits, snapshot
+    read, and version-0 time travel, all with manifests / stats
+    sidecars / tombstones flowing through the JVM
+    ``org.apache.hadoop.fs.FileSystem`` instead of POSIX calls.  The
+    local seam is restored in ``finally`` (other entries are
+    untouched even if this one throws).  In-entry contracts raise
+    (must survive ``python -O``): the swap really happened (the seam
+    instance is the Hadoop class during the lifecycle), three
+    versions committed, and version-0 time travel still reads the
+    pre-DML snapshot.  The oracle replays the insert + delete in SQL
+    — identical final content through either backend is the claim."""
+    from cs186_query_optimization_project_spark import metaio
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    db = _db(spark, sf_dir)
+    nation = db.table("nation").select("n_nationkey", "n_name",
+                                       "n_regionkey")
+    n0 = nation.count()
+    saved = metaio.IO
+    with _scratch_base("hio", sf_dir) as base:
+        try:
+            installed = metaio.use_hadoop_io(spark)
+            if metaio.IO is not installed or \
+                    not isinstance(metaio.IO, metaio.HadoopMetadataIO):
+                raise RuntimeError("use_hadoop_io did not install the "
+                                   "Hadoop backend")
+            pt = PartitionedTable.create(spark, nation, f"{base}/t",
+                                         "n_regionkey")
+            pt.insert(spark.createDataFrame(
+                [(100, "ATLANTIS", 0), (101, "ELDORADO", 1)],
+                "n_nationkey int, n_name string, n_regionkey int"))
+            pt.delete(F.col("n_nationkey").between(10, 14))
+            if pt.versions() != [0, 1, 2]:
+                raise RuntimeError(
+                    f"expected 3 hadoop-backend commits, got "
+                    f"{pt.versions()}")
+            if pt.read(version=0).count() != n0:
+                raise RuntimeError("hadoop-backend time travel lost "
+                                   "the pre-DML snapshot")
+            out = (pt.read()
+                   .select("n_nationkey", "n_name", "n_regionkey")
+                   .localCheckpoint())
+        finally:
+            metaio.IO = saved
+    return out
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-10 for the keyword query 'hash batch window' — the
     keyword-retrieval half of a RAG stack (Lucene non-negative IDF,
@@ -6325,6 +6378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check_contract.py at sf0.01 (LOCALCHECK_r14.json).
         # r14 additions (never driver-checked) — first for round 15:
         "bm25_remove": q_bm25_remove,
+        "hadoop_lifecycle": q_hadoop_lifecycle,
         # remaining r10-green rows (27):
         "optimizer_cardinality": q_optimizer_cardinality,
         "orderby_limit": q_orderby_limit,
@@ -9151,6 +9205,14 @@ def oracle_sql() -> dict[str, str]:
         # constants spelled as the engine's Python computes them
         # ((1.2 + 1), 1.2 * (0.25 + ...)) so both sides evaluate the
         # same double ops in the same order
+        # identical final content through the Hadoop metadata backend
+        "hadoop_lifecycle": (
+            "WITH ins AS ("
+            "  SELECT n_nationkey, n_name, n_regionkey FROM nation"
+            "  UNION ALL SELECT 100, 'ATLANTIS', 0"
+            "  UNION ALL SELECT 101, 'ELDORADO', 1)"
+            "SELECT n_nationkey, n_name, n_regionkey FROM ins "
+            "WHERE n_nationkey NOT BETWEEN 10 AND 14"),
         # BM25 over the post-delete survivor corpus from scratch —
         # the incremental postings_remove must rank identically
         "bm25_remove": (
