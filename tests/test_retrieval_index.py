@@ -292,6 +292,26 @@ def test_postings_remove_equals_rebuild_on_survivors(spark, docs,
     assert out2.n_docs == out.n_docs and out2.avgdl == out.avgdl
 
 
+def test_postings_remove_everything_leaves_empty_probeable_index(
+        spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rmall") / "idx")
+    small = docs.limit(50)
+    idx = retrieval.build_postings_index(small, path, n_buckets=8)
+    out = retrieval.postings_remove(spark, idx,
+                                    small.select("doc_id"))
+    assert out.n_docs == 0 and out.avgdl == 0.0
+    assert retrieval.term_postings(spark, out, ["hash"]).count() == 0
+    assert retrieval.bm25_indexed(spark, out, "hash batch window",
+                                  top_k=10).count() == 0
+    # and the emptied index still accepts a fresh append
+    idx2 = retrieval.postings_append(spark, out, small)
+    assert idx2.n_docs == idx.n_docs
+    assert rows(retrieval.bm25_indexed(spark, idx2,
+                                       "hash batch window", top_k=10)) \
+        == rows(retrieval.bm25_indexed(spark, idx,
+                                       "hash batch window", top_k=10))
+
+
 def test_postings_optimize_compacts_without_changing_ranks(
         spark, docs, tmp_path_factory):
     """After two appends a probed bucket reads 3 directories;
