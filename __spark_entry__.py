@@ -2154,6 +2154,25 @@ def q_quantiles(spark, sf_dir):
                  .alias("p90_price")))
 
 
+def q_preference_pairs(spark, sf_dir):
+    """Preference-PAIR mining (``sampling.preference_pairs`` — the
+    DPO/RLHF data-assembly step): the corpus scores through the
+    frozen quality classifier, then per source domain the
+    highest-scored document pairs against the lowest-scored, kept
+    when the margin clears 0.05.  Deterministic argmax/argmin
+    tie-breaks (chosen: largest id at the top score; rejected:
+    smallest id at the bottom) make the pairing exactly
+    SQL-replayable.  ONE hash aggregation (max_by/min_by over a
+    struct ordering, map-side partials) — no per-group sort, the
+    grouped-min/max cost class at any corpus size."""
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    scored = (text.classifier_quality(docs)
+              .join(docs.select("doc_id", "source"), "doc_id"))
+    return sampling.preference_pairs(scored, "source", "doc_id",
+                                     "clf_score", min_margin=0.05)
+
+
 def q_quantiles_approx(spark, sf_dir):
     """Scale path for percentiles: ``approx_percentile`` is a
     Greenwald–Khanna sketch — per-group memory is O(accuracy), partials
@@ -6379,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 additions (never driver-checked) — first for round 15:
         "bm25_remove": q_bm25_remove,
         "hadoop_lifecycle": q_hadoop_lifecycle,
+        "preference_pairs": q_preference_pairs,
         # remaining r10-green rows (27):
         "optimizer_cardinality": q_optimizer_cardinality,
         "orderby_limit": q_orderby_limit,
@@ -8319,6 +8339,43 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": (
             f"SELECT {lang_case} AS lang_pred, COUNT(*) AS countAgg "
             f"FROM (SELECT {lang_defs} FROM documents) GROUP BY 1"),
+        # DPO pair mining: same frozen-classifier score as
+        # quality_filter, then per-source argmax/argmin with the
+        # engine's deterministic tie-breaks
+        "preference_pairs": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), "
+            "x -> x <> '') AS tk, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ greatest(length(text), 1) AS alpha, "
+            "least(length(text) / 500.0, 1.0) AS len_sat, "
+            "CAST((length(' ' || text || ' ') - length(replace("
+            "' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS hits "
+            "FROM documents), "
+            "f AS (SELECT doc_id, "
+            "-5.4 + 4.0 * alpha "
+            "+ 2.0 * (len(list_distinct(tk)) / greatest(len(tk), 1)) "
+            "+ 1.5 * len_sat "
+            "+ 6.0 * (hits / greatest(len(tk), 1)) AS m FROM t), "
+            "s AS (SELECT f.doc_id, "
+            "round(1.0 / (1.0 + exp(-m)), 4) AS clf_score, d.source "
+            "FROM f JOIN documents d USING (doc_id) "
+            "WHERE m IS NOT NULL), "
+            "hi AS (SELECT source, doc_id AS chosen_id, "
+            "clf_score AS chosen_score, ROW_NUMBER() OVER ("
+            "PARTITION BY source "
+            "ORDER BY clf_score DESC, doc_id DESC) AS r FROM s), "
+            "lo AS (SELECT source, doc_id AS rejected_id, "
+            "clf_score AS rejected_score, ROW_NUMBER() OVER ("
+            "PARTITION BY source "
+            "ORDER BY clf_score ASC, doc_id ASC) AS r FROM s) "
+            "SELECT hi.source, chosen_id, rejected_id, chosen_score, "
+            "rejected_score, "
+            "round(chosen_score - rejected_score, 6) AS margin "
+            "FROM hi JOIN lo ON hi.source = lo.source "
+            "AND hi.r = 1 AND lo.r = 1 "
+            "WHERE chosen_id <> rejected_id "
+            "AND round(chosen_score - rejected_score, 6) >= 0.05"),
         "embedding_topk": (
             "SELECT vec_id, round(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "

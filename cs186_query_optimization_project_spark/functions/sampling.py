@@ -253,6 +253,46 @@ def temperature_mixture(df: DataFrame, domain_col: str, id_col: str,
             .drop("__d", "__rate"))
 
 
+def preference_pairs(df: DataFrame, group_col: str, id_col: str,
+                     score_col: str,
+                     min_margin: float = 0.0) -> DataFrame:
+    """Preference-PAIR mining — the DPO/RLHF data-assembly step that
+    turns a scored pool into (chosen, rejected) training pairs: per
+    ``group_col`` (prompt id, domain, source), the highest-scored
+    example pairs against the lowest-scored, keeping pairs whose
+    score margin is at least ``min_margin``.  Deterministic
+    tie-breaks so the pairing is engine-replayable: chosen = argmax
+    of ``(score, id)`` (highest score, then LARGEST id), rejected =
+    argmin of ``(score, id)`` (lowest score, then SMALLEST id);
+    NULL-scored rows are excluded (unscorable examples can anchor
+    neither side), and single-example groups produce no pair
+    (chosen = rejected is filtered).
+
+    Output: ``(group_col, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin)`` with margin rounded to 6 decimals
+    before the threshold.
+
+    Scale shape: ONE hash aggregation (``max_by``/``min_by`` over a
+    struct ordering) with map-side partial merge — no per-group sort,
+    no window, no skew sensitivity beyond the aggregation itself; at
+    100 TB this is the same cost class as a grouped min/max."""
+    scored = df.filter(F.col(score_col).isNotNull())
+    agg = (scored.groupBy(group_col)
+           .agg(F.expr(f"max_by({id_col}, struct({score_col}, "
+                       f"{id_col}))").alias("chosen_id"),
+                F.max(score_col).alias("chosen_score"),
+                F.expr(f"min_by({id_col}, struct({score_col}, "
+                       f"{id_col}))").alias("rejected_id"),
+                F.min(score_col).alias("rejected_score")))
+    return (agg.filter(F.col("chosen_id") != F.col("rejected_id"))
+            .select(group_col, "chosen_id", "rejected_id",
+                    "chosen_score", "rejected_score",
+                    F.round(F.col("chosen_score")
+                            - F.col("rejected_score"), 6)
+                    .alias("margin"))
+            .filter(F.col("margin") >= F.lit(float(min_margin))))
+
+
 def token_budget_mix(df: DataFrame, domain_col: str, id_col: str,
                      text_col: str = "text",
                      budget_tokens: int = 10_000,

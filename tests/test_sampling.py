@@ -209,3 +209,24 @@ def test_token_budget_mix_budget_and_determinism(spark):
                             "text", budget_tokens=20).collect()
     assert sorted((r["doc_id"]) for r in out2) == \
         sorted((r["doc_id"]) for r in out)
+
+
+def test_preference_pairs_margin_and_tiebreaks(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 2, 0.9), ("a", 3, 0.1), ("a", 4, 0.1),
+         ("b", 5, 0.6), ("b", 6, 0.58),          # margin 0.02 < 0.05
+         ("c", 7, 0.5),                          # singleton: no pair
+         ("d", 8, 0.8), ("d", 9, None)],         # null never anchors
+        "grp string, id long, score double")
+    out = {r["grp"]: r for r in sampling.preference_pairs(
+        df, "grp", "id", "score", min_margin=0.05).collect()}
+    # chosen = largest id at top score; rejected = smallest id at bottom
+    assert out["a"]["chosen_id"] == 2 and out["a"]["rejected_id"] == 3
+    assert abs(out["a"]["margin"] - 0.8) < 1e-9
+    assert "b" not in out          # under the margin threshold
+    assert "c" not in out          # chosen == rejected filtered
+    assert "d" not in out          # the null row cannot anchor a pair
+    # with no margin floor, b pairs and d stays out (single scored row)
+    out0 = {r["grp"] for r in sampling.preference_pairs(
+        df, "grp", "id", "score").collect()}
+    assert out0 == {"a", "b"}
