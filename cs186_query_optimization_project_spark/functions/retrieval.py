@@ -492,14 +492,22 @@ def postings_optimize(spark: SparkSession, index: PostingsIndex,
     versions with the corpus constants unchanged — rankings are
     byte-identical before and after (pinned in tests), only the file
     layout changes.  Old versions remain time-travelable until
-    ``PartitionedTable.vacuum``."""
+    ``PartitionedTable.vacuum``.
+
+    The postings rewrite re-clusters each bucket BY TOKEN (``optimize
+    (sort_by=("token",))`` — OPTIMIZE ... ZORDER's 1-D analog): the
+    pushed ``token IN (...)`` predicate every probe carries then
+    skips row groups inside the compacted files, so after compaction
+    a term probe reads ~one row group per term instead of scanning
+    the whole bucket — the intra-file complement of the manifest's
+    bucket pruning."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
 
     pt_post = PartitionedTable(spark, index.postings_path)
     pt_len = PartitionedTable(spark, index.doclen_path)
-    pt_post.optimize(target_file_bytes)
+    pt_post.optimize(target_file_bytes, sort_by=("token",))
     pt_len.optimize(target_file_bytes)
     out = PostingsIndex(index.path, index.n_buckets, index.n_docs,
                         index.avgdl, index.source_fingerprint,
