@@ -178,6 +178,39 @@ def test_staging_stats_parsed_once_per_staging(spark, tmp_path,
     assert len(stats_reads) == 1
 
 
+def test_hadoop_replace_cleans_stale_checksums(spark, tmp_path):
+    """FileContext.rename rides the checksum-less raw FS, so without
+    the cleanup a ChecksumFileSystem read after replace_text would
+    throw ChecksumException against the stale .crc sidecar (the exact
+    failure the lifecycle suite hit on the Hive proxy FS's parent
+    class) — pin that replace leaves a cleanly readable file and no
+    tmp litter."""
+    io = metaio.HadoopMetadataIO(spark)
+    p = str(tmp_path / "m.json")
+    io.write_new(p, "{}")                  # writes the .crc sidecar
+    io.replace_text(p, '{"a":1}')          # must drop the stale .crc
+    assert io.read_text(p) == '{"a":1}'
+    io.replace_text(p, '{"b":2}')          # and again on re-replace
+    assert io.read_text(p) == '{"b":2}'
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+def test_hadoop_unicode_roundtrip(spark, tmp_path):
+    """Manifest payloads are JSON but partition VALUES inside them can
+    be any table string — pin UTF-8 fidelity through every write verb
+    of the Hadoop backend."""
+    io = metaio.HadoopMetadataIO(spark)
+    text = '{"k": "héllo — 你好 🚀 \\"quoted\\""}'
+    p = str(tmp_path / "u.json")
+    io.write_new(p, text)
+    assert io.read_text(p) == text
+    assert io.file_size(p) == len(text.encode("utf-8"))
+    io.replace_text(p, text + "2")
+    assert io.read_text(p) == text + "2"
+    io.publish_lock(str(tmp_path / "lk"), text)
+    assert io.read_text(str(tmp_path / "lk")) == text
+
+
 def test_publish_lock_without_hardlink_support(tmp_path, monkeypatch):
     """Filesystems that refuse os.link (some NFS/FUSE/object-store
     mounts) must still deliver the held/free lock signal via the
