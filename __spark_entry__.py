@@ -2162,9 +2162,10 @@ def q_preference_pairs(spark, sf_dir):
     when the margin clears 0.05.  Deterministic argmax/argmin
     tie-breaks (chosen: largest id at the top score; rejected:
     smallest id at the bottom) make the pairing exactly
-    SQL-replayable.  ONE hash aggregation (max_by/min_by over a
-    struct ordering, map-side partials) — no per-group sort, the
-    grouped-min/max cost class at any corpus size."""
+    SQL-replayable.  ONE aggregation (max_by/min_by over a struct
+    ordering) with map-side partials — the shuffle carries at most
+    one candidate per (partition, group), never the corpus; no
+    Window anywhere (plan-pinned in tests)."""
     db = _db(spark, sf_dir)
     docs = db.table("documents")
     scored = (text.classifier_quality(docs)

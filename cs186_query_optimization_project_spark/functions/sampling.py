@@ -272,10 +272,15 @@ def preference_pairs(df: DataFrame, group_col: str, id_col: str,
     rejected_score, margin)`` with margin rounded to 6 decimals
     before the threshold.
 
-    Scale shape: ONE hash aggregation (``max_by``/``min_by`` over a
-    struct ordering) with map-side partial merge — no per-group sort,
-    no window, no skew sensitivity beyond the aggregation itself; at
-    100 TB this is the same cost class as a grouped min/max."""
+    Scale shape: ONE aggregation (``max_by``/``min_by`` over a struct
+    ordering) with MAP-SIDE PARTIAL merge — each input partition
+    reduces to at most one candidate per group BEFORE the shuffle, so
+    the exchange carries O(partitions × groups) rows, never the
+    corpus (a per-group ``row_number`` window would shuffle every
+    row).  Spark plans the struct-ordered extrema as a SortAggregate
+    (the sort is by GROUP KEY within partitions — spillable, not a
+    per-group ordering by score); there is no Window anywhere, pinned
+    by a plan test."""
     scored = df.filter(F.col(score_col).isNotNull())
     agg = (scored.groupBy(group_col)
            .agg(F.expr(f"max_by({id_col}, struct({score_col}, "

@@ -230,3 +230,22 @@ def test_preference_pairs_margin_and_tiebreaks(spark):
     out0 = {r["grp"] for r in sampling.preference_pairs(
         df, "grp", "id", "score").collect()}
     assert out0 == {"a", "b"}
+
+
+def test_preference_pairs_plan_partials_before_shuffle(spark):
+    """The scale claim IS the plan shape: a partial aggregate runs
+    BEFORE the exchange (each partition ships at most one candidate
+    per group — the shuffle never carries the corpus) and there is no
+    Window (a per-group ROW_NUMBER would shuffle every row and
+    serialize each group into one task)."""
+    df = spark.range(1000).selectExpr(
+        "CAST(id % 7 AS STRING) AS grp", "id",
+        "CAST(id % 13 AS DOUBLE) / 13 AS score")
+    out = sampling.preference_pairs(df, "grp", "id", "score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    pre, _, post = plan.partition("Exchange")
+    # the partial aggregate is BELOW the exchange (plans print
+    # top-down: the map-side partial appears after "Exchange")
+    assert "partial_max_by" in post and "partial_max_by" not in pre
