@@ -4263,18 +4263,30 @@ def q_bm25_incremental(spark, sf_dir):
 
 
 def q_bm25_remove(spark, sf_dir):
-    """Right-to-be-forgotten deletion from the postings index
-    (``retrieval.postings_remove`` — survivors rewrite through one
+    """BOTH deletion tiers of the postings-index maintenance
+    lifecycle.  Tier 1 — rewrite (``retrieval.postings_remove``):
+    survivors of the ``doc_id % 7 == 0`` seventh rewrite through one
     versioned ``overwrite_partitions`` commit per table, corpus
     constants update incrementally from the doomed docs' recorded
-    lengths, meta publishes last): builds on the full corpus, removes
-    the ``doc_id % 7 == 0`` seventh, then runs the standard BM25
-    query against the POST-DELETE index.  In-entry contracts raise
-    (must survive ``python -O``): (a) the updated constants equal the
+    lengths, meta publishes last.  Tier 2 — tombstone
+    (``retrieval.postings_remove_soft``, the zero-rewrite high-churn
+    path the rewrite's cost note names): the ``doc_id % 70 == 1``
+    slice of the survivors soft-deletes via ``PartitionedTable
+    .delete_soft`` IN-list tombstones (O(1) data movement), then
+    ``postings_optimize`` MATERIALIZES the tombstones (rewrite reads
+    through them, reclaiming the masked rows) — rankings must be
+    identical before and after.  In-entry contracts raise (must
+    survive ``python -O``): (a) rewrite-tier constants equal the
     survivor corpus's exactly; (b) a reader handle loaded BEFORE the
-    delete still reads the intact pre-delete doc-length table
-    (version pinning).  The oracle replays BM25 over the surviving
-    documents from scratch — identical ranking is the whole claim."""
+    deletes still reads the intact pre-delete doc-length table
+    (version pinning); (c) the single-writer staleness guard fires —
+    a handle the soft delete published past raises ValueError;
+    (d) soft-tier constants decrement exactly by the tombstoned
+    docs; (e) optimize preserves the soft ranking byte-for-byte and
+    the constants bit-for-bit.  The oracle replays BM25 over the
+    doubly-surviving documents from scratch — the soft-deleted index
+    ranking identically to a from-scratch survivor build is the
+    tombstone tier's whole claim."""
     from cs186_query_optimization_project_spark.functions import retrieval
 
     db = _db(spark, sf_dir)
@@ -4292,13 +4304,48 @@ def q_bm25_remove(spark, sf_dir):
             raise RuntimeError(
                 f"post-delete n_docs {out.n_docs} != survivor count "
                 f"{n_surv} — incremental constant update diverged")
+        # tombstone tier: a bounded id batch (the predicate is
+        # driver-side manifest metadata — the high-churn shape)
+        ids_b = sorted(r[0] for r in docs
+                       .filter(F.col("doc_id") % 70 == 1)
+                       .select("doc_id").collect())
+        soft = retrieval.postings_remove_soft(spark, out, ids_b)
+        try:
+            retrieval.postings_remove_soft(spark, out, ids_b)
+            raise RuntimeError(
+                "stale-handle guard did not fire: a soft delete from "
+                "a handle the first soft delete published past was "
+                "accepted")
+        except ValueError:
+            pass                      # the guard the contract pins
+        # docs with zero tokens never entered the index (no doclen
+        # row), so the expected decrement counts tokenful docs only —
+        # the same convention the rewrite tier's n_surv uses
+        n_b = docs.filter((F.col("doc_id") % 70 == 1)
+                          & (F.length(F.trim("text")) > 0)).count()
+        if soft.n_docs != out.n_docs - n_b:
+            raise RuntimeError(
+                f"soft-delete n_docs {soft.n_docs} != "
+                f"{out.n_docs} - {n_b} — tombstone-tier constant "
+                "update diverged")
         if retrieval.doclen_table(spark, pre_reader).count() \
                 != idx.n_docs:
             raise RuntimeError(
-                "pre-delete reader saw the delete — version pinning "
+                "pre-delete reader saw the deletes — version pinning "
                 "lost snapshot isolation")
-        got = retrieval.bm25_indexed(spark, out, "hash batch window",
+        soft_rank = [tuple(r) for r in retrieval.bm25_indexed(
+            spark, soft, "hash batch window", top_k=10).collect()]
+        opt = retrieval.postings_optimize(spark, soft)
+        if (opt.n_docs, opt.avgdl) != (soft.n_docs, soft.avgdl):
+            raise RuntimeError(
+                "optimize changed the corpus constants — tombstone "
+                "materialization must be rank/constant-neutral")
+        got = retrieval.bm25_indexed(spark, opt, "hash batch window",
                                      top_k=10).localCheckpoint()
+        if [tuple(r) for r in got.collect()] != soft_rank:
+            raise RuntimeError(
+                "optimize changed the BM25 ranking — tombstone "
+                "materialization diverged from the soft reads")
     return got
 
 
@@ -9271,11 +9318,13 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 101, 'ELDORADO', 1)"
             "SELECT n_nationkey, n_name, n_regionkey FROM ins "
             "WHERE n_nationkey NOT BETWEEN 10 AND 14"),
-        # BM25 over the post-delete survivor corpus from scratch —
-        # the incremental postings_remove must rank identically
+        # BM25 over the doubly-surviving corpus from scratch — the
+        # rewrite tier (doc_id % 7 = 0) AND the tombstone tier
+        # (doc_id % 70 = 1, soft-deleted then optimize-materialized)
+        # must both rank identically to a clean rebuild
         "bm25_remove": (
             "WITH sdocs AS (SELECT doc_id, text FROM documents "
-            "WHERE doc_id % 7 <> 0), "
+            "WHERE doc_id % 7 <> 0 AND doc_id % 70 <> 1), "
             "post AS (SELECT doc_id, token FROM ("
             "SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
             "AS token FROM sdocs) WHERE token <> ''), "

@@ -401,6 +401,31 @@ def postings_append(spark: SparkSession, index: PostingsIndex,
     return out
 
 
+def _guard_fresh_handle(index: PostingsIndex) -> None:
+    """Single-writer staleness guard for the delete paths: their
+    constants decrement from the handle's PINNED doclen snapshot, so
+    a handle another writer has PUBLISHED past would produce
+    constants diverging from the table content.  Staleness is judged
+    against the published META, not raw table versions — a retry of
+    this writer's own crashed commit legitimately sees newer
+    *unpublished* table versions and must be allowed through (the
+    retry converges; see the callers' commit-protocol docstrings)."""
+    published = load_postings_index(index.path)
+    if published is not None and (
+            published.postings_version != index.postings_version
+            or published.doclen_version != index.doclen_version
+            or published.append_epoch != index.append_epoch):
+        raise ValueError(
+            "stale PostingsIndex handle: the published meta pins "
+            f"postings v{published.postings_version}/doclen "
+            f"v{published.doclen_version}/epoch "
+            f"{published.append_epoch} but this handle holds "
+            f"v{index.postings_version}/v{index.doclen_version}/"
+            f"epoch {index.append_epoch} — another writer committed "
+            "since it loaded; reload via load_postings_index() and "
+            "re-issue the delete")
+
+
 def postings_remove(spark: SparkSession, index: PostingsIndex,
                     ids_df: DataFrame, id_col: str = "doc_id",
                     files_per_bucket: int = 1) -> PostingsIndex:
@@ -433,6 +458,17 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
     bit-identical and a RETRY from the pre-crash handle recomputes
     the same constants (the doomed lengths are read at the handle's
     PINNED doclen version, which still contains them) and converges.
+    Same single-writer discipline too — and unlike append it is
+    GUARDED: the constants decrement from the handle's pinned doclen
+    snapshot, so a handle another writer has published past would
+    produce constants diverging from the rewritten table content.
+    The guard compares the handle against the PUBLISHED meta (not raw
+    table versions — a retry of this writer's own crashed remove
+    legitimately sees newer unpublished table commits) and raises
+    ValueError on a stale handle; reload via
+    :func:`load_postings_index` and re-issue.  Ghost removals (no
+    requested id is indexed) return the handle unchanged — no table
+    commit, no meta republish, constants bit-identical.
     Returns the new handle."""
     from cs186_query_optimization_project_spark.functions.similarity import (
         _bucket_partitioned,
@@ -441,6 +477,7 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
         PartitionedTable,
     )
 
+    _guard_fresh_handle(index)
     ids = ids_df.select(F.col(id_col)).distinct()
     # doomed lengths at the PINNED doclen version — crash-retry reads
     # the same values even after the delete commits
@@ -449,6 +486,12 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
           .agg(F.count(F.lit(1)).alias("n"),
                F.sum("__dl").alias("s")).first())
     n_rm, dl_rm = int(rm["n"]), float(rm["s"] or 0.0)
+    if not n_rm:
+        # ghost removal: nothing indexed matches — skip the table
+        # commits AND the meta republish so the constants stay
+        # bit-identical (n*avgdl/n re-rounding is not a no-op in
+        # IEEE-754) and no version churn is published
+        return index
     pt_post = PartitionedTable(spark, index.postings_path)
     pt_len = PartitionedTable(spark, index.doclen_path)
     if n_rm:
@@ -468,6 +511,84 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
                     _bucket_partitioned(survivors, bucket_col, id_col,
                                         fpb),
                     touched)
+    n_docs = index.n_docs - n_rm
+    avgdl = ((index.n_docs * index.avgdl - dl_rm) / n_docs
+             if n_docs else 0.0)
+    out = PostingsIndex(index.path, index.n_buckets, n_docs, avgdl,
+                        index.source_fingerprint,
+                        postings_version=max(pt_post.versions()),
+                        doclen_version=max(pt_len.versions()),
+                        append_epoch=index.append_epoch)
+    _write_postings_meta(out)
+    return out
+
+
+def _sql_id_literal(v) -> str:
+    """Render one id as a SQL literal for the tombstone predicate
+    (ints verbatim, strings single-quote-escaped — the two id types
+    the corpus tables use)."""
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise TypeError(f"unsupported id literal type: {type(v)}")
+    if isinstance(v, int):
+        return str(v)
+    return "'" + v.replace("'", "''") + "'"
+
+
+def postings_remove_soft(spark: SparkSession, index: PostingsIndex,
+                         ids: list, id_col: str = "doc_id",
+                         ) -> PostingsIndex:
+    """ZERO-REWRITE deletion from the postings index — the tombstone
+    path :func:`postings_remove`'s cost note names for high-churn
+    corpora: instead of rewriting every bucket a doomed document's
+    tokens hash into (O(index)), record one ``id IN (...)`` tombstone
+    predicate against both tables via :meth:`PartitionedTable
+    .delete_soft` — O(1) data movement; every probe then applies the
+    predicate as a map-only filter on read.  Rankings after the meta
+    swap are identical to :func:`postings_remove`'s rewrite and to a
+    from-scratch build over the survivors (pinned in tests and in the
+    ``bm25_remove`` entry); space reclaims later when
+    :func:`postings_optimize` materializes the tombstones (its
+    rewrite reads THROUGH them and clears them, same rankings).
+
+    ``ids`` is a bounded driver-side list, not a DataFrame — the
+    tombstone predicate lives in the manifest (driver-side metadata),
+    which is exactly the high-churn shape this path serves: frequent
+    SMALL right-to-be-forgotten batches.  Bulk deletions belong on
+    the rewrite path, whose id set stays distributed.
+
+    Commit protocol: both ``delete_soft`` commits land first, the
+    meta — pinning the tombstoned versions with constants updated
+    incrementally from the doomed documents' recorded lengths —
+    publishes LAST.  A crash before the meta swap leaves the
+    published index ranking as before (readers pin pre-tombstone
+    versions); retrying from the pre-crash handle passes the
+    staleness guard (the published meta still matches it), re-records
+    the same predicate (a duplicate tombstone is a semantic no-op —
+    its visible-row count is 0 on the retry), recomputes the same
+    constants from the PINNED doclen snapshot, and converges.  Same
+    single-writer guard as the rewrite path: a handle another writer
+    has published past raises ValueError."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    _guard_fresh_handle(index)
+    id_list = sorted(set(ids))
+    if not id_list:
+        return index
+    rm = (doclen_table(spark, index, id_col)
+          .filter(F.col(id_col).isin(id_list))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("__dl").alias("s")).first())
+    n_rm, dl_rm = int(rm["n"]), float(rm["s"] or 0.0)
+    if not n_rm:
+        return index           # ghost ids: nothing indexed matches
+    pred = (f"{id_col} IN "
+            f"({', '.join(_sql_id_literal(v) for v in id_list)})")
+    pt_post = PartitionedTable(spark, index.postings_path)
+    pt_len = PartitionedTable(spark, index.doclen_path)
+    pt_post.delete_soft(pred)
+    pt_len.delete_soft(pred)
     n_docs = index.n_docs - n_rm
     avgdl = ((index.n_docs * index.avgdl - dl_rm) / n_docs
              if n_docs else 0.0)

@@ -272,6 +272,13 @@ def preference_pairs(df: DataFrame, group_col: str, id_col: str,
     rejected_score, margin)`` with margin rounded to 6 decimals
     before the threshold.
 
+    NULL group keys anchor NO pair: rows whose ``group_col`` is NULL
+    are dropped up front (an unattributable example belongs to no
+    prompt/source group).  Spark's ``groupBy`` would otherwise form a
+    NULL group — which a SQL equality self-join (the natural oracle
+    shape) silently drops — so filtering is both the semantically
+    honest choice and what keeps the operator engine-replayable.
+
     Scale shape: ONE aggregation (``max_by``/``min_by`` over a struct
     ordering) with MAP-SIDE PARTIAL merge — each input partition
     reduces to at most one candidate per group BEFORE the shuffle, so
@@ -281,7 +288,8 @@ def preference_pairs(df: DataFrame, group_col: str, id_col: str,
     (the sort is by GROUP KEY within partitions — spillable, not a
     per-group ordering by score); there is no Window anywhere, pinned
     by a plan test."""
-    scored = df.filter(F.col(score_col).isNotNull())
+    scored = df.filter(F.col(score_col).isNotNull()
+                       & F.col(group_col).isNotNull())
     agg = (scored.groupBy(group_col)
            .agg(F.expr(f"max_by({id_col}, struct({score_col}, "
                        f"{id_col}))").alias("chosen_id"),

@@ -285,15 +285,16 @@ class HadoopMetadataIO:
         rename_opts = self._gateway.new_array(
             jvm.org.apache.hadoop.fs.Options.Rename, 1)
         rename_opts[0] = overwrite
-        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            p.toUri(), self._conf)
-        ctx.rename(tmp, p, rename_opts)
         # FileContext rides the raw (checksum-less) AbstractFileSystem,
         # so on a ChecksumFileSystem (file:// LocalFileSystem) the
-        # destination's .crc sidecar now describes the OLD content and
-        # the tmp's .crc is orphaned — a stale crc makes the next read
-        # throw ChecksumException.  Drop both; an absent sidecar means
-        # "no verification", the right trade for driver-side metadata.
+        # destination's .crc sidecar would, after the rename, describe
+        # the OLD content and the tmp's .crc would be orphaned — a
+        # stale crc makes every later read throw ChecksumException.
+        # Drop both BEFORE the rename (tmp is fully written; absent
+        # sidecar = "no verification"): a crash at any point then
+        # leaves either the old file or the new one, both readable —
+        # cleanup-after-rename left a PERSISTENTLY unreadable dest if
+        # the process died between the two steps.
         try:
             for q in (tmp, p):
                 crc = fs.getChecksumFile(q)
@@ -301,6 +302,9 @@ class HadoopMetadataIO:
                     fs.delete(crc, False)
         except Exception:       # not a ChecksumFileSystem (e.g. HDFS)
             pass
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), self._conf)
+        ctx.rename(tmp, p, rename_opts)
 
     def publish_lock(self, path: str, text: str) -> None:
         # create-exclusive IS the held/free signal; content follows in
@@ -318,8 +322,16 @@ class HadoopMetadataIO:
     def remove(self, path: str) -> None:
         p = self._path(path)
         fs = self._fs(p)
-        if not fs.delete(p, False) and not fs.exists(p):
-            raise FileNotFoundError(path)
+        if not fs.delete(p, False):
+            if not fs.exists(p):
+                raise FileNotFoundError(path)
+            # delete() returned false but the path is still there
+            # (permissions, trash policy, ...) — callers like
+            # build_postings_index's retract-meta-first crash-safety
+            # step rely on remove actually removing; a silent no-op
+            # would leave a loadable meta pointing at doomed tables.
+            raise OSError(
+                f"delete failed but path still exists: {path}")
 
     def remove_tree(self, path: str) -> None:
         """Recursive delete, idempotent (missing = no-op)."""

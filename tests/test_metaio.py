@@ -96,12 +96,50 @@ class MemoryMetadataIO:
                       if q == p or q.startswith(p + "/")}
 
 
-@pytest.fixture(params=["local", "memory", "hadoop"])
+class RenamelessMetadataIO(LocalMetadataIO):
+    """Object-store-shaped backend with NO atomic rename — the store
+    class SCALE.md's per-store matrix documents as degraded
+    (S3A-before-conditional-PUT): ``replace_text`` is the copy+delete
+    shape (PUT a tmp object, whole-object COPY onto the destination,
+    DELETE the tmp) with an injectable crash window between the
+    steps, and ``write_new`` (create-exclusive) is the ONLY atomic
+    primitive.  The copy step is a single whole-object publish of
+    fully-written bytes — modeling the object-store guarantee that a
+    reader sees the old object or the new one, never a torn one;
+    crashes inject BETWEEN operations because an object store has no
+    mid-PUT truncated state to model.  Everything else inherits the
+    POSIX calls: the point of the fake is proving the manifest/lock
+    protocol holds when rename atomicity is absent, not re-proving
+    LIST/HEAD."""
+
+    def __init__(self):
+        self.crash_after: str | None = None    # "tmp" | "copy"
+
+    def _maybe_crash(self, point: str) -> None:
+        if self.crash_after == point:
+            self.crash_after = None
+            raise RuntimeError(f"injected crash after {point}")
+
+    def replace_text(self, path, text):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:              # PUT tmp object
+            f.write(text)
+        self._maybe_crash("tmp")
+        data = open(tmp).read()                # server-side COPY =
+        with open(path, "w") as f:             # one whole-object PUT
+            f.write(data)
+        self._maybe_crash("copy")
+        os.remove(tmp)                         # DELETE tmp
+
+
+@pytest.fixture(params=["local", "memory", "hadoop", "objectstore"])
 def io(request, tmp_path, spark):
     if request.param == "local":
         yield LocalMetadataIO(), str(tmp_path)
     elif request.param == "hadoop":
         yield metaio.HadoopMetadataIO(spark), str(tmp_path)
+    elif request.param == "objectstore":
+        yield RenamelessMetadataIO(), str(tmp_path)
     else:
         yield MemoryMetadataIO(), "/mem"
 
@@ -311,3 +349,84 @@ def test_lakehouse_routes_through_seam(spark, tmp_path, monkeypatch):
     stats = [p for n, p in rec.calls
              if n == "write_new" and p.endswith("_stats.json")]
     assert len(stats) == 3                     # one per write job
+
+
+def test_renameless_replace_crash_window_old_or_new(tmp_path):
+    """The degraded-mode discipline SCALE.md documents for rename-less
+    stores, actually executed: a crash at EITHER point of the
+    copy+delete replace leaves the destination reading as the complete
+    old content or the complete new content — never torn, never
+    missing — and a blind retry of the same replace converges and
+    clears the tmp litter."""
+    io = RenamelessMetadataIO()
+    p = str(tmp_path / "meta.json")
+    io.write_new(p, "OLD")
+    for point, expect in (("tmp", "OLD"), ("copy", "NEW")):
+        io.replace_text(p, "OLD")              # reset to pre-state
+        for f in os.listdir(tmp_path):         # and clear litter
+            if ".tmp." in f:
+                os.remove(tmp_path / f)
+        io.crash_after = point
+        with pytest.raises(RuntimeError, match="injected crash"):
+            io.replace_text(p, "NEW")
+        assert io.read_text(p) == expect       # old-or-new, intact
+        io.replace_text(p, "NEW")              # blind retry converges
+        assert io.read_text(p) == "NEW"
+        assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+
+
+def test_lakehouse_lifecycle_on_renameless_backend(spark, tmp_path,
+                                                   monkeypatch):
+    """The full DML lifecycle PLUS the replace_text callers (the
+    clones registry) on the rename-less backend: the commit protocol
+    must ride write_new alone, and every replace_text consumer must
+    tolerate old-or-new (non-rename) publish semantics."""
+    rio = RenamelessMetadataIO()
+    monkeypatch.setattr(metaio, "IO", rio)
+    df = spark.createDataFrame(
+        [(i, chr(65 + i % 3), float(i)) for i in range(12)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "t"), "grp")
+    pt.insert(spark.createDataFrame([(99, "A", 99.0)],
+                                    "id long, grp string, amt double"))
+    pt.delete(F.col("id") == 0)
+    assert pt.read().count() == 12
+    assert pt.read(version=0).count() == 12
+    # clone registration publishes via replace_text — the rename-less
+    # copy+delete path — and must round-trip through a fresh handle
+    clone = pt.clone(str(tmp_path / "c"))
+    assert clone.read().count() == 12
+    pt.vacuum(keep_last=1)
+    assert PartitionedTable(spark, str(tmp_path / "t")).read().count() \
+        == 12
+
+
+def test_hadoop_remove_raises_on_failed_delete(spark, tmp_path,
+                                               monkeypatch):
+    """fs.delete() returning False while the path still exists
+    (permissions, trash policy) must surface as OSError — a silent
+    no-op would let build_postings_index's retract-meta-first
+    crash-safety step leave a loadable meta pointing at tables about
+    to be deleted."""
+    io = metaio.HadoopMetadataIO(spark)
+    p = str(tmp_path / "x.json")
+    io.write_new(p, "{}")
+
+    class StubFS:
+        def delete(self, jp, rec):
+            return False
+
+        def exists(self, jp):
+            return True
+
+    monkeypatch.setattr(io, "_fs", lambda jp: StubFS())
+    with pytest.raises(OSError, match="still exists"):
+        io.remove(p)
+    # and a genuinely-absent path still maps to FileNotFoundError
+    class GoneFS(StubFS):
+        def exists(self, jp):
+            return False
+
+    monkeypatch.setattr(io, "_fs", lambda jp: GoneFS())
+    with pytest.raises(FileNotFoundError):
+        io.remove(str(tmp_path / "absent.json"))

@@ -360,3 +360,89 @@ def test_postings_append_grows_buckets_in_place(spark, docs,
              for f in fs if f.endswith(".parquet")}
     # append-only: every pre-existing file survives untouched
     assert before <= after and len(after) > len(before)
+
+
+def _parquet_files(root: str) -> set[str]:
+    return {os.path.join(dp, f) for dp, _, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")}
+
+
+def test_postings_remove_soft_matches_rewrite_and_rebuild(
+        spark, docs, tmp_path_factory):
+    """The tombstone tier (postings_remove_soft) must rank exactly as
+    the rewrite tier and as a from-scratch survivor build, move ZERO
+    data at delete time, and — after postings_optimize materializes
+    the tombstones — keep rankings and constants bit-identical with
+    the manifest carrying no tombstones and the doomed rows
+    physically gone."""
+    small = docs.limit(200).localCheckpoint()
+    doomed_df = small.filter(F.col("doc_id") % 5 == 0)
+    ids = sorted(r[0] for r in doomed_df.select("doc_id").collect())
+    p_soft = str(tmp_path_factory.mktemp("soft") / "idx")
+    p_hard = str(tmp_path_factory.mktemp("hard") / "idx")
+    i_soft = retrieval.build_postings_index(small, p_soft, n_buckets=8)
+    i_hard = retrieval.build_postings_index(small, p_hard, n_buckets=8)
+    files_before = _parquet_files(i_soft.postings_path)
+    out_s = retrieval.postings_remove_soft(spark, i_soft, ids)
+    # O(1) data movement: not one postings data file rewritten
+    assert _parquet_files(out_s.postings_path) == files_before
+    out_h = retrieval.postings_remove(spark, i_hard,
+                                      doomed_df.select("doc_id"))
+    q = "hash batch window"
+    assert out_s.n_docs == out_h.n_docs
+    assert abs(out_s.avgdl - out_h.avgdl) < 1e-12
+    soft_rank = rows(retrieval.bm25_indexed(spark, out_s, q, top_k=10))
+    assert soft_rank == rows(retrieval.bm25_indexed(spark, out_h, q,
+                                                    top_k=10))
+    assert soft_rank == rows(retrieval.bm25_scores(
+        small.filter(F.col("doc_id") % 5 != 0), q, top_k=10))
+    # no doomed id surfaces from any probe path
+    got_ids = {r["doc_id"] for r in retrieval.term_postings(
+        spark, out_s, ["hash"]).collect()}
+    assert not got_ids & set(ids)
+    # optimize MATERIALIZES the tombstones: ranks/constants unchanged,
+    # manifest clean, masked rows physically reclaimed
+    opt = retrieval.postings_optimize(spark, out_s)
+    assert rows(retrieval.bm25_indexed(spark, opt, q, top_k=10)) \
+        == soft_rank
+    assert (opt.n_docs, opt.avgdl) == (out_s.n_docs, out_s.avgdl)
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    man = PartitionedTable(spark, opt.postings_path)._manifest()
+    assert not any(ts for ts in man.get("tombstones", {}).values())
+    raw = spark.read.parquet(
+        *[d for ds in man["parts"].values() for d in ds])
+    assert raw.filter(F.col("doc_id").isin(ids)).count() == 0
+
+
+def test_postings_remove_soft_guard_ghost_and_pinning(
+        spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("softg") / "idx")
+    small = (docs.filter(F.length(F.trim("text")) > 0).limit(80)
+             .localCheckpoint())
+    idx = retrieval.build_postings_index(small, path, n_buckets=8)
+    # ghost ids / empty batch: the very handle back, no version churn
+    assert retrieval.postings_remove_soft(spark, idx, [10**12]) is idx
+    assert retrieval.postings_remove_soft(spark, idx, []) is idx
+    assert retrieval.load_postings_index(path).postings_version \
+        == idx.postings_version
+    # a real soft delete publishes past idx ...
+    ids = sorted(r[0] for r in small.limit(5)
+                 .select("doc_id").collect())
+    pre_reader = retrieval.load_postings_index(path)
+    fresh = retrieval.postings_remove_soft(spark, idx, ids)
+    assert fresh.n_docs == idx.n_docs - 5
+    # ... so the stale handle now raises on BOTH delete paths
+    with pytest.raises(ValueError, match="stale PostingsIndex"):
+        retrieval.postings_remove_soft(spark, idx, ids)
+    with pytest.raises(ValueError, match="stale PostingsIndex"):
+        retrieval.postings_remove(
+            spark, idx, small.limit(5).select("doc_id"))
+    # a pre-delete reader stays pinned to the intact snapshot
+    assert retrieval.doclen_table(spark, pre_reader).count() \
+        == idx.n_docs
+    # ghost remove on the REWRITE path returns its handle unchanged
+    ghost = spark.createDataFrame([(10**12,)], "doc_id long")
+    assert retrieval.postings_remove(spark, fresh, ghost) is fresh

@@ -216,7 +216,8 @@ def test_preference_pairs_margin_and_tiebreaks(spark):
         [("a", 1, 0.9), ("a", 2, 0.9), ("a", 3, 0.1), ("a", 4, 0.1),
          ("b", 5, 0.6), ("b", 6, 0.58),          # margin 0.02 < 0.05
          ("c", 7, 0.5),                          # singleton: no pair
-         ("d", 8, 0.8), ("d", 9, None)],         # null never anchors
+         ("d", 8, 0.8), ("d", 9, None),          # null never anchors
+         (None, 10, 0.9), (None, 11, 0.1)],      # null GROUP: no pair
         "grp string, id long, score double")
     out = {r["grp"]: r for r in sampling.preference_pairs(
         df, "grp", "id", "score", min_margin=0.05).collect()}
@@ -226,6 +227,8 @@ def test_preference_pairs_margin_and_tiebreaks(spark):
     assert "b" not in out          # under the margin threshold
     assert "c" not in out          # chosen == rejected filtered
     assert "d" not in out          # the null row cannot anchor a pair
+    assert None not in out         # NULL group keys anchor no pair
+    # (a SQL equality self-join — the oracle shape — drops them too)
     # with no margin floor, b pairs and d stays out (single scored row)
     out0 = {r["grp"] for r in sampling.preference_pairs(
         df, "grp", "id", "score").collect()}
