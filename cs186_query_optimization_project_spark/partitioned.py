@@ -1297,8 +1297,16 @@ class PartitionedTable:
                          man.get("tombstones", {}), files=files)
         return out.filter(F.col(column) == F.lit(value))
 
+    #: read_pruned_by's driver-side key budget.  Spark's own DPP
+    #: caps the reused broadcast by the broadcast thresholds; ours is
+    #: a distinct-key count — 100k scalar keys is well under a
+    #: megabyte of driver heap, while anything past it says "that is
+    #: not a dimension table" and the plain join is the right plan.
+    PRUNE_KEY_CAP = 100_000
+
     def read_pruned_by(self, dim: DataFrame, dim_col: str,
-                       version: int | None = None) -> DataFrame:
+                       version: int | None = None,
+                       max_keys: int = PRUNE_KEY_CAP) -> DataFrame:
         """Dynamic-partition-pruning analog at the manifest: collect
         the dimension side's distinct join keys (bounded by the dim's
         key cardinality — DPP's broadcast-exchange reuse, expressed as
@@ -1308,9 +1316,25 @@ class PartitionedTable:
         partitions' directories are never listed or opened, which is
         strictly stronger than Spark's file-source DPP (no footer
         reads).  NULL dim keys never match an equi-join and are
-        dropped from the prune set."""
-        keys = [r[0] for r in dim.select(dim_col).distinct().collect()
-                if r[0] is not None]
+        dropped from the prune set.
+
+        The key pull is COUNT-GUARDED (``max_keys``, default
+        ``PRUNE_KEY_CAP``): the distinct collect is capped at
+        ``max_keys + 1`` rows, and a dim that exceeds the budget
+        falls back to the plain full read — the caller's join still
+        returns exactly the same rows (pruning is a pure I/O
+        optimization), the driver just declines to hold an unbounded
+        key set.  A high-cardinality "dim" therefore degrades to the
+        ordinary shuffle join instead of OOMing the driver."""
+        # NULLs drop BEFORE the limit: a NULL inside the limited
+        # sample would otherwise mask an overflow and ship an
+        # incomplete key set — wrong pruning, not just a missed cap
+        keys = [r[0] for r in (dim.select(dim_col)
+                               .filter(F.col(dim_col).isNotNull())
+                               .distinct()
+                               .limit(max_keys + 1).collect())]
+        if len(keys) > max_keys:
+            return self.read(version)     # not a dim: prune declined
         return self.read(version, partition_values=keys)
 
     def _masked_count(self, man: dict, d: str) -> int | None:

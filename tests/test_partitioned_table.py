@@ -1083,6 +1083,23 @@ def test_read_pruned_by_dim_keys(pt, spark):
     assert dirs == want
 
 
+def test_read_pruned_by_caps_driver_key_pull(pt, spark):
+    """A high-cardinality 'dim' must NOT pull its key set onto the
+    driver: past max_keys the prune declines and the read degrades to
+    the plain full scan — same rows for the caller's join, bounded
+    driver heap.  The collect itself is LIMIT-capped (max_keys + 1),
+    so even a billion-key dim ships at most that many rows."""
+    big = spark.range(5000).selectExpr("CAST(id AS STRING) AS grp")
+    out = pt.read_pruned_by(big, "grp", max_keys=100)
+    # fallback = the unpruned read: every partition's files scanned
+    assert sorted(out.inputFiles()) == sorted(pt.read().inputFiles())
+    # at/under the cap the prune still happens
+    dim = spark.createDataFrame([("A",)], "grp string")
+    pruned = pt.read_pruned_by(dim, "grp", max_keys=100)
+    assert {r["grp"] for r in pruned.collect()} == {"A"}
+    assert len(pruned.inputFiles()) < len(out.inputFiles())
+
+
 def test_version_at_timestamp_travel(pt, spark):
     """TIMESTAMP AS OF: version_at resolves the newest commit at or
     before the asked time; pre-table times raise; version numbers
