@@ -6377,77 +6377,21 @@ def q_group_split(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-14 policy (the r13 verdict's #1
-    # item): the window is the 16 r13 additions (registered after the r13
-    # window closed; never driver-checked, all pass the local DuckDB
-    # oracle), the 11 r9-era rows parked in r13, and the 23 stalest
-    # r10-green rows.  After this round no entry's driver evidence is
-    # older than r10.  Every query -- in or below the window -- is
-    # verified each round by tools/check_contract.py at sf0.01 and the
+    # entries in registry order.  Round-15 policy (the r14 verdict's #1
+    # item): the window is the 3 r14 additions (never driver-checked;
+    # all pass the committed local DuckDB oracle), the 27 rows whose
+    # newest driver evidence is r10, and the 20 stalest r11-era rows.
+    # After this round no entry's driver evidence is older than r11
+    # (histogram going in: never=3, r10=27, r11=50, r12=50, r13=50,
+    # r14=50).  Every query -- in or below the window -- is verified
+    # each round by tools/check_contract.py at sf0.01 and the
     # full-registry result is committed as LOCALCHECK_r<N>.json.
     return {
-        # --- r13 additions, never driver-checked (16) ---
-        "multi_partition": q_multi_partition,
-        "inlist_skip": q_inlist_skip,
-        "pipeline_corpus_full": q_pipeline_corpus_full,
-        "repartition_evolution": q_repartition_evolution,
-        "disjunct_skip": q_disjunct_skip,
-        "metadata_group_minmax": q_metadata_group_minmax,
-        "file_skip": q_file_skip,
-        "ann_filtered": q_ann_filtered,
-        "nb_classify": q_nb_classify,
-        "kmv_overlap": q_kmv_overlap,
-        "boilerplate_strip": q_boilerplate_strip,
-        "ivfpq_filtered": q_ivfpq_filtered,
-        "kmv_overlap_group": q_kmv_overlap_group,
-        "mview_variance": q_mview_variance,
-        "bm25_incremental": q_bm25_incremental,
-        "mad_outliers": q_mad_outliers,
-        # --- parked r9-era rows (11) ---
-        "scan": q_scan,
-        "filter_eq": q_filter_eq,
-        "groupby_count": q_groupby_count,
-        "join_two": q_join_two,
-        "except_all": q_except_all,
-        "intersect_all": q_intersect_all,
-        "broadcast_join": q_broadcast_join,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q22": q_tpch_q22,
-        "token_counts": q_token_counts,
-        # --- stalest r10-era rows (23) ---
-        "asof_join": q_asof_join,
-        "audio_chunks": q_audio_chunks,
-        "cdf_feed": q_cdf_feed,
-        "cdf_stream": q_cdf_stream,
-        "check_constraints": q_check_constraints,
-        "contains_key": q_contains_key,
-        "csv_source": q_csv_source,
-        "dedup_exact": q_dedup_exact,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_topk": q_embedding_topk,
-        "except": q_except,
-        "explode_array": q_explode_array,
-        "filter_range": q_filter_range,
-        "groupby_sum_avg": q_groupby_sum_avg,
-        "hybrid_search": q_hybrid_search,
-        "ivfpq_probe": q_ivfpq_probe,
-        "lang_id": q_lang_id,
-        "left_outer_join": q_left_outer_join,
-        "lookup_key": q_lookup_key,
-        "metadata_agg": q_metadata_agg,
-        "multimodal_features": q_multimodal_features,
-        "mvcc_vacuum": q_mvcc_vacuum,
-        "mview_refresh": q_mview_refresh,
-        # ------------- below the driver's 50-row window ------------- #
-        # Everything below is ordered stalest-first so the round-15
-        # rotation is mechanical; every entry is re-verified each round
-        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r14.json).
-        # r14 additions (never driver-checked) — first for round 15:
+        # --- r14 additions, never driver-checked (3) ---
         "bm25_remove": q_bm25_remove,
         "hadoop_lifecycle": q_hadoop_lifecycle,
         "preference_pairs": q_preference_pairs,
-        # remaining r10-green rows (27):
+        # --- stalest rows: driver evidence r10 (27) ---
         "optimizer_cardinality": q_optimizer_cardinality,
         "orderby_limit": q_orderby_limit,
         "partition_skipping": q_partition_skipping,
@@ -6475,7 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "train_test_split": q_train_test_split,
         "window_rank": q_window_rank,
-        # r11/r12-green rows:
+        # --- stalest r11-era rows (20) ---
         "ann_batch_queries": q_ann_batch_queries,
         "anti_join": q_anti_join,
         "bloom_skipping": q_bloom_skipping,
@@ -6496,6 +6440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_append": q_ivfpq_append,
         "json_extract": q_json_extract,
         "json_source": q_json_source,
+        # ------------- below the driver's 50-row window ------------- #
+        # Everything below is ordered stalest-first so the round-16
+        # rotation is mechanical; every entry is re-verified each round
+        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r15.json).
+        # remaining r11/r12-green rows:
         "metadata_groupby": q_metadata_groupby,
         "minhash_near_dups": q_minhash_near_dups,
         "mview_bucketed": q_mview_bucketed,
@@ -6576,7 +6525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "vocab_top": q_vocab_top,
         "zscore_outliers": q_zscore_outliers,
-        # r13-green rows (freshest driver evidence — the r13 window):
+        # r13-green rows:
         "mview_minmax_delete": q_mview_minmax_delete,
         "ivfpq_batch": q_ivfpq_batch,
         "multi_skip": q_multi_skip,
@@ -6627,6 +6576,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "time_travel": q_time_travel,
         "weighted_sample": q_weighted_sample,
+        # r14-green rows (the r14 window — freshest driver evidence):
+        "multi_partition": q_multi_partition,
+        "inlist_skip": q_inlist_skip,
+        "pipeline_corpus_full": q_pipeline_corpus_full,
+        "repartition_evolution": q_repartition_evolution,
+        "disjunct_skip": q_disjunct_skip,
+        "metadata_group_minmax": q_metadata_group_minmax,
+        "file_skip": q_file_skip,
+        "ann_filtered": q_ann_filtered,
+        "nb_classify": q_nb_classify,
+        "kmv_overlap": q_kmv_overlap,
+        "boilerplate_strip": q_boilerplate_strip,
+        "ivfpq_filtered": q_ivfpq_filtered,
+        "kmv_overlap_group": q_kmv_overlap_group,
+        "mview_variance": q_mview_variance,
+        "bm25_incremental": q_bm25_incremental,
+        "mad_outliers": q_mad_outliers,
+        "scan": q_scan,
+        "filter_eq": q_filter_eq,
+        "groupby_count": q_groupby_count,
+        "join_two": q_join_two,
+        "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
+        "broadcast_join": q_broadcast_join,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q22": q_tpch_q22,
+        "token_counts": q_token_counts,
+        "asof_join": q_asof_join,
+        "audio_chunks": q_audio_chunks,
+        "cdf_feed": q_cdf_feed,
+        "cdf_stream": q_cdf_stream,
+        "check_constraints": q_check_constraints,
+        "contains_key": q_contains_key,
+        "csv_source": q_csv_source,
+        "dedup_exact": q_dedup_exact,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_topk": q_embedding_topk,
+        "except": q_except,
+        "explode_array": q_explode_array,
+        "filter_range": q_filter_range,
+        "groupby_sum_avg": q_groupby_sum_avg,
+        "hybrid_search": q_hybrid_search,
+        "ivfpq_probe": q_ivfpq_probe,
+        "lang_id": q_lang_id,
+        "left_outer_join": q_left_outer_join,
+        "lookup_key": q_lookup_key,
+        "metadata_agg": q_metadata_agg,
+        "multimodal_features": q_multimodal_features,
+        "mvcc_vacuum": q_mvcc_vacuum,
+        "mview_refresh": q_mview_refresh,
     }
 
 
