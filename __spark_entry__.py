@@ -4309,6 +4309,10 @@ def q_bm25_remove(spark, sf_dir):
         ids_b = sorted(r[0] for r in docs
                        .filter(F.col("doc_id") % 70 == 1)
                        .select("doc_id").collect())
+        if not ids_b:
+            raise RuntimeError(
+                "empty tombstone test slice — the contracts below "
+                "assume doc_id % 70 == 1 matches at every SF")
         soft = retrieval.postings_remove_soft(spark, out, ids_b)
         try:
             retrieval.postings_remove_soft(spark, out, ids_b)
