@@ -4358,8 +4358,11 @@ def q_hadoop_lifecycle(spark, sf_dir):
     routed through the Hadoop-FS backend (``metaio.use_hadoop_io`` —
     the cluster deployment configuration, round 14): create a
     partitioned table, versioned insert + delete commits, snapshot
-    read, and version-0 time travel, all with manifests / stats
-    sidecars / tombstones flowing through the JVM
+    read, version-0 time travel, and (round 15) a shallow CLONE —
+    whose registry publish exercises the backend's ``replace_text``
+    (tmp + ``FileContext.rename(OVERWRITE)`` with pre-rename checksum
+    -sidecar cleanup) — all with manifests / stats sidecars /
+    tombstones flowing through the JVM
     ``org.apache.hadoop.fs.FileSystem`` instead of POSIX calls.  The
     local seam is restored in ``finally`` (other entries are
     untouched even if this one throws).  In-entry contracts raise
@@ -4398,6 +4401,15 @@ def q_hadoop_lifecycle(spark, sf_dir):
             if pt.read(version=0).count() != n0:
                 raise RuntimeError("hadoop-backend time travel lost "
                                    "the pre-DML snapshot")
+            # shallow clone through the backend: registering the
+            # clone publishes the source's _clones.json via
+            # replace_text — the FileContext.rename(OVERWRITE) +
+            # checksum-sidecar-cleanup path — and the clone must
+            # read the full post-DML snapshot back (round 15)
+            cl = pt.clone(f"{base}/c")
+            if cl.read().count() != pt.read().count():
+                raise RuntimeError("hadoop-backend shallow clone "
+                                   "diverged from its source snapshot")
             out = (pt.read()
                    .select("n_nationkey", "n_name", "n_regionkey")
                    .localCheckpoint())
