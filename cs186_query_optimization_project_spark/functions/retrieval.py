@@ -494,23 +494,22 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
         return index
     pt_post = PartitionedTable(spark, index.postings_path)
     pt_len = PartitionedTable(spark, index.doclen_path)
-    if n_rm:
-        for pt, bucket_col, cols, fpb in (
-                (pt_post, "tb", [id_col, "pos", "token", "tb"],
-                 files_per_bucket),
-                (pt_len, "db", [id_col, "__dl", "db"], 1)):
-            touched = [r[bucket_col] for r in
-                       (pt.read().join(F.broadcast(ids), id_col)
-                        .select(bucket_col).distinct().collect())]
-            if touched:
-                survivors = (pt.read(partition_values=touched)
-                             .join(F.broadcast(ids), id_col,
-                                   "left_anti")
-                             .select(*cols))
-                pt.overwrite_partitions(
-                    _bucket_partitioned(survivors, bucket_col, id_col,
-                                        fpb),
-                    touched)
+    for pt, bucket_col, cols, fpb in (
+            (pt_post, "tb", [id_col, "pos", "token", "tb"],
+             files_per_bucket),
+            (pt_len, "db", [id_col, "__dl", "db"], 1)):
+        touched = [r[bucket_col] for r in
+                   (pt.read().join(F.broadcast(ids), id_col)
+                    .select(bucket_col).distinct().collect())]
+        if touched:
+            survivors = (pt.read(partition_values=touched)
+                         .join(F.broadcast(ids), id_col,
+                               "left_anti")
+                         .select(*cols))
+            pt.overwrite_partitions(
+                _bucket_partitioned(survivors, bucket_col, id_col,
+                                    fpb),
+                touched)
     n_docs = index.n_docs - n_rm
     avgdl = ((index.n_docs * index.avgdl - dl_rm) / n_docs
              if n_docs else 0.0)
@@ -567,7 +566,15 @@ def postings_remove_soft(spark: SparkSession, index: PostingsIndex,
     its visible-row count is 0 on the retry), recomputes the same
     constants from the PINNED doclen snapshot, and converges.  Same
     single-writer guard as the rewrite path: a handle another writer
-    has published past raises ValueError."""
+    has published past raises ValueError.
+
+    Single-writer discipline (same as every maintenance op here): an
+    interrupted delete must be RETRIED to completion — or its table
+    commits rolled back — before the writer issues any OTHER
+    maintenance operation; abandoning it and appending from a fresh
+    handle would fold the half-committed tombstone versions into the
+    next publish's version pins with constants that never accounted
+    for them."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )

@@ -1,0 +1,48 @@
+"""Isolated min-of-N anchor for one or more entries: ONE fresh Spark
+session per invocation, each named query materialized through the noop
+sink N times (default 3), min reported — the BASELINE.md anchor
+methodology.  Run on a QUIET host (15-min load < ~1; never concurrent
+with pytest/bench) or the numbers are garbage.
+
+    python tools/anchor.py [--sf DIR] name [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from cs186_query_optimization_project_spark import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and args[0] == "--sf":
+        sf_dir = args[1]
+        args = args[2:]
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    qs = entry_mod.queries()
+    unknown = [a for a in args if a not in qs]
+    if unknown or not args:
+        sys.exit(f"unknown/missing entries: {unknown}")
+    print(f"load avg: {os.getloadavg()}")
+    spark = get_spark(app_name="anchor")
+    for name in args:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{name}: min-of-{runs} = {best:.2f} s")
+
+
+if __name__ == "__main__":
+    main()
