@@ -33,6 +33,23 @@ def main() -> None:
         sys.exit(f"unknown/missing entries: {unknown}")
     print(f"load avg: {os.getloadavg()}")
     spark = get_spark(app_name="anchor")
+    # same session warm-up as bench.py (JVM JIT, parquet footers,
+    # stats cache) so anchors compare against in-suite numbers
+    entry_mod.q_scan(spark, sf_dir).count()
+
+    def cleanup() -> None:
+        # bench.py's inter-query hygiene: drop temp views / cached
+        # blocks and force a full GC outside the timed window
+        for t in spark.catalog.listTables():
+            if t.tableType == "TEMPORARY" and t.name.startswith("stream_"):
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+
     for name in args:
         best = None
         for _ in range(runs):
@@ -41,6 +58,7 @@ def main() -> None:
                 .mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        cleanup()
         print(f"{name}: min-of-{runs} = {best:.2f} s")
 
 
