@@ -290,18 +290,27 @@ class AnnIndex:
 
 
 def _write_meta(index: AnnIndex) -> None:
+    # through the metadata seam (round 15): the ANN meta sidecar was
+    # the one lakehouse-adjacent metadata file still written with a
+    # bare open() — on a cluster it must ride the same MetadataIO the
+    # PartitionedTables underneath it use.  replace_text = atomic
+    # overwrite-publish (rebuilds re-point the meta).
+    from cs186_query_optimization_project_spark import metaio
+
     meta = {"kind": index.kind, "dim": index.dim, "params": index.params,
             "source_fingerprint": index.source_fingerprint}
-    with open(os.path.join(index.path, _META_FILE), "w") as f:
-        json.dump(meta, f)
+    metaio.IO.replace_text(os.path.join(index.path, _META_FILE),
+                           json.dumps(meta))
 
 
 def load_ann_index(path: str) -> AnnIndex | None:
     """Load a previously built index; None if absent/unreadable (caller
     rebuilds — an index is a cache of the corpus, never the only copy)."""
+    from cs186_query_optimization_project_spark import metaio
+
     try:
-        with open(os.path.join(path, _META_FILE)) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            metaio.IO.read_text(os.path.join(path, _META_FILE)))
         return AnnIndex(meta["kind"], path, meta["dim"], meta["params"],
                         meta.get("source_fingerprint", ""))
     except (OSError, ValueError, KeyError):
@@ -959,10 +968,10 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
                       | set(range(len(cents))))
         existing.overwrite_partitions(bucketed, vals)
     else:
-        if os.path.isdir(path):
-            import shutil as _shutil
+        from cs186_query_optimization_project_spark import metaio
 
-            _shutil.rmtree(path)
+        if metaio.IO.is_dir(path):
+            metaio.IO.remove_tree(path)
         PartitionedTable.create(df.sparkSession, bucketed, path, "cell")
     idx = AnnIndex("ivfpq", path, len(cents[0]),
                    {"centroids": cents, "codebooks": books}, fingerprint)

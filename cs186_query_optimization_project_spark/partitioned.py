@@ -2226,7 +2226,11 @@ class PartitionedTable:
             for d in ds:
                 for f in metaio.IO.list_dir(d):
                     if f.endswith(".parquet"):
-                        total += os.path.getsize(os.path.join(d, f))
+                        # through the seam (HEAD on object stores) —
+                        # this sizing walk must work wherever the
+                        # manifests live, not only on POSIX
+                        total += metaio.IO.file_size(
+                            os.path.join(d, f))
                         count += 1
             return total, count
 
