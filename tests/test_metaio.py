@@ -430,3 +430,38 @@ def test_hadoop_remove_raises_on_failed_delete(spark, tmp_path,
     monkeypatch.setattr(io, "_fs", lambda jp: GoneFS())
     with pytest.raises(FileNotFoundError):
         io.remove(str(tmp_path / "absent.json"))
+
+
+def test_index_metadata_routes_through_seam(spark, tmp_path,
+                                            monkeypatch):
+    """Round-15 seam completion: the ANN index meta sidecar and the
+    postings index meta — the last index-layer metadata files — must
+    flow through MetadataIO (replace_text publish, read_text load),
+    not bare open(), so the whole index layer works wherever the
+    manifests live."""
+    from cs186_query_optimization_project_spark.functions import (
+        retrieval, similarity,
+    )
+
+    rec = RecordingIO()
+    monkeypatch.setattr(metaio, "IO", rec)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float(i % 3)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>")
+    idx = similarity.build_ivf_index(
+        emb, str(tmp_path / "ivf"), n_cells=4)
+    assert [p for n, p in rec.calls if n == "replace_text"
+            and p.endswith("_ann_index_meta.json")]
+    rec.calls.clear()
+    assert similarity.load_ann_index(str(tmp_path / "ivf")) is not None
+    assert [p for n, p in rec.calls if n == "read_text"
+            and p.endswith("_ann_index_meta.json")]
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 3}") for i in range(30)],
+        "doc_id long, text string")
+    rec.calls.clear()
+    retrieval.build_postings_index(docs, str(tmp_path / "post"),
+                                   n_buckets=4)
+    assert [p for n, p in rec.calls if n == "replace_text"
+            and p.endswith("_postings_index_meta.json")]
