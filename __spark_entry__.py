@@ -6393,74 +6393,17 @@ def q_group_split(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-15 policy (the r14 verdict's #1
-    # item): the window is the 3 r14 additions (never driver-checked;
-    # all pass the committed local DuckDB oracle), the 27 rows whose
-    # newest driver evidence is r10, and the 20 stalest r11-era rows.
-    # After this round no entry's driver evidence is older than r11
-    # (histogram going in: never=3, r10=27, r11=50, r12=50, r13=50,
-    # r14=50).  Every query -- in or below the window -- is verified
-    # each round by tools/check_contract.py at sf0.01 and the
-    # full-registry result is committed as LOCALCHECK_r<N>.json.
+    # entries in registry order.  Round-16 policy (the r15 verdict's #1
+    # item): the window is the 30 rows whose newest driver evidence is
+    # r11 plus the 20 stalest r12-era rows (ties broken by oldest
+    # prior-green round, then fewest green rounds, then name).  After
+    # this round no entry's driver evidence is older than r12
+    # (histogram going in: r11=30, r12=50, r13=50, r14=50, r15=50).
+    # Every query -- in or below the window -- is verified each round by
+    # tools/check_contract.py at sf0.01 and the full-registry result is
+    # committed as LOCALCHECK_r<N>.json.
     return {
-        # --- r14 additions, never driver-checked (3) ---
-        "bm25_remove": q_bm25_remove,
-        "hadoop_lifecycle": q_hadoop_lifecycle,
-        "preference_pairs": q_preference_pairs,
-        # --- stalest rows: driver evidence r10 (27) ---
-        "optimizer_cardinality": q_optimizer_cardinality,
-        "orderby_limit": q_orderby_limit,
-        "partition_skipping": q_partition_skipping,
-        "partitioned_dml": q_partitioned_dml,
-        "partitioned_merge": q_partitioned_merge,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "pq_ann": q_pq_ann,
-        "project": q_project,
-        "quantiles": q_quantiles,
-        "restore_clone": q_restore_clone,
-        "rollup": q_rollup,
-        "scalar_functions": q_scalar_functions,
-        "schema_evolution": q_schema_evolution,
-        "self_join_alias": q_self_join_alias,
-        "semi_join": q_semi_join,
-        "sessionize": q_sessionize,
-        "soft_delete": q_soft_delete,
-        "stream_to_mview": q_stream_to_mview,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        "streaming_session": q_streaming_session,
-        "streaming_sliding": q_streaming_sliding,
-        "streaming_tumbling": q_streaming_tumbling,
-        "table_history": q_table_history,
-        "text_stats": q_text_stats,
-        "train_test_split": q_train_test_split,
-        "window_rank": q_window_rank,
-        # --- stalest r11-era rows (20) ---
-        "ann_batch_queries": q_ann_batch_queries,
-        "anti_join": q_anti_join,
-        "bloom_skipping": q_bloom_skipping,
-        "bucketed_join": q_bucketed_join,
-        "case_expr": q_case_expr,
-        "chunk_documents": q_chunk_documents,
-        "clone_vacuum_guard": q_clone_vacuum_guard,
-        "cube": q_cube,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "distinct": q_distinct,
-        "doc_repetition": q_doc_repetition,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_similar_pairs": q_embedding_similar_pairs,
-        "filter_neq": q_filter_neq,
-        "having": q_having,
-        "intersect": q_intersect,
-        "ivfpq_append": q_ivfpq_append,
-        "json_extract": q_json_extract,
-        "json_source": q_json_source,
-        # ------------- below the driver's 50-row window ------------- #
-        # Everything below is ordered stalest-first so the round-16
-        # rotation is mechanical; every entry is re-verified each round
-        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r15.json).
-        # remaining r11/r12-green rows:
+        # --- stalest rows: driver evidence r11 (30) ---
         "metadata_groupby": q_metadata_groupby,
         "minhash_near_dups": q_minhash_near_dups,
         "mview_bucketed": q_mview_bucketed,
@@ -6491,13 +6434,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frame": q_window_frame,
         "window_running": q_window_running,
         "zorder_scan": q_zorder_scan,
+        # --- stalest r12-era rows (20) ---
+        "containment_apply": q_containment_apply,
+        "containment_near_dups": q_containment_near_dups,
+        "ivfpq_remove": q_ivfpq_remove,
+        "mview_hll_distinct": q_mview_hll_distinct,
+        "time_travel_ts": q_time_travel_ts,
         "bigram_lm": q_bigram_lm,
         "bloom_semi_join": q_bloom_semi_join,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cohort_retention": q_cohort_retention,
         "constraint_check": q_constraint_check,
-        "containment_apply": q_containment_apply,
-        "containment_near_dups": q_containment_near_dups,
         "contamination_check": q_contamination_check,
         "cross_join": q_cross_join,
         "doc_fingerprints": q_doc_fingerprints,
@@ -6508,12 +6455,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
         "grouping_sets": q_grouping_sets,
+        # ------------- below the driver's 50-row window ------------- #
+        # Everything below is ordered stalest-first so the round-17
+        # rotation is mechanical; every entry is re-verified each round
+        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r16.json).
+        # remaining r12-green rows:
         "hll_distinct": q_hll_distinct,
         "incremental_agg": q_incremental_agg,
-        "ivfpq_remove": q_ivfpq_remove,
         "kmeans_clusters": q_kmeans_clusters,
         "merge_upsert": q_merge_upsert,
-        "mview_hll_distinct": q_mview_hll_distinct,
         "null_safe_join": q_null_safe_join,
         "pagerank": q_pagerank,
         "pii_redact": q_pii_redact,
@@ -6523,7 +6473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_outer_join": q_streaming_outer_join,
         "table_histogram": q_table_histogram,
         "tfidf_features": q_tfidf_features,
-        "time_travel_ts": q_time_travel_ts,
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
@@ -6542,17 +6491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "zscore_outliers": q_zscore_outliers,
         # r13-green rows:
-        "mview_minmax_delete": q_mview_minmax_delete,
-        "ivfpq_batch": q_ivfpq_batch,
-        "multi_skip": q_multi_skip,
-        "url_dedup": q_url_dedup,
-        "expectations": q_expectations,
-        "semantic_contamination": q_semantic_contamination,
-        "group_split": q_group_split,
-        "collect_sorted": q_collect_sorted,
-        "compact_scan": q_compact_scan,
-        "text_source": q_text_source,
-        "window_ntile": q_window_ntile,
         "ann_recall": q_ann_recall,
         "asset_resize": q_asset_resize,
         "bm25_indexed": q_bm25_indexed,
@@ -6560,6 +6498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "cms_reconcile": q_cms_reconcile,
+        "collect_sorted": q_collect_sorted,
+        "compact_scan": q_compact_scan,
         "correlation_matrix": q_correlation_matrix,
         "dedup_apply": q_dedup_apply,
         "dedup_clusters": q_dedup_clusters,
@@ -6569,80 +6509,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage": q_dup_span_coverage,
         "dup_spans": q_dup_spans,
         "epoch_shuffle": q_epoch_shuffle,
+        "expectations": q_expectations,
         "frame_sample": q_frame_sample,
         "grace_hash_join": q_grace_hash_join,
+        "group_split": q_group_split,
         "hll_by_group": q_hll_by_group,
         "hll_reconcile": q_hll_reconcile,
         "index_range_scan": q_index_range_scan,
         "indexed_write_scan": q_indexed_write_scan,
+        "ivfpq_batch": q_ivfpq_batch,
         "join_three_flagship": q_join_three_flagship,
         "key_skew": q_key_skew,
         "ks_drift": q_ks_drift,
         "mixture_sample": q_mixture_sample,
         "mixture_temperature": q_mixture_temperature,
+        "multi_skip": q_multi_skip,
+        "mview_minmax_delete": q_mview_minmax_delete,
         "ngram_jaccard": q_ngram_jaccard,
         "phrase_indexed": q_phrase_indexed,
         "phrase_search": q_phrase_search,
         "psi_drift": q_psi_drift,
         "quality_filter": q_quality_filter,
         "sample_k_per_group": q_sample_k_per_group,
+        "semantic_contamination": q_semantic_contamination,
         "semantic_dedup": q_semantic_dedup,
         "similar_docs": q_similar_docs,
         "streaming_cms": q_streaming_cms,
         "streaming_hll": q_streaming_hll,
+        "text_source": q_text_source,
         "time_travel": q_time_travel,
+        "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
-        # r14-green rows (the r14 window — freshest driver evidence):
-        "multi_partition": q_multi_partition,
-        "inlist_skip": q_inlist_skip,
-        "pipeline_corpus_full": q_pipeline_corpus_full,
-        "repartition_evolution": q_repartition_evolution,
-        "disjunct_skip": q_disjunct_skip,
-        "metadata_group_minmax": q_metadata_group_minmax,
-        "file_skip": q_file_skip,
+        "window_ntile": q_window_ntile,
+        # r14-green rows:
         "ann_filtered": q_ann_filtered,
-        "nb_classify": q_nb_classify,
-        "kmv_overlap": q_kmv_overlap,
-        "boilerplate_strip": q_boilerplate_strip,
-        "ivfpq_filtered": q_ivfpq_filtered,
-        "kmv_overlap_group": q_kmv_overlap_group,
-        "mview_variance": q_mview_variance,
-        "bm25_incremental": q_bm25_incremental,
-        "mad_outliers": q_mad_outliers,
-        "scan": q_scan,
-        "filter_eq": q_filter_eq,
-        "groupby_count": q_groupby_count,
-        "join_two": q_join_two,
-        "except_all": q_except_all,
-        "intersect_all": q_intersect_all,
-        "broadcast_join": q_broadcast_join,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q22": q_tpch_q22,
-        "token_counts": q_token_counts,
         "asof_join": q_asof_join,
         "audio_chunks": q_audio_chunks,
+        "bm25_incremental": q_bm25_incremental,
+        "boilerplate_strip": q_boilerplate_strip,
+        "broadcast_join": q_broadcast_join,
         "cdf_feed": q_cdf_feed,
         "cdf_stream": q_cdf_stream,
         "check_constraints": q_check_constraints,
         "contains_key": q_contains_key,
         "csv_source": q_csv_source,
         "dedup_exact": q_dedup_exact,
+        "disjunct_skip": q_disjunct_skip,
         "embedding_quantize": q_embedding_quantize,
         "embedding_topk": q_embedding_topk,
         "except": q_except,
+        "except_all": q_except_all,
         "explode_array": q_explode_array,
+        "file_skip": q_file_skip,
+        "filter_eq": q_filter_eq,
         "filter_range": q_filter_range,
+        "groupby_count": q_groupby_count,
         "groupby_sum_avg": q_groupby_sum_avg,
         "hybrid_search": q_hybrid_search,
+        "inlist_skip": q_inlist_skip,
+        "intersect_all": q_intersect_all,
+        "ivfpq_filtered": q_ivfpq_filtered,
         "ivfpq_probe": q_ivfpq_probe,
+        "join_two": q_join_two,
+        "kmv_overlap": q_kmv_overlap,
+        "kmv_overlap_group": q_kmv_overlap_group,
         "lang_id": q_lang_id,
         "left_outer_join": q_left_outer_join,
         "lookup_key": q_lookup_key,
+        "mad_outliers": q_mad_outliers,
         "metadata_agg": q_metadata_agg,
+        "metadata_group_minmax": q_metadata_group_minmax,
+        "multi_partition": q_multi_partition,
         "multimodal_features": q_multimodal_features,
         "mvcc_vacuum": q_mvcc_vacuum,
         "mview_refresh": q_mview_refresh,
+        "mview_variance": q_mview_variance,
+        "nb_classify": q_nb_classify,
+        "pipeline_corpus_full": q_pipeline_corpus_full,
+        "repartition_evolution": q_repartition_evolution,
+        "scan": q_scan,
+        "token_counts": q_token_counts,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q5": q_tpch_q5,
+        # r15-green rows (the r15 window -- freshest driver evidence):
+        "ann_batch_queries": q_ann_batch_queries,
+        "anti_join": q_anti_join,
+        "bloom_skipping": q_bloom_skipping,
+        "bm25_remove": q_bm25_remove,
+        "bucketed_join": q_bucketed_join,
+        "case_expr": q_case_expr,
+        "chunk_documents": q_chunk_documents,
+        "clone_vacuum_guard": q_clone_vacuum_guard,
+        "cube": q_cube,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "distinct": q_distinct,
+        "doc_repetition": q_doc_repetition,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_similar_pairs": q_embedding_similar_pairs,
+        "filter_neq": q_filter_neq,
+        "hadoop_lifecycle": q_hadoop_lifecycle,
+        "having": q_having,
+        "intersect": q_intersect,
+        "ivfpq_append": q_ivfpq_append,
+        "json_extract": q_json_extract,
+        "json_source": q_json_source,
+        "optimizer_cardinality": q_optimizer_cardinality,
+        "orderby_limit": q_orderby_limit,
+        "partition_skipping": q_partition_skipping,
+        "partitioned_dml": q_partitioned_dml,
+        "partitioned_merge": q_partitioned_merge,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pq_ann": q_pq_ann,
+        "preference_pairs": q_preference_pairs,
+        "project": q_project,
+        "quantiles": q_quantiles,
+        "restore_clone": q_restore_clone,
+        "rollup": q_rollup,
+        "scalar_functions": q_scalar_functions,
+        "schema_evolution": q_schema_evolution,
+        "self_join_alias": q_self_join_alias,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "soft_delete": q_soft_delete,
+        "stream_to_mview": q_stream_to_mview,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_session": q_streaming_session,
+        "streaming_sliding": q_streaming_sliding,
+        "streaming_tumbling": q_streaming_tumbling,
+        "table_history": q_table_history,
+        "text_stats": q_text_stats,
+        "train_test_split": q_train_test_split,
+        "window_rank": q_window_rank,
     }
 
 

@@ -524,13 +524,18 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
 
 def _sql_id_literal(v) -> str:
     """Render one id as a SQL literal for the tombstone predicate
-    (ints verbatim, strings single-quote-escaped — the two id types
-    the corpus tables use)."""
+    (ints verbatim, strings escaped — the two id types the corpus
+    tables use).  Spark's default parser treats backslash as an
+    escape inside string literals (``escapedStringLiterals=false``),
+    so backslashes must double BEFORE quote-doubling — otherwise an
+    id like ``'a\\nb'`` is counted by the isin-based constant
+    decrement yet the rendered IN-list tombstone matches nothing:
+    silently diverged constants and a missed deletion."""
     if isinstance(v, bool) or not isinstance(v, (int, str)):
         raise TypeError(f"unsupported id literal type: {type(v)}")
     if isinstance(v, int):
         return str(v)
-    return "'" + v.replace("'", "''") + "'"
+    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def postings_remove_soft(spark: SparkSession, index: PostingsIndex,
@@ -583,19 +588,34 @@ def postings_remove_soft(spark: SparkSession, index: PostingsIndex,
     id_list = sorted(set(ids))
     if not id_list:
         return index
-    rm = (doclen_table(spark, index, id_col)
-          .filter(F.col(id_col).isin(id_list))
-          .agg(F.count(F.lit(1)).alias("n"),
-               F.sum("__dl").alias("s")).first())
-    n_rm, dl_rm = int(rm["n"]), float(rm["s"] or 0.0)
+    # ONE aggregate, grouped by the doc-length table's bucket column:
+    # it yields the constants decrement (n_rm, Σdl) AND the per-bucket
+    # doomed-doc counts that delete_soft takes as the caller-supplied
+    # deletion-vector cardinality — so NEITHER delete_soft call runs
+    # its own O(table) counting scan (pinned by test: this aggregate
+    # is the soft path's only Spark job).
+    per_db = (PartitionedTable(spark, index.doclen_path)
+              .read(version=index.doclen_version)
+              .filter(F.col(id_col).isin(id_list))
+              .groupBy("db")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("__dl").alias("s")).collect())
+    n_rm = sum(int(r["n"]) for r in per_db)
+    dl_rm = sum(float(r["s"] or 0.0) for r in per_db)
     if not n_rm:
         return index           # ghost ids: nothing indexed matches
     pred = (f"{id_col} IN "
             f"({', '.join(_sql_id_literal(v) for v in id_list)})")
     pt_post = PartitionedTable(spark, index.postings_path)
     pt_len = PartitionedTable(spark, index.doclen_path)
-    pt_post.delete_soft(pred)
-    pt_len.delete_soft(pred)
+    # postings cardinality (doomed TOKEN occurrences per token bucket)
+    # is unknowable without a postings scan — decline it (fail-closed
+    # metadata COUNT on the postings table, which nothing uses; the
+    # ranking constants live in the meta, not the manifest)
+    pt_post.delete_soft(pred, masked_counts=None)
+    pt_len.delete_soft(pred,
+                       masked_counts={int(r["db"]): int(r["n"])
+                                      for r in per_db})
     n_docs = index.n_docs - n_rm
     avgdl = ((index.n_docs * index.avgdl - dl_rm) / n_docs
              if n_docs else 0.0)
@@ -622,6 +642,14 @@ def postings_optimize(spark: SparkSession, index: PostingsIndex,
     layout changes.  Old versions remain time-travelable until
     ``PartitionedTable.vacuum``.
 
+    Staleness-guarded like both remove paths: optimize REPUBLISHES
+    the handle's ``n_docs``/``avgdl``, so an optimize issued from a
+    handle another writer's soft delete published past would
+    materialize that writer's tombstones while republishing
+    pre-delete constants — resurrecting the deleted documents in the
+    corpus constants.  A stale handle raises ValueError; reload via
+    :func:`load_postings_index` and re-issue.
+
     The postings rewrite re-clusters each bucket BY TOKEN (``optimize
     (sort_by=("token",))`` — OPTIMIZE ... ZORDER's 1-D analog): the
     pushed ``token IN (...)`` predicate every probe carries then
@@ -633,6 +661,7 @@ def postings_optimize(spark: SparkSession, index: PostingsIndex,
         PartitionedTable,
     )
 
+    _guard_fresh_handle(index)
     pt_post = PartitionedTable(spark, index.postings_path)
     pt_len = PartitionedTable(spark, index.doclen_path)
     pt_post.optimize(target_file_bytes, sort_by=("token",))

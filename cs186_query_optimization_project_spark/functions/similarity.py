@@ -317,6 +317,35 @@ def load_ann_index(path: str) -> AnnIndex | None:
         return None
 
 
+def _guard_fresh_ann_handle(index: AnnIndex) -> None:
+    """Single-writer staleness guard for the IVF-PQ maintenance ops —
+    ``retrieval._guard_fresh_handle``'s published-meta comparison
+    ported to :class:`AnnIndex` handles.  :func:`ivfpq_append` encodes
+    new vectors against the handle's FROZEN header (coarse centroids +
+    residual codebooks): a handle a concurrent REBUILD has published
+    past would insert codes that decode wrongly under the new header —
+    silent recall corruption, invisible until probed.  Staleness is
+    judged against the PUBLISHED meta sidecar, not table versions: a
+    retry of this writer's own crashed ``insert``/``overwrite`` commit
+    legitimately sees newer table versions but the SAME published
+    header (append/remove never touch the sidecar) and must pass.
+    Handles are normalized through a JSON round-trip so tuple/list and
+    int/float representation differences never false-positive."""
+    published = load_ann_index(index.path)
+    if published is None:
+        return      # nothing published yet (mid-build): nothing stale
+    norm = lambda ix: json.loads(json.dumps(   # noqa: E731
+        {"kind": ix.kind, "dim": ix.dim, "params": ix.params,
+         "source_fingerprint": ix.source_fingerprint}))
+    if norm(published) != norm(index):
+        raise ValueError(
+            "stale AnnIndex handle: the published meta at "
+            f"{index.path!r} no longer matches this handle's header "
+            "(a rebuild republished new centroids/codebooks since it "
+            "loaded); reload via load_ann_index() and re-issue the "
+            "maintenance op")
+
+
 def source_fingerprint(path: str) -> str:
     """(path, mtime, size) identity of a source file/dir — cheap staleness
     check so probes rebuild only when the corpus actually changed."""
@@ -997,11 +1026,16 @@ def ivfpq_append(index: AnnIndex, new_df: DataFrame,
     The append is a versioned :meth:`PartitionedTable.insert` commit:
     new code files land in NEW directories, the manifest swap is
     atomic, and a concurrent prober keeps reading the prior version.
-    Returns the number of rows appended."""
+    Returns the number of rows appended.
+
+    Staleness-guarded (:func:`_guard_fresh_ann_handle`): a handle a
+    concurrent rebuild published past raises ValueError instead of
+    inserting codes encoded against the superseded header."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
 
+    _guard_fresh_ann_handle(index)
     cents = index.params["centroids"]
     books = index.params["codebooks"]
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -1041,11 +1075,18 @@ def ivfpq_remove(spark: SparkSession, index: AnnIndex,
     a cell emptied to zero rows simply drops from the new manifest (no
     post-hoc rmtree to crash between), and a crash anywhere before the
     atomic manifest swap leaves the prior version fully readable.
-    Returns the number of code rows removed."""
+    Returns the number of code rows removed.
+
+    Staleness-guarded (:func:`_guard_fresh_ann_handle`), same as
+    append: a rebuild re-partitions the code table under retrained
+    centroids, so a remove staged from the superseded handle could
+    interleave its overwrite with the rebuild's — the guard turns the
+    documented single-writer discipline into an enforced check."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
 
+    _guard_fresh_ann_handle(index)
     pt = PartitionedTable(spark, index.path)
     ids = ids_df.select(F.col(id_col)).distinct()
     # ONE pass finds the owning cells AND the per-cell doomed counts

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import time as _time
 import uuid
 
@@ -75,6 +76,119 @@ _KEYABLE = (T.StringType, T.IntegerType, T.LongType, T.ShortType,
 _BLOOM_MIN_BITS = 8192
 _BLOOM_MAX_BITS = 1 << 23
 _BLOOM_K = 4
+
+#: Shape of a coalescible tombstone: ``col IN (lit, lit, ...)`` — the
+#: predicate :func:`delete_soft` callers like ``postings_remove_soft``
+#: generate per batch.  Anything else is left verbatim (coalescing is
+#: a pure manifest-size/read-filter optimization, never required).
+_INLIST_HEAD = _re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((.*)\)\s*$", _re.S)
+
+
+def _parse_inlist(cond: str):
+    """``(column, values)`` when ``cond`` is exactly a homogeneous
+    IN-list of int or single-quoted-string literals (the shape
+    ``_sql_id_literal`` renders: ``''`` quote-doubling plus ``\\``
+    doubling, matching Spark's default escaped string literals);
+    ``None`` for anything else — parse conservatively, never guess."""
+    m = _INLIST_HEAD.match(cond)
+    if not m:
+        return None
+    col, body = m.group(1), m.group(2)
+    vals: list = []
+    i, n = 0, len(body)
+    while i < n:
+        while i < n and body[i] in " \t\n":
+            i += 1
+        if i >= n:
+            return None
+        if body[i] == "'":
+            j, buf = i + 1, []
+            closed = False
+            while j < n:
+                ch = body[j]
+                if ch == "\\":
+                    if j + 1 < n and body[j + 1] in ("\\", "'"):
+                        buf.append(body[j + 1])
+                        j += 2
+                        continue
+                    return None    # unknown escape: don't coalesce
+                if ch == "'":
+                    if j + 1 < n and body[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    closed = True
+                    break
+                buf.append(ch)
+                j += 1
+            if not closed:
+                return None
+            vals.append("".join(buf))
+            i = j + 1
+        else:
+            j = i + 1 if body[i] == "-" else i
+            while j < n and body[j].isdigit():
+                j += 1
+            if j == i or (body[i] == "-" and j == i + 1):
+                return None
+            vals.append(int(body[i:j]))
+            i = j
+        while i < n and body[i] in " \t\n":
+            i += 1
+        if i < n:
+            if body[i] != ",":
+                return None
+            i += 1
+            if i >= n:
+                return None       # trailing comma
+    if not vals:
+        return None
+    types = {type(v) for v in vals}
+    if types not in ({int}, {str}):
+        return None               # mixed-type list: leave verbatim
+    return col, vals
+
+
+def _render_inlist(col: str, vals: list) -> str:
+    """Inverse of :func:`_parse_inlist` — backslashes double BEFORE
+    quote-doubling (Spark's default parser treats ``\\`` as an escape
+    inside string literals)."""
+    def lit(v):
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    return f"{col} IN ({', '.join(lit(v) for v in sorted(set(vals)))})"
+
+
+def _coalesce_tombstone(existing: list[str], cond: str) -> tuple[
+        list[str], bool]:
+    """``(new_list, changed)`` after recording ``cond`` against one
+    directory's tombstone list: an exact duplicate of the last entry
+    is dropped (idempotent retry), and a same-column same-type IN-list
+    merges into the last entry (one predicate, union of values) so N
+    small soft-delete batches cost one read-time filter and one
+    manifest entry instead of N.  ``changed=False`` means the list is
+    semantically untouched — the new predicate masks nothing the old
+    list didn't — which callers use to keep cardinalities exact on
+    no-op retries.  Merging is sound because reads AND together
+    ``NOT(cond_i)`` with NULL keeping the row: for IN-lists over one
+    column that conjunction equals NOT(col IN (union))."""
+    if existing and existing[-1] == cond:
+        return list(existing), False
+    new = _parse_inlist(cond)
+    if new and existing:
+        old = _parse_inlist(existing[-1])
+        if old and old[0] == new[0] and \
+                type(old[1][0]) is type(new[1][0]):
+            if not set(new[1]) - set(old[1]):
+                # semantic no-op (retry / re-delete): keep the list
+                # byte-identical so manifests stay stable
+                return list(existing), False
+            merged = sorted(set(old[1]) | set(new[1]))
+            return (existing[:-1]
+                    + [_render_inlist(new[0], merged)], True)
+    return list(existing) + [cond], True
 
 
 class PartitionedTable:
@@ -1210,13 +1324,18 @@ class PartitionedTable:
                      extra: dict | None = None) -> list[dict]:
         """One report row per manifest directory from an admission
         result — the shared rendering of :meth:`skipping_report` and
-        :meth:`skipping_report_any`."""
+        :meth:`skipping_report_any`.  Each row also carries the
+        directory's TOMBSTONE DEBT (``tombstones`` = live predicate
+        count, ``masked_rows`` = recorded DV cardinality or None when
+        unknown, ``masked_fraction`` of the directory's footer row
+        count) — the read-time filter work soft deletes have
+        accumulated, i.e. the when-to-``optimize`` signal."""
         out = []
         for key, ds in man["parts"].items():
             for d in ds:
-                fstats = (self._staging_stats(os.path.dirname(d))
-                          .get(os.path.basename(d), {})
-                          .get("__files"))
+                st = (self._staging_stats(os.path.dirname(d))
+                      .get(os.path.basename(d), {}))
+                fstats = st.get("__files")
                 total = len(fstats) if isinstance(fstats, dict) \
                     and fstats else None
                 if d not in admitted:
@@ -1227,10 +1346,51 @@ class PartitionedTable:
                     fl = files[d]
                     n_adm = total if fl is None else len(fl)
                     status = "scanned"
+                n_tomb = len(man.get("tombstones", {}).get(d, []))
+                masked = self._masked_count(man, d)
+                nrows = st.get("__num_rows")
+                frac = (round(masked / nrows, 6)
+                        if isinstance(masked, int)
+                        and isinstance(nrows, int) and nrows else
+                        (0.0 if masked == 0 else None))
                 out.append({**(extra or {}),
                             "key": key, "dir": d, "status": status,
                             "files_total": total,
-                            "files_admitted": n_adm})
+                            "files_admitted": n_adm,
+                            "tombstones": n_tomb,
+                            "masked_rows": masked,
+                            "masked_fraction": frac})
+        return out
+
+    def tombstone_debt(self, version: int | None = None) -> list[dict]:
+        """Per-directory soft-delete debt without any predicate —
+        ``[{"key", "dir", "tombstones", "masked_rows", "rows_total",
+        "masked_fraction"}, ...]`` from manifest + footer stats, zero
+        Spark jobs.  ``masked_rows`` is None (unknown) for tombstones
+        recorded without a cardinality (``delete_soft(...,
+        masked_counts=None)`` or legacy manifests) — treat unknown as
+        "optimize now".  The companion of :meth:`skipping_report`'s
+        per-row debt columns when no skipping question is being
+        asked."""
+        man = self._manifest(version)
+        out = []
+        for key, ds in man["parts"].items():
+            for d in ds:
+                n_tomb = len(man.get("tombstones", {}).get(d, []))
+                masked = self._masked_count(man, d)
+                nrows = (self._staging_stats(os.path.dirname(d))
+                         .get(os.path.basename(d), {})
+                         .get("__num_rows"))
+                frac = (round(masked / nrows, 6)
+                        if isinstance(masked, int)
+                        and isinstance(nrows, int) and nrows else
+                        (0.0 if masked == 0 else None))
+                out.append({"key": key, "dir": d,
+                            "tombstones": n_tomb,
+                            "masked_rows": masked,
+                            "rows_total": nrows
+                            if isinstance(nrows, int) else None,
+                            "masked_fraction": frac})
         return out
 
     def skipping_report_any(self, branches: list,
@@ -1613,7 +1773,8 @@ class PartitionedTable:
                      man.get("tombstones", {}), op="DELETE")
         return self
 
-    def delete_soft(self, condition_sql: str) -> "PartitionedTable":
+    def delete_soft(self, condition_sql: str,
+                    masked_counts="scan") -> "PartitionedTable":
         """Deletion-vector-style soft delete (Delta DVs re-expressed as
         per-directory tombstone predicates): instead of rewriting the
         touched partitions, record the SQL condition against every
@@ -1627,7 +1788,43 @@ class PartitionedTable:
         MATERIALIZES its tombstones (the rewrite reads through them)
         and clears them.  The condition must be a deterministic SQL
         boolean over the table's columns — it is validated by planning
-        it against the current schema before publish."""
+        it against the current schema before publish.
+
+        Consecutive same-column IN-list tombstones COALESCE at publish
+        (one predicate per directory, union of values — see
+        ``_coalesce_tombstone``), so the high-churn shape this path
+        serves (many small right-to-be-forgotten batches between
+        optimizes) costs one read-time filter and one manifest entry,
+        not one per batch; an exact re-record (crash retry) leaves the
+        list byte-identical.  Accumulated debt is visible per
+        directory through :meth:`skipping_report` (``tombstones`` /
+        ``masked_rows`` / ``masked_fraction`` columns) and
+        :meth:`tombstone_debt` — the signal for when to ``optimize``.
+
+        ``masked_counts`` picks how the deletion-vector CARDINALITY
+        (what keeps metadata-only COUNT answerable under soft deletes)
+        is obtained:
+
+        - ``"scan"`` (default): ONE map-only aggregate over the
+          currently-visible rows counts the newly-masked rows per
+          directory — exact, idempotent (existing tombstones applied,
+          so nothing double-counts), but O(table) compute per call.
+        - ``None``: record NO cardinality — zero Spark jobs; every
+          directory whose tombstone list actually changed FAILS CLOSED
+          (metadata-only COUNT declines for it until a rewrite).  The
+          truly-O(1) mode for callers that never metadata-COUNT the
+          table.
+        - ``{partition_value: n}``: CALLER-SUPPLIED newly-masked
+          visible-row counts per partition value (scalar, or tuple for
+          multi-column layouts; a missing key asserts zero newly-masked
+          rows in that partition) — zero Spark jobs beyond whatever
+          aggregate the caller already ran.  Attribution is exact only
+          when a partition holds ONE directory; multi-directory
+          partitions with a nonzero claim fail closed (the split is
+          unknowable).  Directories whose tombstone list did not
+          change (no-op retry / re-delete) keep their exact counts
+          regardless of the claim — the caller's aggregate legitimately
+          re-counts doomed rows when retrying from a pinned snapshot."""
         man = self._manifest()
         pcols = self._pcols_of(man)
         schema = T._parse_datatype_string(man["schema"])
@@ -1643,61 +1840,104 @@ class PartitionedTable:
         parts = {k: list(v) for k, v in man["parts"].items()}
         tombs = {d: list(ts)
                  for d, ts in man.get("tombstones", {}).items()}
-        # Record each directory's masked-row cardinality alongside its
-        # tombstone — the Delta deletion-vector cardinality, which is
-        # what lets metadata-only COUNT stay answerable under soft
-        # deletes (subtract exactly instead of failing closed).  ONE
-        # map-only aggregate over the currently-visible rows (existing
-        # tombstones applied, so nothing double-counts); data movement
-        # stays O(1).  A directory whose PRE-EXISTING tombstones have
-        # no recorded count (legacy manifest) stays count-less — fail
-        # closed rather than undercount.
         all_dirs = [d for ds in parts.values() for d in ds]
         cur_counts = dict(man.get("tomb_counts", {}))
         inc: dict[str, int] = {}
-        # Grouping by (file, partition value) lets an unmappable
-        # input_file_name (relative table root, exotic URI encoding)
-        # poison ONLY its own partition's directories: those dirs lose
-        # their cardinality (fail closed, metadata-only COUNT declines
-        # for them), every other dir keeps exact counts — never the
-        # old wipe-the-whole-map behavior, which irreversibly lost all
-        # previously recorded cardinalities on one bad path.
-        poisoned_keys: set[str] = set()
-        hit = (self._scan(all_dirs, schema, man.get("tombstones", {}))
-               .filter(F.expr(condition_sql))
-               .groupBy(F.input_file_name().alias("__f"),
-                        *[F.col(c).alias(f"__p{i}")
-                          for i, c in enumerate(pcols)]).count()
-               .collect())
-        known = set(all_dirs)
-        for r in hit:
-            d = self._file_dir(r["__f"], known)
-            if d is None:
-                try:
-                    k = self._ckey(tuple(r[f"__p{i}"] for i in
-                                         range(len(pcols))), pcols)
-                except DatabaseException:
-                    k = "*"
-                poisoned_keys.add(k if k in parts else "*")
-                continue
-            inc[d] = inc.get(d, 0) + r["count"]
-        if "*" in poisoned_keys:  # partition unresolvable too: the
-            poisoned_dirs = set(all_dirs)  # old global fail-closed
-        else:
-            poisoned_dirs = {d for k in poisoned_keys
-                             for d in parts.get(k, [])}
+        poisoned_dirs: set[str] = set()
+        if masked_counts == "scan":
+            # Exact per-directory cardinality from ONE map-only
+            # aggregate over the currently-visible rows.  A directory
+            # whose PRE-EXISTING tombstones have no recorded count
+            # (legacy manifest) stays count-less — fail closed rather
+            # than undercount.  Grouping by (file, partition value)
+            # lets an unmappable input_file_name (relative table root,
+            # exotic URI encoding) poison ONLY its own partition's
+            # directories: those dirs lose their cardinality (fail
+            # closed, metadata-only COUNT declines for them), every
+            # other dir keeps exact counts — never the old
+            # wipe-the-whole-map behavior, which irreversibly lost all
+            # previously recorded cardinalities on one bad path.
+            poisoned_keys: set[str] = set()
+            hit = (self._scan(all_dirs, schema,
+                              man.get("tombstones", {}))
+                   .filter(F.expr(condition_sql))
+                   .groupBy(F.input_file_name().alias("__f"),
+                            *[F.col(c).alias(f"__p{i}")
+                              for i, c in enumerate(pcols)]).count()
+                   .collect())
+            known = set(all_dirs)
+            for r in hit:
+                d = self._file_dir(r["__f"], known)
+                if d is None:
+                    try:
+                        k = self._ckey(tuple(r[f"__p{i}"] for i in
+                                             range(len(pcols))),
+                                       pcols)
+                    except DatabaseException:
+                        k = "*"
+                    poisoned_keys.add(k if k in parts else "*")
+                    continue
+                inc[d] = inc.get(d, 0) + r["count"]
+            if "*" in poisoned_keys:  # partition unresolvable too:
+                poisoned_dirs = set(all_dirs)  # global fail-closed
+            else:
+                poisoned_dirs = {d for k in poisoned_keys
+                                 for d in parts.get(k, [])}
+        elif isinstance(masked_counts, dict):
+            for v, n in masked_counts.items():
+                if not isinstance(n, int) or n < 0:
+                    raise DatabaseException(
+                        f"delete_soft '{self.root}': masked count "
+                        f"for {v!r} must be a non-negative int, got "
+                        f"{n!r}")
+                k = self._ckey(v, pcols)
+                ds = parts.get(k)
+                if ds is None:
+                    raise DatabaseException(
+                        f"delete_soft '{self.root}': masked-count "
+                        f"key {v!r} names no current partition")
+                if not n:
+                    continue
+                if len(ds) == 1:
+                    inc[ds[0]] = inc.get(ds[0], 0) + n
+                else:
+                    # nonzero claim over several directories: the
+                    # per-dir split is unknowable — fail closed for
+                    # this partition only
+                    poisoned_dirs.update(ds)
+        elif masked_counts is not None:
+            raise DatabaseException(
+                f"delete_soft '{self.root}': masked_counts must be "
+                f"'scan', None, or a dict of partition-value counts, "
+                f"got {masked_counts!r}")
+        changed_dirs: set[str] = set()
+        for ds in parts.values():
+            for d in ds:
+                tombs[d], changed = _coalesce_tombstone(
+                    tombs.get(d, []), condition_sql)
+                if changed:
+                    changed_dirs.add(d)
+        # A directory whose tombstone list did NOT change masks nothing
+        # new — drop any claimed/scanned increment for it.  This is
+        # what makes a crash RETRY exact in dict mode: the caller's
+        # aggregate legitimately re-counts the doomed rows from its
+        # pinned snapshot, but the already-recorded tombstone proves
+        # they were counted once.  (Scan mode is already 0 there —
+        # visible rows exclude them — so this is a no-op for it.)
+        inc = {d: n for d, n in inc.items() if d in changed_dirs}
         new_counts: dict[str, int] = {}
         for d in all_dirs:
             if d in poisoned_dirs:
                 continue  # unattributable masked rows: drop THIS
                 # dir's count only (fail closed locally)
-            if tombs.get(d) and \
+            if man.get("tombstones", {}).get(d) and \
                     not isinstance(cur_counts.get(d), int):
-                continue  # legacy masking of unknown cardinality
+                continue  # PRE-EXISTING tombstones of unknown
+                # cardinality (legacy manifest / earlier None-mode):
+                # unknown stays unknown
+            if masked_counts is None and d in changed_dirs:
+                continue  # cardinality declared unknown: fail closed
             new_counts[d] = cur_counts.get(d, 0) + inc.get(d, 0)
-        for ds in parts.values():
-            for d in ds:
-                tombs.setdefault(d, []).append(condition_sql)
         self._commit(man["version"] + 1, pcols, schema, parts,
                      man.get("txns", {}), tombs,
                      tomb_counts=new_counts, op="DELETE (soft)")

@@ -532,3 +532,40 @@ def test_ivfpq_topk_where_filters_before_rank_limit(spark, vectors,
                                  n_candidates=3)
     post = [r["vec_id"] for r in unf.collect() if r["vec_id"] % 4 == 1]
     assert len(post) < 3
+
+
+def test_ivfpq_maintenance_stale_handle_guard(spark, vectors, tmp_path):
+    """ivfpq_append encodes against the handle's FROZEN header, so a
+    handle a rebuild published past must raise instead of inserting
+    codes that decode wrongly under the retrained centroids/codebooks;
+    ivfpq_remove carries the same guard.  A retry of the writer's own
+    crashed table commit sees the SAME published header and must pass
+    (the guard judges the meta sidecar, not table versions)."""
+    path = str(tmp_path / "guard")
+    base = vectors.filter(F.col("vec_id") < 120)
+    stale = similarity.build_ivfpq_index(base, path, n_cells=4, m=2,
+                                         k=4, fingerprint="v1")
+    # a table-only commit (crash-retry analog: newer table versions,
+    # same published header) must PASS the guard
+    extra = vectors.filter((F.col("vec_id") >= 120)
+                           & (F.col("vec_id") < 150))
+    assert similarity.ivfpq_append(stale, extra) == extra.count()
+    # a REBUILD retrains and republishes the header ...
+    similarity.build_ivfpq_index(
+        vectors.filter(F.col("vec_id") < 150), path, n_cells=8, m=2,
+        k=4, fingerprint="v2")
+    # ... so the superseded handle now raises on BOTH maintenance ops
+    late = vectors.filter(F.col("vec_id") >= 150)
+    with pytest.raises(ValueError, match="stale AnnIndex"):
+        similarity.ivfpq_append(stale, late)
+    with pytest.raises(ValueError, match="stale AnnIndex"):
+        similarity.ivfpq_remove(spark, stale,
+                                late.select("vec_id"))
+    # a freshly loaded handle proceeds
+    fresh = similarity.load_ann_index(path)
+    assert similarity.ivfpq_append(fresh, late) == late.count()
+    got = similarity.ivfpq_probe(
+        spark, fresh, _query_of(vectors, 160), k=3,
+        n_probe=8).collect()
+    assert len(got) >= 3    # candidate set for the exact re-rank
+    assert any(r["vec_id"] >= 150 for r in got)  # appended rows live

@@ -1460,3 +1460,119 @@ def test_read_skipping_type_mismatch_fails_open(spark, tmp_path):
     pt = PartitionedTable.create(spark, df, str(tmp_path / "tm"), "grp")
     assert pt.read_skipping(eq={"id": "1"}).count() == 1
     assert pt.read_skipping(ranges={"id": ("0", None)}).count() == 2
+
+
+def test_soft_delete_inlist_tombstones_coalesce(pt, spark):
+    """N sequential same-column IN-list soft deletes must publish ONE
+    coalesced predicate per directory (union of values) — not N —
+    so the high-churn right-to-be-forgotten shape costs one read-time
+    filter and one manifest entry per directory between optimizes.
+    The read plan is pinned to carry exactly one IN filter, and the
+    result stays exactly the hard-delete answer."""
+    pt.delete_soft("id IN (1)")
+    pt.delete_soft("id IN (3, 4)")
+    pt.delete_soft("id IN (4, 5)")
+    man = pt._manifest()
+    for ds in man["parts"].values():
+        for d in ds:
+            assert man["tombstones"][d] == ["id IN (1, 3, 4, 5)"]
+    assert sorted(r["id"] for r in pt.read().collect()) == [2]
+    # plan pin: ONE residual IN filter per scanned group, never three
+    plan = pt.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("IN (1,3,4,5)") + plan.count("IN (1, 3, 4, 5)") \
+        >= 1
+    assert "IN (3,4)" not in plan and "IN (3, 4)" not in plan
+    # cardinalities accumulated exactly through the merges
+    assert pt.metadata_count() == 1
+    # a non-IN predicate does NOT coalesce; an IN on another shape
+    # appends separately
+    pt.delete_soft("amt > 100.0")
+    man = pt._manifest()
+    d = next(iter(man["tombstones"]))
+    assert man["tombstones"][d] == ["id IN (1, 3, 4, 5)", "amt > 100.0"]
+    # re-recording the SAME predicate (crash retry) is byte-stable
+    pt.delete_soft("amt > 100.0")
+    assert pt._manifest()["tombstones"][d] == \
+        ["id IN (1, 3, 4, 5)", "amt > 100.0"]
+
+
+def test_soft_delete_debt_surfaces_in_reports(pt, spark):
+    """Per-directory tombstone debt (count + masked rows + fraction)
+    must read out of skipping_report rows and tombstone_debt() with
+    zero Spark jobs — the when-to-optimize signal."""
+    from __spark_entry__ import _job_counter
+
+    pt.delete_soft("id IN (1, 2)")       # masks both of A's rows
+    jobs_before = _job_counter(spark)
+    debt = {r["key"]: r for r in pt.tombstone_debt()}
+    rep = {r["key"]: r for r in pt.skipping_report(eq={"grp": "A"})}
+    assert _job_counter(spark) == jobs_before        # metadata-only
+    assert debt["A"]["tombstones"] == 1
+    assert debt["A"]["masked_rows"] == 2
+    assert debt["A"]["rows_total"] == 2
+    assert debt["A"]["masked_fraction"] == 1.0
+    assert debt["B"]["masked_rows"] == 0
+    assert debt["B"]["masked_fraction"] == 0.0
+    assert rep["A"]["tombstones"] == 1
+    assert rep["A"]["masked_rows"] == 2
+    assert rep["A"]["masked_fraction"] == 1.0
+    # unknown cardinality (None-mode) reports None, not a wrong 0
+    pt.delete_soft("id IN (3)", masked_counts=None)
+    debt = {r["key"]: r for r in pt.tombstone_debt()}
+    assert debt["B"]["masked_rows"] is None
+    assert debt["B"]["masked_fraction"] is None
+
+
+def test_soft_delete_caller_counts_zero_jobs(pt, spark):
+    """delete_soft(masked_counts={value: n}) must run ZERO Spark jobs
+    (the caller already aggregated) while keeping metadata-only COUNT
+    exact; masked_counts=None also runs zero jobs and fails closed.
+    Claims are validated: negative/non-int counts and unknown
+    partition keys raise."""
+    from __spark_entry__ import _job_counter
+
+    jobs_before = _job_counter(spark)
+    pt.delete_soft("id IN (1, 3)", masked_counts={"A": 1, "B": 1})
+    assert _job_counter(spark) == jobs_before    # no counting scan
+    assert pt.metadata_count() == 3 == pt.read().count()
+    # retry of the SAME batch (pinned-snapshot re-count): the
+    # unchanged tombstone list proves the rows were counted once —
+    # cardinalities must NOT double-add
+    pt.delete_soft("id IN (1, 3)", masked_counts={"A": 1, "B": 1})
+    assert pt.metadata_count() == 3 == pt.read().count()
+    # None-mode: zero jobs, affected dirs fail closed
+    jobs_before = _job_counter(spark)
+    pt.delete_soft("id IN (5)", masked_counts=None)
+    assert _job_counter(spark) == jobs_before
+    assert pt.metadata_count() is None
+    assert pt.read().count() == 2
+    # validation
+    with pytest.raises(DatabaseException, match="non-negative int"):
+        pt.delete_soft("id IN (2)", masked_counts={"A": -1})
+    with pytest.raises(DatabaseException, match="names no current"):
+        pt.delete_soft("id IN (2)", masked_counts={"ZZZ": 1})
+    with pytest.raises(DatabaseException, match="masked_counts"):
+        pt.delete_soft("id IN (2)", masked_counts=7)
+
+
+def test_soft_delete_caller_counts_multi_dir_fails_closed(spark,
+                                                          tmp_path):
+    """A nonzero caller claim against a partition holding SEVERAL
+    directories is unattributable — that partition's cardinality must
+    fail closed (never guessed), while single-directory partitions
+    keep exact counts."""
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "md"), "grp")
+    pt.insert(spark.createDataFrame([(4, "A", 4.0)],
+                                    "id long, grp string, amt double"))
+    assert len(pt._manifest()["parts"]["A"]) == 2
+    pt.delete_soft("id IN (1, 3)", masked_counts={"A": 1, "B": 1})
+    counts = pt._manifest()["tomb_counts"]
+    a_dirs = pt._manifest()["parts"]["A"]
+    b_dir, = pt._manifest()["parts"]["B"]
+    assert all(d not in counts for d in a_dirs)   # fail closed
+    assert counts[b_dir] == 1                     # exact, kept
+    assert pt.metadata_count() is None
+    assert pt.read().count() == 2

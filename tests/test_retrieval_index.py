@@ -446,3 +446,90 @@ def test_postings_remove_soft_guard_ghost_and_pinning(
     # ghost remove on the REWRITE path returns its handle unchanged
     ghost = spark.createDataFrame([(10**12,)], "doc_id long")
     assert retrieval.postings_remove(spark, fresh, ghost) is fresh
+
+
+def test_postings_remove_soft_backslash_string_ids(spark,
+                                                   tmp_path_factory):
+    """String ids containing backslashes (and quotes) must ACTUALLY be
+    masked by the rendered IN-list tombstone: Spark's default parser
+    treats backslash as an escape inside string literals, so an
+    unescaped render would decrement the constants (isin-based count)
+    while the tombstone predicate matches nothing — silent ranking
+    corruption and a missed right-to-be-forgotten deletion."""
+    rows_in = [("a\\nb", "hash batch window hash"),
+               ("o'k", "hash batch window batch"),
+               ("plain", "slow hash batch window trie"),
+               ("keep\\me", "window batch probe hash")]
+    df = spark.createDataFrame(rows_in, "doc_id string, text string")
+    path = str(tmp_path_factory.mktemp("bs") / "idx")
+    idx = retrieval.build_postings_index(df, path, n_buckets=4)
+    doomed = ["a\\nb", "o'k"]
+    out = retrieval.postings_remove_soft(spark, idx, doomed)
+    # constants AND visible rows agree: both docs really left
+    assert out.n_docs == 2
+    assert retrieval.doclen_table(spark, out).count() == 2
+    got = {r["doc_id"] for r in retrieval.term_postings(
+        spark, out, ["hash", "batch", "window"]).collect()}
+    assert got == {"plain", "keep\\me"}
+    # ranking equals a from-scratch build over the survivors
+    surv = df.filter(~F.col("doc_id").isin(doomed))
+    assert rows(retrieval.bm25_indexed(spark, out, "hash batch",
+                                       top_k=4)) == \
+        rows(retrieval.bm25_scores(surv, "hash batch", top_k=4))
+
+
+def test_postings_remove_soft_runs_only_caller_aggregate(
+        spark, docs, tmp_path_factory):
+    """The soft path's ONLY Spark work is its own doclen aggregate:
+    delete_soft takes the per-bucket counts from that aggregate as
+    caller-supplied cardinalities, so neither delete_soft call runs a
+    counting scan.  Pinned by job-count parity with the bare
+    aggregate run standalone."""
+    from __spark_entry__ import _job_counter
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    small = docs.limit(120).localCheckpoint()
+    path = str(tmp_path_factory.mktemp("onejob") / "idx")
+    idx = retrieval.build_postings_index(small, path, n_buckets=8)
+    ids = sorted(r[0] for r in small.limit(6)
+                 .select("doc_id").collect())
+    # baseline: the identical aggregate, standalone
+    before = _job_counter(spark)
+    (PartitionedTable(spark, idx.doclen_path)
+     .read(version=idx.doclen_version)
+     .filter(F.col("doc_id").isin(ids))
+     .groupBy("db")
+     .agg(F.count(F.lit(1)).alias("n"),
+          F.sum("__dl").alias("s")).collect())
+    agg_jobs = _job_counter(spark) - before
+    # the full soft delete schedules not one job more
+    before = _job_counter(spark)
+    out = retrieval.postings_remove_soft(spark, idx, ids)
+    assert _job_counter(spark) - before == agg_jobs
+    assert out.n_docs == idx.n_docs - len(ids)
+    # the doclen table keeps EXACT metadata counts from the claim
+    assert PartitionedTable(spark, idx.doclen_path).metadata_count() \
+        == out.n_docs
+
+
+def test_postings_optimize_stale_handle_raises(spark, docs,
+                                               tmp_path_factory):
+    """optimize republishes the handle's n_docs/avgdl, so an optimize
+    issued from a handle another writer's soft delete published past
+    would materialize that writer's tombstones while republishing
+    pre-delete constants — resurrecting the deleted docs in the
+    corpus constants.  It must carry the same staleness guard as both
+    remove paths."""
+    small = docs.limit(100).localCheckpoint()
+    path = str(tmp_path_factory.mktemp("optg") / "idx")
+    stale = retrieval.build_postings_index(small, path, n_buckets=8)
+    ids = sorted(r[0] for r in small.limit(4)
+                 .select("doc_id").collect())
+    fresh = retrieval.postings_remove_soft(spark, stale, ids)
+    with pytest.raises(ValueError, match="stale PostingsIndex"):
+        retrieval.postings_optimize(spark, stale)
+    # the fresh handle optimizes fine and keeps the constants
+    opt = retrieval.postings_optimize(spark, fresh)
+    assert (opt.n_docs, opt.avgdl) == (fresh.n_docs, fresh.avgdl)

@@ -21,16 +21,21 @@ from cs186_query_optimization_project_spark import get_spark  # noqa: E402
 
 
 def main() -> None:
+    usage = "usage: python tools/anchor.py [--sf DIR] name [name ...]"
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
     if args and args[0] == "--sf":
+        if len(args) < 2:
+            sys.exit(f"--sf requires a directory argument\n{usage}")
         sf_dir = args[1]
         args = args[2:]
+    if not args:
+        sys.exit(usage)
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     qs = entry_mod.queries()
     unknown = [a for a in args if a not in qs]
-    if unknown or not args:
-        sys.exit(f"unknown/missing entries: {unknown}")
+    if unknown:
+        sys.exit(f"unknown entries: {unknown}\n{usage}")
     print(f"load avg: {os.getloadavg()}")
     spark = get_spark(app_name="anchor")
     # same session warm-up as bench.py (JVM JIT, parquet footers,
