@@ -1041,9 +1041,15 @@ def q_soft_delete(spark, sf_dir):
     ``delete_soft('p_size < 10')`` publishes tombstone predicates
     against the CURRENT directories — zero data movement — and rows
     appended AFTERWARDS are untouched even when they match the
-    predicate.  In-entry contract: the soft-delete commit rewrites no
-    directory (v1 dir-lists == v0's), and the post-delete append's
-    small-size rows survive the read."""
+    predicate.  In-entry contracts: the soft-delete commit rewrites no
+    directory (v1 dir-lists == v0's); two sequential IN-list batches
+    COALESCE to one predicate per directory (the high-churn
+    right-to-be-forgotten shape: N batches, one read-time filter);
+    the second batch supplies CALLER cardinalities (zero extra Spark
+    jobs — job-counter pinned) and metadata-only COUNT stays exact
+    through all three deletes; the tombstone-debt report is
+    metadata-only and accounts for every masked row; and the
+    post-delete append's small-size rows survive the read."""
     from cs186_query_optimization_project_spark.partitioned import (
         PartitionedTable,
     )
@@ -1056,6 +1062,42 @@ def q_soft_delete(spark, sf_dir):
         pt.delete_soft("p_size < 10")
         if pt._manifest(1)["parts"] != pt._manifest(0)["parts"]:
             raise RuntimeError("soft delete rewrote data directories")
+        # two small IN-list batches (partkeys 1..4 exist at every SF);
+        # the brands of the still-VISIBLE doomed rows — a bounded
+        # 4-row collect — give the caller-side cardinality the second
+        # batch hands to delete_soft
+        doomed = {r["p_partkey"]: r["p_brand"] for r in
+                  part.filter(F.col("p_partkey").isin(1, 2, 3, 4)
+                              & (F.col("p_size") >= 10)).collect()}
+        pt.delete_soft("p_partkey IN (1, 2)")
+        claim: dict = {}
+        for k in (3, 4):
+            if k in doomed:
+                claim[doomed[k]] = claim.get(doomed[k], 0) + 1
+        jobs_before = _job_counter(spark)
+        pt.delete_soft("p_partkey IN (3, 4)", masked_counts=claim)
+        debt = pt.tombstone_debt()
+        if _job_counter(spark) != jobs_before:
+            raise RuntimeError("caller-count soft delete or the debt "
+                               "report scheduled Spark jobs")
+        man = pt._manifest()
+        for ds in man["parts"].values():
+            for d in ds:
+                if man["tombstones"][d] != \
+                        ["p_size < 10", "p_partkey IN (1, 2, 3, 4)"]:
+                    raise RuntimeError(
+                        "IN-list tombstones did not coalesce: "
+                        f"{man['tombstones'][d]}")
+        visible = pt.read().count()
+        if pt.metadata_count() != visible:
+            raise RuntimeError("metadata-only COUNT diverged from the "
+                               "scan under caller-supplied "
+                               "cardinalities")
+        masked = sum(r["masked_rows"] for r in debt)
+        total = sum(r["rows_total"] for r in debt)
+        if total - masked != visible:
+            raise RuntimeError("tombstone-debt masked rows do not "
+                               "account for the invisible rows")
         pt.insert(spark.createDataFrame(
             [(920000001, "Brand#11", 5), (920000002, "Brand#22", 3)],
             "p_partkey bigint, p_brand string, p_size int"))
@@ -7480,6 +7522,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_delete": (
             "WITH kept AS (SELECT p_partkey, p_brand, p_size FROM part "
             "  WHERE NOT (p_size < 10) "
+            "    AND p_partkey NOT IN (1, 2, 3, 4) "
             "  UNION ALL SELECT 920000001, 'Brand#11', 5 "
             "  UNION ALL SELECT 920000002, 'Brand#22', 3) "
             "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_rows, "

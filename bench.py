@@ -43,6 +43,14 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     queries = entry_mod.queries()
+    # SPARK_GRAFT_BENCH_FIRST=a,b,c hoists the named queries to the
+    # front of the run (suite-ORDER experiments: does an in-suite
+    # inflation follow the query or its position?).  Unset = registry
+    # order, the per-round recording configuration.
+    first = [n for n in os.environ.get("SPARK_GRAFT_BENCH_FIRST",
+                                       "").split(",") if n]
+    if first:
+        queries = {**{n: queries[n] for n in first}, **queries}
 
     # warm the session + catalog (JVM JIT, parquet footers, stats cache)
     entry_mod.q_scan(spark, sf_dir).count()
