@@ -1576,3 +1576,56 @@ def test_soft_delete_caller_counts_multi_dir_fails_closed(spark,
     assert counts[b_dir] == 1                     # exact, kept
     assert pt.metadata_count() is None
     assert pt.read().count() == 2
+
+
+def test_inlist_render_parse_roundtrip_property():
+    """_parse_inlist is the exact inverse of _render_inlist over the
+    id-literal value space (pure Python, no Spark) — the property that
+    keeps coalescing lossless."""
+    from hypothesis import given, settings, strategies as st
+
+    from cs186_query_optimization_project_spark.partitioned import (
+        _parse_inlist,
+        _render_inlist,
+    )
+
+    ids = st.one_of(
+        st.lists(st.integers(-10**18, 10**18), min_size=1, max_size=8),
+        st.lists(st.text(min_size=1, max_size=12), min_size=1,
+                 max_size=8),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(ids)
+    def check(vals):
+        want = sorted(set(vals))
+        got = _parse_inlist(_render_inlist("doc_id", vals))
+        assert got is not None and got[0] == "doc_id"
+        assert sorted(set(got[1])) == want
+
+    check()
+
+
+def test_rendered_inlist_matches_spark_parser_on_adversarial_ids(
+        spark, tmp_path):
+    """The rendered tombstone predicate must select EXACTLY the rows
+    ``isin`` selects, for ids full of parser-significant characters —
+    backslashes, quotes, doubled quotes, newlines, unicode.  (The bug
+    class: Spark's default parser treats backslash as an escape, so an
+    unescaped render silently matched nothing.)"""
+    from cs186_query_optimization_project_spark.partitioned import (
+        _render_inlist,
+    )
+
+    nasty = ["a\\nb", "o'k", "d''q", "tab\there", "nl\nhere",
+             "back\\\\double", "unié", "plain", "semi;colon",
+             "per%cent"]
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(nasty)],
+                               "doc_id string, n int")
+    for doomed in ([nasty[0]], nasty[:3], nasty[:7], nasty):
+        pred = _render_inlist("doc_id", doomed)
+        via_pred = {r["n"] for r in df.filter(F.expr(pred)).collect()}
+        via_isin = {r["n"] for r in
+                    df.filter(F.col("doc_id").isin(doomed)).collect()}
+        assert via_pred == via_isin == \
+            {nasty.index(v) for v in doomed}
