@@ -6435,73 +6435,17 @@ def q_group_split(spark, sf_dir):
 # ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries in registry order.  Round-16 policy (the r15 verdict's #1
+    # entries in registry order.  Round-17 policy (the r16 verdict's #1
     # item): the window is the 30 rows whose newest driver evidence is
-    # r11 plus the 20 stalest r12-era rows (ties broken by oldest
-    # prior-green round, then fewest green rounds, then name).  After
-    # this round no entry's driver evidence is older than r12
-    # (histogram going in: r11=30, r12=50, r13=50, r14=50, r15=50).
-    # Every query -- in or below the window -- is verified each round by
+    # r12 plus the 20 stalest r13-era rows (the head of the
+    # stalest-first below-window ordering).  After this round no
+    # entry's driver evidence is older than r13 (histogram going in:
+    # r12=30, r13=50, r14=50, r15=50, r16=50).  Every query -- in or
+    # below the window -- is verified each round by
     # tools/check_contract.py at sf0.01 and the full-registry result is
     # committed as LOCALCHECK_r<N>.json.
     return {
-        # --- stalest rows: driver evidence r11 (30) ---
-        "metadata_groupby": q_metadata_groupby,
-        "minhash_near_dups": q_minhash_near_dups,
-        "mview_bucketed": q_mview_bucketed,
-        "orc_source": q_orc_source,
-        "pack_sequences": q_pack_sequences,
-        "partition_overwrite": q_partition_overwrite,
-        "partition_pruned_join": q_partition_pruned_join,
-        "quantiles_approx": q_quantiles_approx,
-        "range_join": q_range_join,
-        "salted_join": q_salted_join,
-        "simhash_near_dups": q_simhash_near_dups,
-        "stratified_sample": q_stratified_sample,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_stateful_totals": q_streaming_stateful_totals,
-        "summary_stats": q_summary_stats,
-        "time_window_agg": q_time_window_agg,
-        "token_budget_mix": q_token_budget_mix,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "txn_2pl_serial": q_txn_2pl_serial,
-        "txn_snapshot_isolation": q_txn_snapshot_isolation,
-        "union": q_union,
-        "unpivot": q_unpivot,
-        "window_frame": q_window_frame,
-        "window_running": q_window_running,
-        "zorder_scan": q_zorder_scan,
-        # --- stalest r12-era rows (20) ---
-        "containment_apply": q_containment_apply,
-        "containment_near_dups": q_containment_near_dups,
-        "ivfpq_remove": q_ivfpq_remove,
-        "mview_hll_distinct": q_mview_hll_distinct,
-        "time_travel_ts": q_time_travel_ts,
-        "bigram_lm": q_bigram_lm,
-        "bloom_semi_join": q_bloom_semi_join,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "cohort_retention": q_cohort_retention,
-        "constraint_check": q_constraint_check,
-        "contamination_check": q_contamination_check,
-        "cross_join": q_cross_join,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_logprob": q_doc_logprob,
-        "encode_documents": q_encode_documents,
-        "frequent_pairs": q_frequent_pairs,
-        "full_outer_join": q_full_outer_join,
-        "funnel": q_funnel,
-        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
-        "grouping_sets": q_grouping_sets,
-        # ------------- below the driver's 50-row window ------------- #
-        # Everything below is ordered stalest-first so the round-17
-        # rotation is mechanical; every entry is re-verified each round
-        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r16.json).
-        # remaining r12-green rows:
+        # --- stalest rows: driver evidence r12 (30) ---
         "hll_distinct": q_hll_distinct,
         "incremental_agg": q_incremental_agg,
         "kmeans_clusters": q_kmeans_clusters,
@@ -6532,7 +6476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "vocab_top": q_vocab_top,
         "zscore_outliers": q_zscore_outliers,
-        # r13-green rows:
+        # --- stalest r13-era rows (20) ---
         "ann_recall": q_ann_recall,
         "asset_resize": q_asset_resize,
         "bm25_indexed": q_bm25_indexed,
@@ -6553,6 +6497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "expectations": q_expectations,
         "frame_sample": q_frame_sample,
+        # ------------- below the driver's 50-row window ------------- #
+        # Everything below is ordered stalest-first so the round-18
+        # rotation is mechanical; every entry is re-verified each round
+        # by tools/check_contract.py at sf0.01 (LOCALCHECK_r17.json).
+        # remaining r13-green rows:
         "grace_hash_join": q_grace_hash_join,
         "group_split": q_group_split,
         "hll_by_group": q_hll_by_group,
@@ -6685,6 +6634,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "train_test_split": q_train_test_split,
         "window_rank": q_window_rank,
+        # r16-green rows (the r16 window -- freshest driver evidence):
+        "bigram_lm": q_bigram_lm,
+        "bloom_semi_join": q_bloom_semi_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cohort_retention": q_cohort_retention,
+        "constraint_check": q_constraint_check,
+        "containment_apply": q_containment_apply,
+        "containment_near_dups": q_containment_near_dups,
+        "contamination_check": q_contamination_check,
+        "cross_join": q_cross_join,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_logprob": q_doc_logprob,
+        "encode_documents": q_encode_documents,
+        "frequent_pairs": q_frequent_pairs,
+        "full_outer_join": q_full_outer_join,
+        "funnel": q_funnel,
+        "fuzzy_dedup_edit": q_fuzzy_dedup_edit,
+        "grouping_sets": q_grouping_sets,
+        "ivfpq_remove": q_ivfpq_remove,
+        "metadata_groupby": q_metadata_groupby,
+        "minhash_near_dups": q_minhash_near_dups,
+        "mview_bucketed": q_mview_bucketed,
+        "mview_hll_distinct": q_mview_hll_distinct,
+        "orc_source": q_orc_source,
+        "pack_sequences": q_pack_sequences,
+        "partition_overwrite": q_partition_overwrite,
+        "partition_pruned_join": q_partition_pruned_join,
+        "quantiles_approx": q_quantiles_approx,
+        "range_join": q_range_join,
+        "salted_join": q_salted_join,
+        "simhash_near_dups": q_simhash_near_dups,
+        "stratified_sample": q_stratified_sample,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+        "summary_stats": q_summary_stats,
+        "time_travel_ts": q_time_travel_ts,
+        "time_window_agg": q_time_window_agg,
+        "token_budget_mix": q_token_budget_mix,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "txn_2pl_serial": q_txn_2pl_serial,
+        "txn_snapshot_isolation": q_txn_snapshot_isolation,
+        "union": q_union,
+        "unpivot": q_unpivot,
+        "window_frame": q_window_frame,
+        "window_running": q_window_running,
+        "zorder_scan": q_zorder_scan,
     }
 
 
