@@ -50,6 +50,10 @@ def main() -> None:
     first = [n for n in os.environ.get("SPARK_GRAFT_BENCH_FIRST",
                                        "").split(",") if n]
     if first:
+        unknown = [n for n in first if n not in queries]
+        if unknown:
+            sys.exit(f"SPARK_GRAFT_BENCH_FIRST names unknown "
+                     f"queries: {unknown}; valid: {sorted(queries)}")
         queries = {**{n: queries[n] for n in first}, **queries}
 
     # warm the session + catalog (JVM JIT, parquet footers, stats cache)

@@ -535,7 +535,20 @@ def _sql_id_literal(v) -> str:
         raise TypeError(f"unsupported id literal type: {type(v)}")
     if isinstance(v, int):
         return str(v)
-    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    lit = "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    if "\\" in lit or "''" in lit:
+        # the rendering assumes Spark's DEFAULT string-literal
+        # grammar; under the deprecated legacy one
+        # (escapedStringLiterals=true) even quote-doubling parses
+        # differently — refuse rather than store a misparsing literal
+        from pyspark.sql import SparkSession
+
+        from cs186_query_optimization_project_spark.partitioned import (
+            _assert_default_literal_grammar,
+        )
+        _assert_default_literal_grammar(
+            SparkSession.getActiveSession(), lit, "_sql_id_literal")
+    return lit
 
 
 def postings_remove_soft(spark: SparkSession, index: PostingsIndex,
@@ -588,34 +601,55 @@ def postings_remove_soft(spark: SparkSession, index: PostingsIndex,
     id_list = sorted(set(ids))
     if not id_list:
         return index
-    # ONE aggregate, grouped by the doc-length table's bucket column:
-    # it yields the constants decrement (n_rm, Σdl) AND the per-bucket
-    # doomed-doc counts that delete_soft takes as the caller-supplied
-    # deletion-vector cardinality — so NEITHER delete_soft call runs
-    # its own O(table) counting scan (pinned by test: this aggregate
-    # is the soft path's only Spark job).
-    per_db = (PartitionedTable(spark, index.doclen_path)
-              .read(version=index.doclen_version)
-              .filter(F.col(id_col).isin(id_list))
-              .groupBy("db")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("__dl").alias("s")).collect())
-    n_rm = sum(int(r["n"]) for r in per_db)
-    dl_rm = sum(float(r["s"] or 0.0) for r in per_db)
+    pt_len = PartitionedTable(spark, index.doclen_path)
+    # ONE aggregate, grouped by (bucket, file) on the doc-length
+    # table: it yields the constants decrement (n_rm, Σdl) AND the
+    # per-DIRECTORY doomed-doc counts that delete_soft takes as the
+    # caller-supplied deletion-vector cardinality — so NEITHER
+    # delete_soft call runs its own O(table) counting scan (pinned by
+    # test: this aggregate is the soft path's only Spark job).
+    # Directory granularity (file → dir via the pinned manifest) is
+    # what keeps metadata COUNT exact on MULTI-directory buckets —
+    # the shape every postings_append creates.
+    per_file = (pt_len
+                .read(version=index.doclen_version)
+                .filter(F.col(id_col).isin(id_list))
+                .groupBy(F.col("db"),
+                         F.input_file_name().alias("__f"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("__dl").alias("s")).collect())
+    n_rm = sum(int(r["n"]) for r in per_file)
+    dl_rm = sum(float(r["s"] or 0.0) for r in per_file)
     if not n_rm:
         return index           # ghost ids: nothing indexed matches
+    fdirs = pt_len.file_directories([r["__f"] for r in per_file],
+                                    version=index.doclen_version)
+    by_dir: dict[int, dict[str, int]] = {}
+    unmapped: set[int] = set()
+    for r in per_file:
+        b = int(r["db"])
+        d = fdirs.get(r["__f"])
+        if d is None:
+            unmapped.add(b)      # exotic URI: can't attribute
+        else:
+            bd = by_dir.setdefault(b, {})
+            bd[d] = bd.get(d, 0) + int(r["n"])
+    claims: dict[int, dict[str, int] | int] = dict(by_dir)
+    for b in unmapped:
+        # degrade THIS bucket to a partition-level int claim:
+        # delete_soft keeps it exact when the bucket is one
+        # directory and fails closed (never wrong) otherwise
+        claims[b] = sum(int(r["n"]) for r in per_file
+                        if int(r["db"]) == b)
     pred = (f"{id_col} IN "
             f"({', '.join(_sql_id_literal(v) for v in id_list)})")
     pt_post = PartitionedTable(spark, index.postings_path)
-    pt_len = PartitionedTable(spark, index.doclen_path)
     # postings cardinality (doomed TOKEN occurrences per token bucket)
     # is unknowable without a postings scan — decline it (fail-closed
     # metadata COUNT on the postings table, which nothing uses; the
     # ranking constants live in the meta, not the manifest)
     pt_post.delete_soft(pred, masked_counts=None)
-    pt_len.delete_soft(pred,
-                       masked_counts={int(r["db"]): int(r["n"])
-                                      for r in per_db})
+    pt_len.delete_soft(pred, masked_counts=claims)
     n_docs = index.n_docs - n_rm
     avgdl = ((index.n_docs * index.avgdl - dl_rm) / n_docs
              if n_docs else 0.0)

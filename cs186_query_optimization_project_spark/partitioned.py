@@ -152,8 +152,10 @@ def _parse_inlist(cond: str):
 
 def _render_inlist(col: str, vals: list) -> str:
     """Inverse of :func:`_parse_inlist` — backslashes double BEFORE
-    quote-doubling (Spark's default parser treats ``\\`` as an escape
-    inside string literals)."""
+    quote-doubling (manifest tombstones are ALWAYS stored in Spark's
+    DEFAULT string-literal grammar, ``escapedStringLiterals=false``;
+    sessions running the deprecated legacy grammar are refused at
+    record/apply time by :func:`_assert_default_literal_grammar`)."""
     def lit(v):
         if isinstance(v, int):
             return str(v)
@@ -161,33 +163,88 @@ def _render_inlist(col: str, vals: list) -> str:
     return f"{col} IN ({', '.join(lit(v) for v in sorted(set(vals)))})"
 
 
+#: deprecated legacy-grammar conf under which stored tombstone text
+#: would silently parse differently (see _assert_default_literal_grammar)
+_LEGACY_LITERAL_CONF = "spark.sql.parser.escapedStringLiterals"
+
+
+def _legacy_literal_risk(text: str) -> bool:
+    """True when SQL text ``text`` parses DIFFERENTLY under the
+    deprecated legacy string-literal grammar
+    (``escapedStringLiterals=true``) than under Spark's default one:
+    in legacy mode backslashes stop being escapes AND quote-doubling
+    changes meaning (``'o''k'`` reads back as ``o''k``, two literal
+    quotes — verified against Spark 4's parser).  Text free of both
+    constructs means the same thing under either grammar."""
+    return "\\" in text or "''" in text
+
+
+def _assert_default_literal_grammar(spark, text: str, what: str) -> None:
+    """Manifest tombstones are STORED SQL text, rendered under and
+    re-parsed assuming Spark's DEFAULT string-literal grammar.  A
+    session running the deprecated legacy grammar
+    (``escapedStringLiterals=true``) would record or apply ``text``
+    with different semantics — re-introducing the silent
+    missed-deletion / diverged-constants corruption class the escaped
+    rendering exists to prevent — so any predicate on which the two
+    grammars diverge fails LOUDLY here instead.  Cheap: one string
+    scan, and the conf lookup only happens for at-risk text."""
+    if spark is None or not _legacy_literal_risk(text):
+        return
+    try:
+        legacy = str(spark.conf.get(
+            _LEGACY_LITERAL_CONF, "false")).lower() == "true"
+    except Exception:
+        legacy = False
+    if legacy:
+        raise DatabaseException(
+            f"{what}: predicate {text!r} contains backslashes or "
+            f"doubled quotes, which parse differently under "
+            f"{_LEGACY_LITERAL_CONF}=true (the deprecated legacy "
+            f"grammar); tombstone predicates are stored and applied "
+            f"under the DEFAULT grammar — unset the conf and retry")
+
+
 def _coalesce_tombstone(existing: list[str], cond: str) -> tuple[
         list[str], bool]:
     """``(new_list, changed)`` after recording ``cond`` against one
-    directory's tombstone list: an exact duplicate of the last entry
-    is dropped (idempotent retry), and a same-column same-type IN-list
-    merges into the last entry (one predicate, union of values) so N
-    small soft-delete batches cost one read-time filter and one
-    manifest entry instead of N.  ``changed=False`` means the list is
-    semantically untouched — the new predicate masks nothing the old
-    list didn't — which callers use to keep cardinalities exact on
-    no-op retries.  Merging is sound because reads AND together
-    ``NOT(cond_i)`` with NULL keeping the row: for IN-lists over one
-    column that conjunction equals NOT(col IN (union))."""
-    if existing and existing[-1] == cond:
+    directory's tombstone list: an exact duplicate of ANY recorded
+    entry is dropped (idempotent retry), and a same-column same-type
+    IN-list merges into the MOST RECENT same-shape entry anywhere in
+    the list (one predicate, union of values) so N small soft-delete
+    batches cost one read-time filter and one manifest entry instead
+    of N — even when other predicate shapes (ranges, other columns)
+    interleave between the IN-list batches.  ``changed=False`` means
+    the list is semantically untouched — the new predicate masks
+    nothing the union of already-recorded same-column IN-lists
+    doesn't — which callers use to keep cardinalities exact on no-op
+    retries.  Merging into a non-terminal entry is sound because
+    reads AND together ``NOT(cond_i)`` with NULL keeping the row —
+    the conjunction is order-insensitive, and for IN-lists over one
+    column it equals NOT(col IN (union))."""
+    if cond in existing:
         return list(existing), False
     new = _parse_inlist(cond)
     if new and existing:
-        old = _parse_inlist(existing[-1])
-        if old and old[0] == new[0] and \
-                type(old[1][0]) is type(new[1][0]):
-            if not set(new[1]) - set(old[1]):
+        col, vals = new
+        vtype = type(vals[0])
+        covered: set = set()      # union over ALL mergeable entries
+        target = None             # index of the most recent one
+        for i, e in enumerate(existing):
+            old = _parse_inlist(e)
+            if old and old[0] == col and type(old[1][0]) is vtype:
+                covered |= set(old[1])
+                target = i
+        if target is not None:
+            if not set(vals) - covered:
                 # semantic no-op (retry / re-delete): keep the list
                 # byte-identical so manifests stay stable
                 return list(existing), False
-            merged = sorted(set(old[1]) | set(new[1]))
-            return (existing[:-1]
-                    + [_render_inlist(new[0], merged)], True)
+            tvals = _parse_inlist(existing[target])[1]
+            out = list(existing)
+            out[target] = _render_inlist(
+                col, sorted(set(tvals) | set(vals)))
+            return out, True
     return list(existing) + [cond], True
 
 
@@ -484,6 +541,20 @@ class PartitionedTable:
             return d
         d = unquote(d)
         return d if d in known else None
+
+    def file_directories(self, files, version: int | None = None) \
+            -> dict[str, str | None]:
+        """Map ``input_file_name()`` URIs back to the manifest
+        directory each belongs to (``None`` when no decoding matches
+        — the caller fails closed for that file).  Pure driver-side
+        metadata, zero Spark jobs.  This is the hook that lets a
+        caller-run aggregate grouped by ``input_file_name()`` feed
+        :meth:`delete_soft`'s per-DIRECTORY masked counts, keeping
+        metadata-only COUNT exact on multi-directory partitions (the
+        append-then-soft-delete shape) at zero extra jobs."""
+        man = self._manifest(version)
+        known = {d for ds in man["parts"].values() for d in ds}
+        return {f: self._file_dir(f, known) for f in files}
 
     def _new_dir(self) -> str:
         return os.path.join(self.root, "parts", uuid.uuid4().hex)
@@ -832,6 +903,11 @@ class PartitionedTable:
                 paths.extend(fl if fl is not None else [d])
             df = self.spark.read.schema(schema).parquet(*paths)
             for cond in conds:
+                # stored tombstone text assumes the DEFAULT literal
+                # grammar; a legacy-grammar session would apply it
+                # with different semantics — fail loudly, not wrongly
+                _assert_default_literal_grammar(
+                    self.spark, cond, f"read '{self.root}'")
                 c = F.expr(cond)
                 df = df.filter(~c | c.isNull())
             outs.append(df)
@@ -1818,17 +1894,28 @@ class PartitionedTable:
           visible-row counts per partition value (scalar, or tuple for
           multi-column layouts; a missing key asserts zero newly-masked
           rows in that partition) — zero Spark jobs beyond whatever
-          aggregate the caller already ran.  Attribution is exact only
-          when a partition holds ONE directory; multi-directory
-          partitions with a nonzero claim fail closed (the split is
-          unknowable).  Directories whose tombstone list did not
-          change (no-op retry / re-delete) keep their exact counts
-          regardless of the claim — the caller's aggregate legitimately
-          re-counts doomed rows when retrying from a pinned snapshot."""
+          aggregate the caller already ran.  ``n`` is either an int
+          (partition-level claim: exact only when the partition holds
+          ONE directory; over several, the per-dir split is unknowable
+          and the partition's CHANGED directories fail closed) or a
+          ``{directory: n}`` dict (per-DIRECTORY claims — exact
+          however many directories the partition holds; keys are the
+          manifest directory names, which :meth:`file_directories`
+          recovers from an aggregate grouped by
+          ``input_file_name()``).  Directories whose tombstone list
+          did not change (no-op retry / re-delete) keep their exact
+          counts regardless of the claim — the caller's aggregate
+          legitimately re-counts doomed rows when retrying from a
+          pinned snapshot."""
         man = self._manifest()
         pcols = self._pcols_of(man)
         schema = T._parse_datatype_string(man["schema"])
-        # fail-fast validation: the predicate must plan over the schema
+        # fail-fast validation: the predicate must plan over the
+        # schema, and must mean the same thing under the grammar it
+        # is stored in (a legacy-grammar session would record text
+        # whose stored meaning silently diverges — refuse)
+        _assert_default_literal_grammar(
+            self.spark, condition_sql, f"delete_soft '{self.root}'")
         try:
             self.spark.createDataFrame([], schema).filter(
                 F.expr(condition_sql)).schema
@@ -1842,6 +1929,16 @@ class PartitionedTable:
                  for d, ts in man.get("tombstones", {}).items()}
         all_dirs = [d for ds in parts.values() for d in ds]
         cur_counts = dict(man.get("tomb_counts", {}))
+        # Record/coalesce the condition FIRST: claim attribution below
+        # needs to know which directories' tombstone lists actually
+        # changed (an unchanged list masks nothing new).
+        changed_dirs: set[str] = set()
+        for ds in parts.values():
+            for d in ds:
+                tombs[d], changed = _coalesce_tombstone(
+                    tombs.get(d, []), condition_sql)
+                if changed:
+                    changed_dirs.add(d)
         inc: dict[str, int] = {}
         poisoned_dirs: set[str] = set()
         if masked_counts == "scan":
@@ -1878,45 +1975,72 @@ class PartitionedTable:
                     poisoned_keys.add(k if k in parts else "*")
                     continue
                 inc[d] = inc.get(d, 0) + r["count"]
+            # Unattributable rows can only live in directories whose
+            # tombstone list actually changed: an UNCHANGED directory
+            # already masks every row this condition matches, so its
+            # visible matching count is zero and its recorded
+            # cardinality stays valid — never poison it.
             if "*" in poisoned_keys:  # partition unresolvable too:
-                poisoned_dirs = set(all_dirs)  # global fail-closed
+                poisoned_dirs = set(all_dirs) & changed_dirs
             else:
                 poisoned_dirs = {d for k in poisoned_keys
-                                 for d in parts.get(k, [])}
+                                 for d in parts.get(k, [])} \
+                    & changed_dirs
         elif isinstance(masked_counts, dict):
             for v, n in masked_counts.items():
-                if not isinstance(n, int) or n < 0:
-                    raise DatabaseException(
-                        f"delete_soft '{self.root}': masked count "
-                        f"for {v!r} must be a non-negative int, got "
-                        f"{n!r}")
                 k = self._ckey(v, pcols)
                 ds = parts.get(k)
                 if ds is None:
                     raise DatabaseException(
                         f"delete_soft '{self.root}': masked-count "
                         f"key {v!r} names no current partition")
+                if isinstance(n, dict):
+                    # per-DIRECTORY claims: exact attribution however
+                    # many directories the partition holds (the
+                    # append-then-soft-delete shape) — keys are the
+                    # manifest's directory names for this partition
+                    # (map input_file_name() through
+                    # :meth:`file_directories` to get them)
+                    for d, m in n.items():
+                        if not isinstance(m, int) or m < 0:
+                            raise DatabaseException(
+                                f"delete_soft '{self.root}': "
+                                f"per-directory masked count for "
+                                f"{v!r}/{d!r} must be a non-negative "
+                                f"int, got {m!r}")
+                        if d not in ds:
+                            raise DatabaseException(
+                                f"delete_soft '{self.root}': "
+                                f"per-directory masked-count key "
+                                f"{d!r} names no current directory "
+                                f"of partition {v!r}")
+                        if m:
+                            inc[d] = inc.get(d, 0) + m
+                    continue
+                if not isinstance(n, int) or n < 0:
+                    raise DatabaseException(
+                        f"delete_soft '{self.root}': masked count "
+                        f"for {v!r} must be a non-negative int or a "
+                        f"per-directory dict, got {n!r}")
                 if not n:
                     continue
                 if len(ds) == 1:
                     inc[ds[0]] = inc.get(ds[0], 0) + n
                 else:
-                    # nonzero claim over several directories: the
-                    # per-dir split is unknowable — fail closed for
-                    # this partition only
-                    poisoned_dirs.update(ds)
+                    # nonzero partition-level claim over several
+                    # directories: the per-dir split is unknowable —
+                    # fail closed, but ONLY for directories whose
+                    # tombstone list actually changed.  An unchanged
+                    # directory masks nothing new, so a
+                    # pinned-snapshot retry against a partition that
+                    # has since grown a second directory keeps the
+                    # old directory's exact cardinality.
+                    poisoned_dirs.update(set(ds) & changed_dirs)
         elif masked_counts is not None:
             raise DatabaseException(
                 f"delete_soft '{self.root}': masked_counts must be "
                 f"'scan', None, or a dict of partition-value counts, "
                 f"got {masked_counts!r}")
-        changed_dirs: set[str] = set()
-        for ds in parts.values():
-            for d in ds:
-                tombs[d], changed = _coalesce_tombstone(
-                    tombs.get(d, []), condition_sql)
-                if changed:
-                    changed_dirs.add(d)
         # A directory whose tombstone list did NOT change masks nothing
         # new — drop any claimed/scanned increment for it.  This is
         # what makes a crash RETRY exact in dict mode: the caller's
@@ -2533,6 +2657,59 @@ class PartitionedTable:
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="OPTIMIZE")
         return sorted(touched)
+
+    def optimize_if(self, max_tombstones: int | None = None,
+                    max_masked_fraction: float | None = None,
+                    target_file_bytes: int = 128 << 20,
+                    sort_by: tuple[str, ...] = (),
+                    zorder_by: tuple[str, str] | None = None,
+                    ) -> list[str]:
+        """Debt-driven :meth:`optimize` — the policy loop that turns
+        :meth:`tombstone_debt` from observable into self-managing:
+        materialize soft-delete tombstones only once SOME directory's
+        accumulated debt crosses a threshold.  Below threshold the
+        call is a pure driver-side metadata check (manifest + footer
+        stats, ZERO Spark jobs — the same zero-job promise as the
+        soft deletes it watches); at/over it, one :meth:`optimize`
+        rewrite materializes and clears the debt.  This is the
+        operational conclusion of the reference's missing-deletes
+        story (``BPlusTree.java:130–133`` leaves ``deleteKey``
+        unimplemented): deletes accrue O(1) as tombstones, and the
+        rewrite is amortized against a caller-owned debt line.
+
+        A directory trips the policy when it has live tombstones AND
+        either its predicate count EXCEEDS ``max_tombstones`` (the
+        read-time filter work per scan of that directory) or its
+        masked-row fraction EXCEEDS ``max_masked_fraction`` (the
+        wasted-scan fraction).  A masked fraction that is UNKNOWN
+        (cardinality declined at soft-delete time — ``masked_counts=
+        None`` or a fail-closed attribution) trips a configured
+        ``max_masked_fraction`` immediately: unknown debt is treated
+        as "optimize now", per :meth:`tombstone_debt`.  Returns
+        :meth:`optimize`'s compacted keys, ``[]`` when below
+        threshold.  At least one threshold is required — an
+        unconditional rewrite is plain :meth:`optimize`."""
+        if max_tombstones is None and max_masked_fraction is None:
+            raise DatabaseException(
+                "optimize_if: give max_tombstones and/or "
+                "max_masked_fraction (an unconditional rewrite is "
+                "optimize())")
+
+        def over(row) -> bool:
+            if not row["tombstones"]:
+                return False
+            if max_tombstones is not None and \
+                    row["tombstones"] > max_tombstones:
+                return True
+            if max_masked_fraction is not None:
+                frac = row["masked_fraction"]
+                return frac is None or frac > max_masked_fraction
+            return False
+
+        if not any(over(r) for r in self.tombstone_debt()):
+            return []
+        return self.optimize(target_file_bytes, sort_by=sort_by,
+                             zorder_by=zorder_by)
 
     def history(self) -> DataFrame:
         """Delta ``DESCRIBE HISTORY``: one row per retained version —

@@ -1629,3 +1629,203 @@ def test_rendered_inlist_matches_spark_parser_on_adversarial_ids(
                     df.filter(F.col("doc_id").isin(doomed)).collect()}
         assert via_pred == via_isin == \
             {nasty.index(v) for v in doomed}
+
+
+def test_tombstone_coalesce_across_interleaved_shapes():
+    """Same-column IN-lists must coalesce even when OTHER predicate
+    shapes interleave between the batches: an IN / range / IN
+    sequence yields TWO live entries (merged IN-list + the range),
+    never three.  Sound because reads AND the negations — the
+    conjunction is order-insensitive.  Duplicates of ANY earlier
+    entry, and IN-lists covered by the union of earlier same-column
+    IN-lists, are byte-stable no-ops."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        _coalesce_tombstone,
+    )
+
+    ts, ch = _coalesce_tombstone([], "id IN (1, 2)")
+    assert (ts, ch) == (["id IN (1, 2)"], True)
+    ts, ch = _coalesce_tombstone(ts, "amt > 100.0")
+    assert (ts, ch) == (["id IN (1, 2)", "amt > 100.0"], True)
+    # the interleaved IN-list merges into the non-terminal entry
+    ts, ch = _coalesce_tombstone(ts, "id IN (3)")
+    assert (ts, ch) == (["id IN (1, 2, 3)", "amt > 100.0"], True)
+    # exact duplicate of a NON-terminal entry: no-op
+    ts, ch = _coalesce_tombstone(ts, "id IN (1, 2, 3)")
+    assert (ts, ch) == (["id IN (1, 2, 3)", "amt > 100.0"], False)
+    # covered by the union of earlier same-column IN-lists: no-op
+    ts, ch = _coalesce_tombstone(ts, "id IN (2, 3)")
+    assert (ts, ch) == (["id IN (1, 2, 3)", "amt > 100.0"], False)
+    # another column's IN-list appends, then coalesces independently
+    ts, ch = _coalesce_tombstone(ts, "grp IN ('A')")
+    assert ch and ts[-1] == "grp IN ('A')"
+    ts, ch = _coalesce_tombstone(ts, "id IN (9)")
+    assert (ts, ch) == (
+        ["id IN (1, 2, 3, 9)", "amt > 100.0", "grp IN ('A')"], True)
+    # same column but DIFFERENT literal type: never merged
+    ts2, ch = _coalesce_tombstone(["id IN (1)"], "id IN ('1')")
+    assert (ts2, ch) == (["id IN (1)", "id IN ('1')"], True)
+
+
+def test_soft_delete_interleaved_batches_coalesce_on_table(pt, spark):
+    """Table-level pin of the interleaved shape: IN, range, IN
+    publishes two tombstone entries per directory with cardinalities
+    still exact through the out-of-order merge."""
+    pt.delete_soft("id IN (1)")
+    pt.delete_soft("amt > 45.0")          # masks id 5 (C)
+    pt.delete_soft("id IN (3)")
+    man = pt._manifest()
+    for ds in man["parts"].values():
+        for d in ds:
+            assert man["tombstones"][d] == \
+                ["id IN (1, 3)", "amt > 45.0"]
+    assert sorted(r["id"] for r in pt.read().collect()) == [2, 4]
+    assert pt.metadata_count() == 2
+
+
+def test_soft_delete_per_directory_caller_counts(spark, tmp_path):
+    """``masked_counts={value: {directory: n}}`` keeps metadata-only
+    COUNT exact on MULTI-directory partitions (the
+    append-then-soft-delete shape) at zero Spark jobs, with
+    ``file_directories`` recovering the manifest directory names from
+    ``input_file_name()`` URIs.  Unknown directory keys and negative
+    per-directory counts raise."""
+    from __spark_entry__ import _job_counter
+
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "pd"), "grp")
+    pt.insert(spark.createDataFrame([(4, "A", 4.0)],
+                                    "id long, grp string, amt double"))
+    a_dirs = pt._manifest()["parts"]["A"]
+    assert len(a_dirs) == 2
+    # the caller's aggregate, grouped by file, mapped back to dirs
+    hit = (pt.read().filter(F.col("id").isin([1, 4, 3]))
+           .groupBy(F.input_file_name().alias("f"), "grp")
+           .count().collect())
+    fdirs = pt.file_directories([r["f"] for r in hit])
+    claims: dict = {}
+    for r in hit:
+        d = fdirs[r["f"]]
+        assert d is not None
+        claims.setdefault(r["grp"], {})[d] = \
+            claims.get(r["grp"], {}).get(d, 0) + r["count"]
+    assert set(claims["A"]) == set(a_dirs)       # both dirs claimed
+    jobs_before = _job_counter(spark)
+    pt.delete_soft("id IN (1, 3, 4)", masked_counts=claims)
+    assert _job_counter(spark) == jobs_before    # zero delete jobs
+    assert pt.metadata_count() == 1 == pt.read().count()
+    # retry from the same pinned aggregate: tombstones unchanged, so
+    # the re-claim must not double-subtract
+    pt.delete_soft("id IN (1, 3, 4)", masked_counts=claims)
+    assert pt.metadata_count() == 1
+    # validation: a directory not in the named partition raises
+    with pytest.raises(DatabaseException, match="no current directory"):
+        pt.delete_soft("id IN (2)",
+                       masked_counts={"B": {a_dirs[0]: 1}})
+    with pytest.raises(DatabaseException, match="non-negative"):
+        pt.delete_soft("id IN (2)",
+                       masked_counts={"A": {a_dirs[0]: -2}})
+
+
+def test_soft_delete_multi_dir_retry_keeps_exact_counts(spark,
+                                                        tmp_path):
+    """A pinned-snapshot RETRY whose partition has since grown a
+    second directory must keep the first directory's previously-exact
+    cardinality: the retry's tombstone is a no-op there, so only the
+    NEW directory (whose list actually changed) fails closed."""
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0)],
+        "id long, grp string, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "rt"), "grp")
+    pt.delete_soft("id IN (1)", masked_counts={"A": 1})
+    old_dir, = pt._manifest()["parts"]["A"]
+    assert pt._manifest()["tomb_counts"][old_dir] == 1
+    assert pt.metadata_count() == 2
+    # the partition grows a second directory...
+    pt.insert(spark.createDataFrame([(9, "A", 9.0)],
+                                    "id long, grp string, amt double"))
+    new_dir = next(d for d in pt._manifest()["parts"]["A"]
+                   if d != old_dir)
+    # ...then the SAME batch is retried with the same claim
+    pt.delete_soft("id IN (1)", masked_counts={"A": 1})
+    counts = pt._manifest()["tomb_counts"]
+    assert counts[old_dir] == 1          # previously-exact: KEPT
+    assert new_dir not in counts         # newly tombstoned: closed
+    debt = {r["dir"]: r for r in pt.tombstone_debt()}
+    assert debt[old_dir]["masked_rows"] == 1
+    assert debt[new_dir]["masked_rows"] is None
+    assert pt.read().count() == 3        # 2,3,9 visible either way
+
+
+def test_optimize_if_debt_threshold(pt, spark):
+    """optimize_if is the debt policy loop: batches below the
+    threshold schedule NO rewrite (and no Spark jobs at all — the
+    check is manifest+footer metadata), the batch that crosses it
+    triggers one optimize that materializes and clears the debt.
+    Unknown cardinality trips a configured max_masked_fraction
+    immediately; calling with no threshold raises."""
+    from __spark_entry__ import _job_counter
+
+    with pytest.raises(DatabaseException, match="optimize_if"):
+        pt.optimize_if()
+    pt.delete_soft("id IN (1)")
+    pt.delete_soft("amt > 45.0")         # 2 entries per directory
+    jobs_before = _job_counter(spark)
+    assert pt.optimize_if(max_tombstones=2) == []      # 2 > 2: no
+    assert _job_counter(spark) == jobs_before          # zero jobs
+    pt.delete_soft("amt < 15.0")         # 3rd entry crosses the line
+    compacted = pt.optimize_if(max_tombstones=2)
+    assert compacted                      # rewrite happened
+    man = pt._manifest()
+    assert not man.get("tombstones")      # debt materialized + cleared
+    assert sorted(r["id"] for r in pt.read().collect()) == [2, 3, 4]
+    assert pt.metadata_count() == 3
+    # unknown cardinality == "optimize now" for a fraction threshold
+    pt.delete_soft("id IN (2)", masked_counts=None)
+    assert pt.optimize_if(max_masked_fraction=0.99)
+    assert sorted(r["id"] for r in pt.read().collect()) == [3, 4]
+
+
+def test_legacy_literal_grammar_fails_loudly(pt, spark, tmp_path):
+    """Tombstone text is stored assuming Spark's DEFAULT string-literal
+    grammar.  Under the deprecated legacy grammar
+    (spark.sql.parser.escapedStringLiterals=true) backslashes stop
+    being escapes and even quote-doubling parses differently — so
+    recording OR applying a predicate on which the grammars diverge
+    must raise, while divergence-free predicates keep working."""
+    from cs186_query_optimization_project_spark.functions.retrieval \
+        import _sql_id_literal
+
+    # stored under the default grammar: a backslash-bearing tombstone
+    risky = PartitionedTable.create(
+        spark,
+        spark.createDataFrame([("a\\nb", "A", 1.0), ("ok", "B", 2.0)],
+                              "id string, grp string, amt double"),
+        str(tmp_path / "lg"), "grp")
+    risky.delete_soft("id IN ('a\\\\nb')")
+    assert [r["id"] for r in risky.read().collect()] == ["ok"]
+    conf = "spark.sql.parser.escapedStringLiterals"
+    spark.conf.set(conf, "true")
+    try:
+        # recording a divergent predicate: refused
+        with pytest.raises(DatabaseException, match="DEFAULT grammar"):
+            pt.delete_soft("grp IN ('A\\\\B')")
+        with pytest.raises(DatabaseException, match="DEFAULT grammar"):
+            pt.delete_soft("grp IN ('o''k')")
+        # applying a stored divergent tombstone: refused, not wrong
+        with pytest.raises(DatabaseException, match="DEFAULT grammar"):
+            risky.read().collect()
+        # the id-literal renderer refuses too
+        with pytest.raises(DatabaseException, match="DEFAULT grammar"):
+            _sql_id_literal("back\\slash")
+        # divergence-free predicates and literals still work
+        assert _sql_id_literal("plain") == "'plain'"
+        pt.delete_soft("id IN (5)")
+        assert sorted(r["id"] for r in pt.read().collect()) == \
+            [1, 2, 3, 4]
+    finally:
+        spark.conf.set(conf, "false")
+    # back under the default grammar everything reads again
+    assert [r["id"] for r in risky.read().collect()] == ["ok"]

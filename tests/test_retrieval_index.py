@@ -495,12 +495,14 @@ def test_postings_remove_soft_runs_only_caller_aggregate(
     idx = retrieval.build_postings_index(small, path, n_buckets=8)
     ids = sorted(r[0] for r in small.limit(6)
                  .select("doc_id").collect())
-    # baseline: the identical aggregate, standalone
+    # baseline: the identical aggregate, standalone (grouped by
+    # (bucket, file) — the directory-granular shape that keeps
+    # multi-dir buckets' metadata counts exact)
     before = _job_counter(spark)
     (PartitionedTable(spark, idx.doclen_path)
      .read(version=idx.doclen_version)
      .filter(F.col("doc_id").isin(ids))
-     .groupBy("db")
+     .groupBy(F.col("db"), F.input_file_name().alias("__f"))
      .agg(F.count(F.lit(1)).alias("n"),
           F.sum("__dl").alias("s")).collect())
     agg_jobs = _job_counter(spark) - before
@@ -533,3 +535,67 @@ def test_postings_optimize_stale_handle_raises(spark, docs,
     # the fresh handle optimizes fine and keeps the constants
     opt = retrieval.postings_optimize(spark, fresh)
     assert (opt.n_docs, opt.avgdl) == (fresh.n_docs, fresh.avgdl)
+
+
+def test_postings_remove_soft_exact_counts_after_append(
+        spark, docs, tmp_path_factory):
+    """The append-then-soft-delete shape — the exact workload the soft
+    tier targets — must keep the doc-length table's metadata-only
+    COUNT exact: postings_append adds a second directory to existing
+    buckets, and the caller aggregate's DIRECTORY granularity (via
+    file_directories) attributes the doomed-doc cardinality per
+    directory instead of failing closed on multi-dir buckets.  Still
+    zero Spark jobs beyond the one caller aggregate."""
+    from __spark_entry__ import _job_counter
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    base = docs.filter(F.col("doc_id") % 5 != 0).limit(120) \
+        .localCheckpoint()
+    tail = docs.filter(F.col("doc_id") % 5 == 0).limit(40) \
+        .localCheckpoint()
+    path = str(tmp_path_factory.mktemp("mdir") / "idx")
+    idx = retrieval.postings_append(
+        spark, retrieval.build_postings_index(base, path, n_buckets=4),
+        tail)
+    pt_len = PartitionedTable(spark, idx.doclen_path)
+    # every doc-length bucket now holds >= 2 directories
+    assert all(len(ds) >= 2
+               for ds in pt_len._manifest()["parts"].values())
+    n_before = idx.n_docs
+    assert pt_len.metadata_count() == n_before
+    # doom ids from BOTH the base and the appended directories
+    ids = sorted(r[0] for r in base.limit(5).select("doc_id")
+                 .collect()) + \
+        sorted(r[0] for r in tail.limit(3).select("doc_id").collect())
+    # baseline: the identical caller aggregate, standalone
+    before = _job_counter(spark)
+    (pt_len.read(version=idx.doclen_version)
+     .filter(F.col("doc_id").isin(sorted(set(ids))))
+     .groupBy(F.col("db"), F.input_file_name().alias("__f"))
+     .agg(F.count(F.lit(1)).alias("n"),
+          F.sum("__dl").alias("s")).collect())
+    agg_jobs = _job_counter(spark) - before
+    before = _job_counter(spark)
+    out = retrieval.postings_remove_soft(spark, idx, ids)
+    # the full soft delete schedules not one job more
+    assert _job_counter(spark) - before == agg_jobs
+    assert out.n_docs == n_before - len(ids)
+    # EXACT metadata count survives the multi-directory buckets
+    assert PartitionedTable(spark, out.doclen_path).metadata_count() \
+        == out.n_docs
+    assert retrieval.doclen_table(spark, out).count() == out.n_docs
+    # rankings equal a from-scratch build over the survivors
+    surv = docs.join(spark.createDataFrame([(i,) for i in ids],
+                                           "doc_id long"),
+                     "doc_id", "left_anti") \
+        .join(base.select("doc_id").union(tail.select("doc_id")),
+              "doc_id", "left_semi")
+    fresh = retrieval.build_postings_index(
+        surv, str(tmp_path_factory.mktemp("mdir") / "fresh"),
+        n_buckets=4)
+    assert rows(retrieval.bm25_indexed(spark, out, "hash batch",
+                                       top_k=5)) == \
+        rows(retrieval.bm25_indexed(spark, fresh, "hash batch",
+                                    top_k=5))
