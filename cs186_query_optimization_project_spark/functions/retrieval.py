@@ -709,6 +709,43 @@ def postings_optimize(spark: SparkSession, index: PostingsIndex,
     return out
 
 
+def postings_optimize_if(spark: SparkSession, index: PostingsIndex,
+                         max_tombstones: int | None = None,
+                         max_masked_fraction: float | None = None,
+                         target_file_bytes: int = 128 << 20,
+                         ) -> PostingsIndex:
+    """Debt-driven :func:`postings_optimize` — the policy loop that
+    lets a high-churn caller run ``postings_remove_soft`` +
+    ``postings_optimize_if`` after EVERY batch: below threshold the
+    call is pure driver-side metadata over both tables' manifests
+    (ZERO Spark jobs, zero commits — the handle comes back
+    unchanged), and the batch that crosses the line pays the one
+    compaction that materializes and clears the accumulated
+    tombstones.  Thresholds are :meth:`PartitionedTable
+    .tombstone_debt_exceeds` semantics on EITHER table; note the
+    postings table records its tombstones without cardinality
+    (token-occurrence counts are unknowable without a scan), so a
+    ``max_masked_fraction`` threshold trips on the postings table at
+    the FIRST soft batch — use ``max_tombstones`` to let postings
+    debt accumulate, and reserve the fraction threshold for
+    doclen-side wasted-scan policy.  Staleness-guarded like every
+    maintenance op: checking (or compacting) through a handle another
+    writer published past raises ValueError."""
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    _guard_fresh_handle(index)
+    if not (PartitionedTable(spark, index.postings_path)
+            .tombstone_debt_exceeds(max_tombstones,
+                                    max_masked_fraction)
+            or PartitionedTable(spark, index.doclen_path)
+            .tombstone_debt_exceeds(max_tombstones,
+                                    max_masked_fraction)):
+        return index
+    return postings_optimize(spark, index, target_file_bytes)
+
+
 def load_postings_index(path: str) -> PostingsIndex | None:
     """Load a previously built postings index; None if absent/unreadable
     or in the pre-manifest format (caller rebuilds — the index is a

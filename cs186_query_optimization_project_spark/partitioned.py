@@ -2689,9 +2689,26 @@ class PartitionedTable:
         :meth:`optimize`'s compacted keys, ``[]`` when below
         threshold.  At least one threshold is required — an
         unconditional rewrite is plain :meth:`optimize`."""
+        if not self.tombstone_debt_exceeds(max_tombstones,
+                                           max_masked_fraction):
+            return []
+        return self.optimize(target_file_bytes, sort_by=sort_by,
+                             zorder_by=zorder_by)
+
+    def tombstone_debt_exceeds(self, max_tombstones: int | None = None,
+                               max_masked_fraction: float | None = None,
+                               ) -> bool:
+        """The threshold predicate behind :meth:`optimize_if` (shared
+        with the index-layer policies, e.g. ``retrieval
+        .postings_optimize_if``): True when SOME directory with live
+        tombstones has a predicate count exceeding ``max_tombstones``
+        or a masked-row fraction exceeding ``max_masked_fraction``
+        (unknown fraction counts as exceeded).  Pure driver-side
+        metadata, zero Spark jobs.  At least one threshold is
+        required."""
         if max_tombstones is None and max_masked_fraction is None:
             raise DatabaseException(
-                "optimize_if: give max_tombstones and/or "
+                "tombstone debt policy: give max_tombstones and/or "
                 "max_masked_fraction (an unconditional rewrite is "
                 "optimize())")
 
@@ -2706,10 +2723,7 @@ class PartitionedTable:
                 return frac is None or frac > max_masked_fraction
             return False
 
-        if not any(over(r) for r in self.tombstone_debt()):
-            return []
-        return self.optimize(target_file_bytes, sort_by=sort_by,
-                             zorder_by=zorder_by)
+        return any(over(r) for r in self.tombstone_debt())
 
     def history(self) -> DataFrame:
         """Delta ``DESCRIBE HISTORY``: one row per retained version —

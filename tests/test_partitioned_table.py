@@ -1768,7 +1768,7 @@ def test_optimize_if_debt_threshold(pt, spark):
     immediately; calling with no threshold raises."""
     from __spark_entry__ import _job_counter
 
-    with pytest.raises(DatabaseException, match="optimize_if"):
+    with pytest.raises(DatabaseException, match="max_tombstones"):
         pt.optimize_if()
     pt.delete_soft("id IN (1)")
     pt.delete_soft("amt > 45.0")         # 2 entries per directory

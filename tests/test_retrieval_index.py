@@ -599,3 +599,52 @@ def test_postings_remove_soft_exact_counts_after_append(
                                        top_k=5)) == \
         rows(retrieval.bm25_indexed(spark, fresh, "hash batch",
                                     top_k=5))
+
+
+def test_postings_optimize_if_debt_policy(spark, docs,
+                                          tmp_path_factory):
+    """The churn loop's contract: soft batches below the debt line
+    return the SAME handle with zero Spark jobs and zero table
+    commits; the batch that crosses it pays one compaction whose
+    rankings equal the uncompacted index and whose debt is cleared.
+    A stale handle raises before any check."""
+    from __spark_entry__ import _job_counter
+    from cs186_query_optimization_project_spark.partitioned import (
+        PartitionedTable,
+    )
+
+    small = docs.limit(100).localCheckpoint()
+    path = str(tmp_path_factory.mktemp("oif") / "idx")
+    idx = retrieval.build_postings_index(small, path, n_buckets=8)
+    all_ids = sorted(r[0] for r in small.select("doc_id").collect())
+    # two small soft batches -> ONE coalesced IN-list per directory
+    idx = retrieval.postings_remove_soft(spark, idx, all_ids[:2])
+    idx = retrieval.postings_remove_soft(spark, idx, all_ids[2:4])
+    pt_post = PartitionedTable(spark, idx.postings_path)
+    vers_before = (max(pt_post.versions()),
+                   max(PartitionedTable(spark, idx.doclen_path)
+                       .versions()))
+    jobs_before = _job_counter(spark)
+    same = retrieval.postings_optimize_if(spark, idx,
+                                          max_tombstones=1)
+    assert same is idx                       # below the line
+    assert _job_counter(spark) == jobs_before        # zero jobs
+    assert (max(pt_post.versions()),
+            max(PartitionedTable(spark, idx.doclen_path)
+                .versions())) == vers_before         # zero commits
+    want = rows(retrieval.bm25_indexed(spark, idx, "hash batch",
+                                       top_k=5))
+    # the IN-list batches coalesce to one entry, so max_tombstones
+    # never trips on them — the doclen table's masked FRACTION is
+    # the threshold that crosses (4 of 100 docs > 0.1%)
+    out = retrieval.postings_optimize_if(spark, idx,
+                                         max_masked_fraction=0.001)
+    assert out is not idx                    # compaction happened
+    for p in (out.postings_path, out.doclen_path):
+        assert not PartitionedTable(spark, p) \
+            ._manifest()["tombstones"]       # debt cleared
+    assert rows(retrieval.bm25_indexed(spark, out, "hash batch",
+                                       top_k=5)) == want
+    # stale handle (superseded by the compaction's meta publish)
+    with pytest.raises(ValueError, match="stale PostingsIndex"):
+        retrieval.postings_optimize_if(spark, idx, max_tombstones=0)
