@@ -30,7 +30,35 @@ from cs186_query_optimization_project_spark.parallel import ensure_parallelism
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    """Literal ``array<double>`` built as ONE SQL parse instead of one
+    py4j round-trip per element.  A 64-dim vector costs ~65 gateway
+    calls the old way (measured: plan CONSTRUCTION, not execution,
+    dominated the ANN entries — ~0.5 ms per call adds up across
+    codebooks of 16×8 and 16-plane LSH matrices); ``F.expr`` is one
+    call and one JVM-side parse.  ``repr()`` round-trips doubles
+    exactly and Spark's ``D`` suffix parses to DoubleType, so the
+    resulting literals are bit-identical to ``F.lit(float(v))``
+    (verified including denormals and 17-significant-digit values).
+    Non-finite values (no SQL literal form) fall back to the per-lit
+    path."""
+    vals = [float(v) for v in vec]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr(
+            "array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _lit_mat(mat: list[list[float]]) -> Column:
+    """Literal ``array<array<double>>`` (codebooks, centroid matrices,
+    LSH plane sets) as one SQL parse — the matrix sibling of
+    :func:`_lit_vec`, with the same bit-exactness contract."""
+    if mat and all(row and all(math.isfinite(float(v)) for v in row)
+                   for row in mat):
+        return F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(repr(float(v)) + "D" for v in row)
+                + ")" for row in mat) + ")")
+    return F.array(*[_lit_vec(row) for row in mat])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -140,12 +168,18 @@ def lsh_signature(vec_col: str, dim: int, n_planes: int = 16,
                   seed: int = 42) -> Column:
     """Bit-pack the signs of n_planes random projections into a long."""
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        proj = dot(emb, _lit_vec(plane))
-        sig = sig + F.when(proj >= 0,
-                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return sig
+    planes = _hyperplanes(dim, n_planes, seed)
+    # one plane matrix + one bit-weight vector (two SQL parses) instead
+    # of n_planes per-element literal builds.  Each term is the same
+    # when(dot(emb, planeᵢ) >= 0, 1<<i, 0) as the old fold; the sum is
+    # over exact long bit values, so the packed signature is identical.
+    bits = F.expr("array(" + ",".join(str(1 << i) + "L"
+                                      for i in range(n_planes)) + ")")
+    terms = F.zip_with(_lit_mat(planes), bits,
+                       lambda p, b: F.when(dot(emb, p) >= 0, b)
+                       .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(terms, F.lit(0).cast("long"),
+                       lambda acc, v: acc + v)
 
 
 def _query_signature(planes: list[list[float]], vec: list[float]) -> int:
@@ -222,9 +256,15 @@ def ivf_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     an array of dot products + array_position of the max; first index wins
     ties deterministically)."""
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dots = F.array(*[
-        dot(emb, _lit_vec(c)) / F.lit(math.sqrt(sum(v * v for v in c)) or 1.0)
-        for c in centroids])
+    # one literal matrix + one literal norm vector (two SQL parses)
+    # instead of |centroids| _lit_vec calls; each element is still
+    # dot(emb, cᵢ) / normᵢ with identical operands and op order, so the
+    # doubles (hence the argmax cell) are bit-identical to the old
+    # per-centroid F.array form.
+    norms = _lit_vec([math.sqrt(sum(v * v for v in c)) or 1.0
+                      for c in centroids])
+    dots = F.zip_with(_lit_mat(centroids), norms,
+                      lambda c, n: dot(emb, c) / n)
     return (F.array_position(dots, F.array_max(dots)) - 1).alias("cell")
 
 
@@ -624,11 +664,16 @@ def kmeans_init(dim: int, k: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+def _sq_dist(vec: Column, centroid) -> Column:
     """Σ (xᵢ-cᵢ)² as a sequential JVM fold (element order, so the
-    double result is reproducible by any engine that folds in order)."""
+    double result is reproducible by any engine that folds in order).
+    ``centroid`` is a Python list (built as one literal parse) or an
+    array Column (e.g. a ``transform`` lambda variable over a literal
+    centroid matrix) — both produce the identical fold."""
+    c_arr = centroid if isinstance(centroid, Column) \
+        else _lit_vec(centroid)
     return F.aggregate(
-        F.zip_with(vec, _lit_vec(centroid), lambda x, c: (x - c) * (x - c)),
+        F.zip_with(vec, c_arr, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0), lambda acc, v: acc + v)
 
 
@@ -640,7 +685,11 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     end-of-mantissa noise — the property that makes the whole
     clustering replayable bit-for-bit by an external oracle."""
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = F.array(*[F.round(_sq_dist(emb, c), 6) for c in centroids])
+    # transform over one literal centroid matrix (one SQL parse) — the
+    # per-element fold is the same rounded _sq_dist, so distances and
+    # the argmin assignment are bit-identical to the per-centroid form.
+    dists = F.transform(_lit_mat(centroids),
+                        lambda c: F.round(_sq_dist(emb, c), 6))
     return (df.withColumn("__d", dists)
             .withColumn("cluster",
                         (F.array_position(F.col("__d"),
@@ -834,7 +883,7 @@ def _argmin_code(sv: Column, book: list[list[float]]) -> Column:
     ``F.array(*[_sq_dist...])`` form made plan compilation, not
     execution, the bottleneck).  Same round-before-argmin /
     lowest-id-tie-break contract as :func:`kmeans_assign`."""
-    mat = F.array(*[_lit_vec(c) for c in book])
+    mat = _lit_mat(book)
     dists = F.transform(mat, lambda c: F.round(
         F.aggregate(F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
                     F.lit(0.0), lambda acc, v: acc + v), 6))
@@ -950,7 +999,7 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding",
                         lambda x: x.cast("double")).alias("__v"))
         cents = kmeans_update(assigned, cents, "__v")
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cmat = F.array(*[_lit_vec(c) for c in cents])
+    cmat = _lit_mat(cents)
     resid = F.zip_with(emb,
                        F.element_at(cmat,
                                     (F.col("cell") + 1).cast("int")),
@@ -1039,7 +1088,7 @@ def ivfpq_append(index: AnnIndex, new_df: DataFrame,
     cents = index.params["centroids"]
     books = index.params["codebooks"]
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cmat = F.array(*[_lit_vec(c) for c in cents])
+    cmat = _lit_mat(cents)
     resid = F.zip_with(emb,
                        F.element_at(cmat,
                                     (F.col("cell") + 1).cast("int")),

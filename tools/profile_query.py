@@ -66,6 +66,7 @@ def main() -> None:
         samples = []
         jobs = None
         prof = None
+        build_s = sink_s = None
         for r in range(runs):
             j0 = job_count()
             profiling_run = do_profile and r == runs - 1
@@ -73,13 +74,18 @@ def main() -> None:
                 prof = cProfile.Profile()
                 prof.enable()
             t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            materialize(df)
+            dt = time.perf_counter() - t1
             if profiling_run:
                 prof.disable()
-            samples.append(dt)
+            if build_s is None or (t1 - t0) + dt < build_s + sink_s:
+                build_s, sink_s = t1 - t0, dt
+            samples.append(time.perf_counter() - t0)
             jobs = job_count() - j0
         print(f"== {name}: min {min(samples):.3f}s  "
+              f"(build {build_s:.3f} + sink {sink_s:.3f})  "
               f"runs {[round(s, 3) for s in samples]}  jobs/run {jobs}")
         if prof is not None:
             out = io.StringIO()
