@@ -332,13 +332,6 @@ class PartitionedTable:
             if c not in df.columns:
                 raise DatabaseException(
                     f"bloom column '{c}' not in {df.columns}")
-        nulls = df.agg(*[F.max(F.col(c).isNull()).alias(c)
-                         for c in pcols]).collect()[0]
-        for c in pcols:
-            if nulls[c]:
-                raise DatabaseException(
-                    f"partition column '{c}' contains NULLs; "
-                    f"assign an explicit sentinel partition first")
         metaio.IO.make_dirs(os.path.join(root, "_manifests"),
                             exist_ok=False)
         metaio.IO.make_dirs(os.path.join(root, "parts"),
@@ -348,10 +341,18 @@ class PartitionedTable:
         self_stub.root = root
         self_stub._stats_cache = {}
         self_stub._pending_bloom_cols = list(bloom_cols or [])
-        parts = self_stub._write_partitions(df, pcols)
-        self_stub._commit(0, pcols, df.schema, parts,
-                          bloom_cols=list(bloom_cols or []),
-                          op="CREATE")
+        try:
+            # NULL partition values are detected from the staged
+            # layout inside _write_partitions (no pre-write pass over
+            # df); a failed create retracts the fresh _manifests dir
+            # so a corrected retry can re-create the table
+            parts = self_stub._write_partitions(df, pcols, op="create")
+            self_stub._commit(0, pcols, df.schema, parts,
+                              bloom_cols=list(bloom_cols or []),
+                              op="CREATE")
+        except Exception:
+            metaio.IO.remove_tree(os.path.join(root, "_manifests"))
+            raise
         return cls(spark, root)
 
     # ------------------------------------------------------------------ #
@@ -569,7 +570,9 @@ class PartitionedTable:
             [f"__p{i}" for i in range(len(pcols))]
 
     def _write_partitions(self, df: DataFrame,
-                          partition_cols) -> dict[str, list[str]]:
+                          partition_cols,
+                          allowed_keys: set | None = None,
+                          op: str = "write") -> dict[str, list[str]]:
         """Write every partition of ``df`` in ONE Spark job:
         ``partitionBy`` on duplicated columns (``__p`` / ``__p0..n``),
         so the data files keep the real partition columns while hive
@@ -581,7 +584,20 @@ class PartitionedTable:
         layout; each LEAF PARENT gets its own immutable `_stats.json`
         sidecar (leaf basename → stats), so skipping readers resolve
         stats with ``dirname(d)``/``basename(d)`` at any nesting
-        depth."""
+        depth.
+
+        Write-path GUARDS run against the STAGED layout, not as
+        pre-write jobs over ``df``: a NULL (or empty-string) partition
+        value surfaces as a ``__HIVE_DEFAULT_PARTITION__`` directory,
+        and with ``allowed_keys`` (the overwrite_partitions
+        replaceWhere contract) a stray row surfaces as an unexpected
+        staged key — both are driver-side set checks on the walk
+        result.  The old shape ran one full aggregation job over the
+        input per commit BEFORE the write; for an expensive upstream
+        plan (a tokenization, a join) that pass re-executed the whole
+        plan, and at warehouse scale it is an entire extra table scan
+        per commit.  A guard violation removes the staging tree before
+        raising, so nothing uncommitted survives."""
         from urllib.parse import unquote
 
         pcols = [partition_cols] if isinstance(partition_cols, str) \
@@ -595,6 +611,7 @@ class PartitionedTable:
         out: dict[str, list[str]] = {}
         leaf_name: dict[str, str] = {}
         leaf_parent: dict[str, str] = {}
+        hive_default = []
 
         def walk(cur: str, level: int, key_parts: list[str]) -> None:
             prefix = f"{names[level]}="
@@ -602,6 +619,8 @@ class PartitionedTable:
                 if not nm.startswith(prefix):
                     continue
                 val = unquote(nm[len(prefix):])
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    hive_default.append(pcols[level])
                 if len(pcols) > 1 and "/" in val:
                     raise DatabaseException(
                         f"multi-column partition value {val!r} "
@@ -618,6 +637,31 @@ class PartitionedTable:
                     walk(child, level + 1, kp)
 
         walk(staging, 0, [])
+        if hive_default:
+            # disambiguate (error path only — one job nothing healthy
+            # pays): Spark writes NULL, '' and the literal string
+            # '__HIVE_DEFAULT_PARTITION__' to the same directory; only
+            # the last is representable, and `_key` already refuses ''
+            cond = None
+            for c in set(hive_default):
+                e = F.col(c).isNull()
+                if isinstance(df.schema[c].dataType, T.StringType):
+                    e = e | (F.col(c) == "")
+                cond = e if cond is None else (cond | e)
+            if df.filter(cond).take(1):
+                metaio.IO.remove_tree(staging)
+                raise DatabaseException(
+                    f"{op} into '{self.root}': NULL partition value "
+                    f"(or empty string — hive paths cannot represent "
+                    f"it) in column(s) {sorted(set(hive_default))}; "
+                    f"the partition column contains NULLs; assign an "
+                    f"explicit sentinel partition first")
+        if allowed_keys is not None and not set(out) <= allowed_keys:
+            strays = sorted(set(out) - allowed_keys)
+            metaio.IO.remove_tree(staging)
+            raise DatabaseException(
+                f"{op} into '{self.root}': rows fall outside the "
+                f"named partitions (e.g. {pcols}={strays[0]!r})")
         by_parent: dict[str, dict] = {} if out else {staging: {}}
         for key, ds in out.items():
             by_parent.setdefault(leaf_parent[key], {})[
@@ -1744,15 +1788,12 @@ class PartitionedTable:
                 f"insert into '{self.root}': schema mismatch; table "
                 f"has {expected.simpleString()}, rows have "
                 f"{got.simpleString()}")
-        if rows.agg(F.max(F.greatest(*[F.col(c).isNull()
-                                       for c in pcols])
-                          if len(pcols) > 1 else
-                          F.col(pcols[0]).isNull())).collect()[0][0]:
-            raise DatabaseException(
-                f"insert into '{self.root}': NULL partition value")
         self._enforce(rows, man.get("constraints", {}), "insert")
         parts = {k: list(v) for k, v in man["parts"].items()}
-        for key, ds in self._write_partitions(rows, pcols).items():
+        # NULL partition values are caught from the staged layout
+        # inside _write_partitions — no pre-write pass over rows
+        for key, ds in self._write_partitions(rows, pcols,
+                                              op="insert").items():
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcols, expected, parts,
                      man.get("txns", {}),
@@ -1781,42 +1822,20 @@ class PartitionedTable:
                 f"overwrite_partitions into '{self.root}': schema "
                 f"mismatch; table has {expected.simpleString()}, rows "
                 f"have {rows.schema.simpleString()}")
-        # both guards in ONE aggregation job: a take(1) probe that
-        # matches nothing (the healthy path) escalates through
-        # full-scan job retries, re-executing the input plan each time
-        if len(pcols) == 1:
-            null_expr = F.col(pcols[0]).isNull()
-            # native isin keeps Spark's own coercion for mistyped
-            # scalars (5.0 naming a long partition)
-            member = F.col(pcols[0]).isin(list(partition_values))
-            stray_repr = F.col(pcols[0]).cast("string")
-        else:
-            null_expr = F.greatest(*[F.col(c).isNull()
-                                     for c in pcols])
-            key_expr = F.concat_ws(
-                "/", *[F.col(c).cast("string") for c in pcols])
-            wanted = [self._ckey(v, pcols) for v in partition_values]
-            member = key_expr.isin(wanted)
-            stray_repr = key_expr
-        guard = rows.agg(
-            F.max(null_expr).alias("has_null"),
-            F.first(F.when(~member, stray_repr),
-                    ignorenulls=True).alias("stray")).collect()[0]
-        if guard["has_null"]:
-            raise DatabaseException(
-                f"overwrite_partitions into '{self.root}': NULL "
-                f"partition value")
-        if guard["stray"] is not None:
-            raise DatabaseException(
-                f"overwrite_partitions into '{self.root}': rows fall "
-                f"outside the named partitions {partition_values} "
-                f"(e.g. {pcols}={guard['stray']!r})")
         self._enforce(rows, man.get("constraints", {}),
                       "overwrite_partitions")
         parts = {k: list(v) for k, v in man["parts"].items()}
-        for v in partition_values:
-            parts.pop(self._ckey(v, pcols), None)
-        for key, ds in self._write_partitions(rows, pcols).items():
+        wanted = {self._ckey(v, pcols) for v in partition_values}
+        for key in wanted:
+            parts.pop(key, None)
+        # both replaceWhere guards (NULL partition values, rows
+        # straying outside the named partitions) are driver-side
+        # checks on the STAGED key set inside _write_partitions — the
+        # old shape paid one full aggregation job over the input per
+        # overwrite before the write
+        for key, ds in self._write_partitions(
+                rows, pcols, allowed_keys=wanted,
+                op="overwrite_partitions").items():
             parts[key] = ds
         self._commit(man["version"] + 1, pcols,
                      T._parse_datatype_string(man["schema"]), parts,
@@ -2458,16 +2477,12 @@ class PartitionedTable:
                     f"append into '{self.root}': schema mismatch; "
                     f"table has {expected.simpleString()}, batch has "
                     f"{rows.schema.simpleString()}")
-            null_cond = None
-            for c in pcols:
-                e = F.col(c).isNull()
-                null_cond = e if null_cond is None else (null_cond | e)
-            if rows.filter(null_cond).take(1):
-                raise DatabaseException(
-                    f"append into '{self.root}': NULL partition value")
             self._enforce(rows, man.get("constraints", {}), "append")
             parts = {k: list(v) for k, v in man["parts"].items()}
-            for key, ds in self._write_partitions(rows, pcols).items():
+            # NULL partition values are caught from the staged layout
+            # inside _write_partitions — no pre-write probe job
+            for key, ds in self._write_partitions(
+                    rows, pcols, op="append").items():
                 parts.setdefault(key, []).extend(ds)
             txns = dict(man.get("txns", {}))
             txns[sink_id] = batch_id
@@ -2540,15 +2555,11 @@ class PartitionedTable:
                     f"has type {schema[c].dataType}; only string/"
                     f"integral/boolean/date columns partition")
         df = self.read()  # current version, tombstones applied
-        null_cond = None
-        for c in pcols:
-            e = F.col(c).isNull()
-            null_cond = e if null_cond is None else (null_cond | e)
-        if df.filter(null_cond).take(1):
-            raise DatabaseException(
-                f"repartition_table '{self.root}': a new partition "
-                f"column contains NULLs; assign a sentinel first")
-        parts = self._write_partitions(df, pcols)
+        # NULLs in a NEW partition column are caught from the staged
+        # layout inside _write_partitions — the old take(1) probe was
+        # a full extra table pass when no row matched
+        parts = self._write_partitions(df, pcols,
+                                       op="repartition_table")
         self._commit(man["version"] + 1, pcols, schema, parts,
                      man.get("txns", {}),
                      op=f"REPARTITION ({', '.join(pcols)})")
