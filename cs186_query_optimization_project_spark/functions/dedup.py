@@ -523,15 +523,31 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
     the common case the two anti-joins run exactly once, at the fixed
     point.
     """
+    from pyspark.sql import Observation
+
     sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(pairs.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))
            .filter(F.col("u") != F.col("v"))
            .distinct())
     nodes = sym.select(F.col("u").alias("id")).distinct().localCheckpoint()
+
+    def ckpt_with_fp(e: DataFrame) -> tuple[DataFrame, tuple]:
+        # the round fingerprint (edge count + exact decimal endpoint
+        # sums) rides the checkpoint materialization as OBSERVED
+        # metrics — one job per round instead of checkpoint + a
+        # separate aggregation scan
+        obs = Observation()
+        out = e.observe(
+            obs, F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast(T.DecimalType(38, 0))).alias("su"),
+            F.sum(F.col("v").cast(T.DecimalType(38, 0))).alias("sv"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (m["n"], m["su"], m["sv"])
+
     # orient larger→smaller: (big, small); the algorithm's invariant
-    edges = (sym.filter(F.col("u") > F.col("v"))
-             .localCheckpoint())
+    edges, fp = ckpt_with_fp(sym.filter(F.col("u") > F.col("v")))
 
     def _large_star(e: DataFrame) -> DataFrame:
         """(v, m) for every neighbor v > u, m = min of closed nbhd."""
@@ -556,23 +572,15 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
                 .filter(F.col("u") != F.col("v"))
                 .distinct())
 
-    def _fingerprint(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u").cast(T.DecimalType(38, 0))).alias("su"),
-            F.sum(F.col("v").cast(T.DecimalType(38, 0))).alias("sv"),
-        ).collect()[0]
-        return (row["n"], row["su"], row["sv"])
-
-    fp = _fingerprint(edges)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
-        nfp = _fingerprint(nxt)
+        nxt, nfp = ckpt_with_fp(_small_star(_large_star(edges)))
         if nfp == fp:
             # fingerprint collision is possible in principle — confirm
             # the fixed point with exact set equality before stopping
-            if (nxt.exceptAll(edges).isEmpty()
-                    and edges.exceptAll(nxt).isEmpty()):
+            # (both difference directions unioned into ONE emptiness
+            # job instead of two sequential anti-join jobs)
+            if (nxt.exceptAll(edges)
+                    .unionAll(edges.exceptAll(nxt)).isEmpty()):
                 edges = nxt
                 break
         edges, fp = nxt, nfp
@@ -611,6 +619,8 @@ def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
     O(diameter) COUNTs on the label delta — bounded scalar actions, the
     same legitimacy class as ivf_centroids' bounded collect.
     """
+    from pyspark.sql import Observation
+
     # checkpoint the edge list once: every round joins against it, and
     # without this the (possibly expensive) upstream pair-generation
     # lineage would re-execute per round per action
@@ -619,33 +629,34 @@ def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
                                        F.col(src).alias("v")))
              .distinct()
              .localCheckpoint())
-    labels = (edges.select(F.col("u").alias("id")).distinct()
-              .withColumn("cluster_id", F.col("id"))
-              .localCheckpoint())
 
-    def label_sum(frame) -> object:
-        # exact decimal sum — labels only ever decrease, so the total
-        # strictly decreases iff ANY label changed; one aggregation on
-        # the checkpointed frame replaces a join+filter+count per round
-        # (decimal, not long: a billion-node graph with 64-bit ids would
-        # overflow a long sum)
-        return frame.agg(F.sum(F.col("cluster_id")
-                               .cast(T.DecimalType(38, 0)))
-                         .alias("s")).collect()[0]["s"]
+    def ckpt_with_sum(frame) -> tuple[DataFrame, object]:
+        # exact decimal label sum — labels only ever decrease, so the
+        # total strictly decreases iff ANY label changed (decimal, not
+        # long: a billion-node graph with 64-bit ids would overflow a
+        # long sum).  The sum rides the checkpoint materialization as
+        # an OBSERVED metric, so each round runs ONE job, not a
+        # checkpoint job plus a separate aggregation scan.
+        obs = Observation()
+        out = frame.observe(
+            obs, F.sum(F.col("cluster_id").cast(T.DecimalType(38, 0)))
+            .alias("s")).localCheckpoint()
+        return out, obs.get["s"]
 
-    prev_sum = label_sum(labels)
+    labels, prev_sum = ckpt_with_sum(
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("cluster_id", F.col("id")))
     for _ in range(max_iter):
-        neigh = (edges.join(labels, edges["v"] == labels["id"])
-                 .groupBy("u").agg(F.min("cluster_id").alias("neigh_min")))
-        updated = (labels.join(neigh, labels["id"] == neigh["u"], "left")
-                   .select(labels["id"],
-                           F.least(F.col("cluster_id"),
-                                   F.coalesce(F.col("neigh_min"),
-                                              F.col("cluster_id")))
-                           .alias("cluster_id"))
-                   .localCheckpoint())
-        labels = updated
-        cur_sum = label_sum(labels)
+        # one shuffle fewer per round than the join+left-join shape:
+        # each node's new label = min over (own label ∪ neighbor
+        # labels) via union + groupBy-min — identical update rule, so
+        # the label sequence (and round count) is unchanged
+        contrib = (edges.join(labels, edges["v"] == labels["id"])
+                   .select(F.col("u").alias("id"), "cluster_id"))
+        updated = (labels.unionByName(contrib)
+                   .groupBy("id").agg(F.min("cluster_id")
+                                      .alias("cluster_id")))
+        labels, cur_sum = ckpt_with_sum(updated)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
