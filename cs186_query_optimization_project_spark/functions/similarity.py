@@ -859,7 +859,7 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
     for _ in range(n_iter):
         assigned = subs.select(F.explode(F.array(*[
             F.struct(F.lit(j).alias("j"),
-                     _argmin_code(F.col(f"__s{j}"), books[j])
+                     _argmin_code(f"`__s{j}`", books[j])
                      .alias("cluster"),
                      F.col(f"__s{j}").alias("v"))
             for j in range(m)])).alias("a")).select("a.*")
@@ -875,14 +875,39 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
     return books
 
 
-def _argmin_code(sv: Column, book: list[list[float]]) -> Column:
+def _sql_mat(mat: list[list[float]]) -> str:
+    """SQL text of a literal ``array<array<double>>`` (finite values
+    only — callers check)."""
+    return ("array(" + ",".join(
+        "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+        for row in mat) + ")")
+
+
+def _argmin_code(sv, book: list[list[float]]) -> Column:
     """Index of the nearest codeword: distances computed by ONE
     ``transform`` lambda looping data-side over the literal codebook
     matrix — the expression tree stays constant-size in k, so Catalyst
     analysis cost doesn't grow with the codebook (the unrolled
     ``F.array(*[_sq_dist...])`` form made plan compilation, not
     execution, the bottleneck).  Same round-before-argmin /
-    lowest-id-tie-break contract as :func:`kmeans_assign`."""
+    lowest-id-tie-break contract as :func:`kmeans_assign`.
+
+    ``sv`` may be a Column or a SQL fragment string.  The string form
+    renders the ENTIRE argmin as one ``F.expr`` parse — the m×n_iter
+    per-subspace constructions in pq_train/pq_encode otherwise spend
+    ~50 ms each building the lambda chain through the Python/JVM
+    gateway; the parsed tree is the same operators with the same
+    literals, so codes are bit-identical (pinned in tests)."""
+    if isinstance(sv, str):
+        if all(row and all(math.isfinite(float(v)) for v in row)
+               for row in book):
+            d = (f"transform({_sql_mat(book)}, c -> round(aggregate("
+                 f"zip_with({sv}, c, (x, y) -> (x - y) * (x - y)), "
+                 f"0.0D, (acc, v) -> acc + v), 6))")
+            return F.expr(
+                f"cast((array_position({d}, array_min({d})) - 1) "
+                f"as int)")
+        sv = F.expr(sv)
     mat = _lit_mat(book)
     dists = F.transform(mat, lambda c: F.round(
         F.aggregate(F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
@@ -899,9 +924,10 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     m log₂k bits replace dim·32 — at m=8, k=16 a 64-dim fp32 vector
     compresses 64×(code arithmetic; 32× stored as int8 codes)."""
     sub = len(codebooks[0][0])
-    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    quoted = "`" + vec_col.replace("`", "``") + "`"
+    emb_sql = f"transform({quoted}, x -> cast(x as double))"
     codes = [
-        _argmin_code(F.slice(emb, j * sub + 1, sub), book)
+        _argmin_code(f"slice({emb_sql}, {j * sub + 1}, {sub})", book)
         for j, book in enumerate(codebooks)]
     return df.withColumn("pq_codes", F.array(*codes))
 
