@@ -304,18 +304,24 @@ def build_postings_index(df: DataFrame, path: str, text_col: str = "text",
     pt_post = PartitionedTable.create(
         spark, _bucket_partitioned(post, "tb", id_col, files_per_bucket),
         os.path.join(path, "postings"), "tb")
+    from pyspark.sql import Observation
+
+    # corpus constants ride the doclen write job as OBSERVED metrics
+    # (count/avg of the very rows being written) instead of a separate
+    # read-back aggregation job over the committed files
+    obs = Observation()
     doc_len = (pt_post.read()
                .groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
                .withColumn("db", _doclen_bucket_col(id_col))
-               .select(id_col, "__dl", "db"))
+               .select(id_col, "__dl", "db")
+               .observe(obs, F.count(F.lit(1)).alias("n"),
+                        F.avg("__dl").alias("avgdl")))
     pt_len = PartitionedTable.create(
         spark, doc_len.repartition("db"),
         os.path.join(path, "doclen"), "db")
-    stats = (pt_len.read()
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.avg("__dl").alias("avgdl")).first())
+    stats = obs.get
     idx = PostingsIndex(path, n_buckets, int(stats["n"]),
-                        float(stats["avgdl"]), fingerprint,
+                        float(stats["avgdl"] or 0.0), fingerprint,
                         postings_version=max(pt_post.versions()),
                         doclen_version=max(pt_len.versions()),
                         append_epoch=0)
@@ -379,15 +385,26 @@ def postings_append(spark: SparkSession, index: PostingsIndex,
     pt_post.idempotent_append(
         _bucket_partitioned(post, "tb", id_col, files_per_bucket),
         "postings_append", epoch)
+    from pyspark.sql import Observation
+
     new_lens = (post.groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("__dl"))
                 .withColumn("db", _doclen_bucket_col(id_col))
                 .select(id_col, "__dl", "db"))
     pt_len = PartitionedTable(spark, index.doclen_path)
-    pt_len.idempotent_append(new_lens.repartition("db"),
-                             "postings_append", epoch)
-    inc = new_lens.agg(F.count(F.lit(1)).alias("n"),
-                       F.sum("__dl").alias("s")).first()
+    # the constants increment rides the doclen append job as OBSERVED
+    # metrics; a dedup'd replay (idempotent_append False — no write
+    # job ran, so the metrics never materialize) falls back to the
+    # explicit aggregation over the checkpointed tokenization
+    obs = Observation()
+    if pt_len.idempotent_append(
+            new_lens.observe(obs, F.count(F.lit(1)).alias("n"),
+                             F.sum("__dl").alias("s"))
+            .repartition("db"), "postings_append", epoch):
+        inc = obs.get
+    else:
+        inc = new_lens.agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("__dl").alias("s")).first()
     n_new, dl_new = int(inc["n"]), float(inc["s"] or 0.0)
     n_docs = index.n_docs + n_new
     avgdl = ((index.n_docs * index.avgdl + dl_new) / n_docs
@@ -478,29 +495,39 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
     )
 
     _guard_fresh_handle(index)
-    ids = ids_df.select(F.col(id_col)).distinct()
-    # doomed lengths at the PINNED doclen version — crash-retry reads
-    # the same values even after the delete commits
-    rm = (doclen_table(spark, index, id_col)
-          .join(F.broadcast(ids), id_col)
-          .agg(F.count(F.lit(1)).alias("n"),
-               F.sum("__dl").alias("s")).first())
-    n_rm, dl_rm = int(rm["n"]), float(rm["s"] or 0.0)
+    # one materialization of the (bounded) id set: four joins below
+    # broadcast it, and without the checkpoint each broadcast would
+    # re-execute the caller's upstream plan (often a corpus filter —
+    # three extra corpus scans per remove)
+    ids = ids_df.select(F.col(id_col)).distinct().localCheckpoint()
+    pt_post = PartitionedTable(spark, index.postings_path)
+    pt_len = PartitionedTable(spark, index.doclen_path)
+    # ONE pass over the PINNED doclen version yields both the doomed
+    # constants (crash-retry reads the same values even after the
+    # delete commits) and the touched doclen buckets — the old shape
+    # paid a second doclen scan for the bucket-discovery collect
+    rm_rows = (pt_len.read(version=index.doclen_version)
+               .join(F.broadcast(ids), id_col)
+               .groupBy("db")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("__dl").alias("s")).collect())
+    n_rm = sum(int(r["n"]) for r in rm_rows)
+    dl_rm = sum(float(r["s"] or 0.0) for r in rm_rows)
     if not n_rm:
         # ghost removal: nothing indexed matches — skip the table
         # commits AND the meta republish so the constants stay
         # bit-identical (n*avgdl/n re-rounding is not a no-op in
         # IEEE-754) and no version churn is published
         return index
-    pt_post = PartitionedTable(spark, index.postings_path)
-    pt_len = PartitionedTable(spark, index.doclen_path)
-    for pt, bucket_col, cols, fpb in (
+    touched_len = sorted(r["db"] for r in rm_rows)
+    for pt, bucket_col, cols, fpb, touched in (
             (pt_post, "tb", [id_col, "pos", "token", "tb"],
-             files_per_bucket),
-            (pt_len, "db", [id_col, "__dl", "db"], 1)):
-        touched = [r[bucket_col] for r in
-                   (pt.read().join(F.broadcast(ids), id_col)
-                    .select(bucket_col).distinct().collect())]
+             files_per_bucket, None),
+            (pt_len, "db", [id_col, "__dl", "db"], 1, touched_len)):
+        if touched is None:
+            touched = [r[bucket_col] for r in
+                       (pt.read().join(F.broadcast(ids), id_col)
+                        .select(bucket_col).distinct().collect())]
         if touched:
             survivors = (pt.read(partition_values=touched)
                          .join(F.broadcast(ids), id_col,
