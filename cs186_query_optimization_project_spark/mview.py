@@ -461,17 +461,27 @@ class MaterializedView:
         if cur == last:
             return 0
         # one materialization of the churn (bounded by CDF size): the
-        # count, the delta aggregation, and the merge all read it
+        # count, the delta aggregation, and the merge all read it.
+        # The churn count AND the non-insert count ride the checkpoint
+        # job as OBSERVED metrics — previously a separate count() job
+        # plus (for distinct-col views) a take(1) probe job.
+        from pyspark.sql import Observation
+
         feed = self.source.changes(last, cur)
         if self.filter_sql:
             feed = feed.filter(F.expr(self.filter_sql))
-        feed = feed.localCheckpoint()
-        n_changes = feed.count()
+        obs = Observation()
+        feed = feed.observe(
+            obs, F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_change_type") != "insert").cast("long"))
+            .alias("n_del")).localCheckpoint()
+        metrics = obs.get
+        n_changes = int(metrics["n"])
+        n_del = int(metrics["n_del"] or 0)
         if n_changes == 0:
             self._swap_meta(dict(meta, source_version=cur))
             return 0
-        if self.distinct_cols and feed.filter(
-                F.col("_change_type") != "insert").take(1):
+        if self.distinct_cols and n_del:
             raise DatabaseException(
                 f"materialized view '{self.root}' maintains HLL "
                 f"distinct counts ({self.distinct_cols}), which merge "
@@ -496,22 +506,26 @@ class MaterializedView:
         del_buckets: set = set()
         affected_parts: list | None = None
         prune_col: str | None = None
-        if self.minmax_cols:
+        if self.minmax_cols and n_del:
             non_ins = feed.filter(F.col("_change_type") != "insert")
-            del_buckets = {r[0] for r in
-                           (non_ins
-                            .select(self._bucket().alias("__mv"))
-                            .distinct().collect())}
             # the PINNED version's layout, not the latest: a
             # repartition_table commit racing this refresh must not
             # make us prune cur's manifest by the wrong column
             src_pcols = self.source._pcols_of(
                 self.source._manifest(cur))
-            if del_buckets and src_pcols[0] in self.keys:
-                prune_col = src_pcols[0]
-                affected_parts = [r[0] for r in
-                                  non_ins.select(prune_col)
-                                  .distinct().collect()]
+            cand = src_pcols[0] if src_pcols[0] in self.keys else None
+            # one bounded aggregation yields the delete buckets AND
+            # (when the view keys contain the source's leading
+            # partition column) the affected partitions — previously
+            # two separate distinct-collect jobs over the churn
+            aggs = [F.collect_set(self._bucket()).alias("__bks")]
+            if cand is not None:
+                aggs.append(F.collect_set(F.col(cand)).alias("__ps"))
+            row = non_ins.agg(*aggs).first()
+            del_buckets = set(row["__bks"])
+            if cand is not None and del_buckets:
+                prune_col = cand
+                affected_parts = list(row["__ps"])
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
         # min/max deltas aggregate INSERT rows only — valid because a
