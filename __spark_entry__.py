@@ -3491,8 +3491,12 @@ def q_pq_ann(spark, sf_dir):
     emb = db.table("embeddings")
     qv = _query_vec(spark, sf_dir)
     books = similarity.pq_train(emb, m=8, k=16, n_iter=1)
+    # encode ONCE: the checkpoint feeds both the code-range contract
+    # aggregate and the ADC scoring (pq_topk precoded=True) — the old
+    # shape executed the m×k-distance encode projection twice
     enc = similarity.pq_encode(
-        similarity.ensure_parallelism(emb, "vec_id"), books)
+        similarity.ensure_parallelism(emb, "vec_id"),
+        books).localCheckpoint()
     n_bad, n_encoded = enc.agg(
         F.sum(F.when(F.exists("pq_codes",
                               lambda c: (c < 0) | (c > 15)), 1)
@@ -3500,7 +3504,8 @@ def q_pq_ann(spark, sf_dir):
         F.count(F.lit(1))).collect()[0]
     if n_bad:
         raise RuntimeError(f"{n_bad} rows carry out-of-range PQ codes")
-    approx = similarity.pq_topk(emb, books, qv, k=10, n_candidates=80)
+    approx = similarity.pq_topk(enc, books, qv, k=10, n_candidates=80,
+                                precoded=True)
     exact = similarity.cosine_topk(emb, qv, k=10)
     overlap = exact.select("vec_id").join(
         approx.select("vec_id"), "vec_id").count()

@@ -935,14 +935,21 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
 def pq_topk(df: DataFrame, codebooks: list[list[list[float]]],
             query_vec: list[float], k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            n_candidates: int | None = None) -> DataFrame:
+            n_candidates: int | None = None,
+            precoded: bool = False) -> DataFrame:
     """ADC retrieval: the query builds an m×k lookup table of partial
     dot products against every codeword (driver-side, tiny), each
     encoded row scores as m table lookups — never touching the fp32
     vector — and only the ``n_candidates`` best (default 4k) are
     re-ranked by exact cosine.  At 100 TB the candidate scan reads
     m ints per row instead of dim floats, and the exact re-rank reads
-    only 4k full vectors."""
+    only 4k full vectors.
+
+    ``precoded=True`` declares that ``df`` already carries the
+    ``pq_codes`` column for these codebooks (e.g. a checkpointed
+    :func:`pq_encode` a caller also aggregates over) — the encode
+    projection is then not re-executed; scores are identical because
+    they are pure lookups over the same codes."""
     n_candidates = n_candidates or 4 * k
     df = ensure_parallelism(df, id_col)
     sub = len(codebooks[0][0])
@@ -951,7 +958,7 @@ def pq_topk(df: DataFrame, codebooks: list[list[list[float]]],
                                    book[i]))
          for i in range(len(book))]
         for j, book in enumerate(codebooks)]
-    encoded = pq_encode(df, codebooks, vec_col)
+    encoded = df if precoded else pq_encode(df, codebooks, vec_col)
     score = None
     for j, lut in enumerate(luts):
         term = F.element_at(_lit_vec(lut),

@@ -105,13 +105,23 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # lineage (for the co-supplier demo that is a fact-table distinct +
     # self-join PER ITERATION — the "write the edge list first" step
     # every production PageRank starts with)
+    from pyspark.sql import Observation
+
     edges = edges.localCheckpoint()
+    # the vertex count rides the vertex checkpoint as an observed
+    # metric (no separate count job), and the out-degree aggregation
+    # checkpoints once instead of being re-shuffled inside every
+    # iteration's materialization
+    obs = Observation()
     verts = (edges.select(F.col("src").alias("v"))
              .union(edges.select(F.col("dst").alias("v")))
-             .distinct().localCheckpoint())
-    n = verts.count()
-    out_deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("__outd"))
+             .distinct()
+             .observe(obs, F.count(F.lit(1)).alias("n"))
+             .localCheckpoint())
+    n = int(obs.get["n"])
+    out_deg = (edges.groupBy("src")
+               .agg(F.count(F.lit(1)).alias("__outd"))
+               .localCheckpoint())
     ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (edges.join(out_deg, "src")

@@ -572,7 +572,9 @@ class PartitionedTable:
     def _write_partitions(self, df: DataFrame,
                           partition_cols,
                           allowed_keys: set | None = None,
-                          op: str = "write") -> dict[str, list[str]]:
+                          op: str = "write",
+                          enforce: dict | None = None) \
+            -> dict[str, list[str]]:
         """Write every partition of ``df`` in ONE Spark job:
         ``partitionBy`` on duplicated columns (``__p`` / ``__p0..n``),
         so the data files keep the real partition columns while hive
@@ -597,8 +599,17 @@ class PartitionedTable:
         plan (a tokenization, a join) that pass re-executed the whole
         plan, and at warehouse scale it is an entire extra table scan
         per commit.  A guard violation removes the staging tree before
-        raising, so nothing uncommitted survives."""
+        raising, so nothing uncommitted survives.
+
+        ``enforce`` (the table's CHECK constraints) rides the write
+        job the same way: per-constraint violation counts are
+        observe() metrics over the rows being written — previously a
+        separate pre-write aggregation job per constrained commit —
+        and a violation discards the staging before raising, so the
+        published table never sees the batch."""
         from urllib.parse import unquote
+
+        from pyspark.sql import Observation
 
         pcols = [partition_cols] if isinstance(partition_cols, str) \
             else list(partition_cols)
@@ -607,7 +618,25 @@ class PartitionedTable:
         tmp = df
         for n, c in zip(names, pcols):
             tmp = tmp.withColumn(n, F.col(c))
+        obs = None
+        if enforce:
+            obs = Observation()
+            tmp = tmp.observe(obs, *[
+                F.coalesce(F.sum((F.expr(e) == F.lit(False))
+                                 .cast("bigint")), F.lit(0))
+                .alias(f"__viol_{n}")
+                for n, e in sorted(enforce.items())])
         tmp.write.mode("error").partitionBy(*names).parquet(staging)
+        if obs is not None:
+            metrics = obs.get
+            for n in sorted(enforce):
+                viol = int(metrics[f"__viol_{n}"] or 0)
+                if viol:
+                    metaio.IO.remove_tree(staging)
+                    raise DatabaseException(
+                        f"{op} into '{self.root}' violates CHECK "
+                        f"constraint '{n}' ({enforce[n]}): {viol} "
+                        f"rows")
         out: dict[str, list[str]] = {}
         leaf_name: dict[str, str] = {}
         leaf_parent: dict[str, str] = {}
@@ -1788,12 +1817,12 @@ class PartitionedTable:
                 f"insert into '{self.root}': schema mismatch; table "
                 f"has {expected.simpleString()}, rows have "
                 f"{got.simpleString()}")
-        self._enforce(rows, man.get("constraints", {}), "insert")
         parts = {k: list(v) for k, v in man["parts"].items()}
-        # NULL partition values are caught from the staged layout
-        # inside _write_partitions — no pre-write pass over rows
-        for key, ds in self._write_partitions(rows, pcols,
-                                              op="insert").items():
+        # NULL-partition and CHECK-constraint guards ride the write
+        # job inside _write_partitions — no pre-write pass over rows
+        for key, ds in self._write_partitions(
+                rows, pcols, op="insert",
+                enforce=man.get("constraints", {})).items():
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcols, expected, parts,
                      man.get("txns", {}),
@@ -1822,8 +1851,6 @@ class PartitionedTable:
                 f"overwrite_partitions into '{self.root}': schema "
                 f"mismatch; table has {expected.simpleString()}, rows "
                 f"have {rows.schema.simpleString()}")
-        self._enforce(rows, man.get("constraints", {}),
-                      "overwrite_partitions")
         parts = {k: list(v) for k, v in man["parts"].items()}
         wanted = {self._ckey(v, pcols) for v in partition_values}
         for key in wanted:
@@ -1835,7 +1862,8 @@ class PartitionedTable:
         # overwrite before the write
         for key, ds in self._write_partitions(
                 rows, pcols, allowed_keys=wanted,
-                op="overwrite_partitions").items():
+                op="overwrite_partitions",
+                enforce=man.get("constraints", {})).items():
             parts[key] = ds
         self._commit(man["version"] + 1, pcols,
                      T._parse_datatype_string(man["schema"]), parts,
@@ -2115,9 +2143,9 @@ class PartitionedTable:
         if touched:
             rewritten = make_update_applier(condition, assignments)(
                 self.read(partition_values=touched))
-            self._enforce(rewritten, man.get("constraints", {}),
-                          "update")
-            new_parts = self._write_partitions(rewritten, pcols)
+            new_parts = self._write_partitions(
+                rewritten, pcols, op="update",
+                enforce=man.get("constraints", {}))
             for v in touched:
                 parts[self._ckey(v, pcols)] = new_parts.get(
                     self._ckey(v, pcols), [])
@@ -2153,8 +2181,21 @@ class PartitionedTable:
                 raise DatabaseException(
                     f"merge into '{self.root}': unknown key column "
                     f"'{k}'")
-        if source.groupBy(*keys).count().filter(
-                F.col("count") > 1).take(1):
+        # materialize the source once: the dup-key check, the moved-row
+        # guard, the matched rewrite and the insert anti-join all read
+        # it, and without the checkpoint each would re-execute the
+        # caller's source plan (Delta merge materializes its source for
+        # the same reason).  The dup check is one aggregation — row
+        # count vs distinct key-struct count (struct, so NULL keys
+        # group as equal exactly like the old groupBy shape) — instead
+        # of a groupBy + take(1) probe whose empty healthy path
+        # escalates through full-scan job retries.
+        source = source.localCheckpoint()
+        dup = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+            .alias("d")).first()
+        if dup["n"] != dup["d"]:
             raise DatabaseException(
                 f"merge into '{self.root}': source has duplicate keys "
                 f"on {keys}")
@@ -2199,15 +2240,16 @@ class PartitionedTable:
                               .otherwise(F.col(c)).alias(c)
                               if c in upd_cols else F.col(c))
                              for c in schema.fieldNames()]))
-            self._enforce(rewritten, man.get("constraints", {}),
-                          "merge")
-            new_parts = self._write_partitions(rewritten, pcols)
+            new_parts = self._write_partitions(
+                rewritten, pcols, op="merge",
+                enforce=man.get("constraints", {}))
             for v in touched:
                 parts[self._ckey(v, pcols)] = new_parts.get(
                     self._ckey(v, pcols), [])
         inserts = source.join(cur.select(*keys), keys, "left_anti")
-        self._enforce(inserts, man.get("constraints", {}), "merge")
-        for key, ds in self._write_partitions(inserts, pcols).items():
+        for key, ds in self._write_partitions(
+                inserts, pcols, op="merge",
+                enforce=man.get("constraints", {})).items():
             parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcols, schema, parts,
                      man.get("txns", {}),
@@ -2265,24 +2307,6 @@ class PartitionedTable:
                      man.get("tombstones", {}), constraints=cons,
                      op="DROP CONSTRAINT")
         return self
-
-    def _enforce(self, rows: DataFrame, cons: dict[str, str],
-                 what: str) -> None:
-        """ONE aggregate job counts FALSE rows per constraint over the
-        outgoing batch; the commit is refused if any constraint has
-        violations.  Only runs when constraints are defined — an
-        unconstrained table pays nothing."""
-        if not cons:
-            return
-        counts = rows.select(*[
-            F.coalesce(F.sum((F.expr(e) == F.lit(False)).cast("bigint")),
-                       F.lit(0)).alias(n)
-            for n, e in sorted(cons.items())]).collect()[0]
-        for n, _ in sorted(cons.items()):
-            if counts[n]:
-                raise DatabaseException(
-                    f"{what} into '{self.root}' violates CHECK "
-                    f"constraint '{n}' ({cons[n]}): {counts[n]} rows")
 
     def changes(self, from_version: int,
                 to_version: int | None = None) -> DataFrame:
@@ -2477,12 +2501,12 @@ class PartitionedTable:
                     f"append into '{self.root}': schema mismatch; "
                     f"table has {expected.simpleString()}, batch has "
                     f"{rows.schema.simpleString()}")
-            self._enforce(rows, man.get("constraints", {}), "append")
             parts = {k: list(v) for k, v in man["parts"].items()}
-            # NULL partition values are caught from the staged layout
-            # inside _write_partitions — no pre-write probe job
+            # NULL-partition and CHECK-constraint guards ride the
+            # write job inside _write_partitions — no pre-write jobs
             for key, ds in self._write_partitions(
-                    rows, pcols, op="append").items():
+                    rows, pcols, op="append",
+                    enforce=man.get("constraints", {})).items():
                 parts.setdefault(key, []).extend(ds)
             txns = dict(man.get("txns", {}))
             txns[sink_id] = batch_id
