@@ -2188,12 +2188,19 @@ def q_quantiles(spark, sf_dir):
     ``q_quantiles_approx`` (GK-sketch ``approx_percentile``, bounded
     memory, mergeable partials)."""
     db = _db(spark, sf_dir)
+    # one percentile(array(...)) aggregate: two separate percentile
+    # calls each buffer + sort the full per-group value list; the
+    # array form shares ONE buffer and one sort, with the identical
+    # interpolation per requested fraction
     return (db.table("lineitem")
             .groupBy("l_returnflag")
-            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-                 .alias("median_price"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
-                 .alias("p90_price")))
+            .agg(F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))")
+                 .alias("__p"))
+            .select("l_returnflag",
+                    F.round(F.element_at("__p", 1), 4)
+                    .alias("median_price"),
+                    F.round(F.element_at("__p", 2), 4)
+                    .alias("p90_price")))
 
 
 def q_preference_pairs(spark, sf_dir):
