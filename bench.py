@@ -104,10 +104,19 @@ def main() -> None:
     # a bounded tail, and a multi-KB line with the whole per-query map (149 entries) gets
     # truncated from the front, breaking last-line JSON parsing.  The
     # printed line carries the headline numbers plus the 5 slowest
-    # queries; BENCH.json holds the complete map.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.json"), "w") as f:
-        f.write(json.dumps(result) + "\n")
+    # queries; BENCH.json holds the complete map.  A second copy keyed
+    # by (sf, cpus) keeps successive runs at different core counts from
+    # clobbering each other's full maps (the r17 32-core map was lost
+    # to the 8-core rerun exactly this way).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    payload = json.dumps(result) + "\n"
+    with open(os.path.join(repo_dir, "BENCH.json"), "w") as f:
+        f.write(payload)
+    cpus_label = os.environ.get("SPARK_GRAFT_CPUS", "all")
+    with open(os.path.join(repo_dir,
+                           f"BENCH_{sf_label}_c{cpus_label}.json"),
+              "w") as f:
+        f.write(payload)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     compact = {
         "metric": f"suite_total_{sf_label}",

@@ -109,9 +109,7 @@ def pagerank(edges: DataFrame, iterations: int = 3,
 
     edges = edges.localCheckpoint()
     # the vertex count rides the vertex checkpoint as an observed
-    # metric (no separate count job), and the out-degree aggregation
-    # checkpoints once instead of being re-shuffled inside every
-    # iteration's materialization
+    # metric (no separate count job)
     obs = Observation()
     verts = (edges.select(F.col("src").alias("v"))
              .union(edges.select(F.col("dst").alias("v")))
@@ -119,12 +117,16 @@ def pagerank(edges: DataFrame, iterations: int = 3,
              .observe(obs, F.count(F.lit(1)).alias("n"))
              .localCheckpoint())
     n = int(obs.get["n"])
-    out_deg = (edges.groupBy("src")
-               .agg(F.count(F.lit(1)).alias("__outd"))
-               .localCheckpoint())
+    # loop-invariant hoist: an edge's contribution divisor is its
+    # src's out-degree, so the edges⋈out_degree join is identical in
+    # every round — materialize the (src, dst, __outd) table ONCE.
+    # The previous shape re-ran that join (a full edge-set pass and
+    # hash-relation build) inside every iteration's plan.
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__outd"))
+    edges_outd = edges.join(out_deg, "src").localCheckpoint()
     ranks = verts.select("v", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
-        contribs = (edges.join(out_deg, "src")
+    for i in range(iterations):
+        contribs = (edges_outd
                     .join(ranks.select(F.col("v").alias("src"),
                                        "rank"), "src")
                     .select(F.col("dst").alias("v"),
@@ -138,6 +140,15 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                          (F.lit((1 - damping) / n)
                           + F.lit(damping)
                           * F.coalesce(F.col("__s"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint())
+                         .alias("rank")))
+        # Checkpoint every 4th round, not every round: each round's
+        # plan references the previous ranks subtree exactly once, so
+        # lineage depth is linear in rounds-since-checkpoint and a
+        # small cadence keeps plans bounded — while the common short
+        # calls (the 3-iteration entry) build ONE lazy dataflow with
+        # zero intermediate materialization jobs.  The decimal
+        # contribution sums are exact, so rank values are identical
+        # under any materialization cadence.
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks
