@@ -4114,9 +4114,28 @@ def q_cms_reconcile(spark, sf_dir):
     from cs186_query_optimization_project_spark.functions import sketches
     cutoff = "2024-01-16 00:00:00"
     db = _db(spark, sf_dir)
-    batch = (db.table("events").filter(F.col("ts") < cutoff)
-             .select(F.col("user_id").cast("string").alias("k")))
-    batch_grid = sketches.cms_counters(batch, "k", d=3, w=2048)
+    # ONE events pass yields BOTH grids (same _cms_idx cell template
+    # as sketches.cms_counters): per cell, the all-rows count is the
+    # single-pass grid and the ts<cutoff count is the batch half —
+    # exact integer counts over a disjoint split, so the values are
+    # identical to two independent cms_counters passes (previously 2
+    # scan+explode+aggregate passes, re-executed per plan reference)
+    key = "cast(user_id as string)"
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 F.expr(sketches._cms_idx(key, r, 2048)).cast("int")
+                 .alias("idx"))
+        for r in range(3)])
+    grids = (db.table("events")
+             .select((F.col("ts") < cutoff).alias("__pre"),
+                     F.explode(cells).alias("c"))
+             .groupBy(F.col("c.row").alias("row"),
+                      F.col("c.idx").alias("idx"))
+             .agg(F.count(F.lit(1)).alias("__full"),
+                  F.sum(F.col("__pre").cast("long")).alias("__batch"))
+             .localCheckpoint())
+    batch_grid = (grids.filter(F.col("__batch") > 0)
+                  .select("row", "idx", F.col("__batch").alias("cnt")))
     name = "stream_cms_rec_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark,
                                           f"{sf_dir}/events.parquet")
@@ -4127,11 +4146,15 @@ def q_cms_reconcile(spark, sf_dir):
                                  shuffle_partitions=8)
     stream_grid = (spark.table(name)
                    .groupBy("row", "idx").agg(F.sum("cnt").alias("cnt")))
+    # materialize the merged grid once (≤ d·w = 6144 rows): the
+    # returned plan references it three times (both exceptAll
+    # directions + the probe broadcast) — without the checkpoint every
+    # reference re-runs the merge; full_grid's two references read the
+    # already-checkpointed single-pass grid
     merged = (batch_grid.unionByName(stream_grid)
-              .groupBy("row", "idx").agg(F.sum("cnt").alias("cnt")))
-    full_grid = sketches.cms_counters(
-        db.table("events").select(F.col("user_id").cast("string")
-                                  .alias("k")), "k", d=3, w=2048)
+              .groupBy("row", "idx").agg(F.sum("cnt").alias("cnt"))
+              .localCheckpoint())
+    full_grid = grids.select("row", "idx", F.col("__full").alias("cnt"))
     match = (merged.exceptAll(full_grid)
              .unionByName(full_grid.exceptAll(merged))
              .agg((F.count(F.lit(1)) == 0).alias("grids_match")))
