@@ -471,10 +471,29 @@ class MaterializedView:
         if self.filter_sql:
             feed = feed.filter(F.expr(self.filter_sql))
         obs = Observation()
-        feed = feed.observe(
-            obs, F.count(F.lit(1)).alias("n"),
+        feed_metrics = [
+            F.count(F.lit(1)).alias("n"),
             F.sum((F.col("_change_type") != "insert").cast("long"))
-            .alias("n_del")).localCheckpoint()
+            .alias("n_del")]
+        # min/max views also need the delete rows' buckets and (when
+        # the view keys contain the source's leading partition column)
+        # their partitions — both bounded sets, so they ride the SAME
+        # checkpoint job as observed collect_sets instead of a separate
+        # aggregation job over the churn afterwards
+        cand: str | None = None
+        if self.minmax_cols:
+            src_pcols = self.source._pcols_of(
+                self.source._manifest(cur))
+            cand = src_pcols[0] if src_pcols[0] in self.keys else None
+            non_ins = F.col("_change_type") != "insert"
+            feed_metrics.append(
+                F.collect_set(F.when(non_ins, self._bucket()))
+                .alias("__dbk"))
+            if cand is not None:
+                feed_metrics.append(
+                    F.collect_set(F.when(non_ins, F.col(cand)))
+                    .alias("__ps"))
+        feed = feed.observe(obs, *feed_metrics).localCheckpoint()
         metrics = obs.get
         n_changes = int(metrics["n"])
         n_del = int(metrics["n_del"] or 0)
@@ -507,25 +526,16 @@ class MaterializedView:
         affected_parts: list | None = None
         prune_col: str | None = None
         if self.minmax_cols and n_del:
-            non_ins = feed.filter(F.col("_change_type") != "insert")
-            # the PINNED version's layout, not the latest: a
-            # repartition_table commit racing this refresh must not
-            # make us prune cur's manifest by the wrong column
-            src_pcols = self.source._pcols_of(
-                self.source._manifest(cur))
-            cand = src_pcols[0] if src_pcols[0] in self.keys else None
-            # one bounded aggregation yields the delete buckets AND
-            # (when the view keys contain the source's leading
-            # partition column) the affected partitions — previously
-            # two separate distinct-collect jobs over the churn
-            aggs = [F.collect_set(self._bucket()).alias("__bks")]
-            if cand is not None:
-                aggs.append(F.collect_set(F.col(cand)).alias("__ps"))
-            row = non_ins.agg(*aggs).first()
-            del_buckets = set(row["__bks"])
+            # read straight from the feed checkpoint's observed
+            # metrics — no churn re-scan.  The partition-column choice
+            # used the PINNED version's layout (read above, before the
+            # checkpoint): a repartition_table commit racing this
+            # refresh must not make us prune cur's manifest by the
+            # wrong column.
+            del_buckets = set(metrics["__dbk"])
             if cand is not None and del_buckets:
                 prune_col = cand
-                affected_parts = list(row["__ps"])
+                affected_parts = list(metrics["__ps"])
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
             .otherwise(F.lit(-1))
         # min/max deltas aggregate INSERT rows only — valid because a
@@ -549,14 +559,18 @@ class MaterializedView:
                          .alias(f"d_min_{c}"),
                          F.max(F.when(ins, F.col(c)))
                          .alias(f"d_max_{c}"))]))
+        # ≤ n_buckets distinct values — the bounded set that turns the
+        # merge into a touched-bucket-only read and write; it rides
+        # the delta checkpoint as an observed collect_set instead of a
+        # separate distinct-collect job
+        obs_delta = Observation()
         delta = (self._attach_hll(delta, feed, self.keys,
                                   self.distinct_cols, self.hll_m)
                  .withColumn("__mv", self._bucket())
+                 .observe(obs_delta,
+                          F.collect_set(F.col("__mv")).alias("__t"))
                  .localCheckpoint())
-        # ≤ n_buckets values — the bounded collect that turns the
-        # merge into a touched-bucket-only read and write
-        touched = sorted(r[0] for r in
-                         delta.select("__mv").distinct().collect())
+        touched = sorted(obs_delta.get["__t"])
         fold = [b for b in touched if b not in del_buckets]
         store = self._store()
         if affected_parts is not None:
