@@ -5906,13 +5906,19 @@ def q_pipeline_corpus_full(spark, sf_dir):
     # md5+minhash survivors, exactly this stage's input set); the one
     # case SQL cannot see — a PLANTED fragment out-containing a real
     # doc — still fails loudly via contract (b) below.
+    from pyspark.sql import Observation as _Obs
+    ct_obs = _Obs()
     ct_pairs = (dedup.ngram_containment_pairs(s3, threshold=0.9)
+                .observe(ct_obs, F.coalesce(F.sum(
+                    ((F.col("small") < off)
+                     & ((F.col("a") >= off) | (F.col("b") >= off)))
+                    .cast("bigint")), F.lit(0)).alias("__pk"))
                 .localCheckpoint())
     ct_losers = ct_pairs.select(F.col("small").alias("doc_id")) \
         .distinct()
-    planted_kill = ct_pairs.filter(
-        (F.col("small") < off)
-        & ((F.col("a") >= off) | (F.col("b") >= off))).count()
+    # contract (b) count rides the pair checkpoint as an observed
+    # metric — previously a separate filter+count pass over the pairs
+    planted_kill = int(ct_obs.get["__pk"])
     if planted_kill:
         raise RuntimeError(
             f"containment dropped {planted_kill} real docs from pairs "
@@ -5931,9 +5937,18 @@ def q_pipeline_corpus_full(spark, sf_dir):
                                            n_planes=6)
             .select(F.col("corpus_id").alias("doc_id")).distinct()
             .localCheckpoint())
-    s5 = s4.join(hits, "doc_id", "left_anti")
-    # contract: every planted artifact died at its stage
-    leaked = s5.filter(F.col("doc_id") >= off).count()
+    # contract: every planted artifact died at its stage.  The leak
+    # count rides s5's checkpoint as an observed metric, and the
+    # checkpoint itself replaces the old shape's TWO traversals of the
+    # s4/s5 anti-join chain (one for the count, one when the returned
+    # plan executed) with one.
+    s5_obs = _Obs()
+    s5 = (s4.join(hits, "doc_id", "left_anti")
+          .observe(s5_obs, F.coalesce(F.sum(
+              (F.col("doc_id") >= off).cast("bigint")), F.lit(0))
+              .alias("__leak"))
+          .localCheckpoint())
+    leaked = int(s5_obs.get["__leak"])
     if leaked:
         raise RuntimeError(
             f"{leaked} planted artifacts survived the dedup/"
