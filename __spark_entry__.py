@@ -5567,7 +5567,12 @@ def q_ivfpq_batch(spark, sf_dir):
                   key=lambda t: (-t[0], t[1])) != want:
             raise RuntimeError(
                 f"batch result for query {qid} != single-query probe")
-    n_indexed = similarity.ivfpq_codes(spark, base_idx).count()
+    # COUNT(*) from manifest + footer stats (the Delta numRecords
+    # answer — exact, tombstone-aware) instead of a full code-table
+    # scan job; falls back to the scan when metadata can't answer
+    n_indexed = PartitionedTable(spark, base_idx.path).metadata_count()
+    if n_indexed is None:
+        n_indexed = similarity.ivfpq_codes(spark, base_idx).count()
     return spark.createDataFrame(
         [(len(queries), int(n_indexed), 5, True, True)],
         "n_queries int, n_indexed bigint, k int, "
