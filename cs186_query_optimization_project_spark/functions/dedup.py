@@ -530,7 +530,6 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
                                      F.col(src).alias("v")))
            .filter(F.col("u") != F.col("v"))
            .distinct())
-    nodes = sym.select(F.col("u").alias("id")).distinct().localCheckpoint()
 
     def ckpt_with_fp(e: DataFrame) -> tuple[DataFrame, tuple]:
         # the round fingerprint (edge count + exact decimal endpoint
@@ -548,6 +547,15 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
 
     # orient larger→smaller: (big, small); the algorithm's invariant
     edges, fp = ckpt_with_fp(sym.filter(F.col("u") > F.col("v")))
+    # the node set derives from the CHECKPOINTED edges (sym has both
+    # directions of every non-self pair, so each node lands on one
+    # side of some larger→smaller edge) — the old shape materialized
+    # nodes straight off `sym`, re-executing the caller's whole pair
+    # generation a second time.  Lazy: its single consumer is the
+    # final labeling join.
+    nodes = (edges.select(F.col("u").alias("id"))
+             .unionByName(edges.select(F.col("v").alias("id")))
+             .distinct())
 
     def _large_star(e: DataFrame) -> DataFrame:
         """(v, m) for every neighbor v > u, m = min of closed nbhd."""
