@@ -408,9 +408,20 @@ class Database:
                 if k not in entry.schema.fieldNames():
                     raise DatabaseException(
                         f"merge into '{name}': unknown key column '{k}'")
-            dup = (source.groupBy(*keys).count()
-                   .filter(F.col("count") > 1).limit(1).count())
-            if dup:
+            # materialize the source once: the dup check, the matched
+            # rewrite and the insert anti-join all read it, and without
+            # the checkpoint each re-executes the caller's source plan
+            # (the same Delta-style source materialization
+            # PartitionedTable.merge does).  The dup check is one
+            # aggregation — row count vs distinct key-struct count
+            # (struct, so NULL keys group as equal exactly like the old
+            # groupBy) — instead of a groupBy + limit probe.
+            source = source.localCheckpoint()
+            dup = source.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+                .alias("d")).first()
+            if dup["n"] != dup["d"]:
                 raise DatabaseException(
                     f"merge into '{name}': source has duplicate keys on "
                     f"{keys}; each target row must match at most one "

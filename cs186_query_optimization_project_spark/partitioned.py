@@ -2200,29 +2200,44 @@ class PartitionedTable:
                 f"merge into '{self.root}': source has duplicate keys "
                 f"on {keys}")
         cur = self.read()
-        # a matched row must not change partition value: refuse sources
-        # that would move rows (same restriction as update())
+        # ONE bounded job plans the statement: the matched target rows'
+        # partitions (the rewrite set) AND the moved-row guard (a
+        # matched row must not change partition value — same
+        # restriction as update()) come out of a single
+        # target⋈source join + per-partition aggregate.  The dup check
+        # above guarantees unique source keys, so the inner join keeps
+        # exactly the semi-join's target rows.  The guard flag uses
+        # the same non-null-safe != the old filter used (a NULL
+        # comparison contributes nothing to max()).
         loose = [c for c in pcols if c not in keys]
-        if loose:
-            cond = None
-            for c in loose:
-                ne = F.col(f"s.{c}") != F.col(f"t.{c}")
-                cond = ne if cond is None else (cond | ne)
-            moved = (source.alias("s")
-                     .join(cur.alias("t"), keys, "inner")
-                     .filter(cond).take(1))
-            if moved:
-                raise DatabaseException(
-                    f"merge into '{self.root}': a matched source row "
-                    f"changes a partition column ({loose}) — express "
-                    f"a move as delete + insert")
-        matched_keys = source.select(*keys)
-        touched_rows = (cur.join(matched_keys, keys, "left_semi")
-                        .select(*pcols).distinct().collect())
+        s_pref = source.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"__s_{c}") for c in loose])
+        moved_flag = F.lit(False)
+        for c in loose:
+            moved_flag = moved_flag | (F.col(c) != F.col(f"__s_{c}"))
+        touched_rows = (cur.join(s_pref, keys, "inner")
+                        .groupBy(*pcols)
+                        .agg(F.max(moved_flag).alias("__moved"))
+                        .collect())
+        if any(r["__moved"] for r in touched_rows):
+            raise DatabaseException(
+                f"merge into '{self.root}': a matched source row "
+                f"changes a partition column ({loose}) — express "
+                f"a move as delete + insert")
         touched = [r[0] for r in touched_rows] if len(pcols) == 1 \
-            else [tuple(r) for r in touched_rows]
+            else [tuple(r[:len(pcols)]) for r in touched_rows]
         parts = {k: list(v) for k, v in man["parts"].items()}
         upd_cols = [c for c in schema.fieldNames() if c not in keys]
+        # ONE staged write executes the statement: the touched-
+        # partition rewrite and the unmatched-source inserts union into
+        # a single job (previously two _write_partitions jobs — two
+        # staged writes, two commit floors).  Staged keys that were
+        # touched REPLACE their partition's directory list (the rewrite
+        # kept every surviving row of that partition, and any inserts
+        # into it rode the same staged directory); all other staged
+        # keys append, exactly as the old insert write did.
+        payload = source.join(cur.select(*keys), keys, "left_anti")
         if touched:
             src = source.select(
                 *[F.col(k).alias(f"__mk_{k}") for k in keys],
@@ -2240,17 +2255,16 @@ class PartitionedTable:
                               .otherwise(F.col(c)).alias(c)
                               if c in upd_cols else F.col(c))
                              for c in schema.fieldNames()]))
-            new_parts = self._write_partitions(
-                rewritten, pcols, op="merge",
-                enforce=man.get("constraints", {}))
-            for v in touched:
-                parts[self._ckey(v, pcols)] = new_parts.get(
-                    self._ckey(v, pcols), [])
-        inserts = source.join(cur.select(*keys), keys, "left_anti")
-        for key, ds in self._write_partitions(
-                inserts, pcols, op="merge",
-                enforce=man.get("constraints", {})).items():
-            parts.setdefault(key, []).extend(ds)
+            payload = rewritten.unionByName(payload)
+        staged = self._write_partitions(
+            payload, pcols, op="merge",
+            enforce=man.get("constraints", {}))
+        replaced = {self._ckey(v, pcols) for v in touched}
+        for key in replaced:
+            parts[key] = list(staged.get(key, []))
+        for key, ds in staged.items():
+            if key not in replaced:
+                parts.setdefault(key, []).extend(ds)
         self._commit(man["version"] + 1, pcols, schema, parts,
                      man.get("txns", {}),
                      man.get("tombstones", {}), op="MERGE")
