@@ -4068,9 +4068,27 @@ def q_hll_reconcile(spark, sf_dir):
     from cs186_query_optimization_project_spark.functions import sketches
     cutoff = "2024-01-16 00:00:00"
     db = _db(spark, sf_dir)
-    batch_keys = (db.table("events").filter(F.col("ts") < cutoff)
-                  .select(F.col("user_id").cast("string").alias("k")))
-    batch_regs = sketches.hll_registers(batch_keys, "k", m=256)
+    # ONE events pass yields BOTH register tables (same
+    # hll_register_sql template): per register, max(rho) over all rows
+    # is the single-pass sketch and max(rho) over ts<cutoff rows is the
+    # batch half — max over a subset matches the subset-groupBy exactly
+    # (registers absent from the subset surface as NULL and are
+    # filtered, matching occupied-registers-only output).  Previously
+    # two scan+aggregate passes, re-executed per plan reference.
+    register, rho = sketches.hll_register_sql(
+        "cast(user_id as string)", 256)
+    regs_both = (db.table("events")
+                 .select(F.expr(register).alias("register"),
+                         F.expr(rho).alias("__rho"),
+                         (F.col("ts") < cutoff).alias("__pre"))
+                 .groupBy("register")
+                 .agg(F.max("__rho").alias("__full_rho"),
+                      F.max(F.when(F.col("__pre"), F.col("__rho")))
+                      .alias("__batch_rho"))
+                 .localCheckpoint())
+    batch_regs = (regs_both.filter(F.col("__batch_rho").isNotNull())
+                  .select("register",
+                          F.col("__batch_rho").alias("rho")))
     name = "stream_reconcile_" + _tag(sf_dir)
     events = stream_windows.stream_events(spark,
                                           f"{sf_dir}/events.parquet")
@@ -4081,11 +4099,14 @@ def q_hll_reconcile(spark, sf_dir):
                                  shuffle_partitions=8)
     stream_regs = (spark.table(name)
                    .groupBy("register").agg(F.max("rho").alias("rho")))
+    # merged is referenced three times (two exceptAll directions + the
+    # estimate); materialize its ≤ 256 rows once.  full_regs' two
+    # references read the checkpointed single-pass aggregate.
     merged = (batch_regs.unionByName(stream_regs)
-              .groupBy("register").agg(F.max("rho").alias("rho")))
-    full_regs = sketches.hll_registers(
-        db.table("events").select(F.col("user_id").cast("string")
-                                  .alias("k")), "k", m=256)
+              .groupBy("register").agg(F.max("rho").alias("rho"))
+              .localCheckpoint())
+    full_regs = regs_both.select("register",
+                                 F.col("__full_rho").alias("rho"))
     match = (merged.exceptAll(full_regs)
              .unionByName(full_regs.exceptAll(merged))
              .agg((F.count(F.lit(1)) == 0).alias("registers_match")))

@@ -263,6 +263,18 @@ def run_to_memory(stream_df: DataFrame, name: str,
     old = spark.conf.get(key)
     if shuffle_partitions is not None:
         spark.conf.set(key, str(shuffle_partitions))
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nd_old = spark.conf.get(nd_key, "true")
+    if output_mode == "complete":
+        # The trailing no-data microbatch exists to FLUSH results that
+        # only a watermark advance can finalize — required in append
+        # mode (final windows) and update mode (state timeouts).  A
+        # complete-mode sink re-emits the identical full result every
+        # batch, so its no-data batch is pure state-store-commit and
+        # sink-rewrite churn: skip it.  (Measured on streaming_cms:
+        # 5.10 -> 3.49 s per run, rows identical.)  Scoped to this
+        # query via conf-set-around-start, like shuffle_partitions.
+        spark.conf.set(nd_key, "false")
     try:
         q = (stream_df.writeStream.outputMode(output_mode)
              .format("memory").queryName(name).start())
@@ -275,6 +287,8 @@ def run_to_memory(stream_df: DataFrame, name: str,
             q.stop()
         return q
     finally:
+        if output_mode == "complete":
+            spark.conf.set(nd_key, nd_old)
         if shuffle_partitions is not None:
             spark.conf.set(key, old)
 
