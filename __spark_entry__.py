@@ -35,6 +35,9 @@ from cs186_query_optimization_project_spark.functions import (
     text,
 )
 from cs186_query_optimization_project_spark.operators import setops, windows
+from cs186_query_optimization_project_spark.parallel import (
+    local_rows_df as _ldf,
+)
 from cs186_query_optimization_project_spark.predicates import (
     EQ,
     GT,
@@ -271,7 +274,7 @@ def q_contains_key(spark, sf_dir):
     db = _db(spark, sf_dir)
     rows = [(k, db.contains("part", "p_partkey", k))
             for k in (1, 7, 999999999)]
-    return spark.createDataFrame(rows, "probe_key BIGINT, found BOOLEAN")
+    return _ldf(spark, rows, "probe_key BIGINT, found BOOLEAN")
 
 
 def q_grace_hash_join(spark, sf_dir):
@@ -402,7 +405,7 @@ def q_dml_lifecycle(spark, sf_dir):
     with _scratch_base("dml", sf_dir) as base:
         db.create_table("nation_dml", db.table("nation"), f"{base}/nation",
                         index_columns=("n_nationkey",), mode="overwrite")
-        db.insert_rows("nation_dml", spark.createDataFrame(
+        db.insert_rows("nation_dml", _ldf(spark,
             [(100, "ATLANTIS", 0), (101, "ELDORADO", 1)],
             schema=db.schema("nation_dml")))
         db.update_rows("nation_dml", F.col("n_regionkey") == 2,
@@ -432,7 +435,7 @@ def q_time_travel(spark, sf_dir):
     with _scratch_base("tt", sf_dir) as base:
         db.create_table("nation_tt", db.table("nation"), f"{base}/nation",
                         mode="overwrite")
-        db.insert_rows("nation_tt", spark.createDataFrame(
+        db.insert_rows("nation_tt", _ldf(spark,
             [(200, "ATLANTIS", 0), (201, "ELDORADO", 1)],
             schema=db.schema("nation_tt")))
         db.delete_rows("nation_tt", F.col("n_nationkey").between(10, 14))
@@ -472,7 +475,7 @@ def q_mvcc_vacuum(spark, sf_dir):
     with _scratch_base("vac", sf_dir) as base:
         db.create_table("nation_vac", db.table("nation"), f"{base}/nation",
                         mode="overwrite")
-        db.insert_rows("nation_vac", spark.createDataFrame(
+        db.insert_rows("nation_vac", _ldf(spark,
             [(300, "ATLANTIS", 0), (301, "ELDORADO", 1)],
             schema=db.schema("nation_vac")))
         db.delete_rows("nation_vac", F.col("n_nationkey").between(5, 9))
@@ -527,7 +530,7 @@ def q_partitioned_dml(spark, sf_dir):
             db.table("customer").select("c_custkey", "c_mktsegment",
                                         "c_acctbal"),
             f"{base}/customer", "c_mktsegment")
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(900000001, "BUILDING", 1234.56),
              (900000002, "BUILDING", 789.01)],
             "c_custkey bigint, c_mktsegment string, c_acctbal double"))
@@ -590,7 +593,7 @@ def q_partitioned_merge(spark, sf_dir):
                                      "c_mktsegment")
         matched = (target.filter(F.col("c_custkey") % 100 == 0)
                    .withColumn("c_acctbal", F.lit(0.0)))
-        new_rows = spark.createDataFrame(
+        new_rows = _ldf(spark,
             [(910000001, "BUILDING", 11.5), (910000002, "HOUSEHOLD", 22.5)],
             "c_custkey bigint, c_mktsegment string, c_acctbal double")
         touched = {r[0] for r in
@@ -645,7 +648,7 @@ def q_metadata_agg(spark, sf_dir):
             spark,
             db.table("orders").select("o_orderkey", "o_orderstatus"),
             f"{base}/orders", "o_orderstatus")
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(900000001, "X"), (900000002, "X")],
             "o_orderkey bigint, o_orderstatus string"))
         pt.delete_soft("o_orderkey = 900000002")
@@ -681,7 +684,7 @@ def q_metadata_agg(spark, sf_dir):
         if n != actual[0] or lo_hi != (actual[1], actual[2]):
             raise RuntimeError(
                 f"metadata ({n}, {lo_hi}) != scan {tuple(actual)}")
-        out = spark.createDataFrame(
+        out = _ldf(spark,
             [(n, lo_hi[0], lo_hi[1])],
             "n_rows bigint, min_key bigint, max_key bigint")
     return out
@@ -717,7 +720,7 @@ def q_restore_clone(spark, sf_dir):
         clone = pt.clone(f"{base}/clone")
         if os.listdir(os.path.join(clone.root, "parts")):
             raise RuntimeError("shallow clone must copy zero data")
-        clone.insert(spark.createDataFrame(
+        clone.insert(_ldf(spark,
             [(300, "ATLANTIS", 2)],
             schema=pt.read().schema))
         n_src = pt.read().count()
@@ -770,7 +773,7 @@ def q_check_constraints(spark, sf_dir):
             pass
         pt.add_constraint("key_nonneg", "c_custkey >= 0")
         v = pt.versions()[-1]
-        bad = spark.createDataFrame([(-5, "BUILDING", 1.0)],
+        bad = _ldf(spark, [(-5, "BUILDING", 1.0)],
                                     schema=pt.read().schema)
         try:
             pt.insert(bad)
@@ -780,7 +783,7 @@ def q_check_constraints(spark, sf_dir):
         if pt.versions()[-1] != v:
             raise RuntimeError(
                 "refused insert must not publish a version")
-        pt.insert(spark.createDataFrame([(920000001, "BUILDING", 7.5)],
+        pt.insert(_ldf(spark, [(920000001, "BUILDING", 7.5)],
                                         schema=pt.read().schema))
         out = (pt.read()
                .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -817,7 +820,7 @@ def q_mview_refresh(spark, sf_dir):
         mv = MaterializedView.create(spark, pt, f"{base}/mv",
                                      keys=["c_mktsegment"],
                                      sum_cols=["c_acctbal"])
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(940000001, "BUILDING", 100.5),
              (940000002, "MACHINERY", 200.25)],
             schema=pt.read().schema))
@@ -867,7 +870,7 @@ def q_table_history(spark, sf_dir):
             db.table("nation").select("n_nationkey", "n_name",
                                       "n_regionkey"),
             f"{base}/nation", "n_regionkey")
-        pt.insert(spark.createDataFrame([(300, "ATLANTIS", 2)],
+        pt.insert(_ldf(spark, [(300, "ATLANTIS", 2)],
                                         schema=pt.read().schema))
         pt.delete(F.col("n_regionkey") == 0)
         out = (pt.history()
@@ -976,7 +979,7 @@ def q_cdf_feed(spark, sf_dir):
                                         "n_regionkey")
         pt = PartitionedTable.create(spark, nat, f"{base}/nation",
                                      "n_regionkey")
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(300, "AAA", 0), (301, "BBB", 1)],
             "n_nationkey int, n_name string, n_regionkey int"))
         pt.delete(F.col("n_nationkey").between(5, 9))
@@ -1098,7 +1101,7 @@ def q_soft_delete(spark, sf_dir):
         if total - masked != visible:
             raise RuntimeError("tombstone-debt masked rows do not "
                                "account for the invisible rows")
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(920000001, "Brand#11", 5), (920000002, "Brand#22", 3)],
             "p_partkey bigint, p_brand string, p_size int"))
         out = (pt.read()
@@ -1128,7 +1131,7 @@ def q_schema_evolution(spark, sf_dir):
                                           "s_acctbal")
         pt = PartitionedTable.create(spark, sup, f"{base}/supplier",
                                      "s_nationkey")
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(930000001, 0, 10.0, "gold"), (930000002, 1, 20.0, "silver")],
             "s_suppkey bigint, s_nationkey int, s_acctbal double, "
             "s_tier string"),
@@ -1170,7 +1173,7 @@ def q_cdf_stream(spark, sf_dir):
                                         "n_regionkey")
         pt = PartitionedTable.create(spark, nat, f"{base}/nation",
                                      "n_regionkey")
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(300, "AAA", 0), (301, "BBB", 1)],
             "n_nationkey int, n_name string, n_regionkey int"))
         stream = (spark.readStream.format("manifest_stream")
@@ -1227,7 +1230,7 @@ def q_optimizer_cardinality(spark, sf_dir):
                 f"join step {i} ({step.alias}): est_rows={step.est_rows} "
                 f"vs actual={actual} — q-error {q_err:.1f} >= 16")
         audited.append((i, step.alias, actual, True))
-    return spark.createDataFrame(
+    return _ldf(spark,
         audited, "step int, joined string, actual_rows long, "
                  "qerror_lt_16 boolean")
 
@@ -1247,7 +1250,7 @@ def q_merge_upsert(spark, sf_dir):
                            F.concat(F.col("n_name"), F.lit("~u"))
                            .alias("n_name"),
                            "n_regionkey"))
-        inserts = spark.createDataFrame(
+        inserts = _ldf(spark,
             [(100, "NATION_100", 0), (101, "NATION_101", 1)],
             schema=db.schema("nation_merge"))
         db.merge_rows("nation_merge", updates.unionByName(inserts),
@@ -1398,7 +1401,7 @@ def q_scd2_dimension(spark, sf_dir):
                         F.lit("MIGRATED").alias("c_mktsegment")))
     noop = (cust.filter(F.col("c_custkey") % 10 == 1)
             .select("c_custkey", "c_name", "c_mktsegment"))
-    fresh = spark.createDataFrame(
+    fresh = _ldf(spark,
         [(9900001, "Customer#9900001", "FURNITURE"),
          (9900002, "Customer#9900002", "MACHINERY")],
         "c_custkey long, c_name string, c_mktsegment string")
@@ -1615,7 +1618,7 @@ def q_full_outer_join(spark, sf_dir):
     dim = (db.table("customer")
            .filter(F.col("c_custkey") % 2 == 0)
            .select("c_custkey", "c_mktsegment")
-           .unionByName(spark.createDataFrame(
+           .unionByName(_ldf(spark,
                [(9000001, "PHANTOM"), (9000002, "PHANTOM")],
                "c_custkey long, c_mktsegment string")))
     j = per_cust.join(dim, F.col("o_custkey") == F.col("c_custkey"),
@@ -1939,7 +1942,7 @@ def q_constraint_check(spark, sf_dir):
     db = _db(spark, sf_dir)
     orders = db.table("orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority")
-    planted = spark.createDataFrame(
+    planted = _ldf(spark,
         [(9000001, -5, "5-LOW"), (9000001, -5, "5-LOW"),
          (9000002, None, None)],
         "o_orderkey long, o_custkey long, o_orderpriority string")
@@ -2020,7 +2023,7 @@ def q_streaming_outer_join(spark, sf_dir):
         ev = db.table("events")
         far = (ev.agg(F.max("ts")).collect()[0][0]
                + dt.timedelta(days=10))
-        sentinel = spark.createDataFrame(
+        sentinel = _ldf(spark,
             [(1_000_000_000, far, -1, "click", 0.0, None),
              (1_000_000_001, far, -1, "purchase", 0.0, None)],
             schema=ev.schema)
@@ -2071,7 +2074,7 @@ def q_range_join(spark, sf_dir):
     from cs186_query_optimization_project_spark.operators import joins
 
     db = _db(spark, sf_dir)
-    bands = spark.createDataFrame(
+    bands = _ldf(spark,
         [(0.0, 50_000.0, "small"), (50_000.0, 200_000.0, "mid"),
          (200_000.0, 1_000_000.0, "big")], ["lo", "hi", "price_band"])
     joined = joins.range_join(
@@ -3255,7 +3258,7 @@ def q_null_safe_join(spark, sf_dir):
             .select(F.when(F.col("o_orderkey") % 100 == 0, None)
                     .otherwise(F.col("o_orderpriority")).alias("k"),
                     "o_orderkey"))
-    right = spark.createDataFrame(
+    right = _ldf(spark,
         [("1-URGENT", 10), ("2-HIGH", 5), (None, 1)],
         "k string, weight long")
     return (left.join(right, left["k"].eqNullSafe(right["k"]))
@@ -3519,7 +3522,7 @@ def q_pq_ann(spark, sf_dir):
     if overlap < 4:
         raise RuntimeError(
             f"PQ recall@10 = {overlap / 10} below the 0.4 floor")
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(10, int(n_encoded), True)],
         "k int, n_encoded bigint, recall_ge_04 boolean")
 
@@ -3571,7 +3574,7 @@ def q_ivfpq_probe(spark, sf_dir):
         raise RuntimeError(
             f"IVF-PQ recall@10 = {overlap / 10} below the 0.4 floor")
     n_indexed = similarity.ivfpq_codes(spark, idx).count()
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(10, int(n_indexed), True, True)],
         "k int, n_indexed bigint, pruned boolean, recall_ge_04 boolean")
 
@@ -3599,7 +3602,7 @@ def q_ivfpq_filtered(spark, sf_dir):
     rows = top.collect()
     ids = [int(r["vec_id"]) for r in rows]
     labels = dict(emb.join(
-        spark.createDataFrame([(i,) for i in ids], "vec_id bigint"),
+        _ldf(spark, [(i,) for i in ids], "vec_id bigint"),
         "vec_id").select("vec_id", "label").collect())
     if len(rows) != 10 or any(labels[i] != 2 for i in ids):
         raise RuntimeError(
@@ -3621,7 +3624,7 @@ def q_ivfpq_filtered(spark, sf_dir):
             "filtered top-10 equals the unfiltered top-10 — the "
             "predicate did no work")
     n_eligible = emb.filter(F.col("label") == 2).count()
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(10, int(n_eligible), True, True)],
         "k int, n_eligible bigint, all_match_filter boolean, "
         "recall_ge_04 boolean")
@@ -3684,9 +3687,9 @@ def _orders_bloom_table(spark, sf_dir):
             path, "o_orderstatus", bloom_cols=["o_orderkey"])
         schema = "o_orderkey bigint, o_orderstatus string, " \
                  "o_totalprice double"
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(900000001 + i, "X", 1.0) for i in range(20)], schema))
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(910000001 + i, "X", 2.0) for i in range(20)], schema))
         return pt
 
@@ -4488,7 +4491,7 @@ def q_hadoop_lifecycle(spark, sf_dir):
                                    "Hadoop backend")
             pt = PartitionedTable.create(spark, nation, f"{base}/t",
                                          "n_regionkey")
-            pt.insert(spark.createDataFrame(
+            pt.insert(_ldf(spark,
                 [(100, "ATLANTIS", 0), (101, "ELDORADO", 1)],
                 "n_nationkey int, n_name string, n_regionkey int"))
             pt.delete(F.col("n_nationkey").between(10, 14))
@@ -4735,7 +4738,7 @@ def q_partition_overwrite(spark, sf_dir):
         man0 = pt._manifest()
         n_r1 = pt.read(partition_values=[1]).count()
         pt.overwrite_partitions(
-            spark.createDataFrame([(400, "AAA", 0), (401, "BBB", 0)],
+            _ldf(spark, [(400, "AAA", 0), (401, "BBB", 0)],
                                   schema=pt.read().schema),
             [0, 1])
         if pt.versions() != [0, 1]:
@@ -4799,7 +4802,7 @@ def q_clone_vacuum_guard(spark, sf_dir):
         if not pt.vacuum(keep_last=1):
             raise RuntimeError(
                 "post-detach vacuum must reclaim the released dirs")
-        out = spark.createDataFrame(
+        out = _ldf(spark,
             [(surv["n_clone_rows"], surv["key_sum"], True)],
             "n_clone_rows bigint, key_sum bigint, "
             "reclaimed_after_detach boolean")
@@ -4826,7 +4829,7 @@ def q_metadata_groupby(spark, sf_dir):
             spark,
             db.table("orders").select("o_orderkey", "o_orderstatus"),
             f"{base}/orders", "o_orderstatus")
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(900000001, "X"), (900000002, "X")],
             "o_orderkey bigint, o_orderstatus string"))
         jobs_before = _job_counter(spark)
@@ -4854,7 +4857,7 @@ def q_metadata_groupby(spark, sf_dir):
         if counts != want:
             raise RuntimeError(
                 f"tombstoned metadata {counts} != scan {want}")
-        out = spark.createDataFrame(
+        out = _ldf(spark,
             sorted(counts.items()),
             "o_orderstatus string, n_rows bigint")
     return out
@@ -4923,7 +4926,7 @@ def q_partition_pruned_join(spark, sf_dir):
             db.table("orders").select("o_orderkey", "o_orderpriority",
                                       "o_totalprice"),
             f"{base}/orders", "o_orderpriority")
-        dim = spark.createDataFrame(
+        dim = _ldf(spark,
             [("1-URGENT", 10), ("3-MEDIUM", 30)],
             "prio string, boost int")
         fact = pt.read_pruned_by(dim, "prio")
@@ -4988,7 +4991,7 @@ def q_mview_bucketed(spark, sf_dir):
         man1 = mv._store()._manifest(mv.store_version())
         changed = {k for k in set(man0["parts"]) | set(man1["parts"])
                    if man0["parts"].get(k) != man1["parts"].get(k)}
-        bucket = spark.createDataFrame([(3,)], "c_nationkey int") \
+        bucket = _ldf(spark, [(3,)], "c_nationkey int") \
             .select(F.pmod(F.hash("c_nationkey"), F.lit(16))
                     .cast("int")).collect()[0][0]
         if changed != {str(bucket)}:
@@ -5137,7 +5140,7 @@ def q_ivfpq_append(spark, sf_dir):
             raise RuntimeError(
                 f"appended vector must re-rank as its own top-1, "
                 f"got {top1}")
-        out = spark.createDataFrame(
+        out = _ldf(spark,
             [(n_total - n_appended, n_appended, n_total, True)],
             "n_base bigint, n_appended bigint, n_total bigint, "
             "top1_is_query boolean")
@@ -5217,7 +5220,7 @@ def q_mview_hll_distinct(spark, sf_dir):
                 "refresh over a delete must raise insert-only")
         except DatabaseException:
             pass
-        out = spark.createDataFrame(
+        out = _ldf(spark,
             sorted((k, v[0], v[1]) for k, v in got.items()),
             "event_type string, n_rows bigint, distinct_est double")
     return out
@@ -5264,7 +5267,7 @@ def q_ivfpq_remove(spark, sf_dir):
                   for r in similarity.ivfpq_codes(spark, idx)
                   .collect()}
         doomed_ids = {i for i in before if i % 7 == 3}
-        doom = spark.createDataFrame(
+        doom = _ldf(spark,
             [(i,) for i in sorted(doomed_ids)], "vec_id long")
         removed = similarity.ivfpq_remove(spark, idx, doom,
                                           files_per_bucket=1)
@@ -5293,7 +5296,7 @@ def q_ivfpq_remove(spark, sf_dir):
                 f"{ids[0]}")
         if any(i in doomed_ids for i in ids):
             raise RuntimeError("a removed id surfaced from the probe")
-        out = spark.createDataFrame(
+        out = _ldf(spark,
             [(len(before), removed, len(after), True)],
             "n_before bigint, n_removed bigint, n_after bigint, "
             "top1_is_query boolean")
@@ -5475,7 +5478,7 @@ def q_mview_minmax_delete(spark, sf_dir):
         man0 = mv._store()._manifest(mv.store_version())
         schema = "o_orderkey bigint, o_orderstatus string, " \
                  "o_totalprice double"
-        pt.insert(spark.createDataFrame(
+        pt.insert(_ldf(spark,
             [(900000001, "O", 99999999.0), (900000002, "O", 0.005)],
             schema))
         if mv.refresh() == 0:
@@ -5486,7 +5489,7 @@ def q_mview_minmax_delete(spark, sf_dir):
                 f"insert-only fold wrong: {got.get('O')}")
         man1 = mv._store()._manifest(mv.store_version())
         churned = {r[0] for r in
-                   spark.createDataFrame([("O",)],
+                   _ldf(spark, [("O",)],
                                          "o_orderstatus string")
                    .select(F.pmod(F.hash("o_orderstatus"), F.lit(8))
                            .cast("int")).collect()}
@@ -5526,7 +5529,7 @@ def q_mview_minmax_delete(spark, sf_dir):
             raise RuntimeError(
                 "deleted max survived — the scoped recompute did not "
                 "run")
-        out = spark.createDataFrame(
+        out = _ldf(spark,
             sorted((k, v[0], v[1], v[2]) for k, v in got.items()),
             "o_orderstatus string, n_rows bigint, min_price double, "
             "max_price double").localCheckpoint()
@@ -5594,7 +5597,7 @@ def q_ivfpq_batch(spark, sf_dir):
     n_indexed = PartitionedTable(spark, base_idx.path).metadata_count()
     if n_indexed is None:
         n_indexed = similarity.ivfpq_codes(spark, base_idx).count()
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(len(queries), int(n_indexed), 5, True, True)],
         "n_queries int, n_indexed bigint, k int, "
         "matches_single boolean, pruned boolean")
@@ -5641,7 +5644,7 @@ def q_multi_skip(spark, sf_dir):
     got_rows = sorted(map(tuple, out.collect()))
     if got_rows != sorted(map(tuple, want.collect())):
         raise RuntimeError("read_skipping != plain filtered read")
-    return spark.createDataFrame(
+    return _ldf(spark,
         got_rows,
         "o_orderkey bigint, o_orderstatus string, "
         "o_totalprice double")
@@ -5703,7 +5706,7 @@ def q_metadata_group_minmax(spark, sf_dir):
         raise RuntimeError(
             f"metadata group min/max != scan GROUP BY: "
             f"{sorted(got)} vs {sorted(want)}")
-    return spark.createDataFrame(
+    return _ldf(spark,
         sorted((k, int(v[0]), int(v[1])) for k, v in got.items()),
         "o_orderstatus string, min_key bigint, max_key bigint")
 
@@ -5770,7 +5773,7 @@ def q_disjunct_skip(spark, sf_dir):
     got_rows = sorted(map(tuple, out.collect()))
     if got_rows != sorted(map(tuple, want.collect())):
         raise RuntimeError("disjunctive skipping != plain OR read")
-    return spark.createDataFrame(
+    return _ldf(spark,
         got_rows,
         "o_orderkey bigint, o_orderstatus string, o_totalprice double")
 
@@ -6030,7 +6033,7 @@ def q_inlist_skip(spark, sf_dir):
     got_rows = sorted(map(tuple, out.collect()))
     if got_rows != sorted(map(tuple, want.collect())):
         raise RuntimeError("IN skipping != plain isin read")
-    return spark.createDataFrame(
+    return _ldf(spark,
         got_rows,
         "o_orderkey bigint, o_orderstatus string, o_totalprice double")
 
@@ -6099,7 +6102,7 @@ def q_multi_partition(spark, sf_dir):
             .collect()[0])
         n_prefix = prefix.count()
         n_comp = comp.count()
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(int(row["n_exact"]), float(row["sum_exact"]),
           int(n_prefix), int(n_comp), True, True)],
         "n_exact bigint, sum_exact double, n_prefix bigint, "
@@ -6215,7 +6218,7 @@ def q_kmv_overlap_group(spark, sf_dir):
         raise RuntimeError(
             f"per-group KMV intersection estimates beyond the 25% "
             f"loud bound: {bad}")
-    return spark.createDataFrame(rows, out.schema)
+    return _ldf(spark, rows, out.schema)
 
 
 def q_boilerplate_strip(spark, sf_dir):
@@ -6272,7 +6275,7 @@ def q_ann_filtered(spark, sf_dir):
     db = _db(spark, sf_dir)
     labels = dict(
         db.table("embeddings")
-        .join(spark.createDataFrame(
+        .join(_ldf(spark,
             [(int(r["vec_id"]),) for r in rows], "vec_id bigint"),
             "vec_id")
         .select("vec_id", "label").collect())
@@ -6321,7 +6324,7 @@ def q_ann_filtered(spark, sf_dir):
     if not lsh_f or any(lsh_lab[v] != 2 for v in lsh_ids):
         raise RuntimeError("lsh_probe(where=) returned rows outside "
                            "the predicate (or nothing)")
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(int(r["vec_id"]), float(r["cosine_sim"])) for r in rows],
         "vec_id bigint, cosine_sim double")
 
@@ -6393,7 +6396,7 @@ def q_kmv_overlap(spark, sf_dir):
             f"KMV intersection estimate off by {row['rel_error']:.1%} "
             f"(estimate {row['est_intersection']}, exact "
             f"{row['exact_intersection']}) — beyond the k=256 bound")
-    return spark.createDataFrame([tuple(row)], out.schema)
+    return _ldf(spark, [tuple(row)], out.schema)
 
 
 def q_expectations(spark, sf_dir):

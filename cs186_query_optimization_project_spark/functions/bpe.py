@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cs186_query_optimization_project_spark.functions.text import tokens
+from cs186_query_optimization_project_spark.parallel import local_rows_df
 
 MERGE_SCHEMA = T.StructType([
     T.StructField("merge_rank", T.LongType(), False),
@@ -86,7 +87,7 @@ def learn_bpe_merges(df: DataFrame, text_col: str = "text",
             "seq", F.replace(F.col("seq"),
                              F.lit(f" {lhs}  {rhs} "),
                              F.lit(f" {lhs}{rhs} ")))
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    return local_rows_df(spark, merges, MERGE_SCHEMA)
 
 
 def apply_bpe_merges(df: DataFrame, merges: list[tuple[str, str]],

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cs186_query_optimization_project_spark.parallel import local_rows_df
+
 
 def key_skew(df: DataFrame, key_col: str,
              hot_factor: float = 2.0) -> DataFrame:
@@ -285,8 +287,8 @@ def expectations_report(df: DataFrame,
         rate = round(v / n, 6) if n else 0.0
         out.append((name, int(n), v, rate, v == 0))
     spark = df.sparkSession
-    return spark.createDataFrame(
-        out, "expectation string, n_rows bigint, n_violations bigint, "
+    return local_rows_df(
+        spark, out, "expectation string, n_rows bigint, n_violations bigint, "
              "violation_rate double, passed boolean")
 
 

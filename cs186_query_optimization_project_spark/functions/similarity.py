@@ -26,7 +26,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs186_query_optimization_project_spark.parallel import ensure_parallelism
+from cs186_query_optimization_project_spark.parallel import (
+    ensure_parallelism,
+    local_rows_df,
+)
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -1290,8 +1293,8 @@ def ivfpq_probe_batch(spark: SparkSession, index: AnnIndex,
             qdotc = sum(q * c for q, c in zip(vec, cents[cell]))
             plan.append((int(qid), int(cell), float(qdotc),
                          [[float(x) for x in row] for row in luts]))
-    plan_df = spark.createDataFrame(
-        plan, "query_id bigint, cell bigint, __qdotc double, "
+    plan_df = local_rows_df(
+        spark, plan, "query_id bigint, cell bigint, __qdotc double, "
               "__luts array<array<double>>")
     cells = sorted({p[1] for p in plan})
     codes = PartitionedTable(spark, index.path).read(
@@ -1329,7 +1332,8 @@ def ivfpq_topk_batch(spark: SparkSession, index: AnnIndex,
 
     cand = ivfpq_probe_batch(spark, index, queries, k, n_probe,
                              n_candidates, id_col, version=version)
-    qdf = spark.createDataFrame(
+    qdf = local_rows_df(
+        spark,
         [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
         "query_id bigint, __qv array<double>")
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -53,6 +53,7 @@ from cs186_query_optimization_project_spark.errors import (
     ConflictException,
     DatabaseException,
 )
+from cs186_query_optimization_project_spark.parallel import local_rows_df
 
 #: Partition-column types with exact, injective string keys.  Floats /
 #: decimals / timestamps are refused: their string forms are not stable
@@ -2791,7 +2792,8 @@ class PartitionedTable:
                 _dt.datetime.fromtimestamp(ts) if ts else None,
                 len([k for k, ds in man["parts"].items() if ds]),
                 sum(len(ds) for ds in man["parts"].values())))
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             rows, "version bigint, op string, ts timestamp, "
                   "n_partitions int, n_dirs int")
 
