@@ -1356,9 +1356,15 @@ def q_pagerank(spark, sf_dir):
 
     db = _db(spark, sf_dir)
     und = _cosupplier_edges(db)
-    edges = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-             .union(und.select(F.col("b").alias("src"),
-                               F.col("a").alias("dst"))))
+    # symmetrize with explode, not self-union: pagerank() materializes
+    # this frame as its first step, and a union would embed the whole
+    # co-supplier derivation (lineitem distinct + self-join) twice in
+    # that one job — explode emits both directions from one scan
+    edges = (und.select(F.explode(F.array(
+                 F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                 F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
+             .alias("__e"))
+             .select("__e.src", "__e.dst"))
     pr = graphs.pagerank(edges, iterations=3, damping=0.85)
     return (pr.select("v", F.round("rank", 6).alias("rank"))
             .orderBy(F.col("rank").desc(), "v"))

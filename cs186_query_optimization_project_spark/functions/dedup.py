@@ -525,11 +525,15 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
     """
     from pyspark.sql import Observation
 
-    sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .unionByName(pairs.select(F.col(dst).alias("u"),
-                                     F.col(src).alias("v")))
-           .filter(F.col("u") != F.col("v"))
-           .distinct())
+    # oriented larger→smaller directly via (greatest, least): the old
+    # shape symmetrized with a self-union — embedding the caller's
+    # whole pair-generation plan TWICE in the first checkpoint job —
+    # and then kept u > v, which is exactly this one-scan projection.
+    # NULL-endpoint pairs drop either way (u != v is NULL → filtered).
+    oriented = (pairs.select(F.greatest(F.col(src), F.col(dst)).alias("u"),
+                             F.least(F.col(src), F.col(dst)).alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
 
     def ckpt_with_fp(e: DataFrame) -> tuple[DataFrame, tuple]:
         # the round fingerprint (edge count + exact decimal endpoint
@@ -545,22 +549,26 @@ def duplicate_clusters_star(pairs: DataFrame, src: str = "a",
         m = obs.get
         return out, (m["n"], m["su"], m["sv"])
 
-    # orient larger→smaller: (big, small); the algorithm's invariant
-    edges, fp = ckpt_with_fp(sym.filter(F.col("u") > F.col("v")))
-    # the node set derives from the CHECKPOINTED edges (sym has both
-    # directions of every non-self pair, so each node lands on one
-    # side of some larger→smaller edge) — the old shape materialized
-    # nodes straight off `sym`, re-executing the caller's whole pair
-    # generation a second time.  Lazy: its single consumer is the
-    # final labeling join.
-    nodes = (edges.select(F.col("u").alias("id"))
-             .unionByName(edges.select(F.col("v").alias("id")))
+    edges, fp = ckpt_with_fp(oriented)
+    # the node set derives from the CHECKPOINTED edges (every node of a
+    # non-self pair lands on one side of some larger→smaller edge) —
+    # the old shape materialized nodes straight off the symmetrized
+    # pairs, re-executing the caller's whole pair generation a second
+    # time.  Both endpoints come from ONE edge scan (explode, not a
+    # self-union).  Lazy: its single consumer is the final labeling
+    # join.
+    nodes = (edges.select(F.explode(F.array("u", "v")).alias("id"))
              .distinct())
 
     def _large_star(e: DataFrame) -> DataFrame:
         """(v, m) for every neighbor v > u, m = min of closed nbhd."""
-        s = e.unionByName(e.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
+        # both directions from one scan of the round's checkpointed
+        # edges (a self-union would scan it twice per reference)
+        s = (e.select(F.explode(F.array(
+                 F.struct("u", "v"),
+                 F.struct(F.col("v").alias("u"), F.col("u").alias("v"))))
+             .alias("__e"))
+             .select("__e.u", "__e.v"))
         m = (s.groupBy("u").agg(F.min("v").alias("__mn"))
              .select(F.col("u"),
                      F.least(F.col("__mn"), F.col("u")).alias("m")))
@@ -632,9 +640,13 @@ def duplicate_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
     # checkpoint the edge list once: every round joins against it, and
     # without this the (possibly expensive) upstream pair-generation
     # lineage would re-execute per round per action
-    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .unionByName(pairs.select(F.col(dst).alias("u"),
-                                       F.col(src).alias("v")))
+    # symmetrize with explode, not a self-union: a union embeds the
+    # caller's pair-generation plan twice in this one checkpoint job
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                 F.struct(F.col(dst).alias("u"), F.col(src).alias("v"))))
+             .alias("__e"))
+             .select("__e.u", "__e.v")
              .distinct()
              .localCheckpoint())
 

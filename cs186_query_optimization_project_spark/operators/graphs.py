@@ -24,9 +24,16 @@ def orient_by_degree(edges: DataFrame, a: str = "a",
     # materialize once: und feeds the degree count AND the orientation
     # join, and the caller self-joins the result three ways — without a
     # checkpoint every reference re-derives the whole edge lineage
-    # (measured 8× slower on the co-supplier graph)
-    und = (edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-           .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+    # (measured 8× slower on the co-supplier graph).  Symmetrize via
+    # explode-of-both-directions rather than a self-union: a union
+    # embeds the caller's edge derivation TWICE in this one job (for
+    # the co-supplier graph that is the lineitem distinct + self-join
+    # run twice), an explode scans it once.
+    und = (edges.select(F.explode(F.array(
+               F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+               F.struct(F.col(b).alias("u"), F.col(a).alias("v"))))
+           .alias("__e"))
+           .select("__e.u", "__e.v")
            .distinct().localCheckpoint())
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranked = (und.join(deg, "u")
@@ -73,8 +80,12 @@ def triangle_counts(edges: DataFrame, a: str = "a",
     Vertices in no triangle are absent (semi-join them back against
     the vertex set if zeros are needed)."""
     t = triangles(edges, a, b)
-    verts = (t.select(F.col("v1").alias("vertex"))
-             .union(t.select("v2")).union(t.select("v3")))
+    # one corner per output row via explode — the previous 3-way union
+    # of t's corner columns re-ran the whole triangle enumeration (two
+    # sort-merge joins) once per branch because t is not materialized;
+    # explode emits the identical (vertex) multiset in ONE enumeration
+    verts = t.select(
+        F.explode(F.array("v1", "v2", "v3")).alias("vertex"))
     return verts.groupBy("vertex").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
@@ -111,8 +122,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # the vertex count rides the vertex checkpoint as an observed
     # metric (no separate count job)
     obs = Observation()
-    verts = (edges.select(F.col("src").alias("v"))
-             .union(edges.select(F.col("dst").alias("v")))
+    # both endpoints from one edge scan (explode, not a self-union)
+    verts = (edges.select(F.explode(F.array("src", "dst")).alias("v"))
              .distinct()
              .observe(obs, F.count(F.lit(1)).alias("n"))
              .localCheckpoint())
