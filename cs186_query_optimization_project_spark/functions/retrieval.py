@@ -505,7 +505,13 @@ def postings_remove(spark: SparkSession, index: PostingsIndex,
     # ONE pass over the PINNED doclen version yields both the doomed
     # constants (crash-retry reads the same values even after the
     # delete commits) and the touched doclen buckets — the old shape
-    # paid a second doclen scan for the bucket-discovery collect
+    # paid a second doclen scan for the bucket-discovery collect.
+    # Commit-protocol note: because the buckets come from the PINNED
+    # version, a crash-retry that runs after the doclen overwrite
+    # already committed re-discovers the same buckets and rewrites
+    # byte-identical content as one extra (harmless) version — the
+    # retry converges but is no longer a table no-op; the accepted
+    # price for constants that cannot drift under retry
     rm_rows = (pt_len.read(version=index.doclen_version)
                .join(F.broadcast(ids), id_col)
                .groupBy("db")

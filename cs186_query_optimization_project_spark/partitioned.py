@@ -671,14 +671,20 @@ class PartitionedTable:
             # disambiguate (error path only — one job nothing healthy
             # pays): Spark writes NULL, '' and the literal string
             # '__HIVE_DEFAULT_PARTITION__' to the same directory; only
-            # the last is representable, and `_key` already refuses ''
+            # the last is representable, and `_key` already refuses ''.
+            # The probe reads the STAGED bytes — the data files keep
+            # the real partition columns — not the caller's input
+            # plan: a non-deterministic upstream re-execution could
+            # show no NULL rows while the staged files do contain
+            # them, silently publishing NULL rows under the literal
+            # key.  The staging IS what a commit would publish.
             cond = None
             for c in set(hive_default):
                 e = F.col(c).isNull()
                 if isinstance(df.schema[c].dataType, T.StringType):
                     e = e | (F.col(c) == "")
                 cond = e if cond is None else (cond | e)
-            if df.filter(cond).take(1):
+            if self.spark.read.parquet(staging).where(cond).take(1):
                 metaio.IO.remove_tree(staging)
                 raise DatabaseException(
                     f"{op} into '{self.root}': NULL partition value "
@@ -1853,7 +1859,36 @@ class PartitionedTable:
                 f"mismatch; table has {expected.simpleString()}, rows "
                 f"have {rows.schema.simpleString()}")
         parts = {k: list(v) for k, v in man["parts"].items()}
-        wanted = {self._ckey(v, pcols) for v in partition_values}
+        # mistyped scalars (5.0 naming a long partition) coerce via the
+        # JVM's own cast — the same rule read_point applies — instead
+        # of silently producing an unmatchable key ('5.0' vs staged
+        # '5') that would then misreport healthy rows as strays; all
+        # mismatched components batch into ONE 1-row evaluation
+        from cs186_query_optimization_project_spark import xxh64
+        ptypes = [expected[c].dataType for c in pcols]
+        tups = []
+        mism: list[tuple[list, int, object, T.DataType]] = []
+        for v in partition_values:
+            tup = list(v) if isinstance(v, (tuple, list)) else [v]
+            if len(tup) == len(pcols):
+                for i, (x, dt) in enumerate(zip(tup, ptypes)):
+                    if x is not None and not xxh64.native_match(x, dt):
+                        mism.append((tup, i, x, dt))
+            tups.append(tup)
+        if mism:
+            row = self.spark.range(1).select(*[
+                F.lit(x).try_cast(dt).alias(f"__v{j}")
+                for j, (_, _, x, dt) in enumerate(mism)]).collect()[0]
+            for j, (tup, i, x, dt) in enumerate(mism):
+                c = row[f"__v{j}"]
+                if c is None:
+                    raise DatabaseException(
+                        f"overwrite_partitions into '{self.root}': "
+                        f"mistyped partition value {x!r} is not "
+                        f"castable to partition column type "
+                        f"{dt.simpleString()}")
+                tup[i] = c
+        wanted = {self._ckey(tup, pcols) for tup in tups}
         for key in wanted:
             parts.pop(key, None)
         # both replaceWhere guards (NULL partition values, rows

@@ -940,6 +940,26 @@ def test_overwrite_partitions_single_commit_replace(pt, spark):
             ["A"])
 
 
+def test_overwrite_partitions_coerces_mistyped_values(spark, tmp_path):
+    """A mistyped partition scalar (5.0 naming a long partition)
+    coerces via the JVM's own cast — the same rule read_point applies
+    — instead of building an unmatchable key that misreports healthy
+    rows as strays; an uncastable value raises a mistype error, not
+    the stray-rows message."""
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (2, 5, 20.0), (3, 7, 30.0)],
+        "id long, bucket int, amt double")
+    pt = PartitionedTable.create(spark, df, str(tmp_path / "ti"),
+                                 "bucket")
+    rows = spark.createDataFrame([(9, 5, 1.5)],
+                                 "id long, bucket int, amt double")
+    pt.overwrite_partitions(rows, [5.0])       # float names int part
+    got = sorted((r["id"], r["bucket"]) for r in pt.read().collect())
+    assert got == [(3, 7), (9, 5)]
+    with pytest.raises(DatabaseException, match="mistyped"):
+        pt.overwrite_partitions(rows, ["not-a-number"])
+
+
 def test_vacuum_protects_registered_clone_dirs(pt, spark, tmp_path):
     """The Delta vacuum-after-shallow-clone data-loss hazard is
     closed: the source's vacuum treats directories a registered clone
